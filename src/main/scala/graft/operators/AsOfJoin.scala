@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach value columns from the
+  * latest right row with `right.ts <= left.ts` for the same key.
+  *
+  * The reference engine has no as-of support (SURVEY.md §2.3 — no joins at
+  * all); this is part of the declared extension surface. Implementation is
+  * Spark-first and scale-first: instead of the naive theta-join
+  * (`l.key = r.key && r.ts <= l.ts` + row_number), which explodes to
+  * O(|L|·|R|) rows per key before pruning, we UNION the two sides with a
+  * side tag and take a running `last(ignoreNulls)` over a single
+  * (key, ts, side) sort. Cost: ONE shuffle of |L|+|R| rows and one sort —
+  * the same plan shape a 1000-executor cluster wants at 100 TB (sort-merge
+  * within hash partitions, no skew amplification beyond key skew itself).
+  *
+  * Tie semantics: a right row with ts equal to a left row's ts IS visible
+  * to it (side tag sorts right-before-left), matching DuckDB's
+  * `ASOF JOIN ... ON l.ts >= r.ts`.
+  */
+object AsOfJoin {
+
+  /** @param valueCols (rightColumn, outputAlias) pairs pulled from the
+    *                  matched right row; null when no right row precedes.
+    */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[(String, String)]): DataFrame = {
+    val leftRow = struct(left.columns.map(left(_)): _*)
+    val rightVal = struct(valueCols.map { case (c, a) => right(c).as(a) }: _*)
+
+    val lTagged = left.select(
+      left(key).as("__k"), left(leftTs).as("__t"), lit(1).as("__side"),
+      leftRow.as("__lrow"))
+    val lrowType = lTagged.schema("__lrow").dataType
+    val rTagged0 = right.select(
+      right(key).as("__k"), right(rightTs).as("__t"), lit(0).as("__side"),
+      rightVal.as("__rval"))
+    val rvalType = rTagged0.schema("__rval").dataType
+
+    val l = lTagged.withColumn("__rval", lit(null).cast(rvalType))
+    val r = rTagged0.withColumn("__lrow", lit(null).cast(lrowType))
+      .select("__k", "__t", "__side", "__lrow", "__rval")
+    val u = l.select("__k", "__t", "__side", "__lrow", "__rval").union(r)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val outCols: Seq[Column] =
+      left.columns.map(c => col(s"__lrow.$c").as(c)).toSeq ++
+        valueCols.map { case (_, a) => col(s"__asof.$a").as(a) }
+
+    u.withColumn("__asof", last(col("__rval"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(outCols: _*)
+  }
+}
