@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Typed media payload: opaque bytes + structured metadata. */
+final case class MediaRecord(doc_id: Long, media: Array[Byte])
+
+/** Deterministic "decoded" features of a media payload. */
+final case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    byte_sum: Long,
+    header_hex: String,
+    format: String,
+    width: Long,
+    height: Long)
+
+/** Multimodal-column plumbing (SURVEY.md §2.11): image/audio/video as
+  * opaque `BinaryType` columns with typed metadata, processed by batched
+  * per-partition decoders.
+  *
+  * The Spark-side shape is real and scale-correct: `Dataset[MediaRecord]`
+  * with a `BinaryType` payload, decode as `mapPartitions` (one decoder
+  * instance per partition, streaming iterator — no per-row setup, no
+  * driver collect; the 100 TB path is "binary parquet in, features out,
+  * no shuffle"). Only the codec itself is stubbed: this container has no
+  * image/audio libraries, so [[StubDecoder]] derives deterministic
+  * features from the raw bytes. Swap it for a real JNI/javax decoder
+  * without touching the plumbing.
+  */
+object Multimodal {
+
+  /** The decode stub — the one deliberately-fake piece. A real
+    * implementation would parse an actual codec header here. */
+  object StubDecoder {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val b = r.media
+      val n = b.length.toLong
+      var sum = 0L
+      var i = 0
+      while (i < b.length) { sum += b(i) & 0xff; i += 1 }
+      val hex = b.take(8).map(x => f"${x & 0xff}%02X").mkString
+      val b0 = if (b.length > 0) b(0) & 0xff else 0
+      val b1 = if (b.length > 1) b(1) & 0xff else 0
+      MediaFeatures(
+        doc_id = r.doc_id,
+        n_bytes = n,
+        byte_sum = sum,
+        header_hex = hex,
+        format = if (b0 % 2 == 0) "rgb8" else "gray8",
+        width = b0 % 64 + 1,
+        height = b1 % 64 + 1)
+    }
+  }
+
+  /** documents(text) → MediaRecord with the UTF-8 bytes as the payload —
+    * the test stand-in for reading a binary media column from parquet. */
+  def fromText(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("binary").as("media"))
+      .as[MediaRecord]
+  }
+
+  /** Batched decode: one decoder per partition, streamed. */
+  def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      // per-partition decoder setup would go here (codec contexts etc.)
+      it.map(StubDecoder.decode)
+    }
+  }
+
+  /** Frame sampling stub: every `stride`-th byte as a "frame" digest —
+    * the plumbing shape of video frame extraction (explode to one row per
+    * sampled frame). */
+  def sampleFrames(ds: Dataset[MediaRecord], stride: Int): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      r.media.indices.by(stride).map(i =>
+        (r.doc_id, i.toLong, (r.media(i) & 0xff).toLong))
+    }.toDF("doc_id", "frame_idx", "frame_value")
+  }
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline surface
+  * (SURVEY.md §2.11): exact, MinHash+LSH banding, SimHash.
+  *
+  * The reference engine has no dedup at all (its only keyed operator is a
+  * per-batch reduceByKey, /root/reference/src/main/java/org/test/pcap4j/
+  * MainApp.java:54-55); this is north-star extension surface.
+  *
+  * Scale design (100 TB):
+  *  - Everything up to banding is a stateless per-row map (shingle → hash →
+  *    signature): embarrassingly parallel, no shuffle, one stage.
+  *  - The only shuffles are the band-bucket exchange (key = (band, bandHash),
+  *    two LONGs — the shuffle carries hashes, never document text) and the
+  *    verify join, which touches only candidate pairs (≪ n²).
+  *  - Hot buckets (identical boilerplate docs) self-join quadratically; at
+  *    100 TB cap bucket width or salt the verify join. Documented, not
+  *    needed at test SF.
+  *
+  * Determinism contract for the DuckDB oracle: the string hash is
+  * md5-based — `conv(substring(md5(s),1,15),16,10)` here ≡
+  * `('0x'||substr(md5(s),1,15))::BIGINT` in DuckDB — and every fold is a
+  * strict left fold mod 1e9+7, so signatures match the oracle bit-for-bit.
+  */
+object Dedup {
+  val P = "1000000007L"
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val ShingleK = 3
+
+  /** 60-bit md5-derived hash of a string expression, mod P (always >= 0). */
+  def h60(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT) % $P"
+
+  /** Non-empty whitespace tokens. */
+  def wordsExpr(textCol: String): String =
+    s"filter(split($textCol, ' '), w -> w <> '')"
+
+  /** Distinct word k-shingles of a token-array column. */
+  def shinglesExpr(wordsCol: String, k: Int = ShingleK): String =
+    s"""array_distinct(transform(
+       |  sequence(0, size($wordsCol) - $k),
+       |  i -> concat_ws(' ', slice($wordsCol, i + 1, $k))))""".stripMargin
+
+  /** MinHash signature over a pre-hashed shingle array `hv`: for hash i,
+    * min over shingles of an affine permute ((2i+1) is odd → injective mod
+    * the even modulus' coprime... and in any case identical cross-engine). */
+  def sigExpr(hvCol: String, n: Int = NumHashes): String =
+    s"""transform(sequence(0, ${n - 1}), i ->
+       |  array_min(transform($hvCol, h -> ((2*i + 1) * h + 12345*i + 678) % $P)))"""
+      .stripMargin
+
+  /** Left-fold digest: (acc*31 + v) % P with acc0 = 0. The first step is
+    * the identity (v < P), so this equals DuckDB's init-less `list_reduce`
+    * over the same list. */
+  def foldDigest(arr: String): String =
+    s"aggregate($arr, 0L, (acc, v) -> (acc*31 + v) % $P)"
+
+  /** doc_id → (shingles, sig). Docs with < k words are dropped (no
+    * shingles → no signature), mirrored in the oracle's WHERE. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), expr(wordsExpr(textCol)).as("words"))
+      .where(expr(s"size(words) >= $ShingleK"))
+      .select(col("doc_id"), expr(shinglesExpr("words")).as("shingles"))
+      .select(col("doc_id"), col("shingles"),
+        expr(s"transform(shingles, s -> ${h60("s")})").as("hv"))
+      .select(col("doc_id"), col("shingles"), expr(sigExpr("hv")).as("sig"))
+
+  /** Per-doc signature digest — the oracle-facing "compute MinHash
+    * deterministically" check (one row per doc, cell-exact). */
+  def signatureDigests(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    signatures(docs, idCol, textCol).select(
+      col("doc_id"),
+      expr(foldDigest("sig")).as("sig_digest"),
+      expr("size(shingles)").cast("long").as("n_shingles"))
+
+  /** LSH-banded near-duplicate pairs, verified by true shingle Jaccard.
+    * Returns (doc_a, doc_b, jaccard, est_jaccard) for candidate pairs
+    * (≥ 1 matching band) whose verified Jaccard ≥ `threshold`. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol)
+
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(expr(s"""transform(sequence(0, ${Bands - 1}),
+        j -> ${foldDigest(s"slice(sig, j * $RowsPerBand + 1, $RowsPerBand)")})""")))
+      .toDF("doc_id", "band", "bhash")
+
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val withSets = candidates
+      .join(sigs.select(col("doc_id"), col("shingles").as("sh_a"), col("sig").as("sig_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sigs.select(col("doc_id"), col("shingles").as("sh_b"), col("sig").as("sig_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+
+    withSets.select(
+      col("doc_a"), col("doc_b"),
+      expr("""round(size(array_intersect(sh_a, sh_b)) /
+             |      CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 4)""".stripMargin)
+        .as("jaccard"),
+      expr(s"""round(aggregate(sequence(1, $NumHashes), 0,
+              |  (acc, i) -> acc + IF(element_at(sig_a, i) = element_at(sig_b, i), 1, 0))
+              |  / CAST($NumHashes AS DOUBLE), 4)""".stripMargin)
+        .as("est_jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over whitespace tokens (weight = term frequency: each
+    * occurrence votes). Bits are folded MSB-first via acc*2+bit, matching
+    * an init-less oracle fold over [0] ++ bits. */
+  def simhashExpr(wordsCol: String): String = {
+    val hw = s"transform($wordsCol, w -> ${h60("w")})"
+    s"""aggregate(
+       |  transform(sequence(31, 0, -1), i ->
+       |    IF(aggregate($hw, 0,
+       |         (bal, h) -> bal + IF(shiftright(h, i) % 2 = 1, 1, -1)) > 0, 1L, 0L)),
+       |  0L, (acc, b) -> acc * 2 + b)""".stripMargin
+  }
+
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), expr(wordsExpr(textCol)).as("words"))
+      .where(expr("size(words) >= 1"))
+      .select(col("doc_id"), expr(simhashExpr("words")).as("simhash"))
+
+  /** Near-dup pairs with Hamming distance ≤ maxHd over the 32-bit SimHash.
+    * Scale path: band the fingerprint into 4 bytes; a pair within
+    * Hamming ≤ 3 differs in ≤ 3 bands, so by pigeonhole it shares ≥ 1 band
+    * — banding is EXACT (100% recall) for maxHd ≤ 3, which lets the oracle
+    * use the plain O(n²) formulation while we never materialize n². */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHd: Int = 3): DataFrame = {
+    require(maxHd <= 3, "4-band exactness only holds for maxHd <= 3")
+    val fp = simhashes(docs, idCol, textCol)
+    val bands = fp.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> shiftright(simhash, 8 * j) % 256)")))
+      .toDF("doc_id", "simhash", "band", "bval")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").bitwiseXOR(col("b.simhash")).as("x"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), expr("bit_count(x)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHd)
+  }
+
+  /** Exact dedup: group identical normalized text, keep the smallest id.
+    * At 100 TB group on the text HASH (map-side combine on a long key)
+    * rather than the text itself — the shuffle carries 8-byte keys. A
+    * residual full-text equality check within hash groups guards against
+    * (astronomically unlikely) collisions. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        expr(h60(textCol)).as("text_h"))
+      .groupBy(col("text_h"), col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("text_h"), col("keep_id"), col("n_copies"))
+
+  /** Dedup as a filter: rows that survive (first occurrence wins). */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(textCol)).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md §2.11).
+  *
+  * Three tiers:
+  *  - [[bruteTopK]]: exact cosine top-k, query set broadcast — the
+  *    correctness baseline. One broadcast join, zero shuffles of the corpus;
+  *    per-row cosine is the codegen'd [[graft.functions.VecCosine]].
+  *  - [[lshPairs]]: all-pairs high-similarity search via random-hyperplane
+  *    LSH. Signature computation is a stateless map; candidate generation
+  *    shuffles (band, value) longs only. Probabilistic recall (documented
+  *    per SRP theory: P[bit match] = 1 - θ/π), deterministic output — the
+  *    hyperplanes are md5-seeded so the DuckDB oracle reproduces them.
+  *  - [[ivfTopK]]: IVF (inverted-file) ANN — assign corpus to nearest of C
+  *    deterministic centroids, probe nProbe cells per query. The 100 TB
+  *    path: corpus partitioned by cell, queries broadcast, only probed
+  *    cells scanned.
+  *
+  * The reference engine has no vector support (SURVEY.md §2 — its value
+  * payload is raw packet bytes whose only consumed property is `.length`,
+  * /root/reference/src/main/java/org/test/pcap4j/MainApp.java:42).
+  */
+object Similarity {
+
+  /** cosine via the injected native expression (graft.functions.VecCosine). */
+  def cos(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+
+  /** Deterministic pseudo-random hyperplane matrix, seeded by md5 — the
+    * same bytes DuckDB's md5() produces, so an oracle can rebuild it:
+    * plane(j,d) = (('0x'||substr(md5(j||'_'||d),1,15))::BIGINT % P % 2000001
+    *               - 1000000) / 1e6.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (j, d) =>
+      md.reset()
+      val hex = md.digest(s"${j}_$d".getBytes(StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000007L
+      ((h % 2000001L) - 1000000L) / 1e6
+    }
+  }
+
+  /** SRP signature: bit j = (v · plane_j) > 0, folded MSB-first into a
+    * long. The dot is a strict sequential fold in double, matching the
+    * oracle's list_reduce. */
+  def srpSignature(embCol: String, planes: Array[Array[Double]]): Column = {
+    val planesSql = planes.map(_.mkString("array(", "D, ", "D)"))
+      .mkString("array(", ", ", ")")
+    expr(
+      s"""aggregate(
+         |  transform(sequence(${planes.length - 1}, 0, -1), j ->
+         |    IF(aggregate(sequence(0, ${planes.head.length - 1}), 0D,
+         |         (acc, d) -> acc + CAST(element_at(emb_arr, d + 1) AS DOUBLE)
+         |                   * element_at(element_at($planesSql, j + 1), d + 1)) > 0D,
+         |       1L, 0L)),
+         |  0L, (sig, b) -> sig * 2 + b)""".stripMargin
+        .replace("emb_arr", embCol))
+  }
+
+  /** All-pairs similarity ≥ threshold among LSH candidates.
+    * nPlanes bits split into `bands` bands; pairs agreeing on ≥ 1 whole
+    * band become candidates, then exact cosine filters. */
+  def lshPairs(vectors: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    val dim = 64
+    val bits = nPlanes / bands
+    val sigs = vectors.select(
+      col(idCol).as("vec_id"), col(embCol).as("emb"),
+      srpSignature(embCol, hyperplanes(nPlanes, dim)).as("sig"))
+
+    // Band-explode ids only — the shuffle carries (band, bval, id) longs,
+    // never the vectors. Embeddings rejoin per candidate pair for verify.
+    val banded = sigs.select(
+      col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), j -> shiftright(sig, $bits * j) % ${1 << bits})")))
+      .toDF("vec_id", "band", "bval")
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+
+    val embs = sigs.select(col("vec_id"), col("emb"))
+    candidates
+      .join(embs.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
+      .join(embs.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cos(col("emb_a"), col("emb_b")).as("c"))
+      .where(col("c") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
+  }
+
+  /** Exact top-k nearest (cosine) corpus vectors for each query vector.
+    * Queries are broadcast (small side); ranking is per-query with a
+    * deterministic (cosine desc, id asc) total order. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(embCol).as("q_emb")))
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+    val scored = c.join(q, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), cos(col("q_emb"), col("emb")).as("c"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("c"), 6).as("cosine"))
+  }
+
+  /** IVF top-k: centroids = the min-id vector per `labelCol` cell (a
+    * deterministic, metadata-driven coarse quantizer stand-in — in
+    * production these come from k-means). Every corpus vector is assigned
+    * to its nearest centroid once (a map + tiny broadcast); each query
+    * probes its nProbe nearest cells and ranks only those vectors.
+    * Probabilistic recall vs [[bruteTopK]] — asserted in the spec. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, labelCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val centroids = broadcast(
+      corpus.withColumn("__rn",
+          row_number().over(Window.partitionBy(col(labelCol)).orderBy(col(idCol))))
+        .where($"__rn" === 1)
+        .select(col(labelCol).as("cell"), col(embCol).as("c_emb")))
+
+    def nearestCells(df: DataFrame, id: String, emb: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(cos(col(emb), col("c_emb")).desc, col("cell").asc)
+      df.join(centroids, lit(true))
+        .withColumn("__cr", row_number().over(w))
+        .where(col("__cr") <= n)
+        .drop("c_emb", "__cr")
+    }
+
+    val assigned = nearestCells(
+      corpus.select(col(idCol).as("vec_id"), col(embCol).as("emb")), "vec_id", "emb", 1)
+    val probed = nearestCells(
+      queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb")),
+      "query_id", "q_emb", nProbe)
+
+    val scored = probed.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), cos(col("q_emb"), col("emb")).as("c"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("c"), 6).as("cosine"))
+  }
+
+  /** Ensure native vector functions exist in this session. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    graft.functions.VectorFunctions.register(spark)
+}

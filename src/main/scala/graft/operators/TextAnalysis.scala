@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (SURVEY.md §2.11): language ID, quality scoring, token counting,
+  * document fingerprinting.
+  *
+  * All four are stateless per-row column programs — no shuffle, perfectly
+  * parallel, exactly what a 100 TB corpus scan wants. Each has a DuckDB
+  * oracle (registered in [[graft.queries.Extensions]]) because every
+  * computation here is integer/rational arithmetic over tokens with a
+  * strict left-fold order.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram-free language-ID
+    * heuristic: score(lang) = number of tokens in that language's list
+    * (with multiplicity); prediction = alphabetically-first argmax. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "不", "我", "有"))
+
+  private def arrayLit(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("array(", ", ", ")")
+
+  /** doc → per-language stopword-hit scores + predicted language.
+    * Tie-break: first language in alphabetical order with the max score
+    * (expressed as a strict CASE chain so the oracle matches exactly). */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withScores = stopwords.foldLeft(
+      docs.select(col(idCol).as("doc_id"),
+        expr(Dedup.wordsExpr(textCol)).as("words"))) {
+      case (df, (lang, sw)) =>
+        df.withColumn(s"score_$lang",
+          expr(s"size(filter(words, w -> array_contains(${arrayLit(sw)}, w)))")
+            .cast("long"))
+    }
+    val langs = stopwords.map(_._1)
+    val pred = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      val gtPrior = langs.filter(_ < l).map(o => s"score_$l > score_$o")
+      val cond = (Seq(geAll) ++ gtPrior).mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    withScores.withColumn("pred_lang", expr(pred))
+      .select(col("doc_id") +: langs.map(l => col(s"score_$l")) :+ col("pred_lang"): _*)
+  }
+
+  /** Heuristic quality features + a composite score:
+    * n_tokens, type/token ratio, mean token length, stopword ratio,
+    * alpha-char ratio. Score weights are arbitrary but fixed; every term
+    * is a ratio of exact integers so the double arithmetic is
+    * cross-engine identical. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        expr(Dedup.wordsExpr(textCol)).as("words"))
+      .where(expr("size(words) >= 1"))
+      .select(
+        col("doc_id"),
+        expr("size(words)").cast("long").as("n_tokens"),
+        expr("round(size(array_distinct(words)) / CAST(size(words) AS DOUBLE), 4)")
+          .as("ttr"),
+        expr("""round(aggregate(words, 0, (acc, w) -> acc + length(w))
+               |      / CAST(size(words) AS DOUBLE), 4)""".stripMargin)
+          .as("mean_tok_len"),
+        expr(s"""round(size(filter(words, w -> array_contains(
+                |  ${arrayLit(stopwords.toMap.apply("en"))}, w)))
+                |  / CAST(size(words) AS DOUBLE), 4)""".stripMargin)
+          .as("stop_ratio"),
+        expr("""round(length(regexp_replace(text, '[^a-zA-Z]', ''))
+               |      / CAST(length(text) AS DOUBLE), 4)""".stripMargin)
+          .as("alpha_ratio"))
+      .withColumn("quality",
+        expr("round(0.3 * ttr + 0.3 * stop_ratio + 0.4 * alpha_ratio, 4)"))
+
+  /** Token counts: whitespace tokens and BPE-ish regex pieces
+    * (letter runs / digit runs / single other non-space chars). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      expr(s"size(${Dedup.wordsExpr(textCol)})").cast("long").as("n_ws_tokens"),
+      // group idx 0 = whole match (Spark defaults to 1, DuckDB to 0)
+      expr(s"size(regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))")
+        .cast("long").as("n_bpe_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
+
+  /** Order-sensitive rolling-hash fingerprint over token hashes:
+    * fp = foldLeft(h(w_i)) of (acc*31 + h) % P — distinguishes documents
+    * with equal token multisets but different order (unlike MinHash). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), expr(Dedup.wordsExpr(textCol)).as("words"))
+      .where(expr("size(words) >= 1"))
+      .select(col("doc_id"),
+        expr(Dedup.foldDigest(s"transform(words, w -> ${Dedup.h60("w")})"))
+          .as("fingerprint"))
+}

@@ -1,10 +1,336 @@
 package graft.queries
 
-import graft.{GraftQuery, QueryModule}
+import graft.{GraftQuery, QueryModule, Tables}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** North-star extension operators (SURVEY.md §2.11): dedup family,
-  * similarity search, text analysis, multimodal plumbing. Populated by M3.
+  * similarity search, text analysis, multimodal plumbing, sessionization.
+  *
+  * Every oracle below reproduces the exact Spark computation in DuckDB
+  * SQL. The shared determinism contract (see graft.operators.Dedup /
+  * Similarity scaladoc): md5-derived integer hashes and strict left-fold
+  * accumulation make signatures, fingerprints and cosines bit-identical
+  * across both engines, so results hash-match cell-for-cell.
   */
 object Extensions extends QueryModule {
-  override val queries: Seq[GraftQuery] = Seq()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  // ---- DuckDB dialect fragments (mirror graft.operators.Dedup) ----
+  private val P = "1000000007"
+  private def dH60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT % $P"
+  private def dWords(t: String) = s"list_filter(string_split($t, ' '), w -> w <> '')"
+  private def dCosFold(a: String, b: String) =
+    s"list_reduce([0.0::DOUBLE] || list_transform(range(64), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x+y)"
+  private def dCos(a: String, b: String) =
+    s"${dCosFold(a, b)} / (sqrt(${dCosFold(a, a)}) * sqrt(${dCosFold(b, b)}))"
+
+  /** Shared MinHash CTE prefix: documents → words → shingles → hashed
+    * shingles → 16-wide signature. */
+  private val duckMinhashCtes =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${dWords("text")} AS words FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(len(words)-2),
+       |    i -> words[i+1]||' '||words[i+2]||' '||words[i+3])) AS sh
+       |  FROM d WHERE len(words) >= 3),
+       |hv AS (
+       |  SELECT doc_id, sh, list_transform(sh, x -> ${dH60("x")}) AS hv FROM sh),
+       |mh AS (
+       |  SELECT doc_id, sh, list_transform(range(16),
+       |    i -> list_min(list_transform(hv, h -> ((2*i+1)*h + 12345*i + 678) % $P))) AS sig
+       |  FROM hv)""".stripMargin
+
+  /** Shared SimHash CTE prefix: documents → words → 32-bit fingerprint. */
+  private val duckSimhashCtes =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${dWords("text")} AS words FROM documents),
+       |hw AS (
+       |  SELECT doc_id, list_transform(words, w -> ${dH60("w")}) AS hws
+       |  FROM d WHERE len(words) >= 1),
+       |fp AS (
+       |  SELECT doc_id, list_reduce([0::BIGINT] ||
+       |    list_transform(generate_series(31, 0, -1), i ->
+       |      CASE WHEN list_sum(list_transform(hws,
+       |             h -> CASE WHEN (h >> i) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |           THEN 1::BIGINT ELSE 0::BIGINT END),
+       |    (acc, b) -> acc*2 + b) AS simhash
+       |  FROM hw)""".stripMargin
+
+  /** Shared SRP-LSH CTE prefix: md5-seeded hyperplanes → 16-bit signature
+    * (mirrors Similarity.hyperplanes/srpSignature exactly). */
+  private val duckSrpCtes =
+    s"""WITH planes AS (
+       |  SELECT list(p ORDER BY j) AS pl FROM (
+       |    SELECT j, list_transform(range(64), d ->
+       |      ((((('0x'||substr(md5(j::VARCHAR||'_'||d::VARCHAR),1,15))::BIGINT % $P)
+       |        % 2000001) - 1000000)) / 1000000.0) AS p
+       |    FROM range(16) t(j))),
+       |sig AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce([0::BIGINT] || list_transform(generate_series(15, 0, -1), j ->
+       |      CASE WHEN list_reduce([0.0::DOUBLE] || list_transform(range(64), d ->
+       |             embedding[d+1]::DOUBLE * pl[j+1][d+1]), (a,b) -> a+b) > 0
+       |           THEN 1::BIGINT ELSE 0::BIGINT END),
+       |      (acc, b) -> acc*2 + b) AS s
+       |  FROM embeddings, planes)""".stripMargin
+
+  private val langs = TextAnalysis.stopwords.map(_._1)
+
+  /** Alphabetical-first-argmax CASE chain — the SAME string is valid Spark
+    * SQL and DuckDB SQL, so both engines share it verbatim. */
+  private val predLangCase: String = langs.map { l =>
+    val geAll = langs.filter(_ != l).map(o => s"score_$l >= score_$o")
+    val gtPrior = langs.filter(_ < l).map(o => s"score_$l > score_$o")
+    s"WHEN ${(geAll ++ gtPrior).mkString(" AND ")} THEN '$l'"
+  }.mkString("CASE ", " ", " END")
+
+  override val queries: Seq[GraftQuery] = Seq(
+
+    // ======================= dedup family =======================
+
+    GraftQuery("q_dedup_exact",
+      (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""SELECT text_h, min(doc_id) AS keep_id, count(*) AS n_copies
+              |FROM (SELECT doc_id, text, ${dH60("text")} AS text_h FROM documents)
+              |GROUP BY text_h, text""".stripMargin)),
+
+    GraftQuery("q_minhash_sig",
+      (s, dir) => Dedup.signatureDigests(t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""$duckMinhashCtes
+              |SELECT doc_id,
+              |  list_reduce(sig, (acc,v) -> (acc*31+v) % $P) AS sig_digest,
+              |  len(sh)::BIGINT AS n_shingles
+              |FROM mh""".stripMargin)),
+
+    GraftQuery("q_dedup_minhash",
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", 0.5),
+      Some(s"""$duckMinhashCtes,
+              |bands AS (
+              |  SELECT doc_id, j,
+              |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash
+              |  FROM mh, range(4) t(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b
+              |    ON a.j = b.j AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+              |p AS (
+              |  SELECT doc_a, doc_b, ma.sh AS sh_a, mb.sh AS sh_b,
+              |         ma.sig AS sig_a, mb.sig AS sig_b
+              |  FROM cand
+              |  JOIN mh ma ON ma.doc_id = doc_a
+              |  JOIN mh mb ON mb.doc_id = doc_b)
+              |SELECT doc_a, doc_b,
+              |  round(len(list_intersect(sh_a, sh_b))
+              |        / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) AS jaccard,
+              |  round(list_sum(list_transform(range(16),
+              |    i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) / 16.0, 4)
+              |    AS est_jaccard
+              |FROM p
+              |WHERE round(len(list_intersect(sh_a, sh_b))
+              |      / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) >= 0.5""".stripMargin)),
+
+    GraftQuery("q_simhash_sig",
+      (s, dir) => Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""$duckSimhashCtes
+              |SELECT doc_id, simhash FROM fp""".stripMargin)),
+
+    GraftQuery("q_dedup_simhash",
+      // banded plan in Spark; plain O(n²) oracle — provably equal for hd<=3
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3),
+      Some(s"""$duckSimhashCtes
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
+
+    // ======================= similarity search =======================
+
+    GraftQuery("q_embed_neardup",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        Similarity.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      },
+      Some(s"""$duckSrpCtes,
+              |bands AS (
+              |  SELECT vec_id, j, (s >> (4*j)) % 16 AS bval FROM sig, range(4) t(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM bands a JOIN bands b
+              |    ON a.j = b.j AND a.bval = b.bval AND a.vec_id < b.vec_id),
+              |cosd AS (
+              |  SELECT vec_a, vec_b, ${dCos("ea.embedding", "eb.embedding")} AS c
+              |  FROM cand
+              |  JOIN embeddings ea ON ea.vec_id = vec_a
+              |  JOIN embeddings eb ON eb.vec_id = vec_b)
+              |SELECT vec_a, vec_b, round(c, 6) AS cosine FROM cosd WHERE c >= 0.4""".stripMargin)),
+
+    GraftQuery("q_sim_topk",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5)
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+              |s AS (
+              |  SELECT query_id, e.vec_id, ${dCos("qe", "e.embedding")} AS c
+              |  FROM q, embeddings e WHERE e.vec_id <> query_id),
+              |r AS (
+              |  SELECT query_id, vec_id, c,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rnk
+              |  FROM s)
+              |SELECT query_id, rnk::BIGINT AS rank, vec_id, round(c, 6) AS cosine
+              |FROM r WHERE rnk <= 5""".stripMargin)),
+
+    // IVF ANN: probed-cell search — recall vs brute force asserted in
+    // SimilaritySpec; not SQL-oracled (approximate by design).
+    GraftQuery("q_sim_ivf",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", "label", 5, nProbe = 2)
+      },
+      None),
+
+    // ======================= text analysis =======================
+
+    GraftQuery("q_text_langid",
+      (s, dir) => TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val scores = TextAnalysis.stopwords.map { case (l, sw) =>
+          val lst = sw.map(x => s"'$x'").mkString("[", ", ", "]")
+          s"len(list_filter(words, w -> list_contains($lst, w)))::BIGINT AS score_$l"
+        }.mkString(",\n  ")
+        s"""WITH d AS (SELECT doc_id, ${dWords("text")} AS words FROM documents),
+           |sc AS (SELECT doc_id,
+           |  $scores
+           |FROM d)
+           |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+           |       $predLangCase AS pred_lang
+           |FROM sc""".stripMargin
+      }),
+
+    GraftQuery("q_text_quality",
+      (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val en = TextAnalysis.stopwords.toMap.apply("en")
+          .map(x => s"'$x'").mkString("[", ", ", "]")
+        s"""WITH d AS (
+           |  SELECT doc_id, text, ${dWords("text")} AS words FROM documents),
+           |f AS (
+           |  SELECT doc_id,
+           |    len(words)::BIGINT AS n_tokens,
+           |    round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 4) AS ttr,
+           |    round(list_sum(list_transform(words, w -> length(w)))
+           |          / CAST(len(words) AS DOUBLE), 4) AS mean_tok_len,
+           |    round(len(list_filter(words, w -> list_contains($en, w)))
+           |          / CAST(len(words) AS DOUBLE), 4) AS stop_ratio,
+           |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           |          / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio
+           |  FROM d WHERE len(words) >= 1)
+           |SELECT doc_id, n_tokens, ttr, mean_tok_len, stop_ratio, alpha_ratio,
+           |       round(0.3 * ttr + 0.3 * stop_ratio + 0.4 * alpha_ratio, 4) AS quality
+           |FROM f""".stripMargin
+      }),
+
+    GraftQuery("q_text_tokens",
+      (s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""SELECT doc_id,
+              |  len(${dWords("text")})::BIGINT AS n_ws_tokens,
+              |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT
+              |    AS n_bpe_tokens,
+              |  length(text)::BIGINT AS n_chars
+              |FROM documents""".stripMargin)),
+
+    GraftQuery("q_text_fingerprint",
+      (s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH d AS (SELECT doc_id, ${dWords("text")} AS words FROM documents)
+              |SELECT doc_id,
+              |  list_reduce(list_transform(words, w -> ${dH60("w")}),
+              |              (acc, h) -> (acc*31 + h) % $P) AS fingerprint
+              |FROM d WHERE len(words) >= 1""".stripMargin)),
+
+    // ======================= multimodal =======================
+
+    GraftQuery("q_multimodal_features",
+      (s, dir) => Multimodal.decodeFeatures(
+        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")).toDF(),
+      Some("""SELECT doc_id,
+             |  length(text)::BIGINT AS n_bytes,
+             |  list_sum(list_transform(range(length(text)),
+             |    i -> ascii(text[i+1])))::BIGINT AS byte_sum,
+             |  upper(hex(substr(text, 1, 8))) AS header_hex,
+             |  CASE WHEN ascii(substr(text,1,1)) % 2 = 0 THEN 'rgb8' ELSE 'gray8' END
+             |    AS format,
+             |  (ascii(substr(text,1,1)) % 64 + 1)::BIGINT AS width,
+             |  (ascii(substr(text,2,1)) % 64 + 1)::BIGINT AS height
+             |FROM documents""".stripMargin)),
+
+    // ======================= sessionization =======================
+
+    GraftQuery("q_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .withColumn("flag",
+            when(lag($"ts", 1).over(w).isNull ||
+              (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))) > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum($"flag").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("long"))
+          .select($"user_id", $"event_id", $"session_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS flag
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, event_id,
+             |  CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |FROM o""".stripMargin)),
+
+    // ======================= bench headline =======================
+
+    GraftQuery("q_tpch_q1",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .where($"l_shipdate" <= lit("1998-09-02"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2)
+              .as("sum_charge"),
+            round(avg($"l_quantity"), 2).as("avg_qty"),
+            round(avg($"l_extendedprice"), 2).as("avg_price"),
+            round(avg($"l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+             |  round(avg(l_quantity), 2) AS avg_qty,
+             |  round(avg(l_extendedprice), 2) AS avg_price,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+  )
 }
