@@ -31,10 +31,18 @@ object Dedup {
   val Bands = 4
   val RowsPerBand = 4
   val ShingleK = 3
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits = 15
+
+  /** Raw 60-bit md5-derived hash of a string expression (15 hex digits →
+    * value in [0, 2^60), so every one of the 60 SimHash vote bits is live). */
+  def h60raw(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
 
   /** 60-bit md5-derived hash of a string expression, mod P (always >= 0). */
   def h60(e: String): String =
-    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT) % $P"
+    s"${h60raw(e)} % $P"
 
   /** Non-empty whitespace tokens. */
   def wordsExpr(textCol: String): String =
@@ -47,11 +55,20 @@ object Dedup {
        |  i -> concat_ws(' ', slice($wordsCol, i + 1, $k))))""".stripMargin
 
   /** MinHash signature over a pre-hashed shingle array `hv`: for hash i,
-    * min over shingles of an affine permute ((2i+1) is odd → injective mod
-    * the even modulus' coprime... and in any case identical cross-engine). */
+    * min over shingles of an affine permute ((2i+1)*h + 12345*i + 678) % P.
+    *
+    * SINGLE PASS over the shingles, updating all n mins at once. The naive
+    * `transform(sequence(0,n-1), i -> array_min(transform(hv, ...)))` form
+    * re-evaluates `hv` n times after Catalyst's CollapseProject inlines the
+    * md5 transform into the outer lambda — n× the md5 cost (measured 9 s
+    * for 5k docs at n=16). Min init is P: every hashed value is < P, and
+    * the same algebra in DuckDB (per-i list_min) yields identical values.
+    */
   def sigExpr(hvCol: String, n: Int = NumHashes): String =
-    s"""transform(sequence(0, ${n - 1}), i ->
-       |  array_min(transform($hvCol, h -> ((2*i + 1) * h + 12345*i + 678) % $P)))"""
+    s"""aggregate($hvCol,
+       |  array_repeat($P, $n),
+       |  (mins, h) -> zip_with(mins, sequence(0, ${n - 1}),
+       |    (m, i) -> least(m, ((2*i + 1) * h + 12345*i + 678) % $P)))"""
       .stripMargin
 
   /** Left-fold digest: (acc*31 + v) % P with acc0 = 0. The first step is
@@ -84,7 +101,12 @@ object Dedup {
     * (≥ 1 matching band) whose verified Jaccard ≥ `threshold`. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    // The signature relation is read 4× (both self-join sides + two verify
+    // rejoins); persist so the documents scan + shingle/md5 work runs once.
+    // Size is (id, shingles, 16 longs) per doc — tiny next to the corpus;
+    // at 100 TB you'd materialize this to a table instead.
     val sigs = signatures(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bands = sigs.select(
       col("doc_id"),
@@ -117,16 +139,27 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 32-bit SimHash over whitespace tokens (weight = term frequency: each
-    * occurrence votes). Bits are folded MSB-first via acc*2+bit, matching
-    * an init-less oracle fold over [0] ++ bits. */
+  /** 60-bit SimHash over whitespace tokens (weight = term frequency: each
+    * occurrence votes). Token hashes are the RAW 60-bit md5 value — a
+    * mod-P hash (< 2^30) would pin bits 30..59 to zero and collapse the
+    * fingerprint space (the 32-bit variant measured 5.8M candidate pairs
+    * on 5k docs; 60 live bits make random pairs Hamming-distant).
+    *
+    * SINGLE PASS over the tokens: one `aggregate` carries all 60 bit
+    * balances (+1/-1 votes) as an array, then the finish lambda folds signs
+    * MSB-first via acc*2+bit — so the md5 transform is evaluated once per
+    * row no matter how Catalyst collapses projections (the per-bit
+    * formulation re-evaluates it 60×). Result < 2^60, safe in BIGINT for
+    * the DuckDB oracle. */
   def simhashExpr(wordsCol: String): String = {
-    val hw = s"transform($wordsCol, w -> ${h60("w")})"
+    val n = SimhashBits
     s"""aggregate(
-       |  transform(sequence(31, 0, -1), i ->
-       |    IF(aggregate($hw, 0,
-       |         (bal, h) -> bal + IF(shiftright(h, i) % 2 = 1, 1, -1)) > 0, 1L, 0L)),
-       |  0L, (acc, b) -> acc * 2 + b)""".stripMargin
+       |  transform($wordsCol, w -> ${h60raw("w")}),
+       |  array_repeat(0L, $n),
+       |  (bal, h) -> zip_with(bal, sequence(${n - 1}, 0, -1),
+       |    (b, i) -> b + IF(shiftright(h, i) % 2 = 1, 1, -1)),
+       |  bal -> aggregate(bal, 0L, (acc, b) -> acc * 2 + IF(b > 0, 1L, 0L)))"""
+      .stripMargin
   }
 
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -135,19 +168,23 @@ object Dedup {
       .where(expr("size(words) >= 1"))
       .select(col("doc_id"), expr(simhashExpr("words")).as("simhash"))
 
-  /** Near-dup pairs with Hamming distance ≤ maxHd over the 32-bit SimHash.
-    * Scale path: band the fingerprint into 4 bytes; a pair within
+  /** Near-dup pairs with Hamming distance ≤ maxHd over the 60-bit SimHash.
+    * Scale path: band the fingerprint into 4 × 15-bit bands; a pair within
     * Hamming ≤ 3 differs in ≤ 3 bands, so by pigeonhole it shares ≥ 1 band
     * — banding is EXACT (100% recall) for maxHd ≤ 3, which lets the oracle
-    * use the plain O(n²) formulation while we never materialize n². */
+    * use the plain O(n²) formulation while we never materialize n².
+    * 2^15 bucket values per band keep buckets near-singleton even on
+    * skewed corpora. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHd: Int = 3): DataFrame = {
-    require(maxHd <= 3, "4-band exactness only holds for maxHd <= 3")
+    require(maxHd <= 3, s"$SimhashBands-band exactness only holds for maxHd <= 3")
+    // Read by both self-join sides; persist so tokenization + md5 runs once.
     val fp = simhashes(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = fp.select(
       col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), j -> shiftright(simhash, 8 * j) % 256)")))
+      posexplode(expr(s"""transform(sequence(0, ${SimhashBands - 1}),
+        j -> shiftright(simhash, $SimhashBandBits * j) % ${1 << SimhashBandBits})""")))
       .toDF("doc_id", "simhash", "band", "bval")
     bands.as("a")
       .join(bands.as("b"),

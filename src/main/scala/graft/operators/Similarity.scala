@@ -72,9 +72,12 @@ object Similarity {
       threshold: Double, nPlanes: Int = 16, bands: Int = 4): DataFrame = {
     val dim = 64
     val bits = nPlanes / bands
+    // Read by both self-join sides and the verify rejoin; persist so the
+    // corpus scan + signature fold runs once.
     val sigs = vectors.select(
       col(idCol).as("vec_id"), col(embCol).as("emb"),
       srpSignature(embCol, hyperplanes(nPlanes, dim)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Band-explode ids only — the shuffle carries (band, bval, id) longs,
     // never the vectors. Embeddings rejoin per candidate pair for verify.

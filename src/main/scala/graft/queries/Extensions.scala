@@ -23,7 +23,8 @@ object Extensions extends QueryModule {
 
   // ---- DuckDB dialect fragments (mirror graft.operators.Dedup) ----
   private val P = "1000000007"
-  private def dH60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT % $P"
+  private def dH60raw(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
+  private def dH60(e: String) = s"${dH60raw(e)} % $P"
   private def dWords(t: String) = s"list_filter(string_split($t, ' '), w -> w <> '')"
   private def dCosFold(a: String, b: String) =
     s"list_reduce([0.0::DOUBLE] || list_transform(range(64), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x+y)"
@@ -46,16 +47,17 @@ object Extensions extends QueryModule {
        |    i -> list_min(list_transform(hv, h -> ((2*i+1)*h + 12345*i + 678) % $P))) AS sig
        |  FROM hv)""".stripMargin
 
-  /** Shared SimHash CTE prefix: documents → words → 32-bit fingerprint. */
+  /** Shared SimHash CTE prefix: documents → words → 60-bit fingerprint
+    * (raw md5-derived token hashes — mirrors Dedup.simhashExpr). */
   private val duckSimhashCtes =
     s"""WITH d AS (
        |  SELECT doc_id, ${dWords("text")} AS words FROM documents),
        |hw AS (
-       |  SELECT doc_id, list_transform(words, w -> ${dH60("w")}) AS hws
+       |  SELECT doc_id, list_transform(words, w -> ${dH60raw("w")}) AS hws
        |  FROM d WHERE len(words) >= 1),
        |fp AS (
        |  SELECT doc_id, list_reduce([0::BIGINT] ||
-       |    list_transform(generate_series(31, 0, -1), i ->
+       |    list_transform(generate_series(59, 0, -1), i ->
        |      CASE WHEN list_sum(list_transform(hws,
        |             h -> CASE WHEN (h >> i) % 2 = 1 THEN 1 ELSE -1 END)) > 0
        |           THEN 1::BIGINT ELSE 0::BIGINT END),

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics (SURVEY.md §2.3 extension surface). */
+class AsOfJoinSpec extends SparkSpec {
+
+  test("backward as-of picks the latest right row at-or-before each left ts") {
+    import spark.implicits._
+    val quotes = Seq( // (key, ts, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "ts", "px")
+    val trades = Seq(
+      ("A", 5L), ("A", 20L), ("A", 25L), ("A", 99L),
+      ("B", 14L), ("C", 50L)).toDF("sym", "trade_ts")
+    val got = AsOfJoin.asofBackward(
+      trades, quotes, key = "sym", leftTs = "trade_ts", rightTs = "ts",
+      valueCols = Seq(("px", "last_px")))
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(got === Set(
+      ("A", 5L, None),         // nothing at or before 5
+      ("A", 20L, Some(2.0)),   // tie: right row at 20 IS visible
+      ("A", 25L, Some(2.0)),
+      ("A", 99L, Some(3.0)),
+      ("B", 14L, None),
+      ("C", 50L, None)))       // key with no right rows survives (left join)
+  }
+}
+
+/** Dedup family (SURVEY.md §2.11). */
+class DedupSpec extends SparkSpec {
+
+  test("exactDedup groups identical text and keeps the smallest id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb"), (2L, "aa bb"), (3L, "cc"), (4L, "aa bb"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("dropExactDuplicates keeps exactly the first occurrence per text") {
+    import spark.implicits._
+    val docs = Seq(
+      (2L, "x y"), (1L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val got = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L))
+  }
+
+  test("simhash banding finds exactly the brute-force pairs for hd <= 3") {
+    import spark.implicits._
+    // near-identical docs (1 word changed) + unrelated docs
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = (
+      Seq((1L, base), (2L, base + " tail"), (3L, base.replace("w7", "q7"))) ++
+        (10L to 29L).map(i => i -> (1 to 40).map(j => s"u${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fp = Dedup.simhashes(docs, "doc_id", "text")
+    val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hd"))
+      .where(col("hd") <= 3)
+      .select("a.doc_id", "b.doc_id").as[(Long, Long)].collect().toSet
+    assert(banded === brute)    // pigeonhole exactness, not just recall
+    assert(banded.nonEmpty)     // the near-identical docs must collide
+  }
+
+  test("minhash est_jaccard approximates true jaccard on near-dups") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra1 extra2"),
+      (3L, (1 to 60).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b", "jaccard", "est_jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    val (_, _, j, est) = rows.head
+    assert(j > 0.9)                 // 58/62 shared shingles
+    assert(math.abs(est - j) < 0.3) // 16 hashes → coarse but in range
+  }
+}
+
+/** Similarity search (SURVEY.md §2.11). */
+class SimilaritySpec extends SparkSpec {
+
+  test("vec_cosine matches a reference implementation") {
+    import spark.implicits._
+    Similarity.ensureRegistered(spark)
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.cos(col("a"), col("b"))).as[Double].head()
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (u, v) => u.toDouble * v.toDouble }.sum
+    val want = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("bruteTopK returns k best-by-cosine with deterministic tiebreak") {
+    Similarity.ensureRegistered(spark)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val got = Similarity.bruteTopK(emb, emb.where(col("vec_id") === 0),
+      "vec_id", "embedding", 3).collect()
+    assert(got.length === 3)
+    assert(got.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    val cosines = got.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+    assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    Similarity.ensureRegistered(spark)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val k = 5
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label", k,
+      nProbe = 2)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall $recall too low") // probed-cell ANN
+  }
+}
+
+/** Text analysis (SURVEY.md §2.11). */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("languageId predicts the dominant stopword language") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is in the hat and the dog"),
+      (2L, "le chat est un animal et la maison"),
+      (3L, "der hund ist nicht ein tier und die katze")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(docs, "doc_id", "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "en", 2L -> "fr", 3L -> "de"))
+  }
+
+  test("qualityScore components are exact rationals of token stats") {
+    import spark.implicits._
+    val docs = Seq((1L, "the the cat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Double]("ttr") === 0.6667)          // 2 distinct / 3
+    assert(r.getAs[Double]("stop_ratio") === 0.6667)   // 'the' twice
+    assert(r.getAs[Double]("mean_tok_len") === 3.0)    // (3+3+3)/3
+  }
+
+  test("fingerprints are order-sensitive") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(3L))
+    assert(fps(1L) !== fps(2L))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming parity for the reference pipeline (SURVEY.md §2.9 T1-T5):
+  * event-time windowed sums and the edge-triggered alert dedup, run through
+  * real micro-batches via MemoryStream.
+  */
+class TrafficMonitorSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  private def pkt(nif: String, min: Int, sec: Int, size: Int): Packet =
+    Packet(nif, new Array[Byte](size), ts(min, sec))
+
+  test("windowedTraffic sums bytes per 5-min event-time window per nif") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Packet]
+    val q = TrafficMonitor.windowedTraffic(in.toDF())
+      .writeStream.format("memory").queryName("wt").outputMode("append").start()
+    try {
+      in.addData(
+        pkt("eth0", 0, 10, 100), pkt("eth0", 4, 59, 50), // window [0,5)
+        pkt("eth0", 5, 0, 7),                            // window [5,10)
+        pkt("eth1", 1, 0, 9))                            // window [0,5)
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize all windows
+      in.addData(pkt("eth0", 30, 0, 1))
+      q.processAllAvailable()
+      val got = spark.table("wt").as[Traffic].collect()
+        .map(t => (t.nif, t.windowStart, t.bytes)).toSet
+      assert(got.contains(("eth0", ts(0), 150L)))
+      assert(got.contains(("eth0", ts(5), 7L)))
+      assert(got.contains(("eth1", ts(0), 9L)))
+    } finally q.stop()
+  }
+
+  test("edgeTrigger emits only state transitions; first observation always emits") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Traffic]
+    val q = TrafficMonitor.edgeTrigger(in.toDS(), maxLimit = 100L)
+      .writeStream.format("memory").queryName("et").outputMode("append").start()
+    try {
+      // eth0: under, under, OVER, OVER, under → emits at w0(first), w10, w20
+      // eth1: OVER first → emits once, stays over → nothing more
+      in.addData(Traffic("eth0", ts(0), 50L), Traffic("eth1", ts(0), 500L))
+      q.processAllAvailable()
+      in.addData(Traffic("eth0", ts(5), 80L), Traffic("eth1", ts(5), 300L))
+      q.processAllAvailable()
+      in.addData(Traffic("eth0", ts(10), 180L)) // flip up
+      q.processAllAvailable()
+      in.addData(Traffic("eth0", ts(15), 120L)) // still over
+      in.addData(Traffic("eth0", ts(20), 10L))  // flip down
+      q.processAllAvailable()
+      val got = spark.table("et").as[Alert].collect()
+        .map(a => (a.nif, a.windowStart, a.alert)).toSet
+      assert(got === Set(
+        ("eth0", ts(0), false), ("eth0", ts(10), true), ("eth0", ts(20), false),
+        ("eth1", ts(0), true)))
+    } finally q.stop()
+  }
+
+  test("edgeTrigger state survives across many batches and orders within a batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Traffic]
+    val q = TrafficMonitor.edgeTrigger(in.toDS(), maxLimit = 100L)
+      .writeStream.format("memory").queryName("et2").outputMode("append").start()
+    try {
+      // one batch, out of order: w5 over arrives before w0 under
+      in.addData(Traffic("x", ts(5), 200L), Traffic("x", ts(0), 1L))
+      q.processAllAvailable()
+      val got = spark.table("et2").as[Alert].collect()
+        .sortBy(_.windowStart.getTime).map(a => (a.windowStart, a.alert)).toSeq
+      // processed in windowStart order: under(first emit), then flip to over
+      assert(got === Seq((ts(0), false), (ts(5), true)))
+    } finally q.stop()
+  }
+
+  test("full pipeline: packets → windows → edge-triggered alerts") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val limits = Seq(("min", 10), ("max", 120)).toDF("limit_name", "limit_value")
+    val in = MemoryStream[Packet]
+    val q = TrafficMonitor.pipeline(in.toDF(), limits, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("pl").outputMode("append").start()
+    try {
+      in.addData(pkt("eth0", 0, 0, 200))  // w0: 200 > 120 → over
+      q.processAllAvailable()
+      in.addData(pkt("eth0", 6, 0, 30))   // finalizes w0
+      q.processAllAvailable()
+      in.addData(pkt("eth0", 12, 0, 10))  // finalizes w5 (30 <= 120 → under)
+      in.addData(pkt("eth0", 40, 0, 10))  // finalizes w10
+      q.processAllAvailable()
+      val got = spark.table("pl").as[Alert].collect()
+        .sortBy(_.windowStart.getTime).map(a => (a.windowStart, a.alert)).toSeq
+      assert(got.take(2) === Seq((ts(0), true), (ts(5), false)))
+    } finally q.stop()
+  }
+
+  test("toKafkaMessages shapes alerts as (key, value) records") {
+    import spark.implicits._
+    val alerts = Seq(Alert("eth0", ts(0), 500L, alert = true, "over")).toDS()
+    val msgs = TrafficMonitor.toKafkaMessages(alerts).collect()
+    assert(msgs.length === 1)
+    assert(msgs.head.getAs[String]("key") === "eth0")
+    val v = msgs.head.getAs[String]("value")
+    assert(v.contains("\"nif\":\"eth0\"") && v.contains("\"alert\":true"))
+  }
+
+  test("batch analogue matches streaming edge-trigger semantics") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0, 30), 50.0), (1L, ts(1, 0), 120.0), // w0 sum 170 → over
+      (1L, ts(5, 0), 10.0),                         // w5 → under
+      (2L, ts(0, 0), 5.0))                          // w0 → under
+      .toDF("user_id", "ts", "value")
+    val got = TrafficMonitor.batchEdgeTrigger(events, 150.0)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val base = ts(0).getTime / 1000
+    assert(got === Set(
+      (1L, base, true), (1L, base + 300, false), (2L, base, false)))
+  }
+}
