@@ -10,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     graft.queries.RefParity,
+    graft.queries.Builtins,
     graft.queries.Extensions)
 
   private lazy val registry: Seq[GraftQuery] = modules.flatMap(_.queries)

@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Built-in SQL surface beyond RefParity's core (SURVEY.md §2.4-§2.8):
+  * subqueries, grouping sets, higher-order array functions, maps, math,
+  * ordered collect, arg-min/max, explode — plus the SQL entry point itself
+  * (queries here that go through `spark.sql` register the parquet tables as
+  * temp views first, exercising catalog resolution the way the reference's
+  * one SQL query did, /root/reference/src/main/java/org/test/pcap4j/
+  * MainApp.java:44-47).
+  */
+object Builtins extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** Register needed tables as temp views and run a SQL text — the
+    * engine's `spark.sql` entry (SURVEY.md §3.1). */
+  private def sql(s: SparkSession, dir: String, tables: Seq[String],
+      q: String): DataFrame = {
+    tables.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q)
+  }
+
+  override val queries: Seq[GraftQuery] = Seq(
+
+    // ---- correlated scalar subquery (SQL entry point) ----
+    GraftQuery("q_scalar_subquery",
+      (s, dir) => sql(s, dir, Seq("customer", "orders"),
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+          |  (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders
+          |   WHERE o_custkey = c_custkey) AS spend
+          |FROM customer""".stripMargin),
+      Some("""SELECT c_custkey,
+             |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+             |  (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders
+             |   WHERE o_custkey = c_custkey) AS spend
+             |FROM customer""".stripMargin)),
+
+    // ---- IN subquery ----
+    GraftQuery("q_in_subquery",
+      (s, dir) => sql(s, dir, Seq("customer", "orders"),
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer
+          |                    WHERE c_mktsegment = 'MACHINERY')""".stripMargin),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer
+             |                    WHERE c_mktsegment = 'MACHINERY')""".stripMargin)),
+
+    // ---- GROUPING SETS (beyond rollup/cube) ----
+    GraftQuery("q_grouping_sets",
+      (s, dir) => sql(s, dir, Seq("lineitem"),
+        """SELECT coalesce(l_returnflag, '<rf>') AS rf,
+          |       coalesce(l_linestatus, '<ls>') AS ls,
+          |       round(sum(l_extendedprice), 2) AS price, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
+      Some("""SELECT coalesce(l_returnflag, '<rf>') AS rf,
+             |       coalesce(l_linestatus, '<ls>') AS ls,
+             |       round(sum(l_extendedprice), 2) AS price, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)),
+
+    // ---- higher-order array functions ----
+    GraftQuery("q_array_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            expr("filter(split(text, ' '), w -> w <> '')").as("words"))
+          .select(
+            $"doc_id",
+            expr("size(words)").cast("long").as("n"),
+            expr("array_max(transform(words, w -> length(w)))").cast("long")
+              .as("max_len"),
+            expr("size(filter(words, w -> length(w) > 5))").cast("long")
+              .as("n_long"),
+            expr("aggregate(words, 0L, (acc, w) -> acc + length(w))").as("total_len"),
+            expr("array_join(slice(array_sort(array_distinct(words)), 1, 3), '|')")
+              .as("first3"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  list_filter(string_split(text, ' '), w -> w <> '') AS words
+             |  FROM documents)
+             |SELECT doc_id, len(words)::BIGINT AS n,
+             |  list_max(list_transform(words, w -> length(w)))::BIGINT AS max_len,
+             |  len(list_filter(words, w -> length(w) > 5))::BIGINT AS n_long,
+             |  list_sum(list_transform(words, w -> length(w)))::BIGINT AS total_len,
+             |  array_to_string(list_sort(list_distinct(words))[1:3], '|') AS first3
+             |FROM d""".stripMargin)),
+
+    // ---- map functions ----
+    GraftQuery("q_map_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events").select(
+          $"event_id",
+          map(lit("type"), $"event_type", lit("uid"), $"user_id".cast("string"))
+            .as("m"))
+          .select($"event_id",
+            expr("element_at(m, 'type')").as("etype"),
+            expr("element_at(m, 'uid')").cast("long").as("uid"),
+            expr("size(map_keys(m))").cast("long").as("n_keys"))
+      },
+      Some("""SELECT event_id, event_type AS etype, user_id AS uid,
+             |2::BIGINT AS n_keys FROM events""".stripMargin)),
+
+    // ---- math functions ----
+    GraftQuery("q_math_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part").select(
+          $"p_partkey",
+          round(sqrt($"p_retailprice"), 4).as("sq"),
+          round(pow($"p_retailprice", lit(2)), 2).as("p2"),
+          round(log($"p_retailprice"), 4).as("ln_p"),
+          floor($"p_retailprice").cast("long").as("fl"),
+          ceil($"p_retailprice").cast("long").as("ce"),
+          abs($"p_retailprice" - 950.0).as("dist"),
+          pmod($"p_partkey", lit(7)).cast("long").as("m7"))
+      },
+      Some("""SELECT p_partkey, round(sqrt(p_retailprice), 4) AS sq,
+             |round(pow(p_retailprice, 2), 2) AS p2,
+             |round(ln(p_retailprice), 4) AS ln_p,
+             |floor(p_retailprice)::BIGINT AS fl,
+             |ceil(p_retailprice)::BIGINT AS ce,
+             |abs(p_retailprice - 950.0) AS dist,
+             |p_partkey % 7 AS m7 FROM part""".stripMargin)),
+
+    // ---- explode / unnest with position ----
+    GraftQuery("q_explode",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").where($"doc_id" < 50)
+          .select($"doc_id",
+            posexplode(expr("filter(split(text, ' '), w -> w <> '')")))
+          .toDF("doc_id", "pos", "word")
+          .withColumn("pos", $"pos".cast("long"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  list_filter(string_split(text, ' '), w -> w <> '') AS words
+             |  FROM documents WHERE doc_id < 50),
+             |u AS (SELECT doc_id, unnest(list_transform(range(len(words)),
+             |  i -> {'pos': i, 'word': words[i+1]})) AS e FROM d)
+             |SELECT doc_id, e.pos AS pos, e.word AS word FROM u""".stripMargin)),
+
+    // ---- ordered collect (array_agg) ----
+    GraftQuery("q_collect",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").groupBy($"o_custkey")
+          .agg(concat_ws(",",
+            sort_array(collect_list($"o_orderkey"))).as("order_keys"))
+      },
+      Some("""SELECT o_custkey,
+             |array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // ---- arg-min / arg-max ----
+    GraftQuery("q_minmax_by",
+      (s, dir) => {
+        import s.implicits._
+        // orderkey tiebreak via struct max: (price, orderkey) orders
+        // lexicographically, so ties resolve to the largest orderkey in
+        // BOTH engines (arg_max in DuckDB breaks ties arbitrarily)
+        t(s, dir, "orders").groupBy($"o_custkey").agg(
+          max(struct($"o_totalprice", $"o_orderkey")).getField("o_orderkey")
+            .as("best_order"),
+          min(struct($"o_totalprice", $"o_orderkey")).getField("o_orderkey")
+            .as("worst_order"))
+      },
+      Some("""SELECT o_custkey,
+             |max({'p': o_totalprice, 'k': o_orderkey}).k AS best_order,
+             |min({'p': o_totalprice, 'k': o_orderkey}).k AS worst_order
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // ---- n-gram (shingle) Jaccard near-dup, direct formulation over a
+    //      bounded id range (the LSH-accelerated path is q_dedup_minhash) ----
+    GraftQuery("q_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val sh = t(s, dir, "documents").where($"doc_id" < 60)
+          .select($"doc_id",
+            expr(graft.operators.Dedup.shinglesExpr(
+              graft.operators.Dedup.wordsExpr("text"))).as("sh"))
+          .where(expr("size(sh) >= 1"))
+        sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr("""round(size(array_intersect(a.sh, b.sh)) /
+                   |CAST(size(array_union(a.sh, b.sh)) AS DOUBLE), 4)""".stripMargin)
+              .as("jaccard"))
+          .where($"jaccard" >= 0.2)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+             |  FROM documents WHERE doc_id < 60),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(len(words)-2),
+             |    i -> words[i+1]||' '||words[i+2]||' '||words[i+3])) AS sh
+             |  FROM d WHERE len(words) >= 3)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  round(len(list_intersect(a.sh, b.sh))
+             |        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE round(len(list_intersect(a.sh, b.sh))
+             |      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) >= 0.2""".stripMargin)),
+
+    // ---- multimodal frame sampling (video-shaped explode) ----
+    GraftQuery("q_frame_sample",
+      (s, dir) => graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.fromText(
+          t(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text"),
+        stride = 16),
+      Some("""WITH u AS (
+             |  SELECT doc_id, unnest(list_transform(range((length(text) + 15) // 16),
+             |    i -> {'idx': i * 16, 'val': ascii(text[i * 16 + 1])})) AS e
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT doc_id, e.idx AS frame_idx, e.val AS frame_value FROM u""".stripMargin)),
+
+    // ---- full outer join (completes the join-type surface) ----
+    GraftQuery("q_full_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val big = t(s, dir, "orders").where($"o_totalprice" > 400000.0)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n_big"))
+        val seg = t(s, dir, "customer").where($"c_mktsegment" === "AUTOMOBILE")
+          .select($"c_custkey", $"c_acctbal")
+        seg.join(big, $"c_custkey" === $"o_custkey", "full_outer")
+          .select(
+            coalesce($"c_custkey", $"o_custkey").as("custkey"),
+            $"c_acctbal", $"n_big")
+      },
+      Some("""SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, n_big
+             |FROM (SELECT c_custkey, c_acctbal FROM customer
+             |      WHERE c_mktsegment = 'AUTOMOBILE') c
+             |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+             |      WHERE o_totalprice > 400000.0 GROUP BY o_custkey) o
+             |ON c_custkey = o_custkey""".stripMargin))
+  )
+}
