@@ -221,6 +221,63 @@ object Builtins extends QueryModule {
              |  FROM documents WHERE doc_id < 100)
              |SELECT doc_id, e.idx AS frame_idx, e.val AS frame_value FROM u""".stripMargin)),
 
+    // ---- exact percentiles (interpolated continuous quantiles) ----
+    GraftQuery("q_percentile",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").groupBy($"l_returnflag")
+          .agg(
+            expr("""transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)),
+                   |x -> round(x, 4))""".stripMargin).as("qty_quartiles"),
+            round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("median_price"))
+      },
+      Some("""SELECT l_returnflag,
+             |list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+             |  x -> round(x, 4)) AS qty_quartiles,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- deterministic hash sampling (reproducible ~10% sample across
+    //      engines AND cluster sizes — never rand()-based at scale) ----
+    GraftQuery("q_sample",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .where(expr(graft.operators.Dedup.h60(
+            "concat(l_orderkey, '_', l_linenumber)")) % 100 < 10)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE ('0x'||substr(md5(l_orderkey || '_' || l_linenumber),1,15))::BIGINT
+             |      % 1000000007 % 100 < 10""".stripMargin)),
+
+    // ---- variance family ----
+    GraftQuery("q_stats_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").groupBy($"l_returnflag").agg(
+          round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+          round(var_samp($"l_quantity"), 4).as("var_qty"),
+          round(min($"l_quantity"), 2).as("min_qty"),
+          round(max($"l_quantity"), 2).as("max_qty"))
+      },
+      Some("""SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |round(var_samp(l_quantity), 4) AS var_qty,
+             |round(min(l_quantity), 2) AS min_qty,
+             |round(max(l_quantity), 2) AS max_qty
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- multiset set-ops (ALL variants) ----
+    GraftQuery("q_intersect_all",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").select($"o_custkey".as("k"))
+          .intersectAll(t(s, dir, "customer").select($"c_custkey".as("k")))
+      },
+      Some("""SELECT o_custkey AS k FROM orders
+             |INTERSECT ALL
+             |SELECT c_custkey AS k FROM customer""".stripMargin)),
+
     // ---- full outer join (completes the join-type surface) ----
     GraftQuery("q_full_outer_join",
       (s, dir) => {

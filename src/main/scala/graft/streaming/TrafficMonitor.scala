@@ -93,6 +93,35 @@ object TrafficMonitor {
       }
   }
 
+  /** T6 (extension surface): sliding-window traffic — each packet counts
+    * toward every overlapping window (e.g. 10-min windows advancing every
+    * 5 min for smoothed alerting). */
+  def slidingTraffic(packets: DataFrame, windowLen: String = "10 minutes",
+      slide: String = "5 minutes", lateness: String = "1 minute"): Dataset[Traffic] = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    packetSizes(packets)
+      .withWatermark("ts", lateness)
+      .groupBy(window($"ts", windowLen, slide), $"nif")
+      .agg(sum($"bytes").as("bytes"))
+      .select($"nif", $"window.start".as("windowStart"), $"bytes")
+      .as[Traffic]
+  }
+
+  /** T6 (extension surface): session-window traffic — a session closes
+    * after `gap` of silence on a NIF; emits total bytes per burst. */
+  def sessionTraffic(packets: DataFrame, gap: String = "5 minutes",
+      lateness: String = "1 minute"): Dataset[Traffic] = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    packetSizes(packets)
+      .withWatermark("ts", lateness)
+      .groupBy(session_window($"ts", gap), $"nif")
+      .agg(sum($"bytes").as("bytes"))
+      .select($"nif", $"session_window.start".as("windowStart"), $"bytes")
+      .as[Traffic]
+  }
+
   /** S3: the limits lookup (MainApp.java:44-49), generalized: read the
     * `max` threshold from a limits DataFrame with (limit_name, limit_value)
     * — explicit name selection instead of the reference's brittle

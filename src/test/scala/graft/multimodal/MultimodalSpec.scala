@@ -1,0 +1,45 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing (SURVEY.md §2.11). */
+class MultimodalSpec extends SparkSpec {
+
+  test("decodeFeatures is a per-partition streamed decode with typed output") {
+    import spark.implicits._
+    val docs = Seq((1L, "AB"), (2L, "")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.fromText(docs, "doc_id", "text")).collect()
+      .map(f => f.doc_id -> f).toMap
+    val a = feats(1L)
+    assert(a.n_bytes === 2L)
+    assert(a.byte_sum === ('A'.toLong + 'B'.toLong))
+    assert(a.header_hex === "4142")
+    assert(a.width === 'A'.toInt % 64 + 1)
+    // empty payload degrades deterministically, not with an exception
+    assert(feats(2L).n_bytes === 0L)
+    assert(feats(2L).header_hex === "")
+  }
+
+  test("sampleFrames explodes one row per strided byte") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.fromText(docs, "doc_id", "text"), stride = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(frames === Set(
+      (1L, 0L, 'a'.toLong), (1L, 3L, 'd'.toLong), (1L, 6L, 'g'.toLong)))
+  }
+
+  test("binary payload round-trips through parquet (the 100 TB storage shape)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mm").toString
+    val docs = Seq((1L, "payload-1"), (2L, "x")).toDF("doc_id", "text")
+    Multimodal.fromText(docs, "doc_id", "text").write
+      .mode("overwrite").parquet(s"$tmp/media")
+    val back = spark.read.parquet(s"$tmp/media").as[MediaRecord]
+    val feats = Multimodal.decodeFeatures(back).collect().map(_.doc_id).toSet
+    assert(feats === Set(1L, 2L))
+  }
+}

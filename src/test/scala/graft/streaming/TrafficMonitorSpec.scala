@@ -105,6 +105,46 @@ class TrafficMonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingTraffic counts packets toward every overlapping window") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Packet]
+    val q = TrafficMonitor.slidingTraffic(in.toDF(), lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    try {
+      in.addData(pkt("eth0", 7, 0, 100)) // in [0,10) and [5,15)
+      q.processAllAvailable()
+      in.addData(pkt("eth0", 40, 0, 1))  // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("sw").as[Traffic].collect()
+        .map(t => (t.windowStart, t.bytes)).toSet
+      assert(got.contains((ts(0), 100L)))
+      assert(got.contains((ts(5), 100L)))
+    } finally q.stop()
+  }
+
+  test("sessionTraffic closes a session after the gap and sums its bytes") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Packet]
+    val q = TrafficMonitor.sessionTraffic(in.toDF(), gap = "5 minutes",
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // burst 1: 0:00..1:00 (merges, 150 B); silence > 5 min; burst 2: 20:00
+      in.addData(pkt("eth0", 0, 0, 100), pkt("eth0", 1, 0, 50))
+      q.processAllAvailable()
+      in.addData(pkt("eth0", 20, 0, 7))
+      q.processAllAvailable()
+      in.addData(pkt("eth0", 59, 0, 1)) // advance watermark, close burst 2
+      q.processAllAvailable()
+      val got = spark.table("sess").as[Traffic].collect()
+        .map(t => (t.windowStart, t.bytes)).toSet
+      assert(got.contains((ts(0), 150L)))
+      assert(got.contains((ts(20), 7L)))
+    } finally q.stop()
+  }
+
   test("toKafkaMessages shapes alerts as (key, value) records") {
     import spark.implicits._
     val alerts = Seq(Alert("eth0", ts(0), 500L, alert = true, "over")).toDS()
