@@ -278,6 +278,18 @@ object Builtins extends QueryModule {
              |INTERSECT ALL
              |SELECT c_custkey AS k FROM customer""".stripMargin)),
 
+    // ---- salted two-phase aggregation (skew mitigation; result provably
+    //      identical to the plain groupBy, which is the oracle) ----
+    GraftQuery("q_salted_agg",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Skew.saltedSumCount(
+          t(s, dir, "lineitem"), $"l_returnflag", $"l_quantity")
+          .select($"k", round($"sum_value", 2).as("sum_value"), $"n")
+      },
+      Some("""SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS sum_value,
+             |count(*) AS n FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- full outer join (completes the join-type surface) ----
     GraftQuery("q_full_outer_join",
       (s, dir) => {
