@@ -139,6 +139,23 @@ object TrafficMonitor {
       lateness: String = "1 minute"): Dataset[Alert] =
     edgeTrigger(windowedTraffic(packets, lateness), maxLimit(limits))
 
+  /** The pipeline with the limit applied via a STREAM-STATIC BROADCAST
+    * JOIN instead of a driver-side collect: the static side is re-read per
+    * micro-batch, so limit-table updates take effect on the next trigger
+    * without a query restart (SURVEY.md §2.3 upgrade note). Output marks
+    * every window (alert flag per row); pair with [[edgeTrigger]] when only
+    * transitions should emit. */
+  def windowedWithLimits(packets: DataFrame, limits: DataFrame,
+      lateness: String = "1 minute"): DataFrame = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    windowedTraffic(packets, lateness).toDF()
+      .join(broadcast(limits.where($"limit_name" === "max")
+        .select($"limit_value".cast("long").as("max_limit"))))
+      .select($"nif", $"windowStart", $"bytes",
+        ($"bytes" > $"max_limit").as("alert"))
+  }
+
   /** S4: shape alerts as Kafka records — (key, value) exactly what
     * `writeStream.format("kafka").option("topic", "alerts")` consumes.
     * Key = nif (keeps a NIF's transitions in one Kafka partition, in

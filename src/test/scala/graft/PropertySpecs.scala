@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.TrafficMonitor
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2): aggregation results are
+  * partitioning-independent, and the edge-trigger emits exactly the state
+  * flips of any generated alert sequence. Cases are drawn from scalacheck
+  * generators with fixed seeds (no scalatestplus bridge in the offline
+  * cache, so sampling is explicit — and deterministic, which a CI run
+  * prefers anyway).
+  */
+class PropertySpecs extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: salted aggregation equals plain aggregation for any data") {
+    import spark.implicits._
+    val rows = Gen.listOfN(60,
+      Gen.zip(Gen.choose(1L, 5L), Gen.choose(-1000, 1000).map(_ / 10.0)))
+    for (data <- samples(rows, 8) if data.nonEmpty) {
+      val df = data.toDF("k", "v")
+      val salted = operators.Skew.saltedSumCount(df, $"k", $"v", salts = 7)
+        .select($"k", round($"sum_value", 6).as("s"), $"n")
+        .as[(Long, Double, Long)].collect().toSet
+      val plain = df.groupBy($"k")
+        .agg(round(sum($"v"), 6).as("s"), count(lit(1)).as("n"))
+        .as[(Long, Double, Long)].collect().toSet
+      assert(salted === plain, s"for data $data")
+    }
+  }
+
+  test("property: batch edge-trigger emits exactly the flips of the alert sequence") {
+    import spark.implicits._
+    val seqGen = Gen.listOfN(12, Gen.oneOf(true, false))
+    for (flags <- samples(seqGen, 8) if flags.nonEmpty) {
+      val events = flags.zipWithIndex.map { case (over, i) =>
+        (1L, new Timestamp(1704067200000L + i * 300000L),
+          if (over) 200.0 else 1.0)
+      }.toDF("user_id", "ts", "value")
+      val got = TrafficMonitor.batchEdgeTrigger(events, 150.0)
+        .orderBy("window_start").select("alert").as[Boolean].collect().toSeq
+      // expected: first flag, then each value that differs from its predecessor
+      val expected = flags.head +:
+        flags.zip(flags.tail).collect { case (a, b) if a != b => b }
+      assert(got === expected, s"for flags $flags")
+    }
+  }
+
+  test("property: sum is invariant under repartitioning") {
+    import spark.implicits._
+    val rows = Gen.listOfN(50, Gen.choose(-10000, 10000))
+    for (data <- samples(rows, 5) if data.nonEmpty) {
+      val df = data.map(_.toLong).toDF("v")
+      val a = df.agg(sum($"v")).as[Long].head()
+      val b = df.repartition(13).agg(sum($"v")).as[Long].head()
+      assert(a === b)
+    }
+  }
+}

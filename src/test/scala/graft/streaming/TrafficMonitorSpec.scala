@@ -145,6 +145,26 @@ class TrafficMonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedWithLimits applies the limit via a stream-static broadcast join") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val limits = Seq(("min", 10), ("max", 120)).toDF("limit_name", "limit_value")
+    val in = MemoryStream[Packet]
+    val q = TrafficMonitor.windowedWithLimits(in.toDF(), limits,
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("wl").outputMode("append").start()
+    try {
+      in.addData(pkt("eth0", 0, 0, 200), pkt("eth1", 0, 0, 5))
+      q.processAllAvailable()
+      in.addData(pkt("eth0", 30, 0, 1)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("wl").collect()
+        .map(r => (r.getAs[String]("nif"), r.getAs[Boolean]("alert"))).toSet
+      assert(got.contains(("eth0", true)))   // 200 > 120
+      assert(got.contains(("eth1", false)))  // 5 <= 120
+    } finally q.stop()
+  }
+
   test("toKafkaMessages shapes alerts as (key, value) records") {
     import spark.implicits._
     val alerts = Seq(Alert("eth0", ts(0), 500L, alert = true, "over")).toDS()
