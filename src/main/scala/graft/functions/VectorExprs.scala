@@ -111,7 +111,11 @@ object VectorFunctions {
     ("vec_dot", (e: Seq[Expression]) => VecDot(e(0), e(1)),
       "vec_dot(a, b) - dot product of two float arrays, double precision"),
     ("vec_cosine", (e: Seq[Expression]) => VecCosine(e(0), e(1)),
-      "vec_cosine(a, b) - cosine similarity of two float arrays"))
+      "vec_cosine(a, b) - cosine similarity of two float arrays"),
+    ("simhash60", (e: Seq[Expression]) => SimHash60(e(0)),
+      "simhash60(text) - 60-bit SimHash over whitespace tokens"),
+    ("minhash_sig", (e: Seq[Expression]) => MinHashSig(e(0)),
+      "minhash_sig(text) - 16-wide MinHash signature over word 3-shingles"))
 
   def descriptors: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
     fns.map { case (name, builder, usage) =>
