@@ -114,6 +114,8 @@ object VectorFunctions {
       "vec_cosine(a, b) - cosine similarity of two float arrays"),
     ("simhash60", (e: Seq[Expression]) => SimHash60(e(0)),
       "simhash60(text) - 60-bit SimHash over whitespace tokens"),
+    ("srp_sig16", (e: Seq[Expression]) => SrpSig16(e(0)),
+      "srp_sig16(v) - 16-bit signed-random-projection LSH signature"),
     ("minhash_sig", (e: Seq[Expression]) => MinHashSig(e(0)),
       "minhash_sig(text) - 16-wide MinHash signature over word 3-shingles"))
 

@@ -73,10 +73,15 @@ object Similarity {
     val dim = 64
     val bits = nPlanes / bands
     // Read by both self-join sides and the verify rejoin; persist so the
-    // corpus scan + signature fold runs once.
+    // corpus scan + signature fold runs once. The default 16×64 geometry
+    // uses the native SrpSig16 kernel; other geometries fall back to the
+    // (bit-identical) SQL-expression fold.
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val sigCol =
+      if (nPlanes == 16 && dim == 64) call_function("srp_sig16", col(embCol))
+      else srpSignature(embCol, hyperplanes(nPlanes, dim))
     val sigs = vectors.select(
-      col(idCol).as("vec_id"), col(embCol).as("emb"),
-      srpSignature(embCol, hyperplanes(nPlanes, dim)).as("sig"))
+      col(idCol).as("vec_id"), col(embCol).as("emb"), sigCol.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Band-explode ids only — the shuffle carries (band, bval, id) longs,
