@@ -74,6 +74,22 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: downsample the payload to a fixed `target` length by
+    * strided byte selection — the plumbing shape of image resize (fixed
+    * output geometry per row, pure per-partition map). A real
+    * implementation swaps the sampler for a pixel-space scaler. */
+  def resizeStub(ds: Dataset[MediaRecord], target: Int): Dataset[MediaRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { r =>
+      val n = r.media.length
+      val out =
+        if (n <= target) r.media
+        else Array.tabulate(target)(i => r.media((i.toLong * n / target).toInt))
+      MediaRecord(r.doc_id, out)
+    })
+  }
+
   /** Frame sampling stub: every `stride`-th byte as a "frame" digest —
     * the plumbing shape of video frame extraction (explode to one row per
     * sampled frame). */

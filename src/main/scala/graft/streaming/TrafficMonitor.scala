@@ -122,6 +122,25 @@ object TrafficMonitor {
       .as[Traffic]
   }
 
+  /** §2.11 × streaming: exactly-once packet dedup inside the watermark —
+    * duplicate (nif, ts, fingerprint) deliveries (receiver retries,
+    * at-least-once upstreams) collapse to one row; state for seen keys is
+    * dropped once the watermark passes them, so it stays bounded. */
+  def dedupPackets(packets: DataFrame, lateness: String = "1 minute"): DataFrame =
+    packets
+      .withColumn("fp", xxhash64(col("raw")))
+      .withWatermark("ts", lateness)
+      .dropDuplicates("nif", "ts", "fp")
+      .drop("fp")
+
+  /** S5: per-batch observability — the reference logs per-batch counts and
+    * totals (MainApp.java:52,57); `observe` publishes them as metrics on
+    * the query progress events instead of log lines. */
+  def observed(packets: DataFrame): DataFrame =
+    packets.observe("packet_stats",
+      count(lit(1)).as("n_packets"),
+      sum(octet_length(col("raw"))).as("total_bytes"))
+
   /** S3: the limits lookup (MainApp.java:44-49), generalized: read the
     * `max` threshold from a limits DataFrame with (limit_name, limit_value)
     * — explicit name selection instead of the reference's brittle

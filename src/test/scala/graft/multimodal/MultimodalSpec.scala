@@ -32,6 +32,16 @@ class MultimodalSpec extends SparkSpec {
       (1L, 0L, 'a'.toLong), (1L, 3L, 'd'.toLong), (1L, 6L, 'g'.toLong)))
   }
 
+  test("resizeStub downsamples to the target length and keeps short payloads") {
+    import spark.implicits._
+    val docs = Seq((1L, "0123456789abcdef"), (2L, "xy")).toDF("doc_id", "text")
+    val out = Multimodal.resizeStub(
+      Multimodal.fromText(docs, "doc_id", "text"), target = 4)
+      .collect().map(r => r.doc_id -> new String(r.media)).toMap
+    assert(out(1L) === "048c") // strided selection 16 → 4
+    assert(out(2L) === "xy")   // already under target: unchanged
+  }
+
   test("binary payload round-trips through parquet (the 100 TB storage shape)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("mm").toString

@@ -165,6 +165,40 @@ class TrafficMonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupPackets drops duplicate deliveries within the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Packet]
+    val q = TrafficMonitor.dedupPackets(in.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      val p = pkt("eth0", 0, 0, 10)
+      in.addData(p, p) // duplicate in one batch
+      q.processAllAvailable()
+      in.addData(p)    // duplicate across batches
+      in.addData(pkt("eth0", 0, 0, 99)) // same (nif, ts), different payload
+      q.processAllAvailable()
+      val rows = spark.table("dd").collect()
+      assert(rows.length === 2) // the dup collapsed; distinct payload kept
+    } finally q.stop()
+  }
+
+  test("observe publishes per-batch packet metrics on progress events") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Packet]
+    val q = TrafficMonitor.observed(in.toDF())
+      .writeStream.format("memory").queryName("obs").outputMode("append").start()
+    try {
+      in.addData(pkt("eth0", 0, 0, 100), pkt("eth1", 0, 0, 50))
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("packet_stats"))).last
+      assert(m.getAs[Long]("n_packets") === 2L)
+      assert(m.getAs[Long]("total_bytes") === 150L)
+    } finally q.stop()
+  }
+
   test("toKafkaMessages shapes alerts as (key, value) records") {
     import spark.implicits._
     val alerts = Seq(Alert("eth0", ts(0), 500L, alert = true, "over")).toDS()
