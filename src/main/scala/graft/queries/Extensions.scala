@@ -305,6 +305,62 @@ object Extensions extends QueryModule {
 
     // ======================= bench headline =======================
 
+    GraftQuery("q_tpch_q3",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .where($"c_mktsegment" === "BUILDING" &&
+            $"o_orderdate" < lit("1997-03-15") && $"l_shipdate" > lit("1997-03-15"))
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            .as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < '1997-03-15' AND l_shipdate > '1997-03-15'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)),
+
+    GraftQuery("q_tpch_q6",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .where($"l_shipdate" >= lit("1997-01-01") && $"l_shipdate" < lit("1998-01-01") &&
+            $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+          .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // RANGE frame: 30-day trailing spend per customer (value-based frame,
+    // not row-based — the other half of the §2.5 frame-spec surface)
+    GraftQuery("q_window_range_frame",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey")
+          .orderBy(datediff($"o_orderdate", lit("1970-01-01")).cast("long"))
+          .rangeBetween(-30, 0)
+        t(s, dir, "orders").select(
+          $"o_custkey", $"o_orderkey",
+          round(sum($"o_totalprice").over(w), 2).as("trailing_30d"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |  ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+             |FROM orders""".stripMargin)),
+
     GraftQuery("q_tpch_q1",
       (s, dir) => {
         import s.implicits._
