@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Plan-shape regressions: the physical plans the 100 TB design depends on
+  * (broadcast joins where intended, filters pushed to the parquet scan,
+  * single-shuffle as-of join) must not silently degrade.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executed(name: String) = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan
+  }
+
+  /** Full traversal that crosses AQE stage boundaries (plain `collect`
+    * treats QueryStageExec as a leaf). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: allNodes(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      r +: allNodes(r.child)
+    case other =>
+      other +: (other.children ++ other.subqueries).flatMap(allNodes)
+  }
+
+  private def collectAll[A](p: org.apache.spark.sql.execution.SparkPlan)(
+      f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, A]): Seq[A] =
+    allNodes(p).collect(f)
+
+  test("broadcast-hinted dimension joins plan as BroadcastHashJoin") {
+    val plan = executed("q_join_broadcast")
+    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected a broadcast hash join in:\n$plan")
+  }
+
+  test("selective filters are pushed down to the parquet scan (TPC-H Q6)") {
+    val plan = executed("q_tpch_q6")
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"),
+      s"shipdate filters not pushed: $pushed")
+  }
+
+  test("column pruning: a 2-column projection reads only those columns") {
+    import spark.implicits._
+    val df = Tables.t(spark, sfDir, "lineitem").select($"l_orderkey", $"l_quantity")
+    df.collect()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    val read = scans.head.metadata.getOrElse("ReadSchema", "")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_comment") && !read.contains("l_extendedprice"),
+      s"scan reads more than the projection: $read")
+  }
+
+  test("as-of join plans exactly one shuffle (union + single window sort)") {
+    val plan = executed("q_asof_join")
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length === 1,
+      s"expected the single as-of exchange, got ${shuffles.length}:\n$plan")
+  }
+}
