@@ -14,6 +14,27 @@ class RecoverySpec extends SparkSpec {
   private def ts(min: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
 
+  test("foreachBatch gives idempotent per-batch writes keyed by batchId") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("fb").toString
+    val in = MemoryStream[Traffic]
+    // the exactly-once pattern: partition output by batch id; a replayed
+    // batch overwrites its own partition instead of duplicating rows
+    val q = in.toDS().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[Traffic], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+    }.start()
+    try {
+      in.addData(Traffic("eth0", ts(0), 10L), Traffic("eth1", ts(0), 20L))
+      q.processAllAvailable()
+      in.addData(Traffic("eth0", ts(5), 30L))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$out/batch_id=0", s"$out/batch_id=1")
+      assert(rows.count() === 3)
+    } finally q.stop()
+  }
+
   test("edge-trigger state survives a checkpointed stop/restart") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
