@@ -290,6 +290,25 @@ object Builtins extends QueryModule {
       Some("""SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS sum_value,
              |count(*) AS n FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- unpivot / melt (inverse of q_pivot) ----
+    GraftQuery("q_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            $"l_extendedprice", $"l_discount")
+          .unpivot(
+            ids = Array($"l_orderkey", $"l_linenumber"),
+            values = Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+            variableColumnName = "measure",
+            valueColumnName = "val")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, measure, val
+             |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+             |      l_extendedprice, l_discount FROM lineitem)
+             |UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+             |""".stripMargin)),
+
     // ---- full outer join (completes the join-type surface) ----
     GraftQuery("q_full_outer_join",
       (s, dir) => {
