@@ -290,6 +290,39 @@ object Builtins extends QueryModule {
       Some("""SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS sum_value,
              |count(*) AS n FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- from_json with explicit schema (beyond get_json_object) ----
+    GraftQuery("q_from_json",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events").select(
+          $"event_id",
+          from_json($"props", lit("k INT, s STRING")).as("p"))
+          .select($"event_id", $"p.k".cast("long").as("k"), $"p.s".as("s"))
+      },
+      Some("""SELECT event_id,
+             |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |json_extract_string(props, '$.s') AS s
+             |FROM events""".stripMargin)),
+
+    // ---- date arithmetic ----
+    GraftQuery("q_date_arith",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").select(
+          $"o_orderkey",
+          date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+          date_add($"o_orderdate".cast("date"), 30).as("due"),
+          datediff(lit("1998-12-31").cast("date"), $"o_orderdate".cast("date"))
+            .cast("long").as("days_to_eoy"),
+          dayofweek($"o_orderdate").cast("long").as("dow"))
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |CAST(o_orderdate AS DATE) + 30 AS due,
+             |date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+             |dayofweek(o_orderdate) + 1 AS dow
+             |FROM orders""".stripMargin)),
+
     // ---- unpivot / melt (inverse of q_pivot) ----
     GraftQuery("q_unpivot",
       (s, dir) => {

@@ -63,6 +63,27 @@ class PlanShapeSpec extends SparkSpec {
       s"scan reads more than the projection: $read")
   }
 
+  test("partition pruning: a partitioned table scans only the matching partition") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pp").toString
+    Tables.t(spark, sfDir, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp).where($"event_type" === "error")
+      .select($"event_id")
+    df.collect()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    val parts = scans.head.metadata.getOrElse("PartitionFilters", "")
+    assert(parts.contains("event_type"),
+      s"expected a partition filter on event_type, got: $parts")
+    // the scan must touch fewer files than the full table holds
+    val scanned = scans.head.metrics("numFiles").value
+    val total = scans.head.relation.location.inputFiles.length
+    assert(scanned < total,
+      s"pruning had no effect: scanned $scanned of $total files")
+  }
+
   test("as-of join plans exactly one shuffle (union + single window sort)") {
     val plan = executed("q_asof_join")
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
