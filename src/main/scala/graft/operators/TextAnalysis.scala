@@ -76,8 +76,14 @@ object TextAnalysis {
         expr("""round(length(regexp_replace(text, '[^a-zA-Z]', ''))
                |      / CAST(length(text) AS DOUBLE), 4)""".stripMargin)
           .as("alpha_ratio"))
+      // Integer-exact composite: each ratio is already rounded to 4 dp, so
+      // round(r*1e4) recovers its exact integer numerator; 3/3/4-weighting
+      // in integers avoids the half-ulp double boundary that a
+      // `round(0.3*a + 0.3*b + 0.4*c, 4)` formulation hits (observed
+      // cross-engine flip at sf0.1: 0.48415 rounding both ways).
       .withColumn("quality",
-        expr("round(0.3 * ttr + 0.3 * stop_ratio + 0.4 * alpha_ratio, 4)"))
+        expr("""CAST(round(ttr * 10000) * 3 + round(stop_ratio * 10000) * 3
+               |     + round(alpha_ratio * 10000) * 4 AS BIGINT)""".stripMargin))
 
   /** Token counts: whitespace tokens and BPE-ish regex pieces
     * (letter runs / digit runs / single other non-space chars). */

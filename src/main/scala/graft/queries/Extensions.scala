@@ -238,7 +238,8 @@ object Extensions extends QueryModule {
            |          / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio
            |  FROM d WHERE len(words) >= 1)
            |SELECT doc_id, n_tokens, ttr, mean_tok_len, stop_ratio, alpha_ratio,
-           |       round(0.3 * ttr + 0.3 * stop_ratio + 0.4 * alpha_ratio, 4) AS quality
+           |       CAST(round(ttr * 10000) * 3 + round(stop_ratio * 10000) * 3
+           |            + round(alpha_ratio * 10000) * 4 AS BIGINT) AS quality
            |FROM f""".stripMargin
       }),
 
