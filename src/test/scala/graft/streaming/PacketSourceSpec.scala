@@ -33,6 +33,31 @@ class PacketSourceSpec extends SparkSpec {
     assert(a.length >= 60 && a.length < 1460)
   }
 
+  test("full reference pipeline: source → windows → limits → edge trigger → kafka shape") {
+    import spark.implicits._
+    val limits = Seq(("min", 10), ("max", 4000)).toDF("limit_name", "limit_value")
+    val packets = spark.readStream
+      .format("graft.streaming.PacketSourceProvider")
+      .option("nifs", "eth0,eth1")
+      .option("packetsPerTrigger", "8")
+      .option("microsPerPacket", "60000000") // 1 packet/min
+      .load()
+    val alerts = TrafficMonitor.pipeline(packets, limits, lateness = "0 seconds")
+    val q = TrafficMonitor.toKafkaMessages(alerts)
+      .writeStream.format("memory").queryName("e2e")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("e2e").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val rows = spark.table("e2e").collect()
+      assert(rows.nonEmpty)
+      // kafka shape: key = nif, value = json payload with the alert fields
+      assert(rows.forall(r => Set("eth0", "eth1")(r.getAs[String]("key"))))
+      assert(rows.forall(_.getAs[String]("value").contains("\"alert\":")))
+    } finally q.stop()
+  }
+
   test("packet source feeds the windowed-traffic pipeline end to end") {
     import spark.implicits._
     val packets = spark.readStream
