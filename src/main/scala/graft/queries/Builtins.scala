@@ -290,6 +290,41 @@ object Builtins extends QueryModule {
       Some("""SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS sum_value,
              |count(*) AS n FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- remaining analytic window functions ----
+    GraftQuery("q_window_lead_ntile",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        t(s, dir, "orders").select(
+          $"o_custkey", $"o_orderkey",
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |lead(o_totalprice) OVER w AS next_price,
+             |ntile(4) OVER w AS quartile,
+             |round(percent_rank() OVER w, 6) AS pr
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
+    // ---- regex: capture groups + pattern predicate ----
+    GraftQuery("q_regex",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .where($"c_name".rlike("[0-9]{3}$"))
+          .select(
+            $"c_custkey",
+            regexp_extract($"c_name", "([0-9]+)$", 1).as("name_num"),
+            regexp_extract($"c_name", "^([A-Za-z]+)", 1).as("name_head"))
+      },
+      Some("""SELECT c_custkey,
+             |regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+             |regexp_extract(c_name, '^([A-Za-z]+)', 1) AS name_head
+             |FROM customer WHERE regexp_matches(c_name, '[0-9]{3}$')""".stripMargin)),
+
     // ---- from_json with explicit schema (beyond get_json_object) ----
     GraftQuery("q_from_json",
       (s, dir) => {
