@@ -74,6 +74,29 @@ object Multimodal {
     }
   }
 
+  /** Feature extraction stub: L2-normalized 64-bin byte histogram as an
+    * `Array[Float]` embedding — the plumbing shape of an image/audio
+    * feature extractor (fixed-dim float vector per payload, pure
+    * per-partition map). Output plugs directly into
+    * [[graft.operators.Similarity]] (bruteTopK / lshPairs / ivfTopK),
+    * closing the decode → featurize → ANN-search pipeline. */
+  def featureVectors(ds: Dataset[MediaRecord], dim: Int = 64): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { r =>
+      val h = new Array[Float](dim)
+      var i = 0
+      while (i < r.media.length) { h((r.media(i) & 0xff) % dim) += 1f; i += 1 }
+      var n2 = 0.0
+      var j = 0
+      while (j < dim) { n2 += h(j).toDouble * h(j); j += 1 }
+      val inv = if (n2 > 0) (1.0 / math.sqrt(n2)).toFloat else 0f
+      j = 0
+      while (j < dim) { h(j) *= inv; j += 1 }
+      (r.doc_id, h)
+    }).toDF("doc_id", "embedding")
+  }
+
   /** Resize stub: downsample the payload to a fixed `target` length by
     * strided byte selection — the plumbing shape of image resize (fixed
     * output geometry per row, pure per-partition map). A real

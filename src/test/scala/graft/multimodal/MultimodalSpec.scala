@@ -42,6 +42,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === "xy")   // already under target: unchanged
   }
 
+  test("decode → featurize → ANN search composes into one pipeline") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    Similarity.ensureRegistered(spark)
+    val docs = Seq(
+      (1L, "aaaa bbbb aaaa"), (2L, "aaaa bbbb aaab"), // near-identical bytes
+      (3L, "zzzz qqqq wwww xxxx")).toDF("doc_id", "text")
+    val emb = Multimodal.featureVectors(
+      Multimodal.fromText(docs, "doc_id", "text"))
+    val top1 = Similarity.bruteTopK(
+      emb, emb.where($"doc_id" === 1), "doc_id", "embedding", 1).collect()
+    assert(top1.length === 1)
+    assert(top1.head.getAs[Long]("vec_id") === 2L) // byte-similar doc wins
+    assert(top1.head.getAs[Double]("cosine") > 0.9)
+  }
+
   test("binary payload round-trips through parquet (the 100 TB storage shape)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("mm").toString

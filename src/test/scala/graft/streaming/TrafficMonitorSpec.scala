@@ -209,6 +209,23 @@ class TrafficMonitorSpec extends SparkSpec {
     assert(v.contains("\"nif\":\"eth0\"") && v.contains("\"alert\":true"))
   }
 
+  test("complete output mode keeps updating per-nif running totals") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Packet]
+    val q = TrafficMonitor.packetSizes(in.toDF())
+      .groupBy($"nif").agg(org.apache.spark.sql.functions.sum($"bytes").as("total"))
+      .writeStream.format("memory").queryName("cm").outputMode("complete").start()
+    try {
+      in.addData(pkt("eth0", 0, 0, 100))
+      q.processAllAvailable()
+      in.addData(pkt("eth0", 1, 0, 50))
+      q.processAllAvailable()
+      val got = spark.table("cm").as[(String, Long)].collect().toMap
+      assert(got("eth0") === 150L) // the table is the full refreshed result
+    } finally q.stop()
+  }
+
   test("batch analogue matches streaming edge-trigger semantics") {
     import spark.implicits._
     val events = Seq(
