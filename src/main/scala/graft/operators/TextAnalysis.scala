@@ -51,6 +51,39 @@ object TextAnalysis {
       .select(col("doc_id") +: langs.map(l => col(s"score_$l")) :+ col("pred_lang"): _*)
   }
 
+  /** Tiny per-language character-trigram profiles (top function-word
+    * trigrams incl. boundary spaces) for the n-gram language-ID variant.
+    * Real systems learn these from corpora; the mechanics are identical. */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ie ", "ein", "ich", "nd ", "che", "sch", "und"),
+    "en" -> Seq("the", "he ", "ing", " th", "and", "ion", " of", "ed "),
+    "es" -> Seq(" de", "os ", "ión", "ent", "la ", "ue ", "as ", "que"),
+    "fr" -> Seq("es ", " de", "le ", "ent", "ion", "la ", " le", "une"))
+
+  /** N-gram language ID: slide a 3-char window over the lowercased text,
+    * score each language by profile-trigram hits (with multiplicity),
+    * predict the alphabetically-first argmax. Same shape as [[languageId]]
+    * but character-level — robust to languages without word separators. */
+  def languageIdNgram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = s"transform(sequence(1, length(lower($textCol)) - 2), " +
+      s"i -> substring(lower($textCol), i, 3))"
+    val withScores = trigramProfiles.foldLeft(
+      docs.select(col(idCol).as("doc_id"), col(textCol))
+        .where(expr(s"length($textCol) >= 3"))) {
+      case (df, (lang, tg)) =>
+        df.withColumn(s"tg_$lang",
+          expr(s"size(filter($grams, g -> array_contains(${arrayLit(tg)}, g)))")
+            .cast("long"))
+    }
+    val langs = trigramProfiles.map(_._1)
+    val pred = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"tg_$l >= tg_$o")
+      val gtPrior = langs.filter(_ < l).map(o => s"tg_$l > tg_$o")
+      s"WHEN ${(geAll ++ gtPrior).mkString(" AND ")} THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    withScores.withColumn("pred_lang", expr(pred)).drop(textCol)
+  }
+
   /** Heuristic quality features + a composite score:
     * n_tokens, type/token ratio, mean token length, stopword ratio,
     * alpha-char ratio. Score weights are arbitrary but fixed; every term

@@ -219,6 +219,29 @@ object Extensions extends QueryModule {
            |FROM sc""".stripMargin
       }),
 
+    GraftQuery("q_text_langid_ngram",
+      (s, dir) => TextAnalysis.languageIdNgram(t(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val tlangs = TextAnalysis.trigramProfiles.map(_._1)
+        val scores = TextAnalysis.trigramProfiles.map { case (l, tg) =>
+          val lst = tg.map(x => s"'$x'").mkString("[", ", ", "]")
+          s"""len(list_filter(list_transform(range(length(lower(text)) - 2),
+             |  i -> substr(lower(text), i + 1, 3)),
+             |  g -> list_contains($lst, g)))::BIGINT AS tg_$l""".stripMargin
+        }.mkString(",\n  ")
+        val pred = tlangs.map { l =>
+          val geAll = tlangs.filter(_ != l).map(o => s"tg_$l >= tg_$o")
+          val gtPrior = tlangs.filter(_ < l).map(o => s"tg_$l > tg_$o")
+          s"WHEN ${(geAll ++ gtPrior).mkString(" AND ")} THEN '$l'"
+        }.mkString("CASE ", " ", " END")
+        s"""WITH sc AS (SELECT doc_id,
+           |  $scores
+           |FROM documents WHERE length(text) >= 3)
+           |SELECT doc_id, ${tlangs.map(l => s"tg_$l").mkString(", ")},
+           |       $pred AS pred_lang
+           |FROM sc""".stripMargin
+      }),
+
     GraftQuery("q_text_quality",
       (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text"),
       Some {
