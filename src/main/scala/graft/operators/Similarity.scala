@@ -167,6 +167,88 @@ object Similarity {
         col("vec_id"), round(col("c"), 6).as("cosine"))
   }
 
+  /** IVF with a LEARNED coarse quantizer: deterministic k-means (fixed
+    * hash-picked seeds, fixed Lloyd iteration count) instead of
+    * [[ivfTopK]]'s metadata cells. The 100 TB shape: centroids are tiny
+    * (C × dim doubles) and live on the driver/broadcast; each Lloyd pass
+    * is one corpus scan (assignment in a per-partition loop — argmin over
+    * a C×dim matrix is genuine imperative inner-loop work) plus one
+    * groupBy(cell) mean; search scans only probed cells. */
+  def ivfKMeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(embCol).as("emb")).as[(Long, Array[Float])]
+
+    // deterministic seeds: the nCells vectors with smallest xxhash64(id)
+    var centroids: Array[Array[Double]] = vecs
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(nCells).select("emb").as[Array[Float]]
+      .collect().map(_.map(_.toDouble))
+
+    def nearestCell(e: Array[Float], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val ctr = cs(c)
+        var d = 0.0; var i = 0
+        val n = math.min(e.length, ctr.length)
+        while (i < n) { val x = e(i) - ctr(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    for (_ <- 1 to iters) {
+      val cs = centroids
+      val assigned = vecs.mapPartitions(_.map { case (id, e) =>
+        (nearestCell(e, cs), e)
+      }).toDF("cell", "emb")
+      // per-cell mean vector; a cell that lost all members keeps its centroid
+      val means = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim").agg(avg("v").as("m"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list("dim"), collect_list("m")).as("mm"))
+        .as[(Int, Map[Int, Double])].collect().toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        means.get(c).map(m => Array.tabulate(old.length)(m(_))).getOrElse(old)
+      }
+    }
+
+    val cs = centroids
+    val assigned = vecs.mapPartitions(_.map { case (id, e) =>
+      (nearestCell(e, cs), id, e)
+    }).toDF("cell", "vec_id", "emb")
+
+    val probed = queries
+      .select(col(idCol).cast("long").as("query_id"), col(embCol).as("q_emb"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qe) =>
+        val byDist = cs.indices.sortBy { c =>
+          val ctr = cs(c)
+          var d = 0.0; var i = 0
+          val n = math.min(qe.length, ctr.length)
+          while (i < n) { val x = qe(i) - ctr(i); d += x * x; i += 1 }
+          d
+        }
+        byDist.take(nProbe).map(c => (c, qid, qe))
+      }.toDF("cell", "query_id", "q_emb")
+
+    val scored = probed.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), cos(col("q_emb"), col("emb")).as("c"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("c"), 6).as("cosine"))
+  }
+
   /** Ensure native vector functions exist in this session. */
   def ensureRegistered(spark: SparkSession): Unit =
     graft.functions.VectorFunctions.register(spark)

@@ -201,6 +201,17 @@ object Extensions extends QueryModule {
       },
       None),
 
+    // IVF with a learned (deterministic k-means) coarse quantizer —
+    // rows-only; recall asserted in SimilaritySpec.
+    GraftQuery("q_sim_ivf_kmeans",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfKMeansTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", 5, nCells = 8, nProbe = 2)
+      },
+      None),
+
     // ======================= text analysis =======================
 
     GraftQuery("q_text_langid",

@@ -114,6 +114,22 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
   }
 
+  test("ivfKMeansTopK learns cells that give reasonable recall vs brute force") {
+    Similarity.ensureRegistered(spark)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val k = 5
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKMeansTopK(emb, queries, "vec_id", "embedding", k,
+      nCells = 8, nProbe = 3, iters = 2)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"k-means IVF recall $recall too low")
+  }
+
   test("ivfTopK achieves reasonable recall vs brute force") {
     Similarity.ensureRegistered(spark)
     val emb = Tables.t(spark, sfDir, "embeddings")
