@@ -80,6 +80,66 @@ case class SimHash60(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+/** trigram_hits(text, profile): number of character trigrams of
+  * lower(text) (with multiplicity) that appear in the profile array —
+  * mirrors `size(filter(transform(sequence(1, length(lower(t))-2),
+  * i -> substring(lower(t), i, 3)), g -> array_contains(profile, g)))`
+  * but lowercases ONCE and slides in a single loop; the SQL form
+  * re-evaluates lower(t) per gram (O(len²)) and is re-inlined per
+  * language column by CollapseProject (measured 16 s for 4 languages on
+  * 5k docs at sf0.1). */
+case class TrigramHits(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def prettyName: String = "trigram_hits"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, array<string>), got ${l.simpleString}, ${r.simpleString}")
+  }
+
+  // profile is a foldable literal in practice; evaluate it once per instance
+  @transient private lazy val profile: java.util.HashSet[String] = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[String](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) { s.add(arr.getUTF8String(i).toString); i += 1 }
+    s
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) return null
+    // materialize the lowercase text once; slide over CODEPOINT offsets so
+    // char semantics match SQL substring (UTF8String.substringSQL would
+    // seek from the string start per gram — O(len²))
+    val str = t.asInstanceOf[UTF8String].toLowerCase.toString
+    val n = str.length
+    val starts = new Array[Int](n + 1)
+    var cp = 0
+    var i = 0
+    while (i < n) {
+      starts(cp) = i
+      i += Character.charCount(str.codePointAt(i))
+      cp += 1
+    }
+    starts(cp) = n
+    var hits = 0L
+    var c = 0
+    while (c + 2 < cp) {
+      if (profile.contains(str.substring(starts(c), starts(c + 3)))) hits += 1
+      c += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** srp_sig16(embedding): 16-bit signed-random-projection LSH signature of
   * a 64-dim float vector — mirrors [[graft.operators.Similarity.srpSignature]]
   * (same md5-seeded hyperplanes, same sequential double fold per plane, so

@@ -117,7 +117,9 @@ object VectorFunctions {
     ("srp_sig16", (e: Seq[Expression]) => SrpSig16(e(0)),
       "srp_sig16(v) - 16-bit signed-random-projection LSH signature"),
     ("minhash_sig", (e: Seq[Expression]) => MinHashSig(e(0)),
-      "minhash_sig(text) - 16-wide MinHash signature over word 3-shingles"))
+      "minhash_sig(text) - 16-wide MinHash signature over word 3-shingles"),
+    ("trigram_hits", (e: Seq[Expression]) => TrigramHits(e(0), e(1)),
+      "trigram_hits(text, profile) - count of lower(text) char trigrams in profile"))
 
   def descriptors: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
     fns.map { case (name, builder, usage) =>

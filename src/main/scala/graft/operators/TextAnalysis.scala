@@ -65,15 +65,15 @@ object TextAnalysis {
     * predict the alphabetically-first argmax. Same shape as [[languageId]]
     * but character-level — robust to languages without word separators. */
   def languageIdNgram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = s"transform(sequence(1, length(lower($textCol)) - 2), " +
-      s"i -> substring(lower($textCol), i, 3))"
+    // native kernel: lowercases once and slides in one loop; the SQL
+    // formulation re-evaluates lower(text) per gram and per language
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     val withScores = trigramProfiles.foldLeft(
       docs.select(col(idCol).as("doc_id"), col(textCol))
         .where(expr(s"length($textCol) >= 3"))) {
       case (df, (lang, tg)) =>
         df.withColumn(s"tg_$lang",
-          expr(s"size(filter($grams, g -> array_contains(${arrayLit(tg)}, g)))")
-            .cast("long"))
+          expr(s"trigram_hits($textCol, ${arrayLit(tg)})"))
     }
     val langs = trigramProfiles.map(_._1)
     val pred = langs.map { l =>
