@@ -53,6 +53,30 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("property: as-of join matches a brute-force reference on random data") {
+    import spark.implicits._
+    val rowsGen = Gen.zip(
+      Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L))),
+      Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L),
+        Gen.choose(0, 999))))
+    for (((lRows, rRows), it) <- samples(rowsGen, 6).zipWithIndex) {
+      // unique right (key, ts) so the reference pick is well-defined
+      val rDedup = rRows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val left = lRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "lts")
+      val right = rDedup.toDF("k", "rts", "v")
+      val got = operators.AsOfJoin.asofBackward(
+        left, right, key = "k", leftTs = "lts", rightTs = "rts",
+        valueCols = Seq(("v", "v")))
+        .select("lid", "v").as[(Long, Option[Int])].collect().toMap
+      val want = lRows.zipWithIndex.map { case ((k, t), i) =>
+        i.toLong -> rDedup.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(got === want, s"case $it: left=$lRows right=$rDedup")
+    }
+  }
+
   test("property: sum is invariant under repartitioning") {
     import spark.implicits._
     val rows = Gen.listOfN(50, Gen.choose(-10000, 10000))
