@@ -364,6 +364,70 @@ object Extensions extends QueryModule {
              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
              |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)),
 
+    // TPC-H Q4 shape (exists-subquery aggregate) over the synthetic schema
+    GraftQuery("q_exists_agg",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .where($"l_quantity" > 45.0)
+          .select($"l_orderkey").distinct()
+        t(s, dir, "orders")
+          .where($"o_orderdate" >= lit("1997-01-01") && $"o_orderdate" < lit("1997-10-01"))
+          .join(li, $"o_orderkey" === li("l_orderkey"), "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q12 shape (join + conditional counts) over the synthetic schema
+    GraftQuery("q_conditional_counts",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .where($"l_returnflag".isin("A", "R") &&
+            $"l_shipdate" >= lit("1997-01-01") && $"l_shipdate" < lit("1998-01-01"))
+          .groupBy($"l_returnflag")
+          .agg(
+            sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag,
+             |sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             |  AS high_line_count,
+             |sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             |  AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_returnflag IN ('A','R')
+             |  AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    GraftQuery("q_tpch_q14",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+          .where($"l_shipdate" >= lit("1997-09-01") && $"l_shipdate" < lit("1997-10-01"))
+          .agg(round(
+            sum(when($"p_type".startsWith("PROMO"),
+              $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0)) * 100.0 /
+              sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+            .as("promo_revenue"))
+      },
+      Some("""SELECT round(
+             |  sum(CASE WHEN p_type LIKE 'PROMO%'
+             |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
+             |  / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'""".stripMargin)),
+
     GraftQuery("q_tpch_q6",
       (s, dir) => {
         import s.implicits._
