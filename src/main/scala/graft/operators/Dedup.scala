@@ -207,10 +207,14 @@ object Dedup {
   }
 
   /** Exact dedup: group identical normalized text, keep the smallest id.
-    * At 100 TB group on the text HASH (map-side combine on a long key)
-    * rather than the text itself — the shuffle carries 8-byte keys. A
-    * residual full-text equality check within hash groups guards against
-    * (astronomically unlikely) collisions. */
+    * Keyed on (hash, text): the hash makes partitioning/compare cheap and
+    * the text column guards against (astronomically unlikely) collisions.
+    * Map-side partial aggregation collapses duplicate texts within each
+    * input partition before the exchange, so the shuffle carries one row
+    * per distinct document per mapper — at 100 TB, if payload width still
+    * dominates, drop the text column and accept the 2^-60 collision odds
+    * (or re-verify the rare hash-groups with n_copies > 1 in a second
+    * pass over only those hashes). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"),
