@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A near-dup candidate discovered in the stream: `doc_id` collided with
+  * the earlier `prior_id` on MinHash band `band`. */
+final case class DupCandidate(doc_id: Long, prior_id: Long, band: Int)
+
+/** Incremental near-duplicate detection over a document STREAM
+  * (SURVEY.md §2.11 × §2.9): each arriving document's MinHash signature is
+  * banded exactly like the batch operator
+  * ([[graft.operators.Dedup.minhashPairs]]); a stateful operator keyed by
+  * (band, bandHash) remembers the FIRST document that ever landed in each
+  * bucket and flags every later arrival as a candidate against it.
+  *
+  * Scale design: state is ONE long per occupied bucket (the first
+  * doc_id) — not the signature, not the text — so state size is bounded by
+  * the number of distinct buckets, and the shuffle carries (band, bhash,
+  * doc_id) longs. Candidates are a stream; exact Jaccard verification
+  * joins them back to the corpus downstream (batch or foreachBatch),
+  * touching only candidate rows — the same verify-few pattern as batch
+  * LSH. A candidate may appear once per matching band; `.dropDuplicates`
+  * downstream collapses multi-band hits if one row per pair is wanted.
+  */
+object StreamingDedup {
+
+  /** docs stream (idCol, textCol) → banded (band, bhash, doc_id). */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    import graft.operators.Dedup.{Bands, RowsPerBand, foldDigest}
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        call_function("minhash_sig", col(textCol)).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${Bands - 1}),
+           |  j -> ${foldDigest(s"slice(sig, j * $RowsPerBand + 1, $RowsPerBand)")})"""
+          .stripMargin)))
+      .toDF("doc_id", "band", "bhash")
+  }
+
+  /** The stateful core: first doc in a bucket claims it; later docs emit
+    * candidates against that first doc. Within one micro-batch, docs are
+    * processed in doc_id order for determinism. */
+  def candidates(banded: DataFrame): Dataset[DupCandidate] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded.as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bhash) => (band, bhash) }
+      .flatMapGroupsWithState[Long, DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toSeq.sorted
+          var first = state.getOption.getOrElse(Long.MaxValue)
+          val out = ids.flatMap { id =>
+            if (id < first) { first = id; None }
+            else if (id == first) None
+            else Some(DupCandidate(id, first, band))
+          }
+          state.update(first)
+          out.iterator
+      }
+  }
+
+  /** Full pipeline: document stream in, near-dup candidate stream out. */
+  def nearDupCandidates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[DupCandidate] =
+    candidates(bandedSignatures(docs, idCol, textCol))
+}

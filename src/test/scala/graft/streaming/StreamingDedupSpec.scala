@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Incremental near-dup detection over a document stream. */
+class StreamingDedupSpec extends SparkSpec {
+
+  private val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+
+  test("a near-identical later document is flagged against the first arrival") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupCandidates(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sd").outputMode("append").start()
+    try {
+      in.addData((1L, base), (50L, (1 to 40).map(i => s"zz$i").mkString(" ")))
+      q.processAllAvailable()
+      // arrives LATER in stream time, nearly identical to doc 1
+      in.addData((7L, base + " tail"))
+      q.processAllAvailable()
+      val got = spark.table("sd").as[DupCandidate].collect()
+        .map(c => (c.doc_id, c.prior_id)).toSet
+      assert(got === Set((7L, 1L))) // flagged against the first claimant only
+    } finally q.stop()
+  }
+
+  test("unrelated documents produce no candidates; exact dup hits all bands") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupCandidates(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sd2").outputMode("append").start()
+    try {
+      in.addData((1L, base))
+      q.processAllAvailable()
+      in.addData((2L, base)) // exact duplicate: every band collides
+      in.addData((90L, (1 to 40).map(i => s"qq$i").mkString(" ")))
+      q.processAllAvailable()
+      val rows = spark.table("sd2").as[DupCandidate].collect()
+      assert(rows.map(c => (c.doc_id, c.prior_id)).distinct.toSeq === Seq((2L, 1L)))
+      assert(rows.length === graft.operators.Dedup.Bands) // one hit per band
+      assert(!rows.exists(_.doc_id == 90L))
+    } finally q.stop()
+  }
+}
