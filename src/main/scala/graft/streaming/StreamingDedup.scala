@@ -68,4 +68,25 @@ object StreamingDedup {
   def nearDupCandidates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Dataset[DupCandidate] =
     candidates(bandedSignatures(docs, idCol, textCol))
+
+  /** The verify-few tail of the streaming pipeline: per micro-batch, join
+    * the (tiny) candidate set back to the corpus and keep pairs whose TRUE
+    * shingle Jaccard clears `threshold`. `corpus` is the static (or
+    * snapshot) document table — only candidate rows are rejoined, so the
+    * expensive set-intersection work is proportional to candidates, not
+    * to the stream. Returns verified pairs collapsed to one row per pair. */
+  def verifyCandidates(batch: Dataset[DupCandidate], corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    import graft.operators.Dedup.{shinglesExpr, wordsExpr}
+    val sh = corpus.select(col(idCol).cast("long").as("id"),
+      expr(shinglesExpr(wordsExpr(textCol))).as("sh"))
+    batch.toDF().select(col("doc_id"), col("prior_id")).distinct()
+      .join(sh.withColumnRenamed("sh", "sh_a"), col("doc_id") === col("id")).drop("id")
+      .join(sh.withColumnRenamed("sh", "sh_b"), col("prior_id") === col("id")).drop("id")
+      .select(col("doc_id"), col("prior_id"),
+        expr("""round(size(array_intersect(sh_a, sh_b)) /
+               |      CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 4)""".stripMargin)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 }

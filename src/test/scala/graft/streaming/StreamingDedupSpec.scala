@@ -26,6 +26,31 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("verify-few loop: candidates are Jaccard-verified per batch via foreachBatch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val corpusRows = Seq(
+      (1L, base), (7L, base + " tail"),
+      (50L, (1 to 40).map(i => s"zz$i").mkString(" ")))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val verified = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupCandidates(in.toDF().toDF("doc_id", "text"))
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[DupCandidate], _: Long) =>
+          StreamingDedup.verifyCandidates(batch, corpus, "doc_id", "text", 0.5)
+            .as[(Long, Long, Double)].collect().foreach(verified += _)
+      }.start()
+    try {
+      in.addData(corpusRows.head, corpusRows(2))
+      q.processAllAvailable()
+      in.addData(corpusRows(1)) // near-dup of doc 1 arrives later
+      q.processAllAvailable()
+      assert(verified.map(v => (v._1, v._2)) === Set((7L, 1L)))
+      assert(verified.head._3 > 0.9) // 38/42 shared shingles
+    } finally q.stop()
+  }
+
   test("unrelated documents produce no candidates; exact dup hits all bands") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
