@@ -33,8 +33,10 @@ object CorpusClean {
   def clean(docs: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minQuality: Long = 3000L,
       jaccard: Double = 0.8): DataFrame = {
+    // read by the language scorer, the quality scorer, and the join spine
     val normed = docs.select(col(idCol).cast("long").as("doc_id"),
       expr(normExpr(textCol)).as("norm_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val langKeep = TextAnalysis.languageId(normed, "doc_id", "norm_text")
       .where(col("pred_lang") === lang).select("doc_id")
@@ -45,8 +47,10 @@ object CorpusClean {
       .join(langKeep, "doc_id")
       .join(qualKeep, "doc_id")
 
-    // exact dedup: smallest doc_id per identical normalized text
+    // exact dedup: smallest doc_id per identical normalized text;
+    // read again by the near-dup pass and the final anti-join
     val exactKeep = Dedup.dropExactDuplicates(filtered, "doc_id", "norm_text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near-dup dedup among exact survivors: larger id of each verified
     // pair drops (chains collapse to their smallest member)
