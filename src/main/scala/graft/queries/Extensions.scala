@@ -485,6 +485,33 @@ object Extensions extends QueryModule {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'""".stripMargin)),
 
+    GraftQuery("q_tpch_q10",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .where($"l_returnflag" === "R")
+          .join(t(s, dir, "orders")
+            .where($"o_orderdate" >= lit("1997-01-01") && $"o_orderdate" < lit("1997-04-01")),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            .as("revenue"))
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     GraftQuery("q_tpch_q6",
       (s, dir) => {
         import s.implicits._

@@ -69,6 +69,30 @@ object StreamingDedup {
       textCol: String = "text"): Dataset[DupCandidate] =
     candidates(bandedSignatures(docs, idCol, textCol))
 
+  /** SimHash variant of [[bandedSignatures]]: 4 × 15-bit bands of the
+    * 60-bit fingerprint — candidates are exact for Hamming ≤ 3 pairs
+    * (pigeonhole, see [[graft.operators.Dedup.simhashPairs]]), so this
+    * stream needs no verify step for the hd≤3 contract, only a Hamming
+    * recheck on the candidate pair. */
+  def bandedSimhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    import graft.operators.Dedup.{SimhashBands, SimhashBandBits}
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        call_function("simhash60", col(textCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${SimhashBands - 1}),
+           |  j -> shiftright(simhash, $SimhashBandBits * j) % ${1 << SimhashBandBits})"""
+          .stripMargin)))
+      .toDF("doc_id", "band", "bhash")
+  }
+
+  /** Streaming SimHash near-dup candidates (same state core). */
+  def nearDupCandidatesSimhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[DupCandidate] =
+    candidates(bandedSimhashes(docs, idCol, textCol))
+
   /** The verify-few tail of the streaming pipeline: per micro-batch, join
     * the (tiny) candidate set back to the corpus and keep pairs whose TRUE
     * shingle Jaccard clears `threshold`. `corpus` is the static (or

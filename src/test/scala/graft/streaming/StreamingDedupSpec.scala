@@ -51,6 +51,27 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhash variant flags later near-identical docs through the same state core") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupCandidatesSimhash(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sh").outputMode("append").start()
+    try {
+      in.addData((3L, base), (80L, (1 to 40).map(i => s"vv$i").mkString(" ")))
+      q.processAllAvailable()
+      // identical content (hd=0): guaranteed to share every band. A
+      // one-token edit at 40 tokens flips ~10 of 60 bits — SimHash hd<=3
+      // only captures near-verbatim duplicates, by design.
+      in.addData((9L, base))
+      q.processAllAvailable()
+      val got = spark.table("sh").as[DupCandidate].collect()
+        .map(c => (c.doc_id, c.prior_id)).toSet
+      assert(got.contains((9L, 3L)))
+      assert(!got.exists(_._1 == 80L))
+    } finally q.stop()
+  }
+
   test("unrelated documents produce no candidates; exact dup hits all bands") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
