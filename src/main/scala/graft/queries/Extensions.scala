@@ -512,6 +512,30 @@ object Extensions extends QueryModule {
              |GROUP BY c_custkey, c_name, c_acctbal, n_name
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    GraftQuery("q_tpch_q18",
+      (s, dir) => {
+        import s.implicits._
+        val big = t(s, dir, "lineitem").groupBy($"l_orderkey")
+          .agg(round(sum($"l_quantity"), 2).as("total_qty"))
+          .where($"total_qty" > 150.0)
+        t(s, dir, "orders")
+          .join(big, $"o_orderkey" === big("l_orderkey"))
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+            round($"o_totalprice", 2).as("o_totalprice"), $"total_qty")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+             |round(o_totalprice, 2) AS o_totalprice, total_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING round(sum(l_quantity), 2) > 150.0) b
+             |  ON o_orderkey = b.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
     GraftQuery("q_tpch_q6",
       (s, dir) => {
         import s.implicits._
