@@ -105,6 +105,27 @@ class TrafficMonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped, not double-counted") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Packet]
+    val q = TrafficMonitor.windowedTraffic(in.toDF(), lateness = "0 seconds")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      in.addData(pkt("eth0", 0, 0, 100))
+      q.processAllAvailable()
+      in.addData(pkt("eth0", 20, 0, 1)) // watermark → 20:00; finalizes [0,5)
+      q.processAllAvailable()
+      in.addData(pkt("eth0", 1, 0, 999)) // LATE: for already-finalized [0,5)
+      in.addData(pkt("eth0", 40, 0, 1))  // advances watermark further
+      q.processAllAvailable()
+      val w0 = spark.table("late").as[Traffic].collect()
+        .filter(_.windowStart == ts(0))
+      // the finalized window emitted once, without the late packet
+      assert(w0.map(_.bytes).toSeq === Seq(100L))
+    } finally q.stop()
+  }
+
   test("slidingTraffic counts packets toward every overlapping window") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
