@@ -225,15 +225,19 @@ object Builtins extends QueryModule {
     GraftQuery("q_percentile",
       (s, dir) => {
         import s.implicits._
+        // Scalar columns only: an ArrayType output column is unhashable in
+        // the driver's pandas-based compare (numpy.ndarray cells).
         t(s, dir, "lineitem").groupBy($"l_returnflag")
           .agg(
-            expr("""transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)),
-                   |x -> round(x, 4))""".stripMargin).as("qty_quartiles"),
+            round(expr("percentile(l_quantity, 0.25D)"), 4).as("qty_q25"),
+            round(expr("percentile(l_quantity, 0.5D)"), 4).as("qty_q50"),
+            round(expr("percentile(l_quantity, 0.75D)"), 4).as("qty_q75"),
             round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("median_price"))
       },
       Some("""SELECT l_returnflag,
-             |list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-             |  x -> round(x, 4)) AS qty_quartiles,
+             |round(quantile_cont(l_quantity, 0.25), 4) AS qty_q25,
+             |round(quantile_cont(l_quantity, 0.5), 4) AS qty_q50,
+             |round(quantile_cont(l_quantity, 0.75), 4) AS qty_q75,
              |round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 

@@ -456,11 +456,13 @@ object Extensions extends QueryModule {
             sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
               .as("low_line_count"))
       },
+      // CAST to BIGINT: DuckDB sums of integer literals are HUGEINT (int128),
+      // which pandas widens to float64 — hash-mismatches Spark's int64.
       Some("""SELECT l_returnflag,
-             |sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-             |  AS high_line_count,
-             |sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-             |  AS low_line_count
+             |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             |  AS BIGINT) AS high_line_count,
+             |CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             |  AS BIGINT) AS low_line_count
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_returnflag IN ('A','R')
              |  AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
