@@ -20,21 +20,19 @@ object Scratch {
       println(f"TIME $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
-    val audit = Seq("q_multijoin_revenue", "q_tpch_q1", "q_traffic_window",
-      "q_sim_topk", "q_dedup_exact", "q_asof_join")
-    for (name <- audit if args.contains("explain") || args.isEmpty) {
+    def runNoop(name: String): Unit =
+      SparkEntry.queries(name)(spark, dir).write.format("noop")
+        .mode("overwrite").save()
+
+    for (name <- args.filter(_.startsWith("explain:")).map(_.stripPrefix("explain:"))) {
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, dir)
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
 
-    def runNoop(name: String): Unit =
-      SparkEntry.queries(name)(spark, dir).write.format("noop")
-        .mode("overwrite").save()
     time("warmup")(runNoop("q_grouped_sum"))
-    for (q <- Seq("q_simhash_sig", "q_dedup_simhash", "q_minhash_sig",
-        "q_dedup_minhash", "q_embed_neardup"))
+    for (q <- args.filterNot(_.startsWith("explain:")))
       time(q)(runNoop(q))
     spark.stop()
   }

@@ -11,7 +11,9 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     graft.queries.RefParity,
     graft.queries.Builtins,
-    graft.queries.Extensions)
+    graft.queries.Extensions,
+    graft.queries.SqlSurface,
+    graft.queries.Pipeline)
 
   private lazy val registry: Seq[GraftQuery] = modules.flatMap(_.queries)
 

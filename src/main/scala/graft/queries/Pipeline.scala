@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 training-data pipeline operators (north-star surface beyond
+  * SURVEY.md §2.11's dedup/similarity core): TF-IDF term scoring, document
+  * chunking, stratified sampling, PII-style redaction, and per-class
+  * embedding centroids.
+  *
+  * Scale notes (100 TB):
+  *  - TF-IDF: two shuffles — (doc,word) term counts and word document
+  *    frequencies; the df side is words-only (tiny vs the corpus) and is
+  *    broadcast back. No driver-side constants: corpus size N flows in as a
+  *    broadcast scalar, so the same plan runs on any corpus unchanged.
+  *  - Chunking is a stateless per-row flatMap (explode) — no shuffle; output
+  *    rows carry provenance (doc_id, chunk_idx, start) so downstream dedup
+  *    can map back to documents.
+  *  - Stratified sampling is a deterministic hash predicate (never rand():
+  *    reproducible across engines, retries, and cluster sizes) — pushes
+  *    down to the scan and shuffles nothing.
+  *  - Redaction is per-row regexp work inside whole-stage codegen.
+  *  - Centroids: posexplode fans each vector into (label, dim, v) — the
+  *    shuffle key (label, dim) spreads one label's mean across dim
+  *    reducers, so a skewed label distribution still balances.
+  *
+  * Determinism contract: TF-IDF avoids ln() (libm last-ulp differences
+  * across engines flip 4-dp rounding); the idf is the integer
+  * `(N * 1_000_000) div df`, exact in both engines.
+  */
+object Pipeline extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** Chunk geometry: 120-char chunks every 90 chars (30-char overlap). */
+  private val ChunkLen = 120
+  private val ChunkStride = 90
+
+  override val queries: Seq[GraftQuery] = Seq(
+
+    // ---- TF-IDF: top-3 terms per document, integer-scaled idf ----
+    GraftQuery("q_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        val words = t(s, dir, "documents")
+          .select($"doc_id",
+            explode(expr(graft.operators.Dedup.wordsExpr("text"))).as("word"))
+        val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+        val df = words.groupBy($"word")
+          .agg(countDistinct($"doc_id").as("df"))
+        val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+        val scored = tf
+          .join(broadcast(df), "word")
+          .join(broadcast(n), lit(true))
+          .select($"doc_id", $"word", $"tf",
+            ($"tf" * expr("(n * 1000000L) DIV df")).as("score"))
+        val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .where($"rk" <= 3)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  list_filter(string_split(text, ' '), w -> w <> '') AS words
+             |  FROM documents),
+             |u AS (SELECT doc_id, unnest(words) AS word FROM d),
+             |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+             |       FROM u GROUP BY doc_id, word),
+             |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM u GROUP BY word),
+             |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+             |sc AS (SELECT doc_id, tf.word AS word, tf,
+             |         (tf * ((n.n * 1000000) // df.df))::BIGINT AS score
+             |       FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+             |      FROM sc)
+             |SELECT doc_id, word, tf, score, rk FROM r WHERE rk <= 3""".stripMargin)),
+
+    // ---- fixed-size overlapping chunking (context-window prep) ----
+    GraftQuery("q_doc_chunks",
+      (s, dir) => {
+        import s.implicits._
+        // extra = ceil((len - ChunkLen) / stride) for len > ChunkLen, via
+        // positive-only integer arithmetic (negative int division rounds
+        // differently across engines).
+        val extraExpr =
+          s"""CASE WHEN length(text) > $ChunkLen
+             | THEN (length(text) - ${ChunkLen - ChunkStride + 1}) DIV $ChunkStride
+             | ELSE 0 END""".stripMargin
+        t(s, dir, "documents")
+          .select($"doc_id", $"text", expr(extraExpr).as("extra"))
+          .select($"doc_id", posexplode(expr(
+            s"transform(sequence(0, extra), i -> substring(text, i * $ChunkStride + 1, $ChunkLen))")))
+          .toDF("doc_id", "chunk_idx", "chunk")
+          .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+            ($"chunk_idx".cast("long") * ChunkStride).as("start0"),
+            $"chunk", length($"chunk").cast("long").as("chunk_len"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text,
+             |  CASE WHEN length(text) > $ChunkLen
+             |    THEN (length(text) - ${ChunkLen - ChunkStride + 1}) // $ChunkStride
+             |    ELSE 0 END AS extra
+             |  FROM documents),
+             |u AS (SELECT doc_id, unnest(list_transform(range(extra + 1),
+             |  i -> {'idx': i, 'chunk': substr(text, (i * $ChunkStride + 1)::INT, $ChunkLen)})) AS e
+             |  FROM d)
+             |SELECT doc_id, e.idx AS chunk_idx,
+             |  e.idx * $ChunkStride AS start0, e.chunk AS chunk,
+             |  length(e.chunk)::BIGINT AS chunk_len FROM u""".stripMargin)),
+
+    // ---- stratified deterministic sampling (per-language rates) ----
+    GraftQuery("q_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val rate = "CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 30 ELSE 50 END"
+        t(s, dir, "documents")
+          .where(expr(
+            s"${graft.operators.Dedup.h60("concat(doc_id, ':', lang)")} % 100 < $rate"))
+          .select($"doc_id", $"lang", $"source")
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE ('0x' || substr(md5(doc_id || ':' || lang), 1, 15))::BIGINT
+             |      % 1000000007 % 100 <
+             |      CASE WHEN lang = 'en' THEN 10
+             |           WHEN lang = 'de' THEN 30 ELSE 50 END""".stripMargin)),
+
+    // ---- PII-style redaction: mask digit runs, count the hits ----
+    GraftQuery("q_text_redact",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events").select(
+          $"event_id",
+          regexp_replace($"props", lit("[0-9]+"), lit("#")).as("redacted"),
+          size(regexp_extract_all($"props", lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_hits"))
+      },
+      Some("""SELECT event_id,
+             |regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+             |len(regexp_extract_all(props, '[0-9]+'))::BIGINT AS n_hits
+             |FROM events""".stripMargin)),
+
+    // ---- per-class embedding centroids (label × dimension means) ----
+    GraftQuery("q_vec_centroid",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .select($"label", posexplode($"embedding"))
+          .toDF("label", "dim", "v")
+          .groupBy($"label", $"dim")
+          // + 0.0 normalizes IEEE -0.0 (a tiny negative mean rounds to
+          // negative zero in one engine and positive zero in the other)
+          .agg((round(avg($"v"), 4) + 0.0).as("mean_v"), count(lit(1)).as("n"))
+          .select($"label", $"dim".cast("long").as("dim"), $"mean_v", $"n")
+      },
+      Some("""WITH u AS (SELECT label,
+             |  unnest(list_transform(range(len(embedding)),
+             |    i -> {'dim': i, 'v': embedding[i+1]})) AS e
+             |  FROM embeddings)
+             |SELECT label, e.dim AS dim, round(avg(e.v), 4) + 0.0 AS mean_v,
+             |  count(*)::BIGINT AS n
+             |FROM u GROUP BY label, e.dim""".stripMargin))
+  )
+}

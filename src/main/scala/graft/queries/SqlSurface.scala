@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 widening of the declarative SQL surface (SURVEY.md §2.3-§2.8):
+  * deeper multi-way join shapes, explicit cross join, the remaining
+  * window-frame value functions, null-handling scalar ops, and the
+  * correlation/covariance aggregate family.
+  *
+  * The reference has none of these (its whole relational surface is the one
+  * SELECT at /root/reference/src/main/java/org/test/pcap4j/MainApp.java:44-47);
+  * this is the "a reference user could run every query they run today, and
+  * the ones they would write next" surface, all on Spark built-ins so
+  * Catalyst owns join order, broadcast selection and pushdown.
+  */
+object SqlSurface extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  override val queries: Seq[GraftQuery] = Seq(
+
+    // ---- TPC-H Q5 shape: 6-way join through region→nation→customer/
+    //      supplier co-nationality. Dimension sides (region, nation,
+    //      supplier) are broadcast — at 100 TB only orders⋈lineitem
+    //      shuffles, on their natural keys. ----
+    GraftQuery("q_tpch_q5",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+          .where($"o_orderdate" >= lit("1997-01-01") &&
+            $"o_orderdate" < lit("1998-01-01"))
+        val li = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        val nat = t(s, dir, "nation")
+        val reg = t(s, dir, "region").where($"r_name" === "ASIA")
+        cust.join(ord, $"c_custkey" === $"o_custkey")
+          .join(li, $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(sup),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            .as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
+    // ---- TPC-H Q16 shape: distinct-count after a fact⋈dim join ----
+    GraftQuery("q_tpch_q16",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+          .where($"p_brand" =!= "Brand#45" && !$"p_type".startsWith("MEDIUM"))
+          .groupBy($"p_brand", $"p_type")
+          .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+             |GROUP BY p_brand, p_type""".stripMargin)),
+
+    // ---- explicit cross join (the reference's closure-captured scalar
+    //      broadcast, SURVEY.md §2.3, as a real operator) ----
+    GraftQuery("q_cross_join",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "nation").crossJoin(broadcast(t(s, dir, "region")))
+          .select($"n_name", $"r_name",
+            ($"n_nationkey" + $"r_regionkey" * 100).cast("long").as("pair_code"))
+      },
+      Some("""SELECT n_name, r_name,
+             |  CAST(n_nationkey + r_regionkey * 100 AS BIGINT) AS pair_code
+             |FROM nation CROSS JOIN region""".stripMargin)),
+
+    // ---- window value functions over a full-partition frame ----
+    GraftQuery("q_window_first_last",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders").select(
+          $"o_custkey", $"o_orderkey",
+          first($"o_orderkey").over(w).as("first_k"),
+          last($"o_orderkey").over(w).as("last_k"),
+          nth_value($"o_orderkey", 2).over(w).as("second_k"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |first_value(o_orderkey) OVER w AS first_k,
+             |last_value(o_orderkey) OVER w AS last_k,
+             |nth_value(o_orderkey, 2) OVER w AS second_k
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
+    // ---- null-introducing and null-consuming scalar ops ----
+    GraftQuery("q_null_handling",
+      (s, dir) => {
+        import s.implicits._
+        val a = nullif($"o_orderstatus", lit("O"))
+        val b = nullif($"o_orderstatus", lit("F"))
+        t(s, dir, "orders").select(
+          $"o_orderkey",
+          coalesce(a, lit("OPEN")).as("status2"),
+          (a <=> b).as("ns_eq"),
+          when(a.isNotNull, lit("has")).otherwise(lit("none")).as("a_tag"))
+      },
+      Some("""SELECT o_orderkey,
+             |coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+             |nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM
+             |  nullif(o_orderstatus, 'F') AS ns_eq,
+             |CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+             |  THEN 'has' ELSE 'none' END AS a_tag
+             |FROM orders""".stripMargin)),
+
+    // ---- correlation / covariance aggregate family ----
+    GraftQuery("q_corr_covar",
+      (s, dir) => {
+        import s.implicits._
+        // + 0.0 normalizes IEEE -0.0 (near-zero stats can round to
+        // negative zero in one engine and positive zero in the other)
+        t(s, dir, "lineitem").groupBy($"l_returnflag").agg(
+          (round(corr($"l_quantity", $"l_extendedprice"), 4) + 0.0).as("corr_qp"),
+          (round(covar_samp($"l_quantity", $"l_extendedprice"), 2) + 0.0).as("cov_qp"),
+          (round(covar_pop($"l_quantity", $"l_discount"), 6) + 0.0).as("cov_qd"))
+      },
+      Some("""SELECT l_returnflag,
+             |round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qp,
+             |round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS cov_qp,
+             |round(covar_pop(l_quantity, l_discount), 6) + 0.0 AS cov_qd
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+  )
+}
