@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   *  - The only shuffles are the band-bucket exchange (key = (band, bandHash),
   *    two LONGs — the shuffle carries hashes, never document text) and the
   *    verify join, which touches only candidate pairs (≪ n²).
-  *  - Hot buckets (identical boilerplate docs) self-join quadratically; at
-  *    100 TB cap bucket width or salt the verify join. Documented, not
-  *    needed at test SF.
+  *  - Hot buckets (identical boilerplate docs) self-join quadratically; the
+  *    band relations are therefore CAPPED at `maxBucket` members per
+  *    (band, bucket) — keep-first-N by id via a window over the bucket key
+  *    (the window's hash exchange on the bucket key is the same partitioning
+  *    the self-join needs, so the cap adds no extra shuffle of consequence).
+  *    Overflow is observable through [[bucketOverflow]]; on the boilerplate
+  *    corpus a 1M-member bucket degrades from 10^12 candidate rows to
+  *    maxBucket²/2 with an audit trail instead of an OOM.
   *
   * Determinism contract for the DuckDB oracle: the string hash is
   * md5-based — `conv(substring(md5(s),1,15),16,10)` here ≡
@@ -26,7 +31,41 @@ import org.apache.spark.sql.functions._
   * strict left fold mod 1e9+7, so signatures match the oracle bit-for-bit.
   */
 object Dedup {
+  import org.apache.spark.sql.expressions.Window
+
   val P = "1000000007L"
+
+  /** Default per-(band, bucket) membership cap. Far above any bucket
+    * occupancy on honest data (2^15+ bucket values keep buckets
+    * near-singleton), so capping never changes results there; on
+    * boilerplate-heavy corpora it bounds candidate generation at
+    * cap²/2 pairs per bucket instead of members²/2. */
+  val DefaultMaxBucket = 1024
+
+  /** Keep the first `cap` members of each bucket (deterministic: smallest
+    * `idCol` win). The row_number window partitions by the bucket key —
+    * exactly the partitioning the downstream self-join uses, so Catalyst
+    * reuses the exchange; a hot bucket costs one task sorting its member
+    * ids (longs), not members² join rows. */
+  def capBuckets(banded: DataFrame, idCol: String, bucketCols: Seq[String],
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
+    banded.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap).drop("__rn")
+  }
+
+  /** Audit relation for [[capBuckets]]: one row per bucket whose membership
+    * exceeds `cap`, with the count of dropped members. Empty on honest
+    * corpora; non-empty means recall loss that should be surfaced (e.g.
+    * route the overflowed buckets through exact dedup — boilerplate that
+    * hot is near-identical text anyway). */
+  def bucketOverflow(banded: DataFrame, idCol: String, bucketCols: Seq[String],
+      cap: Int): DataFrame =
+    banded.groupBy(bucketCols.map(col): _*)
+      .agg(count(col(idCol)).as("members"))
+      .where(col("members") > cap)
+      .withColumn("dropped", col("members") - cap)
+
   val NumHashes = 16
   val Bands = 4
   val RowsPerBand = 4
@@ -101,11 +140,22 @@ object Dedup {
       expr(foldDigest("sig")).as("sig_digest"),
       expr("size(shingles)").cast("long").as("n_shingles"))
 
+  /** (doc_id, band, bhash) band-bucket relation for a signature relation
+    * from [[signatures]] — the LSH shuffle key material (all longs). */
+  def minhashBands(sigs: DataFrame): DataFrame = sigs.select(
+    col("doc_id"),
+    posexplode(expr(s"""transform(sequence(0, ${Bands - 1}),
+      j -> ${foldDigest(s"slice(sig, j * $RowsPerBand + 1, $RowsPerBand)")})""")))
+    .toDF("doc_id", "band", "bhash")
+
   /** LSH-banded near-duplicate pairs, verified by true shingle Jaccard.
     * Returns (doc_a, doc_b, jaccard, est_jaccard) for candidate pairs
-    * (≥ 1 matching band) whose verified Jaccard ≥ `threshold`. */
+    * (≥ 1 matching band) whose verified Jaccard ≥ `threshold`.
+    * Buckets wider than `maxBucket` are capped (keep-first-N by doc_id;
+    * see [[capBuckets]]/[[bucketOverflow]]) so boilerplate-heavy corpora
+    * can't go quadratic. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // The signature relation is read 4× (both self-join sides + two verify
     // rejoins); persist so the documents scan + shingle/md5 work runs once.
     // Size is (id, shingles, 16 longs) per doc — tiny next to the corpus;
@@ -113,11 +163,8 @@ object Dedup {
     val sigs = signatures(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bands = sigs.select(
-      col("doc_id"),
-      posexplode(expr(s"""transform(sequence(0, ${Bands - 1}),
-        j -> ${foldDigest(s"slice(sig, j * $RowsPerBand + 1, $RowsPerBand)")})""")))
-      .toDF("doc_id", "band", "bhash")
+    val bands = capBuckets(minhashBands(sigs), "doc_id",
+      Seq("band", "bhash"), maxBucket)
 
     val candidates = bands.as("a")
       .join(bands.as("b"),
@@ -177,6 +224,15 @@ object Dedup {
       .where(col("simhash").isNotNull)
   }
 
+  /** (doc_id, simhash, band, bval) band relation for a fingerprint relation
+    * from [[simhashes]]. The fingerprint rides along so the verify step
+    * (Hamming over XOR) needs no rejoin. */
+  def simhashBands(fp: DataFrame): DataFrame = fp.select(
+    col("doc_id"), col("simhash"),
+    posexplode(expr(s"""transform(sequence(0, ${SimhashBands - 1}),
+      j -> shiftright(simhash, $SimhashBandBits * j) % ${1 << SimhashBandBits})""")))
+    .toDF("doc_id", "simhash", "band", "bval")
+
   /** Near-dup pairs with Hamming distance ≤ maxHd over the 60-bit SimHash.
     * Scale path: band the fingerprint into 4 × 15-bit bands; a pair within
     * Hamming ≤ 3 differs in ≤ 3 bands, so by pigeonhole it shares ≥ 1 band
@@ -185,16 +241,13 @@ object Dedup {
     * 2^15 bucket values per band keep buckets near-singleton even on
     * skewed corpora. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHd: Int = 3): DataFrame = {
+      maxHd: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHd <= 3, s"$SimhashBands-band exactness only holds for maxHd <= 3")
     // Read by both self-join sides; persist so tokenization + md5 runs once.
     val fp = simhashes(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = fp.select(
-      col("doc_id"), col("simhash"),
-      posexplode(expr(s"""transform(sequence(0, ${SimhashBands - 1}),
-        j -> shiftright(simhash, $SimhashBandBits * j) % ${1 << SimhashBandBits})""")))
-      .toDF("doc_id", "simhash", "band", "bval")
+    val bands = capBuckets(simhashBands(fp), "doc_id",
+      Seq("band", "bval"), maxBucket)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

@@ -67,9 +67,13 @@ object Similarity {
 
   /** All-pairs similarity ≥ threshold among LSH candidates.
     * nPlanes bits split into `bands` bands; pairs agreeing on ≥ 1 whole
-    * band become candidates, then exact cosine filters. */
+    * band become candidates, then exact cosine filters. Buckets wider than
+    * `maxBucket` are capped keep-first-N by id (see
+    * [[graft.operators.Dedup.capBuckets]]) so a degenerate embedding
+    * cluster can't drive candidate generation quadratic. */
   def lshPairs(vectors: DataFrame, idCol: String, embCol: String,
-      threshold: Double, nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double, nPlanes: Int = 16, bands: Int = 4,
+      maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket): DataFrame = {
     val dim = 64
     val bits = nPlanes / bands
     // Read by both self-join sides and the verify rejoin; persist so the
@@ -86,11 +90,13 @@ object Similarity {
 
     // Band-explode ids only — the shuffle carries (band, bval, id) longs,
     // never the vectors. Embeddings rejoin per candidate pair for verify.
-    val banded = sigs.select(
-      col("vec_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), j -> shiftright(sig, $bits * j) % ${1 << bits})")))
-      .toDF("vec_id", "band", "bval")
+    val banded = graft.operators.Dedup.capBuckets(
+      sigs.select(
+        col("vec_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), j -> shiftright(sig, $bits * j) % ${1 << bits})")))
+        .toDF("vec_id", "band", "bval"),
+      "vec_id", Seq("band", "bval"), maxBucket)
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -108,18 +114,50 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
   }
 
-  /** Exact top-k nearest (cosine) corpus vectors for each query vector.
-    * Queries are broadcast (small side); ranking is per-query with a
-    * deterministic (cosine desc, id asc) total order. */
+  /** Exact top-k nearest (cosine) corpus vectors for each query vector,
+    * two-phase: queries broadcast (small side), scoring is a map over the
+    * corpus, then each task keeps at most k rows per query in a bounded
+    * heap (phase 1) and only the ≤ P×k survivors per query meet the final
+    * per-query rank (phase 2). No operator ever sorts the full scored
+    * relation for one query in one task — the shape that made the
+    * single-window formulation a one-reducer funnel at corpus scale.
+    * Deterministic (cosine desc, id asc) total order throughout. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(embCol).as("q_emb")))
-    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      col(idCol).cast("long").as("query_id"), col(embCol).as("q_emb")))
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"), col(embCol).as("emb"))
     val scored = c.join(q, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), cos(col("q_emb"), col("emb")).as("c"))
+
+    // Phase 1: per-partition bounded selection. Memory per task is
+    // O(|queries| × k) — queries are the broadcast-small side by contract.
+    // The heap is worst-on-top so the replace test is O(1) per row.
+    val partial = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      import scala.collection.mutable
+      val worstFirst: Ordering[(Double, Long)] =
+        Ordering.by { case (s, id) => (-s, id) }
+      val heaps = mutable.LongMap.empty[mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (qid, vid, s) =>
+        val pq = heaps.getOrElseUpdate(qid,
+          mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        if (pq.size < k) pq.enqueue((s, vid))
+        else {
+          val (ws, wid) = pq.head
+          if (s > ws || (s == ws && vid < wid)) { pq.dequeue(); pq.enqueue((s, vid)) }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, pq) =>
+        pq.iterator.map { case (s, vid) => (qid, vid, s) }
+      }
+    }.toDF("query_id", "vec_id", "c")
+
+    // Phase 2: merge — the window ranks at most numPartitions × k rows per
+    // query, independent of corpus size.
     val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    partial.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), round(col("c"), 6).as("cosine"))

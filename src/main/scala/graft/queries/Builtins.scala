@@ -183,7 +183,11 @@ object Builtins extends QueryModule {
     GraftQuery("q_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
-        val sh = t(s, dir, "documents").where($"doc_id" < 60)
+        // doc_id < 500 covers the whole sf0.01 corpus (near-dup pairs are
+        // spread across the id range — a tighter bound was measured vacuous:
+        // 0 rows in both engines) while keeping the didactic O(n²) join
+        // bounded at larger SFs (the scale path is q_dedup_minhash).
+        val sh = t(s, dir, "documents").where($"doc_id" < 500)
           .select($"doc_id",
             expr(graft.operators.Dedup.shinglesExpr(
               graft.operators.Dedup.wordsExpr("text"))).as("sh"))
@@ -197,7 +201,7 @@ object Builtins extends QueryModule {
       },
       Some("""WITH d AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
-             |  FROM documents WHERE doc_id < 60),
+             |  FROM documents WHERE doc_id < 500),
              |sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(len(words)-2),
              |    i -> words[i+1]||' '||words[i+2]||' '||words[i+3])) AS sh

@@ -84,6 +84,24 @@ class PlanShapeSpec extends SparkSpec {
       s"pruning had no effect: scanned $scanned of $total files")
   }
 
+  test("bruteTopK reduces per-partition before the per-query rank") {
+    val plan = executed("q_sim_topk")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the phase-2 merge window in:\n$plan")
+    // Every window must rank the phase-1 reduced relation (the bounded-heap
+    // mapPartitions), never the raw |corpus|×|queries| scored relation — the
+    // shape that funnelled a full corpus through one reducer per query.
+    windows.foreach { w =>
+      val reduced = allNodes(w).exists {
+        case _: org.apache.spark.sql.execution.MapPartitionsExec => true
+        case _ => false
+      }
+      assert(reduced, s"window ranks the raw scored relation:\n$w")
+    }
+  }
+
   test("as-of join plans exactly one shuffle (union + single window sort)") {
     val plan = executed("q_asof_join")
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hot-bucket capping: a degenerate corpus where every document (or
+  * embedding) lands in the same LSH bucket must not drive candidate
+  * generation quadratic. With `maxBucket = cap`, each bucket contributes at
+  * most C(cap, 2) pairs — not C(n, 2) — and the overflow is observable
+  * through [[Dedup.bucketOverflow]].
+  */
+class HotBucketSpec extends SparkSpec {
+
+  private val N = 1000
+  private val Cap = 32
+  private val CapPairs = Cap.toLong * (Cap - 1) / 2 // 496 vs C(1000,2) = 499500
+
+  test("minhashPairs bounds candidates on a planted hot bucket and audits overflow") {
+    import spark.implicits._
+    val text = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = (1 to N).map(i => (i.toLong, text)).toDF("doc_id", "text")
+
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.9, maxBucket = Cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.length.toLong === CapPairs,
+      s"expected C($Cap,2) capped pairs, got ${pairs.length}")
+    // keep-first-N is deterministic: only the smallest ids survive the cap
+    assert(pairs.forall { case (a, b) => a <= Cap && b <= Cap })
+
+    val audit = Dedup.bucketOverflow(
+      Dedup.minhashBands(Dedup.signatures(docs, "doc_id", "text")),
+      "doc_id", Seq("band", "bhash"), Cap)
+      .select("band", "dropped").as[(Int, Long)].collect().toSet
+    assert(audit === (0 until Dedup.Bands).map(b => (b, (N - Cap).toLong)).toSet,
+      s"expected every band to report ${N - Cap} dropped members, got $audit")
+  }
+
+  test("simhashPairs bounds candidates on a planted hot bucket") {
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"word$i").mkString(" ")
+    val docs = (1 to N).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHd = 0, maxBucket = Cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.length.toLong === CapPairs)
+    assert(pairs.forall { case (a, b) => a <= Cap && b <= Cap })
+  }
+
+  test("lshPairs bounds candidates on a degenerate embedding cluster") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => ((i % 7) + 1).toFloat)
+    val vecs = (1 to N).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshPairs(vecs, "vec_id", "embedding", 0.9, maxBucket = Cap)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(pairs.length.toLong === CapPairs)
+    assert(pairs.forall { case (a, b) => a <= Cap && b <= Cap })
+  }
+
+  test("capping is inert below the cap: distinct docs keep exact banding results") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = (
+      Seq((1L, base), (2L, base + " tail")) ++
+        (10L to 19L).map(i => i -> (1 to 40).map(j => s"u${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text", 0.5, maxBucket = Cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashPairs(docs, "doc_id", "text", 0.5,
+      maxBucket = Int.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped)
+    assert(capped.contains((1L, 2L)))
+  }
+}
