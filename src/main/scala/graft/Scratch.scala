@@ -32,7 +32,22 @@ object Scratch {
     }
 
     time("warmup")(runNoop("q_grouped_sum"))
-    for (q <- args.filterNot(_.startsWith("explain:")))
+    if (args.contains("ngramprof")) {
+      import org.apache.spark.sql.functions._
+      val sh = Tables.t(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr(graft.operators.Dedup.shinglesExpr(
+            graft.operators.Dedup.wordsExpr("text"))).as("sh"))
+        .where(expr("size(sh) >= 1"))
+      time("shingles")(sh.write.format("noop").mode("overwrite").save())
+      val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      time("explode")(e.write.format("noop").mode("overwrite").save())
+      val c = e.as("a")
+        .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
+      time("join+agg")(c.write.format("noop").mode("overwrite").save())
+    }
+    for (q <- args.filterNot(a => a.startsWith("explain:") || a == "ngramprof"))
       time(q)(runNoop(q))
     spark.stop()
   }

@@ -80,6 +80,45 @@ case class SimHash60(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+/** shingle_hashes(text): DISTINCT 60-bit md5 hashes of the word 3-shingles
+  * of `text` — the inverted-index key material for exact n-gram Jaccard
+  * (distinctness is on the hash value, mirroring the oracle's
+  * `list_distinct(list_transform(shingles, s -> md5-hash(s)))`; a 2^-60
+  * collision would merge two shingles identically in both engines). NULL
+  * when there are fewer than 3 tokens, matching the oracle's WHERE. One
+  * tight loop per row — the interpreted HOF form (transform + slice +
+  * concat_ws + array_distinct) measured ~0.8 ms/doc on 54-word docs. */
+case class ShingleHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = TextHash.words(input.asInstanceOf[UTF8String])
+    if (ws.length < 3) return null
+    val md = MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i + 2 < ws.length) {
+      seen.add(TextHash.h60raw(md,
+        UTF8String.concatWs(space, ws(i), ws(i + 1), ws(i + 2))))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** trigram_hits(text, profile): number of character trigrams of
   * lower(text) (with multiplicity) that appear in the profile array —
   * mirrors `size(filter(transform(sequence(1, length(lower(t))-2),

@@ -178,40 +178,57 @@ object Builtins extends QueryModule {
              |min({'p': o_totalprice, 'k': o_orderkey}).k AS worst_order
              |FROM orders GROUP BY o_custkey""".stripMargin)),
 
-    // ---- n-gram (shingle) Jaccard near-dup, direct formulation over a
-    //      bounded id range (the LSH-accelerated path is q_dedup_minhash) ----
+    // ---- n-gram (shingle) Jaccard near-dup: EXACT Jaccard over the whole
+    //      corpus via a shingle inverted index — explode shingles, self-join
+    //      on shingle equality (only docs that actually share a shingle
+    //      pair up), count = |A∩B|, and |A∪B| = |A|+|B|-|A∩B| from the
+    //      per-doc sizes. Never materializes the n² pair space; a pair with
+    //      no shared shingle has J = 0 < threshold and correctly never
+    //      appears. Scale note: a stop-phrase shingle shared by k docs
+    //      contributes k² join rows — on a boilerplate-heavy corpus drop
+    //      top-df shingles first (they carry no discriminative signal) or
+    //      use the probabilistic path (q_dedup_minhash). ----
     GraftQuery("q_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
-        // doc_id < 500 covers the whole sf0.01 corpus (near-dup pairs are
-        // spread across the id range — a tighter bound was measured vacuous:
-        // 0 rows in both engines) while keeping the didactic O(n²) join
-        // bounded at larger SFs (the scale path is q_dedup_minhash).
-        val sh = t(s, dir, "documents").where($"doc_id" < 500)
-          .select($"doc_id",
-            expr(graft.operators.Dedup.shinglesExpr(
-              graft.operators.Dedup.wordsExpr("text"))).as("sh"))
-          .where(expr("size(sh) >= 1"))
-        sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            expr("""round(size(array_intersect(a.sh, b.sh)) /
-                   |CAST(size(array_union(a.sh, b.sh)) AS DOUBLE), 4)""".stripMargin)
-              .as("jaccard"))
+        graft.functions.VectorFunctions.register(s)
+        // sh is read 3× (explode side ×1, size side ×2); persist so the
+        // corpus scan + shingle hashing runs once. The native kernel emits
+        // distinct 60-bit shingle HASHES, so the self-join shuffles longs,
+        // never shingle strings.
+        val sh = t(s, dir, "documents")
+          .select($"doc_id", call_function("shingle_hashes", $"text").as("sh"))
+          .where($"sh".isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val e = sh.select($"doc_id", explode($"sh").as("s"))
+        val counts = e.as("a")
+          .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("cnt"))
+        val sz = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+        counts
+          .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+          .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+          .select($"doc_a", $"doc_b",
+            round($"cnt" / ($"na" + $"nb" - $"cnt").cast("double"), 4).as("jaccard"))
           .where($"jaccard" >= 0.2)
       },
       Some("""WITH d AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
-             |  FROM documents WHERE doc_id < 500),
+             |  FROM documents),
              |sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(len(words)-2),
-             |    i -> words[i+1]||' '||words[i+2]||' '||words[i+3])) AS sh
-             |  FROM d WHERE len(words) >= 3)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |  round(len(list_intersect(a.sh, b.sh))
-             |        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
-             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |WHERE round(len(list_intersect(a.sh, b.sh))
-             |      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) >= 0.2""".stripMargin)),
+             |    i -> ('0x' || substr(md5(words[i+1]||' '||words[i+2]||' '||words[i+3]), 1, 15))::BIGINT)) AS sh
+             |  FROM d WHERE len(words) >= 3),
+             |e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+             |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
+             |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM sh)
+             |SELECT doc_a, doc_b,
+             |  round(cnt / CAST(sa.n + sb.n - cnt AS DOUBLE), 4) AS jaccard
+             |FROM c JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+             |WHERE round(cnt / CAST(sa.n + sb.n - cnt AS DOUBLE), 4) >= 0.2""".stripMargin)),
 
     // ---- multimodal frame sampling (video-shaped explode) ----
     GraftQuery("q_frame_sample",
