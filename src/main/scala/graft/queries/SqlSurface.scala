@@ -145,6 +145,27 @@ object SqlSurface extends QueryModule {
              |round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qp,
              |round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS cov_qp,
              |round(covar_pop(l_quantity, l_discount), 6) + 0.0 AS cov_qd
-             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- persistent-catalog resolution (reference: Hive-resolved
+    //      traffic_limits, MainApp.java:32-44). The inputs resolve through
+    //      the SESSION CATALOG (CREATE TABLE ... USING parquet LOCATION +
+    //      spark.table), not temp views; GraftCatalog/CatalogDemo cover
+    //      cross-session and cross-JVM metastore persistence. Balance sums
+    //      use exact integer cents — a double sum's addition order differs
+    //      between engines. ----
+    GraftQuery("q_catalog_scan",
+      (s, dir) => {
+        val db = graft.GraftCatalog.ensure(s, dir)
+        s.table(s"$db.customer")
+          .join(s.table(s"$db.nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(round(col("c_acctbal") * 100).cast("long")).as("cents_total"))
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+             |CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents_total
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin))
   )
 }
