@@ -13,16 +13,31 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** RocksDB-backed streaming state (SURVEY.md §2.9 scale note): the
+    * default HDFS-backed store keeps every key of every stateful operator
+    * on the executor HEAP — fine for the reference's one-Boolean-per-NIF
+    * state, fatal for 100 TB-scale state like [[streaming.StreamingDedup]]'s
+    * per-bucket claims. RocksDB spills state to local disk with bounded
+    * memory and incremental checkpointing. Session-wide default here;
+    * per-query override via the same key in `writeStream` options'
+    * sibling conf if mixed workloads need it. */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def builder(master: String = "local[*]",
-      shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
-      : SparkSession.Builder =
-    SparkSession.builder()
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      rocksDbState: Boolean = false): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+    if (rocksDbState)
+      b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    else b
+  }
 
   def getOrCreate(master: String = "local[*]"): SparkSession = {
     val spark = builder(master).getOrCreate()

@@ -110,23 +110,29 @@ final class PacketMicroBatchStream(nifs: Array[String], packetsPerTrigger: Long,
   // Monotone generator clock: each trigger exposes one more batch of
   // packetsPerTrigger per NIF. Replay of a committed range is pure.
   private var emitted = 0L
-  // Trigger.AvailableNow freezes the end of the stream at prepare time so
-  // the run drains exactly one trigger's worth and terminates.
+  // Trigger.AvailableNow drains exactly one trigger's worth past the
+  // STARTING offset and terminates. The target is fixed lazily at the
+  // first latestOffset call — prepare time is too early to know the
+  // restored checkpoint offset, and anchoring at 0 would make a restarted
+  // AvailableNow run drain nothing.
+  private var availableNow = false
   private var availableNowTarget: Option[Long] = None
 
   override def initialOffset(): Offset = PacketOffset(0L)
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(emitted + packetsPerTrigger)
+  override def prepareForTriggerAvailableNow(): Unit = availableNow = true
 
   // SupportsAdmissionControl entry point (the no-arg variant is unused
   // once admission control is implemented).
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget match {
-      case Some(t) => PacketOffset(t)
-      case None =>
-        emitted += packetsPerTrigger
-        PacketOffset(emitted)
+    if (availableNow) {
+      if (availableNowTarget.isEmpty)
+        availableNowTarget =
+          Some(start.asInstanceOf[PacketOffset].index + packetsPerTrigger)
+      PacketOffset(availableNowTarget.get)
+    } else {
+      emitted += packetsPerTrigger
+      PacketOffset(emitted)
     }
 
   override def latestOffset(): Offset =

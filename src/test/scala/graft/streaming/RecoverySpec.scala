@@ -63,4 +63,71 @@ class RecoverySpec extends SparkSpec {
       .sortBy(_.windowStart.getTime).map(a => (a.windowStart, a.alert)).toSeq
     assert(got === Seq((ts(0), true), (ts(10), false)))
   }
+
+  test("S1→S4 chain: packet source → windows → edge trigger → kafka shape → " +
+    "file sink, transition-only across a mid-stream restart") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    // Geometry: 1 packet/sec, 5-min windows = 300 packets/window; each
+    // AvailableNow run drains 600 packets (2 windows of data). By the end
+    // of run 2 the watermark (1199 s) has finalized windows w0..w2.
+    val Ppt = 600L
+    val WindowPackets = 300
+    val finalized = 3
+
+    // Expected output computed INDEPENDENTLY from the pure generator +
+    // the reference's edge-trigger rule (first observation always emits,
+    // then only state flips — KafkaProducer.java:34-41).
+    val sums = (0 until finalized).map { k =>
+      (0 until WindowPackets).map(p =>
+        PacketSource.payload("eth0", k.toLong * WindowPackets + p).length.toLong).sum
+    }
+    val limit = (sums.min + sums.max) / 2 // both alert states occur → a flip
+    var last: Option[Boolean] = None
+    val expected = sums.zipWithIndex.flatMap { case (s, k) =>
+      val isAlert = s > limit
+      if (last.contains(isAlert)) None
+      else { last = Some(isAlert); Some((k.toLong * WindowPackets, s, isAlert)) }
+    }
+    assert(expected.length >= 2, s"test geometry produced no flip: $sums")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("e2e_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("e2e_out").toString
+    val limits = Seq(("max", limit)).toDF("limit_name", "limit_value")
+
+    def run() = {
+      val packets = spark.readStream
+        .format("graft.streaming.PacketSourceProvider")
+        .option("nifs", "eth0")
+        .option("packetsPerTrigger", Ppt.toString)
+        .option("microsPerPacket", "1000000")
+        .load()
+      val alerts = TrafficMonitor.pipeline(packets, limits, lateness = "0 seconds")
+      TrafficMonitor.toKafkaMessages(alerts)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+
+    val q1 = run(); assert(q1.awaitTermination(120000)); q1.stop()
+    val q2 = run(); assert(q2.awaitTermination(120000)); q2.stop()
+
+    val base = 1704067200L // 2024-01-01T00:00:00Z, the source's default
+    val got = spark.read.parquet(out)
+      .select($"key",
+        unix_timestamp(get_json_object($"value", "$.windowStart")
+          .cast("timestamp")).minus(base).as("w"),
+        get_json_object($"value", "$.bytes").cast("long").as("bytes"),
+        get_json_object($"value", "$.alert").cast("boolean").as("alert"))
+      .collect()
+    assert(got.forall(_.getAs[String]("key") == "eth0"))
+    val transitions = got.map(r => (r.getAs[Long]("w"), r.getAs[Long]("bytes"),
+      r.getAs[Boolean]("alert"))).sortBy(_._1).toSeq
+    assert(transitions === expected,
+      s"restart must not re-emit or drop transitions; sums=$sums limit=$limit")
+    // and the boundary was actually crossed: at least one emitted
+    // transition belongs to a window only run 2 could finalize
+    assert(transitions.exists(_._1 >= WindowPackets))
+  }
 }

@@ -90,4 +90,33 @@ class StreamingDedupSpec extends SparkSpec {
       assert(!rows.exists(_.doc_id == 90L))
     } finally q.stop()
   }
+
+  test("dedup state runs under the RocksDB state store provider (100 TB state path)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // provider is read at query start; scope it to this test
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.GraftSession.RocksDbProvider)
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingDedup.nearDupCandidates(in.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("sdrdb").outputMode("append").start()
+      try {
+        in.addData((1L, base), (50L, (1 to 40).map(i => s"yy$i").mkString(" ")))
+        q.processAllAvailable()
+        in.addData((7L, base + " tail"))
+        q.processAllAvailable()
+        val got = spark.table("sdrdb").as[DupCandidate].collect()
+          .map(c => (c.doc_id, c.prior_id)).toSet
+        assert(got === Set((7L, 1L))) // same semantics as the default store
+        // and RocksDB was genuinely in the loop, not silently defaulted:
+        // its state-operator custom metrics only exist under this provider
+        val metrics = q.recentProgress.flatMap(_.stateOperators)
+          .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+        assert(metrics.exists(_.startsWith("rocksdb")),
+          s"no rocksdb state metrics reported; got ${metrics.distinct.mkString(",")}")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
