@@ -21,6 +21,13 @@ object SqlSurface extends QueryModule {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
 
+  /** Temp-view + spark.sql entry (same pattern as Builtins.sql). */
+  private def sql(s: SparkSession, dir: String, tables: Seq[String],
+      q: String): DataFrame = {
+    tables.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q)
+  }
+
   override val queries: Seq[GraftQuery] = Seq(
 
     // ---- TPC-H Q5 shape: 6-way join through region→nation→customer/
@@ -166,6 +173,83 @@ object SqlSurface extends QueryModule {
       Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
              |CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents_total
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
-             |GROUP BY n_name""".stripMargin))
+             |GROUP BY n_name""".stripMargin)),
+
+    // ---- TPC-H Q21 analogue: the classic double-correlated
+    //      EXISTS / NOT EXISTS decorrelation stress. "Suppliers who were
+    //      the ONLY late shipper on a finished multi-supplier order" —
+    //      late = shipped >90 days after the order date (the synthetic
+    //      schema has no commit/receipt dates). Catalyst rewrites both
+    //      subqueries into joins on l_orderkey: EXISTS → left-semi,
+    //      NOT EXISTS → left-anti, each one hash exchange on the fact
+    //      key; nothing re-executes per outer row. NOT EXISTS correlates
+    //      on o_orderdate too (an outer column from a DIFFERENT table
+    //      than the subquery's join key), the part naive rewrites miss. ----
+    GraftQuery("q_tpch_q21",
+      (s, dir) => sql(s, dir, Seq("supplier", "lineitem", "orders", "nation"),
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier, lineitem l1, orders, nation
+          |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          |  AND s_nationkey = n_nationkey
+          |GROUP BY s_name""".stripMargin),
+      Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM supplier, lineitem l1, orders, nation
+             |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+             |  AND o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |  AND s_nationkey = n_nationkey
+             |GROUP BY s_name""".stripMargin)),
+
+    // ---- TPC-H Q2 analogue: correlated scalar subquery computing a MIN
+    //      over a multi-way join (part's cheapest European sale through
+    //      lineitem — the synthetic schema has no partsupp). Catalyst
+    //      decorrelates to an aggregate-then-join on p_partkey; the
+    //      equality compares raw parquet doubles (no arithmetic), so
+    //      cross-engine equality is exact. ----
+    GraftQuery("q_tpch_q2",
+      (s, dir) => sql(s, dir,
+        Seq("part", "supplier", "lineitem", "nation", "region"),
+        """SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+          |       l_extendedprice AS min_price
+          |FROM part, supplier, lineitem, nation, region
+          |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND p_size <= 5 AND r_name = 'EUROPE'
+          |  AND l_extendedprice = (
+          |    SELECT min(l2.l_extendedprice)
+          |    FROM lineitem l2, supplier s2, nation n2, region r2
+          |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+          |      AND s2.s_nationkey = n2.n_nationkey
+          |      AND n2.n_regionkey = r2.r_regionkey
+          |      AND r2.r_name = 'EUROPE')""".stripMargin),
+      Some("""SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+             |       l_extendedprice AS min_price
+             |FROM part, supplier, lineitem, nation, region
+             |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND p_size <= 5 AND r_name = 'EUROPE'
+             |  AND l_extendedprice = (
+             |    SELECT min(l2.l_extendedprice)
+             |    FROM lineitem l2, supplier s2, nation n2, region r2
+             |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+             |      AND s2.s_nationkey = n2.n_nationkey
+             |      AND n2.n_regionkey = r2.r_regionkey
+             |      AND r2.r_name = 'EUROPE')""".stripMargin))
   )
 }
