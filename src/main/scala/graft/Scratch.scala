@@ -31,6 +31,18 @@ object Scratch {
         org.apache.spark.sql.execution.FormattedMode))
     }
 
+    if (args.isEmpty) {
+      println(
+        """usage: Scratch [explain:<query>]... [ngramprof] [<query>]...
+          |  explain:<name>  print the formatted physical plan
+          |  ngramprof       stage-by-stage n-gram Jaccard profile
+          |  <name>          time the query through the noop sink
+          |running the default audit set (5 most expensive from the last
+          |bench) since no args were given...""".stripMargin)
+    }
+    val defaults = Seq("q_ngram_jaccard", "q_corpus_clean", "q_dedup_minhash",
+      "q_percentile", "q_multijoin_revenue")
+
     time("warmup")(runNoop("q_grouped_sum"))
     if (args.contains("ngramprof")) {
       import org.apache.spark.sql.functions._
@@ -47,8 +59,10 @@ object Scratch {
         .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
       time("join+agg")(c.write.format("noop").mode("overwrite").save())
     }
-    for (q <- args.filterNot(a => a.startsWith("explain:") || a == "ngramprof"))
-      time(q)(runNoop(q))
+    val toTime =
+      if (args.isEmpty) defaults
+      else args.toSeq.filterNot(a => a.startsWith("explain:") || a == "ngramprof")
+    for (q <- toTime) time(q)(runNoop(q))
     spark.stop()
   }
 }

@@ -49,8 +49,11 @@ object Pipeline extends QueryModule {
           .select($"doc_id",
             explode(expr(graft.operators.Dedup.wordsExpr("text"))).as("word"))
         val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-        val df = words.groupBy($"word")
-          .agg(countDistinct($"doc_id").as("df"))
+        // df derives FROM tf (one row per (doc, word) → count = distinct
+        // docs), so the corpus is scanned and exploded once — the words
+        // relation feeding two aggregations would double the most
+        // expensive stage at 100 TB.
+        val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
         val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
         val scored = tf
           .join(broadcast(df), "word")
