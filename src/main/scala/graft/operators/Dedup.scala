@@ -259,6 +259,48 @@ object Dedup {
       .where(col("hamming") <= maxHd)
   }
 
+  /** Connected components over a near-dup pair graph: every document in a
+    * component gets `cluster_id` = the component's smallest doc id, plus a
+    * `keep` flag (true for the canonical representative). This is the step
+    * that turns pairwise LSH output into corpus-level keep/drop decisions —
+    * transitive closure matters because near-dup similarity is not
+    * transitive pairwise (A~B, B~C but A~C may miss the threshold; one
+    * cluster should still survive once).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Each round is one shuffle (join labels
+    * to edges on dst + min-agg on src), all keys are longs; dup-cluster
+    * diameters are tiny in practice (near-clique clusters), so 3-4 rounds
+    * close a 100 TB corpus. Labels persist per round and the previous
+    * round unpersists — no lineage blowup. Only documents that appear in
+    * ≥ 1 pair are emitted (singletons are trivially their own cluster).
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist(lvl)
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist(lvl)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbr = e.join(labels, e("dst") === labels("id"))
+        .select(e("src").as("id"), col("label"))
+      val next = labels.union(nbr)
+        .groupBy("id").agg(min("label").as("label")).persist(lvl)
+      changed = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    e.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep"))
+  }
+
   /** Exact dedup: group identical normalized text, keep the smallest id.
     * Keyed on (hash, text): the hash makes partitioning/compare cheap and
     * the text column guards against (astronomically unlikely) collisions.

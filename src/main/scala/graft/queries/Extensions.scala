@@ -137,6 +137,42 @@ object Extensions extends QueryModule {
               |WHERE round(len(list_intersect(sh_a, sh_b))
               |      / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) >= 0.5""".stripMargin)),
 
+    GraftQuery("q_dedup_clusters",
+      // pairwise near-dups → transitive clusters with a canonical keeper.
+      // Spark: iterative min-label propagation (O(diameter) shuffles of
+      // long keys); oracle: recursive reachability closure — tractable
+      // only because the test corpus is small, which is the point.
+      (s, dir) => Dedup.dupClusters(
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+          .select("doc_a", "doc_b")),
+      Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |bands AS (
+              |  SELECT doc_id, j,
+              |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash
+              |  FROM mh, range(4) t(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b
+              |    ON a.j = b.j AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+              |p AS (
+              |  SELECT doc_a, doc_b, ma.sh AS sh_a, mb.sh AS sh_b
+              |  FROM cand
+              |  JOIN mh ma ON ma.doc_id = doc_a
+              |  JOIN mh mb ON mb.doc_id = doc_b),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM p
+              |  WHERE round(len(list_intersect(sh_a, sh_b))
+              |        / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) >= 0.5),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |walk(id, lab) AS (
+              |  SELECT a, a FROM e
+              |  UNION
+              |  SELECT e.a, walk.lab FROM e JOIN walk ON walk.id = e.b)
+              |SELECT id AS doc_id, min(lab) AS cluster_id,
+              |       (id = min(lab)) AS keep
+              |FROM walk GROUP BY id""".stripMargin)),
+
     GraftQuery("q_simhash_sig",
       (s, dir) => Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text"),
       Some(s"""$duckSimhashCtes

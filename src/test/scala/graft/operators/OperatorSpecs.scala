@@ -41,6 +41,16 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 3L), (3L, 1L)))
   }
 
+  test("dupClusters labels components transitively with min-id canonical keepers") {
+    import spark.implicits._
+    // chain 2–7–9 (2~9 only transitively) + a separate pair
+    val pairs = Seq((2L, 7L), (7L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (2L, 2L, true), (7L, 2L, false), (9L, 2L, false),
+      (20L, 20L, true), (21L, 20L, false)))
+  }
+
   test("dropExactDuplicates keeps exactly the first occurrence per text") {
     import spark.implicits._
     val docs = Seq(
