@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data prep (SURVEY.md §2.11 extension
+  * surface): concatenate the corpus token stream in doc_id order and cut it
+  * into fixed-size packs (context windows). Each document gets its global
+  * token offset and the pack range [first_pack, last_pack] it lands in —
+  * the exact bookkeeping an LLM data loader needs to assemble packed
+  * examples with document-boundary masks.
+  *
+  * The interesting part at 100 TB is the GLOBAL RUNNING OFFSET: the naive
+  * formulation is a window cumsum over one unpartitioned total order — a
+  * single-reducer funnel. This implements the textbook two-phase
+  * distributed prefix sum instead:
+  *
+  *   1. range-partition by doc_id (partition i holds smaller ids than
+  *      i+1) and cumsum WITHIN each partition (parallel, ordered window
+  *      per partition);
+  *   2. collect the P per-partition token totals (P longs — driver-safe at
+  *      any corpus size), prefix-sum them driver-side, and broadcast-join
+  *      the partition base offsets back.
+  *
+  * Partition boundaries come from range-partitioner sampling, but the
+  * result is boundary-invariant: a prefix sum is exact wherever you cut
+  * it, so the output is deterministic even if sampling shifts.
+  *
+  * Documents with zero tokens are dropped (they occupy no positions in
+  * the packed stream), mirrored in the oracle's WHERE.
+  */
+object Packing {
+
+  def packOffsets(docs: DataFrame, idCol: String, textCol: String,
+      packSize: Int, numParts: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+
+    val toks = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(expr(Dedup.wordsExpr(textCol))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+
+    // Phase 1: per-partition ordered cumsum. The window partitions by the
+    // PHYSICAL partition id, so no task ever sees more than one
+    // partition's rows — contrast with Window.orderBy(doc_id) alone,
+    // which funnels the corpus through one reducer.
+    // read twice (cumsum + partition totals); persist so the scan,
+    // tokenization and range exchange run once
+    val local = toks
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = local.withColumn("local_off",
+      coalesce(sum("n_tokens").over(w), lit(0L)))
+
+    // Phase 2: P partition totals → driver prefix sum → broadcast base
+    // offsets. Range partitioning guarantees pid order == doc_id order.
+    val totals = local.groupBy("pid").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val baseByPid = totals.map(_._1).zip(
+      totals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot }.init)
+    val baseDf = broadcast(
+      spark.createDataFrame(baseByPid.toSeq).toDF("pid", "base"))
+
+    cum.join(baseDf, "pid")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("base") + col("local_off")).as("offset"),
+        expr(s"(base + local_off) DIV $packSize").as("first_pack"),
+        expr(s"(base + local_off + n_tokens - 1) DIV $packSize").as("last_pack"))
+  }
+}

@@ -80,6 +80,29 @@ object Pipeline extends QueryModule {
              |      FROM sc)
              |SELECT doc_id, word, tf, score, rk FROM r WHERE rk <= 3""".stripMargin)),
 
+    // ---- sequence packing: global token offsets + pack ranges via a
+    //      two-phase distributed prefix sum (per-partition cumsum + P
+    //      collected totals broadcast back) — the oracle's single window
+    //      cumsum is exactly the one-reducer shape the operator avoids. ----
+    GraftQuery("q_seq_pack",
+      (s, dir) => graft.operators.Packing.packOffsets(
+        t(s, dir, "documents"), "doc_id", "text", packSize = 512),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+             |      AS n_tokens
+             |  FROM documents),
+             |t2 AS (
+             |  SELECT doc_id, n_tokens,
+             |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             |      AS "offset"
+             |  FROM tk WHERE n_tokens > 0)
+             |SELECT doc_id, n_tokens, "offset",
+             |  "offset" // 512 AS first_pack,
+             |  ("offset" + n_tokens - 1) // 512 AS last_pack
+             |FROM t2""".stripMargin)),
+
     // ---- fixed-size overlapping chunking (context-window prep) ----
     GraftQuery("q_doc_chunks",
       (s, dir) => {

@@ -102,6 +102,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("seq-pack prefix sum never plans a globally-ordered (one-reducer) window") {
+    val plan = executed("q_seq_pack")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the per-partition cumsum window in:\n$plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"window with empty PARTITION BY = global total order through one task:\n$w")
+    }
+  }
+
   test("as-of join plans exactly one shuffle (union + single window sort)") {
     val plan = executed("q_asof_join")
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
