@@ -44,6 +44,27 @@ object Scratch {
       "q_percentile", "q_multijoin_revenue")
 
     time("warmup")(runNoop("q_grouped_sum"))
+    if (args.contains("cleanprof")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{CorpusClean, Dedup, TextAnalysis}
+      val docs = Tables.t(spark, dir, "documents")
+      val normed = docs.select(col("doc_id").cast("long").as("doc_id"),
+        expr(CorpusClean.normExpr("text")).as("norm_text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("norm")(normed.write.format("noop").mode("overwrite").save())
+      val langKeep = TextAnalysis.languageId(normed, "doc_id", "norm_text")
+        .where(col("pred_lang") === "en").select("doc_id")
+      time("langid")(langKeep.write.format("noop").mode("overwrite").save())
+      val qualKeep = TextAnalysis.qualityScore(normed, "doc_id", "norm_text")
+        .where(col("quality") >= 3000L).select("doc_id")
+      time("quality")(qualKeep.write.format("noop").mode("overwrite").save())
+      val filtered = normed.join(langKeep, "doc_id").join(qualKeep, "doc_id")
+      val exactKeep = Dedup.dropExactDuplicates(filtered, "doc_id", "norm_text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("exact")(exactKeep.write.format("noop").mode("overwrite").save())
+      val pairs = Dedup.minhashPairs(exactKeep, "doc_id", "norm_text", 0.8)
+      time("minhash")(pairs.write.format("noop").mode("overwrite").save())
+    }
     if (args.contains("ngramprof")) {
       import org.apache.spark.sql.functions._
       val sh = Tables.t(spark, dir, "documents")

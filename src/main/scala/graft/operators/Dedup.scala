@@ -281,8 +281,10 @@ object Dedup {
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist(lvl)
-    var labels = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist(lvl)
+    // seed with min(self, min neighbor) — one propagation round for free
+    var labels = e.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src").as("id")).as("label"))
+      .persist(lvl)
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
