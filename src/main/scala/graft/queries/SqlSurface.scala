@@ -216,6 +216,92 @@ object SqlSurface extends QueryModule {
              |  AND s_nationkey = n_nationkey
              |GROUP BY s_name""".stripMargin)),
 
+    // ---- TPC-H Q4 analogue: EXISTS decorrelated to a left-semi join on
+    //      the fact key (order had at least one lineitem shipped >30 days
+    //      after the order date; the schema has no commit/receipt dates). ----
+    GraftQuery("q_tpch_q4",
+      (s, dir) => sql(s, dir, Seq("orders", "lineitem"),
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+          |GROUP BY o_orderpriority""".stripMargin),
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // ---- TPC-H Q13 analogue: customer order-count distribution — LEFT
+    //      OUTER join so zero-order customers survive into the histogram,
+    //      then an aggregate OF an aggregate. ----
+    GraftQuery("q_tpch_q13",
+      (s, dir) => sql(s, dir, Seq("customer", "orders"),
+        """WITH c_orders AS (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |  GROUP BY c_custkey)
+          |SELECT c_count, count(*) AS custdist
+          |FROM c_orders GROUP BY c_count""".stripMargin),
+      Some("""WITH c_orders AS (
+             |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey)
+             |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+             |FROM c_orders GROUP BY c_count""".stripMargin)),
+
+    // ---- TPC-H Q15 analogue: top-revenue supplier via a scalar MAX over
+    //      a derived aggregate (the view in the spec). Revenue is summed
+    //      in EXACT integer cents — a double sum's addition order differs
+    //      between engines, and the =max() equality must not wobble. ----
+    GraftQuery("q_tpch_q15",
+      (s, dir) => sql(s, dir, Seq("supplier", "lineitem"),
+        """WITH rev AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+          |      AS total_cents
+          |  FROM lineitem
+          |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_cents
+          |FROM supplier JOIN rev ON s_suppkey = supplier_no
+          |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin),
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             |      AS total_cents
+             |  FROM lineitem
+             |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_cents
+             |FROM supplier JOIN rev ON s_suppkey = supplier_no
+             |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin)),
+
+    // ---- TPC-H Q17 analogue: correlated scalar AVG threshold
+    //      ("small-quantity" orders below 20% of the part's mean
+    //      quantity). l_quantity is integral-valued, so sum/avg are
+    //      exact in double and the 0.2*avg compare is cross-engine
+    //      deterministic; the price sum uses integer cents. ----
+    GraftQuery("q_tpch_q17",
+      (s, dir) => sql(s, dir, Seq("lineitem", "part"),
+        """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS total_cents,
+          |       count(*) AS n_rows
+          |FROM lineitem, part
+          |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+          |  AND l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
+          |                          WHERE l2.l_partkey = p_partkey)""".stripMargin),
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS total_cents,
+             |       CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem, part
+             |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+             |  AND l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
+             |                          WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
     // ---- TPC-H Q2 analogue: correlated scalar subquery computing a MIN
     //      over a multi-way join (part's cheapest European sale through
     //      lineitem — the synthetic schema has no partsupp). Catalyst
