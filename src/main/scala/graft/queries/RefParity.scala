@@ -462,6 +462,26 @@ object RefParity extends QueryModule {
         t(s, dir, "lineitem").groupBy($"l_returnflag")
           .agg(approx_count_distinct($"l_orderkey").as("approx_orders"))
       },
+      None),
+
+    // ---- mergeable HLL sketches (Datasketches): build one sketch per
+    //      group, then UNION the sketches and estimate — the property
+    //      that lets a 1000-executor job pre-aggregate distincts per
+    //      partition/day/shard and combine results without rescanning.
+    //      Sketch insertion is register-max, so the estimate is
+    //      order-independent and deterministic, but not reproducible in
+    //      DuckDB → rows-only + accuracy spec (SketchSpec). ----
+    GraftQuery("q_hll_merge",
+      (s, dir) => {
+        import s.implicits._
+        val perFlag = t(s, dir, "lineitem").groupBy($"l_returnflag")
+          .agg(hll_sketch_agg($"l_orderkey").as("sk"),
+            countDistinct($"l_orderkey").as("exact_flag"))
+        perFlag.agg(
+          hll_sketch_estimate(hll_union_agg($"sk")).as("est_union"),
+          sum($"exact_flag").as("sum_flag_exact"),
+          count(lit(1)).as("n_groups"))
+      },
       None)
   )
 }
