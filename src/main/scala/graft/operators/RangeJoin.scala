@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale path for point-in-interval (range/theta) joins when BOTH sides
+  * are large (SURVEY.md §2.3).
+  *
+  * A raw `p >= lo AND p < hi` join has no equi-key, so Spark plans a
+  * nested-loop join — broadcast NLJ when one side is small (fine; that is
+  * what q_range_join demonstrates), and a cartesian catastrophe when
+  * neither side fits in memory. This operator restores an equi-key by
+  * BINNING the value domain: points key on `floor(p / w)`, intervals
+  * explode to every bin they cover, the join is a plain hash equi-join on
+  * the bin, and a residual predicate removes the bin-edge false
+  * positives. Both sides shuffle ONCE on the bin key; no nested loop
+  * anywhere.
+  *
+  * Cost model: intervals generate `(hi - lo) / w + 1` rows each, points
+  * one row each, and each point meets only the intervals sharing its bin.
+  * Pick `w` near the typical interval width so interval fan-out stays
+  * O(1). Skew note: a bin that holds many points AND many intervals goes
+  * quadratic locally — AQE skew-join splits oversized bins (see
+  * BucketingSpec's activation test), and extremely wide intervals can be
+  * routed through a coarser second bin level at 100 TB.
+  */
+object RangeJoin {
+
+  /** Inner join of `points` to `intervals` where
+    * `points(pointCol) ∈ [loCol, hiCol)`. Output columns = point columns
+    * then interval columns, like a plain join. */
+  def binned(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    p.join(iv, Seq("__bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -392,6 +392,29 @@ object RefParity extends QueryModule {
              |ON p_retailprice >= lo AND p_retailprice < hi
              |GROUP BY band""".stripMargin)),
 
+    // ---- binned range join (graft.operators.RangeJoin): the big-big
+    //      scale path — equi-join on floor(value/width) bins + residual
+    //      filter instead of the nested-loop theta join q_range_join
+    //      plans. Same result set, hash-join plan (PlanShapeSpec pins the
+    //      absence of any nested loop). ----
+    GraftQuery("q_range_join_binned",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          ("low", 900.0, 940.0), ("mid", 940.0, 970.0), ("high", 970.0, 1000.0))
+          .toDF("band", "lo", "hi")
+        graft.operators.RangeJoin.binned(
+          t(s, dir, "part"), "p_retailprice", bands, "lo", "hi", binWidth = 25.0)
+          .groupBy($"band").agg(
+            count(lit(1)).as("n"),
+            round(avg($"p_retailprice"), 2).as("avg_price"))
+      },
+      Some("""SELECT band, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+             |FROM part JOIN (VALUES ('low', 900.0, 940.0), ('mid', 940.0, 970.0),
+             |  ('high', 970.0, 1000.0)) AS b(band, lo, hi)
+             |ON p_retailprice >= lo AND p_retailprice < hi
+             |GROUP BY band""".stripMargin)),
+
     // ---- as-of join (custom operator, graft.operators.AsOfJoin) ----
     GraftQuery("q_asof_join",
       (s, dir) => {

@@ -114,6 +114,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("binned range join plans hash joins only — no nested loop") {
+    val plan = executed("q_range_join_binned")
+    val nlj = collectAll(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nlj.isEmpty, s"binned range join degenerated to a nested loop:\n$plan")
+  }
+
   test("as-of join plans exactly one shuffle (union + single window sort)") {
     val plan = executed("q_asof_join")
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }

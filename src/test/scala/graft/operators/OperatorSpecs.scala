@@ -41,6 +41,24 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 3L), (3L, 1L)))
   }
 
+  test("binned range join matches the direct theta join for awkward bin widths") {
+    import spark.implicits._
+    val parts = Tables.t(spark, sfDir, "part")
+    val intervals = Seq(
+      ("a", 900.0, 903.0),     // narrower than any bin
+      ("b", 900.0, 1000.0),    // spans many bins
+      ("c", 949.99, 950.01),   // straddles a "round" boundary
+      ("d", 0.0, 0.0)).toDF("band", "lo", "hi") // empty interval
+    def direct =
+      parts.join(intervals, $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+        .select($"p_partkey", $"band").as[(Long, String)].collect().toSet
+    for (w <- Seq(7.3, 25.0, 1000.0)) {
+      val got = RangeJoin.binned(parts, "p_retailprice", intervals, "lo", "hi", w)
+        .select($"p_partkey", $"band").as[(Long, String)].collect().toSet
+      assert(got === direct, s"binWidth=$w diverged from the theta join")
+    }
+  }
+
   test("dupClusters labels components transitively with min-id canonical keepers") {
     import spark.implicits._
     // chain 2–7–9 (2~9 only transitively) + a separate pair
