@@ -80,6 +80,54 @@ object Pipeline extends QueryModule {
              |      FROM sc)
              |SELECT doc_id, word, tf, score, rk FROM r WHERE rk <= 3""".stripMargin)),
 
+    // ---- exact-N per-stratum deterministic sample: md5-hash order gives
+    //      a reproducible "random" pick; Spark 4 plans a WindowGroupLimit
+    //      that prunes to N per MAP partition before the lang shuffle, so
+    //      a hot stratum never funnels its full membership through one
+    //      reducer. Complements q_stratified_sample's rate-based filter
+    //      (which cannot promise an exact count). ----
+    GraftQuery("q_group_sample",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy(
+          expr(graft.operators.Dedup.h60("CAST(doc_id AS STRING)")), $"doc_id")
+        t(s, dir, "documents")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where($"rk" <= 20)
+          .select($"doc_id", $"lang", $"rk")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+             |             % 1000000007, doc_id) AS rk
+             |  FROM documents)
+             |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+             |FROM r WHERE rk <= 20""".stripMargin)),
+
+    // ---- per-group z-score outliers: whole-partition window aggregates
+    //      (avg/stddev per event_type) without a global pass; threshold
+    //      compares the ROUNDED z so cross-engine double noise cannot
+    //      flip boundary rows. ----
+    GraftQuery("q_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type")
+        t(s, dir, "events")
+          .select($"event_id", $"event_type", $"value",
+            avg($"value").over(w).as("m"),
+            stddev_samp($"value").over(w).as("sd"))
+          .select($"event_id", $"event_type",
+            round(($"value" - $"m") / $"sd", 2).as("z"))
+          .where(abs($"z") >= 2.5)
+      },
+      Some("""WITH s AS (
+             |  SELECT event_id, event_type, value,
+             |    avg(value) OVER (PARTITION BY event_type) AS m,
+             |    stddev_samp(value) OVER (PARTITION BY event_type) AS sd
+             |  FROM events)
+             |SELECT event_id, event_type, round((value - m) / sd, 2) AS z
+             |FROM s WHERE abs(round((value - m) / sd, 2)) >= 2.5""".stripMargin)),
+
     // ---- sequence packing: global token offsets + pack ranges via a
     //      two-phase distributed prefix sum (per-partition cumsum + P
     //      collected totals broadcast back) — the oracle's single window
