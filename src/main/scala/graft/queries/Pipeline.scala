@@ -80,6 +80,44 @@ object Pipeline extends QueryModule {
              |      FROM sc)
              |SELECT doc_id, word, tf, score, rk FROM r WHERE rk <= 3""".stripMargin)),
 
+    // ---- time-series resampling: hourly grid per user (sequence +
+    //      explode between each user's min/max hour) left-joined to the
+    //      observed aggregate, then FORWARD-FILL via last(ignoreNulls)
+    //      over an ordered running frame. One shuffle on user_id; grid
+    //      size is bounded by the time span, not the event count. ----
+    GraftQuery("q_gap_fill",
+      (s, dir) => {
+        import s.implicits._
+        val obs = t(s, dir, "events").where($"user_id" < 20)
+          .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+          .agg(round(sum($"value"), 2).as("v"))
+        val grid = obs.groupBy($"user_id")
+          .agg(min($"h").as("h0"), max($"h").as("h1"))
+          .select($"user_id",
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val w = Window.partitionBy($"user_id").orderBy($"h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("user_id", "h"), "left")
+          .select($"user_id", $"h", $"v",
+            last($"v", ignoreNulls = true).over(w).as("v_ffill"))
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |         round(sum(value), 2) AS v
+             |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY user_id),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             |  FROM bounds),
+             |j AS (
+             |  SELECT g.user_id, g.h, o.v FROM grid g
+             |  LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h)
+             |SELECT user_id, h, v,
+             |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+             |FROM j""".stripMargin)),
+
     // ---- exact-N per-stratum deterministic sample: md5-hash order gives
     //      a reproducible "random" pick; Spark 4 plans a WindowGroupLimit
     //      that prunes to N per MAP partition before the lang shuffle, so
