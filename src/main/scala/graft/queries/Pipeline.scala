@@ -80,6 +80,43 @@ object Pipeline extends QueryModule {
              |      FROM sc)
              |SELECT doc_id, word, tf, score, rk FROM r WHERE rk <= 3""".stripMargin)),
 
+    // ---- ordered funnel (view → click → purchase, each step within 24 h
+    //      of the previous): chained min-after-anchor aggregations, all
+    //      keyed on user_id so the three shuffles reuse one partitioning.
+    //      Emits per-user step timestamps (nullable = dropped off) rather
+    //      than bare counts, so the oracle checks every user's path. ----
+    GraftQuery("q_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val s1 = ev.where($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t1"))
+        val s2 = ev.where($"event_type" === "click").join(s1, "user_id")
+          .where($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 24 HOURS"))
+          .groupBy($"user_id").agg(min($"ts").as("t2"))
+        val s3 = ev.where($"event_type" === "purchase").join(s2, "user_id")
+          .where($"ts" > $"t2" && $"ts" <= $"t2" + expr("INTERVAL 24 HOURS"))
+          .groupBy($"user_id").agg(min($"ts").as("t3"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .select($"user_id", $"t1", $"t2", $"t3")
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (
+             |  SELECT e.user_id, min(ts) AS t2 FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+             |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+             |s3 AS (
+             |  SELECT e.user_id, min(ts) AS t3 FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+             |SELECT s1.user_id, t1, t2, t3
+             |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+             |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin)),
+
     // ---- time-series resampling: hourly grid per user (sequence +
     //      explode between each user's min/max hour) left-joined to the
     //      observed aggregate, then FORWARD-FILL via last(ignoreNulls)
