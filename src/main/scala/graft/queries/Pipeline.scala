@@ -80,6 +80,34 @@ object Pipeline extends QueryModule {
              |      FROM sc)
              |SELECT doc_id, word, tf, score, rk FROM r WHERE rk <= 3""".stripMargin)),
 
+    // ---- retention cohorts: users bucketed by first-seen day, then
+    //      (cohort, day_offset) active-user counts — two shuffles, both
+    //      on user_id until the final small cohort-grid aggregation. ----
+    GraftQuery("q_retention",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val firstDay = ev.groupBy($"user_id").agg(min(to_date($"ts")).as("cohort"))
+        ev.join(firstDay, "user_id")
+          .select($"user_id", $"cohort",
+            datediff(to_date($"ts"), $"cohort").cast("long").as("day_offset"))
+          .distinct()
+          .where($"day_offset" <= 7)
+          .groupBy($"cohort", $"day_offset")
+          .agg(count(lit(1)).as("active_users"))
+      },
+      Some("""WITH first_day AS (
+             |  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort
+             |  FROM events GROUP BY user_id),
+             |activity AS (
+             |  SELECT DISTINCT e.user_id, f.cohort,
+             |    CAST(date_diff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE))
+             |         AS BIGINT) AS day_offset
+             |  FROM events e JOIN first_day f ON e.user_id = f.user_id)
+             |SELECT cohort, day_offset, CAST(count(*) AS BIGINT) AS active_users
+             |FROM activity WHERE day_offset <= 7
+             |GROUP BY cohort, day_offset""".stripMargin)),
+
     // ---- ordered funnel (view → click → purchase, each step within 24 h
     //      of the previous): chained min-after-anchor aggregations, all
     //      keyed on user_id so the three shuffles reuse one partitioning.
