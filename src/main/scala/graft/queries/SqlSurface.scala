@@ -302,6 +302,107 @@ object SqlSurface extends QueryModule {
              |  AND l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
              |                          WHERE l2.l_partkey = p_partkey)""".stripMargin)),
 
+    // ---- TPC-H Q7 analogue: bidirectional two-nation trade volume by
+    //      ship year (6-way join, symmetric nation-pair disjunction;
+    //      revenue in exact integer cents). ----
+    GraftQuery("q_tpch_q7",
+      (s, dir) => sql(s, dir,
+        Seq("supplier", "lineitem", "orders", "customer", "nation"),
+        """SELECT supp_nation, cust_nation, l_year,
+          |  sum(cents) AS revenue_cents
+          |FROM (
+          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+          |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          |    AND c_nationkey = n2.n_nationkey
+          |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
+          |GROUP BY supp_nation, cust_nation, l_year""".stripMargin),
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+             |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+             |    AND c_nationkey = n2.n_nationkey
+             |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
+             |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // ---- TPC-H Q8 analogue: one nation's market share of a part type in
+    //      a region, by order year — conditional-sum ratio over an 8-way
+    //      join. Numerator/denominator are exact integer cents, so the
+    //      double division is cross-engine deterministic. ----
+    GraftQuery("q_tpch_q8",
+      (s, dir) => sql(s, dir,
+        Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region"),
+        """WITH vols AS (
+          |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+          |    n2.n_name AS supp_nation
+          |  FROM part, supplier, lineitem, orders, customer,
+          |       nation n1, nation n2, region
+          |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+          |    AND p_type = 'PROMO')
+          |SELECT o_year,
+          |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+          |        AS DOUBLE) / sum(cents), 4) AS mkt_share
+          |FROM vols GROUP BY o_year""".stripMargin),
+      Some("""WITH vols AS (
+             |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+             |    n2.n_name AS supp_nation
+             |  FROM part, supplier, lineitem, orders, customer,
+             |       nation n1, nation n2, region
+             |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+             |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+             |    AND p_type = 'PROMO')
+             |SELECT o_year,
+             |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+             |        AS DOUBLE) / sum(cents), 4) AS mkt_share
+             |FROM vols GROUP BY o_year""".stripMargin)),
+
+    // ---- TPC-H Q9 analogue: profit by supplier nation and order year
+    //      (revenue minus a synthetic cost of retail-price × quantity —
+    //      the schema has no partsupp/supplycost). All money in exact
+    //      integer cents; quantity is integral so the product is exact. ----
+    GraftQuery("q_tpch_q9",
+      (s, dir) => sql(s, dir,
+        Seq("part", "supplier", "lineitem", "orders", "nation"),
+        """SELECT nation, o_year, sum(profit_cents) AS profit_cents
+          |FROM (
+          |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |      - CAST(round(p_retailprice * 100) AS BIGINT)
+          |        * CAST(l_quantity AS BIGINT) AS profit_cents
+          |  FROM part, supplier, lineitem, orders, nation
+          |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          |    AND p_name LIKE '%a%') t
+          |GROUP BY nation, o_year""".stripMargin),
+      Some("""SELECT nation, o_year, CAST(sum(profit_cents) AS BIGINT) AS profit_cents
+             |FROM (
+             |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             |      - CAST(round(p_retailprice * 100) AS BIGINT)
+             |        * CAST(l_quantity AS BIGINT) AS profit_cents
+             |  FROM part, supplier, lineitem, orders, nation
+             |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+             |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+             |    AND p_name LIKE '%a%') t
+             |GROUP BY nation, o_year""".stripMargin)),
+
     // ---- TPC-H Q2 analogue: correlated scalar subquery computing a MIN
     //      over a multi-way join (part's cheapest European sale through
     //      lineitem — the synthetic schema has no partsupp). Catalyst
