@@ -403,6 +403,53 @@ object SqlSurface extends QueryModule {
              |    AND p_name LIKE '%a%') t
              |GROUP BY nation, o_year""".stripMargin)),
 
+    // ---- TPC-H Q20 analogue: nested IN-subquery whose inner relation is
+    //      a grouped HAVING gated by ANOTHER scalar subquery (itself with
+    //      a nested IN) — the decorrelation stack test. Quantity sums are
+    //      integral-valued doubles (exact); the threshold is 1.05x the
+    //      per-supplier AVERAGE (not a fixed total share) so the filter
+    //      stays selective-but-non-vacuous as the supplier count scales. ----
+    GraftQuery("q_tpch_q20",
+      (s, dir) => sql(s, dir, Seq("supplier", "lineitem", "part"),
+        """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM lineitem, part
+          |  WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+          |  GROUP BY l_suppkey
+          |  HAVING sum(l_quantity) > (
+          |    SELECT 1.05 * sum(l_quantity) / count(DISTINCT l_suppkey)
+          |    FROM lineitem
+          |    WHERE l_partkey IN (SELECT p_partkey FROM part
+          |                        WHERE p_type = 'PROMO')))""".stripMargin),
+      Some("""SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem, part
+             |  WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+             |  GROUP BY l_suppkey
+             |  HAVING sum(l_quantity) > (
+             |    SELECT 1.05 * sum(l_quantity) / count(DISTINCT l_suppkey)
+             |    FROM lineitem
+             |    WHERE l_partkey IN (SELECT p_partkey FROM part
+             |                        WHERE p_type = 'PROMO')))""".stripMargin)),
+
+    // ---- rolling distinct count: no DISTINCT aggregate exists over
+    //      window frames in either engine, so both compose it from the
+    //      frame's collected list — bounded frame ⇒ bounded per-row cost. ----
+    GraftQuery("q_window_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(-4, Window.currentRow)
+        t(s, dir, "events").where($"user_id" < 50)
+          .select($"event_id", $"user_id",
+            size(array_distinct(collect_list($"event_type").over(w)))
+              .cast("long").as("distinct_types_5"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(len(list_distinct(list(event_type) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))) AS BIGINT)
+             |    AS distinct_types_5
+             |FROM events WHERE user_id < 50""".stripMargin)),
+
     // ---- TPC-H Q2 analogue: correlated scalar subquery computing a MIN
     //      over a multi-way join (part's cheapest European sale through
     //      lineitem — the synthetic schema has no partsupp). Catalyst
