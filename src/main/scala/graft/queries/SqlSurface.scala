@@ -430,6 +430,36 @@ object SqlSurface extends QueryModule {
              |    WHERE l_partkey IN (SELECT p_partkey FROM part
              |                        WHERE p_type = 'PROMO')))""".stripMargin)),
 
+    // ---- LATERAL correlated subquery: per-outer-row top-N (the SQL
+    //      spelling of "top 2 orders per customer"); Catalyst decorrelates
+    //      the LIMIT into a per-key window rank, one shuffle. ----
+    GraftQuery("q_lateral",
+      (s, dir) => sql(s, dir, Seq("customer", "orders"),
+        """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin),
+      Some("""SELECT c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM customer, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin)),
+
+    // ---- EXCEPT ALL (multiset difference — the bag-semantics sibling of
+    //      q_except; each duplicate cancels one occurrence) ----
+    GraftQuery("q_except_all",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").where($"o_orderstatus" === "O")
+          .select($"o_custkey".as("k"))
+          .exceptAll(t(s, dir, "orders").where($"o_totalprice" > 300000.0)
+            .select($"o_custkey".as("k")))
+      },
+      Some("""SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+             |EXCEPT ALL
+             |SELECT o_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin)),
+
     // ---- rolling distinct count: no DISTINCT aggregate exists over
     //      window frames in either engine, so both compose it from the
     //      frame's collected list — bounded frame ⇒ bounded per-row cost. ----
