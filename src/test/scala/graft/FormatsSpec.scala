@@ -28,6 +28,33 @@ class FormatsSpec extends SparkSpec {
       assert(df.orderBy("n_nationkey").collect().toSeq === want, s"format $fmt")
   }
 
+  test("partitioned write with maxRecordsPerFile bounds every output file") {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("pw").toString
+    val orders = Tables.t(spark, sfDir, "orders")
+    orders.write.mode("overwrite")
+      .partitionBy("o_orderstatus")
+      .option("maxRecordsPerFile", 100)
+      .parquet(tmp)
+    // layout: one directory per partition value (partition pruning +
+    // bounded file sizes are the two output-hygiene levers at 100 TB —
+    // a 10 GB single file serializes downstream parallelism)
+    val statusDirs = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("o_orderstatus=")).toSet
+    val statuses = orders.select("o_orderstatus").distinct()
+      .collect().map(r => s"o_orderstatus=${r.getString(0)}").toSet
+    assert(statusDirs === statuses)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.toString).count()
+      assert(n <= 100, s"file $f holds $n rows > maxRecordsPerFile")
+    }
+    assert(spark.read.parquet(tmp).count() === orders.count())
+  }
+
   test("ORC scans get predicate pushdown like parquet") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("orcpp").toString
