@@ -430,6 +430,39 @@ object SqlSurface extends QueryModule {
              |    WHERE l_partkey IN (SELECT p_partkey FROM part
              |                        WHERE p_type = 'PROMO')))""".stripMargin)),
 
+    // ---- TPC-H Q22 analogue: above-average account balances among
+    //      customers with no urgent orders — uncorrelated scalar AVG
+    //      threshold + anti join, grouped by a derived country code
+    //      (c_nationkey % 10; the schema has no phone column). Balances
+    //      compare and sum as exact integer cents. ----
+    GraftQuery("q_tpch_q22",
+      (s, dir) => sql(s, dir, Seq("customer", "orders"),
+        """WITH c AS (SELECT c_custkey,
+          |             CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+          |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          |           FROM customer),
+          |thr AS (SELECT avg(bal_cents) AS a FROM c WHERE bal_cents > 0)
+          |SELECT cntrycode, count(*) AS numcust, sum(bal_cents) AS total_cents
+          |FROM c, thr
+          |WHERE bal_cents > a
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderpriority = '1-URGENT')
+          |GROUP BY cntrycode""".stripMargin),
+      Some("""WITH c AS (SELECT c_custkey,
+             |             CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+             |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+             |           FROM customer),
+             |thr AS (SELECT avg(bal_cents) AS a FROM c WHERE bal_cents > 0)
+             |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+             |       CAST(sum(bal_cents) AS BIGINT) AS total_cents
+             |FROM c, thr
+             |WHERE bal_cents > a
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |GROUP BY cntrycode""".stripMargin)),
+
     // ---- LATERAL correlated subquery: per-outer-row top-N (the SQL
     //      spelling of "top 2 orders per customer"); Catalyst decorrelates
     //      the LIMIT into a per-key window rank, one shuffle. ----
