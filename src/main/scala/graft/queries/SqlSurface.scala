@@ -430,6 +430,79 @@ object SqlSurface extends QueryModule {
              |    WHERE l_partkey IN (SELECT p_partkey FROM part
              |                        WHERE p_type = 'PROMO')))""".stripMargin)),
 
+    // ---- TPC-H Q11 analogue: important-stock identification — per-part
+    //      value held by a nation group, HAVING above a scalar fraction
+    //      of the total. Threshold is 1.5× the per-part MEAN (adaptive:
+    //      a fixed total-share goes vacuous as the part count scales). ----
+    GraftQuery("q_tpch_q11",
+      (s, dir) => sql(s, dir, Seq("lineitem", "supplier", "nation"),
+        """WITH v AS (
+          |  SELECT l_partkey,
+          |    sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS val
+          |  FROM lineitem, supplier, nation
+          |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |    AND n_name IN ('NATION_1','NATION_2','NATION_3')
+          |  GROUP BY l_partkey)
+          |SELECT l_partkey, val FROM v
+          |WHERE val > (SELECT 1.5 * sum(val) / count(*) FROM v)""".stripMargin),
+      Some("""WITH v AS (
+             |  SELECT l_partkey,
+             |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS val
+             |  FROM lineitem, supplier, nation
+             |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             |    AND n_name IN ('NATION_1','NATION_2','NATION_3')
+             |  GROUP BY l_partkey)
+             |SELECT l_partkey, val FROM v
+             |WHERE val > (SELECT 1.5 * sum(val) / count(*) FROM v)""".stripMargin)),
+
+    // ---- TPC-H Q12 analogue: priority-class conditional counts after a
+    //      fact⋈fact join in a ship-date window (no l_shipmode column;
+    //      o_orderpriority provides the class split). ----
+    GraftQuery("q_tpch_q12",
+      (s, dir) => sql(s, dir, Seq("orders", "lineitem"),
+        """SELECT l_returnflag,
+          |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+          |      THEN 1 ELSE 0 END) AS high_line_count,
+          |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+          |      THEN 1 ELSE 0 END) AS low_line_count
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+          |GROUP BY l_returnflag""".stripMargin),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- TPC-H Q19 analogue: disjunctive OR-of-ANDs predicate join
+    //      (brand × size × quantity bands) — the predicate-pushdown and
+    //      join-condition-simplification stress. ----
+    GraftQuery("q_tpch_q19",
+      (s, dir) => sql(s, dir, Seq("lineitem", "part"),
+        """SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+          |      AS BIGINT)) AS revenue_cents,
+          |  count(*) AS n
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 1 AND 21)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+          |       AND l_quantity BETWEEN 10 AND 30)
+          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+          |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin),
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 1 AND 21)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+             |       AND l_quantity BETWEEN 10 AND 30)
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+             |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin)),
+
     // ---- TPC-H Q22 analogue: above-average account balances among
     //      customers with no urgent orders — uncorrelated scalar AVG
     //      threshold + anti join, grouped by a derived country code
