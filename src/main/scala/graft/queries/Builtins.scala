@@ -178,6 +178,33 @@ object Builtins extends QueryModule {
              |min({'p': o_totalprice, 'k': o_orderkey}).k AS worst_order
              |FROM orders GROUP BY o_custkey""".stripMargin)),
 
+    // ---- bitwise aggregate family ----
+    GraftQuery("q_bit_aggs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").groupBy($"o_orderstatus").agg(
+          bit_and($"o_orderkey").as("band"),
+          bit_or($"o_orderkey").as("bor"),
+          bit_xor($"o_orderkey").as("bxor"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(bit_and(o_orderkey) AS BIGINT) AS band,
+             |  CAST(bit_or(o_orderkey) AS BIGINT) AS bor,
+             |  CAST(bit_xor(o_orderkey) AS BIGINT) AS bxor
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- ordered string aggregation (listagg/string_agg): Spark has no
+    //      ordered string_agg, so the deterministic spelling is
+    //      concat_ws over a sorted collect_list ----
+    GraftQuery("q_listagg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "nation").groupBy($"n_regionkey").agg(
+          concat_ws(",", sort_array(collect_list($"n_name"))).as("names"))
+      },
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+             |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
     // ---- n-gram (shingle) Jaccard near-dup: EXACT Jaccard over the whole
     //      corpus via a shingle inverted index — explode shingles, self-join
     //      on shingle equality (only docs that actually share a shingle
