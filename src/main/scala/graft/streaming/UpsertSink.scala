@@ -69,4 +69,51 @@ object UpsertSink {
   /** Current table state (one row per key). */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("bucket")
+
+  /** Incremental AGGREGATE maintenance (a streaming materialized view):
+    * merge a batch's partial aggregates into the keyed table by SUMMING
+    * the value columns of matching keys — running per-key totals that
+    * never rescan history. Unlike [[upsertBatch]]'s last-write-wins,
+    * addition is not idempotent, so replays are fenced with a per-batchId
+    * marker file: a replayed batch whose marker exists is skipped. The
+    * marker is written after the data commit; the tiny crash window
+    * between the two is the price of plain parquet (a transactional
+    * format closes it with one atomic commit — same layout, same plan).
+    */
+  def mergeAggBatch(batch: DataFrame, path: String, keyCol: String,
+      sumCols: Seq[String], batchId: Long, numBuckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(s"$path/_applied_batch_$batchId")
+    if (marker.exists()) return
+
+    val newRows = batch
+      .groupBy(col(keyCol))
+      .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+        sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+      .withColumn("bucket", bucketOf(keyCol, numBuckets))
+
+    val exists = new java.io.File(path).exists()
+    val merged0 = if (!exists) newRows else {
+      val affected = newRows.select("bucket").distinct()
+      val existing = spark.read.parquet(path)
+        .join(broadcast(affected), Seq("bucket"), "left_semi")
+      existing.select(newRows.columns.map(col).toSeq: _*)
+        .unionByName(newRows)
+        .groupBy(col("bucket"), col(keyCol))
+        .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+          sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+        .select(newRows.columns.map(col).toSeq: _*)
+    }
+    val merged = merged0.localCheckpoint(true)
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+  }
 }

@@ -55,6 +55,21 @@ class UpsertSinkSpec extends SparkSpec {
     assert(first === second)
   }
 
+  test("mergeAggBatch maintains running totals and fences batch replays") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("aggm").toString + "/t"
+    val b1 = Seq((1L, 10.0, 1L), (1L, 5.0, 1L), (2L, 7.0, 1L))
+      .toDF("user_id", "amount", "n")
+    UpsertSink.mergeAggBatch(b1, path, "user_id", Seq("amount", "n"), batchId = 0L)
+    val b2 = Seq((1L, 2.0, 1L), (3L, 4.0, 1L)).toDF("user_id", "amount", "n")
+    UpsertSink.mergeAggBatch(b2, path, "user_id", Seq("amount", "n"), batchId = 1L)
+    // replay of batch 1 must be a no-op (marker fence)
+    UpsertSink.mergeAggBatch(b2, path, "user_id", Seq("amount", "n"), batchId = 1L)
+    val got = UpsertSink.read(spark, path)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got === Set((1L, 17.0, 3L), (2L, 7.0, 1L), (3L, 4.0, 1L)))
+  }
+
   test("works as a foreachBatch streaming sink") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
