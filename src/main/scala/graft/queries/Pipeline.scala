@@ -80,6 +80,33 @@ object Pipeline extends QueryModule {
              |      FROM sc)
              |SELECT doc_id, word, tf, score, rk FROM r WHERE rk <= 3""".stripMargin)),
 
+    // ---- data validation / quarantine: a declarative rule engine — each
+    //      rule is a CASE label, violations concat into one audit string
+    //      (concat_ws skips NULLs identically in both engines), and only
+    //      violating rows route to the quarantine relation. Stateless row
+    //      map fused into the scan; the clean/quarantine split is a
+    //      filter, not a shuffle. ----
+    GraftQuery("q_validate",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select($"o_orderkey", concat_ws(",",
+            when($"o_totalprice" > 450000, lit("extreme_price")),
+            when(year($"o_orderdate") >= 2001, lit("stale_window")),
+            when($"o_orderpriority" === "5-LOW" && $"o_totalprice" > 300000,
+              lit("odd_combo"))).as("rules"))
+          .where($"rules" =!= "")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT o_orderkey,
+             |    concat_ws(',',
+             |      CASE WHEN o_totalprice > 450000 THEN 'extreme_price' END,
+             |      CASE WHEN year(o_orderdate) >= 2001 THEN 'stale_window' END,
+             |      CASE WHEN o_orderpriority = '5-LOW' AND o_totalprice > 300000
+             |           THEN 'odd_combo' END) AS rules
+             |  FROM orders)
+             |SELECT o_orderkey, rules FROM flagged WHERE rules <> ''""".stripMargin)),
+
     // ---- retention cohorts: users bucketed by first-seen day, then
     //      (cohort, day_offset) active-user counts — two shuffles, both
     //      on user_id until the final small cohort-grid aggregation. ----
