@@ -87,4 +87,47 @@ class PropertySpecs extends SparkSpec {
       assert(a === b)
     }
   }
+
+  test("property: two-phase packOffsets equals a serial prefix sum for any corpus") {
+    import spark.implicits._
+    val docs = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 500L), Gen.choose(0, 12)))
+    for (data0 <- samples(docs, 6)) {
+      // distinct ids; text with `w` whitespace tokens
+      val data = data0.toMap.toSeq.map { case (id, w) =>
+        (id, Seq.fill(w)("tok").mkString(" "))
+      }
+      if (data.nonEmpty) {
+        val df = data.toDF("doc_id", "text")
+        val got = operators.Packing.packOffsets(df, "doc_id", "text",
+          packSize = 7, numParts = 5)
+          .select($"doc_id", $"offset").as[(Long, Long)].collect().toMap
+        // serial reference: cumsum in doc_id order over non-empty docs
+        val serial = data.filter(_._2.nonEmpty).sortBy(_._1)
+        val offsets = serial.scanLeft(0L)(_ + _._2.split(" ").length).init
+        val want = serial.map(_._1).zip(offsets).toMap
+        assert(got === want, s"for corpus ${data.take(5)}...")
+      }
+    }
+  }
+
+  test("property: binned range join equals the theta join for any intervals") {
+    import spark.implicits._
+    val points = Gen.listOfN(60, Gen.choose(-100.0, 100.0))
+    val ivs = Gen.listOfN(8, Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(0.0, 60.0)))
+    for (i <- 0 until 5) {
+      val ps = samples(points, 1).head.zipWithIndex
+        .map { case (v, j) => (j.toLong, v) }
+      val vs = samples(ivs, 1)(0).zipWithIndex
+        .map { case ((lo, w), j) => (j.toLong, lo, lo + w) }
+      val pDf = ps.toDF("pid", "v")
+      val iDf = vs.toDF("iid", "lo", "hi")
+      val got = operators.RangeJoin.binned(pDf, "v", iDf, "lo", "hi",
+        binWidth = Seq(3.7, 11.0, 250.0)(i % 3))
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      val want = pDf.join(iDf, $"v" >= $"lo" && $"v" < $"hi")
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      assert(got === want)
+    }
+  }
 }
