@@ -114,6 +114,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("correlated scalar AVG (Q17) decorrelates — no per-outer-row nested loop") {
+    val plan = executed("q_tpch_q17")
+    val nlj = collectAll(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nlj.isEmpty, s"scalar subquery re-executes per outer row:\n$plan")
+  }
+
+  test("LATERAL ORDER BY/LIMIT decorrelates to a per-key window rank") {
+    val plan = executed("q_lateral")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
+    }
+    assert(windows.nonEmpty, s"expected the decorrelated rank window in:\n$plan")
+    val nlj = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nlj.isEmpty, s"lateral executed as a cartesian product:\n$plan")
+  }
+
   test("binned range join plans hash joins only — no nested loop") {
     val plan = executed("q_range_join_binned")
     val nlj = collectAll(plan) {
