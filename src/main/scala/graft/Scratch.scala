@@ -52,13 +52,12 @@ object Scratch {
         expr(CorpusClean.normExpr("text")).as("norm_text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("norm")(normed.write.format("noop").mode("overwrite").save())
-      val langKeep = TextAnalysis.languageId(normed, "doc_id", "norm_text")
-        .where(col("pred_lang") === "en").select("doc_id")
-      time("langid")(langKeep.write.format("noop").mode("overwrite").save())
-      val qualKeep = TextAnalysis.qualityScore(normed, "doc_id", "norm_text")
-        .where(col("quality") >= 3000L).select("doc_id")
-      time("quality")(qualKeep.write.format("noop").mode("overwrite").save())
-      val filtered = normed.join(langKeep, "doc_id").join(qualKeep, "doc_id")
+      val filtered = TextAnalysis.qualityScore(
+          TextAnalysis.languageId(normed, "doc_id", "norm_text",
+            keep = Seq("norm_text")).where(col("pred_lang") === "en"),
+          "doc_id", "norm_text", keep = Seq("norm_text"))
+        .where(col("quality") >= 3000L).select("doc_id", "norm_text")
+      time("lang+quality")(filtered.write.format("noop").mode("overwrite").save())
       val exactKeep = Dedup.dropExactDuplicates(filtered, "doc_id", "norm_text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("exact")(exactKeep.write.format("noop").mode("overwrite").save())

@@ -33,19 +33,21 @@ object CorpusClean {
   def clean(docs: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minQuality: Long = 3000L,
       jaccard: Double = 0.8): DataFrame = {
-    // read by the language scorer, the quality scorer, and the join spine
     val normed = docs.select(col(idCol).cast("long").as("doc_id"),
       expr(normExpr(textCol)).as("norm_text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val langKeep = TextAnalysis.languageId(normed, "doc_id", "norm_text")
-      .where(col("pred_lang") === lang).select("doc_id")
-    val qualKeep = TextAnalysis.qualityScore(normed, "doc_id", "norm_text")
-      .where(col("quality") >= minQuality).select("doc_id")
-
-    val filtered = normed
-      .join(langKeep, "doc_id")
-      .join(qualKeep, "doc_id")
+    // Both scorers CARRY norm_text through (keep = ...), so the language
+    // and quality gates are plain filters fused into the scan — zero
+    // joins, zero shuffles until dedup. (The previous formulation scored
+    // into two side relations and rejoined them on doc_id: two needless
+    // hash exchanges of the whole corpus.)
+    val filtered = TextAnalysis.qualityScore(
+        TextAnalysis.languageId(normed, "doc_id", "norm_text",
+          keep = Seq("norm_text"))
+          .where(col("pred_lang") === lang),
+        "doc_id", "norm_text", keep = Seq("norm_text"))
+      .where(col("quality") >= minQuality)
+      .select("doc_id", "norm_text")
 
     // exact dedup: smallest doc_id per identical normalized text;
     // read again by the near-dup pass and the final anti-join

@@ -30,11 +30,14 @@ object TextAnalysis {
 
   /** doc → per-language stopword-hit scores + predicted language.
     * Tie-break: first language in alphabetical order with the max score
-    * (expressed as a strict CASE chain so the oracle matches exactly). */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * (expressed as a strict CASE chain so the oracle matches exactly).
+    * `keep` carries extra input columns through (lets a pipeline filter
+    * on pred_lang WITHOUT a rejoin on doc_id — see CorpusClean). */
+  def languageId(docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val withScores = stopwords.foldLeft(
-      docs.select(col(idCol).as("doc_id"),
-        expr(Dedup.wordsExpr(textCol)).as("words"))) {
+      docs.select(col(idCol).as("doc_id") +: keep.map(col) :+
+        expr(Dedup.wordsExpr(textCol)).as("words"): _*)) {
       case (df, (lang, sw)) =>
         df.withColumn(s"score_$lang",
           expr(s"size(filter(words, w -> array_contains(${arrayLit(sw)}, w)))")
@@ -48,7 +51,8 @@ object TextAnalysis {
       s"WHEN $cond THEN '$l'"
     }.mkString("CASE ", " ", " END")
     withScores.withColumn("pred_lang", expr(pred))
-      .select(col("doc_id") +: langs.map(l => col(s"score_$l")) :+ col("pred_lang"): _*)
+      .select(col("doc_id") +: (keep.map(col) ++
+        langs.map(l => col(s"score_$l"))) :+ col("pred_lang"): _*)
   }
 
   /** Tiny per-language character-trigram profiles (top function-word
@@ -89,13 +93,14 @@ object TextAnalysis {
     * alpha-char ratio. Score weights are arbitrary but fixed; every term
     * is a ratio of exact integers so the double arithmetic is
     * cross-engine identical. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
-        expr(Dedup.wordsExpr(textCol)).as("words"))
+      .select(col(idCol).as("doc_id") +: keep.map(col) :+
+        col(textCol).as("text") :+
+        expr(Dedup.wordsExpr(textCol)).as("words"): _*)
       .where(expr("size(words) >= 1"))
-      .select(
-        col("doc_id"),
+      .select((col("doc_id") +: keep.map(col)) ++ Seq(
         expr("size(words)").cast("long").as("n_tokens"),
         expr("round(size(array_distinct(words)) / CAST(size(words) AS DOUBLE), 4)")
           .as("ttr"),
@@ -108,7 +113,7 @@ object TextAnalysis {
           .as("stop_ratio"),
         expr("""round(length(regexp_replace(text, '[^a-zA-Z]', ''))
                |      / CAST(length(text) AS DOUBLE), 4)""".stripMargin)
-          .as("alpha_ratio"))
+          .as("alpha_ratio")): _*)
       // Integer-exact composite: each ratio is already rounded to 4 dp, so
       // round(r*1e4) recovers its exact integer numerator; 3/3/4-weighting
       // in integers avoids the half-ulp double boundary that a
