@@ -145,6 +145,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(nlj.isEmpty, s"binned range join degenerated to a nested loop:\n$plan")
   }
 
+  test("runtime bloom-filter pruning injects a might-contain filter on the fact side") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // local fixtures are far below the production-size defaults
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val sel = Tables.t(spark, sfDir, "orders").where($"o_totalprice" > 450000.0)
+      val joined = Tables.t(spark, sfDir, "lineitem")
+        .join(sel, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").count()
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected on the fact scan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("as-of join plans exactly one shuffle (union + single window sort)") {
     val plan = executed("q_asof_join")
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
