@@ -44,7 +44,12 @@ object Bench {
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")),
       line + "\n")
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      // never fail the bench over the side file, but never lose the
+      // signal either — a stale BENCH_full.json silently poisons
+      // round-over-round comparisons
+      System.err.println(s"[bench] WARNING: could not persist full JSON: $e")
+    }
     spark.stop()
   }
 }

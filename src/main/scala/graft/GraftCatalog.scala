@@ -33,13 +33,25 @@ object GraftCatalog {
       .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
 
   /** Idempotently create the database + external table entries for `dir`;
-    * returns the database name for `spark.table(s"$db.$name")` resolution. */
+    * returns the database name for `spark.table(s"$db.$name")` resolution.
+    * If a table of the same name is already registered but points at a
+    * DIFFERENT location (same basename, different parent — e.g. a moved
+    * dataset), it is dropped and re-created: IF NOT EXISTS alone would
+    * silently keep serving the stale location. */
   def ensure(spark: SparkSession, dir: String): String = {
     val db = dbFor(dir)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val catalog = spark.sessionState.catalog
     tables.foreach { name =>
+      val want = s"$dir/$name.parquet"
+      val id = org.apache.spark.sql.catalyst.TableIdentifier(name, Some(db))
+      if (catalog.tableExists(id)) {
+        val loc = new java.net.URI(
+          catalog.getTableMetadata(id).location.toString).getPath
+        if (loc != want) spark.sql(s"DROP TABLE $db.$name")
+      }
       spark.sql(
-        s"CREATE TABLE IF NOT EXISTS $db.$name USING parquet LOCATION '$dir/$name.parquet'")
+        s"CREATE TABLE IF NOT EXISTS $db.$name USING parquet LOCATION '$want'")
     }
     db
   }

@@ -33,9 +33,10 @@ object Scratch {
 
     if (args.isEmpty) {
       println(
-        """usage: Scratch [explain:<query>]... [ngramprof] [<query>]...
+        """usage: Scratch [explain:<query>]... [ngramprof] [cleanprof] [<query>]...
           |  explain:<name>  print the formatted physical plan
           |  ngramprof       stage-by-stage n-gram Jaccard profile
+          |  cleanprof       stage-by-stage corpus-clean profile
           |  <name>          time the query through the noop sink
           |running the default audit set (5 most expensive from the last
           |bench) since no args were given...""".stripMargin)
@@ -79,9 +80,10 @@ object Scratch {
         .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
       time("join+agg")(c.write.format("noop").mode("overwrite").save())
     }
+    val modes = Set("ngramprof", "cleanprof")
     val toTime =
       if (args.isEmpty) defaults
-      else args.toSeq.filterNot(a => a.startsWith("explain:") || a == "ngramprof")
+      else args.toSeq.filterNot(a => a.startsWith("explain:") || modes(a))
     for (q <- toTime) time(q)(runNoop(q))
     spark.stop()
   }

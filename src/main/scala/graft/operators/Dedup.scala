@@ -276,7 +276,7 @@ object Dedup {
     * round unpersists — no lineage blowup. Only documents that appear in
     * ≥ 1 pair are emitted (singletons are trivially their own cluster).
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -297,6 +297,15 @@ object Dedup {
       labels.unpersist()
       labels = next
       iters += 1
+    }
+    // fail loud, never return silently-wrong labels: a component with
+    // diameter > maxIters would otherwise split into several clusters
+    // with multiple keep=true representatives
+    if (changed > 0) {
+      e.unpersist(); labels.unpersist()
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $maxIters iterations " +
+          s"($changed labels still changing) — raise maxIters")
     }
     e.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),

@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * O(1). Skew note: a bin that holds many points AND many intervals goes
   * quadratic locally — AQE skew-join splits oversized bins (see
   * BucketingSpec's activation test), and extremely wide intervals can be
-  * routed through a coarser second bin level at 100 TB.
+  * routed through a coarser second bin level at 100 TB (also the remedy
+  * if an interval's bin fan-out ever approaches Spark's sequence length
+  * cap of ~2^31 elements — pick `w` so `max(hi-lo)/w` stays small).
   */
 object RangeJoin {
 
@@ -35,10 +37,15 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     val p = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
-    val iv = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+    // inverted intervals (lo > hi) can never match `p >= lo AND p < hi`,
+    // but sequence() would happily count DOWN through every bin between
+    // them — drop them before the explode instead of after the join
+    val iv = intervals
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col(loCol) / binWidth).cast("long"),
+          floor(col(hiCol) / binWidth).cast("long"))))
     p.join(iv, Seq("__bin"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")

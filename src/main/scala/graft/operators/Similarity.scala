@@ -126,9 +126,13 @@ object Similarity {
       embCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // null embeddings can't score (cosine would be NULL and the typed
+    // phase-1 decode non-nullable); they are excluded on both sides
     val q = broadcast(queries.select(
-      col(idCol).cast("long").as("query_id"), col(embCol).as("q_emb")))
+      col(idCol).cast("long").as("query_id"), col(embCol).as("q_emb"))
+      .where(col("q_emb").isNotNull))
     val c = corpus.select(col(idCol).cast("long").as("vec_id"), col(embCol).as("emb"))
+      .where(col("emb").isNotNull)
     val scored = c.join(q, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), cos(col("q_emb"), col("emb")).as("c"))
 

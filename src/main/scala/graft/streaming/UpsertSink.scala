@@ -35,10 +35,14 @@ object UpsertSink {
   def upsertBatch(batch: DataFrame, path: String, keyCol: String,
       versionCol: String, numBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
-    // 1. one row per key: keep the greatest (version, then arbitrary-but-
-    //    deterministic tie-break on all columns via max_by struct)
+    // 1. one row per key: greatest version wins; version TIES break on the
+    //    remaining columns (descending) so replays of a tied batch pick
+    //    the same row every time — the convergence contract depends on a
+    //    deterministic total order, not just the version.
+    val tieBreak = batch.columns.toSeq
+      .filterNot(c => c == keyCol || c == versionCol).map(col(_).desc)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
+      .partitionBy(col(keyCol)).orderBy(col(versionCol).desc +: tieBreak: _*)
     val newRows = batch
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .drop("__rn")

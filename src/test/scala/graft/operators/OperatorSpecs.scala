@@ -48,7 +48,8 @@ class DedupSpec extends SparkSpec {
       ("a", 900.0, 903.0),     // narrower than any bin
       ("b", 900.0, 1000.0),    // spans many bins
       ("c", 949.99, 950.01),   // straddles a "round" boundary
-      ("d", 0.0, 0.0)).toDF("band", "lo", "hi") // empty interval
+      ("d", 0.0, 0.0),         // empty interval
+      ("e", 950.0, 900.0)).toDF("band", "lo", "hi") // inverted: never matches
     def direct =
       parts.join(intervals, $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
         .select($"p_partkey", $"band").as[(Long, String)].collect().toSet
