@@ -536,6 +536,42 @@ object SqlSurface extends QueryModule {
              |                    AND o_orderpriority = '1-URGENT')
              |GROUP BY cntrycode""".stripMargin)),
 
+    // ---- RECURSIVE CTE (Spark 4 WITH RECURSIVE): per-customer order
+    //      chain walk accumulating a running total — recursion depth =
+    //      longest chain, each step one join of the frontier against the
+    //      (tiny) numbered order relation. Money in exact integer cents
+    //      so the accumulated sum is deterministic. ----
+    GraftQuery("q_recursive_cte",
+      (s, dir) => sql(s, dir, Seq("orders"),
+        """WITH RECURSIVE ord AS (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_orderdate, o_orderkey) AS rn
+          |  FROM orders WHERE o_custkey < 100),
+          |walk(o_custkey, rn, cum_cents) AS (
+          |  SELECT o_custkey, rn, CAST(round(o_totalprice*100) AS BIGINT)
+          |  FROM ord WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.o_custkey, o.rn,
+          |    w.cum_cents + CAST(round(o.o_totalprice*100) AS BIGINT)
+          |  FROM ord o JOIN walk w
+          |    ON o.o_custkey = w.o_custkey AND o.rn = w.rn + 1)
+          |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, cum_cents FROM walk""".stripMargin),
+      Some("""WITH RECURSIVE ord AS (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS rn
+             |  FROM orders WHERE o_custkey < 100),
+             |walk(o_custkey, rn, cum_cents) AS (
+             |  SELECT o_custkey, rn, CAST(round(o_totalprice*100) AS BIGINT)
+             |  FROM ord WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.o_custkey, o.rn,
+             |    w.cum_cents + CAST(round(o.o_totalprice*100) AS BIGINT)
+             |  FROM ord o JOIN walk w
+             |    ON o.o_custkey = w.o_custkey AND o.rn = w.rn + 1)
+             |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, cum_cents FROM walk""".stripMargin)),
+
     // ---- LATERAL correlated subquery: per-outer-row top-N (the SQL
     //      spelling of "top 2 orders per customer"); Catalyst decorrelates
     //      the LIMIT into a per-key window rank, one shuffle. ----
