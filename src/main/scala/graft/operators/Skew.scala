@@ -32,4 +32,22 @@ object Skew {
       .agg(sum(col("__psum")).as("sum_value"),
         sum(col("__pcnt")).as("n"))
   }
+
+  /** Salted equi-join for a skewed probe side when the build side cannot
+    * broadcast and runtime skew-splitting is unavailable (deterministic
+    * pre-partitioned pipelines, or engines without AQE): each probe row
+    * picks a deterministic salt from a hash of its full row, and the
+    * build side REPLICATES each row once per salt — every (key, salt)
+    * shuffle partition then holds the complete build group for its key,
+    * so a hot probe key spreads over `salts` reducers. Build-side cost
+    * is `salts ×` its size: use for big-probe ⋈ modest-build. The result
+    * is EXACTLY the plain inner join (spec-pinned). */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    val pSalted = probe.withColumn("__salt",
+      pmod(xxhash64(struct(probe.columns.map(col).toSeq: _*)), lit(salts.toLong)))
+    val bSalted = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    pSalted.join(bSalted, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -536,6 +536,48 @@ object SqlSurface extends QueryModule {
              |                    AND o_orderpriority = '1-URGENT')
              |GROUP BY cntrycode""".stripMargin)),
 
+    // ---- salted skew-safe JOIN (graft.operators.Skew.saltedJoin): the
+    //      oracle is the PLAIN join — salting must be invisible in the
+    //      result. Completes the skew story next to q_salted_agg (agg
+    //      salting) and the AQE skew-join activation spec. ----
+    GraftQuery("q_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Skew.saltedJoin(
+          t(s, dir, "lineitem").select($"l_suppkey", $"l_quantity"),
+          t(s, dir, "supplier").select($"s_suppkey".as("l_suppkey"), $"s_name"),
+          key = "l_suppkey", salts = 8)
+          .groupBy($"s_name")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity").cast("long").as("qty"))
+      },
+      Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(l_quantity) AS BIGINT) AS qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name""".stripMargin)),
+
+    // ---- rolling exact median over a bounded window frame. Spark forbids
+    //      median() with a frame spec, so the Spark side sorts the frame's
+    //      collected values and interpolates the middle pair — identical
+    //      to DuckDB's native windowed median (mean of the two middles on
+    //      even counts). Bounded frame ⇒ bounded per-row cost. ----
+    GraftQuery("q_rolling_median",
+      (s, dir) => sql(s, dir, Seq("events"),
+        """SELECT event_id, user_id,
+          |  round((element_at(vals, CAST((size(vals) + 1) DIV 2 AS INT))
+          |       + element_at(vals, CAST(size(vals) DIV 2 + 1 AS INT))) / 2, 4)
+          |    AS med5
+          |FROM (
+          |  SELECT event_id, user_id,
+          |    sort_array(collect_list(value) OVER (
+          |      PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS vals
+          |  FROM events WHERE user_id < 30)""".stripMargin),
+      Some("""SELECT event_id, user_id,
+             |  round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+             |FROM events WHERE user_id < 30""".stripMargin)),
+
     // ---- RECURSIVE CTE (Spark 4 WITH RECURSIVE): per-customer order
     //      chain walk accumulating a running total — recursion depth =
     //      longest chain, each step one join of the frontier against the

@@ -88,6 +88,25 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("property: salted join equals the plain join for any data incl. hot keys") {
+    import spark.implicits._
+    val probe = Gen.listOfN(80,
+      Gen.zip(Gen.frequency(6 -> Gen.const(1L), 4 -> Gen.choose(1L, 9L)),
+        Gen.choose(0, 999)))
+    val build = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 9L), Gen.alphaStr.map(_.take(4))))
+    for (i <- 0 until 5) {
+      val p = samples(probe, 1).head.toDF("k", "v")
+      val b = samples(build, 1).head.distinct.toDF("k", "name")
+      val plain = p.join(b, Seq("k"))
+        .select($"k", $"v", $"name").as[(Long, Int, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val salted = operators.Skew.saltedJoin(p, b, "k", salts = 4)
+        .select($"k", $"v", $"name").as[(Long, Int, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(salted === plain) // multiset equality, duplicates included
+    }
+  }
+
   test("property: two-phase packOffsets equals a serial prefix sum for any corpus") {
     import spark.implicits._
     val docs = Gen.listOfN(40,
