@@ -291,6 +291,111 @@ object Similarity {
         col("vec_id"), round(col("c"), 6).as("cosine"))
   }
 
+  /** Product quantization (PQ): compress each vector to `m` one-byte
+    * codes — one per dim/m-sized subvector, each the id of the nearest of
+    * `kSub` per-subspace centroids learned with the same deterministic
+    * Lloyd recipe as [[ivfKMeansTopK]]. 64-dim float32 → 16 bytes at the
+    * default geometry (m=16 four-dim subspaces × 64 codes): 16× less to
+    * store/scan, which is how a 100 TB embedding corpus fits a scan
+    * budget; coarser geometries trade recall for further compression. Search is ASYMMETRIC: the raw
+    * query precomputes an m × kSub lookup table of subvector distances,
+    * and each candidate's approximate distance is m table lookups — no
+    * decompression, no float vector ever read from the corpus.
+    *
+    * Codebooks are tiny (m × kSub × dim/m doubles) and driver-held like
+    * the IVF centroids; encode and scan are pure per-partition loops.
+    * Approximate by construction → rows-only + recall spec vs
+    * [[bruteTopK]] (same contract as the IVF family). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, m: Int = 16, kSub: Int = 64,
+      iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(embCol).as("emb")).as[(Long, Array[Float])]
+    val dim = vecs.head()._2.length
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
+    val subDim = dim / m
+
+    // L2-normalize first: on unit vectors, L2 distance is monotone in
+    // cosine (d² = 2 - 2cos), so PQ's L2 quantization ranks like the
+    // cosine the rest of the similarity family uses
+    def unit(e: Array[Float]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < e.length) { n += e(i).toDouble * e(i); i += 1 }
+      val inv = if (n > 0) 1.0 / math.sqrt(n) else 0.0
+      Array.tabulate(e.length)(d => e(d) * inv)
+    }
+    def sub(e: Array[Double], j: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(e, j * subDim, (j + 1) * subDim)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+
+    // per-subspace codebooks: deterministic seeds (smallest xxhash64(id)),
+    // fixed Lloyd iterations; one corpus scan per iteration for ALL
+    // subspaces at once
+    val seeds = vecs.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(kSub).select("emb").as[Array[Float]].collect()
+      .map(unit)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(sub(_, j)))
+
+    for (_ <- 1 to iters) {
+      val bks = books
+      // (subspace, code, subvector) assignments in one pass
+      val assigned = vecs.flatMap { case (_, e0) =>
+        val e = unit(e0)
+        (0 until m).map { j =>
+          val s = sub(e, j)
+          val code = bks(j).indices.minBy(c => d2(s, bks(j)(c)))
+          (j, code, s)
+        }
+      }.toDF("j", "code", "s")
+      val means = assigned
+        .select(col("j"), col("code"), posexplode(col("s")).as(Seq("d", "v")))
+        .groupBy("j", "code", "d").agg(avg("v").as("mv"))
+        .as[(Int, Int, Int, Double)].collect()
+        .groupBy(t => (t._1, t._2))
+        .view.mapValues(ts => ts.sortBy(_._3).map(_._4).toArray).toMap
+      books = Array.tabulate(m)(j => Array.tabulate(kSub)(c =>
+        means.getOrElse((j, c), books(j)(c))))
+    }
+
+    val bks = books
+    // encode: m bytes per vector — the only corpus-sized artifact
+    val codes = vecs.map { case (id, e0) =>
+      val e = unit(e0)
+      (id, Array.tabulate(m)(j =>
+        bks(j).indices.minBy(c => d2(sub(e, j), bks(j)(c))).toByte))
+    }.toDF("vec_id", "codes").as[(Long, Array[Byte])]
+
+    // asymmetric scan: ONE m × kSub distance table per query (computed
+    // once, shipped in the task closure), then m lookups per candidate
+    val qs = queries.select(col(idCol).cast("long").as("query_id"),
+      col(embCol).as("q_emb")).as[(Long, Array[Float])].collect()
+    val qTabs: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, qe0) =>
+      val qe = unit(qe0)
+      qid -> Array.tabulate(m, kSub)((j, c) => d2(sub(qe, j), bks(j)(c)))
+    }
+    val scored = codes.flatMap { case (vid, cs) =>
+      qTabs.iterator.filter(_._1 != vid).map { case (qid, tab) =>
+        var s = 0.0; var j = 0
+        while (j < m) { s += tab(j)(cs(j) & 0xff); j += 1 }
+        (qid, vid, s)
+      }
+    }.toDF("query_id", "vec_id", "pq_dist")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("pq_dist"), 6).as("pq_dist"))
+  }
+
   /** Ensure native vector functions exist in this session. */
   def ensureRegistered(spark: SparkSession): Unit =
     graft.functions.VectorFunctions.register(spark)

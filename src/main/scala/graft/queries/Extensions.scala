@@ -248,6 +248,17 @@ object Extensions extends QueryModule {
       },
       None),
 
+    // rows-only like the IVF family (PQ is approximate by construction);
+    // recall-vs-brute is asserted in SimilaritySpec
+    GraftQuery("q_sim_pq",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", 5)
+      },
+      None),
+
     // ======================= text analysis =======================
 
     GraftQuery("q_text_langid",

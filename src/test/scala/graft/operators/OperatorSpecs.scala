@@ -159,6 +159,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"k-means IVF recall $recall too low")
   }
 
+  test("pqTopK compresses to m bytes and keeps reasonable recall vs brute force") {
+    Similarity.ensureRegistered(spark)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val k = 5
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k,
+      m = 16, kSub = 64, iters = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.4, // 16x compression trades recall; must beat chance
+      s"PQ recall $recall vs brute (${brute.size} pairs)")
+    assert(pq.size === brute.size)
+  }
+
   test("ivfTopK achieves reasonable recall vs brute force") {
     Similarity.ensureRegistered(spark)
     val emb = Tables.t(spark, sfDir, "embeddings")
