@@ -80,6 +80,44 @@ object Pipeline extends QueryModule {
              |      FROM sc)
              |SELECT doc_id, word, tf, score, rk FROM r WHERE rk <= 3""".stripMargin)),
 
+    // ---- benchmark decontamination: training docs sharing any word
+    //      5-gram with the eval set (doc_id < 20 stands in for a held-out
+    //      benchmark) get flagged with their overlap count — the standard
+    //      n-gram-collision decontamination pass an LLM corpus runs
+    //      before training. The eval shingle-hash set is tiny and
+    //      BROADCAST; the corpus side is a stateless map + explode, and
+    //      only colliding rows reach the count shuffle. ----
+    GraftQuery("q_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val sh = t(s, dir, "documents")
+          .select($"doc_id", expr(
+            s"""array_distinct(transform(
+               |  ${graft.operators.Dedup.shinglesExpr(
+                      graft.operators.Dedup.wordsExpr("text"), 5)},
+               |  s -> ${graft.operators.Dedup.h60raw("s")}))""".stripMargin)
+            .as("sh"))
+          .where(expr("size(sh) >= 1"))
+        val ev = broadcast(sh.where($"doc_id" < 20)
+          .select(explode($"sh").as("h")).distinct())
+        sh.where($"doc_id" >= 20)
+          .select($"doc_id", explode($"sh").as("h"))
+          .join(ev, "h")
+          .groupBy($"doc_id").agg(count(lit(1)).as("shared_ngrams"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(len(words)-4),
+             |    i -> ('0x' || substr(md5(concat_ws(' ', words[i+1], words[i+2],
+             |         words[i+3], words[i+4], words[i+5])), 1, 15))::BIGINT)) AS sh
+             |  FROM d WHERE len(words) >= 5),
+             |ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id < 20)
+             |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+             |FROM (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id >= 20) s
+             |JOIN ev ON s.h = ev.h GROUP BY s.doc_id""".stripMargin)),
+
     // ---- data validation / quarantine: a declarative rule engine — each
     //      rule is a CASE label, violations concat into one audit string
     //      (concat_ws skips NULLs identically in both engines), and only
