@@ -80,6 +80,38 @@ object Pipeline extends QueryModule {
              |      FROM sc)
              |SELECT doc_id, word, tf, score, rk FROM r WHERE rk <= 3""".stripMargin)),
 
+    // ---- token-budget chunking: 16-token windows every 12 tokens
+    //      (4-token overlap) over the word array — the unit an LLM data
+    //      loader actually feeds; the char-based variant is q_doc_chunks.
+    //      Stateless per-row explode, provenance via chunk_idx. ----
+    GraftQuery("q_token_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val extra =
+          "CASE WHEN size(words) > 16 THEN (size(words) - 5) DIV 12 ELSE 0 END"
+        t(s, dir, "documents")
+          .select($"doc_id",
+            expr(graft.operators.Dedup.wordsExpr("text")).as("words"))
+          .select($"doc_id", posexplode(expr(
+            s"""transform(sequence(0, $extra),
+               |  i -> concat_ws(' ', slice(words, i*12 + 1, 16)))""".stripMargin)))
+          .toDF("doc_id", "chunk_idx", "chunk")
+          .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"), $"chunk",
+            size(split($"chunk", " ")).cast("long").as("n_tokens"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(
+             |      CASE WHEN len(words) > 16 THEN (len(words) - 5) // 12 ELSE 0 END + 1),
+             |      i -> {'idx': i, 'chunk': array_to_string(words[i*12+1:i*12+16], ' ')})) AS e
+             |  FROM d)
+             |SELECT doc_id, CAST(e.idx AS BIGINT) AS chunk_idx, e.chunk AS chunk,
+             |  CAST(len(string_split(e.chunk, ' ')) AS BIGINT) AS n_tokens
+             |FROM c""".stripMargin)),
+
     // ---- benchmark decontamination: training docs sharing any word
     //      5-gram with the eval set (doc_id < 20 stands in for a held-out
     //      benchmark) get flagged with their overlap count — the standard
