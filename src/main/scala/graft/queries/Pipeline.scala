@@ -80,6 +80,33 @@ object Pipeline extends QueryModule {
              |      FROM sc)
              |SELECT doc_id, word, tf, score, rk FROM r WHERE rk <= 3""".stripMargin)),
 
+    // ---- data-mixture balancing: downsample every language to the
+    //      smallest language's share using DATA-DEPENDENT keep rates
+    //      (rate_ppm = min_count×1e6 ÷ count, exact integer arithmetic)
+    //      and the usual deterministic hash predicate — the "mixture
+    //      weights" step of corpus assembly. The per-group rate relation
+    //      is tiny and broadcast; the corpus pass is one filter. ----
+    GraftQuery("q_lang_balance",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val cnt = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+        val rated = broadcast(cnt
+          .join(cnt.agg(min($"n").as("m")))
+          .select($"lang", expr("(m * 1000000L) DIV n").as("rate_ppm")))
+        docs.join(rated, "lang")
+          .where(expr(
+            s"${graft.operators.Dedup.h60("concat(doc_id, ':', lang)")} % 1000000 < rate_ppm"))
+          .select($"doc_id", $"lang")
+      },
+      Some("""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |tgt AS (SELECT min(n) AS m FROM cnt),
+             |rated AS (SELECT lang, (m * 1000000) // n AS rate_ppm FROM cnt, tgt)
+             |SELECT d.doc_id, d.lang
+             |FROM documents d JOIN rated r ON d.lang = r.lang
+             |WHERE ('0x' || substr(md5(d.doc_id || ':' || d.lang), 1, 15))::BIGINT
+             |      % 1000000007 % 1000000 < r.rate_ppm""".stripMargin)),
+
     // ---- token-budget chunking: 16-token windows every 12 tokens
     //      (4-token overlap) over the word array — the unit an LLM data
     //      loader actually feeds; the char-based variant is q_doc_chunks.
