@@ -92,6 +92,58 @@ object Extensions extends QueryModule {
     s"WHEN ${(geAll ++ gtPrior).mkString(" AND ")} THEN '$l'"
   }.mkString("CASE ", " ", " END")
 
+  /** Full corpus-clean oracle (normalize → language filter → quality
+    * filter → exact dedup → MinHash near-dup dedup), shared by
+    * q_corpus_clean and nested as a subquery by q_clean_pack. */
+  private[queries] val corpusCleanOracle: String = {
+    val en = TextAnalysis.stopwords.toMap.apply("en")
+      .map(x => s"'$x'").mkString("[", ", ", "]")
+    val scores = TextAnalysis.stopwords.map { case (l, sw) =>
+      val lst = sw.map(x => s"'$x'").mkString("[", ", ", "]")
+      s"len(list_filter(words, w -> list_contains($lst, w)))::BIGINT AS score_$l"
+    }.mkString(",\n  ")
+    s"""WITH nd AS (
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+       |  FROM documents),
+       |w AS (SELECT doc_id, nt, ${dWords("nt")} AS words FROM nd),
+       |langsc AS (SELECT doc_id, $scores FROM w),
+       |langkeep AS (SELECT doc_id FROM langsc WHERE $predLangCase = 'en'),
+       |qual AS (SELECT doc_id,
+       |    round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 4) AS ttr,
+       |    round(len(list_filter(words, w -> list_contains($en, w)))
+       |          / CAST(len(words) AS DOUBLE), 4) AS stop_ratio,
+       |    round(length(regexp_replace(nt, '[^a-zA-Z]', '', 'g'))
+       |          / CAST(length(nt) AS DOUBLE), 4) AS alpha_ratio
+       |  FROM w WHERE len(words) >= 1),
+       |qualkeep AS (SELECT doc_id FROM qual
+       |  WHERE CAST(round(ttr*10000)*3 + round(stop_ratio*10000)*3
+       |             + round(alpha_ratio*10000)*4 AS BIGINT) >= 3000),
+       |f AS (SELECT w.doc_id, nt, words FROM w
+       |      JOIN langkeep USING (doc_id) JOIN qualkeep USING (doc_id)),
+       |ek AS (SELECT doc_id, nt, words FROM f
+       |       QUALIFY row_number() OVER (PARTITION BY nt ORDER BY doc_id) = 1),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(words)-2),
+       |         i -> words[i+1]||' '||words[i+2]||' '||words[i+3])) AS sh
+       |       FROM ek WHERE len(words) >= 3),
+       |hv AS (SELECT doc_id, sh, list_transform(sh, x -> ${dH60("x")}) AS hv FROM sh),
+       |mh AS (SELECT doc_id, sh, list_transform(range(16),
+       |         i -> list_min(list_transform(hv, h -> ((2*i+1)*h + 12345*i + 678) % $P))) AS sig
+       |       FROM hv),
+       |bands AS (SELECT doc_id, j,
+       |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash
+       |  FROM mh, range(4) t(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.j = b.j AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+       |drops AS (SELECT DISTINCT doc_b AS doc_id FROM cand
+       |  JOIN mh ma ON ma.doc_id = doc_a
+       |  JOIN mh mb ON mb.doc_id = doc_b
+       |  WHERE round(len(list_intersect(ma.sh, mb.sh))
+       |        / CAST(len(list_distinct(ma.sh || mb.sh)) AS DOUBLE), 4) >= 0.8)
+       |SELECT doc_id, nt AS norm_text FROM ek
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
+  }
+
   override val queries: Seq[GraftQuery] = Seq(
 
     // ======================= dedup family =======================
@@ -365,54 +417,34 @@ object Extensions extends QueryModule {
       (s, dir) => graft.operators.CorpusClean.clean(
         t(s, dir, "documents"), "doc_id", "text",
         lang = "en", minQuality = 3000L, jaccard = 0.8),
-      Some {
-        val en = TextAnalysis.stopwords.toMap.apply("en")
-          .map(x => s"'$x'").mkString("[", ", ", "]")
-        val scores = TextAnalysis.stopwords.map { case (l, sw) =>
-          val lst = sw.map(x => s"'$x'").mkString("[", ", ", "]")
-          s"len(list_filter(words, w -> list_contains($lst, w)))::BIGINT AS score_$l"
-        }.mkString(",\n  ")
-        s"""WITH nd AS (
-           |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
-           |  FROM documents),
-           |w AS (SELECT doc_id, nt, ${dWords("nt")} AS words FROM nd),
-           |langsc AS (SELECT doc_id, $scores FROM w),
-           |langkeep AS (SELECT doc_id FROM langsc WHERE $predLangCase = 'en'),
-           |qual AS (SELECT doc_id,
-           |    round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 4) AS ttr,
-           |    round(len(list_filter(words, w -> list_contains($en, w)))
-           |          / CAST(len(words) AS DOUBLE), 4) AS stop_ratio,
-           |    round(length(regexp_replace(nt, '[^a-zA-Z]', '', 'g'))
-           |          / CAST(length(nt) AS DOUBLE), 4) AS alpha_ratio
-           |  FROM w WHERE len(words) >= 1),
-           |qualkeep AS (SELECT doc_id FROM qual
-           |  WHERE CAST(round(ttr*10000)*3 + round(stop_ratio*10000)*3
-           |             + round(alpha_ratio*10000)*4 AS BIGINT) >= 3000),
-           |f AS (SELECT w.doc_id, nt, words FROM w
-           |      JOIN langkeep USING (doc_id) JOIN qualkeep USING (doc_id)),
-           |ek AS (SELECT doc_id, nt, words FROM f
-           |       QUALIFY row_number() OVER (PARTITION BY nt ORDER BY doc_id) = 1),
-           |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(words)-2),
-           |         i -> words[i+1]||' '||words[i+2]||' '||words[i+3])) AS sh
-           |       FROM ek WHERE len(words) >= 3),
-           |hv AS (SELECT doc_id, sh, list_transform(sh, x -> ${dH60("x")}) AS hv FROM sh),
-           |mh AS (SELECT doc_id, sh, list_transform(range(16),
-           |         i -> list_min(list_transform(hv, h -> ((2*i+1)*h + 12345*i + 678) % $P))) AS sig
-           |       FROM hv),
-           |bands AS (SELECT doc_id, j,
-           |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash
-           |  FROM mh, range(4) t(j)),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.j = b.j AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-           |drops AS (SELECT DISTINCT doc_b AS doc_id FROM cand
-           |  JOIN mh ma ON ma.doc_id = doc_a
-           |  JOIN mh mb ON mb.doc_id = doc_b
-           |  WHERE round(len(list_intersect(ma.sh, mb.sh))
-           |        / CAST(len(list_distinct(ma.sh || mb.sh)) AS DOUBLE), 4) >= 0.8)
-           |SELECT doc_id, nt AS norm_text FROM ek
-           |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
-      }),
+      Some(Extensions.corpusCleanOracle)),
+
+    // capstone composition: the cleaned corpus fed straight into sequence
+    // packing — clean → global token offsets in one declarative flow; the
+    // oracle nests the full clean oracle as a subquery and adds the
+    // single-window prefix sum
+    GraftQuery("q_clean_pack",
+      (s, dir) => graft.operators.Packing.packOffsets(
+        graft.operators.CorpusClean.clean(
+          t(s, dir, "documents"), "doc_id", "text",
+          lang = "en", minQuality = 3000L, jaccard = 0.8),
+        "doc_id", "norm_text", packSize = 256),
+      Some(s"""WITH cleaned AS (SELECT * FROM (${Extensions.corpusCleanOracle}) c),
+              |tk AS (
+              |  SELECT doc_id,
+              |    len(list_filter(string_split(norm_text, ' '), w -> w <> ''))::BIGINT
+              |      AS n_tokens
+              |  FROM cleaned),
+              |t2 AS (
+              |  SELECT doc_id, n_tokens,
+              |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+              |      AS "offset"
+              |  FROM tk WHERE n_tokens > 0)
+              |SELECT doc_id, n_tokens, "offset",
+              |  "offset" // 256 AS first_pack,
+              |  ("offset" + n_tokens - 1) // 256 AS last_pack
+              |FROM t2""".stripMargin)),
 
     // ======================= sessionization =======================
 
