@@ -312,11 +312,11 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
+    // read by the seed sort, every Lloyd pass, the encode pass and the
+    // final scan — persist so the corpus projection runs once
     val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),
       col(embCol).as("emb")).as[(Long, Array[Float])]
-    val dim = vecs.head()._2.length
-    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
-    val subDim = dim / m
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // L2-normalize first: on unit vectors, L2 distance is monotone in
     // cosine (d² = 2 - 2cos), so PQ's L2 quantization ranks like the
@@ -327,8 +327,10 @@ object Similarity {
       val inv = if (n > 0) 1.0 / math.sqrt(n) else 0.0
       Array.tabulate(e.length)(d => e(d) * inv)
     }
-    def sub(e: Array[Double], j: Int): Array[Double] =
-      java.util.Arrays.copyOfRange(e, j * subDim, (j + 1) * subDim)
+    def sub(e: Array[Double], j: Int): Array[Double] = {
+      val w = e.length / m
+      java.util.Arrays.copyOfRange(e, j * w, (j + 1) * w)
+    }
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
@@ -341,6 +343,12 @@ object Similarity {
     val seeds = vecs.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(kSub).select("emb").as[Array[Float]].collect()
       .map(unit)
+    require(seeds.nonEmpty, "pqTopK needs a non-empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
+    // a corpus smaller than kSub yields that many codes — clamp so the
+    // codebook rebuild never indexes past the seed count
+    val kEff = math.min(kSub, seeds.length)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seeds.map(sub(_, j)))
 
@@ -361,7 +369,7 @@ object Similarity {
         .as[(Int, Int, Int, Double)].collect()
         .groupBy(t => (t._1, t._2))
         .view.mapValues(ts => ts.sortBy(_._3).map(_._4).toArray).toMap
-      books = Array.tabulate(m)(j => Array.tabulate(kSub)(c =>
+      books = Array.tabulate(m)(j => Array.tabulate(kEff)(c =>
         means.getOrElse((j, c), books(j)(c))))
     }
 
@@ -369,8 +377,10 @@ object Similarity {
     // encode: m bytes per vector — the only corpus-sized artifact
     val codes = vecs.map { case (id, e0) =>
       val e = unit(e0)
-      (id, Array.tabulate(m)(j =>
-        bks(j).indices.minBy(c => d2(sub(e, j), bks(j)(c))).toByte))
+      (id, Array.tabulate(m) { j =>
+        val s = sub(e, j) // hoisted: one slice per subspace, not per code
+        bks(j).indices.minBy(c => d2(s, bks(j)(c))).toByte
+      })
     }.toDF("vec_id", "codes").as[(Long, Array[Byte])]
 
     // asymmetric scan: ONE m × kSub distance table per query (computed
@@ -379,7 +389,7 @@ object Similarity {
       col(embCol).as("q_emb")).as[(Long, Array[Float])].collect()
     val qTabs: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, qe0) =>
       val qe = unit(qe0)
-      qid -> Array.tabulate(m, kSub)((j, c) => d2(sub(qe, j), bks(j)(c)))
+      qid -> Array.tabulate(m, kEff)((j, c) => d2(sub(qe, j), bks(j)(c)))
     }
     val scored = codes.flatMap { case (vid, cs) =>
       qTabs.iterator.filter(_._1 != vid).map { case (qid, tab) =>

@@ -44,8 +44,12 @@ object Skew {
     * is EXACTLY the plain inner join (spec-pinned). */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
+    // salt from a row POSITION, not row content: fully-duplicate hot rows
+    // (repeated log lines) would all hash to one salt and re-funnel the
+    // hot key. The salt never reaches the output, so position-dependence
+    // cannot affect result content — only the spread, which is the point.
     val pSalted = probe.withColumn("__salt",
-      pmod(xxhash64(struct(probe.columns.map(col).toSeq: _*)), lit(salts.toLong)))
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
     val bSalted = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     pSalted.join(bSalted, Seq(key, "__salt")).drop("__salt")

@@ -149,14 +149,18 @@ object Pipeline extends QueryModule {
     GraftQuery("q_decontaminate",
       (s, dir) => {
         import s.implicits._
+        // guard BEFORE shingling (Dedup.signatures pattern): a doc with
+        // < 5 words would make shinglesExpr's sequence() descend and
+        // slice() throw on the negative index
         val sh = t(s, dir, "documents")
+          .select($"doc_id",
+            expr(graft.operators.Dedup.wordsExpr("text")).as("words"))
+          .where(expr("size(words) >= 5"))
           .select($"doc_id", expr(
             s"""array_distinct(transform(
-               |  ${graft.operators.Dedup.shinglesExpr(
-                      graft.operators.Dedup.wordsExpr("text"), 5)},
+               |  ${graft.operators.Dedup.shinglesExpr("words", 5)},
                |  s -> ${graft.operators.Dedup.h60raw("s")}))""".stripMargin)
             .as("sh"))
-          .where(expr("size(sh) >= 1"))
         val ev = broadcast(sh.where($"doc_id" < 20)
           .select(explode($"sh").as("h")).distinct())
         sh.where($"doc_id" >= 20)

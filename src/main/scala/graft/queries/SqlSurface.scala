@@ -564,9 +564,10 @@ object SqlSurface extends QueryModule {
     GraftQuery("q_rolling_median",
       (s, dir) => sql(s, dir, Seq("events"),
         """SELECT event_id, user_id,
-          |  round((element_at(vals, CAST((size(vals) + 1) DIV 2 AS INT))
-          |       + element_at(vals, CAST(size(vals) DIV 2 + 1 AS INT))) / 2, 4)
-          |    AS med5
+          |  CASE WHEN size(vals) = 0 THEN NULL
+          |       ELSE round((element_at(vals, CAST((size(vals) + 1) DIV 2 AS INT))
+          |            + element_at(vals, CAST(size(vals) DIV 2 + 1 AS INT))) / 2, 4)
+          |  END AS med5
           |FROM (
           |  SELECT event_id, user_id,
           |    sort_array(collect_list(value) OVER (

@@ -177,6 +177,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.size === brute.size)
   }
 
+  test("pqTopK handles a corpus smaller than kSub (codes clamp to corpus size)") {
+    import spark.implicits._
+    Similarity.ensureRegistered(spark)
+    val vecs = (1L to 10L).map(i =>
+      (i, Array.tabulate(64)(d => ((d * i) % 7).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(vecs, vecs.where($"vec_id" <= 2),
+      "vec_id", "embedding", k = 3) // default kSub = 64 > 10 rows
+      .collect()
+    assert(got.length === 6) // 2 queries x top-3
+  }
+
   test("ivfTopK achieves reasonable recall vs brute force") {
     Similarity.ensureRegistered(spark)
     val emb = Tables.t(spark, sfDir, "embeddings")
