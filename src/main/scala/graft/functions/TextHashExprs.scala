@@ -80,32 +80,47 @@ case class SimHash60(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
-/** shingle_hashes(text): DISTINCT 60-bit md5 hashes of the word 3-shingles
-  * of `text` — the inverted-index key material for exact n-gram Jaccard
-  * (distinctness is on the hash value, mirroring the oracle's
+/** shingle_hashes(text[, k]): DISTINCT 60-bit md5 hashes of the word
+  * k-shingles of `text` (k defaults to 3) — the inverted-index key
+  * material for exact n-gram Jaccard and decontamination (distinctness is
+  * on the hash value, mirroring the oracle's
   * `list_distinct(list_transform(shingles, s -> md5-hash(s)))`; a 2^-60
   * collision would merge two shingles identically in both engines). NULL
-  * when there are fewer than 3 tokens, matching the oracle's WHERE. One
+  * when there are fewer than k tokens, matching the oracle's WHERE. One
   * tight loop per row — the interpreted HOF form (transform + slice +
   * concat_ws + array_distinct) measured ~0.8 ms/doc on 54-word docs. */
-case class ShingleHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ShingleHashes(child: Expression, kExpr: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  def this(child: Expression) =
+    this(child, org.apache.spark.sql.catalyst.expressions.Literal(3))
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
   override def prettyName: String = "shingle_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+    (child.dataType, kExpr.dataType) match {
+      case (StringType, org.apache.spark.sql.types.IntegerType)
+          if kExpr.foldable => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int literal), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
 
-  override def nullSafeEval(input: Any): Any = {
+  @transient private lazy val k: Int = kExpr.eval(null).asInstanceOf[Int]
+
+  override def nullSafeEval(input: Any, kIn: Any): Any = {
     val ws = TextHash.words(input.asInstanceOf[UTF8String])
-    if (ws.length < 3) return null
+    if (ws.length < k) return null
     val md = MessageDigest.getInstance("MD5")
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val space = UTF8String.fromString(" ")
     var i = 0
-    while (i + 2 < ws.length) {
+    while (i + k - 1 < ws.length) {
       seen.add(TextHash.h60raw(md,
-        UTF8String.concatWs(space, ws(i), ws(i + 1), ws(i + 2))))
+        UTF8String.concatWs(space, java.util.Arrays.copyOfRange(ws, i, i + k): _*)))
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -115,8 +130,9 @@ case class ShingleHashes(child: Expression) extends UnaryExpression with Codegen
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, kExpr = newRight)
 }
 
 /** trigram_hits(text, profile): number of character trigrams of

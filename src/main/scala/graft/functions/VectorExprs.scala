@@ -120,8 +120,9 @@ object VectorFunctions {
       "minhash_sig(text) - 16-wide MinHash signature over word 3-shingles"),
     ("trigram_hits", (e: Seq[Expression]) => TrigramHits(e(0), e(1)),
       "trigram_hits(text, profile) - count of lower(text) char trigrams in profile"),
-    ("shingle_hashes", (e: Seq[Expression]) => ShingleHashes(e(0)),
-      "shingle_hashes(text) - distinct 60-bit md5 hashes of word 3-shingles"))
+    ("shingle_hashes", (e: Seq[Expression]) =>
+      if (e.length >= 2) ShingleHashes(e(0), e(1)) else new ShingleHashes(e(0)),
+      "shingle_hashes(text[, k]) - distinct 60-bit md5 hashes of word k-shingles"))
 
   def descriptors: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
     fns.map { case (name, builder, usage) =>

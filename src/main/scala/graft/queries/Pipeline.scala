@@ -149,18 +149,14 @@ object Pipeline extends QueryModule {
     GraftQuery("q_decontaminate",
       (s, dir) => {
         import s.implicits._
-        // guard BEFORE shingling (Dedup.signatures pattern): a doc with
-        // < 5 words would make shinglesExpr's sequence() descend and
-        // slice() throw on the negative index
+        graft.functions.VectorFunctions.register(s)
+        // native k-shingle kernel (NULL for docs with < 5 words — same
+        // guard as the oracle's WHERE); the interpreted HOF form cost
+        // ~4s of the bench at sf0.1
         val sh = t(s, dir, "documents")
           .select($"doc_id",
-            expr(graft.operators.Dedup.wordsExpr("text")).as("words"))
-          .where(expr("size(words) >= 5"))
-          .select($"doc_id", expr(
-            s"""array_distinct(transform(
-               |  ${graft.operators.Dedup.shinglesExpr("words", 5)},
-               |  s -> ${graft.operators.Dedup.h60raw("s")}))""".stripMargin)
-            .as("sh"))
+            call_function("shingle_hashes", $"text", lit(5)).as("sh"))
+          .where($"sh".isNotNull)
         val ev = broadcast(sh.where($"doc_id" < 20)
           .select(explode($"sh").as("h")).distinct())
         sh.where($"doc_id" >= 20)
