@@ -93,6 +93,55 @@ object TrafficMonitor {
       }
   }
 
+  /** [[edgeTrigger]] with BOUNDED state under key churn: a NIF idle past
+    * `ttl` of EVENT TIME has its one-Boolean state evicted by the
+    * watermark (EventTimeTimeout — deterministic, unlike wall-clock
+    * timeouts), and its next observation emits like a first observation
+    * again. At 100 TB scale with ephemeral keys (flows, containers,
+    * session ids) an evict-never state store grows without bound; this is
+    * the standard TTL escape hatch, traded against one duplicate
+    * "first-observation" alert per key resurrection. Requires a
+    * watermark on the upstream aggregation (windowedTraffic provides
+    * it). */
+  def edgeTriggerTtl(perWindow: Dataset[Traffic], maxLimit: Long,
+      ttl: String = "30 minutes"): Dataset[Alert] = {
+    val spark = perWindow.sparkSession
+    import spark.implicits._
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
+
+    perWindow.groupByKey(_.nif)
+      .flatMapGroupsWithState[Option[Boolean], Alert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (nif: String, rows: Iterator[Traffic], state: GroupState[Option[Boolean]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle key: forget the flag, free the store
+            Iterator.empty
+          } else {
+            var last: Option[Boolean] = state.getOption.flatten
+            val batch = rows.toSeq.sortBy(_.windowStart.getTime)
+            val out = batch.flatMap { t =>
+              val isAlert = t.bytes > maxLimit
+              if (last.contains(isAlert)) None
+              else {
+                last = Some(isAlert)
+                val msg =
+                  if (isAlert) s"traffic on $nif exceeds limit: ${t.bytes} > $maxLimit"
+                  else s"traffic on $nif back under limit: ${t.bytes} <= $maxLimit"
+                Some(Alert(nif, t.windowStart, t.bytes, isAlert, msg))
+              }
+            }
+            state.update(last)
+            // evict when the WATERMARK passes the key's last activity + ttl
+            val lastSeen = batch.lastOption.map(_.windowStart.getTime)
+              .getOrElse(state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(lastSeen + ttlMillis)
+            out.iterator
+          }
+      }
+  }
+
   /** T6 (extension surface): sliding-window traffic — each packet counts
     * toward every overlapping window (e.g. 10-min windows advancing every
     * 5 min for smoothed alerting). */

@@ -18,6 +18,35 @@ class TrafficMonitorSpec extends SparkSpec {
   private def pkt(nif: String, min: Int, sec: Int, size: Int): Packet =
     Packet(nif, new Array[Byte](size), ts(min, sec))
 
+  test("edgeTriggerTtl evicts idle keys by watermark and re-emits on resurrection") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Traffic]
+    val traffic = in.toDF().withWatermark("windowStart", "0 seconds").as[Traffic]
+    val q = TrafficMonitor.edgeTriggerTtl(traffic, maxLimit = 100L, ttl = "10 minutes")
+      .writeStream.format("memory").queryName("ttl").outputMode("append").start()
+    try {
+      in.addData(Traffic("eth0", ts(0), 500L)) // over → first-obs emit
+      q.processAllAvailable()
+      in.addData(Traffic("eth9", ts(20), 5L))  // other key; wm → 20 min
+      q.processAllAvailable()
+      // this batch runs with watermark 20 min > eth0's (0 + 10 min)
+      // timeout → eth0's state evicts; eth9 stays under limit (no emit)
+      in.addData(Traffic("eth9", ts(25), 6L))
+      q.processAllAvailable()
+      // eth0 returns STILL OVER the limit: with surviving state this
+      // would be suppressed; after eviction it re-emits as a first obs
+      in.addData(Traffic("eth0", ts(30), 450L))
+      q.processAllAvailable()
+      val got = spark.table("ttl").as[Alert].collect()
+        .map(a => (a.nif, a.windowStart, a.alert)).toSet
+      assert(got === Set(
+        ("eth0", ts(0), true),
+        ("eth9", ts(20), false),
+        ("eth0", ts(30), true))) // the resurrection emit
+    } finally q.stop()
+  }
+
   test("windowedTraffic sums bytes per 5-min event-time window per nif") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
