@@ -30,11 +30,25 @@ object UpsertSink {
   def bucketOf(keyCol: String, numBuckets: Int) =
     pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int").as("bucket")
 
+
+  /** True when `path` holds at least one parquet file — a bare directory
+    * (e.g. from an all-empty first batch or a crash between mkdir and
+    * commit) must be treated as "no table yet" or the next read fails
+    * schema inference. */
+  private def hasData(path: String): Boolean = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Boolean =
+      if (f.isFile) f.getName.endsWith(".parquet")
+      else Option(f.listFiles()).exists(_.exists(walk))
+    root.exists() && walk(root)
+  }
+
   /** Apply one batch of upserts to the table at `path`. `versionCol`
     * breaks ties within and across batches (greater wins). */
   def upsertBatch(batch: DataFrame, path: String, keyCol: String,
       versionCol: String, numBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
+    if (batch.isEmpty) return
     // 1. one row per key: greatest version wins; version TIES break on the
     //    remaining columns (descending) so replays of a tied batch pick
     //    the same row every time — the convergence contract depends on a
@@ -48,7 +62,7 @@ object UpsertSink {
       .drop("__rn")
       .withColumn("bucket", bucketOf(keyCol, numBuckets))
 
-    val exists = new java.io.File(path).exists()
+    val exists = hasData(path)
     val merged0 = if (!exists) newRows else {
       val affected = newRows.select("bucket").distinct()
       val existing = spark.read.parquet(path)
@@ -89,6 +103,9 @@ object UpsertSink {
     val spark = batch.sparkSession
     val marker = new java.io.File(s"$path/_applied_batch_$batchId")
     if (marker.exists()) return
+    if (batch.isEmpty) { // nothing finalized this trigger — just fence it
+      marker.getParentFile.mkdirs(); marker.createNewFile(); return
+    }
 
     val newRows = batch
       .groupBy(col(keyCol))
@@ -96,7 +113,7 @@ object UpsertSink {
         sumCols.map(c => sum(col(c)).as(c)).tail: _*)
       .withColumn("bucket", bucketOf(keyCol, numBuckets))
 
-    val exists = new java.io.File(path).exists()
+    val exists = hasData(path)
     val merged0 = if (!exists) newRows else {
       val affected = newRows.select("bucket").distinct()
       val existing = spark.read.parquet(path)

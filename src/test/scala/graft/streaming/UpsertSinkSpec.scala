@@ -70,6 +70,40 @@ class UpsertSinkSpec extends SparkSpec {
     assert(got === Set((1L, 17.0, 3L), (2L, 7.0, 1L), (3L, 4.0, 1L)))
   }
 
+  test("streaming materialized view e2e: windowed traffic totals per nif") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val path = java.nio.file.Files.createTempDirectory("mv").toString + "/t"
+
+    val in = MemoryStream[Packet]
+    // append mode emits each 5-min window exactly once (after the
+    // watermark passes), so summing emitted windows into the matview
+    // counts every byte exactly once
+    val q = TrafficMonitor.windowedTraffic(in.toDF(), lateness = "0 seconds")
+      .toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        UpsertSink.mergeAggBatch(batch.select($"nif", $"bytes"),
+          path, "nif", Seq("bytes"), batchId = id, numBuckets = 4)
+      }.start()
+    try {
+      in.addData(Packet("eth0", new Array[Byte](100), ts(1)),
+        Packet("eth0", new Array[Byte](50), ts(2)),
+        Packet("eth1", new Array[Byte](10), ts(3)))
+      q.processAllAvailable()
+      in.addData(Packet("eth0", new Array[Byte](7), ts(6))) // wm → finalizes [0,5)
+      q.processAllAvailable()
+      in.addData(Packet("eth1", new Array[Byte](3), ts(12))) // finalizes [5,10)
+      q.processAllAvailable()
+      val got = UpsertSink.read(spark, path)
+        .as[(String, Long)].collect().toMap
+      // [0,5) eth0=150 eth1=10 and [5,10) eth0=7 are finalized;
+      // [10,15) eth1=3 is still open and must NOT be in the view
+      assert(got === Map("eth0" -> 157L, "eth1" -> 10L))
+    } finally q.stop()
+  }
+
   test("works as a foreachBatch streaming sink") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
