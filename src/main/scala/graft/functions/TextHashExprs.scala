@@ -103,7 +103,15 @@ case class ShingleHashes(child: Expression, kExpr: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, kExpr.dataType) match {
       case (StringType, org.apache.spark.sql.types.IntegerType)
-          if kExpr.foldable => TypeCheckResult.TypeCheckSuccess
+          if kExpr.foldable =>
+        // reject bad k at ANALYSIS time: a negative k would throw per-row
+        // inside the eval loop, and k = 0 silently hashes the empty
+        // shingle for every doc (poisoning a decontamination join)
+        kExpr.eval(null) match {
+          case kk: Int if kk >= 1 => TypeCheckResult.TypeCheckSuccess
+          case kk => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires k >= 1, got $kk")
+        }
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, int literal), got " +
           s"${l.simpleString}, ${r.simpleString}")

@@ -120,9 +120,12 @@ object VectorFunctions {
       "minhash_sig(text) - 16-wide MinHash signature over word 3-shingles"),
     ("trigram_hits", (e: Seq[Expression]) => TrigramHits(e(0), e(1)),
       "trigram_hits(text, profile) - count of lower(text) char trigrams in profile"),
-    ("shingle_hashes", (e: Seq[Expression]) =>
-      if (e.length >= 2) ShingleHashes(e(0), e(1)) else new ShingleHashes(e(0)),
-      "shingle_hashes(text[, k]) - distinct 60-bit md5 hashes of word k-shingles"))
+    ("shingle_hashes", (e: Seq[Expression]) => e match {
+      case Seq(t) => new ShingleHashes(t)
+      case Seq(t, k) => ShingleHashes(t, k)
+      case _ => throw new IllegalArgumentException(
+        s"shingle_hashes takes 1 or 2 arguments, got ${e.length}")
+    }, "shingle_hashes(text[, k]) - distinct 60-bit md5 hashes of word k-shingles"))
 
   def descriptors: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
     fns.map { case (name, builder, usage) =>

@@ -63,6 +63,27 @@ object TrafficMonitor {
       .as[Traffic]
   }
 
+  /** Shared transition detector: walk a key's windows in windowStart
+    * order, emit only flips (first observation always emits), return the
+    * emissions plus the final flag — the one implementation both
+    * [[edgeTrigger]] and [[edgeTriggerTtl]] run. */
+  private def transitions(nif: String, rows: Iterator[Traffic],
+      last0: Option[Boolean], maxLimit: Long): (Seq[Alert], Option[Boolean]) = {
+    var last = last0
+    val out = rows.toSeq.sortBy(_.windowStart.getTime).flatMap { t =>
+      val isAlert = t.bytes > maxLimit
+      if (last.contains(isAlert)) None
+      else {
+        last = Some(isAlert)
+        val msg =
+          if (isAlert) s"traffic on $nif exceeds limit: ${t.bytes} > $maxLimit"
+          else s"traffic on $nif back under limit: ${t.bytes} <= $maxLimit"
+        Some(Alert(nif, t.windowStart, t.bytes, isAlert, msg))
+      }
+    }
+    (out, last)
+  }
+
   /** T3: the edge-trigger. State = last known alert flag per NIF
     * (None on first observation → always emit, matching
     * KafkaProducer.java:36-37 where `curFlag == null` always sends).
@@ -76,40 +97,41 @@ object TrafficMonitor {
       .flatMapGroupsWithState[Option[Boolean], Alert](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (nif: String, rows: Iterator[Traffic], state: GroupState[Option[Boolean]]) =>
-          var last: Option[Boolean] = state.getOption.flatten
-          val out = rows.toSeq.sortBy(_.windowStart.getTime).flatMap { t =>
-            val isAlert = t.bytes > maxLimit
-            if (last.contains(isAlert)) None
-            else {
-              last = Some(isAlert)
-              val msg =
-                if (isAlert) s"traffic on $nif exceeds limit: ${t.bytes} > $maxLimit"
-                else s"traffic on $nif back under limit: ${t.bytes} <= $maxLimit"
-              Some(Alert(nif, t.windowStart, t.bytes, isAlert, msg))
-            }
-          }
+          val (out, last) = transitions(nif, rows, state.getOption.flatten, maxLimit)
           state.update(last)
           out.iterator
       }
   }
 
-  /** [[edgeTrigger]] with BOUNDED state under key churn: a NIF idle past
-    * `ttl` of EVENT TIME has its one-Boolean state evicted by the
-    * watermark (EventTimeTimeout — deterministic, unlike wall-clock
+  /** [[edgeTrigger]] with BOUNDED state under key churn: a NIF idle while
+    * the watermark advances `ttl` past its last batch has its one-Boolean
+    * state evicted (EventTimeTimeout — deterministic, unlike wall-clock
     * timeouts), and its next observation emits like a first observation
     * again. At 100 TB scale with ephemeral keys (flows, containers,
     * session ids) an evict-never state store grows without bound; this is
     * the standard TTL escape hatch, traded against one duplicate
-    * "first-observation" alert per key resurrection. Requires a
-    * watermark on the upstream aggregation (windowedTraffic provides
-    * it). */
+    * "first-observation" alert per key resurrection.
+    *
+    * The timeout anchors at CURRENT WATERMARK + ttl (never at the key's
+    * own event time): `setTimeoutTimestamp` rejects timestamps at or
+    * below the watermark, so an idle gap or restart catch-up where the
+    * watermark jumps more than ttl would otherwise crash the query.
+    * Caveat inherited from Spark's EventTimeTimeout path: input rows
+    * whose event time is below the operator's input watermark are
+    * dropped before the function runs — safe downstream of
+    * [[windowedTraffic]] (chained-watermark propagation delays the input
+    * watermark by the window length), but a custom upstream must keep
+    * emitted event times within watermark reach. */
   def edgeTriggerTtl(perWindow: Dataset[Traffic], maxLimit: Long,
       ttl: String = "30 minutes"): Dataset[Alert] = {
     val spark = perWindow.sparkSession
     import spark.implicits._
-    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
-    val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
+    require(iv.months == 0,
+      s"ttl '$ttl': calendar months have no fixed millisecond length")
+    val ttlMillis = iv.days * 86400000L + iv.microseconds / 1000L
+    require(ttlMillis > 0, s"ttl '$ttl' must be a positive duration")
 
     perWindow.groupByKey(_.nif)
       .flatMapGroupsWithState[Option[Boolean], Alert](
@@ -119,24 +141,18 @@ object TrafficMonitor {
             state.remove() // idle key: forget the flag, free the store
             Iterator.empty
           } else {
-            var last: Option[Boolean] = state.getOption.flatten
-            val batch = rows.toSeq.sortBy(_.windowStart.getTime)
-            val out = batch.flatMap { t =>
-              val isAlert = t.bytes > maxLimit
-              if (last.contains(isAlert)) None
-              else {
-                last = Some(isAlert)
-                val msg =
-                  if (isAlert) s"traffic on $nif exceeds limit: ${t.bytes} > $maxLimit"
-                  else s"traffic on $nif back under limit: ${t.bytes} <= $maxLimit"
-                Some(Alert(nif, t.windowStart, t.bytes, isAlert, msg))
-              }
-            }
+            val batch = rows.toSeq
+            val (out, last) = transitions(nif, batch.iterator,
+              state.getOption.flatten, maxLimit)
             state.update(last)
-            // evict when the WATERMARK passes the key's last activity + ttl
-            val lastSeen = batch.lastOption.map(_.windowStart.getTime)
-              .getOrElse(state.getCurrentWatermarkMs())
-            state.setTimeoutTimestamp(lastSeen + ttlMillis)
+            // anchor at the key's OWN latest activity, clamped up to the
+            // current watermark: the raw event-time anchor throws when the
+            // watermark has already passed it (idle gap / restart
+            // catch-up), and a bare wm+ttl anchor uses the PREVIOUS
+            // batch's lagging watermark and evicts still-active keys
+            val lastSeen = batch.map(_.windowStart.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastSeen, state.getCurrentWatermarkMs()) + ttlMillis)
             out.iterator
           }
       }

@@ -47,6 +47,32 @@ class TrafficMonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("edgeTriggerTtl survives a watermark jump far beyond the ttl") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Traffic]
+    val traffic = in.toDF().withWatermark("windowStart", "0 seconds").as[Traffic]
+    val q = TrafficMonitor.edgeTriggerTtl(traffic, maxLimit = 100L, ttl = "10 minutes")
+      .writeStream.format("memory").queryName("ttl_jump").outputMode("append").start()
+    try {
+      in.addData(Traffic("eth0", ts(0), 500L))
+      q.processAllAvailable()
+      // watermark leaps 50 min (> ttl) in one batch — anchoring the
+      // timeout at the key's own event time made setTimeoutTimestamp
+      // throw here and killed the query
+      in.addData(Traffic("eth9", ts(50), 500L))
+      q.processAllAvailable()
+      in.addData(Traffic("eth9", ts(55), 500L)) // eviction batch for eth0
+      q.processAllAvailable()
+      in.addData(Traffic("eth0", ts(58), 450L)) // resurrection
+      q.processAllAvailable()
+      val got = spark.table("ttl_jump").as[Alert].collect()
+        .map(a => (a.nif, a.windowStart, a.alert)).toSet
+      assert(got === Set(
+        ("eth0", ts(0), true), ("eth9", ts(50), true), ("eth0", ts(58), true)))
+    } finally q.stop()
+  }
+
   test("windowedTraffic sums bytes per 5-min event-time window per nif") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
