@@ -336,4 +336,73 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }
+
+  /** Default document-frequency cap for [[ngramJaccard]]'s inverted index.
+    * A shingle shared by more than this many documents is boilerplate (a
+    * stop-phrase): it carries almost no Jaccard signal but contributes df²/2
+    * rows to the self-join — the cap turns the engine's last potentially
+    * quadratic path into a bounded one. */
+  val DefaultMaxShingleDf = 1024
+
+  /** Per-doc distinct shingle hashes (60-bit longs via the native
+    * `shingle_hashes` kernel), null-filtered: docs with < k words emit no
+    * shingles and exactly-match nothing. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+        call_function("shingle_hashes", col(textCol)).as("sh"))
+      .where(col("sh").isNotNull)
+  }
+
+  /** EXACT n-gram (shingle) Jaccard near-dup via a shingle inverted index,
+    * with hot shingles dropped. Explode shingle hashes, self-join on hash
+    * equality (only docs sharing a shingle pair up — the n² pair space is
+    * never materialized), count = |A∩B|, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Scale design: shingles whose document frequency exceeds `maxDf` are
+    * removed BEFORE the self-join — from both the intersection counting and
+    * the set sizes, so the result is the exact Jaccard over the filtered
+    * (discriminative) shingle universe, a well-defined semantics an oracle
+    * can model. df is computed by a partial-aggregating groupBy (map-side
+    * combine absorbs the skew that motivates the cap), and the surviving
+    * hot list is tiny by construction, so it broadcast-anti-joins without
+    * re-shuffling the index. A boilerplate 3-gram shared by 10^6 docs now
+    * costs one combiner row instead of 10^12 join rows; the loss is
+    * observable through [[hotShingles]].
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    // sh feeds 4 subtrees (hot, join a, join b, sizes); persist so the
+    // corpus scan + shingle hashing runs once
+    val sh = shingleSets(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+    val e = e0.join(broadcast(hot.select(col("s"))), Seq("s"), "left_anti")
+    val counts = e.as("a")
+      .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("cnt"))
+    // sizes from the FILTERED index (shingle_hashes emits distinct hashes,
+    // so the row count per doc is the set size)
+    val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    counts
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("cnt") / (col("na") + col("nb") - col("cnt")).cast("double"), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Audit relation for [[ngramJaccard]]: one row per shingle hash dropped
+    * by the df cap, with its document frequency. Empty on honest corpora;
+    * non-empty quantifies how much boilerplate the cap removed. */
+  def hotShingles(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    shingleSets(docs, idCol, textCol)
+      .select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
 }

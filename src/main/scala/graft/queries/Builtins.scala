@@ -206,40 +206,13 @@ object Builtins extends QueryModule {
              |FROM nation GROUP BY n_regionkey""".stripMargin)),
 
     // ---- n-gram (shingle) Jaccard near-dup: EXACT Jaccard over the whole
-    //      corpus via a shingle inverted index — explode shingles, self-join
-    //      on shingle equality (only docs that actually share a shingle
-    //      pair up), count = |A∩B|, and |A∪B| = |A|+|B|-|A∩B| from the
-    //      per-doc sizes. Never materializes the n² pair space; a pair with
-    //      no shared shingle has J = 0 < threshold and correctly never
-    //      appears. Scale note: a stop-phrase shingle shared by k docs
-    //      contributes k² join rows — on a boilerplate-heavy corpus drop
-    //      top-df shingles first (they carry no discriminative signal) or
-    //      use the probabilistic path (q_dedup_minhash). ----
+    //      corpus via a shingle inverted index (Dedup.ngramJaccard). Hot
+    //      shingles (document frequency > 1024) are dropped before the
+    //      self-join — on both engines, so the cap is part of the checked
+    //      semantics — bounding the one formerly-quadratic path. ----
     GraftQuery("q_ngram_jaccard",
-      (s, dir) => {
-        import s.implicits._
-        graft.functions.VectorFunctions.register(s)
-        // sh is read 3× (explode side ×1, size side ×2); persist so the
-        // corpus scan + shingle hashing runs once. The native kernel emits
-        // distinct 60-bit shingle HASHES, so the self-join shuffles longs,
-        // never shingle strings.
-        val sh = t(s, dir, "documents")
-          .select($"doc_id", call_function("shingle_hashes", $"text").as("sh"))
-          .where($"sh".isNotNull)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val e = sh.select($"doc_id", explode($"sh").as("s"))
-        val counts = e.as("a")
-          .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("cnt"))
-        val sz = sh.select($"doc_id", size($"sh").cast("long").as("n"))
-        counts
-          .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-          .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-          .select($"doc_a", $"doc_b",
-            round($"cnt" / ($"na" + $"nb" - $"cnt").cast("double"), 4).as("jaccard"))
-          .where($"jaccard" >= 0.2)
-      },
+      (s, dir) => graft.operators.Dedup.ngramJaccard(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.2),
       Some("""WITH d AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
              |  FROM documents),
@@ -247,11 +220,13 @@ object Builtins extends QueryModule {
              |  SELECT doc_id, list_distinct(list_transform(range(len(words)-2),
              |    i -> ('0x' || substr(md5(words[i+1]||' '||words[i+2]||' '||words[i+3]), 1, 15))::BIGINT)) AS sh
              |  FROM d WHERE len(words) >= 3),
-             |e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+             |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+             |hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > 1024),
+             |e AS (SELECT * FROM e0 WHERE s NOT IN (SELECT s FROM hot)),
              |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
              |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
              |      GROUP BY 1, 2),
-             |sz AS (SELECT doc_id, len(sh) AS n FROM sh)
+             |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id)
              |SELECT doc_a, doc_b,
              |  round(cnt / CAST(sa.n + sb.n - cnt AS DOUBLE), 4) AS jaccard
              |FROM c JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
