@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,16 +32,55 @@ object UpsertSink {
     pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int").as("bucket")
 
 
+  /** FileSystem + fully-qualified Path for `path`, resolved through the
+    * session's Hadoop conf — so the sink works wherever a 100 TB table
+    * actually lives (hdfs://, s3a://, file://, bare local), not just on
+    * `java.io.File`'s local view. */
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
   /** True when `path` holds at least one parquet file — a bare directory
     * (e.g. from an all-empty first batch or a crash between mkdir and
     * commit) must be treated as "no table yet" or the next read fails
     * schema inference. */
-  private def hasData(path: String): Boolean = {
-    val root = new java.io.File(path)
-    def walk(f: java.io.File): Boolean =
-      if (f.isFile) f.getName.endsWith(".parquet")
-      else Option(f.listFiles()).exists(_.exists(walk))
-    root.exists() && walk(root)
+  private def hasData(spark: SparkSession, path: String): Boolean = {
+    val (fs, root) = fsFor(spark, path)
+    fs.exists(root) && {
+      val it = fs.listFiles(root, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        found = f.isFile && f.getPath.getName.endsWith(".parquet")
+      }
+      found
+    }
+  }
+
+  /** The replay-fence marker for a batch. Underscore-prefixed so parquet
+    * readers ignore it inside the table directory. */
+  private def markerPath(root: Path, batchId: Long): Path =
+    new Path(root, s"_applied_batch_$batchId")
+
+  /** Commit the replay-fence marker: create a temp file, then rename —
+    * rename is atomic on HDFS/local (and close-to on object stores), so a
+    * crash never leaves a half-visible marker. Fails LOUD if the marker
+    * cannot be committed: silently losing the fence would expose the
+    * table to double-counting on the next replay. */
+  private def writeMarker(fs: FileSystem, root: Path, batchId: Long): Unit = {
+    val dst = markerPath(root, batchId)
+    val tmp = new Path(root, s"._applied_batch_$batchId.tmp")
+    fs.create(tmp, true).close()
+    if (!fs.rename(tmp, dst)) {
+      val committed = fs.exists(dst) // concurrent replay won the rename — fine
+      fs.delete(tmp, false)
+      if (!committed)
+        throw new java.io.IOException(
+          s"failed to commit replay-fence marker $dst — table at $root " +
+            "is exposed to double-counting; fix storage before resuming")
+    }
   }
 
   /** Apply one batch of upserts to the table at `path`. `versionCol`
@@ -62,12 +102,16 @@ object UpsertSink {
       .drop("__rn")
       .withColumn("bucket", bucketOf(keyCol, numBuckets))
 
-    val exists = hasData(path)
+    val exists = hasData(spark, path)
     val merged0 = if (!exists) newRows else {
       val affected = newRows.select("bucket").distinct()
       val existing = spark.read.parquet(path)
         .join(broadcast(affected), Seq("bucket"), "left_semi")
-      val kept = existing.join(newRows.select(col(keyCol)), Seq(keyCol), "left_anti")
+      // null-SAFE anti join: a NULL key is a regular key (the window above
+      // already dedupes NULLs into one row; xxhash64(NULL) buckets it), so
+      // an existing NULL-key row must be replaced, not duplicated forever
+      val kept = existing.join(newRows.select(col(keyCol).as("__newKey")),
+        col(keyCol) <=> col("__newKey"), "left_anti")
       kept.select(newRows.columns.map(col).toSeq: _*).unionByName(newRows)
     }
     // materialize + truncate lineage: the write overwrites the same path
@@ -97,14 +141,17 @@ object UpsertSink {
     * marker is written after the data commit; the tiny crash window
     * between the two is the price of plain parquet (a transactional
     * format closes it with one atomic commit — same layout, same plan).
+    * The marker itself commits via temp-file + atomic rename and THROWS
+    * if it cannot — a silently missing fence would double-count the
+    * batch on every future replay.
     */
   def mergeAggBatch(batch: DataFrame, path: String, keyCol: String,
       sumCols: Seq[String], batchId: Long, numBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(s"$path/_applied_batch_$batchId")
-    if (marker.exists()) return
+    val (fs, root) = fsFor(spark, path)
+    if (fs.exists(markerPath(root, batchId))) return
     if (batch.isEmpty) { // nothing finalized this trigger — just fence it
-      marker.getParentFile.mkdirs(); marker.createNewFile(); return
+      writeMarker(fs, root, batchId); return
     }
 
     val newRows = batch
@@ -113,7 +160,7 @@ object UpsertSink {
         sumCols.map(c => sum(col(c)).as(c)).tail: _*)
       .withColumn("bucket", bucketOf(keyCol, numBuckets))
 
-    val exists = hasData(path)
+    val exists = hasData(spark, path)
     val merged0 = if (!exists) newRows else {
       val affected = newRows.select("bucket").distinct()
       val existing = spark.read.parquet(path)
@@ -134,7 +181,6 @@ object UpsertSink {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    marker.getParentFile.mkdirs()
-    marker.createNewFile()
+    writeMarker(fs, root, batchId)
   }
 }

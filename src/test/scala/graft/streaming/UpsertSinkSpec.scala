@@ -104,6 +104,45 @@ class UpsertSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scheme-qualified URI paths work (Hadoop FS plumbing, not java.io.File)") {
+    import spark.implicits._
+    // file:/// URI — java.io.File("file:///...") would see a non-existent
+    // relative path, so hasData/markers only work through the Hadoop FS API
+    val path = "file://" +
+      java.nio.file.Files.createTempDirectory("upserturi").toString + "/t"
+    val b1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "payload", "version")
+    UpsertSink.upsertBatch(b1, path, "id", "version", numBuckets = 4)
+    val b2 = Seq((1L, "a2", 2L)).toDF("id", "payload", "version")
+    UpsertSink.upsertBatch(b2, path, "id", "version", numBuckets = 4)
+    // second write must MERGE (hasData true through the URI), not clobber
+    val got = UpsertSink.read(spark, path).as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "a2", 2L), (2L, "b", 1L)))
+
+    // agg matview + replay fence through the same URI path
+    val aggPath = "file://" +
+      java.nio.file.Files.createTempDirectory("aggmuri").toString + "/t"
+    val a1 = Seq((1L, 10.0), (2L, 7.0)).toDF("k", "v")
+    UpsertSink.mergeAggBatch(a1, aggPath, "k", Seq("v"), batchId = 0L, numBuckets = 4)
+    UpsertSink.mergeAggBatch(a1, aggPath, "k", Seq("v"), batchId = 0L, numBuckets = 4)
+    val agg = UpsertSink.read(spark, aggPath).as[(Long, Double)].collect().toSet
+    assert(agg === Set((1L, 10.0), (2L, 7.0)),
+      "replayed batch must be fenced by the marker on a URI path")
+  }
+
+  test("a NULL key upserts in place instead of accumulating duplicates") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("upsertnull").toString + "/t"
+    val b1 = Seq((Some(1L), "a", 1L), (None, "n1", 1L))
+      .toDF("id", "payload", "version")
+    UpsertSink.upsertBatch(b1, path, "id", "version", numBuckets = 4)
+    val b2 = Seq((Option.empty[Long], "n2", 2L)).toDF("id", "payload", "version")
+    UpsertSink.upsertBatch(b2, path, "id", "version", numBuckets = 4)
+    val got = UpsertSink.read(spark, path)
+      .as[(Option[Long], String, Long)].collect().toSet
+    assert(got === Set((Some(1L), "a", 1L), (None, "n2", 2L)),
+      "the NULL-key row must be replaced (null-safe anti join), not duplicated")
+  }
+
   test("works as a foreachBatch streaming sink") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
