@@ -48,22 +48,28 @@ object Scratch {
     if (args.contains("cleanprof")) {
       import org.apache.spark.sql.functions._
       import graft.operators.{CorpusClean, Dedup, TextAnalysis}
+      // mirrors CorpusClean.clean stage for stage (same persist points)
+      graft.functions.VectorFunctions.register(spark)
       val docs = Tables.t(spark, dir, "documents")
-      val normed = docs.select(col("doc_id").cast("long").as("doc_id"),
-        expr(CorpusClean.normExpr("text")).as("norm_text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      time("norm")(normed.write.format("noop").mode("overwrite").save())
-      val filtered = TextAnalysis.qualityScore(
-          TextAnalysis.languageId(normed, "doc_id", "norm_text",
-            keep = Seq("norm_text")).where(col("pred_lang") === "en"),
-          "doc_id", "norm_text", keep = Seq("norm_text"))
-        .where(col("quality") >= 3000L).select("doc_id", "norm_text")
-      time("lang+quality")(filtered.write.format("noop").mode("overwrite").save())
+      val filtered = docs
+        .select(col("doc_id").cast("long").as("doc_id"),
+          call_function("norm_ws", col("text")).as("norm_text"))
+        .where(call_function("clean_gate",
+          col("norm_text"), lit("en"), lit(3000L)))
+      time("scan+norm+gate")(
+        filtered.write.format("noop").mode("overwrite").save())
       val exactKeep = Dedup.dropExactDuplicates(filtered, "doc_id", "norm_text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("exact")(exactKeep.write.format("noop").mode("overwrite").save())
+      val sigs = Dedup.signatures(exactKeep, "doc_id", "norm_text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("signatures")(sigs.write.format("noop").mode("overwrite").save())
       val pairs = Dedup.minhashPairs(exactKeep, "doc_id", "norm_text", 0.8)
-      time("minhash")(pairs.write.format("noop").mode("overwrite").save())
+      time("minhash(bands+verify)")(
+        pairs.write.format("noop").mode("overwrite").save())
+      val dropIds = pairs.select(col("doc_b").as("doc_id")).distinct()
+      val out = exactKeep.join(dropIds, Seq("doc_id"), "left_anti")
+      time("antijoin")(out.write.format("noop").mode("overwrite").save())
     }
     if (args.contains("ngramprof")) {
       import org.apache.spark.sql.functions._

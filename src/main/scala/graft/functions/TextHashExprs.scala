@@ -246,6 +246,199 @@ object SrpSig16 {
     graft.operators.Similarity.hyperplanes(16, 64)
 }
 
+/** norm_ws(text): whitespace-collapse + trim + lowercase in ONE byte pass —
+  * byte-identical to `lower(trim(regexp_replace(text, '\s+', ' ')))`
+  * ([[graft.operators.CorpusClean.normExpr]]): runs of Java-regex `\s`
+  * bytes (space, \t, \n, \x0B, \f, \r — all ASCII, so byte-level scanning
+  * is UTF-8-safe) collapse to one space, leading/trailing spaces drop
+  * (Spark `trim` strips 0x20 only, which is all that remains post-collapse),
+  * then UTF8String.toLowerCase (exactly what Catalyst `Lower` calls). The
+  * regex engine this replaces dominated the corpus-clean scan's norm stage. */
+case class NormWs(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "norm_ws"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  override def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[UTF8String].getBytes
+    val out = new Array[Byte](in.length)
+    var n = 0
+    var prevWs = false
+    var i = 0
+    while (i < in.length) {
+      if (isWs(in(i))) {
+        if (!prevWs) { out(n) = 0x20; n += 1 }
+        prevWs = true
+      } else {
+        out(n) = in(i); n += 1
+        prevWs = false
+      }
+      i += 1
+    }
+    var start = 0
+    while (start < n && out(start) == 0x20) start += 1
+    var end = n
+    while (end > start && out(end - 1) == 0x20) end -= 1
+    UTF8String.fromBytes(out, start, end - start).toLowerCase
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** clean_gate(text, lang, minQuality): the corpus-clean keep/drop decision
+  * as ONE boolean kernel — language-ID argmax + integer quality score in a
+  * single tokenization pass, replacing six interpreted filter/contains
+  * lambdas plus two regexes per row in the clean pipeline's scan. Exactly
+  * reproduces [[graft.operators.TextAnalysis.languageId]] (stopword counts
+  * with multiplicity, alphabetically-first argmax) and
+  * [[graft.operators.TextAnalysis.qualityScore]] (4-dp-rounded ratios →
+  * 3/3/4-weighted integer score; rounding via BigDecimal(toString)
+  * HALF_UP, the exact algebra of Catalyst `Round`), so the DuckDB
+  * corpus-clean oracle keeps matching bit-for-bit. False when the doc has
+  * no tokens (the pipeline's `size(words) >= 1` gate). */
+case class CleanGate(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with CodegenFallback {
+
+  override def prettyName: String = "clean_gate"
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, StringType, LongType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string literal, bigint literal), " +
+          s"got ${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  @transient private lazy val targetLang: String =
+    second.eval(null).asInstanceOf[UTF8String].toString
+  @transient private lazy val minQuality: Long =
+    third.eval(null).asInstanceOf[Long]
+  @transient private lazy val stopSets: Array[java.util.HashSet[UTF8String]] =
+    CleanGate.stopSets
+  @transient private lazy val langNames: Array[String] = CleanGate.langNames
+  @transient private lazy val enIdx: Int = langNames.indexOf("en")
+
+  /** Catalyst Round(double, s) for non-negative inputs: BigDecimal of the
+    * double's STRING form, HALF_UP. */
+  private def r(x: Double, scale: Int): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def nullSafeEval(textIn: Any, langIn: Any, minQIn: Any): Any = {
+    val text = textIn.asInstanceOf[UTF8String]
+    val ws = TextHash.words(text)
+    if (ws.length == 0) return false
+
+    val scores = new Array[Long](stopSets.length)
+    val distinct = new java.util.HashSet[UTF8String](ws.length * 2)
+    var i = 0
+    while (i < ws.length) {
+      val w = ws(i)
+      distinct.add(w)
+      var l = 0
+      while (l < stopSets.length) {
+        if (stopSets(l).contains(w)) scores(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    // alphabetically-first argmax (langNames is sorted; strict > keeps
+    // the earlier language on ties — same as the CASE chain)
+    var best = 0
+    var l = 1
+    while (l < scores.length) {
+      if (scores(l) > scores(best)) best = l
+      l += 1
+    }
+    if (langNames(best) != targetLang) return false
+
+    // alpha ratio over codepoints: [a-zA-Z] is ASCII, so count letter
+    // bytes vs numChars (multibyte codepoints contain no ASCII bytes)
+    val bytes = text.getBytes
+    var alpha = 0
+    i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) alpha += 1
+      i += 1
+    }
+    val n = ws.length.toDouble
+    val ttr4 = r(distinct.size / n, 4)
+    val stop4 = r(scores(enIdx) / n, 4)
+    val alpha4 = r(alpha.toDouble / text.numChars(), 4)
+    val q = r(ttr4 * 10000, 0).toLong * 3 + r(stop4 * 10000, 0).toLong * 3 +
+      r(alpha4 * 10000, 0).toLong * 4
+    q >= minQuality
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object CleanGate {
+  /** Shared with [[graft.operators.TextAnalysis.stopwords]] (already in
+    * alphabetical language order). */
+  lazy val langNames: Array[String] =
+    graft.operators.TextAnalysis.stopwords.map(_._1).toArray
+  lazy val stopSets: Array[java.util.HashSet[UTF8String]] =
+    graft.operators.TextAnalysis.stopwords.map { case (_, sw) =>
+      val s = new java.util.HashSet[UTF8String](sw.length * 2)
+      sw.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+}
+
+/** minhash_from_hashes(hv): 16-wide MinHash signature computed from an
+  * ALREADY-HASHED distinct shingle array (raw 60-bit values, e.g. from
+  * [[ShingleHashes]]) — the same mins as [[MinHashSig]] over the same text
+  * (each hash is folded mod P before the affine permutes; a 2^-60 shingle
+  * collision dedupes identically in both formulations). Pure arithmetic,
+  * no md5: lets one `shingle_hashes` pass feed BOTH the Jaccard-verify
+  * shingle sets and the signature, halving the per-document digest work
+  * in the MinHash dedup scan. NULL propagates (docs with < k tokens). */
+case class MinHashFromHashes(child: Expression) extends UnaryExpression
+  with CodegenFallback {
+  private val NumHashes = 16
+  override def prettyName: String = "minhash_from_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hv = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(NumHashes)(TextHash.P)
+    var i = 0
+    while (i < hv.numElements()) {
+      val h = hv.getLong(i) % TextHash.P
+      var j = 0
+      while (j < NumHashes) {
+        val v = ((2 * j + 1) * h + 12345L * j + 678L) % TextHash.P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** minhash_sig(text): 16-wide MinHash signature over distinct word
   * 3-shingles — mirrors [[graft.operators.Dedup.sigExpr]] over
   * [[graft.operators.Dedup.shinglesExpr]]. NULL when there are fewer than

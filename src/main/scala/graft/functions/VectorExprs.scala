@@ -118,6 +118,12 @@ object VectorFunctions {
       "srp_sig16(v) - 16-bit signed-random-projection LSH signature"),
     ("minhash_sig", (e: Seq[Expression]) => MinHashSig(e(0)),
       "minhash_sig(text) - 16-wide MinHash signature over word 3-shingles"),
+    ("minhash_from_hashes", (e: Seq[Expression]) => MinHashFromHashes(e(0)),
+      "minhash_from_hashes(hv) - 16-wide MinHash signature from hashed shingles"),
+    ("norm_ws", (e: Seq[Expression]) => NormWs(e(0)),
+      "norm_ws(text) - collapse whitespace, trim, lowercase (one pass)"),
+    ("clean_gate", (e: Seq[Expression]) => CleanGate(e(0), e(1), e(2)),
+      "clean_gate(text, lang, minq) - corpus-clean language+quality keep decision"),
     ("trigram_hits", (e: Seq[Expression]) => TrigramHits(e(0), e(1)),
       "trigram_hits(text, profile) - count of lower(text) char trigrams in profile"),
     ("shingle_hashes", (e: Seq[Expression]) => e match {

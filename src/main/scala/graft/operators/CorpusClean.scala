@@ -33,21 +33,22 @@ object CorpusClean {
   def clean(docs: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minQuality: Long = 3000L,
       jaccard: Double = 0.8): DataFrame = {
-    val normed = docs.select(col(idCol).cast("long").as("doc_id"),
-      expr(normExpr(textCol)).as("norm_text"))
-
-    // Both scorers CARRY norm_text through (keep = ...), so the language
-    // and quality gates are plain filters fused into the scan — zero
-    // joins, zero shuffles until dedup. (The previous formulation scored
-    // into two side relations and rejoined them on doc_id: two needless
-    // hash exchanges of the whole corpus.)
-    val filtered = TextAnalysis.qualityScore(
-        TextAnalysis.languageId(normed, "doc_id", "norm_text",
-          keep = Seq("norm_text"))
-          .where(col("pred_lang") === lang),
-        "doc_id", "norm_text", keep = Seq("norm_text"))
-      .where(col("quality") >= minQuality)
-      .select("doc_id", "norm_text")
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    // Native kernels for the scan's inner loop: `norm_ws` replaces the
+    // \s+ regex (byte-identical output), and `clean_gate` fuses
+    // language-ID + quality scoring into ONE boolean predicate per row.
+    // The predicate SHAPE matters as much as kernel speed: the generic
+    // languageId→filter→qualityScore→filter composition exposes score
+    // columns, and predicate pushdown inlines their whole
+    // tokenize-and-score expression trees into every consumer below
+    // (measured: 69 copies of the norm regex in that plan). A single
+    // boolean kernel evaluates once per row; the generic operators keep
+    // their own oracled queries (q_lang_id, q_quality).
+    val filtered = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        call_function("norm_ws", col(textCol)).as("norm_text"))
+      .where(call_function("clean_gate",
+        col("norm_text"), lit(lang), lit(minQuality)))
 
     // exact dedup: smallest doc_id per identical normalized text;
     // read again by the near-dup pass and the final anti-join

@@ -119,17 +119,23 @@ object Dedup {
   /** doc_id → (shingles, sig). Docs with < k words are dropped (no
     * shingles → no signature), mirrored in the oracle's WHERE.
     *
-    * The signature comes from the native [[graft.functions.MinHashSig]]
-    * kernel (one tight loop per doc; bit-identical to [[sigExpr]] over
-    * [[h60]]-hashed shingles); the shingle array is still materialized
-    * because the verify join computes true Jaccard from it. */
+    * ONE md5 pass per document: the native `shingle_hashes` kernel emits
+    * the distinct 60-bit hashed shingle set, and `minhash_from_hashes`
+    * derives the signature from it with pure arithmetic (bit-identical to
+    * [[sigExpr]] over [[h60]]-hashed shingles). The verify join computes
+    * true Jaccard on the HASHED sets — identical to string-shingle Jaccard
+    * up to a 2^-60 collision, and array_intersect on longs beats strings. */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
     docs
-      .select(col(idCol).as("doc_id"), expr(wordsExpr(textCol)).as("words"),
-        call_function("minhash_sig", col(textCol)).as("sig"))
-      .where(expr(s"size(words) >= $ShingleK"))
-      .select(col("doc_id"), expr(shinglesExpr("words")).as("shingles"), col("sig"))
+      // the ≥ k-words precondition is checked on a cheap split BEFORE the
+      // kernel runs: filtering on shingles.isNotNull instead gets pushed
+      // below the projection and re-evaluates the md5 kernel per row
+      .where(expr(s"size(${wordsExpr(textCol)}) >= $ShingleK"))
+      .select(col(idCol).as("doc_id"),
+        call_function("shingle_hashes", col(textCol)).as("shingles"))
+      .select(col("doc_id"), col("shingles"),
+        call_function("minhash_from_hashes", col("shingles")).as("sig"))
   }
 
   /** Per-doc signature digest — the oracle-facing "compute MinHash
@@ -163,8 +169,12 @@ object Dedup {
     val sigs = signatures(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Persisted: the self-join's two sides are separate subplans (the
+    // capBuckets window breaks exchange-reuse), so without this the
+    // explode + window runs twice. Rows are 3 longs.
     val bands = capBuckets(minhashBands(sigs), "doc_id",
       Seq("band", "bhash"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = bands.as("a")
       .join(bands.as("b"),
@@ -246,8 +256,11 @@ object Dedup {
     // Read by both self-join sides; persist so tokenization + md5 runs once.
     val fp = simhashes(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted for the same self-join double-computation reason as the
+    // MinHash bands (3 longs per row)
     val bands = capBuckets(simhashBands(fp), "doc_id",
       Seq("band", "bval"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
@@ -329,10 +342,14 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("text_h"), col("keep_id"), col("n_copies"))
 
-  /** Dedup as a filter: rows that survive (first occurrence wins). */
+  /** Dedup as a filter: rows that survive (first occurrence wins).
+    * The window partitions by (xxhash64(text), text) — semantically
+    * identical to partitioning by text alone, but the in-partition sort
+    * compares the hash long first and touches the string only on true
+    * duplicates, instead of string-comparing every neighboring pair. */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(textCol)).orderBy(col(idCol))
+      .partitionBy(xxhash64(col(textCol)), col(textCol)).orderBy(col(idCol))
     docs.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }

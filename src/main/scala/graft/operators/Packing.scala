@@ -39,10 +39,17 @@ object Packing {
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
 
+    // Two longs per row, persisted BEFORE the range exchange: the range
+    // partitioner's sampling job evaluates its whole child once, so an
+    // expensive upstream lineage (e.g. the full corpus-clean pipeline in
+    // q_clean_pack) would otherwise run twice — once to pick boundaries,
+    // once to shuffle. Cutting the lineage at this narrow relation makes
+    // the sample + exchange read cached (doc_id, n_tokens) pairs instead.
     val toks = docs.select(
       col(idCol).cast("long").as("doc_id"),
       size(expr(Dedup.wordsExpr(textCol))).cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Phase 1: per-partition ordered cumsum. The window partitions by the
     // PHYSICAL partition id, so no task ever sees more than one

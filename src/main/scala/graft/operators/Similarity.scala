@@ -90,6 +90,8 @@ object Similarity {
 
     // Band-explode ids only — the shuffle carries (band, bval, id) longs,
     // never the vectors. Embeddings rejoin per candidate pair for verify.
+    // persisted: the self-join's sides are separate subplans (the
+    // capBuckets window breaks exchange-reuse) — 3 longs per row
     val banded = graft.operators.Dedup.capBuckets(
       sigs.select(
         col("vec_id"),
@@ -97,6 +99,7 @@ object Similarity {
           s"transform(sequence(0, ${bands - 1}), j -> shiftright(sig, $bits * j) % ${1 << bits})")))
         .toDF("vec_id", "band", "bval"),
       "vec_id", Seq("band", "bval"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
