@@ -46,11 +46,23 @@ object Dedup {
     * `idCol` win). The row_number window partitions by the bucket key —
     * exactly the partitioning the downstream self-join uses, so Catalyst
     * reuses the exchange; a hot bucket costs one task sorting its member
-    * ids (longs), not members² join rows. */
+    * ids (longs), not members² join rows.
+    *
+    * The cap silently changes recall when it engages, so every capped
+    * banding OBSERVES its overflow: an `observe` node between the window
+    * and the filter counts dropped memberships during whatever action the
+    * caller runs (zero extra jobs — this is the same mechanism as the S5
+    * metrics side-output), and [[OverflowWarner]] logs a warning whenever
+    * the metric is non-zero. Callers wanting the per-bucket detail run
+    * [[bucketOverflow]]. */
   def capBuckets(banded: DataFrame, idCol: String, bucketCols: Seq[String],
       cap: Int): DataFrame = {
+    OverflowWarner.ensure(banded.sparkSession)
     val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
     banded.withColumn("__rn", row_number().over(w))
+      .observe(s"graft_bucket_overflow_${OverflowWarner.nextId()}",
+        sum(when(col("__rn") > cap, 1L).otherwise(0L)).as("dropped_members"),
+        max(col("__rn")).cast("long").as("max_bucket_members"))
       .where(col("__rn") <= cap).drop("__rn")
   }
 
@@ -290,6 +302,8 @@ object Dedup {
     * ≥ 1 pair are emitted (singletons are trivially their own cluster).
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -303,10 +317,25 @@ object Dedup {
     while (changed > 0 && iters < maxIters) {
       val nbr = e.join(labels, e("dst") === labels("id"))
         .select(e("src").as("id"), col("label"))
-      val next = labels.union(nbr)
-        .groupBy("id").agg(min("label").as("label")).persist(lvl)
-      changed = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.label") =!= col("o.label")).count()
+      // Convergence detection rides INSIDE the propagation pass: the old
+      // label travels through the union as a side column (every id has
+      // exactly one labels-row, so max(own) recovers it — no join against
+      // the previous round), and a LongAccumulator counts ids whose min
+      // dropped. One aggregation, one action per round; a task retry can
+      // only overcount, which at worst runs one extra (no-op) round.
+      val acc = spark.sparkContext.longAccumulator("labelsChanged")
+      val next = labels.select(col("id"), col("label"), col("label").as("own"))
+        .union(nbr.select(col("id"), col("label"),
+          lit(null).cast("long").as("own")))
+        .groupBy("id").agg(min("label").as("label"), max("own").as("own"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, l, own) =>
+          if (l < own) acc.add(1)
+          (id, l)
+        })
+        .toDF("id", "label").persist(lvl)
+      next.count() // materialize + fill the accumulator
+      changed = acc.value
       labels.unpersist()
       labels = next
       iters += 1

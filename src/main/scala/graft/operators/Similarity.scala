@@ -74,7 +74,16 @@ object Similarity {
   def lshPairs(vectors: DataFrame, idCol: String, embCol: String,
       threshold: Double, nPlanes: Int = 16, bands: Int = 4,
       maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket): DataFrame = {
-    val dim = 64
+    // Hyperplane width comes from the DATA (one 1-row action at plan
+    // time): a hardcoded 64 would silently build signatures from the
+    // first 64 dims of a wider corpus — degraded recall with no error.
+    val firstVec = vectors.select(col(embCol))
+      .where(col(embCol).isNotNull).take(1)
+    if (firstVec.isEmpty) // no vectors → no pairs, with the right schema
+      return vectors.sparkSession.emptyDataFrame.select(
+        lit(0L).as("vec_a"), lit(0L).as("vec_b"), lit(0.0).as("cosine"))
+        .limit(0)
+    val dim = firstVec.head.getSeq[Float](0).length
     val bits = nPlanes / bands
     // Read by both self-join sides and the verify rejoin; persist so the
     // corpus scan + signature fold runs once. The default 16×64 geometry
@@ -130,7 +139,10 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     // null embeddings can't score (cosine would be NULL and the typed
-    // phase-1 decode non-nullable); they are excluded on both sides
+    // phase-1 decode non-nullable); they are excluded on both sides.
+    // Zero-NORM embeddings score NaN against everything and are skipped
+    // row-by-row in phase 1 (see below) — a zero-norm corpus vector never
+    // ranks, a zero-norm query returns no rows.
     val q = broadcast(queries.select(
       col(idCol).cast("long").as("query_id"), col(embCol).as("q_emb"))
       .where(col("q_emb").isNotNull))
@@ -148,12 +160,20 @@ object Similarity {
         Ordering.by { case (s, id) => (-s, id) }
       val heaps = mutable.LongMap.empty[mutable.PriorityQueue[(Double, Long)]]
       it.foreach { case (qid, vid, s) =>
-        val pq = heaps.getOrElseUpdate(qid,
-          mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
-        if (pq.size < k) pq.enqueue((s, vid))
-        else {
-          val (ws, wid) = pq.head
-          if (s > ws || (s == ws && vid < wid)) { pq.dequeue(); pq.enqueue((s, vid)) }
+        // NaN cosines (zero-norm vectors, 0/0) must never enter the heap:
+        // Double ordering ranks NaN greatest, so a NaN at the worst-on-top
+        // head makes the replace test `s > ws` false forever and silently
+        // rejects every later row in the partition. Skipping here costs
+        // nothing; a `.where(!isnan(c))` would re-evaluate the cosine
+        // under predicate pushdown.
+        if (!java.lang.Double.isNaN(s)) {
+          val pq = heaps.getOrElseUpdate(qid,
+            mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+          if (pq.size < k) pq.enqueue((s, vid))
+          else {
+            val (ws, wid) = pq.head
+            if (s > ws || (s == ws && vid < wid)) { pq.dequeue(); pq.enqueue((s, vid)) }
+          }
         }
       }
       heaps.iterator.flatMap { case (qid, pq) =>
@@ -394,8 +414,11 @@ object Similarity {
       val qe = unit(qe0)
       qid -> Array.tabulate(m, kEff)((j, c) => d2(sub(qe, j), bks(j)(c)))
     }
+    // broadcast, not closure capture: the tables are m×kSub×|Q| doubles
+    // and a captured array re-serializes with EVERY task
+    val qTabsB = spark.sparkContext.broadcast(qTabs)
     val scored = codes.flatMap { case (vid, cs) =>
-      qTabs.iterator.filter(_._1 != vid).map { case (qid, tab) =>
+      qTabsB.value.iterator.filter(_._1 != vid).map { case (qid, tab) =>
         var s = 0.0; var j = 0
         while (j < m) { s += tab(j)(cs(j) & 0xff); j += 1 }
         (qid, vid, s)

@@ -54,6 +54,22 @@ class HotBucketSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a <= Cap && b <= Cap })
   }
 
+  test("bucket overflow is observed as a query metric during the normal action") {
+    import spark.implicits._
+    val text = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = (1 to N).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.9, maxBucket = Cap)
+    pairs.collect()
+    val overflow = pairs.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith("graft_bucket_overflow_") =>
+        (row.getAs[Long]("dropped_members"), row.getAs[Long]("max_bucket_members"))
+    }
+    // every one of the 4 bands drops N - Cap members from the one hot bucket
+    assert(overflow.map(_._1).toSeq === Seq(4L * (N - Cap)),
+      s"expected one overflow metric with ${4 * (N - Cap)} drops, got $overflow")
+    assert(overflow.head._2 === N.toLong)
+  }
+
   test("capping is inert below the cap: distinct docs keep exact banding results") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")

@@ -143,6 +143,49 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
   }
 
+  test("bruteTopK ignores zero-norm (NaN-cosine) vectors instead of poisoning the heap") {
+    import spark.implicits._
+    Similarity.ensureRegistered(spark)
+    // one partition, zero-norm vector FIRST: its NaN cosine used to sit at
+    // the worst-on-top heap head, making the replace test false for every
+    // later (better) row — the true top-k was silently rejected
+    val base = Array(1.0f, 0.0f)
+    val corpus = (Seq((999L, Array(0.0f, 0.0f))) ++
+      (1L to 50L).map(i => i -> Array(1.0f, i.toFloat / 100)))
+      .toDF("vec_id", "embedding").coalesce(1)
+    val q = Seq((0L, base)).toDF("vec_id", "embedding")
+    val got = Similarity.bruteTopK(corpus, q, "vec_id", "embedding", 3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    // nearest to (1,0) are the smallest-slope vectors 1, 2, 3
+    assert(got.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("lshPairs derives the hyperplane width from the data (32-dim corpus)") {
+    import spark.implicits._
+    Similarity.ensureRegistered(spark)
+    // 32-dim vectors: the old hardcoded dim=64 built 64-wide planes whose
+    // tail the fold never saw consistently; signatures must now come from
+    // 32-wide planes and find the planted near-identical pair
+    def vec(seed: Int) = {
+      val rr = new scala.util.Random(seed)
+      Array.fill(32)(rr.nextFloat() * 2 - 1)
+    }
+    val a = vec(1)
+    val b = a.clone(); b(0) = a(0) + 0.01f // near-identical to a
+    val noise = (10L to 29L).map(i => i -> vec(i.toInt + 100))
+    val vecs = (Seq(1L -> a, 2L -> b) ++ noise).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshPairs(vecs, "vec_id", "embedding", threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      s"planted 32-dim near-dup pair not found; got $pairs")
+  }
+
+  test("lshPairs on an empty corpus returns an empty pair relation") {
+    import spark.implicits._
+    val vecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.lshPairs(vecs, "vec_id", "embedding", 0.9).count() === 0L)
+  }
+
   test("ivfKMeansTopK learns cells that give reasonable recall vs brute force") {
     Similarity.ensureRegistered(spark)
     val emb = Tables.t(spark, sfDir, "embeddings")
