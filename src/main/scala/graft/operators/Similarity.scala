@@ -432,6 +432,171 @@ object Similarity {
         col("vec_id"), round(col("pq_dist"), 6).as("pq_dist"))
   }
 
+  // shared deterministic-ANN arithmetic (unit-normalize → L2 ranks like
+  // cosine: d² = 2 − 2cos on unit vectors)
+  private def unitVec(e: Array[Float]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < e.length) { n += e(i).toDouble * e(i); i += 1 }
+    val inv = if (n > 0) 1.0 / math.sqrt(n) else 0.0
+    Array.tabulate(e.length)(d => e(d) * inv)
+  }
+  private def subVec(e: Array[Double], j: Int, m: Int): Array[Double] = {
+    val w = e.length / m
+    java.util.Arrays.copyOfRange(e, j * w, (j + 1) * w)
+  }
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val x = a(i) - b(i); s += x * x; i += 1 }
+    s
+  }
+  private def argminCell(e: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = dist2(e, cs(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF×PQ (IVFADC — the standard billion-vector recipe): a learned
+    * coarse quantizer routes each vector to one of `nCells` cells, and the
+    * RESIDUAL (unit vector − cell centroid) is product-quantized to `m`
+    * one-byte codes. Search probes each query's `nProbe` nearest cells and
+    * scans only their codes with a per-(query, cell) asymmetric distance
+    * table — because query and candidate residuals subtract the SAME
+    * centroid inside a cell, the table lookups approximate the true
+    * ‖u_q − u_x‖² directly.
+    *
+    * 100 TB shape: the corpus-sized artifacts are (cell, id, m bytes) —
+    * with the default geometry 16 B of codes per vector, partitionable by
+    * cell so a probe touches nProbe/nCells of the data; centroids
+    * (C × dim) and codebooks (m × kSub × dim/m) are driver-held and
+    * broadcast, like the IVF and PQ halves they compose. Residual
+    * quantization beats plain PQ at equal code budget because each cell's
+    * residual cloud is tighter than the global vector cloud — asserted as
+    * a recall-vs-brute spec.
+    *
+    * Deterministic end to end (hash-picked seeds, fixed Lloyd iteration
+    * counts, id tiebreaks); approximate by construction → rows-only
+    * registry entry + recall spec, like the IVF/PQ family. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
+      m: Int = 16, kSub: Int = 64, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // read by the seed sorts, every Lloyd pass and the encode pass
+    val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(embCol).as("emb")).where(col("emb").isNotNull)
+      .as[(Long, Array[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- coarse quantizer: deterministic k-means on unit vectors ----
+    var centroids: Array[Array[Double]] = vecs
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(nCells).select("emb").as[Array[Float]]
+      .collect().map(unitVec)
+    require(centroids.nonEmpty, "ivfPqTopK needs a non-empty corpus")
+    val dim = centroids.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
+
+    for (_ <- 1 to iters) {
+      val cs = centroids
+      val means = vecs.mapPartitions(_.map { case (_, e) =>
+          val u = unitVec(e); (argminCell(u, cs), u)
+        }).toDF("cell", "u")
+        .select(col("cell"), posexplode(col("u")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim").agg(avg("v").as("mv"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1).view
+        .mapValues(ts => ts.sortBy(_._2).map(_._3).toArray).toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        means.getOrElse(c, old)
+      }
+    }
+    val cs = centroids
+
+    // ---- PQ codebooks learned on RESIDUALS ----
+    val resSeeds = vecs.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(kSub).select("emb").as[Array[Float]].collect()
+      .map { e =>
+        val u = unitVec(e)
+        val ctr = cs(argminCell(u, cs))
+        Array.tabulate(dim)(d => u(d) - ctr(d))
+      }
+    val kEff = math.min(kSub, resSeeds.length)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => resSeeds.map(subVec(_, j, m)))
+
+    for (_ <- 1 to iters) {
+      val bks = books
+      val means = vecs.flatMap { case (_, e) =>
+          val u = unitVec(e)
+          val ctr = cs(argminCell(u, cs))
+          val r = Array.tabulate(dim)(d => u(d) - ctr(d))
+          (0 until m).map { j =>
+            val s = subVec(r, j, m)
+            val code = bks(j).indices.minBy(c => dist2(s, bks(j)(c)))
+            (j, code, s)
+          }
+        }.toDF("j", "code", "s")
+        .select(col("j"), col("code"), posexplode(col("s")).as(Seq("d", "v")))
+        .groupBy("j", "code", "d").agg(avg("v").as("mv"))
+        .as[(Int, Int, Int, Double)].collect()
+        .groupBy(t => (t._1, t._2)).view
+        .mapValues(ts => ts.sortBy(_._3).map(_._4).toArray).toMap
+      books = Array.tabulate(m)(j => Array.tabulate(kEff)(c =>
+        means.getOrElse((j, c), books(j)(c))))
+    }
+    val bks = books
+
+    // ---- encode: (cell, id, m bytes) — the only corpus-sized artifact ----
+    val codes = vecs.map { case (id, e) =>
+      val u = unitVec(e)
+      val cell = argminCell(u, cs)
+      val ctr = cs(cell)
+      val r = Array.tabulate(dim)(d => u(d) - ctr(d))
+      (cell, id, Array.tabulate(m) { j =>
+        val s = subVec(r, j, m)
+        bks(j).indices.minBy(c => dist2(s, bks(j)(c))).toByte
+      })
+    }.toDF("cell", "vec_id", "codes").as[(Int, Long, Array[Byte])]
+
+    // ---- probe: per-(query, probed cell) asymmetric tables, broadcast ----
+    val qs = queries.select(col(idCol).cast("long").as("query_id"),
+        col(embCol).as("q_emb")).where(col("q_emb").isNotNull)
+      .as[(Long, Array[Float])].collect()
+    val byCell: Map[Int, Array[(Long, Array[Array[Double]])]] = qs.flatMap {
+      case (qid, qe) =>
+        val uq = unitVec(qe)
+        cs.indices.sortBy(c => dist2(uq, cs(c))).take(nProbe).map { cell =>
+          val ctr = cs(cell)
+          val qr = Array.tabulate(dim)(d => uq(d) - ctr(d))
+          cell -> (qid, Array.tabulate(m, kEff)((j, c) =>
+            dist2(subVec(qr, j, m), bks(j)(c))))
+        }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val byCellB = spark.sparkContext.broadcast(byCell)
+
+    val scored = codes.flatMap { case (cell, vid, cds) =>
+      byCellB.value.getOrElse(cell, Array.empty[(Long, Array[Array[Double]])])
+        .iterator.filter(_._1 != vid).map { case (qid, tab) =>
+          var s = 0.0; var j = 0
+          while (j < m) { s += tab(j)(cds(j) & 0xff); j += 1 }
+          (qid, vid, s)
+        }
+    }.toDF("query_id", "vec_id", "pq_dist")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("pq_dist"), 6).as("pq_dist"))
+  }
+
   /** Ensure native vector functions exist in this session. */
   def ensureRegistered(spark: SparkSession): Unit =
     graft.functions.VectorFunctions.register(spark)

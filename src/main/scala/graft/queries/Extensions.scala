@@ -311,6 +311,18 @@ object Extensions extends QueryModule {
       },
       None),
 
+    // IVF×PQ composition (IVFADC): k-means cells + residual PQ codes,
+    // probed-cell asymmetric scan — rows-only; the recall-vs-plain-PQ
+    // contract is asserted in SimilaritySpec.
+    GraftQuery("q_sim_ivfpq",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", 5, nCells = 8, nProbe = 3)
+      },
+      None),
+
     // ======================= text analysis =======================
 
     GraftQuery("q_text_langid",

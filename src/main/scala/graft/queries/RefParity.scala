@@ -505,6 +505,27 @@ object RefParity extends QueryModule {
           sum($"exact_flag").as("sum_flag_exact"),
           count(lit(1)).as("n_groups"))
       },
+      None),
+
+    // ---- windowed sketch maintenance: per-(hour, event_type) distinct
+    //      users via HLL sketches built from DISJOINT halves and merged by
+    //      sketch union — the exact final-merge shape the streaming sketch
+    //      matview (UpsertSink.mergeSketchBatch) runs per micro-batch.
+    //      Estimates are engine-specific → rows-only; the 5%-accuracy and
+    //      streaming-incremental contracts live in SketchSpec and
+    //      UpsertSinkSpec. ----
+    GraftQuery("q_windowed_hll",
+      (s, dir) => {
+        import s.implicits._
+        val halves = t(s, dir, "events")
+          .select(window($"ts", "1 hour").getField("start").as("ws"),
+            $"event_type", $"user_id", pmod($"event_id", lit(2)).as("half"))
+          .groupBy($"ws", $"event_type", $"half")
+          .agg(hll_sketch_agg($"user_id").as("sk"))
+        halves.groupBy($"ws", $"event_type")
+          .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"),
+            count(lit(1)).as("n_parts"))
+      },
       None)
   )
 }

@@ -146,7 +146,31 @@ object UpsertSink {
     * batch on every future replay.
     */
   def mergeAggBatch(batch: DataFrame, path: String, keyCol: String,
-      sumCols: Seq[String], batchId: Long, numBuckets: Int = 64): Unit = {
+      sumCols: Seq[String], batchId: Long, numBuckets: Int = 64): Unit =
+    mergeBatchWith(batch, path, Seq(keyCol), sumCols,
+      c => sum(col(c)).as(c), batchId, numBuckets)
+
+  /** Incremental SKETCH maintenance — the distinct-counting materialized
+    * view ("distinct users per hour, incrementally"): each batch carries
+    * per-key Datasketches HLL sketches (binary, from `hll_sketch_agg`),
+    * and matching keys merge by SKETCH UNION instead of addition. Union
+    * is register-max — idempotent and order-independent — but the merge
+    * job itself rewrites buckets, so replays are fenced exactly like
+    * [[mergeAggBatch]]. Read back with `hll_sketch_estimate(sketchCol)`.
+    * Keys may be several columns (e.g. window_start + key). */
+  def mergeSketchBatch(batch: DataFrame, path: String, keyCols: Seq[String],
+      sketchCols: Seq[String], batchId: Long, numBuckets: Int = 64): Unit =
+    mergeBatchWith(batch, path, keyCols, sketchCols,
+      c => hll_union_agg(col(c)).as(c), batchId, numBuckets)
+
+  /** Shared bucket-bounded merge kernel for the aggregate matviews:
+    * group the batch to one row per key, read ONLY the affected buckets,
+    * re-aggregate existing+new per key with `aggFor`, dynamic-overwrite
+    * those buckets, then fence the batchId. */
+  private def mergeBatchWith(batch: DataFrame, path: String,
+      keyCols: Seq[String], valCols: Seq[String],
+      aggFor: String => org.apache.spark.sql.Column,
+      batchId: Long, numBuckets: Int): Unit = {
     val spark = batch.sparkSession
     val (fs, root) = fsFor(spark, path)
     if (fs.exists(markerPath(root, batchId))) return
@@ -154,11 +178,13 @@ object UpsertSink {
       writeMarker(fs, root, batchId); return
     }
 
+    val aggs = valCols.map(aggFor)
     val newRows = batch
-      .groupBy(col(keyCol))
-      .agg(sumCols.map(c => sum(col(c)).as(c)).head,
-        sumCols.map(c => sum(col(c)).as(c)).tail: _*)
-      .withColumn("bucket", bucketOf(keyCol, numBuckets))
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket",
+        pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong))
+          .cast("int"))
 
     val exists = hasData(spark, path)
     val merged0 = if (!exists) newRows else {
@@ -167,9 +193,8 @@ object UpsertSink {
         .join(broadcast(affected), Seq("bucket"), "left_semi")
       existing.select(newRows.columns.map(col).toSeq: _*)
         .unionByName(newRows)
-        .groupBy(col("bucket"), col(keyCol))
-        .agg(sumCols.map(c => sum(col(c)).as(c)).head,
-          sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+        .groupBy((col("bucket") +: keyCols.map(col)): _*)
+        .agg(aggs.head, aggs.tail: _*)
         .select(newRows.columns.map(col).toSeq: _*)
     }
     val merged = merged0.localCheckpoint(true)

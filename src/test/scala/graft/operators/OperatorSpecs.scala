@@ -220,6 +220,33 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.size === brute.size)
   }
 
+  test("ivfPqTopK recall matches plain PQ at the same code budget while scanning fewer vectors") {
+    Similarity.ensureRegistered(spark)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val k = 5
+    def recallOf(df: org.apache.spark.sql.DataFrame, brute: Set[(Long, Long)]) = {
+      val got = df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = recallOf(
+      Similarity.pqTopK(emb, queries, "vec_id", "embedding", k,
+        m = 16, kSub = 64, iters = 2), brute)
+    val ivfpqRecall = recallOf(
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k,
+        nCells = 8, nProbe = 4, m = 16, kSub = 64, iters = 2), brute)
+    // residual clouds are tighter than the global cloud, so IVF×PQ should
+    // hold plain PQ's recall (small slack for cell-routing misses) while
+    // scanning only nProbe/nCells of the codes
+    assert(ivfpqRecall >= pqRecall - 0.1,
+      s"IVF-PQ recall $ivfpqRecall fell below plain PQ $pqRecall")
+    assert(ivfpqRecall >= 0.4, s"IVF-PQ recall $ivfpqRecall below floor")
+  }
+
   test("pqTopK handles a corpus smaller than kSub (codes clamp to corpus size)") {
     import spark.implicits._
     Similarity.ensureRegistered(spark)

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, hll_sketch_agg, hll_sketch_estimate, window}
 
 /** Keyed upsert sink: last-write-wins merge with bounded bucket rewrites. */
 class UpsertSinkSpec extends SparkSpec {
@@ -141,6 +142,53 @@ class UpsertSinkSpec extends SparkSpec {
       .as[(Option[Long], String, Long)].collect().toSet
     assert(got === Set((Some(1L), "a", 1L), (None, "n2", 2L)),
       "the NULL-key row must be replaced (null-safe anti join), not duplicated")
+  }
+
+  test("windowed HLL sketch matview: incremental distinct counts within 5%") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val path = java.nio.file.Files.createTempDirectory("hllmv").toString + "/t"
+
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = in.toDF().toDF("user_id", "ts")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val sk = batch
+            .groupBy(window(col("ts"), "5 minutes").getField("start").as("ws"))
+            .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          UpsertSink.mergeSketchBatch(sk, path, Seq("ws"), Seq("sk"),
+            batchId = id, numBuckets = 4)
+      }.start()
+    try {
+      val seen = scala.collection.mutable.Map
+        .empty[Timestamp, scala.collection.mutable.Set[Long]]
+      def add(rows: (Long, Int)*): Unit = {
+        val data = rows.map { case (u, m) => (u, ts(m)) }
+        data.foreach { case (u, t) =>
+          val w = ts((t.toLocalDateTime.getMinute / 5) * 5)
+          seen.getOrElseUpdate(w, scala.collection.mutable.Set.empty) += u
+        }
+        in.addData(data: _*)
+        q.processAllAvailable()
+        val got = UpsertSink.read(spark, path)
+          .select(col("ws").cast("timestamp"),
+            hll_sketch_estimate(col("sk")).as("est"))
+          .as[(Timestamp, Long)].collect().toMap
+        assert(got.keySet === seen.keySet.toSet)
+        for ((w, users) <- seen) {
+          val est = got(w).toDouble
+          assert(math.abs(est - users.size) <= math.max(1.0, 0.05 * users.size),
+            s"window $w: estimate $est vs exact ${users.size}")
+        }
+      }
+      // 3 micro-batches: same window grows across batches (users overlap —
+      // union must not double-count), and new windows appear
+      add(1L -> 1, 2L -> 2, 3L -> 3)
+      add(2L -> 4, 4L -> 4, 10L -> 6, 11L -> 7)
+      add(1L -> 4, 5L -> 3, 12L -> 8, 20L -> 12)
+    } finally q.stop()
   }
 
   test("works as a foreachBatch streaming sink") {
