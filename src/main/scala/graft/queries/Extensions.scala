@@ -260,6 +260,41 @@ object Extensions extends QueryModule {
               |  JOIN embeddings eb ON eb.vec_id = vec_b)
               |SELECT vec_a, vec_b, round(c, 6) AS cosine FROM cosd WHERE c >= 0.4""".stripMargin)),
 
+    // embedding-level dedup clustering: the SRP near-dup pair graph fed
+    // into the same connected-components operator as the text path —
+    // "semantic dedup" end to end, oracled via recursive closure over the
+    // reproduced SRP pairs
+    GraftQuery("q_embed_clusters",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        graft.operators.Dedup.dupClusters(
+          Similarity.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+          .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+      },
+      Some(s"""${duckSrpCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |bands AS (
+              |  SELECT vec_id, j, (s >> (4*j)) % 16 AS bval FROM sig, range(4) t(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM bands a JOIN bands b
+              |    ON a.j = b.j AND a.bval = b.bval AND a.vec_id < b.vec_id),
+              |cosd AS (
+              |  SELECT vec_a, vec_b, ${dCos("ea.embedding", "eb.embedding")} AS c
+              |  FROM cand
+              |  JOIN embeddings ea ON ea.vec_id = vec_a
+              |  JOIN embeddings eb ON eb.vec_id = vec_b),
+              |pairs AS (SELECT vec_a, vec_b FROM cosd WHERE c >= 0.4),
+              |e AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+              |      UNION ALL SELECT vec_b, vec_a FROM pairs),
+              |walk(id, lab) AS (
+              |  SELECT a, a FROM e
+              |  UNION
+              |  SELECT e.a, walk.lab FROM e JOIN walk ON walk.id = e.b)
+              |SELECT id AS vec_id, min(lab) AS cluster_id,
+              |       (id = min(lab)) AS keep
+              |FROM walk GROUP BY id""".stripMargin)),
+
     GraftQuery("q_sim_topk",
       (s, dir) => {
         Similarity.ensureRegistered(s)
@@ -457,6 +492,37 @@ object Extensions extends QueryModule {
               |  "offset" // 256 AS first_pack,
               |  ("offset" + n_tokens - 1) // 256 AS last_pack
               |FROM t2""".stripMargin)),
+
+    // ======================= SCD2 history =======================
+
+    // type-2 slowly-changing-dimension rebuild from a change log: orders
+    // as per-customer status observations — a version row per status
+    // CHANGE, with [valid_from, valid_to) intervals and an is_current
+    // flag; one key-hash exchange end to end
+    GraftQuery("q_scd2",
+      (s, dir) => graft.operators.Scd2.fromChangeLog(
+          t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderkey"), col("o_orderstatus")),
+          "o_custkey", "o_orderdate", "o_orderkey", Seq("o_orderstatus"))
+        .where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("valid_from"), col("valid_to"), col("is_current")),
+      Some("""WITH lg AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+             |    lag(o_orderstatus) OVER w AS prev,
+             |    row_number() OVER w AS rn
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |v AS (
+             |  SELECT * FROM lg
+             |  WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev)
+             |SELECT o_custkey, o_orderkey, o_orderstatus,
+             |  o_orderdate AS valid_from,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+             |FROM v WHERE o_custkey < 200""".stripMargin)),
 
     // ======================= sessionization =======================
 
@@ -689,6 +755,6 @@ object Extensions extends QueryModule {
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= '1998-09-02'
-             |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)))
   )
 }

@@ -132,6 +132,29 @@ object UpsertSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("bucket")
 
+  /** Compact the small files a long-running upsert/matview stream leaves
+    * behind: every batch rewrites its affected buckets with fresh files,
+    * so a table that has seen thousands of batches reads thousands of
+    * footers. Repartitioning ON THE BUCKET COLUMN collapses each bucket
+    * directory to one file (task) in a single pass, preserving the
+    * layout the merge path depends on; contents are untouched, so
+    * compaction is idempotent and safe to run between batches. The
+    * replay-fence markers live at the table root and are not rewritten.
+    * At 100 TB run it per-bucket-range instead of all buckets at once. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    if (!hasData(spark, path)) return
+    // localCheckpoint: the write overwrites the path the plan reads
+    val data = spark.read.parquet(path)
+      .repartition(col("bucket")).localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try data.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Incremental AGGREGATE maintenance (a streaming materialized view):
     * merge a batch's partial aggregates into the keyed table by SUMMING
     * the value columns of matching keys — running per-key totals that

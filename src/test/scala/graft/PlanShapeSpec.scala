@@ -176,4 +176,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.length === 1,
       s"expected the single as-of exchange, got ${shuffles.length}:\n$plan")
   }
+
+  test("ngram-Jaccard hot-shingle cap anti-joins via broadcast, never a shuffle of the index") {
+    // the df>cap hot list is tiny by construction: it must arrive at the
+    // anti join as a broadcast, not by re-exchanging the exploded index.
+    // Asserted on the pre-AQE plan — at runtime an EMPTY hot list lets
+    // AQE remove the anti join altogether, which is better still.
+    val plan = SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val bcastAnti = collectAll(plan) {
+      case b: BroadcastHashJoinExec
+          if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => b
+    }
+    assert(bcastAnti.nonEmpty,
+      s"expected a broadcast left-anti join for the hot-shingle cap in:\n$plan")
+  }
 }

@@ -191,6 +191,41 @@ class UpsertSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compact collapses accumulated small files without changing contents") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // one wide batch: every merge task holds rows of several buckets, so
+    // each bucket directory gets a file per task — the same fragmentation
+    // a long-running stream accumulates. (AQE's partition coalescing
+    // self-compacts at toy scale; disable it to manufacture the problem.)
+    val rows = (1L to 64L).map(i => (i, s"v$i", 1L))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try UpsertSink.upsertBatch(rows.toDF("id", "payload", "version"),
+      path, "id", "version", numBuckets = 4)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    def files() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    val before = UpsertSink.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    assert(files().size > 4, s"expected accumulated small files, got ${files().size}")
+
+    UpsertSink.compact(spark, path)
+    assert(files().size <= 4, s"expected <= 1 file per bucket, got ${files().size}")
+    val after = UpsertSink.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    assert(after === before)
+
+    // still mergeable after compaction (bucket layout preserved)
+    UpsertSink.upsertBatch(Seq((1L, "post", 99L)).toDF("id", "payload", "version"),
+      path, "id", "version", numBuckets = 4)
+    val last = UpsertSink.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    assert(last === before.filterNot(_._1 == 1L) + ((1L, "post", 99L)))
+  }
+
   test("works as a foreachBatch streaming sink") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
