@@ -755,6 +755,6 @@ object Extensions extends QueryModule {
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= '1998-09-02'
-             |GROUP BY l_returnflag, l_linestatus""".stripMargin)))
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin))
   )
 }
