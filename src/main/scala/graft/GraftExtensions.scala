@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.VectorFunctions.descriptors.foreach(ext.injectFunction)
+    graft.functions.SketchFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }

@@ -755,6 +755,72 @@ object Extensions extends QueryModule {
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= '1998-09-02'
-             |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ================== storage-layout / runtime-filter scale surface ==================
+
+    // co-located join over bucketed tables: the shuffle is paid once at
+    // write time; the join + the groupBy on the bucket key then run with
+    // ZERO exchange (PlanShapeSpec pins the plan). Oracle = the plain
+    // join, proving layout changes nothing semantically.
+    GraftQuery("q_bucketed_join",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir) // sf-unique, identifier-safe
+        val base = s"/tmp/graft_bucketed/$tag"
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+            col("o_orderkey"), col("o_totalprice")),
+          s"bkt_orders_$tag", s"$base/orders", "custkey", 8)
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+            col("c_mktsegment")),
+          s"bkt_customer_$tag", s"$base/customer", "custkey", 8)
+        graft.operators.Bucketing
+          .colocatedJoin(s, s"bkt_orders_$tag", s"bkt_customer_$tag", "custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // bloom-pruned semi join: the fact side is filtered by a Bloom probe
+    // at the scan (inside codegen, before any exchange); the exact semi
+    // join then removes false positives — so the result is EXACTLY the
+    // plain IN-subquery the oracle runs, at ~1% of the fact shuffle.
+    GraftQuery("q_bloom_semi_join",
+      (s, dir) => graft.operators.BloomJoin.semiJoin(
+          t(s, dir, "lineitem"),
+          t(s, dir, "part").where(col("p_size") >= 40),
+          "l_partkey", "p_partkey", expectedItems = 1L << 16)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // mergeable KLL quantile sketches (rows-only: KLL compaction is
+    // randomized, so estimates carry a ±1.65% rank tolerance — asserted
+    // in KllSketchSpec against exact percentiles; the driver checks the
+    // row contract). The same sketches maintain the incremental quantile
+    // matview (UpsertSink.mergeQuantileBatch).
+    GraftQuery("q_kll_quantile",
+      (s, dir) => {
+        graft.functions.SketchFunctions.register(s)
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(call_function("kll_sketch_agg",
+            col("l_extendedprice").cast("double")).as("sk"))
+          .select(col("l_returnflag"),
+            round(call_function("kll_quantile", col("sk"), lit(0.5)), 2).as("p50"),
+            round(call_function("kll_quantile", col("sk"), lit(0.95)), 2).as("p95"),
+            round(call_function("kll_quantile", col("sk"), lit(0.99)), 2).as("p99"))
+      },
+      None)
   )
 }

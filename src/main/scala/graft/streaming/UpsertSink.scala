@@ -186,6 +186,20 @@ object UpsertSink {
     mergeBatchWith(batch, path, keyCols, sketchCols,
       c => hll_union_agg(col(c)).as(c), batchId, numBuckets)
 
+  /** Incremental QUANTILE maintenance — per-key KLL sketches merged by
+    * union: "p99 latency per hour, incrementally", the quantile analogue
+    * of [[mergeSketchBatch]]. KLL merge is associative and
+    * order-independent but (like any rewrite) replays are fenced by
+    * batchId. Build batch sketches with `kll_sketch_agg(x)`, read back
+    * with `kll_quantile(sketchCol, q)` (both registered by
+    * [[graft.functions.SketchFunctions]]). */
+  def mergeQuantileBatch(batch: DataFrame, path: String, keyCols: Seq[String],
+      sketchCols: Seq[String], batchId: Long, numBuckets: Int = 64): Unit = {
+    graft.functions.SketchFunctions.register(batch.sparkSession)
+    mergeBatchWith(batch, path, keyCols, sketchCols,
+      c => call_function("kll_union_agg", col(c)).as(c), batchId, numBuckets)
+  }
+
   /** Shared bucket-bounded merge kernel for the aggregate matviews:
     * group the batch to one row per key, read ONLY the affected buckets,
     * re-aggregate existing+new per key with `aggFor`, dynamic-overwrite

@@ -191,4 +191,65 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcastAnti.nonEmpty,
       s"expected a broadcast left-anti join for the hot-shingle cap in:\n$plan")
   }
+
+  test("co-located bucketed join plans with no exchange below the join") {
+    // force the merge join (at spec scale the small side would broadcast,
+    // which hides the property under test: the bucketed SCANS already
+    // satisfy the join's required distribution)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed("q_bucketed_join")
+      val smj = collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a sort-merge join in:\n$plan")
+      val below = smj.flatMap(allNodes).collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(below.isEmpty,
+        s"bucketed join must read pre-shuffled buckets; found:\n$below")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed scan ordering elides the join sorts under the ordering conf") {
+    // Spark ignores bucket sort metadata on read by default (the ordering
+    // guarantee needs one file per bucket, which writeBucketed ensures via
+    // the aligned repartition); with the conf on, the sorts vanish too.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val plan = executed("q_bucketed_join")
+      val smj = collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a sort-merge join in:\n$plan")
+      val below = smj.flatMap(allNodes).collect {
+        case e: ShuffleExchangeExec => e
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(below.isEmpty,
+        s"expected neither exchange nor sort below the join; found:\n$below")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf
+        .set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
+
+  test("bloom semi-join probes at the scan, below any exchange") {
+    val plan = executed("q_bloom_semi_join")
+    val probeFilters = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(probeFilters.nonEmpty,
+      s"expected a bloom_might_contain filter in:\n$plan")
+    val exchangesBelow = probeFilters.flatMap(allNodes).collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchangesBelow.isEmpty,
+      "the bloom probe must prune BEFORE the fact side is exchanged")
+  }
 }
