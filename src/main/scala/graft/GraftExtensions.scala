@@ -8,6 +8,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.VectorFunctions.descriptors.foreach(ext.injectFunction)
     graft.functions.SketchFunctions.descriptors.foreach(ext.injectFunction)
+    graft.functions.ZorderFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }

@@ -123,6 +123,41 @@ object TextAnalysis {
         expr("""CAST(round(ttr * 10000) * 3 + round(stop_ratio * 10000) * 3
                |     + round(alpha_ratio * 10000) * 4 AS BIGINT)""".stripMargin))
 
+  /** Adaptive quality gate: drop (approximately) the bottom `dropFrac`
+    * of documents PER GROUP (e.g. per language) by composite quality —
+    * a fixed global threshold over- or under-filters low-resource
+    * languages; a per-group percentile adapts.
+    *
+    * Scale shape: NOT a `percent_rank` window partitioned by group —
+    * that sorts every group in one task (a million-doc language = one
+    * straggler). The quality score is a bounded integer, so the exact
+    * per-group threshold comes from a (group, quality) COUNT histogram
+    * (map-side combined, tiny result), a cumulative window over that
+    * tiny relation, and a broadcast join back. Two corpus scans' worth
+    * of work, no big sort, exact semantics: threshold = smallest q with
+    * cum_count ≥ dropFrac·total; keep quality ≥ threshold (so at MOST
+    * dropFrac is dropped — ties keep). */
+  def adaptiveQualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, dropFrac: Double = 0.25): DataFrame = {
+    val scored = qualityScore(docs, idCol, textCol, keep = Seq(groupCol))
+      .select(col("doc_id"), col(groupCol), col("quality"))
+    val hist = scored.groupBy(col(groupCol), col("quality"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("quality"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val thresholds = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .where(col("cum") >= col("tot") * dropFrac)
+      .groupBy(col(groupCol)).agg(min(col("quality")).as("q_thr"))
+    scored
+      .join(broadcast(thresholds), Seq(groupCol))
+      .where(col("quality") >= col("q_thr"))
+      .select(col("doc_id"), col(groupCol), col("quality"), col("q_thr"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish regex pieces
     * (letter runs / digit runs / single other non-space chars). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =

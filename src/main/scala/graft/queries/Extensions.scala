@@ -804,6 +804,65 @@ object Extensions extends QueryModule {
              |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
              |GROUP BY l_returnflag""".stripMargin)),
 
+    // adaptive per-language quality gate: drop the bottom quartile of
+    // each language by composite quality. Exact per-group thresholds
+    // from a (lang, quality) histogram + broadcast join — NOT a
+    // percent_rank window over the corpus (one task per language = a
+    // straggler at 100 TB).
+    GraftQuery("q_quality_adaptive",
+      (s, dir) => TextAnalysis.adaptiveQualityFilter(
+        t(s, dir, "documents"), "doc_id", "text", "lang", 0.25),
+      Some {
+        val en = TextAnalysis.stopwords.toMap.apply("en")
+          .map(x => s"'$x'").mkString("[", ", ", "]")
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, text, ${dWords("text")} AS words FROM documents),
+           |f AS (
+           |  SELECT doc_id, lang,
+           |    round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 4) AS ttr,
+           |    round(len(list_filter(words, w -> list_contains($en, w)))
+           |          / CAST(len(words) AS DOUBLE), 4) AS stop_ratio,
+           |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           |          / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio
+           |  FROM d WHERE len(words) >= 1),
+           |sc AS (
+           |  SELECT doc_id, lang,
+           |    CAST(round(ttr * 10000) * 3 + round(stop_ratio * 10000) * 3
+           |         + round(alpha_ratio * 10000) * 4 AS BIGINT) AS quality
+           |  FROM f),
+           |hist AS (SELECT lang, quality, count(*) AS c FROM sc GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT lang, quality,
+           |    sum(c) OVER (PARTITION BY lang ORDER BY quality) AS cum,
+           |    sum(c) OVER (PARTITION BY lang) AS tot
+           |  FROM hist),
+           |thr AS (SELECT lang, min(quality) AS q_thr FROM cum
+           |        WHERE cum >= tot * 0.25 GROUP BY lang)
+           |SELECT doc_id, lang, quality, q_thr
+           |FROM sc JOIN thr USING (lang) WHERE quality >= q_thr""".stripMargin
+      }),
+
+    // z-order (Morton) clustering key: the layout function behind
+    // multi-dimensional row-group pruning (Zorder.clusterWrite; pruning
+    // measured in ZorderSpec). Inputs masked to 16 bits here so the
+    // DuckDB mirror stays in BIGINT range.
+    GraftQuery("q_zorder",
+      (s, dir) => {
+        graft.functions.ZorderFunctions.register(s)
+        t(s, dir, "orders").select(col("o_orderkey"),
+          call_function("z_interleave",
+            pmod(col("o_custkey"), lit(65536)).cast("long"),
+            pmod(datediff(col("o_orderdate"), lit("1970-01-01")), lit(65536))
+              .cast("long")).as("z"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(list_sum(list_transform(range(16), i ->
+             |    (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1))))
+             |    AS BIGINT) AS z
+             |FROM (SELECT o_orderkey, o_custkey % 65536 AS x,
+             |        date_diff('day', DATE '1970-01-01', o_orderdate) % 65536 AS y
+             |      FROM orders)""".stripMargin)),
+
     // mergeable KLL quantile sketches (rows-only: KLL compaction is
     // randomized, so estimates carry a ±1.65% rank tolerance — asserted
     // in KllSketchSpec against exact percentiles; the driver checks the

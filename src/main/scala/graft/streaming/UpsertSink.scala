@@ -46,7 +46,7 @@ object UpsertSink {
     * (e.g. from an all-empty first batch or a crash between mkdir and
     * commit) must be treated as "no table yet" or the next read fails
     * schema inference. */
-  private def hasData(spark: SparkSession, path: String): Boolean = {
+  private[graft] def hasData(spark: SparkSession, path: String): Boolean = {
     val (fs, root) = fsFor(spark, path)
     fs.exists(root) && {
       val it = fs.listFiles(root, true)
