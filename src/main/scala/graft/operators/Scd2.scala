@@ -102,4 +102,26 @@ object Scd2 {
     * table at `path`. */
   def readHistory(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("bucket")
+
+  /** Point-in-time-correct dimension join — the feature-store read of an
+    * SCD2 table: each fact row joins the version whose
+    * `[valid_from, valid_to)` interval contains the fact's timestamp,
+    * so no attribute from the fact's FUTURE ever leaks in (the training
+    * leakage a plain "current dimension" join causes).
+    *
+    * Scale shape: an EQUI-join on the key with the interval test as a
+    * residual condition — per-key version counts are small (one row per
+    * actual change), so this is one hash join on the key, never a
+    * nested-loop range join. Facts with a timestamp before the key's
+    * first version (or an unknown key) are dropped, matching the SQL
+    * `JOIN ... ON contains(interval, ts)` the oracle runs. */
+  def pitJoin(facts: DataFrame, history: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val h = history.withColumnRenamed(keyCol, "__dim_key")
+    facts.join(h,
+      facts.col(keyCol) === h.col("__dim_key") &&
+        col("valid_from") <= facts.col(tsCol) &&
+        (col("valid_to").isNull || facts.col(tsCol) < col("valid_to")))
+      .drop("__dim_key")
+  }
 }

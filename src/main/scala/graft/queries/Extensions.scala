@@ -524,6 +524,96 @@ object Extensions extends QueryModule {
              |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
              |FROM v WHERE o_custkey < 200""".stripMargin)),
 
+    // point-in-time-correct dimension join (the feature-store read of an
+    // SCD2 table): each lineitem joins the customer-status version that
+    // was valid AT SHIP TIME — no future attribute leaks into a
+    // training row. Equi-join on the key with the interval test as a
+    // residual condition (versions per key are few ⇒ one hash join, no
+    // NLJ).
+    GraftQuery("q_scd2_pit",
+      (s, dir) => {
+        val hist = graft.operators.Scd2.fromChangeLog(
+            t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+              col("o_orderkey"), col("o_orderstatus")),
+            "o_custkey", "o_orderdate", "o_orderkey", Seq("o_orderstatus"))
+          .select(col("o_custkey").as("custkey"), col("o_orderstatus"),
+            col("valid_from"), col("valid_to"))
+        val facts = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .where(col("o_custkey") < 200)
+          .select(col("o_custkey").as("custkey"), col("l_orderkey"),
+            col("l_linenumber"), col("l_shipdate"))
+        graft.operators.Scd2.pitJoin(facts, hist, "custkey", "l_shipdate")
+          .select(col("custkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"), col("o_orderstatus").as("status_at_ship"))
+      },
+      Some("""WITH lg AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+             |    lag(o_orderstatus) OVER w AS prev,
+             |    row_number() OVER w AS rn
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |v AS (
+             |  SELECT * FROM lg
+             |  WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev),
+             |hist AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+             |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+             |  FROM v),
+             |facts AS (
+             |  SELECT o_custkey AS custkey, l_orderkey, l_linenumber, l_shipdate
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_custkey < 200)
+             |SELECT custkey, l_orderkey, l_linenumber, l_shipdate,
+             |  h.o_orderstatus AS status_at_ship
+             |FROM facts f JOIN hist h ON f.custkey = h.o_custkey
+             |  AND h.valid_from <= f.l_shipdate
+             |  AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)""".stripMargin)),
+
+    // PageRank (3 iterations, damping 0.85) over the symmetrized
+    // customer↔supplier trade graph — web-graph-style centrality as a
+    // corpus-quality signal; the oracle unrolls the same recurrence in
+    // SQL. Node ids namespaced (2k / 2k+1) so the bipartite sides never
+    // collide.
+    GraftQuery("q_pagerank",
+      (s, dir) => {
+        val e0 = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        graft.operators.Graphs.pageRank(edges, iters = 3)
+          .select(col("node"), round(col("rank"), 9).as("rank"))
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (SELECT a AS src, b AS dst FROM e0
+             |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+             |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+             |nodes AS (SELECT DISTINCT src AS node FROM e),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+             |r1 AS (SELECT e.dst AS node,
+             |         (1 - 0.85)/(SELECT n FROM nn)
+             |           + 0.85 * sum(r.rank / deg.deg) AS rank
+             |       FROM e JOIN r0 r ON e.src = r.node
+             |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+             |r2 AS (SELECT e.dst AS node,
+             |         (1 - 0.85)/(SELECT n FROM nn)
+             |           + 0.85 * sum(r.rank / deg.deg) AS rank
+             |       FROM e JOIN r1 r ON e.src = r.node
+             |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+             |r3 AS (SELECT e.dst AS node,
+             |         (1 - 0.85)/(SELECT n FROM nn)
+             |           + 0.85 * sum(r.rank / deg.deg) AS rank
+             |       FROM e JOIN r2 r ON e.src = r.node
+             |       JOIN deg ON e.src = deg.src GROUP BY e.dst)
+             |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin)),
+
     // ======================= sessionization =======================
 
     GraftQuery("q_sessionize",

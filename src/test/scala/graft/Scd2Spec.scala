@@ -55,6 +55,29 @@ class Scd2Spec extends SparkSpec {
     assert(canon(Scd2.readHistory(spark, path)) === once)
   }
 
+  test("maintains history as a foreachBatch streaming sink") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("scd2s").toString + "/t"
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Long, String)]
+    val q = in.toDF().toDF("k", "ts", "tie", "status")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Scd2.mergeBatch(batch, path, "k", "ts", "tie", Seq("status"), 4)
+      }.start()
+    try {
+      in.addData(fullLog.filter(_._2 <= 4): _*)
+      q.processAllAvailable()
+      in.addData(fullLog.filter(_._2 > 4): _*)
+      q.processAllAvailable()
+      val got = canon(Scd2.readHistory(spark, path))
+      val want = canon(Scd2.fromChangeLog(log(fullLog), "k", "ts", "tie",
+        Seq("status")))
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("a batch only rewrites the buckets its keys hash to") {
     val path = java.nio.file.Files.createTempDirectory("scd2b").toString + "/t"
     Scd2.mergeBatch(log(fullLog), path, "k", "ts", "tie", Seq("status"), 64)
