@@ -324,18 +324,35 @@ object Dedup {
       // dropped. One aggregation, one action per round; a task retry can
       // only overcount, which at worst runs one extra (no-op) round.
       val acc = spark.sparkContext.longAccumulator("labelsChanged")
-      val next = labels.select(col("id"), col("label"), col("label").as("own"))
+      val l1 = labels.select(col("id"), col("label"), col("label").as("own"))
         .union(nbr.select(col("id"), col("label"),
           lit(null).cast("long").as("own")))
         .groupBy("id").agg(min("label").as("label"), max("own").as("own"))
+        .persist(lvl)
+      // Pointer-doubling shortcut: also adopt the label OF the current
+      // label (always a node of the same component, so the fixed point —
+      // per-component min — is unchanged). This turns O(diameter) rounds
+      // into O(log diameter): a 5 000-node near-dup chain converges in ~13
+      // rounds instead of ~2 500. The label's row always exists (labels
+      // cover every node); `least` ignores the null from the left join.
+      val jump = l1.select(col("id").as("jid"), col("label").as("jlabel"))
+      // localCheckpoint (eager): materializes the round (filling the
+      // accumulator) AND cuts the logical lineage. Without the cut the
+      // round's plan embeds l1 TWICE (join + jump), doubling plan size
+      // every round — exponential analysis/stringification blowup long
+      // before any data is large.
+      val next = l1
+        .join(jump, col("label") === col("jid"), "left")
+        .select(col("id"), least(col("label"), col("jlabel")).as("label"),
+          col("own"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, l, own) =>
           if (l < own) acc.add(1)
           (id, l)
         })
-        .toDF("id", "label").persist(lvl)
-      next.count() // materialize + fill the accumulator
+        .toDF("id", "label").localCheckpoint(true)
       changed = acc.value
+      l1.unpersist()
       labels.unpersist()
       labels = next
       iters += 1

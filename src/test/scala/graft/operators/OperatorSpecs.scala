@@ -70,6 +70,18 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false)))
   }
 
+  test("dupClusters converges on a 300-node chain within default maxIters") {
+    import spark.implicits._
+    // a path graph has diameter = n-1: plain min-propagation needs ~300
+    // rounds (beyond maxIters=50); the pointer-doubling shortcut must
+    // close it in O(log n)
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(chain).as[(Long, Long, Boolean)].collect()
+    assert(got.length === 300)
+    assert(got.forall(_._2 == 0L), "all nodes must join component 0")
+    assert(got.count(_._3) === 1, "exactly one canonical keeper")
+  }
+
   test("dropExactDuplicates keeps exactly the first occurrence per text") {
     import spark.implicits._
     val docs = Seq(
