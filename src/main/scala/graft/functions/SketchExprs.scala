@@ -121,14 +121,18 @@ case class KllQuantile(left: Expression, right: Expression)
     else s.getQuantile(q.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh local names: two kll_quantile calls can share one codegen
+    // method (p50/p95/p99 off one sketch), where a fixed name collides
+    val s = ctx.freshName("kllSketch")
     nullSafeCodeGen(ctx, ev, (sk, q) => s"""
-      |org.apache.datasketches.kll.KllDoublesSketch __s =
+      |org.apache.datasketches.kll.KllDoublesSketch $s =
       |  graft.functions.SketchUtil.heapify($sk);
-      |if (__s.isEmpty()) { ${ev.isNull} = true; } else {
-      |  ${ev.value} = __s.getQuantile($q,
+      |if ($s.isEmpty()) { ${ev.isNull} = true; } else {
+      |  ${ev.value} = $s.getQuantile($q,
       |    org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE);
       |}""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)

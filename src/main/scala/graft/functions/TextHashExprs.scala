@@ -50,6 +50,8 @@ object TextHash {
 case class SimHash60(child: Expression) extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "simhash60"
   override def dataType: DataType = LongType
+  // a token-less doc yields null even for a non-null (non-nullable) input
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -100,6 +102,8 @@ case class ShingleHashes(child: Expression, kExpr: Expression)
   override def right: Expression = kExpr
   override def prettyName: String = "shingle_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // a doc shorter than k words yields null even for a non-null input
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, kExpr.dataType) match {
       case (StringType, org.apache.spark.sql.types.IntegerType)
@@ -158,12 +162,17 @@ case class TrigramHits(left: Expression, right: Expression)
   override def prettyName: String = "trigram_hits"
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    // the per-instance profile cache below is only sound for a constant
+    // profile — reject a varying column at analysis time
+    case (StringType, ArrayType(StringType, _)) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a foldable (constant) profile argument")
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (string, array<string>), got ${l.simpleString}, ${r.simpleString}")
   }
 
-  // profile is a foldable literal in practice; evaluate it once per instance
+  // profile is a foldable literal (enforced above); evaluate once per instance
   @transient private lazy val profile: java.util.HashSet[String] = {
     val arr = right.eval(null).asInstanceOf[ArrayData]
     val s = new java.util.HashSet[String](arr.numElements() * 2)
@@ -447,6 +456,8 @@ case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFal
   private val NumHashes = 16
   override def prettyName: String = "minhash_sig"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // a doc shorter than 3 words yields null even for a non-null input
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

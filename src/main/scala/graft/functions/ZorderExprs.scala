@@ -42,16 +42,21 @@ case class ZInterleave(left: Expression, right: Expression)
     z
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh local names: two z_interleave calls can share one codegen
+    // method, where fixed names would collide
+    val (x, y, z, i) = (ctx.freshName("zx"), ctx.freshName("zy"),
+      ctx.freshName("zv"), ctx.freshName("zi"))
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |long x = $a & 0xFFFFFFFFL;
-      |long y = $b & 0xFFFFFFFFL;
-      |long z = 0L;
-      |for (int i = 0; i < 32; i++) {
-      |  z |= ((x >> i) & 1L) << (2 * i);
-      |  z |= ((y >> i) & 1L) << (2 * i + 1);
+      |long $x = $a & 0xFFFFFFFFL;
+      |long $y = $b & 0xFFFFFFFFL;
+      |long $z = 0L;
+      |for (int $i = 0; $i < 32; $i++) {
+      |  $z |= (($x >> $i) & 1L) << (2 * $i);
+      |  $z |= (($y >> $i) & 1L) << (2 * $i + 1);
       |}
-      |${ev.value} = z;""".stripMargin)
+      |${ev.value} = $z;""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)

@@ -43,10 +43,12 @@ object BloomJoin {
       bf.writeTo(bos)
       bos.toByteArray
     }
+    // alias the build side's key: with bigKey == smallKey (the common
+    // same-name shape) an unaliased condition would be ambiguous
     big
       .where(call_function("bloom_might_contain",
         xxhash64(col(bigKey)), lit(bytes)))
-      .join(small.select(col(smallKey)), col(bigKey) === col(smallKey),
-        "left_semi")
+      .join(small.select(col(smallKey).as("__bloom_key")),
+        col(bigKey) === col("__bloom_key"), "left_semi")
   }
 }

@@ -36,23 +36,26 @@ object Graphs {
     val teleport = (1.0 - damping) / n
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    var prev: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val r = ranks
-      val next = e
+      ranks = e
         .join(r, e("src") === r("node"))
         .join(deg, "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node")
         .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before unpersisting the parent
-      prev.foreach(_.unpersist())
-      prev = Some(next)
-      ranks = next
+      // each round references the previous rank relation ONCE, so the
+      // plan grows linearly — no per-round materialization needed; cut
+      // lineage every few rounds so deep iteration counts keep analysis
+      // and scheduling O(1) per round (the cut also evaluates, which is
+      // when the cached edge relation first materializes)
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
+    // materialize the result so the cached edge/degree relations can be
+    // released before returning (the caller gets a lineage-free relation)
+    val out = ranks.localCheckpoint(true)
     e.unpersist()
     deg.unpersist()
-    ranks
+    out
   }
 }

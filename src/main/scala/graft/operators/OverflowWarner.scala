@@ -35,7 +35,10 @@ object OverflowWarner extends org.apache.spark.internal.Logging {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft_bucket_overflow_")) {
+            if (name.startsWith("graft_bucket_overflow_") &&
+                // sum/max observe aggregates are SQL NULL over zero rows
+                // (an empty/fully-filtered corpus) — don't unbox them
+                !row.isNullAt(row.fieldIndex("dropped_members"))) {
               val dropped = row.getAs[Long]("dropped_members")
               if (dropped > 0)
                 logWarning(

@@ -46,62 +46,57 @@ object Scd2 {
       .drop("__rn", "__chg", tsCol)
   }
 
-  /** Incrementally maintain an SCD2 table from micro-batches of change
-    * observations — the `foreachBatch` form of [[fromChangeLog]].
+  /** Incrementally maintain an SCD2 source-of-truth from micro-batches
+    * of change observations — the `foreachBatch` companion of
+    * [[fromChangeLog]].
     *
-    * Layout: the history table is hash-bucketed by key (the
-    * [[graft.streaming.UpsertSink]] layout). Each batch reads ONLY the
-    * buckets its keys touch, re-derives those keys' interval history
-    * from (existing version rows as a change log) ∪ (new observations),
-    * and dynamic-overwrites those buckets — cost ∝ touched keys, not
-    * table size.
+    * What is STORED is the deduplicated OBSERVATION log (hash-bucketed
+    * by key, the [[graft.streaming.UpsertSink]] layout), not the derived
+    * version rows. Version rows alone are NOT a sufficient statistic
+    * under late data: if (ts=1,A), (ts=7,A) collapse into one version
+    * and a late (ts=3,B) then arrives, the rebuild needs the dropped
+    * ts=7 observation to know A resumed at 7 — any compacted form loses
+    * such resumptions. Keeping the log (what a CDC feed already emits)
+    * makes EVERY late arrival exactly equal to the full-log rebuild,
+    * which [[readHistory]] derives on read via [[fromChangeLog]].
     *
-    * Correct under late data: a late observation lands between two
-    * existing versions and the window recomputation splits/extends the
-    * intervals exactly as a full-log rebuild would — version rows ARE a
-    * sufficient log (dropped rows were non-changes, and non-changes
-    * never affect [[fromChangeLog]]'s output).
-    *
-    * Replay-IDEMPOTENT without a batchId fence: re-merging the same
-    * observations adds exact duplicate log rows, which change detection
-    * discards (same key+ts+tie+attrs ⇒ never a change), converging to
-    * the same table. */
+    * Each batch reads ONLY the buckets its keys touch, unions in the
+    * new observations, dedupes on (key, ts, tie) — which also makes
+    * replays IDEMPOTENT without a batchId fence — and dynamic-overwrites
+    * those buckets: cost ∝ touched keys, not table size. Once a
+    * watermark bounds late arrivals, closed periods could additionally
+    * be compacted to version rows; not done here. */
   def mergeBatch(batch: DataFrame, path: String, keyCol: String,
       tsCol: String, tieCol: String, attrCols: Seq[String],
       numBuckets: Int = 64): Unit = {
-    import graft.streaming.UpsertSink.bucketOf
+    import graft.streaming.UpsertSink
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val logCols = Seq(keyCol, tsCol, tieCol) ++ attrCols
     val obs = batch.select(logCols.map(col): _*)
-      .withColumn("bucket", bucketOf(keyCol, numBuckets))
+      .withColumn("bucket", UpsertSink.bucketOf(keyCol, numBuckets))
 
-    val exists = graft.streaming.UpsertSink.hasData(spark, path)
-
-    val unionLog = if (!exists) obs else {
+    val unionObs = if (!UpsertSink.hasData(spark, path)) obs else {
       val affected = obs.select("bucket").distinct()
-      val existing = spark.read.parquet(path)
+      spark.read.parquet(path)
         .join(broadcast(affected), Seq("bucket"), "left_semi")
-        .select((Seq(col(keyCol), col("valid_from").as(tsCol), col(tieCol)) ++
-          attrCols.map(col)) :+ col("bucket"): _*)
-      existing.unionByName(obs)
+        .unionByName(obs)
     }
-    val hist = fromChangeLog(unionLog, keyCol, tsCol, tieCol, attrCols)
+    val merged = unionObs.dropDuplicates(Seq(keyCol, tsCol, tieCol))
       .localCheckpoint(true) // the write overwrites what the plan reads
-
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try hist.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    UpsertSink.withDynamicOverwrite(spark) {
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
     }
   }
 
   /** Current history (all version rows) of the incrementally-maintained
-    * table at `path`. */
-  def readHistory(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("bucket")
+    * table at `path` — derived from the stored observation log, so it is
+    * ALWAYS the exact full-log rebuild, whatever late data has arrived. */
+  def readHistory(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, tsCol: String, tieCol: String,
+      attrCols: Seq[String]): DataFrame =
+    fromChangeLog(spark.read.parquet(path).drop("bucket"),
+      keyCol, tsCol, tieCol, attrCols)
 
   /** Point-in-time-correct dimension join — the feature-store read of an
     * SCD2 table: each fact row joins the version whose

@@ -332,6 +332,9 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, m: Int = 16, kSub: Int = 64,
       iters: Int = 3): DataFrame = {
+    // codes are stored one byte per subspace: a larger codebook would
+    // silently truncate indices and corrupt every lookup
+    require(kSub <= 256, s"PQ stores one byte per subspace code: kSub <= 256, got $kSub")
     val spark = corpus.sparkSession
     import spark.implicits._
 
@@ -485,6 +488,9 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
       m: Int = 16, kSub: Int = 64, iters: Int = 2): DataFrame = {
+    // codes are stored one byte per subspace: a larger codebook would
+    // silently truncate indices and corrupt every lookup
+    require(kSub <= 256, s"PQ stores one byte per subspace code: kSub <= 256, got $kSub")
     val spark = corpus.sparkSession
     import spark.implicits._
 

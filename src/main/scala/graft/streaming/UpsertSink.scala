@@ -59,6 +59,20 @@ object UpsertSink {
     }
   }
 
+  /** Run a write under dynamic partition-overwrite mode, restoring the
+    * previous session setting afterwards — shared by every bucket-bounded
+    * rewrite path (upsert, agg/sketch/quantile matviews, compaction,
+    * SCD2 maintenance). */
+  private[graft] def withDynamicOverwrite(spark: SparkSession)(body: => Unit): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** The replay-fence marker for a batch. Underscore-prefixed so parquet
     * readers ignore it inside the table directory. */
   private def markerPath(root: Path, batchId: Long): Path =
@@ -118,13 +132,8 @@ object UpsertSink {
     // the merge just read (Spark rejects a write whose plan still scans
     // the destination)
     val merged = merged0.localCheckpoint(true)
-
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    withDynamicOverwrite(spark) {
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
     }
   }
 
@@ -146,12 +155,8 @@ object UpsertSink {
     // localCheckpoint: the write overwrites the path the plan reads
     val data = spark.read.parquet(path)
       .repartition(col("bucket")).localCheckpoint(true)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try data.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    withDynamicOverwrite(spark) {
+      data.write.mode("overwrite").partitionBy("bucket").parquet(path)
     }
   }
 
@@ -235,13 +240,8 @@ object UpsertSink {
         .select(newRows.columns.map(col).toSeq: _*)
     }
     val merged = merged0.localCheckpoint(true)
-
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    withDynamicOverwrite(spark) {
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
     }
     writeMarker(fs, root, batchId)
   }

@@ -36,12 +36,29 @@ class Scd2Spec extends SparkSpec {
     batches.foreach(b =>
       Scd2.mergeBatch(log(b), path, "k", "ts", "tie", Seq("status"),
         numBuckets = 4))
-    val got = canon(Scd2.readHistory(spark, path))
+    val got = canon(Scd2.readHistory(spark, path, "k", "ts", "tie", Seq("status")))
     val want = canon(Scd2.fromChangeLog(log(fullLog), "k", "ts", "tie",
       Seq("status")))
     assert(got === want)
     assert(want.exists(r => r(2) == "open" && r(3) == 3 && r(4) == 7),
       "late split interval [3,7) missing from ground truth")
+  }
+
+  test("late data before a dropped non-change observation still rebuilds exactly") {
+    // the case that makes version rows an INSUFFICIENT statistic: batch 1
+    // delivers (1,A) and (7,A) — the 7 is a non-change a version-row
+    // store would drop. The late (3,B) then requires knowing A resumed
+    // at 7: the observation-log store must yield A,[1,3) B,[3,7) A,[7,∞)
+    val path = java.nio.file.Files.createTempDirectory("scd2l").toString + "/t"
+    Scd2.mergeBatch(log(Seq((1L, 1, 11L, "A"), (1L, 7, 17L, "A"))),
+      path, "k", "ts", "tie", Seq("status"), 4)
+    Scd2.mergeBatch(log(Seq((1L, 3, 13L, "B"))),
+      path, "k", "ts", "tie", Seq("status"), 4)
+    val got = canon(Scd2.readHistory(spark, path, "k", "ts", "tie", Seq("status")))
+    assert(got === Set(
+      Seq(1L, 11L, "A", 1, 3, false),
+      Seq(1L, 13L, "B", 3, 7, false),
+      Seq(1L, 17L, "A", 7, null, true)))
   }
 
   test("replaying a batch converges to the same table without a fence") {
@@ -50,9 +67,9 @@ class Scd2Spec extends SparkSpec {
     val b2 = fullLog.filter(_._2 > 4)
     Scd2.mergeBatch(log(b1), path, "k", "ts", "tie", Seq("status"), 4)
     Scd2.mergeBatch(log(b2), path, "k", "ts", "tie", Seq("status"), 4)
-    val once = canon(Scd2.readHistory(spark, path))
+    val once = canon(Scd2.readHistory(spark, path, "k", "ts", "tie", Seq("status")))
     Scd2.mergeBatch(log(b2), path, "k", "ts", "tie", Seq("status"), 4)
-    assert(canon(Scd2.readHistory(spark, path)) === once)
+    assert(canon(Scd2.readHistory(spark, path, "k", "ts", "tie", Seq("status"))) === once)
   }
 
   test("maintains history as a foreachBatch streaming sink") {
@@ -71,7 +88,7 @@ class Scd2Spec extends SparkSpec {
       q.processAllAvailable()
       in.addData(fullLog.filter(_._2 > 4): _*)
       q.processAllAvailable()
-      val got = canon(Scd2.readHistory(spark, path))
+      val got = canon(Scd2.readHistory(spark, path, "k", "ts", "tie", Seq("status")))
       val want = canon(Scd2.fromChangeLog(log(fullLog), "k", "ts", "tie",
         Seq("status")))
       assert(got === want)
