@@ -468,4 +468,33 @@ object Dedup {
       .select(explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
+
+  /** Group-aware train/val/test split: the unit of assignment is the
+    * near-dup CLUSTER, never the document — a near-duplicate of a
+    * training document landing in eval is the classic contamination
+    * channel a doc-level random split leaves wide open. Documents with
+    * no near-dups form singleton groups (group_id = own id).
+    *
+    * Assignment hashes the group id with the same md5-derived 60-bit
+    * integer used across the dedup family, so the split is deterministic
+    * across runs AND engines (the DuckDB oracle reproduces it
+    * bit-for-bit) — re-running the pipeline never shuffles documents
+    * between splits. Broadcast-free: one left join on doc_id, stateless
+    * projection after. */
+  def groupAwareSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct && trainPct + valPct < 100, got $trainPct/$valPct")
+    docs.select(col(idCol))
+      .join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("__h",
+        expr("conv(substring(md5(cast(group_id AS string)), 1, 15), 16, 10)")
+          .cast("long") % 100)
+      .select(col(idCol), col("group_id"),
+        when(col("__h") < trainPct, "train")
+          .when(col("__h") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
 }

@@ -225,6 +225,58 @@ object Extensions extends QueryModule {
               |       (id = min(lab)) AS keep
               |FROM walk GROUP BY id""".stripMargin)),
 
+    // group-aware train/val/test split: assignment hashes the near-dup
+    // CLUSTER id, so near-duplicates can never straddle train and eval —
+    // the leakage channel a doc-level random split leaves open. The
+    // md5-derived hash makes the split engine-reproducible: the oracle
+    // rebuilds clusters via recursive closure and derives the SAME split.
+    GraftQuery("q_group_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.groupAwareSplit(docs, "doc_id",
+          Dedup.dupClusters(
+            Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+              .select("doc_a", "doc_b")))
+      },
+      Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |bands AS (
+              |  SELECT doc_id, j,
+              |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash
+              |  FROM mh, range(4) t(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b
+              |    ON a.j = b.j AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+              |p AS (
+              |  SELECT doc_a, doc_b, ma.sh AS sh_a, mb.sh AS sh_b
+              |  FROM cand
+              |  JOIN mh ma ON ma.doc_id = doc_a
+              |  JOIN mh mb ON mb.doc_id = doc_b),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM p
+              |  WHERE round(len(list_intersect(sh_a, sh_b))
+              |        / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) >= 0.5),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |walk(id, lab) AS (
+              |  SELECT a, a FROM e
+              |  UNION
+              |  SELECT e.a, walk.lab FROM e JOIN walk ON walk.id = e.b),
+              |comp AS (SELECT id AS doc_id, min(lab) AS cluster_id
+              |         FROM walk GROUP BY id),
+              |g AS (
+              |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+              |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+              |h AS (
+              |  SELECT doc_id, group_id,
+              |    ('0x'||substr(md5(CAST(group_id AS VARCHAR)),1,15))::BIGINT % 100 AS hh
+              |  FROM g)
+              |SELECT doc_id, group_id,
+              |  CASE WHEN hh < 90 THEN 'train'
+              |       WHEN hh < 95 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM h""".stripMargin)),
+
     GraftQuery("q_simhash_sig",
       (s, dir) => Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text"),
       Some(s"""$duckSimhashCtes

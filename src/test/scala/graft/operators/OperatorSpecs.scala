@@ -82,6 +82,24 @@ class DedupSpec extends SparkSpec {
     assert(got.count(_._3) === 1, "exactly one canonical keeper")
   }
 
+  test("groupAwareSplit never separates a near-dup pair across splits") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b")
+    val split = Dedup.groupAwareSplit(docs, "doc_id",
+      Dedup.dupClusters(pairs))
+    val straddling = pairs
+      .join(split.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(split.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .where($"sa" =!= $"sb")
+    assert(straddling.count() === 0,
+      "near-dup pair assigned to different splits — eval contamination")
+    // and the split actually partitions every document
+    assert(split.count() === docs.count())
+    assert(split.select("split").distinct().count() >= 2)
+  }
+
   test("dropExactDuplicates keeps exactly the first occurrence per text") {
     import spark.implicits._
     val docs = Seq(
