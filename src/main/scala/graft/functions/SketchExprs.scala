@@ -38,6 +38,16 @@ import org.apache.spark.util.sketch.BloomFilter
 object SketchUtil {
   def heapify(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  def cmsRead(bytes: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  def cmsWrite(sk: org.apache.spark.util.sketch.CountMinSketch): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    sk.writeTo(bos)
+    bos.toByteArray
+  }
 }
 
 abstract class KllAggBase extends TypedImperativeAggregate[KllDoublesSketch]
@@ -98,6 +108,82 @@ case class KllUnionAgg(child: Expression, k: Int = 200,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): KllUnionAgg =
     copy(child = c)
+}
+
+/** Merge BINARY Count-Min sketches (from Spark's own
+  * `count_min_sketch(x, eps, conf, seed)` aggregate) — the frequency
+  * member of the mergeable-sketch family (sum / HLL distinct / KLL
+  * quantile / CMS frequency), and the one Spark ships a builder for but
+  * no merge. Sketches must share (eps, conf, seed) — `mergeInPlace`
+  * throws on incompatible shapes rather than corrupting counts. The
+  * buffer adopts the first sketch seen (its shape is unknown until
+  * then); an all-null group yields NULL. */
+case class CmsUnionAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[org.apache.spark.util.sketch.CountMinSketch]
+    with UnaryLike[Expression] {
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  override def prettyName: String = "cms_union_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_union_agg requires a binary (sketch) argument, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): CountMinSketch = null
+  override def update(b: CountMinSketch, row: InternalRow): CountMinSketch = {
+    val v = child.eval(row)
+    if (v == null) b else {
+      val sk = SketchUtil.cmsRead(v.asInstanceOf[Array[Byte]])
+      if (b == null) sk else b.mergeInPlace(sk)
+    }
+  }
+  override def merge(b: CountMinSketch, o: CountMinSketch): CountMinSketch =
+    if (b == null) o else if (o == null) b else b.mergeInPlace(o)
+  override def eval(b: CountMinSketch): Any =
+    if (b == null) null else SketchUtil.cmsWrite(b)
+  override def serialize(b: CountMinSketch): Array[Byte] =
+    if (b == null) Array.emptyByteArray else SketchUtil.cmsWrite(b)
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    if (bytes.isEmpty) null else SketchUtil.cmsRead(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): CmsUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CmsUnionAgg =
+    copy(child = c)
+}
+
+/** cms_estimate_long(sketch, key): estimated frequency of a LONG key.
+  * Evaluated on post-agg rows (the candidate keys), so the per-row
+  * deserialize is off the hot path. */
+case class CmsEstimateLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "cms_estimate_long"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_estimate_long requires (binary, long), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def nullSafeEval(sk: Any, v: Any): Any =
+    SketchUtil.cmsRead(sk.asInstanceOf[Array[Byte]])
+      .estimateCount(java.lang.Long.valueOf(v.asInstanceOf[Long]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.freshName("cmsSketch")
+    nullSafeCodeGen(ctx, ev, (sk, v) => s"""
+      |org.apache.spark.util.sketch.CountMinSketch $s =
+      |  graft.functions.SketchUtil.cmsRead($sk);
+      |${ev.value} = $s.estimateCount(java.lang.Long.valueOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** kll_quantile(sketch, q): the INCLUSIVE-rank quantile estimate; NULL
@@ -195,6 +281,10 @@ object SketchFunctions {
     }, "kll_union_agg(sk[, k]) - merge binary KLL sketches"),
     ("kll_quantile", (e: Seq[Expression]) => KllQuantile(e(0), e(1)),
       "kll_quantile(sk, q) - quantile estimate from a KLL sketch"),
+    ("cms_union_agg", (e: Seq[Expression]) => CmsUnionAgg(e(0)),
+      "cms_union_agg(sk) - merge binary Count-Min sketches"),
+    ("cms_estimate_long", (e: Seq[Expression]) => CmsEstimateLong(e(0), e(1)),
+      "cms_estimate_long(sk, key) - estimated frequency of a long key"),
     ("bloom_might_contain", (e: Seq[Expression]) => BloomMightContain(e(0), e(1)),
       "bloom_might_contain(h, bloom) - BloomFilter membership probe"))
 

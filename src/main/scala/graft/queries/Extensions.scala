@@ -1005,6 +1005,29 @@ object Extensions extends QueryModule {
              |        date_diff('day', DATE '1970-01-01', o_orderdate) % 65536 AS y
              |      FROM orders)""".stripMargin)),
 
+    // Count-Min heavy hitters (rows-only: CMS is an overestimating
+    // randomized sketch DuckDB can't reproduce — CmsSpec pins the
+    // never-underestimate + eps*N bound): per-returnflag sketches of
+    // part keys, unioned into one corpus sketch, probed for the
+    // candidate keys of the latest "batch" (the 1998 ship year).
+    GraftQuery("q_heavy_hitters",
+      (s, dir) => {
+        graft.functions.SketchFunctions.register(s)
+        val li = t(s, dir, "lineitem")
+        val cms = li
+          .groupBy(col("l_returnflag"))
+          .agg(expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"))
+          .agg(call_function("cms_union_agg", col("sk")).as("sk"))
+        val candidates = li.where(col("l_shipdate") >= lit("1998-01-01"))
+          .select(col("l_partkey")).distinct()
+          .orderBy(col("l_partkey")).limit(50)
+        candidates.crossJoin(cms)
+          .select(col("l_partkey"),
+            call_function("cms_estimate_long", col("sk"), col("l_partkey"))
+              .as("est_freq"))
+      },
+      None),
+
     // mergeable KLL quantile sketches (rows-only: KLL compaction is
     // randomized, so estimates carry a ±1.65% rank tolerance — asserted
     // in KllSketchSpec against exact percentiles; the driver checks the

@@ -205,6 +205,21 @@ object UpsertSink {
       c => call_function("kll_union_agg", col(c)).as(c), batchId, numBuckets)
   }
 
+  /** Incremental FREQUENCY maintenance — per-key Count-Min sketches
+    * merged by union: "how often has each item appeared, per key,
+    * incrementally" (the heavy-hitters matview). Batch sketches come
+    * from Spark's own `count_min_sketch(x, eps, conf, seed)` aggregate
+    * (all batches MUST share eps/conf/seed — the union throws on
+    * mismatch); read back with `cms_estimate_long(sketchCol, item)`.
+    * CMS union is addition of counter arrays — NOT idempotent — so
+    * replays are fenced by batchId like [[mergeAggBatch]]. */
+  def mergeFrequencyBatch(batch: DataFrame, path: String, keyCols: Seq[String],
+      sketchCols: Seq[String], batchId: Long, numBuckets: Int = 64): Unit = {
+    graft.functions.SketchFunctions.register(batch.sparkSession)
+    mergeBatchWith(batch, path, keyCols, sketchCols,
+      c => call_function("cms_union_agg", col(c)).as(c), batchId, numBuckets)
+  }
+
   /** Shared bucket-bounded merge kernel for the aggregate matviews:
     * group the batch to one row per key, read ONLY the affected buckets,
     * re-aggregate existing+new per key with `aggFor`, dynamic-overwrite
