@@ -36,6 +36,7 @@ object Graphs {
     val teleport = (1.0 - damping) / n
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var lastCut: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val r = ranks
       ranks = e
@@ -45,17 +46,25 @@ object Graphs {
         .groupBy("node")
         .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank"))
       // each round references the previous rank relation ONCE, so the
-      // plan grows linearly — no per-round materialization needed; cut
-      // lineage every few rounds so deep iteration counts keep analysis
-      // and scheduling O(1) per round (the cut also evaluates, which is
-      // when the cached edge relation first materializes)
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+      // plan grows linearly and needs no per-round materialization; every
+      // few rounds (and at the end) persist + materialize so scheduling
+      // stays shallow, then release the superseded cut. persist (not
+      // localCheckpoint) keeps the lineage: lose an executor and the
+      // blocks recompute instead of failing on a missing checkpoint.
+      if (i % 5 == 0 || i == iters) {
+        val cut = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        cut.count()
+        lastCut.foreach(_.unpersist())
+        lastCut = Some(cut)
+        ranks = cut
+      }
     }
-    // materialize the result so the cached edge/degree relations can be
-    // released before returning (the caller gets a lineage-free relation)
-    val out = ranks.localCheckpoint(true)
+    // edge/degree caches release safely: the materialized final cut only
+    // needs them again if its blocks are evicted, in which case lineage
+    // recomputes from source. The returned relation stays cached; callers
+    // running many rankings in one session may unpersist it when done.
     e.unpersist()
     deg.unpersist()
-    out
+    ranks
   }
 }

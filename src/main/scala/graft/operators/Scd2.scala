@@ -82,7 +82,16 @@ object Scd2 {
         .join(broadcast(affected), Seq("bucket"), "left_semi")
         .unionByName(obs)
     }
-    val merged = unionObs.dropDuplicates(Seq(keyCol, tsCol, tieCol))
+    // one row per (key, ts, tie): a re-delivered observation with the
+    // SAME identity but a different payload (an upstream correction) is
+    // resolved deterministically — greatest attrs win — rather than by
+    // dropDuplicates' arbitrary first-seen pick, which would let the
+    // stored history flip between runs
+    val w = Window.partitionBy(col(keyCol), col(tsCol), col(tieCol))
+      .orderBy(attrCols.map(col(_).desc): _*)
+    val merged = unionObs
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn")
       .localCheckpoint(true) // the write overwrites what the plan reads
     UpsertSink.withDynamicOverwrite(spark) {
       merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
