@@ -67,4 +67,58 @@ object Graphs {
     deg.unpersist()
     ranks
   }
+
+  /** PageRank over an ARBITRARY directed edge list — the general form
+    * [[pageRank]]'s symmetrized contract avoids. Dangling nodes (no
+    * out-edges) redistribute their rank mass uniformly:
+    * `r' = (1-d)/N + d·(Σ_in r(u)/deg(u) + D/N)`, D = Σ rank over
+    * dangling nodes — the standard correction that keeps Σr = 1.
+    *
+    * Same scale shape as [[pageRank]] (edges partitioned once, rank-only
+    * shuffles) plus one extra tiny action per iteration: D is a single
+    * double collected to the driver (a broadcast-sized scalar, like the
+    * prefix-sum totals in Packing). Sinkless nodes (no in-edges) still
+    * receive teleport + dangling mass via the left join on the node set. */
+  def pageRankDirected(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRankDirected needs a non-empty graph")
+    val teleport = (1.0 - damping) / n
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val r = ranks
+      val dangling = {
+        // sum over zero rows (no dangling nodes) is SQL NULL
+        val row = r.join(deg, r("node") === deg("src"), "left_anti")
+          .agg(sum(col("rank"))).head()
+        if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      }
+      val contribs = e
+        .join(r, e("src") === r("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      r.unpersist()
+      ranks = next
+    }
+    e.unpersist(); deg.unpersist(); nodes.unpersist()
+    ranks
+  }
 }

@@ -666,6 +666,58 @@ object Extensions extends QueryModule {
              |       JOIN deg ON e.src = deg.src GROUP BY e.dst)
              |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin)),
 
+    // directed PageRank with dangling-mass redistribution: the
+    // customer→supplier trade graph kept DIRECTED — every supplier is a
+    // dangling sink whose mass re-spreads uniformly each round (the
+    // correction that keeps Σrank = 1). The oracle unrolls the same
+    // recurrence, dangling scalar included.
+    GraftQuery("q_pagerank_directed",
+      (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.operators.Graphs.pageRankDirected(edges, iters = 3)
+          .select(col("node"), round(col("rank"), 9).as("rank"))
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+             |nodes AS (SELECT DISTINCT node FROM
+             |  (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+             |d0 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r0
+             |       WHERE node NOT IN (SELECT src FROM deg)),
+             |c1 AS (SELECT e0.dst AS node, sum(r.rank/deg.deg) AS c
+             |       FROM e0 JOIN r0 r ON e0.src = r.node
+             |       JOIN deg ON e0.src = deg.src GROUP BY e0.dst),
+             |r1 AS (SELECT nd.node,
+             |         (1-0.85)/(SELECT n FROM nn) + 0.85*(coalesce(c1.c, 0.0)
+             |           + (SELECT dm FROM d0)/(SELECT n FROM nn)) AS rank
+             |       FROM nodes nd LEFT JOIN c1 USING (node)),
+             |d1 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r1
+             |       WHERE node NOT IN (SELECT src FROM deg)),
+             |c2 AS (SELECT e0.dst AS node, sum(r.rank/deg.deg) AS c
+             |       FROM e0 JOIN r1 r ON e0.src = r.node
+             |       JOIN deg ON e0.src = deg.src GROUP BY e0.dst),
+             |r2 AS (SELECT nd.node,
+             |         (1-0.85)/(SELECT n FROM nn) + 0.85*(coalesce(c2.c, 0.0)
+             |           + (SELECT dm FROM d1)/(SELECT n FROM nn)) AS rank
+             |       FROM nodes nd LEFT JOIN c2 USING (node)),
+             |d2 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r2
+             |       WHERE node NOT IN (SELECT src FROM deg)),
+             |c3 AS (SELECT e0.dst AS node, sum(r.rank/deg.deg) AS c
+             |       FROM e0 JOIN r2 r ON e0.src = r.node
+             |       JOIN deg ON e0.src = deg.src GROUP BY e0.dst),
+             |r3 AS (SELECT nd.node,
+             |         (1-0.85)/(SELECT n FROM nn) + 0.85*(coalesce(c3.c, 0.0)
+             |           + (SELECT dm FROM d2)/(SELECT n FROM nn)) AS rank
+             |       FROM nodes nd LEFT JOIN c3 USING (node))
+             |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin)),
+
     // ======================= sessionization =======================
 
     GraftQuery("q_sessionize",
