@@ -11,6 +11,52 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graphs {
 
+  /** Max |Δrank| between two materialized rank cuts — one scalar agg over
+    * an inner join of two node-keyed relations that are both already
+    * cached, so a convergence check costs a single node-sized job. */
+  private def maxDelta(prev: DataFrame, cur: DataFrame): Double = {
+    val p = prev.select(col("node"), col("rank").as("prev_rank"))
+    val row = cur.join(p, "node")
+      .agg(max(abs(col("rank") - col("prev_rank")))).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Materialize an iteration cut; returns the cut and a thunk releasing
+    * its storage.
+    *
+    * Fixed-iteration runs (`truncate = false`) persist WITH lineage:
+    * plan depth is bounded by the iteration budget, and an evicted block
+    * recomputes instead of failing. Convergence (`tol`) runs are
+    * open-ended, so the plan MUST be truncated each round — a linearly
+    * growing plan costs O(rounds²) analysis time and overflows tree-walk
+    * stacks near ~100 rounds, long before memory is a problem. Those
+    * cuts cache the node-sized Row RDD and rebuild a depth-1 DataFrame
+    * over it; recompute-on-eviction still works through the RDD lineage,
+    * whose recursion is bounded by the per-round shuffle boundaries. */
+  private def cut(df: DataFrame, truncate: Boolean): (DataFrame, () => Unit) =
+    if (truncate) {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      (df.sparkSession.createDataFrame(rdd, df.schema), () => { rdd.unpersist(); () })
+    } else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      (p, () => { p.unpersist(); () })
+    }
+
+  /** Re-home a truncated (RDD-backed) final cut under the CacheManager so
+    * the returned relation follows the same contract as fixed-iteration
+    * runs: cached, and releasable by the caller via `unpersist()`. One
+    * extra node-sized pass; the interim RDD cache is released here. */
+  private def settle(df: DataFrame, release: () => Unit, truncated: Boolean): DataFrame =
+    if (!truncated) df
+    else {
+      val out = df.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      release()
+      out
+    }
+
   /** PageRank over a prepared edge list.
     *
     * Contract: `edges(src, dst)` must give every node at least one
@@ -23,8 +69,16 @@ object Graphs {
     * and persisted; each iteration shuffles only the rank relation
     * (N rows of (long, double)) to meet it, then reduces contributions
     * by `dst` — O(iters) shuffles of node-sized relations, edges never
-    * move again. One driver-side `count()` for N up front. */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    * move again. One driver-side `count()` for N up front.
+    *
+    * `tol > 0` adds convergence termination: every round the max |Δrank|
+    * vs the previous cut is computed (one scalar agg over two already-
+    * cached node-sized relations) and iteration stops once it drops
+    * below `tol` — at 100× scale a fixed `iters` either wastes rounds
+    * after convergence or stops short. `tol = 0` (default) keeps the
+    * exact fixed-iteration recurrence the SQL oracles unroll. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      tol: Double = 0.0): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -36,8 +90,10 @@ object Graphs {
     val teleport = (1.0 - damping) / n
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    var lastCut: Option[DataFrame] = None
-    for (i <- 1 to iters) {
+    var lastCut: Option[(DataFrame, () => Unit)] = None
+    var converged = false
+    var i = 1
+    while (i <= iters && !converged) {
       val r = ranks
       ranks = e
         .join(r, e("src") === r("node"))
@@ -46,26 +102,31 @@ object Graphs {
         .groupBy("node")
         .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank"))
       // each round references the previous rank relation ONCE, so the
-      // plan grows linearly and needs no per-round materialization; every
-      // few rounds (and at the end) persist + materialize so scheduling
-      // stays shallow, then release the superseded cut. persist (not
-      // localCheckpoint) keeps the lineage: lose an executor and the
-      // blocks recompute instead of failing on a missing checkpoint.
-      if (i % 5 == 0 || i == iters) {
-        val cut = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-        cut.count()
-        lastCut.foreach(_.unpersist())
-        lastCut = Some(cut)
-        ranks = cut
+      // plan grows linearly; every few rounds (and at the end) cut —
+      // materialize so scheduling stays shallow, then release the
+      // superseded cut. tol > 0 needs consecutive materialized cuts (and
+      // plan truncation — see `cut`), so it cuts every round.
+      if (tol > 0.0 || i % 5 == 0 || i == iters) {
+        val (c, release) = cut(ranks, truncate = tol > 0.0)
+        if (tol > 0.0)
+          converged = lastCut.exists { case (prev, _) => maxDelta(prev, c) < tol }
+        lastCut.foreach(_._2())
+        lastCut = Some((c, release))
+        ranks = c
       }
+      i += 1
     }
     // edge/degree caches release safely: the materialized final cut only
     // needs them again if its blocks are evicted, in which case lineage
     // recomputes from source. The returned relation stays cached; callers
-    // running many rankings in one session may unpersist it when done.
+    // running many rankings in one session must unpersist it when done
+    // (the registry wrappers drain it immediately).
     e.unpersist()
     deg.unpersist()
-    ranks
+    lastCut match {
+      case Some((c, release)) => settle(c, release, truncated = tol > 0.0)
+      case None => ranks
+    }
   }
 
   /** PageRank over an ARBITRARY directed edge list — the general form
@@ -78,9 +139,13 @@ object Graphs {
     * shuffles) plus one extra tiny action per iteration: D is a single
     * double collected to the driver (a broadcast-sized scalar, like the
     * prefix-sum totals in Packing). Sinkless nodes (no in-edges) still
-    * receive teleport + dangling mass via the left join on the node set. */
+    * receive teleport + dangling mass via the left join on the node set.
+    *
+    * `tol > 0` stops once max |Δrank| < tol (see [[pageRank]]); the
+    * check is one extra scalar agg per round on relations that are
+    * already materialized for the dangling-mass scalar. */
   def pageRankDirected(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -93,9 +158,13 @@ object Graphs {
     require(n > 0, "pageRankDirected needs a non-empty graph")
     val teleport = (1.0 - damping) / n
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    val r0 = nodes.withColumn("rank", lit(1.0 / n))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 1 to iters) {
+    var ranks: DataFrame = r0
+    var releaseRanks: () => Unit = () => { r0.unpersist(); () }
+    var converged = false
+    var i = 1
+    while (i <= iters && !converged) {
       val r = ranks
       val dangling = {
         // sum over zero rows (no dangling nodes) is SQL NULL
@@ -108,17 +177,20 @@ object Graphs {
         .join(deg, "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("c"))
-      val next = nodes
+      val nextPlan = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + lit(damping) *
             (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      r.unpersist()
+      val (next, release) = cut(nextPlan, truncate = tol > 0.0)
+      if (tol > 0.0) converged = maxDelta(r, next) < tol
+      releaseRanks()
       ranks = next
+      releaseRanks = release
+      i += 1
     }
+    val out = settle(ranks, releaseRanks, truncated = tol > 0.0 && i > 1)
     e.unpersist(); deg.unpersist(); nodes.unpersist()
-    ranks
+    out
   }
 }

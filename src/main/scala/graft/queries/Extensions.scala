@@ -21,6 +21,21 @@ object Extensions extends QueryModule {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
 
+  /** Materialize a driver-bounded iterative result and release every
+    * cached block the operator left behind. Iterative operators (PageRank)
+    * return a persisted relation so callers can keep iterating on it; a
+    * registry query is the end of the line, and without this drain each
+    * invocation in a long-lived session strands MEMORY_AND_DISK blocks
+    * (r4 verdict: the stranded rank cuts contaminated the bench query
+    * that ran next). Only for node-sized outputs — one (long, double)
+    * row per graph node here; cluster-scale callers should consume the
+    * operator's cached result directly, then unpersist it themselves. */
+  private def drained(s: SparkSession, cached: DataFrame, out: DataFrame): DataFrame = {
+    val rows = out.collect()
+    cached.unpersist(blocking = true)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   // ---- DuckDB dialect fragments (mirror graft.operators.Dedup) ----
   private val P = "1000000007"
   private def dH60raw(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
@@ -637,8 +652,9 @@ object Extensions extends QueryModule {
           .distinct()
         val edges = e0.select(col("a").as("src"), col("b").as("dst"))
           .union(e0.select(col("b").as("src"), col("a").as("dst")))
-        graft.operators.Graphs.pageRank(edges, iters = 3)
-          .select(col("node"), round(col("rank"), 9).as("rank"))
+        val ranks = graft.operators.Graphs.pageRank(edges, iters = 3)
+        drained(s, ranks,
+          ranks.select(col("node"), round(col("rank"), 9).as("rank")))
       },
       Some("""WITH e0 AS (
              |  SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
@@ -678,8 +694,9 @@ object Extensions extends QueryModule {
           .select((col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
-        graft.operators.Graphs.pageRankDirected(edges, iters = 3)
-          .select(col("node"), round(col("rank"), 9).as("rank"))
+        val ranks = graft.operators.Graphs.pageRankDirected(edges, iters = 3)
+        drained(s, ranks,
+          ranks.select(col("node"), round(col("rank"), 9).as("rank")))
       },
       Some("""WITH e0 AS (
              |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst

@@ -30,6 +30,51 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-9)
   }
 
+  test("pageRank tol stops early: a loose tolerance returns the 2-iteration cut") {
+    import spark.implicits._
+    // star: hub 0 ↔ leaves 1..4, symmetrized. With tol set, the first
+    // convergence check happens at i=2 (the first round with a previous
+    // cut to diff against); ranks are ≤ 1 so Δ < 0.5 always holds there
+    // and the loop must stop — bit-identical to a fixed 2-iteration run.
+    val star = (1L to 4L).map(l => (0L, l)).toDF("a", "b")
+    val sym = star.select($"a".as("src"), $"b".as("dst"))
+      .union(star.select($"b".as("src"), $"a".as("dst")))
+    val early = Graphs.pageRank(sym, iters = 100, tol = 0.5)
+      .as[(Long, Double)].collect().toMap
+    val twoIt = Graphs.pageRank(sym, iters = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(early === twoIt)
+  }
+
+  test("pageRank tol runs to the analytic fixed point on a star graph") {
+    import spark.implicits._
+    // k=4 leaves, d=0.5 (converges at ratio d² per round, ~15 rounds to
+    // 1e-10), N=5, t=(1-d)/N: solving the 2-state recurrence gives
+    // r_hub = t(1+dk)/(1-d²); leaves split the rest evenly. iters is a
+    // generous ceiling — without the tol early-stop AND per-round plan
+    // truncation this would blow the analysis budget long before 200.
+    val star = (1L to 4L).map(l => (0L, l)).toDF("a", "b")
+    val sym = star.select($"a".as("src"), $"b".as("dst"))
+      .union(star.select($"b".as("src"), $"a".as("dst")))
+    val got = Graphs.pageRank(sym, iters = 200, damping = 0.5, tol = 1e-10)
+      .as[(Long, Double)].collect().toMap
+    val t = 0.5 / 5
+    val hub = t * (1 + 0.5 * 4) / (1 - 0.25)
+    assert(math.abs(got(0L) - hub) < 1e-8)
+    for (l <- 1L to 4L) assert(math.abs(got(l) - (1 - hub) / 4) < 1e-8, s"leaf $l")
+  }
+
+  test("pageRankDirected tol stops early and matches the 1-iteration run") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    // all ranks are ≤ 1, so Δ(r0, r1) < 0.9 — the first check must stop it
+    val early = Graphs.pageRankDirected(edges, iters = 50, tol = 0.9)
+      .as[(Long, Double)].collect().toMap
+    val oneIt = Graphs.pageRankDirected(edges, iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(early === oneIt)
+  }
+
   test("pageRankDirected equals pageRank on a symmetrized graph (no dangling nodes)") {
     import spark.implicits._
     val undirected = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
