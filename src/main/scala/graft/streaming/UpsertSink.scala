@@ -220,6 +220,109 @@ object UpsertSink {
       c => call_function("cms_union_agg", col(c)).as(c), batchId, numBuckets)
   }
 
+  /** Seal-and-compact for windowed matviews — bounds the hot table on an
+    * unbounded stream.
+    *
+    * Every `merge*Batch` matview keyed on (window, key) accumulates one
+    * row per window per key FOREVER; after enough windows the matview
+    * itself becomes the scan problem the sketches were meant to avoid.
+    * Windows the watermark has passed are sealed — no future batch may
+    * touch them — so this pass moves them out of the hot bucket layout:
+    *
+    *   1. rows matching `sealed` are union-merged per key into the table
+    *     at `closedPath` (same bucket layout, its own bucket count),
+    *     fenced by `cutoffId` exactly like a batch merge;
+    *   2. those rows are deleted from the hot table (affected buckets
+    *     rewritten bucket-bounded; buckets left empty are removed).
+    *
+    * The hot table stays O(open windows × keys) regardless of stream
+    * age; the closed store only ever grows by genuinely-final rows and
+    * both stores remain [[compact]]-able. Query the full view with
+    * [[readWithClosed]] — row sets are disjoint by construction, and
+    * because the move re-merges with any row already in the closed
+    * store, a very-late straggler that slipped into the hot table after
+    * an earlier seal still ends up counted exactly once.
+    *
+    * Contract: `cutoffId` must be fresh and monotonically increasing
+    * (derive it from the cutoff itself, e.g. epoch seconds). If a
+    * compaction fails midway, re-run it with the SAME cutoffId before
+    * issuing any new one — the fence then skips the closed-store merge
+    * it already committed and finishes the hot-side delete, converging
+    * without double-counting the non-idempotent families (sum/KLL/CMS).
+    */
+  def compactClosedAgg(spark: SparkSession, path: String, closedPath: String,
+      keyCols: Seq[String], sumCols: Seq[String], sealedWhen: org.apache.spark.sql.Column,
+      cutoffId: Long, closedBuckets: Int = 64): Unit =
+    compactClosedWith(spark, path, closedPath, keyCols, sumCols,
+      c => sum(col(c)).as(c), sealedWhen, cutoffId, closedBuckets)
+
+  /** [[compactClosedAgg]] for the HLL matview ([[mergeSketchBatch]]). */
+  def compactClosedSketch(spark: SparkSession, path: String, closedPath: String,
+      keyCols: Seq[String], sketchCols: Seq[String], sealedWhen: org.apache.spark.sql.Column,
+      cutoffId: Long, closedBuckets: Int = 64): Unit =
+    compactClosedWith(spark, path, closedPath, keyCols, sketchCols,
+      c => hll_union_agg(col(c)).as(c), sealedWhen, cutoffId, closedBuckets)
+
+  /** [[compactClosedAgg]] for the KLL matview ([[mergeQuantileBatch]]). */
+  def compactClosedQuantile(spark: SparkSession, path: String, closedPath: String,
+      keyCols: Seq[String], sketchCols: Seq[String], sealedWhen: org.apache.spark.sql.Column,
+      cutoffId: Long, closedBuckets: Int = 64): Unit = {
+    graft.functions.SketchFunctions.register(spark)
+    compactClosedWith(spark, path, closedPath, keyCols, sketchCols,
+      c => call_function("kll_union_agg", col(c)).as(c), sealedWhen, cutoffId, closedBuckets)
+  }
+
+  /** [[compactClosedAgg]] for the CMS matview ([[mergeFrequencyBatch]]). */
+  def compactClosedFrequency(spark: SparkSession, path: String, closedPath: String,
+      keyCols: Seq[String], sketchCols: Seq[String], sealedWhen: org.apache.spark.sql.Column,
+      cutoffId: Long, closedBuckets: Int = 64): Unit = {
+    graft.functions.SketchFunctions.register(spark)
+    compactClosedWith(spark, path, closedPath, keyCols, sketchCols,
+      c => call_function("cms_union_agg", col(c)).as(c), sealedWhen, cutoffId, closedBuckets)
+  }
+
+  /** Full matview state across the seal boundary: hot ∪ closed. The two
+    * row sets are disjoint (compaction deletes exactly what it moves). */
+  def readWithClosed(spark: SparkSession, path: String, closedPath: String): DataFrame =
+    if (!hasData(spark, closedPath)) read(spark, path)
+    else if (!hasData(spark, path)) read(spark, closedPath)
+    else read(spark, path).unionByName(read(spark, closedPath))
+
+  private def compactClosedWith(spark: SparkSession, path: String,
+      closedPath: String, keyCols: Seq[String], valCols: Seq[String],
+      aggFor: String => org.apache.spark.sql.Column,
+      sealedWhen: org.apache.spark.sql.Column, cutoffId: Long, closedBuckets: Int): Unit = {
+    if (!hasData(spark, path)) return
+    val hot = spark.read.parquet(path)
+    // null-safe split: a row whose seal predicate is NULL is not sealed
+    val isSealed = coalesce(sealedWhen, lit(false))
+    val sealedRows = hot.where(isSealed)
+    if (sealedRows.isEmpty) return
+    // 1. fenced union-merge into the closed store (re-groups per key and
+    //    re-buckets under the closed store's own layout)
+    mergeBatchWith(sealedRows.drop("bucket"), closedPath, keyCols, valCols,
+      aggFor, cutoffId, closedBuckets)
+    // 2. remove the moved rows from the hot table. All reads/collects
+    //    happen before the first write so the rewrite never scans its own
+    //    output. Bucket id sets are driver-bounded (≤ numBuckets ints).
+    val openRows = hot.where(!isSealed)
+    val affected = sealedRows.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val openInAffected = openRows
+      .where(col("bucket").isin(affected.toSeq: _*))
+    val keepBuckets = openInAffected.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (keepBuckets.nonEmpty) {
+      val data = openInAffected.localCheckpoint(true)
+      withDynamicOverwrite(spark) {
+        data.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      }
+    }
+    val (fs, root) = fsFor(spark, path)
+    for (b <- affected -- keepBuckets)
+      fs.delete(new Path(root, s"bucket=$b"), true)
+  }
+
   /** Shared bucket-bounded merge kernel for the aggregate matviews:
     * group the batch to one row per key, read ONLY the affected buckets,
     * re-aggregate existing+new per key with `aggFor`, dynamic-overwrite

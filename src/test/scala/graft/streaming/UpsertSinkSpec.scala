@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, hll_sketch_agg, hll_sketch_estimate, window}
+import org.apache.spark.sql.functions.{col, hll_sketch_agg, hll_sketch_estimate, lit, window}
 
 /** Keyed upsert sink: last-write-wins merge with bounded bucket rewrites. */
 class UpsertSinkSpec extends SparkSpec {
@@ -224,6 +224,96 @@ class UpsertSinkSpec extends SparkSpec {
     val last = UpsertSink.read(spark, path)
       .as[(Long, String, Long)].collect().toSet
     assert(last === before.filterNot(_._1 == 1L) + ((1L, "post", 99L)))
+  }
+
+  test("compactClosedSketch seals windows out of the hot table with estimates intact") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val base = java.nio.file.Files.createTempDirectory("sealhll").toString
+    val hot = base + "/hot"; val closed = base + "/closed"
+    def sketch(rows: (Long, Int)*) = rows.map { case (u, m) => (u, ts(m)) }
+      .toDF("user_id", "ts")
+      .groupBy(window(col("ts"), "5 minutes").getField("start").as("ws"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    def estimates(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ws").cast("timestamp"), hll_sketch_estimate(col("sk")).as("est"))
+      .as[(Timestamp, Long)].collect().toMap
+
+    // 3 batches over four windows: w0 {1,4,7}, w5 {2,5,8}, w10 {3,6}, w15 {9}
+    UpsertSink.mergeSketchBatch(sketch(1L -> 1, 2L -> 6, 3L -> 11),
+      hot, Seq("ws"), Seq("sk"), batchId = 0L, numBuckets = 4)
+    UpsertSink.mergeSketchBatch(sketch(4L -> 1, 5L -> 6, 6L -> 11),
+      hot, Seq("ws"), Seq("sk"), batchId = 1L, numBuckets = 4)
+    UpsertSink.mergeSketchBatch(sketch(7L -> 2, 8L -> 7, 9L -> 16),
+      hot, Seq("ws"), Seq("sk"), batchId = 2L, numBuckets = 4)
+    val before = estimates(UpsertSink.read(spark, hot))
+    assert(before.keySet === Set(ts(0), ts(5), ts(10), ts(15)))
+
+    val sealedPred = col("ws") < lit(ts(10))
+    UpsertSink.compactClosedSketch(spark, hot, closed, Seq("ws"), Seq("sk"),
+      sealedPred, cutoffId = 10L, closedBuckets = 4)
+    // hot table shrank to the open windows; sealed windows moved, not lost
+    val hotAfter = UpsertSink.read(spark, hot)
+    assert(hotAfter.count() === 2)
+    assert(estimates(hotAfter).keySet === Set(ts(10), ts(15)))
+    assert(estimates(UpsertSink.read(spark, closed)).keySet === Set(ts(0), ts(5)))
+    assert(estimates(UpsertSink.readWithClosed(spark, hot, closed)) === before,
+      "estimates must be identical across the seal boundary")
+
+    // re-running the same compaction converges (fence + nothing sealed left)
+    UpsertSink.compactClosedSketch(spark, hot, closed, Seq("ws"), Seq("sk"),
+      sealedPred, cutoffId = 10L, closedBuckets = 4)
+    assert(estimates(UpsertSink.readWithClosed(spark, hot, closed)) === before)
+
+    // a late straggler for an already-sealed window lands in hot, and the
+    // next seal UNIONS it into the closed store — counted exactly once
+    UpsertSink.mergeSketchBatch(sketch(100L -> 1),
+      hot, Seq("ws"), Seq("sk"), batchId = 3L, numBuckets = 4)
+    UpsertSink.compactClosedSketch(spark, hot, closed, Seq("ws"), Seq("sk"),
+      sealedPred, cutoffId = 11L, closedBuckets = 4)
+    val late = estimates(UpsertSink.readWithClosed(spark, hot, closed))
+    assert(late(ts(0)) === before(ts(0)) + 1, "w0 gains exactly the one late user")
+    assert(late - ts(0) === before - ts(0), "all other windows untouched")
+  }
+
+  test("compactClosedAgg keeps exact totals and deletes sealed-only buckets") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val base = java.nio.file.Files.createTempDirectory("sealagg").toString
+    val hot = base + "/hot"; val closed = base + "/closed"
+    def totals(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ws").cast("timestamp"), col("v"))
+      .as[(Timestamp, Double)].collect().toMap
+
+    UpsertSink.mergeAggBatch(Seq((ts(0), 10.0), (ts(5), 1.0)).toDF("ws", "v"),
+      hot, "ws", Seq("v"), batchId = 0L, numBuckets = 4)
+    UpsertSink.mergeAggBatch(Seq((ts(0), 3.0), (ts(10), 7.0)).toDF("ws", "v"),
+      hot, "ws", Seq("v"), batchId = 1L, numBuckets = 4)
+    UpsertSink.mergeAggBatch(Seq((ts(5), 2.0), (ts(15), 5.0)).toDF("ws", "v"),
+      hot, "ws", Seq("v"), batchId = 2L, numBuckets = 4)
+    val all = Map(ts(0) -> 13.0, ts(5) -> 3.0, ts(10) -> 7.0, ts(15) -> 5.0)
+    assert(totals(UpsertSink.read(spark, hot)) === all)
+
+    UpsertSink.compactClosedAgg(spark, hot, closed, Seq("ws"), Seq("v"),
+      col("ws") < lit(ts(10)), cutoffId = 100L, closedBuckets = 4)
+    assert(totals(UpsertSink.read(spark, hot)) === all.view.filterKeys(_.after(ts(9))).toMap)
+    assert(totals(UpsertSink.readWithClosed(spark, hot, closed)) === all,
+      "sums are exact (not estimates) and must survive the move untouched")
+
+    // seal EVERYTHING: every hot bucket empties and its directory is
+    // deleted — the hot table reads as absent, the closed store carries all
+    UpsertSink.compactClosedAgg(spark, hot, closed, Seq("ws"), Seq("v"),
+      col("ws") < lit(ts(100)), cutoffId = 101L, closedBuckets = 4)
+    assert(!UpsertSink.hasData(spark, hot), "fully-sealed hot table must be empty")
+    assert(totals(UpsertSink.readWithClosed(spark, hot, closed)) === all)
+
+    // the matview keeps working after a full seal: a new window merges
+    // into a fresh hot table and the union view sees both stores
+    UpsertSink.mergeAggBatch(Seq((ts(20), 9.0)).toDF("ws", "v"),
+      hot, "ws", Seq("v"), batchId = 3L, numBuckets = 4)
+    assert(totals(UpsertSink.readWithClosed(spark, hot, closed)) === all + (ts(20) -> 9.0))
   }
 
   test("works as a foreachBatch streaming sink") {
