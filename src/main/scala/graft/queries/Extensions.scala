@@ -997,6 +997,33 @@ object Extensions extends QueryModule {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment""".stripMargin)),
 
+    // dynamic partition pruning over a month-partitioned fact: the
+    // calendar dim's runtime filter (year/quarter, resolved from data —
+    // not a literal the optimizer could fold) prunes the fact scan to
+    // the matching month directories via a dynamicpruning subquery
+    // (PlanShapeSpec pins it). Oracle = the same join semantics on the
+    // unpartitioned table, proving layout changes nothing.
+    GraftQuery("q_dpp",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir) // sf-unique, identifier-safe
+        val path = s"/tmp/graft_dpp/$tag/orders"
+        graft.operators.PartitionedFact.writeMonthPartitioned(
+          t(s, dir, "orders"), "o_orderdate", "order_month", path)
+        val fact = s.read.parquet(path)
+        val dim = graft.operators.PartitionedFact
+          .monthCalendar(t(s, dir, "orders"), "o_orderdate")
+          .where(col("cal_year") === 1995 && col("cal_quarter") === 1)
+        fact.join(dim, Seq("order_month"))
+          .groupBy(col("order_month"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+      },
+      Some("""SELECT date_trunc('month', o_orderdate) AS order_month,
+             |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+             |FROM orders
+             |WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 1
+             |GROUP BY 1""".stripMargin)),
+
     // bloom-pruned semi join: the fact side is filtered by a Bloom probe
     // at the scan (inside codegen, before any exchange); the exact semi
     // join then removes false positives — so the result is EXACTLY the

@@ -170,6 +170,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning plants a runtime subquery on the fact scan") {
+    val plan = executed("q_dpp")
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    val fact = scans.find(_.metadata.getOrElse("Location", "").contains("graft_dpp"))
+    assert(fact.nonEmpty, s"no partitioned fact scan found in:\n$plan")
+    val pf = fact.get.partitionFilters
+    assert(pf.exists(_.exists(e =>
+        e.getClass.getSimpleName.contains("DynamicPruning"))),
+      s"fact scan's partition filters carry no dynamicpruning subquery: " +
+        s"${pf.mkString("; ")}\n$plan")
+    // and the pruning actually happened at runtime: only the three Q1-1995
+    // month directories were read, out of the full month range
+    fact.get.metrics.get("numPartitions").foreach { m =>
+      assert(m.value <= 3,
+        s"DPP subquery present but ${m.value} partitions were still read")
+    }
+  }
+
   test("as-of join plans exactly one shuffle (union + single window sort)") {
     val plan = executed("q_asof_join")
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
