@@ -26,7 +26,7 @@ object GraftSession {
 
   def builder(master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
-      rocksDbState: Boolean = false): SparkSession.Builder = {
+      rocksDbState: Boolean = false, cbo: Boolean = false): SparkSession.Builder = {
     val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -34,9 +34,22 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-    if (rocksDbState)
-      b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
-    else b
+    val b1 =
+      if (rocksDbState)
+        b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+      else b
+    // cost-based optimization: meaningful only after `ANALYZE TABLE ...
+    // COMPUTE STATISTICS FOR ALL COLUMNS` on the catalog tables — with
+    // stats, the optimizer reorders multi-way joins from estimated
+    // cardinalities instead of relying on AQE + hints at runtime (the
+    // difference between the right plan and a lucky one on a 6-way join
+    // over 100 TB). Histograms sharpen selectivity on skewed columns.
+    // See CboSpec for the measured effect.
+    if (cbo)
+      b1.config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.sql.statistics.histogram.enabled", "true")
+    else b1
   }
 
   def getOrCreate(master: String = "local[*]"): SparkSession = {
