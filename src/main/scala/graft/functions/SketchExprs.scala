@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
@@ -257,6 +257,51 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** [[BloomMightContain]] over a BROADCAST filter: same probe, but the
+  * serialized filter travels as a Broadcast handle (bytes ship once per
+  * executor over the broadcast channel) instead of a literal embedded in
+  * the plan — a 10^7-key filter as `lit(bytes)` is megabytes that every
+  * plan canonicalization, stringification and task closure re-carries.
+  * The filter deserializes lazily on first probe (per task instance; the
+  * underlying bytes exist once per executor). Not SQL-addressable — a
+  * broadcast can't be a function argument — so [[graft.operators
+  * .BloomJoin]] registers each instance under a unique session function
+  * name at build time. */
+case class BloomMightContainBc(child: Expression,
+    bloomBc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends UnaryExpression {
+  override def prettyName: String = "bloom_might_contain_bc"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain_bc requires a long probe, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBc.value))
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference the HANDLE, not the filter: deserialization happens on
+    // the executor from the broadcast bytes, never on the driver, and
+    // nothing filter-sized rides the serialized plan or task closure
+    val bcRef = ctx.addReferenceObj("bloomBc", bloomBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bloomVar = ctx.addMutableState(classOf[BloomFilter].getName, "bloomFilter")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""if ($bloomVar == null) {
+         |  $bloomVar = ${classOf[BloomFilter].getName}.readFrom(
+         |    new java.io.ByteArrayInputStream((byte[]) $bcRef.value()));
+         |}
+         |${ev.value} = $bloomVar.mightContainLong($v);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 object SketchFunctions {

@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   * md5-based — `conv(substring(md5(s),1,15),16,10)` here ≡
   * `('0x'||substr(md5(s),1,15))::BIGINT` in DuckDB — and every fold is a
   * strict left fold mod 1e9+7, so signatures match the oracle bit-for-bit.
+  *
+  * Cache contract (also applies to [[Similarity.lshPairs]]/[[Packing]]):
+  * the pair generators persist intermediate relations (signatures, band
+  * buckets) because several subtrees of the RETURNED lazy plan consume
+  * them; they materialize on the caller's first action and stay cached so
+  * recomputation-on-eviction stays cheap. A long-lived session running
+  * many pipelines should drop them once the results are consumed —
+  * `spark.catalog.clearCache()` between pipelines (what Bench does), or
+  * scope each pipeline to its own short-lived session sharing the
+  * context. The relations are hash/id-sized (longs per row), so the
+  * steady-state footprint is small; this is hygiene, not correctness.
   */
 object Dedup {
   import org.apache.spark.sql.expressions.Window
@@ -66,11 +77,34 @@ object Dedup {
       .where(col("__rn") <= cap).drop("__rn")
   }
 
+  /** Star-rescue candidates for the members [[capBuckets]] drops: each
+    * dropped member pairs with its bucket's REPRESENTATIVE (the smallest
+    * id — always kept, since keep-first-N is ordered by id). O(dropped)
+    * extra candidates instead of re-admitting the members² quadratic, and
+    * every rescued pair still passes the caller's exact verify step
+    * (Jaccard / Hamming / cosine), so precision is untouched. Pair-level
+    * output gains the spanning STAR of each hot bucket, not all
+    * C(members, 2) pairs — text hot enough to overflow a 2^15-value
+    * bucket is boilerplate near-clones, and [[dupClusters]]' transitive
+    * closure reunites the whole bucket through the representative, so
+    * CLUSTER-level recall is full. `doc_a < doc_b` holds by construction
+    * (the representative is the bucket minimum). */
+  def bucketRescuePairs(banded: DataFrame, idCol: String,
+      bucketCols: Seq[String], cap: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
+    banded
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rep", first(col(idCol)).over(w))
+      .where(col("__rn") > cap)
+      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))
+      .distinct()
+  }
+
   /** Audit relation for [[capBuckets]]: one row per bucket whose membership
     * exceeds `cap`, with the count of dropped members. Empty on honest
-    * corpora; non-empty means recall loss that should be surfaced (e.g.
-    * route the overflowed buckets through exact dedup — boilerplate that
-    * hot is near-identical text anyway). */
+    * corpora; non-empty means the cap engaged — the dropped members'
+    * candidates are restored by [[bucketRescuePairs]] (wired into every
+    * pair generator), so this is a layout signal, not a recall hole. */
   def bucketOverflow(banded: DataFrame, idCol: String, bucketCols: Seq[String],
       cap: Int): DataFrame =
     banded.groupBy(bucketCols.map(col): _*)
@@ -184,15 +218,20 @@ object Dedup {
     // Persisted: the self-join's two sides are separate subplans (the
     // capBuckets window breaks exchange-reuse), so without this the
     // explode + window runs twice. Rows are 3 longs.
-    val bands = capBuckets(minhashBands(sigs), "doc_id",
+    val rawBands = minhashBands(sigs)
+    val bands = capBuckets(rawBands, "doc_id",
       Seq("band", "bhash"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // capped-off members re-enter as star candidates vs their bucket's
+    // representative — the cap bounds the quadratic, the rescue keeps
+    // the recall; both go through the same exact-Jaccard verify below
     val candidates = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .union(bucketRescuePairs(rawBands, "doc_id", Seq("band", "bhash"), maxBucket))
       .distinct()
 
     val withSets = candidates
@@ -270,15 +309,26 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persisted for the same self-join double-computation reason as the
     // MinHash bands (3 longs per row)
-    val bands = capBuckets(simhashBands(fp), "doc_id",
+    val rawBands = simhashBands(fp)
+    val bands = capBuckets(rawBands, "doc_id",
       Seq("band", "bval"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bands.as("a")
+    val bandPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").bitwiseXOR(col("b.simhash")).as("x"))
+    // star-rescued candidates rejoin the fingerprints for the same
+    // Hamming verify (the band relation's riding simhash was capped away)
+    val rescued = bucketRescuePairs(
+        rawBands.select("doc_id", "band", "bval"), "doc_id",
+        Seq("band", "bval"), maxBucket)
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sh_a").bitwiseXOR(col("sh_b")).as("x"))
+    bandPairs.union(rescued)
       .distinct()
       .select(col("doc_a"), col("doc_b"), expr("bit_count(x)").cast("long").as("hamming"))
       .where(col("hamming") <= maxHd)
@@ -427,11 +477,15 @@ object Dedup {
     * the set sizes, so the result is the exact Jaccard over the filtered
     * (discriminative) shingle universe, a well-defined semantics an oracle
     * can model. df is computed by a partial-aggregating groupBy (map-side
-    * combine absorbs the skew that motivates the cap), and the surviving
-    * hot list is tiny by construction, so it broadcast-anti-joins without
-    * re-shuffling the index. A boilerplate 3-gram shared by 10^6 docs now
-    * costs one combiner row instead of 10^12 join rows; the loss is
-    * observable through [[hotShingles]].
+    * combine absorbs the skew that motivates the cap). The hot-list
+    * anti-join carries NO broadcast hint: the list is usually tiny (AQE
+    * broadcasts it at runtime from its observed size), but its only
+    * upper bound is totalShingleOccurrences / maxDf — on a
+    * boilerplate-heavy 100 TB corpus that can be millions of rows, and a
+    * forced broadcast would OOM the driver exactly where the cap matters
+    * most; AQE falls back to a shuffled anti-join there. A boilerplate
+    * 3-gram shared by 10^6 docs now costs one combiner row instead of
+    * 10^12 join rows; the loss is observable through [[hotShingles]].
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
@@ -442,7 +496,7 @@ object Dedup {
     val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
-    val e = e0.join(broadcast(hot.select(col("s"))), Seq("s"), "left_anti")
+    val e = e0.join(hot.select(col("s")), Seq("s"), "left_anti")
     val counts = e.as("a")
       .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

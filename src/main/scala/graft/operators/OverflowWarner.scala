@@ -6,14 +6,23 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
-/** Surfaces LSH bucket-cap recall loss ([[Dedup.capBuckets]]) the moment
+/** Surfaces LSH bucket-cap engagement ([[Dedup.capBuckets]]) the moment
   * it happens: a per-session QueryExecutionListener that scans each
   * completed query's observed metrics for `graft_bucket_overflow_*`
   * entries and logs a WARNING when memberships were dropped. The metrics
   * are computed by an `observe` node inside the existing action — the
   * audit costs zero extra jobs, unlike running [[Dedup.bucketOverflow]]
-  * eagerly — so pipelines like [[CorpusClean.clean]] can no longer lose
-  * near-dup recall on a boilerplate-heavy corpus with no signal.
+  * eagerly. Since the dropped members re-enter candidate generation as
+  * [[Dedup.bucketRescuePairs]] star candidates, the warning signals a
+  * degenerate corpus layout (and the extra rescue work), not recall loss.
+  *
+  * Semantics caveat: `observe` metrics fire when the subtree EXECUTES.
+  * The pair generators persist the capped band relation immediately, so
+  * the metric reports on the action that first materializes the cache;
+  * later queries served from the cache re-run the observe over cached
+  * rows only if Spark re-executes the node — treat the warning as
+  * at-least-once per cache lifetime, not per query. For exact per-bucket
+  * detail at any time, run [[Dedup.bucketOverflow]].
   */
 object OverflowWarner extends org.apache.spark.internal.Logging {
 
@@ -44,7 +53,8 @@ object OverflowWarner extends org.apache.spark.internal.Logging {
                 logWarning(
                   s"LSH bucket cap engaged: $dropped memberships dropped " +
                     s"(largest bucket ${row.getAs[Long]("max_bucket_members")} " +
-                    s"members) — near-dup recall is reduced; inspect " +
+                    s"members) — dropped members were star-rescued against " +
+                    "their bucket representative; inspect " +
                     "Dedup.bucketOverflow for the affected buckets")
             }
           }

@@ -122,10 +122,14 @@ object Scd2 {
   def pitJoin(facts: DataFrame, history: DataFrame, keyCol: String,
       tsCol: String): DataFrame = {
     val h = history.withColumnRenamed(keyCol, "__dim_key")
+    // interval columns resolved against the HISTORY side explicitly
+    // (mirroring the __dim_key rename): fact tables are often
+    // interval-bearing themselves, and an unqualified valid_from/valid_to
+    // would then be an ambiguous reference
     facts.join(h,
       facts.col(keyCol) === h.col("__dim_key") &&
-        col("valid_from") <= facts.col(tsCol) &&
-        (col("valid_to").isNull || facts.col(tsCol) < col("valid_to")))
+        h.col("valid_from") <= facts.col(tsCol) &&
+        (h.col("valid_to").isNull || facts.col(tsCol) < h.col("valid_to")))
       .drop("__dim_key")
   }
 }

@@ -101,20 +101,26 @@ object Similarity {
     // never the vectors. Embeddings rejoin per candidate pair for verify.
     // persisted: the self-join's sides are separate subplans (the
     // capBuckets window breaks exchange-reuse) — 3 longs per row
-    val banded = graft.operators.Dedup.capBuckets(
-      sigs.select(
+    val rawBanded = sigs.select(
         col("vec_id"),
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), j -> shiftright(sig, $bits * j) % ${1 << bits})")))
-        .toDF("vec_id", "band", "bval"),
-      "vec_id", Seq("band", "bval"), maxBucket)
+      .toDF("vec_id", "band", "bval")
+    val banded = graft.operators.Dedup.capBuckets(
+      rawBanded, "vec_id", Seq("band", "bval"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // capped-off members re-enter as star candidates vs their bucket's
+    // representative (Dedup.bucketRescuePairs) and pass the same exact
+    // cosine verify — cluster-level recall survives degenerate buckets
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .union(graft.operators.Dedup
+        .bucketRescuePairs(rawBanded, "vec_id", Seq("band", "bval"), maxBucket)
+        .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b")))
       .distinct()
 
     val embs = sigs.select(col("vec_id"), col("emb"))

@@ -196,8 +196,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("ngram-Jaccard hot-shingle cap anti-joins via broadcast, never a shuffle of the index") {
-    // the df>cap hot list is tiny by construction: it must arrive at the
-    // anti join as a broadcast, not by re-exchanging the exploded index.
+    // on an honest corpus the df>cap hot list is tiny: it must arrive at
+    // the anti join as a broadcast, not by re-exchanging the exploded
+    // index. There is deliberately NO broadcast() hint in the operator —
+    // the planner picks broadcast from size estimates here, and on a
+    // boilerplate-heavy corpus where the hot list is huge, AQE may fall
+    // back to a shuffled anti join instead of OOMing the driver.
     // Asserted on the pre-AQE plan — at runtime an EMPTY hot list lets
     // AQE remove the anti join altogether, which is better still.
     val plan = SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)

@@ -95,6 +95,24 @@ class Scd2Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pitJoin resolves intervals against the history side when facts carry the same columns") {
+    import spark.implicits._
+    // facts that are THEMSELVES interval-bearing (valid_from/valid_to) —
+    // with unqualified interval references the join condition would be an
+    // ambiguous-reference AnalysisException
+    val history = Scd2.fromChangeLog(log(fullLog), "k", "ts", "tie", Seq("status"))
+      .withColumn("valid_from", col("valid_from").cast("int"))
+      .withColumn("valid_to", col("valid_to").cast("int"))
+    val facts = Seq(
+      (1L, 4, 0, 99), // at ts=4, key 1 is "open" ([3,7))
+      (2L, 9, 1, 98), // at ts=9, key 2 is "open" ([8,null))
+      (1L, 8, 2, 97)  // at ts=8, key 1 is "closed" ([7,null))
+    ).toDF("k", "ts", "valid_from", "valid_to")
+    val got = Scd2.pitJoin(facts, history, "k", "ts")
+      .select($"k", $"ts", $"status").as[(Long, Int, String)].collect().toSet
+    assert(got === Set((1L, 4, "open"), (2L, 9, "open"), (1L, 8, "closed")))
+  }
+
   test("a batch only rewrites the buckets its keys hash to") {
     val path = java.nio.file.Files.createTempDirectory("scd2b").toString + "/t"
     Scd2.mergeBatch(log(fullLog), path, "k", "ts", "tie", Seq("status"), 64)
