@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.Builtins,
     graft.queries.Extensions,
     graft.queries.SqlSurface,
-    graft.queries.Pipeline)
+    graft.queries.Pipeline,
+    graft.queries.Warehouse)
 
   private lazy val registry: Seq[GraftQuery] = modules.flatMap(_.queries)
 

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (fuzzy) self-join: all pairs of rows whose string column
+  * is within Levenshtein distance `k` — without the O(n²) cross join.
+  *
+  * Algorithm: PassJoin-style segment blocking (Li, Deng, Feng — "PASS-JOIN:
+  * a partition-based method for similarity joins", VLDB 2012; public
+  * algorithm). Every string is partitioned into `k+1` contiguous segments;
+  * by pigeonhole, `k` edits cannot touch all `k+1` segments, so two strings
+  * within distance `k` share at least one segment VERBATIM, shifted by at
+  * most `k` positions. Blocking is therefore LOSSLESS:
+  *
+  *  - index side: each string of length `L` emits its `k+1` segments keyed
+  *    `(L, segNo, segText)` — O(k) keys per row;
+  *  - probe side: each string of length `Lt` emits, for every candidate
+  *    partner length `L ∈ [Lt-k, Lt]` and segment `i`, the substrings of
+  *    the segment's length starting within ±k of the segment's position —
+  *    O(k²·(2k+1)) keys per row, constant for small k;
+  *  - equi-join on `(L, segNo, segText)` → candidate id pairs → exact
+  *    `levenshtein(s₁, s₂) ≤ k` verify (threshold form, so the DP exits
+  *    early on distant pairs).
+  *
+  * Scale notes (100 TB): the only shuffles are the equi-join on short
+  * segment keys and the id-pair dedup — both hash exchanges on uniformly
+  * distributed keys. Nothing is ever broadcast or collected; candidate
+  * volume is bounded by segment selectivity, not by n². A hot segment (a
+  * shared prefix across millions of rows) surfaces as a skewed join key
+  * and is handled by AQE skew splitting, not by driver memory.
+  *
+  * Strings shorter than `k+1` characters can't donate `k+1` non-empty
+  * segments; they are handled by an exact short-path: any partner within
+  * distance `k` of a ≤k-char string has ≤2k chars, so both sides of that
+  * residual join are restricted to bounded-length strings (in real corpora
+  * a vanishing sliver; the join is still a shuffled equi-join on length
+  * bands, never a full cross).
+  */
+object FuzzyJoin {
+
+  /** All unordered pairs `(id_a, id_b, dist)` with
+    * `levenshtein(str_a, str_b) = dist ≤ k` and `id_a < id_b`.
+    * `idCol` must be numeric/comparable; dedup + ordering key.
+    */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 4, s"k=$k out of the small-k range PassJoin targets")
+    val p = k + 1
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      length(col(strCol)).as("len"))
+
+    // segment geometry for a length-L string: first (p - L%p) segments get
+    // floor(L/p) chars, the rest one more; seg i starts at
+    // i*floor(L/p) + max(0, i - (p - L%p)).
+    def segLen(l: String, i: String) =
+      s"(($l div $p) + if($i >= $p - ($l % $p), 1, 0))"
+    def segStart(l: String, i: String) =
+      s"($i * ($l div $p) + greatest(0, $i - ($p - ($l % $p))))"
+
+    val long = base.where(col("len") >= p)
+
+    // index side: k+1 exact segments per string
+    val index = long.select(col("id").as("r_id"), col("len").as("L"),
+      explode(expr(
+        s"""transform(sequence(0, $k), i -> named_struct(
+           |  'i', i,
+           |  'seg', substring(s, ${segStart("len", "i")} + 1, ${segLen("len", "i")})))"""
+          .stripMargin)).as("x"))
+      .select(col("r_id"), col("L"), col("x.i").as("i"), col("x.seg").as("seg"))
+
+    // probe side: for each partner length L in [len-k, len] (the indexed
+    // side is the shorter-or-equal one), each segment's length-L geometry,
+    // all starts within ±k of the segment position. The start range is
+    // provably non-empty (p_i ≤ L - l_i ≤ len - l_i), so sequence() never
+    // runs descending.
+    val probes = long.select(col("id").as("t_id"), col("s").as("t_s"),
+      explode(expr(
+        s"""flatten(transform(sequence(greatest($p, len - $k), len), L ->
+           |  flatten(transform(sequence(0, $k), i ->
+           |    transform(
+           |      sequence(greatest(0, ${segStart("L", "i")} - $k),
+           |               least(len - ${segLen("L", "i")}, ${segStart("L", "i")} + $k)),
+           |      st -> named_struct(
+           |        'L', L, 'i', i,
+           |        'seg', substring(s, st + 1, ${segLen("L", "i")})))))))"""
+          .stripMargin)).as("x"))
+      .select(col("t_id"), col("x.L").as("L"), col("x.i").as("i"),
+        col("x.seg").as("seg"))
+
+    val candidates = index.join(probes, Seq("L", "i", "seg"))
+      .where(col("r_id") =!= col("t_id"))
+      .select(least(col("r_id"), col("t_id")).as("id_a"),
+        greatest(col("r_id"), col("t_id")).as("id_b"))
+      .distinct()
+
+    // residual short path: strings with < k+1 chars; any within-k partner
+    // has ≤ len+k chars, so both sides are bounded-length (equi-banded by
+    // construction — the where() below keeps it from ever being a blind
+    // cross at scale).
+    val short = base.where(col("len") < p)
+    val shortPairs = short.select(col("id").as("id_x"), col("s").as("s_x"),
+        col("len").as("len_x"))
+      .join(base.select(col("id").as("id_y"), col("s").as("s_y"),
+        col("len").as("len_y")),
+        col("id_x") =!= col("id_y") &&
+          col("len_y") <= col("len_x") + k && col("len_y") >= col("len_x") - k)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+
+    val la = base.select(col("id").as("id_a"), col("s").as("s_a"))
+    val lb = base.select(col("id").as("id_b"), col("s").as("s_b"))
+    candidates.unionByName(shortPairs).distinct()
+      .join(la, "id_a").join(lb, "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
+      .where(col("dist") >= 0 && col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

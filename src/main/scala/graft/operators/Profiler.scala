@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data profiling: per-column row/null/distinct counts and min/max — the
+  * first query anyone runs against an unfamiliar 100 TB table, and the
+  * input to every data-quality monitor.
+  *
+  * One wide aggregation computes every column's statistics in a single
+  * pass over the data, then the 1×(4·ncols) row is unpivoted driver-free
+  * into the long (column, stat) form. Exact `count(distinct)` per column
+  * expands the input ncols× (Spark's Expand-based multi-distinct); that
+  * is the price of exactness — [[profileApprox]] swaps in HLL
+  * `approx_count_distinct` for the 100 TB profile run, turning the whole
+  * thing into one streaming-aggregate pass with constant memory.
+  *
+  * Min/max are reported as canonical strings (dates ISO, numerics via
+  * plain cast) so one relation can carry mixed column types.
+  */
+object Profiler {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileImpl(df, cols, exact = true)
+
+  /** HLL-based distinct counts (±2% default): the variant that stays a
+    * single non-expanded pass at petabyte scale. */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileImpl(df, cols, exact = false)
+
+  private def profileImpl(df: DataFrame, cols: Seq[String],
+      exact: Boolean): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val total = count(lit(1)).as("__n")
+    val wide = df.agg(total, aggs: _*)
+    // unpivot the single wide row into (column, stats) — a stack() over
+    // one row, no extra pass over the data
+    val stacked = cols.map { c =>
+      s"'$c', __n - __nn_$c, __nd_$c, __mn_$c, __mx_$c"
+    }.mkString(", ")
+    wide.select(col("__n").as("n_rows"),
+      expr(s"stack(${cols.size}, $stacked)")
+        .as(Seq("column", "n_nulls", "n_distinct", "min_value", "max_value")))
+      .select(col("column"), col("n_rows"), col("n_nulls").cast("long"),
+        col("n_distinct").cast("long"), col("min_value"), col("max_value"))
+  }
+}

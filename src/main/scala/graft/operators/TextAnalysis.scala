@@ -179,4 +179,85 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr(Dedup.foldDigest(s"transform(words, w -> ${Dedup.h60("w")})"))
           .as("fingerprint"))
+
+  /** Within-document repetition signals (the Gopher/MassiveText repetition
+    * filters — Rae et al. 2021 §A.1.1, public paper): documents dominated
+    * by repeated n-grams are boilerplate/spam and poison training data.
+    *
+    * Per document, over word `n`-grams:
+    *  - `n_grams`        total n-gram occurrences,
+    *  - `distinct_grams` distinct n-grams,
+    *  - `top_gram_frac`  occurrences of the most frequent n-gram / total,
+    *  - `dup_gram_frac`  fraction of occurrences whose n-gram occurs >1×,
+    *  - `dup_word_frac`  fraction of word occurrences that are repeats.
+    *
+    * Scale: ONE shuffle, keyed `(doc_id, gram)` — the within-doc gram
+    * histogram. That key spreads a single huge document across reducers
+    * (grams differ), so a 1 GB outlier doc cannot straggle one task the
+    * way a doc_id-keyed explode would; the second aggregation back to
+    * doc_id moves only `distinct_grams`-sized partials. The word-level
+    * signal needs no shuffle at all (array HOFs in codegen).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      expr(Dedup.wordsExpr(textCol)).as("words"))
+      .where(expr(s"size(words) >= $n"))
+    val grams = words.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, size(words) - $n),
+           |  i -> array_join(slice(words, i + 1, $n), ' '))""".stripMargin))
+        .as("gram"))
+    val hist = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val gramStats = hist.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_grams"),
+      count(lit(1)).as("distinct_grams"),
+      max(col("cnt")).as("top_cnt"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0))).as("dup_cnt"))
+    val wordStats = words.select(col("doc_id"),
+      expr("size(words)").cast("long").as("n_words"),
+      expr("size(array_distinct(words))").cast("long").as("n_distinct_words"))
+    gramStats.join(wordStats, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("distinct_grams"),
+        round(col("top_cnt") / col("n_grams"), 4).as("top_gram_frac"),
+        round(col("dup_cnt") / col("n_grams"), 4).as("dup_gram_frac"),
+        round((col("n_words") - col("n_distinct_words")) / col("n_words"), 4)
+          .as("dup_word_frac"))
+  }
+
+  /** Deflate compression ratio per document — the classic cheap "is this
+    * text natural language or degenerate boilerplate" signal (highly
+    * repetitive text compresses far below normal prose). Runs the JDK
+    * Deflater at the default level inside `mapPartitions` (one Deflater
+    * per partition, reused across rows — allocation-free in the loop).
+    * Deterministic for a fixed zlib level, but NOT SQL-expressible →
+    * rows-only oracle + CompressionSpec bounds.
+    *
+    * Scale: stateless per-row scan, no shuffle; compressing is ~100 MB/s
+    * per core, so a 100 TB corpus costs ~the same as one parquet decode
+    * pass — typically gated AFTER the cheap length/ratio filters.
+    */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val out = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(out)
+          (id, raw.length.toLong, compressed,
+            if (raw.length == 0) 1.0
+            else math.rint(compressed.toDouble / raw.length * 10000) / 10000)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate_bytes", "deflate_ratio")
+  }
 }

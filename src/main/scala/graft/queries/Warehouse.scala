@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 warehouse-maintenance + corpus-forensics surface:
+  * snapshot diff / MERGE upsert / CDC apply ([[graft.operators.TableDiff]]),
+  * PassJoin edit-distance self-join ([[graft.operators.FuzzyJoin]]),
+  * exact shared-span detection ([[graft.operators.Spans]]),
+  * column profiling ([[graft.operators.Profiler]]),
+  * small-file compaction ([[graft.operators.Compaction]]), and the
+  * Gopher-style repetition / compressibility text signals
+  * ([[graft.operators.TextAnalysis]]).
+  *
+  * Snapshot fixtures are derived DETERMINISTICALLY from the TPC-H tables
+  * (modular key predicates), so the oracles can state the expected output
+  * from first principles instead of re-running the operator's own logic.
+  */
+object Warehouse extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** "new snapshot" of orders: keys %11==0 deleted, %7==0 repriced. */
+  private def newSnapshot(orders: DataFrame): DataFrame =
+    orders.where(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, round(col("o_totalprice") * 2, 2))
+          .otherwise(col("o_totalprice")))
+
+  override val queries: Seq[GraftQuery] = Seq(
+
+    // ---- snapshot diff: old = orders minus %13 keys; new = orders minus
+    // %11 keys with %7 keys repriced → inserted/deleted/updated delta ----
+    GraftQuery("q_snapshot_diff",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val oldSnap = orders.where(col("o_orderkey") % 13 =!= 0)
+        graft.operators.TableDiff.diff(oldSnap, newSnapshot(orders),
+          Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 13 = 0 THEN 'inserted'
+             |       WHEN o_orderkey % 11 = 0 THEN 'deleted'
+             |       ELSE 'updated' END AS change
+             |FROM orders
+             |WHERE (o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0)
+             |   OR (o_orderkey % 11 = 0 AND o_orderkey % 13 <> 0)
+             |   OR (o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+             |       AND o_orderkey % 13 <> 0)""".stripMargin)),
+
+    // ---- MERGE upsert: %10 keys repriced in place + re-inserted under
+    // fresh keys; everything else survives untouched ----
+    GraftQuery("q_merge_upsert",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        // +1000.0 is exact in binary floating point (unlike a *1.1
+        // reprice + round, whose half-ulp ties Spark and DuckDB can
+        // round differently) — the fixture stays bit-deterministic.
+        val updates = orders.where(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        val inserts = updates
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        graft.operators.TableDiff.merge(orders,
+            updates.unionByName(inserts), Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey % 10 <> 0
+             |UNION ALL
+             |SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0
+             |FROM orders WHERE o_orderkey % 10 = 0
+             |UNION ALL
+             |SELECT o_orderkey + 100000000, o_orderstatus,
+             |       o_totalprice + 1000.0
+             |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin)),
+
+    // ---- CDC apply: v1 upserts %5 keys, v2 deletes %15 keys and upserts
+    // %8 keys; latest version wins per key, delete beats upsert on a tie
+    // (%120 keys carry both v2 ops) ----
+    GraftQuery("q_cdc_apply",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        def tagged(df: DataFrame, op: String, v: Long): DataFrame =
+          df.withColumn("op", lit(op)).withColumn("version", lit(v))
+        val changes = tagged(
+            orders.where(col("o_orderkey") % 5 === 0)
+              .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+            "U", 1L)
+          .unionByName(tagged(
+            orders.where(col("o_orderkey") % 15 === 0), "D", 2L))
+          .unionByName(tagged(
+            orders.where(col("o_orderkey") % 8 === 0)
+              .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+            "U", 2L))
+        graft.operators.TableDiff.applyChanges(orders, changes,
+            Seq("o_orderkey"), "op", "version")
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 3000.0
+             |       WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+             |       ELSE o_totalprice END AS o_totalprice
+             |FROM orders WHERE o_orderkey % 15 <> 0""".stripMargin)),
+
+    // ---- PassJoin edit-distance self-join over customer names (every
+    // digit-substitution neighborhood), k=2; the oracle is the brute-force
+    // cross join the operator exists to avoid ----
+    GraftQuery("q_fuzzy_join",
+      (s, dir) => graft.operators.FuzzyJoin.selfJoin(
+        t(s, dir, "customer").where(col("c_custkey") % 7 === 0),
+        "c_custkey", "c_name", k = 2),
+      Some("""WITH c AS (SELECT c_custkey, c_name FROM customer
+             |          WHERE c_custkey % 7 = 0)
+             |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |       levenshtein(a.c_name, b.c_name) AS dist
+             |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin)),
+
+    // ---- exact shared spans: document pairs sharing a verbatim 6-word
+    // run (span-level dedup signal MinHash document similarity misses) ----
+    GraftQuery("q_span_dedup",
+      (s, dir) => graft.operators.Spans.sharedSpans(
+        t(s, dir, "documents"), "doc_id", "text", w = 6),
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), w -> w <> '') AS words
+             |  FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(len(words) - 5),
+             |      i -> array_to_string(list_slice(words, i + 1, i + 6), ' ')))
+             |      AS gram
+             |  FROM d WHERE len(words) >= 6)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       count(*) AS n_shared_spans, min(a.gram) AS first_span
+             |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- column profiling: one-pass stats over orders ----
+    GraftQuery("q_profile",
+      (s, dir) => graft.operators.Profiler.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate")
+        cols.map { c =>
+          s"""SELECT '$c' AS "column", count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_value,
+             |  CAST(max($c) AS VARCHAR) AS max_value
+             |FROM orders""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      }),
+
+    // ---- small-file compaction: 64-file lineitem → target-size bins;
+    // the oracle proves content identity through the rewrite ----
+    GraftQuery("q_compact_files",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val in = s"/tmp/graft_compact/$tag/in"
+        val out = s"/tmp/graft_compact/$tag/out"
+        t(s, dir, "lineitem").repartition(64)
+          .write.mode("overwrite").parquet(in)
+        graft.operators.Compaction.compact(s, in, out,
+          targetBytes = 16L * 1024 * 1024)
+        graft.operators.Compaction.readCompacted(s, out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // ---- Gopher repetition signals over word 2-grams ----
+    GraftQuery("q_text_repetition",
+      (s, dir) => graft.operators.TextAnalysis.repetitionSignals(
+        t(s, dir, "documents"), "doc_id", "text", n = 2),
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), w -> w <> '') AS words
+             |  FROM documents WHERE len(list_filter(string_split(text, ' '),
+             |    w -> w <> '')) >= 2),
+             |g AS (SELECT doc_id,
+             |    unnest(list_transform(range(len(words) - 1),
+             |      i -> array_to_string(list_slice(words, i + 1, i + 2), ' ')))
+             |      AS gram
+             |  FROM d),
+             |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+             |a AS (SELECT doc_id, sum(cnt) AS n_grams, count(*) AS distinct_grams,
+             |    max(cnt) AS top_cnt,
+             |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+             |  FROM c GROUP BY 1),
+             |w AS (SELECT doc_id, len(words) AS n_words,
+             |    len(list_distinct(words)) AS n_distinct_words
+             |  FROM d)
+             |SELECT a.doc_id, a.n_grams::BIGINT AS n_grams,
+             |  a.distinct_grams::BIGINT AS distinct_grams,
+             |  round(a.top_cnt / CAST(a.n_grams AS DOUBLE), 4) AS top_gram_frac,
+             |  round(a.dup_cnt / CAST(a.n_grams AS DOUBLE), 4) AS dup_gram_frac,
+             |  round((w.n_words - w.n_distinct_words)
+             |        / CAST(w.n_words AS DOUBLE), 4) AS dup_word_frac
+             |FROM a JOIN w ON a.doc_id = w.doc_id""".stripMargin)),
+
+    // ---- deflate compressibility signal: not SQL-expressible (zlib) →
+    // rows-only check + CompressionSpec bounds ----
+    GraftQuery("q_compression_ratio",
+      (s, dir) => graft.operators.TextAnalysis.compressionRatio(
+        t(s, dir, "documents"), "doc_id", "text"),
+      None))
+}

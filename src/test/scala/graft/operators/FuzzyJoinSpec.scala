@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PassJoin losslessness: segment blocking + verify must return EXACTLY
+  * the brute-force O(n²) Levenshtein result — on strings of varying
+  * length, planted near-duplicates, and the sub-(k+1)-char short path. */
+class FuzzyJoinSpec extends SparkSpec {
+
+  /** Plain Levenshtein for the brute-force oracle. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def brute(rows: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib
+      d = lev(sa, sb)
+      if d <= k
+    } yield (ia, ib, d)).toSet
+
+  /** Deterministic corpus: base words + seeded single/double mutations +
+    * some very short strings for the residual path. */
+  private def corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefgh"
+    val bases = Seq("streaming", "partition", "shuffle", "catalyst",
+      "tungsten", "exchange", "broadcast", "window")
+    def mutate(s: String, times: Int): String =
+      (1 to times).foldLeft(s) { (cur, _) =>
+        val i = rnd.nextInt(cur.length)
+        rnd.nextInt(3) match {
+          case 0 => cur.updated(i, alphabet(rnd.nextInt(alphabet.length))) // sub
+          case 1 => cur.take(i) + alphabet(rnd.nextInt(alphabet.length)) + cur.drop(i) // ins
+          case _ if cur.length > 1 => cur.take(i) + cur.drop(i + 1) // del
+          case _ => cur
+        }
+      }
+    val mutated = for {
+      (b, bi) <- bases.zipWithIndex
+      m <- 0 until 12
+    } yield mutate(b, m % 3)
+    val shorts = Seq("a", "b", "ab", "xy", "x", "")
+    (mutated ++ shorts).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+
+  for (k <- Seq(1, 2)) test(s"selfJoin(k=$k) equals brute force") {
+    import spark.implicits._
+    val rows = corpus
+    val got = FuzzyJoin.selfJoin(rows.toDF("id", "s"), "id", "s", k)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute(rows, k))
+  }
+
+  test("selfJoin finds nothing among pairwise-distant strings") {
+    import spark.implicits._
+    val rows = Seq((1L, "aaaaaaaa"), (2L, "bbbbbbbb"), (3L, "cccccccc"))
+    assert(FuzzyJoin.selfJoin(rows.toDF("id", "s"), "id", "s", 2).count() === 0L)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Repetition + compressibility signals: hand-computed values on crafted
+  * documents, and the discriminative property the filters exist for
+  * (degenerate text scores high repetition / low deflate ratio). */
+class TextSignalsSpec extends SparkSpec {
+
+  test("repetitionSignals: hand-checked 2-gram stats") {
+    import spark.implicits._
+    // words: a b a b c  -> 2-grams: "a b","b a","a b","b c"
+    // n=4, distinct=3, top=2/4, dup=2/4; words: 5 total 3 distinct -> 2/5
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(r === ((1L, 4L, 3L, 0.5, 0.5, 0.4)))
+  }
+
+  test("repetitionSignals: boilerplate scores above natural-ish text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(50)("buy now").mkString(" ")),
+      (2L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .select("doc_id", "dup_gram_frac").as[(Long, Double)].collect().toMap
+    assert(m(1L) === 1.0, "pure repetition -> every gram duplicated")
+    assert(m(2L) === 0.0, "all-distinct words -> no duplicated grams")
+  }
+
+  test("compressionRatio: repetitive text compresses far below varied text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam " * 500),
+      (2L, (1 to 500).map(i => (i * 2654435761L).toHexString).mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n1, c1, ratio1) = rows(1L)
+    assert(n1 === 2500L && c1 > 0 && ratio1 < 0.02,
+      s"500x-repeated token must deflate hard, got $ratio1")
+    assert(rows(2L)._4 > 0.3,
+      s"high-entropy text must not, got ${rows(2L)._4}")
+    assert(rows(3L)._4 === 1.0, "empty doc pins ratio at 1.0")
+    // ratio is exactly compressed/raw rounded to 4dp
+    assert(ratio1 === math.rint(c1.toDouble / n1 * 10000) / 10000)
+  }
+}
