@@ -27,7 +27,12 @@ object Bench {
       try run(fn) catch { case _: Throwable => () })
     spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (args) for timing-isolation experiments; the driver
+    // passes no args and times the full registry
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -90,7 +90,10 @@ object Scratch {
     val toTime =
       if (args.isEmpty) defaults
       else args.toSeq.filterNot(a => a.startsWith("explain:") || modes(a))
-    for (q <- toTime) time(q)(runNoop(q))
+    for (q <- toTime)
+      if (q == "clearcache") spark.catalog.clearCache()
+      else if (q == "gc") System.gc()
+      else time(q)(runNoop(q))
     spark.stop()
   }
 }

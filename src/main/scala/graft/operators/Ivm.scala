@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance (IVM) for grouped-aggregate materialized
+  * views under inserts AND deletes — refresh cost proportional to the
+  * DELTA, never to the 100 TB base table.
+  *
+  * The maintained aggregates are the self-invertible ones: `count` and
+  * `sum` form a group (deletes subtract), so a view keyed on `keys` can
+  * absorb any insert/delete batch by merging a delta aggregate:
+  *
+  *   view'(k) = (count + Δcount, sum + Δsum),  dropping rows at count 0
+  *
+  * `min`/`max` are NOT maintainable under deletes without an auxiliary
+  * structure (deleting the current min forces a rescan of the group);
+  * views that need them keep a per-group heavy-hitter sketch or accept
+  * recompute-on-delete — that is a semantic boundary, not an
+  * implementation gap, and [[refresh]] deliberately refuses to fake it.
+  *
+  * Scale notes: the delta aggregates shuffle only the batch (map-side
+  * partial combine first); the merge with the view is one full-outer
+  * equi-join on the group key — and the view side is itself
+  * `n_groups`-sized, not base-sized. On a bucketed view layout the merge
+  * is exchange-free. Average/derived measures stay derivable
+  * (`sum/count`) from the maintained pair.
+  */
+object Ivm {
+
+  /** Build the initial view: per-`keys` `(cnt, total)` of `valCol`. */
+  def build(base: DataFrame, keys: Seq[String], valCol: String): DataFrame =
+    base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"))
+
+  /** Absorb `inserts` and `deletes` (each carrying the base schema) into
+    * a view built by [[build]]. Groups whose count reaches zero vanish;
+    * brand-new groups appear. Deleting rows that were never inserted is
+    * the caller's contract violation (counts would go negative — kept
+    * visible rather than clamped, so reconciliation jobs can detect it).
+    */
+  def refresh(view: DataFrame, inserts: DataFrame, deletes: DataFrame,
+      keys: Seq[String], valCol: String): DataFrame = {
+    val delta = inserts.select(keys.map(col) :+ lit(1L).as("__sign") :+
+        col(valCol).as("__v"): _*)
+      .unionByName(deletes.select(keys.map(col) :+ lit(-1L).as("__sign") :+
+        col(valCol).as("__v"): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__sign")).as("d_cnt"),
+        sum(col("__sign") * col("__v")).as("d_total"))
+    view.join(delta, keys, "full_outer")
+      .select(keys.map(col) :+
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+          .as("cnt") :+
+        (coalesce(col("total"), lit(0)) + coalesce(col("d_total"), lit(0)))
+          .as("total"): _*)
+      .where(col("cnt") =!= 0)
+  }
+}

@@ -28,6 +28,24 @@ object Profiler {
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
     profileImpl(df, cols, exact = false)
 
+  /** Equi-width histogram of a numeric column: bucket i covers
+    * `[lo + i·width, lo + (i+1)·width)`, out-of-range values clamp into
+    * the edge buckets. One map-side-combined aggregation on the bucket id
+    * — the profile companion that shows the SHAPE min/max can't.
+    * `width` should be an integer-valued double so the bucket division is
+    * the same correctly-rounded IEEE op in any engine.
+    */
+  def histogram(df: DataFrame, c: String, lo: Double, width: Double,
+      nBuckets: Int): DataFrame =
+    df.where(col(c).isNotNull)
+      .select(least(greatest(floor((col(c) - lo) / width), lit(0)),
+        lit(nBuckets - 1L)).cast("long").as("bucket"),
+        col(c).as("__v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("__v")), 2).as("min_value"),
+        round(max(col("__v")), 2).as("max_value"))
+
   private def profileImpl(df: DataFrame, cols: Seq[String],
       exact: Boolean): DataFrame = {
     val aggs = cols.flatMap { c =>

@@ -191,12 +191,13 @@ object TextAnalysis {
     *  - `dup_gram_frac`  fraction of occurrences whose n-gram occurs >1×,
     *  - `dup_word_frac`  fraction of word occurrences that are repeats.
     *
-    * Scale: ONE shuffle, keyed `(doc_id, gram)` — the within-doc gram
-    * histogram. That key spreads a single huge document across reducers
-    * (grams differ), so a 1 GB outlier doc cannot straggle one task the
-    * way a doc_id-keyed explode would; the second aggregation back to
-    * doc_id moves only `distinct_grams`-sized partials. The word-level
-    * signal needs no shuffle at all (array HOFs in codegen).
+    * Scale: one CORPUS-scale shuffle, keyed `(doc_id, gram)` — the
+    * within-doc gram histogram. That key spreads a single huge document
+    * across reducers (grams differ), so a 1 GB outlier doc cannot
+    * straggle one task the way a doc_id-keyed explode would. The later
+    * exchanges (histogram → per-doc stats, join with the word stats) move
+    * only doc-sized rows. The word-level signal itself needs no shuffle
+    * (array HOFs in codegen).
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {

@@ -208,5 +208,46 @@ object Warehouse extends QueryModule {
     GraftQuery("q_compression_ratio",
       (s, dir) => graft.operators.TextAnalysis.compressionRatio(
         t(s, dir, "documents"), "doc_id", "text"),
-      None))
+      None),
+
+    // ---- incremental view maintenance with retractions: the view built
+    // on the base absorbs an insert batch AND a delete batch by merging
+    // delta aggregates (cents kept as exact integers — no FP drift
+    // between the incremental and recomputed sums); the oracle is the
+    // full recompute over the effective row set ----
+    GraftQuery("q_ivm_retract",
+      (s, dir) => {
+        val orders = t(s, dir, "orders").withColumn("cents",
+          round(col("o_totalprice") * 100, 0).cast("long"))
+        val base = orders.where(col("o_orderkey") % 3 =!= 0)
+        val inserts = orders.where(col("o_orderkey") % 3 === 0 &&
+          col("o_orderkey") % 2 === 0)
+        val deletes = base.where(col("o_orderkey") % 5 === 0)
+        val view = graft.operators.Ivm.build(base,
+          Seq("o_orderstatus"), "cents")
+        graft.operators.Ivm.refresh(view, inserts, deletes,
+          Seq("o_orderstatus"), "cents")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |       AS BIGINT) AS total
+             |FROM orders
+             |WHERE (o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0)
+             |   OR (o_orderkey % 3 = 0 AND o_orderkey % 2 = 0)
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- equi-width histogram of order values: 25k-wide buckets, edge
+    // clamping; integer-valued width keeps the bucket division the same
+    // IEEE op in both engines ----
+    GraftQuery("q_histogram",
+      (s, dir) => graft.operators.Profiler.histogram(
+        t(s, dir, "orders"), "o_totalprice",
+        lo = 0.0, width = 25000.0, nBuckets = 24),
+      Some("""SELECT CAST(least(greatest(floor(o_totalprice / 25000.0), 0),
+             |            23) AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  round(min(o_totalprice), 2) AS min_value,
+             |  round(max(o_totalprice), 2) AS max_value
+             |FROM orders WHERE o_totalprice IS NOT NULL
+             |GROUP BY 1""".stripMargin)))
 }

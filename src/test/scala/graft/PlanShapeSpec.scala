@@ -274,4 +274,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchangesBelow.isEmpty,
       "the bloom probe must prune BEFORE the fact side is exchanged")
   }
+
+  test("PassJoin fuzzy join never plans a cartesian product") {
+    // the whole point of segment blocking: candidate generation is an
+    // equi-join on (L, segNo, segText). The sub-(k+1)-char residual path
+    // is a non-equi join, but on this data its build side is EMPTY and
+    // AQE must collapse it — no CartesianProduct may survive execution.
+    val plan = executed("q_fuzzy_join")
+    val cartesian = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cartesian.isEmpty, s"cartesian product in fuzzy join:\n$plan")
+    val equiJoins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(equiJoins.nonEmpty, "candidate generation must be an equi-join")
+  }
+
+  test("snapshot diff plans one full-outer equi-join, no extra exchange") {
+    val plan = executed("q_snapshot_diff")
+    val fullOuter = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j
+    }
+    assert(fullOuter.length === 1, s"expected one full-outer join in:\n$plan")
+    // one exchange per snapshot side, nothing downstream of the join
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length <= 2,
+      s"diff must shuffle each side once, got ${shuffles.length}:\n$plan")
+  }
+
+  test("approx profiler stays a single pass — no Expand, no per-column scans") {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val df = graft.operators.Profiler.profileApprox(orders,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val expands = collectAll(plan) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.isEmpty,
+      s"approx distinct must not expand the input per column:\n$plan")
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.length === 1, "one scan computes every column's stats")
+  }
 }

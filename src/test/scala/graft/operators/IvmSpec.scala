@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** IVM refresh must equal a full recompute over the effective row set —
+  * including vanishing groups (count hits 0) and brand-new groups. */
+class IvmSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  test("refresh(view, inserts, deletes) == build(effective base)") {
+    import spark.implicits._
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L))
+      .toDF("k", "v")
+    val inserts = Seq(("a", 1L), ("d", 100L)).toDF("k", "v") // new group d
+    val deletes = Seq(("c", 7L), ("a", 10L)).toDF("k", "v")  // c vanishes
+    val got = Ivm.refresh(Ivm.build(base, Seq("k"), "v"),
+        inserts, deletes, Seq("k"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 2L, 21L), ("b", 1L, 5L), ("d", 1L, 100L)))
+  }
+
+  test("incremental result matches full recompute on real data") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+    val base = orders.where(col("o_orderkey") % 3 =!= 0)
+    val inserts = orders.where(col("o_orderkey") % 3 === 0)
+    val deletes = base.where(col("o_orderkey") % 7 === 0)
+    val incremental = Ivm.refresh(
+      Ivm.build(base, Seq("o_orderstatus"), "cents"),
+      inserts, deletes, Seq("o_orderstatus"), "cents")
+    val full = Ivm.build(
+      orders.where(col("o_orderkey") % 3 === 0 ||
+        col("o_orderkey") % 7 =!= 0),
+      Seq("o_orderstatus"), "cents")
+    assert(incremental.exceptAll(full).isEmpty &&
+      full.exceptAll(incremental).isEmpty)
+  }
+
+  test("deleting more than was inserted leaves a visible negative count") {
+    import spark.implicits._
+    val base = Seq(("a", 1L)).toDF("k", "v")
+    val deletes = Seq(("a", 1L), ("a", 1L)).toDF("k", "v")
+    val got = Ivm.refresh(Ivm.build(base, Seq("k"), "v"),
+        base.limit(0), deletes, Seq("k"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", -1L, -1L)),
+      "contract violations stay visible for reconciliation, not clamped")
+  }
+}
