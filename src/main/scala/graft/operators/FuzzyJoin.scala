@@ -116,4 +116,67 @@ object FuzzyJoin {
       .where(col("dist") >= 0 && col("dist") <= k)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** FastSS deletion-neighborhood variant (Bocek et al. 2007, "Fast
+    * Similarity Search in Large Dictionaries" — public algorithm) for
+    * SHORT strings, `k ≤ 2`.
+    *
+    * Segment blocking degenerates on template/ID-shaped corpora: when
+    * millions of strings share a verbatim prefix ("Customer#000…"), the
+    * shared segment is one hot join key and candidates go quadratic even
+    * though the true result is linear. Deletion blocking keys on what
+    * REMAINS after deleting up to `k` characters: two strings within
+    * edit distance `k` always share a deletion variant, and a variant
+    * bucket only groups strings that are near-identical END TO END — the
+    * hot-prefix corpus that breaks segment blocking is exactly where
+    * every variant key stays near-singleton and candidates ≈ results.
+    *
+    * The tradeoff is index width: O(L^k) variants per string (a 20-char
+    * string at k=2 → ~190 keys) vs PassJoin's O(k). Engine guidance:
+    * deletion blocking below ~64 chars, segment blocking above; both are
+    * lossless, so the choice is pure cost.
+    *
+    * Scale notes: the join key is `xxhash64(variant)` — 8 bytes, no
+    * variant strings ever shuffle; a hash collision only adds a candidate
+    * that the exact Levenshtein verify kills, so correctness never rests
+    * on the hash. Variant generation is per-row HOF work inside codegen.
+    */
+  def selfJoinDeletion(df: DataFrame, idCol: String, strCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 2, s"deletion blocking targets k ≤ 2, got $k")
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // all distinct strings obtained by deleting 0..k characters
+    // sequence(a, b) runs DESCENDING when b < a, so each deletion depth is
+    // gated on the string being long enough to delete from
+    val del1 =
+      "if(length(s) < 1, array(), transform(sequence(0, length(s) - 1), i -> " +
+        "concat(substring(s, 1, i), substring(s, i + 2, length(s)))))"
+    val variantsExpr =
+      if (k == 1) s"array_distinct(concat(array(s), $del1))"
+      else {
+        // delete positions i < j in one pass over the original
+        val del2 =
+          """if(length(s) < 2, array(),
+            |flatten(transform(sequence(0, length(s) - 2), i ->
+            |  transform(sequence(i + 1, length(s) - 1), j ->
+            |    concat(substring(s, 1, i), substring(s, i + 2, j - i - 1),
+            |           substring(s, j + 2, length(s)))))))""".stripMargin
+        s"array_distinct(concat(array(s), $del1, $del2))"
+      }
+    val keyed = base
+      .select(col("id"), explode(expr(
+        s"transform($variantsExpr, v -> xxhash64(v))")).as("h"))
+    val candidates = keyed
+      .join(keyed.select(col("id").as("id_b"), col("h")), Seq("h"))
+      .where(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    val la = base.select(col("id").as("id_a"), col("s").as("s_a"))
+    val lb = base.select(col("id").as("id_b"), col("s").as("s_b"))
+    candidates
+      .join(la, "id_a").join(lb, "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
+      .where(col("dist") >= 0 && col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -104,11 +104,13 @@ object Warehouse extends QueryModule {
              |       ELSE o_totalprice END AS o_totalprice
              |FROM orders WHERE o_orderkey % 15 <> 0""".stripMargin)),
 
-    // ---- PassJoin edit-distance self-join over customer names (every
-    // digit-substitution neighborhood), k=2; the oracle is the brute-force
-    // cross join the operator exists to avoid ----
+    // ---- edit-distance self-join over customer names, k=2; the oracle
+    // is the brute-force cross join the operator exists to avoid.
+    // Deletion blocking, not segment blocking: ID-shaped names share the
+    // "Customer#000" prefix, the exact corpus where segment keys go
+    // quadratic (FuzzyJoinSpec pins both blockings to the same result) ----
     GraftQuery("q_fuzzy_join",
-      (s, dir) => graft.operators.FuzzyJoin.selfJoin(
+      (s, dir) => graft.operators.FuzzyJoin.selfJoinDeletion(
         t(s, dir, "customer").where(col("c_custkey") % 7 === 0),
         "c_custkey", "c_name", k = 2),
       Some("""WITH c AS (SELECT c_custkey, c_name FROM customer

@@ -275,11 +275,10 @@ class PlanShapeSpec extends SparkSpec {
       "the bloom probe must prune BEFORE the fact side is exchanged")
   }
 
-  test("PassJoin fuzzy join never plans a cartesian product") {
-    // the whole point of segment blocking: candidate generation is an
-    // equi-join on (L, segNo, segText). The sub-(k+1)-char residual path
-    // is a non-equi join, but on this data its build side is EMPTY and
-    // AQE must collapse it — no CartesianProduct may survive execution.
+  test("fuzzy join never plans a cartesian product") {
+    // the whole point of similarity blocking (deletion variants here):
+    // candidate generation is an equi-join on the variant hash — never a
+    // cross join, whatever the corpus shape.
     val plan = executed("q_fuzzy_join")
     val cartesian = collectAll(plan) {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c

@@ -59,6 +59,27 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === brute(rows, k))
   }
 
+  for (k <- Seq(1, 2)) test(s"selfJoinDeletion(k=$k) equals brute force") {
+    import spark.implicits._
+    val rows = corpus
+    val got = FuzzyJoin.selfJoinDeletion(rows.toDF("id", "s"), "id", "s", k)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute(rows, k))
+  }
+
+  test("both blockings agree on the shared-prefix corpus that breaks segments") {
+    import spark.implicits._
+    // the PassJoin worst case: every string shares a long verbatim prefix
+    val rows = (0 until 300)
+      .map(i => (i.toLong, f"Customer#${i * 7}%09d"))
+    val seg = FuzzyJoin.selfJoin(rows.toDF("id", "s"), "id", "s", 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val del = FuzzyJoin.selfJoinDeletion(rows.toDF("id", "s"), "id", "s", 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(seg === del)
+    assert(seg === brute(rows, 2))
+  }
+
   test("selfJoin finds nothing among pairwise-distant strings") {
     import spark.implicits._
     val rows = Seq((1L, "aaaaaaaa"), (2L, "bbbbbbbb"), (3L, "cccccccc"))
