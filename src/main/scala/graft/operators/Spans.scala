@@ -35,7 +35,16 @@ object Spans {
 
   /** Pairs `(doc_a < doc_b, n_shared_spans, first_span)` sharing ≥1 exact
     * `w`-word span (gram df ≤ `maxDf`); `n_shared_spans` counts distinct
-    * shared gram strings, `first_span` is the lexicographically first. */
+    * shared gram strings, `first_span` is the lexicographically first.
+    *
+    * Plan shape: the gram inventory feeds the hot-df aggregate and both
+    * self-join branches; Spark's exchange reuse collapses the identical
+    * post-distinct shuffles at runtime (measured: one ReusedExchange in
+    * the executed plan), so the expensive exchange is paid once. A
+    * many-consumer session at full 100 TB would persist the inventory
+    * instead and accept the cache residency — measured here, recompute
+    * under exchange reuse is the cheaper side of that tradeoff.
+    */
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int, maxDf: Long = 1L << 20): DataFrame = {
     val grams = docs
