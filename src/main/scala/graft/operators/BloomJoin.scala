@@ -31,8 +31,6 @@ object BloomJoin {
     *                      overshooting wastes a few MB, undershooting
     *                      only raises the FP rate — never correctness.
     */
-  private val probeId = new java.util.concurrent.atomic.AtomicLong()
-
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
@@ -48,22 +46,19 @@ object BloomJoin {
     // The filter ships as a BROADCAST, not a plan literal: at the default
     // sizing the serialized filter is ~1.2 MB (more when sized up), and a
     // lit(bytes) would ride every plan canonicalization, stringification
-    // and task closure. A broadcast can't be a SQL function argument, so
-    // each probe registers its own session function (a registry entry is
-    // a name + builder — a few dozen bytes per semiJoin call).
+    // and task closure. The probe Column is built DIRECTLY from the
+    // Catalyst expression (no session-function registration: a registry
+    // builder would pin the broadcast forever and leak ~1.2 MB per call
+    // in a long-lived session — here the broadcast's only strong ref is
+    // the plan itself, so ContextCleaner reclaims it with the plan).
     val bc = spark.sparkContext.broadcast(bytes)
-    val fname = s"graft_bloom_probe_${probeId.incrementAndGet()}"
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier(fname),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        "graft.operators.BloomJoin", fname,
-        s"$fname(h) - broadcast BloomFilter membership probe"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.BloomMightContainBc(children.head, bc))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val probe = ColumnBridge.column(graft.functions.BloomMightContainBc(
+      ColumnBridge.expression(xxhash64(col(bigKey))), bc))
     // alias the build side's key: with bigKey == smallKey (the common
     // same-name shape) an unaliased condition would be ambiguous
     big
-      .where(call_function(fname, xxhash64(col(bigKey))))
+      .where(probe)
       .join(small.select(col(smallKey).as("__bloom_key")),
         col(bigKey) === col("__bloom_key"), "left_semi")
   }

@@ -33,14 +33,36 @@ object Compaction {
 
   final case class Bin(files: Seq[String], bytes: Long)
 
-  /** Greedy first-fit-decreasing pack of (path, size) into ≤targetBytes
-    * bins. Deterministic: files sorted by (size desc, path). */
+  /** Greedy best-fit-decreasing pack of (path, size) into ≤targetBytes
+    * bins. Deterministic: files sorted by (size desc, path); capacity
+    * ties pick the lowest bin index. A TreeMap keyed on remaining
+    * capacity makes each placement O(log bins) — a linear first-fit scan
+    * is O(files·bins), minutes of driver stall at the million-file scale
+    * this metadata pass is budgeted for. */
   def pack(files: Seq[(String, Long)], targetBytes: Long): Seq[Bin] = {
-    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    // remaining capacity -> bin indices at that capacity (lowest first)
+    val byCap = new java.util.TreeMap[Long, java.util.TreeSet[Integer]]()
+    def offer(cap: Long, idx: Int): Unit =
+      if (cap > 0)
+        byCap.computeIfAbsent(cap, _ => new java.util.TreeSet[Integer]())
+          .add(Integer.valueOf(idx))
     for ((path, sz) <- files.sortBy { case (p, s) => (-s, p) }) {
-      bins.indexWhere { case (_, used) => used + sz <= targetBytes } match {
-        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(path), sz))
-        case i  => val (ps, used) = bins(i); ps += path; bins(i) = (ps, used + sz)
+      val entry = byCap.ceilingEntry(sz) // tightest bin that still fits
+      if (entry == null) {
+        val idx = bins.length
+        bins += ((scala.collection.mutable.ArrayBuffer(path), sz))
+        offer(targetBytes - sz, idx) // oversized files stay alone
+      } else {
+        val idx = entry.getValue.first()
+        entry.getValue.remove(idx)
+        if (entry.getValue.isEmpty) byCap.remove(entry.getKey)
+        val (ps, used) = bins(idx)
+        ps += path
+        bins(idx) = (ps, used + sz)
+        offer(entry.getKey - sz, idx)
       }
     }
     bins.map { case (ps, used) => Bin(ps.toSeq, used) }.toSeq
@@ -53,10 +75,18 @@ object Compaction {
       targetBytes: Long): DataFrame = {
     import spark.implicits._
     val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // FLAT layouts only, and loudly so: a partitioned table would list
+    // zero files here, and silently writing an empty "compacted" output
+    // is how maintenance jobs lose data. Partitioned tables compact per
+    // leaf directory (partition values live in the path, not the rows —
+    // a recursive rewrite would drop those columns).
     val files = fs.listStatus(new Path(inPath))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => (st.getPath.toString, st.getLen))
       .toSeq
+    require(files.nonEmpty,
+      s"no parquet files directly under $inPath (partitioned/nested " +
+        "layout? compact each leaf directory instead)")
     val bins = pack(files, targetBytes)
     val out = new Path(outPath)
     if (fs.exists(out)) fs.delete(out, true)

@@ -93,17 +93,18 @@ object FuzzyJoin {
         greatest(col("r_id"), col("t_id")).as("id_b"))
       .distinct()
 
-    // residual short path: strings with < k+1 chars; any within-k partner
-    // has ≤ len+k chars, so both sides are bounded-length (equi-banded by
-    // construction — the where() below keeps it from ever being a blind
-    // cross at scale).
+    // residual short path: strings with < k+1 chars. Any within-k partner
+    // has ≤ 2k chars, so the probe explodes its ≤2k+1 candidate partner
+    // lengths and EQUI-joins on them — a hash join on a bounded key
+    // domain, never an inequality-only nested loop (which Spark would
+    // plan as BroadcastNestedLoopJoin against the whole relation).
     val short = base.where(col("len") < p)
-    val shortPairs = short.select(col("id").as("id_x"), col("s").as("s_x"),
-        col("len").as("len_x"))
-      .join(base.select(col("id").as("id_y"), col("s").as("s_y"),
-        col("len").as("len_y")),
-        col("id_x") =!= col("id_y") &&
-          col("len_y") <= col("len_x") + k && col("len_y") >= col("len_x") - k)
+    val shortProbe = short.select(col("id").as("id_x"),
+      explode(expr(s"sequence(greatest(0, len - $k), len + $k)")).as("plen"))
+    val shortPairs = shortProbe
+      .join(base.select(col("id").as("id_y"), col("len").cast("int").as("plen")),
+        Seq("plen"))
+      .where(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()

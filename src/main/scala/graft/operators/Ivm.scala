@@ -48,11 +48,22 @@ object Ivm {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__sign")).as("d_cnt"),
         sum(col("__sign") * col("__v")).as("d_total"))
-    view.join(delta, keys, "full_outer")
-      .select(keys.map(col) :+
+    // merge on a key STRUCT: groupBy treats NULL as a regular group, so
+    // the join must too (a plain equi-join would leave NULL-keyed view
+    // and delta rows unmatched and duplicate the group forever)
+    val v = view.select(struct(keys.map(col): _*).as("__k"),
+      col("cnt"), col("total"))
+    val d = delta.select(struct(keys.map(col): _*).as("__k"),
+      col("d_cnt"), col("d_total"))
+    v.join(d, Seq("__k"), "full_outer")
+      .select(keys.map(k => col(s"__k.$k").as(k)) :+
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
           .as("cnt") :+
-        (coalesce(col("total"), lit(0)) + coalesce(col("d_total"), lit(0)))
+        // an all-NULL-valued group legitimately has total = NULL (sum
+        // ignores NULLs); collapsing it to 0 would diverge from build()
+        when(col("total").isNull && col("d_total").isNull, lit(null))
+          .otherwise(coalesce(col("total"), lit(0)) +
+            coalesce(col("d_total"), lit(0)))
           .as("total"): _*)
       .where(col("cnt") =!= 0)
   }

@@ -61,8 +61,12 @@ object TableDiff {
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     require(target.columns.toSeq == source.columns.toSeq,
       s"merge schemas differ: ${target.columns.toSeq} vs ${source.columns.toSeq}")
+    // anti join on a key STRUCT (nested nulls compare equal), so a
+    // NULL-keyed source row REPLACES the NULL-keyed target row instead of
+    // appending a duplicate
     val kept = target.join(
-      source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      source.select(struct(keys.map(col): _*).as("__k")).distinct(),
+      struct(keys.map(col): _*) === col("__k"), "left_anti")
     kept.unionByName(source)
   }
 
@@ -83,8 +87,11 @@ object TableDiff {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn")
+    // struct-keyed anti join for the same null-key consistency as the
+    // window above (partitionBy groups NULL keys; the removal must too)
     val kept = target.join(
-      latest.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      latest.select(struct(keys.map(col): _*).as("__k")).distinct(),
+      struct(keys.map(col): _*) === col("__k"), "left_anti")
     kept.unionByName(
       latest.where(col(opCol) === "U").drop(opCol, versionCol))
   }

@@ -246,9 +246,17 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // Deflater holds NATIVE zlib buffers the GC does not account for;
+        // without an explicit end() an executor churning through many
+        // tasks leaks native memory until the container OOM-kills it
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val out = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
-          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // NULL text ≡ empty document (ratio pinned at 1.0)
+          val raw =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(raw)
           deflater.finish()

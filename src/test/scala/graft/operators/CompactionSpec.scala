@@ -22,6 +22,34 @@ class CompactionSpec extends SparkSpec {
     assert(Compaction.pack(files, 100L) === bins) // deterministic
   }
 
+  test("pack: conservation + capacity properties at list scale, fast") {
+    // deterministic pseudo-sizes; 20k files must pack in well under a
+    // second (the TreeMap best-fit replaces an O(files x bins) scan)
+    val files = (0 until 20000).map(i =>
+      (f"f$i%05d", ((i * 2654435761L) % 8000000L).abs + 1))
+    val t0 = System.nanoTime()
+    val bins = Compaction.pack(files, targetBytes = 64L * 1024 * 1024)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(dt < 2.0, f"pack took $dt%.1f s on 20k files")
+    assert(bins.flatMap(_.files).sorted === files.map(_._1).sorted)
+    val sizeOf = files.toMap
+    assert(bins.forall(b => b.bytes === b.files.map(sizeOf).sum))
+    assert(bins.forall(b => b.bytes <= 64L * 1024 * 1024 || b.files.size == 1))
+  }
+
+  test("compact refuses an empty/partitioned input loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cmp_empty")
+      .toString
+    spark.read.parquet(s"$sfDir/orders.parquet").limit(10)
+      .withColumn("p", org.apache.spark.sql.functions.lit("x"))
+      .write.partitionBy("p").parquet(s"$root/in")
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, s"$root/in", s"$root/out", 1L << 20)
+    }
+    assert(e.getMessage.contains("leaf directory"),
+      "partitioned layouts must fail loudly, not compact to empty")
+  }
+
   test("compact: many small files -> few bins, content identical") {
     val root = Files.createTempDirectory("graft_compaction").toString
     val in = s"$root/in"

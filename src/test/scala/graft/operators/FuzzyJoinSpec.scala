@@ -80,6 +80,27 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(seg === brute(rows, 2))
   }
 
+  test("selfJoin's short-string residual path never executes a nested loop") {
+    import spark.implicits._
+    val rows = corpus.toDF("id", "s")
+    val df = FuzzyJoin.selfJoin(rows, "id", "s", 2)
+    df.collect()
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: all(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: all(q.plan)
+      case o => o +: (o.children ++ o.subqueries).flatMap(all)
+    }
+    val nlj = all(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(nlj.isEmpty,
+      s"short path must equi-join on exploded lengths, got:\n${nlj.headOption}")
+  }
+
   test("selfJoin finds nothing among pairwise-distant strings") {
     import spark.implicits._
     val rows = Seq((1L, "aaaaaaaa"), (2L, "bbbbbbbb"), (3L, "cccccccc"))

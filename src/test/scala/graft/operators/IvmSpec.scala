@@ -37,6 +37,30 @@ class IvmSpec extends SparkSpec {
       full.exceptAll(incremental).isEmpty)
   }
 
+  test("NULL-keyed groups merge instead of duplicating") {
+    import spark.implicits._
+    val base = Seq((Some("a"), 10L), (None: Option[String], 7L))
+      .toDF("k", "v")
+    val inserts = Seq((None: Option[String], 5L)).toDF("k", "v")
+    val got = Ivm.refresh(Ivm.build(base, Seq("k"), "v"),
+        inserts, inserts.limit(0), Seq("k"), "v")
+      .as[(Option[String], Long, Long)].collect().toSet
+    assert(got === Set((Some("a"), 1L, 10L), (None, 2L, 12L)),
+      "groupBy treats NULL as one group; the delta merge must too")
+  }
+
+  test("all-NULL-valued groups keep total = NULL through refresh") {
+    import spark.implicits._
+    val base = Seq(("a", None: Option[Long]), ("b", Some(3L)))
+      .toDF("k", "v")
+    val inserts = Seq(("a", None: Option[Long])).toDF("k", "v")
+    val got = Ivm.refresh(Ivm.build(base, Seq("k"), "v"),
+        inserts, inserts.limit(0), Seq("k"), "v")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got === Set(("a", 2L, None), ("b", 1L, Some(3L))),
+      "sum over only NULLs is NULL in build(); refresh must not coin a 0")
+  }
+
   test("deleting more than was inserted leaves a visible negative count") {
     import spark.implicits._
     val base = Seq(("a", 1L)).toDF("k", "v")

@@ -52,6 +52,24 @@ class TableDiffSpec extends SparkSpec {
     assert(got === Set((1L, "a2"), (4L, "d"), (9L, "z")))
   }
 
+  test("merge and applyChanges treat a NULL key as a regular key") {
+    import spark.implicits._
+    val target = Seq((Some(1L), "a"), (None: Option[Long], "n")).toDF("k", "v")
+    val source = Seq((None: Option[Long], "N")).toDF("k", "v")
+    val merged = TableDiff.merge(target, source, Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(merged === Set((Some(1L), "a"), (None, "N")),
+      "NULL-keyed source row must REPLACE, not append")
+
+    val changes = Seq((None: Option[Long], "x", "D", 1L))
+      .toDF("k", "v", "op", "version")
+    val applied = TableDiff.applyChanges(target, changes,
+        Seq("k"), "op", "version")
+      .as[(Option[Long], String)].collect().toSet
+    assert(applied === Set((Some(1L), "a")),
+      "a delete must remove the NULL-keyed row it targets")
+  }
+
   test("diff finds nothing on identical snapshots") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     assert(TableDiff.diff(orders, orders, Seq("o_orderkey")).count() === 0L)

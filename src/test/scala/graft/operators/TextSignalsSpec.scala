@@ -33,7 +33,8 @@ class TextSignalsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "spam " * 500),
       (2L, (1 to 500).map(i => (i * 2654435761L).toHexString).mkString(" ")),
-      (3L, "")).toDF("doc_id", "text")
+      (3L, ""),
+      (4L, null: String)).toDF("doc_id", "text")
     val rows = TextAnalysis.compressionRatio(docs, "doc_id", "text")
       .as[(Long, Long, Long, Double)].collect()
       .map(r => r._1 -> r).toMap
@@ -43,6 +44,10 @@ class TextSignalsSpec extends SparkSpec {
     assert(rows(2L)._4 > 0.3,
       s"high-entropy text must not, got ${rows(2L)._4}")
     assert(rows(3L)._4 === 1.0, "empty doc pins ratio at 1.0")
+    // 8 bytes = zlib's empty-stream frame (header + empty block + adler)
+    assert(rows(4L) === ((4L, 0L, 8L, 1.0)), "NULL text reads as empty")
+    assert(rows(3L)._2 === 0L && rows(3L)._3 === 8L,
+      "empty and NULL text produce identical signals")
     // ratio is exactly compressed/raw rounded to 4dp
     assert(ratio1 === math.rint(c1.toDouble / n1 * 10000) / 10000)
   }
