@@ -51,7 +51,10 @@ object Bench {
     println(line)
     // The driver captures stdout with a tail that can truncate the
     // alphabetical head of the per-query map; persist the full line so
-    // round-over-round comparisons never lose queries.
+    // round-over-round comparisons never lose queries. SUBSET runs skip
+    // the side file (unless explicitly redirected) — a timing experiment
+    // must never clobber the full-registry record it exists to explain.
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")),

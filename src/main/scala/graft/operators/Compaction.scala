@@ -16,7 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     count × ~100 B; at a million files that is 100 MB of listing, the
   *     known ceiling of path-listing table layouts — table formats move
   *     this into a manifest, the bin-pack below is unchanged);
-  *  2. greedy first-fit-decreasing pack into bins of ≤ `targetBytes`
+  *  2. greedy best-fit-decreasing pack into bins of ≤ `targetBytes`
   *     (files already ≥ target stay alone — never rewritten into
   *     something bigger);
   *  3. one Spark job per bin batch, each reading ITS OWN file list and

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * `sum` form a group (deletes subtract), so a view keyed on `keys` can
   * absorb any insert/delete batch by merging a delta aggregate:
   *
-  *   view'(k) = (count + Δcount, sum + Δsum),  dropping rows at count 0
+  *   view'(k) = (count+Δcount, nonnull+Δnonnull, sum+Δsum), dropped at
+  *   count 0 — the non-null counter keeps `total`'s NULL semantics exact
   *
   * `min`/`max` are NOT maintainable under deletes without an auxiliary
   * structure (deleting the current min forces a rescan of the group);
@@ -28,10 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object Ivm {
 
-  /** Build the initial view: per-`keys` `(cnt, total)` of `valCol`. */
+  /** Build the initial view: per-`keys` `(cnt, nn, total)` of `valCol`.
+    * `nn` counts the group's NON-NULL values — it is what lets refresh
+    * answer "is total now a sum, or NULL because no values remain?"
+    * exactly (a `(cnt, total)` pair alone cannot distinguish `total = 0`
+    * from `total = NULL` after deletes remove the last non-NULL value). */
   def build(base: DataFrame, keys: Seq[String], valCol: String): DataFrame =
     base.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"))
+      .agg(count(lit(1)).as("cnt"), count(col(valCol)).as("nn"),
+        sum(col(valCol)).as("total"))
 
   /** Absorb `inserts` and `deletes` (each carrying the base schema) into
     * a view built by [[build]]. Groups whose count reaches zero vanish;
@@ -47,21 +53,27 @@ object Ivm {
         col(valCol).as("__v"): _*))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__sign")).as("d_cnt"),
+        sum(col("__sign") * when(col("__v").isNotNull, lit(1L))
+          .otherwise(lit(0L))).as("d_nn"),
         sum(col("__sign") * col("__v")).as("d_total"))
     // merge on a key STRUCT: groupBy treats NULL as a regular group, so
     // the join must too (a plain equi-join would leave NULL-keyed view
     // and delta rows unmatched and duplicate the group forever)
     val v = view.select(struct(keys.map(col): _*).as("__k"),
-      col("cnt"), col("total"))
+      col("cnt"), col("nn"), col("total"))
     val d = delta.select(struct(keys.map(col): _*).as("__k"),
-      col("d_cnt"), col("d_total"))
+      col("d_cnt"), col("d_nn"), col("d_total"))
+    val mergedNn =
+      coalesce(col("nn"), lit(0L)) + coalesce(col("d_nn"), lit(0L))
     v.join(d, Seq("__k"), "full_outer")
       .select(keys.map(k => col(s"__k.$k").as(k)) :+
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
           .as("cnt") :+
-        // an all-NULL-valued group legitimately has total = NULL (sum
-        // ignores NULLs); collapsing it to 0 would diverge from build()
-        when(col("total").isNull && col("d_total").isNull, lit(null))
+        mergedNn.as("nn") :+
+        // total is a sum only while non-NULL values remain; when nn hits
+        // 0 the recompute's sum-over-NULLs is NULL, and refresh must say
+        // the same (0 here would silently diverge from build())
+        when(mergedNn === 0, lit(null))
           .otherwise(coalesce(col("total"), lit(0)) +
             coalesce(col("d_total"), lit(0)))
           .as("total"): _*)

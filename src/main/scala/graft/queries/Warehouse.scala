@@ -231,6 +231,7 @@ object Warehouse extends QueryModule {
           Seq("o_orderstatus"), "cents")
       },
       Some("""SELECT o_orderstatus, count(*) AS cnt,
+             |  count(o_totalprice) AS nn,
              |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
              |       AS BIGINT) AS total
              |FROM orders

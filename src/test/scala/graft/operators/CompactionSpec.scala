@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
 
-/** Compaction: first-fit-decreasing pack properties, end-to-end file-count
+/** Compaction: best-fit-decreasing pack properties, end-to-end file-count
   * reduction, and bit-for-bit content preservation through the rewrite. */
 class CompactionSpec extends SparkSpec {
 

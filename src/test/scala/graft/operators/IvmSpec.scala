@@ -16,8 +16,9 @@ class IvmSpec extends SparkSpec {
     val deletes = Seq(("c", 7L), ("a", 10L)).toDF("k", "v")  // c vanishes
     val got = Ivm.refresh(Ivm.build(base, Seq("k"), "v"),
         inserts, deletes, Seq("k"), "v")
-      .as[(String, Long, Long)].collect().toSet
-    assert(got === Set(("a", 2L, 21L), ("b", 1L, 5L), ("d", 1L, 100L)))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("a", 2L, 2L, 21L), ("b", 1L, 1L, 5L),
+      ("d", 1L, 1L, 100L)))
   }
 
   test("incremental result matches full recompute on real data") {
@@ -44,8 +45,8 @@ class IvmSpec extends SparkSpec {
     val inserts = Seq((None: Option[String], 5L)).toDF("k", "v")
     val got = Ivm.refresh(Ivm.build(base, Seq("k"), "v"),
         inserts, inserts.limit(0), Seq("k"), "v")
-      .as[(Option[String], Long, Long)].collect().toSet
-    assert(got === Set((Some("a"), 1L, 10L), (None, 2L, 12L)),
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    assert(got === Set((Some("a"), 1L, 1L, 10L), (None, 2L, 2L, 12L)),
       "groupBy treats NULL as one group; the delta merge must too")
   }
 
@@ -56,9 +57,20 @@ class IvmSpec extends SparkSpec {
     val inserts = Seq(("a", None: Option[Long])).toDF("k", "v")
     val got = Ivm.refresh(Ivm.build(base, Seq("k"), "v"),
         inserts, inserts.limit(0), Seq("k"), "v")
-      .as[(String, Long, Option[Long])].collect().toSet
-    assert(got === Set(("a", 2L, None), ("b", 1L, Some(3L))),
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(("a", 2L, 0L, None), ("b", 1L, 1L, Some(3L))),
       "sum over only NULLs is NULL in build(); refresh must not coin a 0")
+  }
+
+  test("deleting the last non-NULL value turns total back to NULL") {
+    import spark.implicits._
+    val base = Seq(("a", Some(5L)), ("a", None: Option[Long])).toDF("k", "v")
+    val deletes = Seq(("a", Some(5L))).toDF("k", "v")
+    val got = Ivm.refresh(Ivm.build(base, Seq("k"), "v"),
+        deletes.limit(0), deletes, Seq("k"), "v")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(("a", 1L, 0L, None)),
+      "the nn counter is what distinguishes total=0 from total=NULL")
   }
 
   test("deleting more than was inserted leaves a visible negative count") {
@@ -67,8 +79,8 @@ class IvmSpec extends SparkSpec {
     val deletes = Seq(("a", 1L), ("a", 1L)).toDF("k", "v")
     val got = Ivm.refresh(Ivm.build(base, Seq("k"), "v"),
         base.limit(0), deletes, Seq("k"), "v")
-      .as[(String, Long, Long)].collect().toSet
-    assert(got === Set(("a", -1L, -1L)),
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("a", -1L, -1L, -1L)),
       "contract violations stay visible for reconciliation, not clamped")
   }
 }
