@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.Extensions,
     graft.queries.SqlSurface,
     graft.queries.Pipeline,
-    graft.queries.Warehouse)
+    graft.queries.Warehouse,
+    graft.queries.Curation)
 
   private lazy val registry: Seq[GraftQuery] = modules.flatMap(_.queries)
 

@@ -513,6 +513,56 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT asymmetric n-gram CONTAINMENT — |A∩B| / |A| — the near-dup
+    * relation Jaccard misses: a short document quoted inside a long one
+    * has tiny Jaccard (the union is dominated by the container) but
+    * containment ≈ 1. This is the dedup signal for quotation/excerpt
+    * chains and wholesale inclusion (a paper inside a proceedings dump),
+    * where symmetric similarity never fires.
+    *
+    * Same inverted-index shape and hot-shingle df cap as
+    * [[ngramJaccard]] (semantics: exact containment over the filtered
+    * shingle universe; the cap bounds the one quadratic path, loss
+    * auditable via [[hotShingles]]). Output is DIRECTED: one row per
+    * ordered pair with containment(contained → container) ≥ threshold —
+    * a pair of exact duplicates emits both directions.
+    */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    // sh feeds 4 subtrees (hot, join a, join b, sizes); persist so the
+    // corpus scan + shingle hashing runs once (caller-unpersist contract
+    // as ngramJaccard: registry/bench consumers clear cache after use)
+    val sh = shingleSets(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+    val e = e0.join(hot.select(col("s")), Seq("s"), "left_anti")
+    // join each unordered pair ONCE (a < b) through the heavy shuffle +
+    // count, then emit both directions from the counted relation — the
+    // |A∩B| count is symmetric, so the != spelling would push every pair
+    // through the join and aggregation twice for nothing
+    val counts = e.as("a")
+      .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
+      .agg(count(lit(1)).as("cnt"))
+    // explode, not union: a union would reference (and recompute) the
+    // counted join twice; the explode emits both directions in one pass
+    val directed = counts
+      .select(explode(array(
+          struct(col("lo").as("contained_id"), col("hi").as("container_id")),
+          struct(col("hi").as("contained_id"), col("lo").as("container_id"))))
+        .as("p"), col("cnt"))
+      .select(col("p.contained_id"), col("p.container_id"), col("cnt"))
+    val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    directed
+      .join(sz.select(col("doc_id").as("contained_id"), col("n").as("na")),
+        "contained_id")
+      .select(col("contained_id"), col("container_id"),
+        round(col("cnt") / col("na").cast("double"), 4).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Audit relation for [[ngramJaccard]]: one row per shingle hash dropped
     * by the df cap, with its document frequency. Empty on honest corpora;
     * non-empty quantifies how much boilerplate the cap removed. */

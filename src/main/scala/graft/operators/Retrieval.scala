@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Ranked retrieval over the document corpus — the "find the training
+  * examples most relevant to X" primitive (targeted curation, eval-set
+  * mining, more-like-this expansion) that pure near-dup similarity
+  * doesn't cover.
+  */
+object Retrieval {
+
+  /** BM25 top-k retrieval with k1 = 1.2, b = 0.75 — integer-exact.
+    *
+    * Two deviations from textbook BM25, both so the score is a plain
+    * BIGINT that is bit-identical in any engine (and under any
+    * aggregation order — float-sum BM25 is order-dependent):
+    *
+    *  - idf is the log-free odds ratio, scaled to ppm:
+    *    `idf_ppm = (2(N−df)+1)·10⁶ div (2df+1)` (the expression inside
+    *    BM25's log, in exact integer arithmetic). Monotone in the
+    *    standard idf, so rankings agree; only the score scale differs.
+    *  - each per-term score is floored to an integer after one double
+    *    division of exact integers. IEEE multiply/divide of identical
+    *    integer-valued operands is bit-deterministic across engines
+    *    (only transcendentals are not), so the floor is too; summing
+    *    BIGINTs per document is then order-independent, unlike the
+    *    float sum that makes naive BM25 irreproducible under shuffle.
+    *
+    * The length normalization is exact: with S = Σdl and N = #docs
+    * (avgdl = S/N), `tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl))` scaled by
+    * 10·S·N-free integers becomes `22·S·tf / (10·S·tf + 3·S + 9·N·dl)`.
+    *
+    * Scale shape: one corpus pass builds the (doc, word) tf relation
+    * (persisted — it feeds df, dl, corpus stats, and the term match);
+    * `terms` (the disjunctive query) and the per-term idf relation are
+    * broadcast; the final top-k is a sort+limit (TakeOrdered — two-phase,
+    * no global sort). N counts docs with ≥ 1 token (tokenless docs can't
+    * match and would only shift avgdl).
+    *
+    * @param terms single-column (`word`) query relation, assumed tiny
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(expr(Dedup.wordsExpr(textCol))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val dfr = tf.join(broadcast(terms.select(col("word"))), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val termRel = dfr.join(stats)
+      .select(col("word"),
+        expr("((2 * (n - df) + 1) * 1000000L) DIV (2 * df + 1)").as("idf_ppm"),
+        col("n"), col("s"))
+    val scored = tf
+      .join(broadcast(termRel), "word")
+      .join(dl, "doc_id")
+      .select(col("doc_id"),
+        expr("""CAST(floor(
+               |  (CAST(idf_ppm AS DOUBLE) * CAST(tf AS DOUBLE) * 22.0
+               |    * CAST(s AS DOUBLE))
+               |  / (10.0 * CAST(s AS DOUBLE) * CAST(tf AS DOUBLE)
+               |     + 3.0 * CAST(s AS DOUBLE)
+               |     + 9.0 * CAST(n AS DOUBLE) * CAST(dl AS DOUBLE)))
+               |AS BIGINT)""".stripMargin).as("score_t"))
+    scored.groupBy(col("doc_id")).agg(sum(col("score_t")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+}

@@ -227,6 +227,52 @@ object TextAnalysis {
           .as("dup_word_frac"))
   }
 
+  /** Gopher-style rule-based document filter: the hard pass/fail gates
+    * from the Gopher / MassiveText cleaning recipe (word-count bounds,
+    * mean-word-length bounds, minimum stopword evidence, single-token
+    * dominance), emitted as one 0/1 flag per rule plus the conjunctive
+    * `keep` — a pipeline wants the per-rule attribution (which gate
+    * kills how much of which source), not just the verdict.
+    *
+    * Every threshold is an INTEGER cross-multiplication (`3·n ≤ chars ≤
+    * 10·n`, `5·max_tf ≤ n`), never a float ratio — the flags are exact,
+    * engine-independent, and immune to the rounded-boundary flips float
+    * thresholds hit across engines.
+    *
+    * Scale shape: one explode → (doc, word) partial-agg → per-doc agg;
+    * both aggregations map-side combine, nothing else moves. Documents
+    * with zero tokens have no (doc, word) rows and drop out — the
+    * length gate would kill them anyway.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 30, maxWords: Int = 100000): DataFrame = {
+    val stop = stopwords.toMap.apply("en")
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(expr(Dedup.wordsExpr(textCol))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_words"),
+        sum(col("tf") * length(col("word"))).as("n_chars"),
+        sum(when(col("word").isin(stop: _*), col("tf")).otherwise(lit(0L)))
+          .as("n_stop"),
+        max(col("tf")).as("max_tf"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_stop"),
+        col("max_tf"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .cast("int").as("r_len"),
+        (lit(3) * col("n_words") <= col("n_chars") &&
+          col("n_chars") <= lit(10) * col("n_words"))
+          .cast("int").as("r_wordlen"),
+        (col("n_stop") >= 2).cast("int").as("r_stop"),
+        (lit(5) * col("max_tf") <= col("n_words")).cast("int").as("r_dom"))
+      .withColumn("keep",
+        (col("r_len") * col("r_wordlen") * col("r_stop") * col("r_dom"))
+          .cast("int"))
+  }
+
   /** Deflate compression ratio per document — the classic cheap "is this
     * text natural language or degenerate boilerplate" signal (highly
     * repetitive text compresses far below normal prose). Runs the JDK

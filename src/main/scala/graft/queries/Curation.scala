@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation & retrieval surface: rule-based quality gates
+  * (Gopher/MassiveText-style), BM25 ranked retrieval, KMV/theta distinct
+  * sketches with post-aggregation set algebra, and asymmetric n-gram
+  * containment — the curation verbs that complement the dedup family in
+  * [[Extensions]].
+  *
+  * Oracle determinism contract as everywhere else: md5-derived integer
+  * hashes, integer-exact thresholds/scores (cross-multiplication, ppm
+  * scaling, floored single divisions of exact integers), so every query
+  * here hash-matches DuckDB cell-for-cell — including the KMV sketches,
+  * whose k-smallest-distinct state is deterministic (no seed) and hence
+  * fully SQL-expressible, unlike the seeded HLL/CMS estimators that get
+  * rows-only checks.
+  */
+object Curation extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** 2^60 as an exact double literal (KMV hash range; 255·2^60 is also
+    * exactly representable, so the estimator arithmetic is precise). */
+  private val Pow60 = "1152921504606846976.0"
+
+  /** DuckDB spelling of the raw 60-bit md5 hash (no mod — mirrors the
+    * native `shingle_hashes` kernel and the q_ngram_jaccard oracle). */
+  private def dH60raw(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** Shared DuckDB CTE prefix: per-(lang, doc) distinct shingle hashes,
+    * exploded — the input relation for the KMV sketches. */
+  private def duckShingleHashes(where: String) =
+    s"""WITH d AS (
+       |  SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |  FROM documents$where),
+       |sgl AS (
+       |  SELECT lang, unnest(list_distinct(list_transform(range(len(words)-2),
+       |    i -> ${dH60raw("words[i+1]||' '||words[i+2]||' '||words[i+3]")}))) AS h
+       |  FROM d WHERE len(words) >= 3)""".stripMargin
+
+  override val queries: Seq[GraftQuery] = Seq(
+
+    // ---- Gopher-style hard quality gates: per-rule 0/1 attribution +
+    //      conjunctive keep, all thresholds integer cross-multiplied
+    //      (no float ratios anywhere) ----
+    GraftQuery("q_gopher_rules",
+      (s, dir) => graft.operators.TextAnalysis.gopherRules(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH u AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             |    w -> w <> '')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+             |       FROM u GROUP BY 1, 2),
+             |p AS (SELECT doc_id,
+             |    sum(tf)::BIGINT AS n_words,
+             |    sum(tf * length(word))::BIGINT AS n_chars,
+             |    sum(CASE WHEN word IN ('the','a','of','and','is','to','in')
+             |        THEN tf ELSE 0 END)::BIGINT AS n_stop,
+             |    max(tf)::BIGINT AS max_tf
+             |  FROM tf GROUP BY 1)
+             |SELECT doc_id, n_words, n_chars, n_stop, max_tf,
+             |  (n_words BETWEEN 30 AND 100000)::INT AS r_len,
+             |  (3 * n_words <= n_chars AND n_chars <= 10 * n_words)::INT
+             |    AS r_wordlen,
+             |  (n_stop >= 2)::INT AS r_stop,
+             |  (5 * max_tf <= n_words)::INT AS r_dom,
+             |  ((n_words BETWEEN 30 AND 100000)
+             |   AND (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+             |   AND n_stop >= 2 AND 5 * max_tf <= n_words)::INT AS keep
+             |FROM p""".stripMargin)),
+
+    // ---- BM25 top-10: disjunctive query = the 3 rarest corpus terms
+    //      (df asc, word asc — deterministic), integer-exact scores
+    //      (see operators/Retrieval.scala for the arithmetic contract) ----
+    GraftQuery("q_bm25",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dfw = docs
+          .select(col("doc_id"),
+            explode(expr(graft.operators.Dedup.wordsExpr("text"))).as("word"))
+          .distinct()
+          .groupBy(col("word")).agg(count(lit(1)).as("df"))
+        // sort+limit = distributed TakeOrdered, not a single-task window —
+        // the corpus vocabulary can be huge
+        val terms = dfw.orderBy(col("df").asc, col("word").asc).limit(3)
+          .select(col("word"))
+        graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text", terms, 10)
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             |    w -> w <> '')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+             |       FROM u GROUP BY 1, 2),
+             |dfw AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+             |terms AS (SELECT word, df FROM dfw ORDER BY df ASC, word ASC LIMIT 3),
+             |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+             |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM dl),
+             |tr AS (SELECT word, ((2 * (n - df) + 1) * 1000000) // (2 * df + 1)
+             |         AS idf_ppm, n, s
+             |       FROM terms, st),
+             |sc AS (SELECT tf.doc_id,
+             |    floor((tr.idf_ppm::DOUBLE * tf.tf::DOUBLE * 22.0
+             |           * tr.s::DOUBLE)
+             |      / (10.0 * tr.s::DOUBLE * tf.tf::DOUBLE
+             |         + 3.0 * tr.s::DOUBLE
+             |         + 9.0 * tr.n::DOUBLE * dl.dl::DOUBLE))::BIGINT AS score_t
+             |  FROM tf JOIN tr ON tf.word = tr.word
+             |  JOIN dl ON tf.doc_id = dl.doc_id),
+             |agg AS (SELECT doc_id, sum(score_t)::BIGINT AS score
+             |        FROM sc GROUP BY 1),
+             |top AS (SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+             |  FROM agg)
+             |SELECT doc_id, score, rk::BIGINT AS rk FROM top WHERE rk <= 10""".stripMargin)),
+
+    // ---- KMV/theta distinct sketch: per-language distinct-shingle
+    //      estimate from a 256-value bounded sketch. Deterministic
+    //      hashing makes the SKETCH ITSELF oracle-checkable — DuckDB
+    //      reproduces the exact k-smallest-distinct state and estimate. ----
+    GraftQuery("q_kmv_distinct",
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        graft.functions.ThetaExprs.register(s)
+        t(s, dir, "documents")
+          .select(col("lang"),
+            explode(call_function("shingle_hashes", col("text"))).as("h"))
+          .groupBy(col("lang"))
+          .agg(call_function("kmv_agg", col("h"), lit(256)).as("sk"))
+          .select(col("lang"),
+            expr("CAST(size(sk) AS BIGINT)").as("n_kept"),
+            expr(s"""round(CASE WHEN size(sk) < 256 THEN CAST(size(sk) AS DOUBLE)
+                    |  ELSE 255.0 * $Pow60 / CAST(element_at(sk, 256) AS DOUBLE)
+                    |  END, 2)""".stripMargin).as("est_distinct"))
+      },
+      Some(s"""${duckShingleHashes("")},
+             |sk AS (SELECT lang, list_sort(list_distinct(list(h)))[1:256] AS sk
+             |       FROM sgl GROUP BY lang)
+             |SELECT lang, len(sk)::BIGINT AS n_kept,
+             |  round(CASE WHEN len(sk) < 256 THEN len(sk)::DOUBLE
+             |    ELSE 255.0 * $Pow60 / (sk[256]::DOUBLE) END, 2) AS est_distinct
+             |FROM sk""".stripMargin)),
+
+    // ---- KMV set algebra: distinct-shingle overlap of two languages
+    //      from their 256-value sketches alone (no data re-scan) —
+    //      union via k-smallest-of-merged, intersection via the theta
+    //      membership identity. The estimates are exact-arithmetic
+    //      reproductions across engines. ----
+    GraftQuery("q_kmv_overlap",
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        graft.functions.ThetaExprs.register(s)
+        val sk = t(s, dir, "documents")
+          .where(col("lang").isin("en", "de"))
+          .select(col("lang"),
+            explode(call_function("shingle_hashes", col("text"))).as("h"))
+          .groupBy(col("lang"))
+          .agg(call_function("kmv_agg", col("h"), lit(256)).as("sk"))
+        val a = sk.where(col("lang") === "en").select(col("sk").as("a"))
+        val b = sk.where(col("lang") === "de").select(col("sk").as("b"))
+        a.join(b)
+          .withColumn("uk", expr("slice(array_sort(array_union(a, b)), 1, 256)"))
+          .select(
+            expr("CAST(size(uk) AS BIGINT)").as("n_union_kept"),
+            expr("""CAST(size(filter(uk, x ->
+                   |  array_contains(a, x) AND array_contains(b, x))) AS BIGINT)"""
+              .stripMargin).as("n_common"),
+            expr(s"""CASE WHEN size(uk) < 256 THEN CAST(size(uk) AS DOUBLE)
+                    |  ELSE 255.0 * $Pow60 / CAST(element_at(uk, 256) AS DOUBLE)
+                    |  END""".stripMargin).as("raw_u"))
+          .select(col("n_union_kept"), col("n_common"),
+            round(col("raw_u"), 2).as("est_union"),
+            round(col("n_common").cast("double")
+              / col("n_union_kept").cast("double") * col("raw_u"), 2)
+              .as("est_intersect"))
+      },
+      Some(s"""${duckShingleHashes(" WHERE lang IN ('en','de')")},
+             |sk AS (SELECT lang, list_sort(list_distinct(list(h)))[1:256] AS sk
+             |       FROM sgl GROUP BY lang),
+             |ab AS (SELECT (SELECT sk FROM sk WHERE lang = 'en') AS a,
+             |              (SELECT sk FROM sk WHERE lang = 'de') AS b),
+             |u AS (SELECT a, b, list_sort(list_distinct(a || b))[1:256] AS uk
+             |      FROM ab),
+             |m AS (SELECT
+             |    len(uk)::BIGINT AS n_union_kept,
+             |    len(list_filter(uk, x -> list_contains(a, x)
+             |        AND list_contains(b, x)))::BIGINT AS n_common,
+             |    CASE WHEN len(uk) < 256 THEN len(uk)::DOUBLE
+             |      ELSE 255.0 * $Pow60 / (uk[256]::DOUBLE) END AS raw_u
+             |  FROM u)
+             |SELECT n_union_kept, n_common, round(raw_u, 2) AS est_union,
+             |  round(CAST(n_common AS DOUBLE) / CAST(n_union_kept AS DOUBLE)
+             |        * raw_u, 2) AS est_intersect
+             |FROM m""".stripMargin)),
+
+    // ---- asymmetric n-gram containment (|A∩B| / |A|): the quotation /
+    //      wholesale-inclusion detector symmetric Jaccard misses; same
+    //      inverted-index + hot-shingle-cap semantics as q_ngram_jaccard ----
+    GraftQuery("q_ngram_containment",
+      (s, dir) => graft.operators.Dedup.ngramContainment(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(len(words)-2),
+             |    i -> ('0x' || substr(md5(words[i+1]||' '||words[i+2]||' '||words[i+3]), 1, 15))::BIGINT)) AS sh
+             |  FROM d WHERE len(words) >= 3),
+             |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+             |hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > 1024),
+             |e AS (SELECT * FROM e0 WHERE s NOT IN (SELECT s FROM hot)),
+             |c AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             |        count(*) AS cnt
+             |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id
+             |      GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id)
+             |SELECT contained_id, container_id,
+             |  round(cnt / CAST(sa.n AS DOUBLE), 4) AS containment
+             |FROM c JOIN sz sa ON sa.doc_id = contained_id
+             |WHERE round(cnt / CAST(sa.n AS DOUBLE), 4) >= 0.5""".stripMargin)))
+}

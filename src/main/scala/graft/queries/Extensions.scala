@@ -735,6 +735,43 @@ object Extensions extends QueryModule {
              |       FROM nodes nd LEFT JOIN c3 USING (node))
              |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin)),
 
+    // triangle count + global clustering coefficient over the supplier
+    // co-occurrence graph (suppliers linked when they ship lines of the
+    // same order; the mod-10 cohort keeps the demo graph supplier-sized
+    // at every SF). Degree-ordered orientation bounds the wedge join at
+    // O(m^1.5) — see Graphs.triangleStats; the oracle counts the same
+    // triangles orientation-free (a<b<c three-way join).
+    GraftQuery("q_triangles",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .where(col("l_suppkey") % 10 === 0)
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_suppkey") < col("y.l_suppkey"))
+          .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+        val (cached, stats) = graft.operators.Graphs.triangleStats(e)
+        drained(s, cached, stats)
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+             |            WHERE l_suppkey % 10 = 0),
+             |und AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+             |        FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+             |          AND x.l_suppkey < y.l_suppkey),
+             |deg AS (SELECT node, count(*)::BIGINT AS deg FROM
+             |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+             |  GROUP BY node),
+             |tri AS (SELECT count(*)::BIGINT AS n_triangles
+             |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+             |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |nw AS (SELECT count(*)::BIGINT AS n_nodes,
+             |         sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges
+             |       FROM deg),
+             |ne AS (SELECT count(*)::BIGINT AS n_edges FROM und)
+             |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             |  round(3.0 * n_triangles / n_wedges, 6) AS global_cc
+             |FROM nw, ne, tri""".stripMargin)),
+
     // ======================= sessionization =======================
 
     GraftQuery("q_sessionize",

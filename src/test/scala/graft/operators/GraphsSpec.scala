@@ -87,4 +87,41 @@ class GraphsSpec extends SparkSpec {
     assert(simple.keySet === directed.keySet)
     for ((k, v) <- simple) assert(math.abs(v - directed(k)) < 1e-12, s"node $k")
   }
+
+  private def triangleRow(edges: org.apache.spark.sql.DataFrame) = {
+    val (cached, stats) = Graphs.triangleStats(edges)
+    val row = stats.head()
+    cached.unpersist(blocking = true)
+    row
+  }
+
+  test("triangleStats counts K4 exactly: 4 triangles, 12 wedges, cc 1.0") {
+    import spark.implicits._
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val r = triangleRow(k4)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 6L, 12L, 4L)))
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  test("triangleStats on a star: 0 triangles, hub wedges only, cc 0") {
+    import spark.implicits._
+    val star = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val r = triangleRow(star)
+    assert((r.getLong(2), r.getLong(3)) === ((6L, 0L)))
+    assert(r.getDouble(4) === 0.0)
+  }
+
+  test("triangleStats cleans direction, duplicates and self-loops") {
+    import spark.implicits._
+    // (1,2) twice in both directions, a self-loop, plus (2,3),(1,3):
+    // canonical edges {12,13,23} = one triangle, 3 wedges, cc 1
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = triangleRow(messy)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 3L, 3L, 1L)))
+    assert(r.getDouble(4) === 1.0)
+  }
 }
