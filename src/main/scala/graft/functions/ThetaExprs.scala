@@ -104,6 +104,65 @@ object ThetaExprs {
       copy(child = c)
   }
 
+  /** Merge previously-built KMV sketches (`array<bigint>` columns from
+    * [[KmvAgg]] or a prior union) — k-smallest-distinct is an exact
+    * semilattice, so a union of sketches IS the sketch of the union
+    * (bit-identical, not approximately), making the matview maintenance
+    * path ([[graft.streaming.UpsertSink.mergeThetaBatch]]) idempotent
+    * and order-independent like HLL, with set algebra on top. */
+  case class KmvUnionAgg(child: Expression, k: Int = 256,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+    require(k >= 2, s"kmv_union_agg needs k >= 2, got $k")
+
+    override def prettyName: String = "kmv_union_agg"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kmv_union_agg requires an array<bigint> (sketch) argument, got ${other.simpleString}")
+    }
+
+    override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+    override def update(b: KmvBuffer, row: InternalRow): KmvBuffer = {
+      val v = child.eval(row)
+      if (v != null) {
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var i = 0
+        while (i < arr.numElements()) { b.insert(arr.getLong(i)); i += 1 }
+      }
+      b
+    }
+    override def merge(b: KmvBuffer, o: KmvBuffer): KmvBuffer = { b.mergeIn(o); b }
+    override def eval(b: KmvBuffer): Any = {
+      val out = new Array[Long](b.set.size)
+      val it = b.set.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+    override def serialize(b: KmvBuffer): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.set.size)
+      bb.putInt(b.k)
+      val it = b.set.iterator()
+      while (it.hasNext) bb.putLong(it.next())
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val b = new KmvBuffer(bb.getInt)
+      while (bb.remaining() >= 8) b.insert(bb.getLong)
+      b
+    }
+    override def withNewMutableAggBufferOffset(o: Int): KmvUnionAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvUnionAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): KmvUnionAgg =
+      copy(child = c)
+  }
+
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -116,7 +175,13 @@ object ThetaExprs {
       case Seq(c, k) => KmvAgg(c, intArg(k, "kmv_agg k"))
       case _ => throw new IllegalArgumentException(
         s"kmv_agg takes 1 or 2 arguments, got ${e.length}")
-    }, "kmv_agg(h[, k]) - k smallest distinct 60-bit hashes (theta sketch)"))
+    }, "kmv_agg(h[, k]) - k smallest distinct 60-bit hashes (theta sketch)"),
+    ("kmv_union_agg", (e: Seq[Expression]) => e match {
+      case Seq(c) => KmvUnionAgg(c)
+      case Seq(c, k) => KmvUnionAgg(c, intArg(k, "kmv_union_agg k"))
+      case _ => throw new IllegalArgumentException(
+        s"kmv_union_agg takes 1 or 2 arguments, got ${e.length}")
+    }, "kmv_union_agg(sk[, k]) - merge array<bigint> KMV sketches"))
 
   def descriptors: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
     fns.map { case (name, builder, usage) =>

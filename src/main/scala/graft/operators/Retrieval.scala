@@ -75,4 +75,53 @@ object Retrieval {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
+
+  /** DSIR-style importance weights for data selection: score every raw
+    * document by how much its unigram profile looks like a TARGET
+    * subset (the "sample raw data that resembles the high-quality
+    * target" step of corpus assembly — DSIR, Xie et al. 2023, with the
+    * hashed-n-gram likelihood ratio simplified to unigrams).
+    *
+    * Per word: `ratio_ppm(w) = cnt_target(w)·total_raw·10⁶ div
+    * (cnt_raw(w)·total_target)` — the target/raw occurrence-rate ratio
+    * in exact ppm integer arithmetic (1e6 ≈ same rate; 0 = absent from
+    * the target; the log-free form keeps scores BIGINT-exact and
+    * summation order-independent, the same contract as [[bm25TopK]]).
+    * Per document: `weight = Σ_w tf·ratio_ppm(w)` and the length-
+    * normalized `w_per_tok = weight div n_words` — rank by `w_per_tok`
+    * and keep the top fraction, or use it as a sampling temperature.
+    *
+    * Scale shape: one corpus pass builds (doc, word, tf) with the
+    * target flag riding the groupBy key (persisted — feeds the word
+    * stats and the final rejoin); word ratios join back on `word` (NOT
+    * broadcast — a web-scale vocabulary is itself large); the totals
+    * relation is one row. Integer-range caveat: cnt_t·total_raw·10⁶
+    * must fit in a BIGINT — beyond ~10¹² total tokens, pre-divide the
+    * totals (the ppm resolution hides the difference long before the
+    * ratio overflows).
+    *
+    * @param isTarget row predicate marking the target subset (must be
+    *                 constant per document)
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), isTarget.cast("int").as("is_t"),
+        explode(expr(Dedup.wordsExpr(textCol))).as("word"))
+      .groupBy(col("doc_id"), col("is_t"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wstats = tf.groupBy(col("word"))
+      .agg(sum(col("tf")).as("cnt_r"), sum(expr("tf * is_t")).as("cnt_t"))
+    val totals = wstats.agg(sum(col("cnt_r")).as("tot_r"), sum(col("cnt_t")).as("tot_t"))
+    val rated = wstats.join(totals)
+      .select(col("word"),
+        expr("(cnt_t * tot_r * 1000000L) DIV (cnt_r * tot_t)").as("ratio_ppm"))
+    tf.join(rated, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(expr("tf * ratio_ppm")).as("weight"))
+      .select(col("doc_id"), col("n_words"), col("weight"),
+        expr("weight DIV n_words").as("w_per_tok"))
+  }
 }

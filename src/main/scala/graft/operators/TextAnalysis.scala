@@ -273,6 +273,32 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** Corpus-wide adjacent character-pair counts — the statistic one BPE
+    * training iteration maximizes ("which two symbols merge next").
+    * Pairs are counted within words, weighted by corpus word frequency
+    * (the classic BPE formulation: count over the word-frequency table,
+    * not the raw stream — the `(word, freq)` relation is vocabulary-
+    * sized, so the expensive explode runs over distinct words only).
+    *
+    * This is iteration ONE of the merge loop: a full tokenizer trainer
+    * re-segments after each merge, an inherently sequential refinement
+    * (each iteration is one cheap pass over the re-segmented vocab
+    * relation); the expensive corpus scan happens once, here.
+    */
+  def bpePairCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wf = docs
+      .select(explode(expr(Dedup.wordsExpr(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // length guard BEFORE the sequence: sequence(1, 0) runs DESCENDING
+    // in Spark and would emit garbage pairs for 1-char words
+    wf.where(length(col("word")) >= 2)
+      .select(col("freq"),
+        explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+  }
+
   /** Deflate compression ratio per document — the classic cheap "is this
     * text natural language or degenerate boilerplate" signal (highly
     * repetitive text compresses far below normal prose). Runs the JDK

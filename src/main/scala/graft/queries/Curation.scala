@@ -198,6 +198,59 @@ object Curation extends QueryModule {
              |        * raw_u, 2) AS est_intersect
              |FROM m""".stripMargin)),
 
+    // ---- DSIR-style importance weights: score raw docs by unigram
+    //      resemblance to the English subset (exact ppm likelihood
+    //      ratios, BIGINT scores — see Retrieval.importanceWeights) ----
+    GraftQuery("q_dsir_weights",
+      (s, dir) => graft.operators.Retrieval.importanceWeights(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en"),
+      Some("""WITH u AS (
+             |  SELECT doc_id, (lang = 'en')::INT AS is_t,
+             |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, is_t, word, count(*)::BIGINT AS tf
+             |       FROM u GROUP BY 1, 2, 3),
+             |ws AS (SELECT word, sum(tf)::BIGINT AS cnt_r,
+             |         sum(tf * is_t)::BIGINT AS cnt_t
+             |       FROM tf GROUP BY 1),
+             |tot AS (SELECT sum(cnt_r)::BIGINT AS tot_r,
+             |          sum(cnt_t)::BIGINT AS tot_t FROM ws),
+             |rt AS (SELECT word,
+             |         (cnt_t * tot_r * 1000000) // (cnt_r * tot_t) AS ratio_ppm
+             |       FROM ws, tot),
+             |o AS (SELECT tf.doc_id, sum(tf)::BIGINT AS n_words,
+             |        sum(tf * ratio_ppm)::BIGINT AS weight
+             |      FROM tf JOIN rt USING (word) GROUP BY 1)
+             |SELECT doc_id, n_words, weight, weight // n_words AS w_per_tok
+             |FROM o""".stripMargin)),
+
+    // ---- BPE merge induction, iteration 1: the top-20 adjacent char
+    //      pairs by corpus frequency (pair counts weighted by the word-
+    //      frequency table — the tokenizer-training primitive) ----
+    GraftQuery("q_bpe_merges",
+      (s, dir) => {
+        val counts = graft.operators.TextAnalysis.bpePairCounts(
+          t(s, dir, "documents"), "doc_id", "text")
+        counts.orderBy(col("cnt").desc, col("pair")).limit(20)
+          .withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      },
+      Some("""WITH u AS (
+             |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+             |    AS word
+             |  FROM documents),
+             |wf AS (SELECT word, count(*)::BIGINT AS freq FROM u GROUP BY 1),
+             |p AS (SELECT freq,
+             |    unnest(list_transform(range(1, length(word)),
+             |      i -> substr(word, i, 2))) AS pair
+             |  FROM wf WHERE length(word) >= 2),
+             |c AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p GROUP BY 1),
+             |top AS (SELECT pair, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+             |  FROM c)
+             |SELECT pair, cnt, rk::BIGINT AS rk FROM top WHERE rk <= 20""".stripMargin)),
+
     // ---- asymmetric n-gram containment (|A∩B| / |A|): the quotation /
     //      wholesale-inclusion detector symmetric Jaccard misses; same
     //      inverted-index + hot-shingle-cap semantics as q_ngram_jaccard ----

@@ -220,6 +220,27 @@ object UpsertSink {
       c => call_function("cms_union_agg", col(c)).as(c), batchId, numBuckets)
   }
 
+  /** Incremental DISTINCT-SET maintenance — per-key KMV/theta sketches
+    * merged by k-smallest-distinct union: the set-algebra matview
+    * ("distinct users per hour, incrementally, AND their overlap across
+    * hours/segments from the stored state alone" — HLL can estimate
+    * each set but not intersections). Batch sketches come from
+    * `kmv_agg(h)` over the shared md5-derived 60-bit hash; the union is
+    * an exact semilattice (idempotent, order-independent — a replayed
+    * batch merges to bit-identical state), fenced by batchId anyway for
+    * uniformity. Read back with the estimator/set-algebra expressions
+    * in queries/Curation.scala. */
+  def mergeThetaBatch(batch: DataFrame, path: String, keyCols: Seq[String],
+      sketchCols: Seq[String], batchId: Long, numBuckets: Int = 64,
+      k: Int = 256): Unit = {
+    graft.functions.ThetaExprs.register(batch.sparkSession)
+    // the union k MUST equal the batch-sketch k: only then is the merged
+    // state the exact k-smallest-distinct semilattice (a larger union k
+    // would silently grow the sample and skew the (k-1)/θ estimator)
+    mergeBatchWith(batch, path, keyCols, sketchCols,
+      c => call_function("kmv_union_agg", col(c), lit(k)).as(c), batchId, numBuckets)
+  }
+
   /** Seal-and-compact for windowed matviews — bounds the hot table on an
     * unbounded stream.
     *
@@ -279,6 +300,15 @@ object UpsertSink {
     graft.functions.SketchFunctions.register(spark)
     compactClosedWith(spark, path, closedPath, keyCols, sketchCols,
       c => call_function("cms_union_agg", col(c)).as(c), sealedWhen, cutoffId, closedBuckets)
+  }
+
+  /** [[compactClosedAgg]] for the KMV/theta matview ([[mergeThetaBatch]]). */
+  def compactClosedTheta(spark: SparkSession, path: String, closedPath: String,
+      keyCols: Seq[String], sketchCols: Seq[String], sealedWhen: org.apache.spark.sql.Column,
+      cutoffId: Long, closedBuckets: Int = 64, k: Int = 256): Unit = {
+    graft.functions.ThetaExprs.register(spark)
+    compactClosedWith(spark, path, closedPath, keyCols, sketchCols,
+      c => call_function("kmv_union_agg", col(c), lit(k)).as(c), sealedWhen, cutoffId, closedBuckets)
   }
 
   /** Full matview state across the seal boundary: hot ∪ closed. The two

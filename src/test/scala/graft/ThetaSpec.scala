@@ -50,6 +50,59 @@ class ThetaSpec extends SparkSpec {
     }
   }
 
+  test("theta matview: incremental state is bit-identical to a one-shot sketch") {
+    withKmv {
+      import graft.streaming.UpsertSink
+      import spark.implicits._
+      val path = java.nio.file.Files.createTempDirectory("thetamv").toString + "/t"
+      val all = (1L to 300L).map(v => (v % 3, v * 2654435761L % (1L << 60)))
+      def sketch(rows: Seq[(Long, Long)]) = rows.toDF("k", "h")
+        .groupBy(col("k"))
+        .agg(call_function("kmv_agg", col("h"), lit(16)).as("sk"))
+      // three overlapping batches (batch 1 replays half of batch 0's rows:
+      // union is idempotent, so the overlap must not perturb the state)
+      UpsertSink.mergeThetaBatch(sketch(all.slice(0, 120)), path,
+        Seq("k"), Seq("sk"), batchId = 0L, numBuckets = 4, k = 16)
+      UpsertSink.mergeThetaBatch(sketch(all.slice(60, 220)), path,
+        Seq("k"), Seq("sk"), batchId = 1L, numBuckets = 4, k = 16)
+      UpsertSink.mergeThetaBatch(sketch(all.slice(220, 300)), path,
+        Seq("k"), Seq("sk"), batchId = 2L, numBuckets = 4, k = 16)
+      val got = UpsertSink.read(spark, path).select(col("k"), col("sk"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val oneShot = sketch(all).as[(Long, Seq[Long])].collect().toMap
+      assert(got === oneShot,
+        "k-smallest-distinct union must reproduce the one-shot sketch exactly")
+    }
+  }
+
+  test("compactClosedTheta seals keys out of the hot table with sketches intact") {
+    withKmv {
+      import graft.streaming.UpsertSink
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("sealtheta").toString
+      val hot = base + "/hot"; val closed = base + "/closed"
+      val all = (1L to 200L).map(v => (v % 4, v * 2654435761L % (1L << 60)))
+      def sketch(rows: Seq[(Long, Long)]) = rows.toDF("k", "h")
+        .groupBy(col("k"))
+        .agg(call_function("kmv_agg", col("h"), lit(16)).as("sk"))
+      UpsertSink.mergeThetaBatch(sketch(all.slice(0, 100)), hot,
+        Seq("k"), Seq("sk"), batchId = 0L, numBuckets = 4, k = 16)
+      UpsertSink.mergeThetaBatch(sketch(all.slice(100, 200)), hot,
+        Seq("k"), Seq("sk"), batchId = 1L, numBuckets = 4, k = 16)
+      val before = UpsertSink.read(spark, hot).select(col("k"), col("sk"))
+        .as[(Long, Seq[Long])].collect().toMap
+
+      UpsertSink.compactClosedTheta(spark, hot, closed, Seq("k"), Seq("sk"),
+        col("k") < 2, cutoffId = 10L, closedBuckets = 4, k = 16)
+      assert(UpsertSink.read(spark, hot).count() === 2)
+      assert(UpsertSink.read(spark, closed).count() === 2)
+      val after = UpsertSink.readWithClosed(spark, hot, closed)
+        .select(col("k"), col("sk")).as[(Long, Seq[Long])].collect().toMap
+      assert(after === before,
+        "sketch state must be bit-identical across the seal boundary")
+    }
+  }
+
   test("kmv estimate is within 25% of the exact distinct count on the fixture") {
     withKmv {
       import spark.implicits._

@@ -60,6 +60,31 @@ class CurationSpec extends SparkSpec {
     assert(got(3L)._5 === 0)
   }
 
+  test("importanceWeights matches the hand-computed ppm likelihood ratios") {
+    import spark.implicits._
+    // target t1 = "x y", raw r1 = "x z"; tot_t = 2, tot_r = 4 (the raw
+    // pool is the WHOLE corpus, target included).
+    //   x: cnt_r 2, cnt_t 1 → (1·4·10⁶) div (2·2) = 1e6   (same rate)
+    //   y: cnt_r 1, cnt_t 1 → (1·4·10⁶) div (1·2) = 2e6   (target-heavy)
+    //   z: cnt_r 1, cnt_t 0 → 0                            (absent)
+    //   t1: weight 3e6, w_per_tok 1.5e6; r1: weight 1e6, w_per_tok 5e5
+    val docs = Seq((1L, "x y", 1), (2L, "x z", 0)).toDF("doc_id", "text", "t")
+    val got = Retrieval.importanceWeights(docs, "doc_id", "text", col("t") === 1)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, n, w, wpt) => id -> ((n, w, wpt)) }.toMap
+    assert(got(1L) === ((2L, 3000000L, 1500000L)))
+    assert(got(2L) === ((2L, 1000000L, 500000L)))
+  }
+
+  test("bpePairCounts weights pairs by corpus word frequency") {
+    import spark.implicits._
+    // corpus words: abc ×2, ab ×1 → pairs: ab = 2(abc) + 1(ab) = 3, bc = 2
+    val docs = Seq((1L, "abc ab"), (2L, "abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("ab" -> 3L, "bc" -> 2L))
+  }
+
   test("ngramContainment is directional: a quoted doc hits 1.0, its container does not") {
     import spark.implicits._
     // A's 3 shingles all occur in B (A is a prefix quote of B);
