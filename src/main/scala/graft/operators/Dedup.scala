@@ -490,7 +490,8 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     // sh feeds 4 subtrees (hot, join a, join b, sizes); persist so the
-    // corpus scan + shingle hashing runs once
+    // corpus scan + shingle hashing runs once (caller-unpersist contract:
+    // registry/bench consumers clear the cache after materializing)
     val sh = shingleSets(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))

@@ -187,7 +187,11 @@ object Graphs {
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
     val stats = nodesWedges.join(nEdges).join(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
+        // guard the wedge-free case (isolated edges only): 0.0/0 is NaN,
+        // not NULL, and NaN poisons downstream comparisons
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("global_cc"))
     (und, stats)
   }
 

@@ -71,6 +71,9 @@ object Retrieval {
     scored.groupBy(col("doc_id")).agg(sum(col("score_t")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+      // unpartitioned window AFTER the limit: it single-tasks only the
+      // ≤ k surviving rows (the top-k itself was a distributed
+      // TakeOrdered), so the planner warning is vacuously cheap here
       .withColumn("rk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("doc_id"))).cast("long"))
@@ -101,7 +104,9 @@ object Retrieval {
     * ratio overflows).
     *
     * @param isTarget row predicate marking the target subset (must be
-    *                 constant per document)
+    *                 constant per document, and must select at least one
+    *                 token — an empty target makes every ratio divide by
+    *                 zero, an ANSI error rather than a silent answer)
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: org.apache.spark.sql.Column): DataFrame = {

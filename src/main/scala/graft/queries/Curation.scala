@@ -224,6 +224,52 @@ object Curation extends QueryModule {
              |SELECT doc_id, n_words, weight, weight // n_words AS w_per_tok
              |FROM o""".stripMargin)),
 
+    // ---- DSIR importance SAMPLING: thin the corpus with keep
+    //      probability proportional to the min-max-normalized importance
+    //      weight (the "sample raw data toward the target distribution"
+    //      step that consumes q_dsir_weights' scores). Deterministic
+    //      hash predicate (salted ':dsir'), exact integer keep rates —
+    //      reproducible across engines AND cluster sizes, never rand().
+    //      The min/max relation is one broadcast row; the corpus pass is
+    //      one filter. ----
+    GraftQuery("q_dsir_sample",
+      (s, dir) => {
+        val w = graft.operators.Retrieval.importanceWeights(
+          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        val mm = w.agg(min(col("w_per_tok")).as("lo"), max(col("w_per_tok")).as("hi"))
+        w.join(mm)
+          .withColumn("keep_ppm",
+            expr("((w_per_tok - lo) * 1000000L) DIV (hi - lo + 1)"))
+          .where(expr(
+            s"${graft.operators.Dedup.h60("concat(doc_id, ':dsir')")} % 1000000 < keep_ppm"))
+          .select(col("doc_id"), col("w_per_tok"), col("keep_ppm"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, (lang = 'en')::INT AS is_t,
+             |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, is_t, word, count(*)::BIGINT AS tf
+             |       FROM u GROUP BY 1, 2, 3),
+             |ws AS (SELECT word, sum(tf)::BIGINT AS cnt_r,
+             |         sum(tf * is_t)::BIGINT AS cnt_t
+             |       FROM tf GROUP BY 1),
+             |tot AS (SELECT sum(cnt_r)::BIGINT AS tot_r,
+             |          sum(cnt_t)::BIGINT AS tot_t FROM ws),
+             |rt AS (SELECT word,
+             |         (cnt_t * tot_r * 1000000) // (cnt_r * tot_t) AS ratio_ppm
+             |       FROM ws, tot),
+             |o AS (SELECT tf.doc_id, sum(tf)::BIGINT AS n_words,
+             |        sum(tf * ratio_ppm)::BIGINT AS weight
+             |      FROM tf JOIN rt USING (word) GROUP BY 1),
+             |o2 AS (SELECT doc_id, weight // n_words AS w_per_tok FROM o),
+             |mm AS (SELECT min(w_per_tok) AS lo, max(w_per_tok) AS hi FROM o2),
+             |k AS (SELECT doc_id, w_per_tok,
+             |        ((w_per_tok - lo) * 1000000) // (hi - lo + 1) AS keep_ppm
+             |      FROM o2, mm)
+             |SELECT doc_id, w_per_tok, keep_ppm FROM k
+             |WHERE ('0x'||substr(md5(doc_id || ':dsir'),1,15))::BIGINT
+             |      % 1000000007 % 1000000 < keep_ppm""".stripMargin)),
+
     // ---- BPE merge induction, iteration 1: the top-20 adjacent char
     //      pairs by corpus frequency (pair counts weighted by the word-
     //      frequency table — the tokenizer-training primitive) ----

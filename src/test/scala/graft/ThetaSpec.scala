@@ -75,6 +75,38 @@ class ThetaSpec extends SparkSpec {
     }
   }
 
+  test("theta matview end-to-end: streaming foreachBatch state equals one-shot") {
+    withKmv {
+      import graft.streaming.UpsertSink
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val path = java.nio.file.Files.createTempDirectory("thetastream").toString + "/t"
+      val all = (1L to 240L).map(v => (v % 2, v * 2654435761L % (1L << 60)))
+
+      val in = MemoryStream[(Long, Long)]
+      val q = in.toDF().toDF("k", "h")
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val sk = batch.groupBy(col("k"))
+              .agg(call_function("kmv_agg", col("h"), lit(16)).as("sk"))
+            UpsertSink.mergeThetaBatch(sk, path, Seq("k"), Seq("sk"),
+              batchId = id, numBuckets = 4, k = 16)
+        }.start()
+      try {
+        in.addData(all.slice(0, 80): _*); q.processAllAvailable()
+        in.addData(all.slice(80, 240): _*); q.processAllAvailable()
+      } finally q.stop()
+
+      val got = UpsertSink.read(spark, path).select(col("k"), col("sk"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val oneShot = all.toDF("k", "h").groupBy(col("k"))
+        .agg(call_function("kmv_agg", col("h"), lit(16)).as("sk"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(got === oneShot)
+    }
+  }
+
   test("compactClosedTheta seals keys out of the hot table with sketches intact") {
     withKmv {
       import graft.streaming.UpsertSink
