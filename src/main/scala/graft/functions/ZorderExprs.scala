@@ -62,10 +62,83 @@ case class ZInterleave(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** hilbert_index(x, y): the order-16 Hilbert-curve distance of two
+  * 16-bit keys — the locality-better alternative to [[ZInterleave]]:
+  * consecutive d-values are ALWAYS grid neighbors (unit steps, no
+  * Morton "seams" where the curve jumps across the space), so row
+  * groups cut from a d-sorted layout have tighter per-dimension min/max
+  * bounds and prune a bit better on box filters.
+  *
+  * Standard per-level quadrant walk: at each scale s the quadrant
+  * index ((3·rx)⊕ry) contributes s²·q to d, then the frame rotates
+  * (the s-scaled rotation variant; intermediate coordinates may go
+  * negative — two's-complement `&` keeps the bit tests exact, and
+  * HilbertSpec proves the result is a bijection with unit steps).
+  * 16-bit domains ⇒ d < 2^32; callers normalize keys first (pmod /
+  * day-offsets), as with z_interleave. The oracle unrolls the same 16
+  * levels as chained CTEs — plain SQL column semantics, one level per
+  * SELECT (DuckDB 1.0's list_reduce mutates struct accumulators
+  * field-sequentially, which corrupts the swap — avoided entirely).
+  */
+case class HilbertIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "hilbert_index"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hilbert_index requires two longs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var x = a.asInstanceOf[Long] & 0xFFFFL
+    var y = b.asInstanceOf[Long] & 0xFFFFL
+    var d = 0L
+    var s = 1L << 15
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (x, y, d, s, rx, ry, t) = (ctx.freshName("hx"), ctx.freshName("hy"),
+      ctx.freshName("hd"), ctx.freshName("hs"), ctx.freshName("hrx"),
+      ctx.freshName("hry"), ctx.freshName("ht"))
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |long $x = $a & 0xFFFFL;
+      |long $y = $b & 0xFFFFL;
+      |long $d = 0L;
+      |for (long $s = 1L << 15; $s > 0; $s >>= 1) {
+      |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+      |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+      |  $d += $s * $s * ((3 * $rx) ^ $ry);
+      |  if ($ry == 0) {
+      |    if ($rx == 1) { $x = $s - 1 - $x; $y = $s - 1 - $y; }
+      |    long $t = $x; $x = $y; $y = $t;
+      |  }
+      |}
+      |${ev.value} = $d;""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object ZorderFunctions {
   val fns: Seq[(String, FunctionBuilder, String)] = Seq(
     ("z_interleave", (e: Seq[Expression]) => ZInterleave(e(0), e(1)),
-      "z_interleave(x, y) - 64-bit Morton code of two 32-bit keys"))
+      "z_interleave(x, y) - 64-bit Morton code of two 32-bit keys"),
+    ("hilbert_index", (e: Seq[Expression]) => HilbertIndex(e(0), e(1)),
+      "hilbert_index(x, y) - order-16 Hilbert distance of two 16-bit keys"))
 
   def descriptors: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
     fns.map { case (name, builder, usage) =>

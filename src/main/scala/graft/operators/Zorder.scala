@@ -31,13 +31,31 @@ object Zorder {
     call_function("z_interleave", a.cast("long"), b.cast("long"))
   }
 
+  /** Hilbert-curve distance of two key columns (low 16 bits each) — the
+    * locality-stricter alternative to [[zCol]]: consecutive curve values
+    * are always grid neighbors, so d-sorted row groups carry tighter
+    * min/max bounds than Morton's seam-crossing runs. */
+  def hilbertCol(df: DataFrame, a: Column, b: Column): Column = {
+    ZorderFunctions.register(df.sparkSession)
+    call_function("hilbert_index", a.cast("long"), b.cast("long"))
+  }
+
   /** Write `df` z-ordered on (a, b): range-partition into `numFiles`
     * z-runs, sort each run locally, write parquet. `options` passes
     * writer knobs through (e.g. a small `parquet.block.size` to get
     * fine-grained row groups, as the spec does). */
   def clusterWrite(df: DataFrame, path: String, a: Column, b: Column,
       numFiles: Int, options: Map[String, String] = Map.empty): Unit =
-    df.withColumn("__z", zCol(df, a, b))
+    clusterWriteBy(df, path, zCol(df, a, b), numFiles, options)
+
+  /** [[clusterWrite]] along the Hilbert curve instead of the Z-curve. */
+  def clusterWriteHilbert(df: DataFrame, path: String, a: Column, b: Column,
+      numFiles: Int, options: Map[String, String] = Map.empty): Unit =
+    clusterWriteBy(df, path, hilbertCol(df, a, b), numFiles, options)
+
+  private def clusterWriteBy(df: DataFrame, path: String, curve: Column,
+      numFiles: Int, options: Map[String, String]): Unit =
+    df.withColumn("__z", curve)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -1117,6 +1117,43 @@ object Extensions extends QueryModule {
            |FROM sc JOIN thr USING (lang) WHERE quality >= q_thr""".stripMargin
       }),
 
+    // Hilbert-curve clustering key (the locality-stricter alternative
+    // to q_zorder's Morton code — consecutive curve values are always
+    // grid neighbors). The oracle unrolls the same 16 quadrant-walk
+    // levels as chained CTEs, one per SELECT: plain SQL column
+    // semantics sidestep DuckDB list_reduce's field-sequential struct
+    // mutation, which corrupts the coordinate swap.
+    GraftQuery("q_hilbert",
+      (s, dir) => {
+        graft.functions.ZorderFunctions.register(s)
+        t(s, dir, "orders").select(col("o_orderkey"),
+          call_function("hilbert_index",
+            pmod(col("o_custkey"), lit(65536)).cast("long"),
+            pmod(datediff(col("o_orderdate"), lit("1970-01-01")), lit(65536))
+              .cast("long")).as("h"))
+      },
+      Some {
+        val levels = (0 until 16).map { i =>
+          val sv = 1L << (15 - i)
+          s"""l${i + 1} AS (SELECT o_orderkey,
+             |  CASE WHEN (y & $sv) = 0 THEN (CASE WHEN (x & $sv) > 0
+             |    THEN $sv - 1 - y ELSE y END) ELSE x END AS x,
+             |  CASE WHEN (y & $sv) = 0 THEN (CASE WHEN (x & $sv) > 0
+             |    THEN $sv - 1 - x ELSE x END) ELSE y END AS y,
+             |  d + ${sv}::BIGINT * $sv * xor(
+             |    3 * (CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END),
+             |    CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END) AS d
+             |FROM l$i)""".stripMargin
+        }
+        s"""WITH l0 AS (SELECT o_orderkey,
+           |    (o_custkey % 65536)::BIGINT AS x,
+           |    (date_diff('day', DATE '1970-01-01', o_orderdate) % 65536)::BIGINT AS y,
+           |    0::BIGINT AS d
+           |  FROM orders),
+           |${levels.mkString(",\n")}
+           |SELECT o_orderkey, d AS h FROM l16""".stripMargin
+      }),
+
     // z-order (Morton) clustering key: the layout function behind
     // multi-dimensional row-group pruning (Zorder.clusterWrite; pruning
     // measured in ZorderSpec). Inputs masked to 16 bits here so the

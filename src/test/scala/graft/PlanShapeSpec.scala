@@ -321,4 +321,60 @@ class PlanShapeSpec extends SparkSpec {
     val scans = collectAll(plan) { case s: FileSourceScanExec => s }
     assert(scans.length === 1, "one scan computes every column's stats")
   }
+
+  test("bm25 top-k plans a distributed TakeOrdered with broadcast term joins") {
+    val plan = executed("q_bm25")
+    // the global top-k must be the two-phase TakeOrdered (per-partition
+    // heads merged on the driver), never a full sort of the scored corpus
+    val topk = collectAll(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(topk.nonEmpty, s"expected TakeOrderedAndProject in:\n$plan")
+    // the tiny term/idf relation joins the tf relation by broadcast
+    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"terms must join by broadcast:\n$plan")
+  }
+
+  test("triangle counting plans equi-joins only — no cartesian anywhere") {
+    import org.apache.spark.sql.functions._
+    // through the operator (the registry wrapper drains to a local
+    // relation, hiding the interesting plan); sf0.01, because at
+    // sf0.001 the supplier cohort graph is EMPTY and AQE's
+    // empty-relation propagation erases the joins being asserted
+    val li = Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .where(col("l_suppkey") % 10 === 0)
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+    val (cached, stats) = graft.operators.Graphs.triangleStats(e)
+    try {
+      stats.collect()
+      val plan = stats.queryExecution.executedPlan
+      val cartesian = collectAll(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cartesian.isEmpty, s"cartesian product in triangle plan:\n$plan")
+      val equiJoins = collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(equiJoins.nonEmpty,
+        "wedge generation and closure probe must be equi-joins")
+    } finally cached.unpersist(blocking = true)
+  }
+
+  test("kmv sketches partial-aggregate map-side (ObjectHashAggregate)") {
+    val plan = executed("q_kmv_distinct")
+    // the TypedImperativeAggregate must run as a real two-phase
+    // aggregation (bounded sketch state through the shuffle), never a
+    // collect-rows-then-sketch shape
+    val oha = collectAll(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(oha.length >= 2,
+      s"expected partial+final ObjectHashAggregate, got ${oha.length}:\n$plan")
+  }
 }
