@@ -195,6 +195,54 @@ object Graphs {
     (und, stats)
   }
 
+  /** (k,k)-core of a BIPARTITE edge relation `(c, s)`: iteratively drop
+    * left nodes with fewer than k distinct right neighbors and right
+    * nodes with fewer than k left neighbors, until nothing changes —
+    * the standard density filter ("customers with a real basket AND
+    * suppliers with a real customer base", or in corpus terms: hosts
+    * with enough documents and templates shared by enough hosts). The
+    * peel fixpoint is unique regardless of drop order (the k-core is
+    * the maximum subgraph with all degrees ≥ k), which is what lets a
+    * fixed-round SQL unroll oracle the convergence loop.
+    *
+    * Scale shape: each round is two semi joins + two partial-aggregated
+    * degree counts over a SHRINKING edge relation — edges hash-shuffle
+    * on `c` then `s`, nothing node-sized ever collects to the driver;
+    * convergence is one count() per round (the same materialize-and-
+    * release rhythm as [[pageRank]], linear plan growth cut each round).
+    * Input duplicates are removed (degrees count DISTINCT neighbors).
+    *
+    * Returns the surviving edges.
+    */
+  def kCoreBipartite(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"kCoreBipartite needs k >= 1, got $k")
+    var e = edges.select(col("c").cast("long"), col("s").cast("long"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var n = e.count()
+    var release: () => Unit = () => { e.unpersist(); () }
+    var converged = n == 0
+    while (!converged) {
+      val keepC = e.groupBy("c").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("c")
+      val afterC = e.join(keepC, Seq("c"), "left_semi")
+      val keepS = afterC.groupBy("s").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("s")
+      val next = afterC.join(keepS, Seq("s"), "left_semi")
+        .select(col("c"), col("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m = next.count()
+      // the peel only ever removes edges: an unchanged count IS the
+      // fixpoint (no oscillation to guard against)
+      converged = m == n
+      release()
+      e = next
+      n = m
+      release = () => { next.unpersist(); () }
+    }
+    // stays persisted for the caller (registry wrappers drain it)
+    e
+  }
+
   /** PageRank over an ARBITRARY directed edge list — the general form
     * [[pageRank]]'s symmetrized contract avoids. Dangling nodes (no
     * out-edges) redistribute their rank mass uniformly:

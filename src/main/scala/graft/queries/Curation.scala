@@ -297,6 +297,28 @@ object Curation extends QueryModule {
              |  FROM c)
              |SELECT pair, cnt, rk::BIGINT AS rk FROM top WHERE rk <= 20""".stripMargin)),
 
+    // ---- deterministic EXACT-N global sample without a global sort:
+    //      the 64 corpus rows with the smallest salted hash, found by
+    //      the KMV aggregate (map-side partial, one broadcast row back)
+    //      + a membership filter — at 100 TB this replaces the
+    //      ORDER BY hash LIMIT n the oracle can afford but a cluster
+    //      shouldn't pay; bottom-k-by-hash is also mergeable (a uniform
+    //      sample maintained incrementally alongside the matviews) ----
+    GraftQuery("q_bottomk_sample",
+      (s, dir) => {
+        graft.functions.ThetaExprs.register(s)
+        val withH = t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr(graft.operators.Dedup.h60raw("concat(doc_id, ':bk')")).as("h"))
+        val sk = withH.agg(call_function("kmv_agg", col("h"), lit(64)).as("sk"))
+        withH.join(broadcast(sk), expr("array_contains(sk, h)"))
+          .select(col("doc_id"), col("h"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    ('0x'||substr(md5(doc_id || ':bk'),1,15))::BIGINT AS h
+             |  FROM documents)
+             |SELECT doc_id, h FROM h ORDER BY h LIMIT 64""".stripMargin)),
+
     // ---- asymmetric n-gram containment (|A∩B| / |A|): the quotation /
     //      wholesale-inclusion detector symmetric Jaccard misses; same
     //      inverted-index + hot-shingle-cap semantics as q_ngram_jaccard ----

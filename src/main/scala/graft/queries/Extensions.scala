@@ -772,6 +772,39 @@ object Extensions extends QueryModule {
              |  round(3.0 * n_triangles / n_wedges, 6) AS global_cc
              |FROM nw, ne, tri""".stripMargin)),
 
+    // (8,8)-core of the customer↔supplier bipartite graph: peel until
+    // every surviving customer buys from ≥8 surviving suppliers and
+    // vice versa. Spark runs the convergence loop (Graphs.kCoreBipartite);
+    // the oracle unrolls 16 peel rounds as generated CTEs — the k-core
+    // fixpoint is unique and the fixture converges well inside 16, so
+    // the two agree cell-for-cell (GraphsSpec pins loop == brute force).
+    GraftQuery("q_kcore",
+      (s, dir) => {
+        val e = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .where(col("o_custkey") % 20 === 0 && col("l_suppkey") % 4 === 0)
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        val core = graft.operators.Graphs.kCoreBipartite(e, k = 8)
+        drained(s, core, core)
+      },
+      Some {
+        // MATERIALIZED is load-bearing: each round references its
+        // predecessor CTE multiple times, and DuckDB inlines plain CTEs
+        // — 16 rounds of that is a 4^16-wide expansion (observed as
+        // "too many open files" on the base scan)
+        val rounds = (0 until 16).map { i =>
+          s"""a${i + 1} AS MATERIALIZED (SELECT c, s FROM r$i WHERE c IN
+             |  (SELECT c FROM r$i GROUP BY c HAVING count(*) >= 8)),
+             |r${i + 1} AS MATERIALIZED (SELECT c, s FROM a${i + 1} WHERE s IN
+             |  (SELECT s FROM a${i + 1} GROUP BY s HAVING count(*) >= 8))""".stripMargin
+        }
+        s"""WITH r0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  WHERE o_custkey % 20 = 0 AND l_suppkey % 4 = 0),
+           |${rounds.mkString(",\n")}
+           |SELECT c, s FROM r16""".stripMargin
+      }),
+
     // ======================= sessionization =======================
 
     GraftQuery("q_sessionize",

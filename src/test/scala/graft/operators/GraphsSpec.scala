@@ -124,4 +124,44 @@ class GraphsSpec extends SparkSpec {
       ((3L, 3L, 3L, 1L)))
     assert(r.getDouble(4) === 1.0)
   }
+
+  test("kCoreBipartite peels the hand case: s3 starves c3 out of the 2-core") {
+    import spark.implicits._
+    // c1-{s1,s2}, c2-{s1,s2}, c3-{s1,s3}; k=2: s3 (deg 1) drops, which
+    // starves c3 (deg 1), leaving the complete 2x2 core
+    val e = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L))
+      .toDF("c", "s")
+    val got = Graphs.kCoreBipartite(e, k = 2)
+    val rows = got.as[(Long, Long)].collect().toSet
+    got.unpersist(blocking = true)
+    assert(rows === Set((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
+  }
+
+  test("kCoreBipartite matches a brute-force peel through a designed cascade") {
+    import spark.implicits._
+    // dense 10x6 block (c-deg 6, s-deg 10: survives k=5) + three fringe
+    // structures that peel in a CASCADE: s=50 (deg 2) drops first, which
+    // drops c=30 (deg 5 → 4), and c=20 (deg 3) drops on its own
+    val block = for (c <- 0L until 10L; s <- 0L until 6L) yield (c, s)
+    val fringe = Seq((20L, 0L), (20L, 1L), (20L, 2L),
+      (30L, 50L), (30L, 0L), (30L, 1L), (30L, 2L), (30L, 3L),
+      (0L, 50L))
+    val edges = block ++ fringe
+    val got = Graphs.kCoreBipartite(edges.toDF("c", "s"), k = 5)
+    val rows = got.as[(Long, Long)].collect().toSet
+    got.unpersist(blocking = true)
+    // reference peel, sequential
+    var cur = edges.toSet
+    var changed = true
+    while (changed) {
+      val cd = cur.groupBy(_._1).map { case (c, es) => c -> es.size }
+      val afterC = cur.filter(e => cd(e._1) >= 5)
+      val sd = afterC.groupBy(_._2).map { case (s, es) => s -> es.size }
+      val next = afterC.filter(e => sd(e._2) >= 5)
+      changed = next != cur
+      cur = next
+    }
+    assert(rows === cur)
+    assert(cur === block.toSet, "exactly the dense block must survive")
+  }
 }
