@@ -243,6 +243,53 @@ object Graphs {
     e
   }
 
+  /** Bounded-hop BFS distances from a seed set: `dist(v)` = length of
+    * the shortest path from any seed, up to `maxHops` (nodes farther
+    * than that are absent) — the "contamination reach" primitive
+    * (which parts flow through suppliers of a known-bad part; which
+    * documents sit within k citation hops of a benchmark).
+    *
+    * Fixed-round form ON PURPOSE: `maxHops` rounds of frontier
+    * expansion is exactly reproducible as an unrolled SQL oracle, and
+    * at 100× scale an unbounded BFS over a high-diameter graph is a
+    * runaway job — the cap is the safety rail. Each round shuffles
+    * only the node-sized distance relation against the once-partitioned
+    * edge set and re-aggregates by min (same rhythm as [[pageRank]]);
+    * rounds after the reachable set saturates are cheap no-ops.
+    *
+    * @param edges already-symmetrized `(src, dst)` for undirected reach
+    * @param seeds single-column `node` relation
+    */
+  def seedDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"seedDistances needs maxHops >= 0, got $maxHops")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var d = seeds.select(col("node").cast("long")).distinct()
+      .withColumn("dist", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    d.count()
+    var release: () => Unit = () => { d.unpersist(); () }
+    var i = 0
+    while (i < maxHops) {
+      val cur = d
+      val expanded = e.join(cur, e("src") === cur("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      val next = cur.select(col("node"), col("dist"))
+        .union(expanded)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      release()
+      d = next
+      release = () => { next.unpersist(); () }
+      i += 1
+    }
+    e.unpersist()
+    // stays persisted for the caller (registry wrappers drain it)
+    d
+  }
+
   /** PageRank over an ARBITRARY directed edge list — the general form
     * [[pageRank]]'s symmetrized contract avoids. Dangling nodes (no
     * out-edges) redistribute their rank mass uniformly:

@@ -179,6 +179,25 @@ object Builtins extends QueryModule {
              |FROM orders GROUP BY o_custkey""".stripMargin)),
 
     // ---- bitwise aggregate family ----
+    // ---- EXACT mergeable distinct counts via bitmaps: group by
+    //      (key, bitmap bucket), build one bitmap per bucket
+    //      (map-side partial agg of fixed 4 KB buffers), sum the
+    //      bucket counts — at scale this replaces count(DISTINCT)'s
+    //      Expand+reshuffle with mergeable state, the EXACT sibling
+    //      of the HLL estimate for bounded-int domains ----
+    GraftQuery("q_bitmap_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag", expr("bitmap_bucket_number(l_suppkey)").as("bucket"))
+          .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_suppkey)))")
+            .as("cnt"))
+          .groupBy($"l_returnflag")
+          .agg(sum($"cnt").cast("long").as("n_supp"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey)::BIGINT AS n_supp
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     GraftQuery("q_bit_aggs",
       (s, dir) => {
         import s.implicits._

@@ -805,6 +805,45 @@ object Extensions extends QueryModule {
            |SELECT c, s FROM r16""".stripMargin
       }),
 
+    // bounded-hop BFS from a seed set over the part↔supplier bipartite
+    // graph (namespaced 2k / 2k+1): "everything within 4 hops of the
+    // seed parts through shared suppliers" — the contamination-reach
+    // primitive. Fixed 4 rounds so the oracle can unroll the exact
+    // recurrence (MATERIALIZED: every round references its predecessor
+    // twice, plain CTE inlining would go exponential).
+    GraftQuery("q_seed_distance",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+        val e0 = li.select((col("l_partkey") * 2).as("p"),
+            (col("l_suppkey") * 2 + 1).as("s")).distinct()
+        val e = e0.select(col("p").as("src"), col("s").as("dst"))
+          .union(e0.select(col("s").as("src"), col("p").as("dst")))
+        val seeds = li.where(col("l_partkey") % 50 === 0)
+          .select((col("l_partkey") * 2).as("node"))
+        val d = graft.operators.Graphs.seedDistances(e, seeds, maxHops = 4)
+        drained(s, d, d)
+      },
+      Some {
+        val rounds = (0 until 4).map { i =>
+          s"""d${i + 1} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d$i
+             |  UNION ALL
+             |  SELECT e.dst AS node, d$i.dist + 1 AS dist
+             |  FROM e JOIN d$i ON e.src = d$i.node) GROUP BY node)""".stripMargin
+        }
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT l_partkey*2 AS p, l_suppkey*2+1 AS s FROM lineitem),
+           |e AS MATERIALIZED (
+           |  SELECT p AS src, s AS dst FROM e0
+           |  UNION ALL SELECT s, p FROM e0),
+           |d0 AS MATERIALIZED (
+           |  SELECT DISTINCT l_partkey*2 AS node, 0::BIGINT AS dist
+           |  FROM lineitem WHERE l_partkey % 50 = 0),
+           |${rounds.mkString(",\n")}
+           |SELECT node, dist FROM d4""".stripMargin
+      }),
+
     // ======================= sessionization =======================
 
     GraftQuery("q_sessionize",

@@ -164,4 +164,29 @@ class GraphsSpec extends SparkSpec {
     assert(rows === cur)
     assert(cur === block.toSet, "exactly the dense block must survive")
   }
+
+  test("seedDistances: shortest hops on a path, capped at maxHops") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 (symmetrized) + disconnected 9; seed = {1}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (9L, 9L))
+    val e = path.toDF("a", "b")
+    val sym = e.select($"a".as("src"), $"b".as("dst"))
+      .union(e.select($"b".as("src"), $"a".as("dst")))
+    val d = Graphs.seedDistances(sym, Seq(1L).toDF("node"), maxHops = 3)
+    val got = d.as[(Long, Long)].collect().toMap
+    d.unpersist(blocking = true)
+    // node 5 is 4 hops away and node 9 unreachable: both absent
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("seedDistances takes the minimum over multiple seeds") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val sym = e.select($"a".as("src"), $"b".as("dst"))
+      .union(e.select($"b".as("src"), $"a".as("dst")))
+    val d = Graphs.seedDistances(sym, Seq(1L, 4L).toDF("node"), maxHops = 4)
+    val got = d.as[(Long, Long)].collect().toMap
+    d.unpersist(blocking = true)
+    assert(got === Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
 }

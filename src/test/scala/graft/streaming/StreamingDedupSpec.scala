@@ -119,4 +119,31 @@ class StreamingDedupSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("exact streaming dedup: dropDuplicatesWithinWatermark across batches") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // EXACT-id streaming dedup (the complement of the LSH near-dup
+    // state): Spark keeps per-key state only until the watermark passes
+    // it, so the state store stays bounded on an unbounded stream —
+    // the built-in the 100 TB ingest path uses before any fuzzy pass
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = in.toDF().toDF("doc_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream.format("memory").queryName("xdd").outputMode("append").start()
+    try {
+      in.addData((1L, ts(1)), (2L, ts(2)), (1L, ts(3)))
+      q.processAllAvailable()
+      // replay of id 1 in a LATER batch, still within the watermark gap
+      in.addData((1L, ts(4)), (3L, ts(5)))
+      q.processAllAvailable()
+      val got = spark.table("xdd").as[(Long, Timestamp)].collect()
+        .groupBy(_._1).view.mapValues(_.length).toMap
+      assert(got === Map(1L -> 1, 2L -> 1, 3L -> 1),
+        s"each id must be emitted exactly once within the watermark: $got")
+    } finally q.stop()
+  }
 }
