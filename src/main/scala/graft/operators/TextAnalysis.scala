@@ -243,6 +243,10 @@ object TextAnalysis {
     * both aggregations map-side combine, nothing else moves. Documents
     * with zero tokens have no (doc, word) rows and drop out — the
     * length gate would kill them anyway.
+    *
+    * Stopword evidence uses the English list (Gopher's own bias); a
+    * multilingual gate should route each document through its
+    * language's list ([[languageId]] upstream) before this filter.
     */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 30, maxWords: Int = 100000): DataFrame = {

@@ -270,6 +270,48 @@ object Curation extends QueryModule {
              |WHERE ('0x'||substr(md5(doc_id || ':dsir'),1,15))::BIGINT
              |      % 1000000007 % 1000000 < keep_ppm""".stripMargin)),
 
+    // ---- token-budget selection: give every language the SAME token
+    //      budget (the smallest language's total) and fill it with as
+    //      many documents as fit (shortest-first greedy = max doc count
+    //      under the cap; deterministic tiebreak). The equal-budget
+    //      mixture is the "don't let English drown the mix" step
+    //      downstream of q_lang_balance's rate-based thinning. The
+    //      per-lang cumulative window keeps the oracle exact; a 100 TB
+    //      deployment swaps it for the histogram-threshold shape of
+    //      TextAnalysis.adaptiveQualityFilter (no per-language sort). ----
+    GraftQuery("q_token_budget",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr(s"size(${graft.operators.Dedup.wordsExpr("text")})")
+              .cast("long").as("n_tokens"))
+        val budget = toks.groupBy(col("lang"))
+          .agg(sum(col("n_tokens")).as("t"))
+          .agg(min(col("t")).as("budget"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_tokens"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks.join(budget)
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .where(col("cum") <= col("budget"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+             |      AS n_tokens
+             |  FROM documents),
+             |b AS (SELECT min(t) AS budget FROM
+             |  (SELECT lang, sum(n_tokens) AS t FROM toks GROUP BY lang)),
+             |c AS (SELECT doc_id, lang, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY lang
+             |      ORDER BY n_tokens, doc_id
+             |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             |  FROM toks)
+             |SELECT doc_id, lang, n_tokens, cum FROM c, b
+             |WHERE cum <= budget""".stripMargin)),
+
     // ---- BPE merge induction, iteration 1: the top-20 adjacent char
     //      pairs by corpus frequency (pair counts weighted by the word-
     //      frequency table — the tokenizer-training primitive) ----
@@ -307,6 +349,9 @@ object Curation extends QueryModule {
     GraftQuery("q_bottomk_sample",
       (s, dir) => {
         graft.functions.ThetaExprs.register(s)
+        // withH feeds the sketch AND the membership probe: two scans,
+        // but each is a 2-column pruned projection of the id column
+        // only (never the payload) — cheaper than caching corpus-wide
         val withH = t(s, dir, "documents")
           .select(col("doc_id"),
             expr(graft.operators.Dedup.h60raw("concat(doc_id, ':bk')")).as("h"))
