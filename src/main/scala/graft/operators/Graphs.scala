@@ -268,10 +268,11 @@ object Graphs {
     var d = seeds.select(col("node").cast("long")).distinct()
       .withColumn("dist", lit(0L))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    d.count()
+    var n = d.count()
     var release: () => Unit = () => { d.unpersist(); () }
     var i = 0
-    while (i < maxHops) {
+    var saturated = false
+    while (i < maxHops && !saturated) {
       val cur = d
       val expanded = e.join(cur, e("src") === cur("node"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
@@ -279,9 +280,16 @@ object Graphs {
         .union(expanded)
         .groupBy("node").agg(min(col("dist")).as("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      val m = next.count()
+      // early exit at saturation, result-identical to running out the
+      // cap: a round that reaches no NEW node changes nothing (a node's
+      // dist is set at first reach and BFS rounds are monotone), so the
+      // remaining rounds are no-ops the oracle's fixed unroll also
+      // passes through
+      saturated = m == n
       release()
       d = next
+      n = m
       release = () => { next.unpersist(); () }
       i += 1
     }
