@@ -56,25 +56,20 @@ object ThetaExprs {
     }
   }
 
-  case class KmvAgg(child: Expression, k: Int = 256,
-      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
-    require(k >= 2, s"kmv_agg needs k >= 2, got $k")
+  /** Shared KmvBuffer lifecycle for the two KMV aggregates — the
+    * serialization format (k header + sorted longs) and the semilattice
+    * merge must never diverge between build and union. */
+  abstract class KmvAggBase extends TypedImperativeAggregate[KmvBuffer]
+      with UnaryLike[Expression] {
+    def k: Int
+    // NOTE: the k >= 2 require lives in each case class, NOT here — a
+    // base-class constructor check would read the abstract `k` before
+    // the subclass constructor assigns it (0 during Java
+    // deserialization on executors) and fail every task
 
-    override def prettyName: String = "kmv_agg"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
-    override def checkInputDataTypes(): TypeCheckResult =
-      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"kmv_agg requires a bigint (hash) argument, got ${child.dataType.simpleString}")
-
     override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
-    override def update(b: KmvBuffer, row: InternalRow): KmvBuffer = {
-      val v = child.eval(row)
-      if (v != null) b.insert(v.asInstanceOf[Long])
-      b
-    }
     override def merge(b: KmvBuffer, o: KmvBuffer): KmvBuffer = { b.mergeIn(o); b }
     override def eval(b: KmvBuffer): Any = {
       val out = new Array[Long](b.set.size)
@@ -94,6 +89,22 @@ object ThetaExprs {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       val b = new KmvBuffer(bb.getInt)
       while (bb.remaining() >= 8) b.insert(bb.getLong)
+      b
+    }
+  }
+
+  case class KmvAgg(child: Expression, k: Int = 256,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends KmvAggBase {
+    require(k >= 2, s"kmv_agg needs k >= 2, got $k")
+    override def prettyName: String = "kmv_agg"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"kmv_agg requires a bigint (hash) argument, got ${child.dataType.simpleString}")
+    override def update(b: KmvBuffer, row: InternalRow): KmvBuffer = {
+      val v = child.eval(row)
+      if (v != null) b.insert(v.asInstanceOf[Long])
       b
     }
     override def withNewMutableAggBufferOffset(o: Int): KmvAgg =
@@ -112,19 +123,14 @@ object ThetaExprs {
     * and order-independent like HLL, with set algebra on top. */
   case class KmvUnionAgg(child: Expression, k: Int = 256,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+      extends KmvAggBase {
     require(k >= 2, s"kmv_union_agg needs k >= 2, got $k")
-
     override def prettyName: String = "kmv_union_agg"
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullable: Boolean = false
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"kmv_union_agg requires an array<bigint> (sketch) argument, got ${other.simpleString}")
     }
-
-    override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
     override def update(b: KmvBuffer, row: InternalRow): KmvBuffer = {
       val v = child.eval(row)
       if (v != null) {
@@ -132,27 +138,6 @@ object ThetaExprs {
         var i = 0
         while (i < arr.numElements()) { b.insert(arr.getLong(i)); i += 1 }
       }
-      b
-    }
-    override def merge(b: KmvBuffer, o: KmvBuffer): KmvBuffer = { b.mergeIn(o); b }
-    override def eval(b: KmvBuffer): Any = {
-      val out = new Array[Long](b.set.size)
-      val it = b.set.iterator()
-      var i = 0
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
-      new GenericArrayData(out)
-    }
-    override def serialize(b: KmvBuffer): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.set.size)
-      bb.putInt(b.k)
-      val it = b.set.iterator()
-      while (it.hasNext) bb.putLong(it.next())
-      bb.array()
-    }
-    override def deserialize(bytes: Array[Byte]): KmvBuffer = {
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      val b = new KmvBuffer(bb.getInt)
-      while (bb.remaining() >= 8) b.insert(bb.getLong)
       b
     }
     override def withNewMutableAggBufferOffset(o: Int): KmvUnionAgg =

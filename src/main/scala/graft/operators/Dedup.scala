@@ -487,17 +487,25 @@ object Dedup {
     * 3-gram shared by 10^6 docs now costs one combiner row instead of
     * 10^12 join rows; the loss is observable through [[hotShingles]].
     */
-  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    // sh feeds 4 subtrees (hot, join a, join b, sizes); persist so the
-    // corpus scan + shingle hashing runs once (caller-unpersist contract:
-    // registry/bench consumers clear the cache after materializing)
+  /** Shared hot-capped shingle inverted index for [[ngramJaccard]] /
+    * [[ngramContainment]]: one persisted shingle pass (it feeds the hot
+    * list, both self-join sides and the size relation — caller-unpersist
+    * contract: registry/bench/verify consumers clear the cache after
+    * materializing), exploded to (doc_id, s) with shingles whose
+    * document frequency exceeds `maxDf` anti-joined away. */
+  private def cappedShingleIndex(docs: DataFrame, idCol: String,
+      textCol: String, maxDf: Int): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
-    val e = e0.join(hot.select(col("s")), Seq("s"), "left_anti")
+    e0.join(hot.select(col("s")), Seq("s"), "left_anti")
+  }
+
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val e = cappedShingleIndex(docs, idCol, textCol, maxDf)
     val counts = e.as("a")
       .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -530,15 +538,7 @@ object Dedup {
     */
   def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    // sh feeds 4 subtrees (hot, join a, join b, sizes); persist so the
-    // corpus scan + shingle hashing runs once (caller-unpersist contract
-    // as ngramJaccard: registry/bench consumers clear cache after use)
-    val sh = shingleSets(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf)
-    val e = e0.join(hot.select(col("s")), Seq("s"), "left_anti")
+    val e = cappedShingleIndex(docs, idCol, textCol, maxDf)
     // join each unordered pair ONCE (a < b) through the heavy shuffle +
     // count, then emit both directions from the counted relation — the
     // |A∩B| count is symmetric, so the != spelling would push every pair

@@ -42,13 +42,37 @@ object Retrieval {
     * @param terms single-column (`word`) query relation, assumed tiny
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      terms: DataFrame, k: Int): DataFrame = {
-    val tf = docs
+      terms: DataFrame, k: Int): DataFrame =
+    bm25Core(tfRelation(docs, idCol, textCol), terms.select(col("word")), k)
+
+  /** [[bm25TopK]] with the query derived from the corpus itself: the
+    * `nTerms` rarest terms (df asc, word asc — deterministic). Shares
+    * the single tokenize pass with the scoring — the separate
+    * term-selection scan a naive wrapper pays is the most expensive
+    * stage duplicated for nothing at 100 TB. */
+  def bm25TopKRarest(docs: DataFrame, idCol: String, textCol: String,
+      nTerms: Int, k: Int): DataFrame = {
+    val tf = tfRelation(docs, idCol, textCol)
+    // df of EVERY word falls out of the tf relation (one row per
+    // (doc, word)); sort+limit = distributed TakeOrdered over the vocab
+    val terms = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").asc, col("word").asc).limit(nTerms)
+      .select(col("word"))
+    bm25Core(tf, terms, k)
+  }
+
+  /** One persisted (doc, word, tf) pass — feeds df, dl, corpus stats
+    * and the term match (caller-release contract: registry/bench/verify
+    * consumers clear the cache after materializing). */
+  private def tfRelation(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         explode(expr(Dedup.wordsExpr(textCol))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+  private def bm25Core(tf: DataFrame, terms: DataFrame, k: Int): DataFrame = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
     val dfr = tf.join(broadcast(terms.select(col("word"))), "word")

@@ -78,19 +78,8 @@ object Curation extends QueryModule {
     //      (df asc, word asc — deterministic), integer-exact scores
     //      (see operators/Retrieval.scala for the arithmetic contract) ----
     GraftQuery("q_bm25",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val dfw = docs
-          .select(col("doc_id"),
-            explode(expr(graft.operators.Dedup.wordsExpr("text"))).as("word"))
-          .distinct()
-          .groupBy(col("word")).agg(count(lit(1)).as("df"))
-        // sort+limit = distributed TakeOrdered, not a single-task window —
-        // the corpus vocabulary can be huge
-        val terms = dfw.orderBy(col("df").asc, col("word").asc).limit(3)
-          .select(col("word"))
-        graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text", terms, 10)
-      },
+      (s, dir) => graft.operators.Retrieval.bm25TopKRarest(
+        t(s, dir, "documents"), "doc_id", "text", nTerms = 3, k = 10),
       Some("""WITH u AS (
              |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
              |    w -> w <> '')) AS word
@@ -161,9 +150,13 @@ object Curation extends QueryModule {
             explode(call_function("shingle_hashes", col("text"))).as("h"))
           .groupBy(col("lang"))
           .agg(call_function("kmv_agg", col("h"), lit(256)).as("sk"))
-        val a = sk.where(col("lang") === "en").select(col("sk").as("a"))
-        val b = sk.where(col("lang") === "de").select(col("sk").as("b"))
-        a.join(b)
+        // single-row conditional agg, NOT filter + cross join: a corpus
+        // missing one of the languages must still emit one row (of
+        // NULLs), matching the oracle's scalar subqueries — the
+        // filter+join spelling would emit zero rows there
+        sk.agg(
+            max(when(col("lang") === "en", col("sk"))).as("a"),
+            max(when(col("lang") === "de", col("sk"))).as("b"))
           .withColumn("uk", expr("slice(array_sort(array_union(a, b)), 1, 256)"))
           .select(
             expr("CAST(size(uk) AS BIGINT)").as("n_union_kept"),
@@ -237,9 +230,13 @@ object Curation extends QueryModule {
         val w = graft.operators.Retrieval.importanceWeights(
           t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
         val mm = w.agg(min(col("w_per_tok")).as("lo"), max(col("w_per_tok")).as("hi"))
+        // +1 in the numerator: the minimum-weight document keeps a small
+        // NONZERO probability (proportional sampling, not a hard floor
+        // cutoff), and a degenerate corpus with all-equal weights maps
+        // to keep_ppm = 1e6 (keep everything) instead of an empty sample
         w.join(mm)
           .withColumn("keep_ppm",
-            expr("((w_per_tok - lo) * 1000000L) DIV (hi - lo + 1)"))
+            expr("((w_per_tok - lo + 1) * 1000000L) DIV (hi - lo + 1)"))
           .where(expr(
             s"${graft.operators.Dedup.h60("concat(doc_id, ':dsir')")} % 1000000 < keep_ppm"))
           .select(col("doc_id"), col("w_per_tok"), col("keep_ppm"))
@@ -264,7 +261,7 @@ object Curation extends QueryModule {
              |o2 AS (SELECT doc_id, weight // n_words AS w_per_tok FROM o),
              |mm AS (SELECT min(w_per_tok) AS lo, max(w_per_tok) AS hi FROM o2),
              |k AS (SELECT doc_id, w_per_tok,
-             |        ((w_per_tok - lo) * 1000000) // (hi - lo + 1) AS keep_ppm
+             |        ((w_per_tok - lo + 1) * 1000000) // (hi - lo + 1) AS keep_ppm
              |      FROM o2, mm)
              |SELECT doc_id, w_per_tok, keep_ppm FROM k
              |WHERE ('0x'||substr(md5(doc_id || ':dsir'),1,15))::BIGINT
