@@ -140,6 +140,35 @@ object Similarity {
     * relation for one query in one task — the shape that made the
     * single-window formulation a one-reducer funnel at corpus scale.
     * Deterministic (cosine desc, id asc) total order throughout. */
+  /** Int8 scalar quantization (SQ) of an embedding column — the storage
+    * rung between raw floats and PQ codes: 4× smaller than float32 at
+    * ~0.1% cosine error, keeping exact per-dimension structure (unlike
+    * PQ's codebook cells), which is what rerank stages dequantize.
+    *
+    * Per vector: `amax = max |x_i|`, `scale = amax / 127`, `code_i =
+    * round(x_i / scale)` ∈ [-127, 127]. All-zero vectors get scale 0
+    * and all-zero codes (dequantizing reproduces them exactly). Pure
+    * per-row column program (stateless scan, no shuffle); deterministic
+    * IEEE arithmetic — the DuckDB oracle reproduces `amax` and the
+    * reconstruction error bit-for-bit (q_int8_sq projects the scalars;
+    * the codes array itself stays out of the oracle output per the
+    * driver-compare contract).
+    */
+  def int8Quant(vectors: DataFrame, idCol: String, embCol: String): DataFrame =
+    vectors.select(col(idCol), col(embCol),
+        expr(s"""aggregate($embCol, CAST(0.0 AS DOUBLE),
+                |  (a, v) -> greatest(a, abs(CAST(v AS DOUBLE))))""".stripMargin)
+          .as("amax"))
+      .select(col(idCol),
+        col("amax"),
+        expr("amax / 127.0").as("scale"),
+        expr(s"""CASE WHEN amax = 0.0
+                |  THEN transform($embCol, v -> 0)
+                |  ELSE transform($embCol,
+                |    v -> CAST(round(CAST(v AS DOUBLE) / (amax / 127.0)) AS INT))
+                |END""".stripMargin).as("codes"),
+        col(embCol))
+
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession

@@ -361,6 +361,38 @@ object Curation extends QueryModule {
              |  FROM documents)
              |SELECT doc_id, h FROM h ORDER BY h LIMIT 64""".stripMargin)),
 
+    // ---- int8 scalar quantization audit: per-vector amax and the
+    //      dequantization MSE — the storage rung between raw floats and
+    //      PQ codes (4× smaller, ~0.1% cosine error; recall/cosine
+    //      bounds in SimilaritySpec). Scalars only in the output (the
+    //      codes array stays out of the driver compare); arithmetic is
+    //      plain IEEE so DuckDB reproduces the MSE bit-for-bit. ----
+    GraftQuery("q_int8_sq",
+      (s, dir) => graft.operators.Similarity.int8Quant(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("amax"), 7).as("amax_r"),
+          expr("""round(CASE WHEN amax = 0.0 THEN 0.0 ELSE
+                 |  aggregate(zip_with(embedding, codes,
+                 |      (v, c) -> (CAST(v AS DOUBLE) - c * scale)
+                 |              * (CAST(v AS DOUBLE) - c * scale)),
+                 |    CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 64.0
+                 |END, 12)""".stripMargin).as("mse")),
+      Some("""WITH q AS (SELECT vec_id, embedding,
+             |    list_reduce([0.0::DOUBLE] ||
+             |        list_transform(embedding, v -> abs(v::DOUBLE)),
+             |      (a, b) -> greatest(a, b)) AS amax
+             |  FROM embeddings)
+             |SELECT vec_id, round(amax, 7) AS amax_r,
+             |  round(CASE WHEN amax = 0.0 THEN 0.0 ELSE
+             |    list_reduce([0.0::DOUBLE] || list_transform(embedding, v ->
+             |      (v::DOUBLE - CAST(round(v::DOUBLE / (amax/127.0)) AS INT)
+             |                   * (amax/127.0))
+             |      * (v::DOUBLE - CAST(round(v::DOUBLE / (amax/127.0)) AS INT)
+             |                   * (amax/127.0))),
+             |      (x, y) -> x + y) / 64.0
+             |  END, 12) AS mse
+             |FROM q""".stripMargin)),
+
     // ---- asymmetric n-gram containment (|A∩B| / |A|): the quotation /
     //      wholesale-inclusion detector symmetric Jaccard misses; same
     //      inverted-index + hot-shingle-cap semantics as q_ngram_jaccard ----

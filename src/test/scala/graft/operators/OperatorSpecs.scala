@@ -162,6 +162,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - want) < 1e-12)
   }
 
+  test("int8Quant: codes bounded, reconstruction within scale/2, cosine >= 0.999") {
+    import spark.implicits._
+    val rows = Similarity.int8Quant(
+      graft.Tables.t(spark, sfDir, "embeddings"), "vec_id", "embedding")
+      .as[(Long, Double, Double, Seq[Int], Seq[Float])].collect()
+    assert(rows.nonEmpty)
+    for ((id, amax, scale, codes, emb) <- rows) {
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id code range")
+      val deq = codes.map(_ * scale)
+      val err = emb.map(_.toDouble).zip(deq).map { case (v, d) => math.abs(v - d) }
+      assert(err.max <= scale / 2 + 1e-12, s"vec $id max err ${err.max}")
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).map { case (u, v) => u * v }.sum
+      val x = emb.map(_.toDouble)
+      val cos = dot(x, deq) / (math.sqrt(dot(x, x)) * math.sqrt(dot(deq, deq)))
+      assert(cos >= 0.999, s"vec $id cosine after dequant: $cos")
+    }
+  }
+
   test("bruteTopK returns k best-by-cosine with deterministic tiebreak") {
     Similarity.ensureRegistered(spark)
     val emb = Tables.t(spark, sfDir, "embeddings")
