@@ -872,6 +872,31 @@ object Extensions extends QueryModule {
              |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |FROM o""".stripMargin)),
 
+    // Markov transition counts: how often does each event type follow
+    // each other type within a user's stream (the behavioral "what
+    // happens next" matrix; session boundaries would compose via
+    // q_sessionize's flag — kept per-user here so the oracle stays one
+    // window). Per-user lead() = one hash exchange on user_id; the
+    // transition matrix itself is |types|² tiny.
+    GraftQuery("q_transitions",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .where($"next_type".isNotNull)
+          .groupBy($"event_type", $"next_type")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events)
+             |SELECT event_type, next_type, count(*)::BIGINT AS n
+             |FROM o WHERE next_type IS NOT NULL
+             |GROUP BY event_type, next_type""".stripMargin)),
+
     // ======================= bench headline =======================
 
     GraftQuery("q_tpch_q3",
