@@ -336,6 +336,47 @@ object Curation extends QueryModule {
              |  FROM c)
              |SELECT pair, cnt, rk::BIGINT AS rk FROM top WHERE rk <= 20""".stripMargin)),
 
+    // ---- KMV rollup: per-nation distinct-customer sketches UNION-merged
+    //      up to region level — the OLAP point of a mergeable sketch:
+    //      the region row is computed from the 5 stored nation sketches,
+    //      never re-scanning orders, and the oracle HASH-MATCHES it
+    //      against a from-scratch region sketch (the semilattice
+    //      property, verified in SQL, at every scale) ----
+    GraftQuery("q_kmv_rollup",
+      (s, dir) => {
+        graft.functions.ThetaExprs.register(s)
+        val byNation = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nationkey"),
+            expr(graft.operators.Dedup.h60raw("concat(o_custkey, ':kr')")).as("h"))
+          .groupBy(col("nationkey"))
+          .agg(call_function("kmv_agg", col("h"), lit(128)).as("sk"))
+        byNation
+          .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("nationkey"), col("n_regionkey"))),
+            "nationkey")
+          .groupBy(col("n_regionkey"))
+          .agg(call_function("kmv_union_agg", col("sk"), lit(128)).as("sk"))
+          .select(col("n_regionkey"),
+            expr("CAST(size(sk) AS BIGINT)").as("n_kept"),
+            expr(s"""round(CASE WHEN size(sk) < 128 THEN CAST(size(sk) AS DOUBLE)
+                    |  ELSE 127.0 * $Pow60 / CAST(element_at(sk, 128) AS DOUBLE)
+                    |  END, 2)""".stripMargin).as("est_customers"))
+      },
+      Some(s"""WITH h AS (
+             |  SELECT n_regionkey,
+             |    ('0x'||substr(md5(o_custkey || ':kr'),1,15))::BIGINT AS h
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey),
+             |sk AS (SELECT n_regionkey,
+             |         list_sort(list_distinct(list(h)))[1:128] AS sk
+             |       FROM h GROUP BY n_regionkey)
+             |SELECT n_regionkey, len(sk)::BIGINT AS n_kept,
+             |  round(CASE WHEN len(sk) < 128 THEN len(sk)::DOUBLE
+             |    ELSE 127.0 * $Pow60 / (sk[128]::DOUBLE) END, 2) AS est_customers
+             |FROM sk""".stripMargin)),
+
     // ---- deterministic EXACT-N global sample without a global sort:
     //      the 64 corpus rows with the smallest salted hash, found by
     //      the KMV aggregate (map-side partial, one broadcast row back)

@@ -252,5 +252,56 @@ object Warehouse extends QueryModule {
              |  round(min(o_totalprice), 2) AS min_value,
              |  round(max(o_totalprice), 2) AS max_value
              |FROM orders WHERE o_totalprice IS NOT NULL
-             |GROUP BY 1""".stripMargin)))
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- equi-DEPTH histogram (the CBO/skew-analysis sibling of
+    //      q_histogram's equi-width buckets): boundaries at the exact
+    //      octile quantiles, assignment by comparison count (1 + Σ
+    //      v > b_i — integer, no float bucket arithmetic to flip).
+    //      Boundaries are one broadcast row; the corpus pass is one
+    //      stateless filter+agg. ----
+    GraftQuery("q_equidepth_hist",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val b = li.agg(
+          expr("percentile(l_extendedprice, 0.125D)").as("b1"),
+          expr("percentile(l_extendedprice, 0.25D)").as("b2"),
+          expr("percentile(l_extendedprice, 0.375D)").as("b3"),
+          expr("percentile(l_extendedprice, 0.5D)").as("b4"),
+          expr("percentile(l_extendedprice, 0.625D)").as("b5"),
+          expr("percentile(l_extendedprice, 0.75D)").as("b6"),
+          expr("percentile(l_extendedprice, 0.875D)").as("b7"))
+        li.join(broadcast(b))
+          .withColumn("bucket", (lit(1) +
+            ($"l_extendedprice" > $"b1").cast("int") +
+            ($"l_extendedprice" > $"b2").cast("int") +
+            ($"l_extendedprice" > $"b3").cast("int") +
+            ($"l_extendedprice" > $"b4").cast("int") +
+            ($"l_extendedprice" > $"b5").cast("int") +
+            ($"l_extendedprice" > $"b6").cast("int") +
+            ($"l_extendedprice" > $"b7").cast("int")).cast("long"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min($"l_extendedprice"), 2).as("min_value"),
+            round(max($"l_extendedprice"), 2).as("max_value"))
+      },
+      Some("""WITH b AS (SELECT
+             |    quantile_cont(l_extendedprice, 0.125) AS b1,
+             |    quantile_cont(l_extendedprice, 0.25) AS b2,
+             |    quantile_cont(l_extendedprice, 0.375) AS b3,
+             |    quantile_cont(l_extendedprice, 0.5) AS b4,
+             |    quantile_cont(l_extendedprice, 0.625) AS b5,
+             |    quantile_cont(l_extendedprice, 0.75) AS b6,
+             |    quantile_cont(l_extendedprice, 0.875) AS b7
+             |  FROM lineitem),
+             |x AS (SELECT l_extendedprice AS v,
+             |    CAST(1 + (l_extendedprice > b1)::INT + (l_extendedprice > b2)::INT
+             |       + (l_extendedprice > b3)::INT + (l_extendedprice > b4)::INT
+             |       + (l_extendedprice > b5)::INT + (l_extendedprice > b6)::INT
+             |       + (l_extendedprice > b7)::INT AS BIGINT) AS bucket
+             |  FROM lineitem, b)
+             |SELECT bucket, count(*)::BIGINT AS n,
+             |  round(min(v), 2) AS min_value, round(max(v), 2) AS max_value
+             |FROM x GROUP BY bucket""".stripMargin)))
 }
