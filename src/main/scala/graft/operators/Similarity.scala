@@ -169,6 +169,21 @@ object Similarity {
                 |END""".stripMargin).as("codes"),
         col(embCol))
 
+  /** Exact-scan top-k over an int8-quantized corpus (asymmetric: the
+    * query stays float, corpus vectors dequantize per scan) — the
+    * retrieval mode an int8-stored 100 TB embedding table actually
+    * runs: a quarter of the scan bytes for ~0.1% cosine error, with
+    * [[bruteTopK]]'s two-phase bounded-heap shape on top. Composition,
+    * not re-implementation: quantize → dequantize → exact top-k;
+    * SimilaritySpec pins recall vs the float-exact scan. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    val dequant = int8Quant(corpus, idCol, embCol)
+      .select(col(idCol),
+        expr("transform(codes, c -> CAST(c * scale AS FLOAT))").as(embCol))
+    bruteTopK(dequant, queries, idCol, embCol, k)
+  }
+
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession

@@ -380,6 +380,45 @@ object Extensions extends QueryModule {
               |SELECT query_id, rnk::BIGINT AS rank, vec_id, round(c, 6) AS cosine
               |FROM r WHERE rnk <= 5""".stripMargin)),
 
+    // int8-quantized exact top-k (asymmetric: float query vs dequantized
+    // corpus) — unlike the IVF/PQ family this is fully deterministic, so
+    // it gets the HASH-MATCH oracle: DuckDB reproduces quantize →
+    // dequantize → cosine → top-k bit-for-bit.
+    GraftQuery("q_int8_topk",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.int8TopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", 5)
+      },
+      Some(s"""WITH am AS (
+              |  SELECT vec_id, embedding,
+              |    list_reduce([0.0::DOUBLE] ||
+              |        list_transform(embedding, v -> abs(v::DOUBLE)),
+              |      (a, b) -> greatest(a, b)) AS amax
+              |  FROM embeddings),
+              |dq AS (
+              |  SELECT vec_id,
+              |    CASE WHEN amax = 0.0
+              |      THEN list_transform(embedding, v -> 0.0::REAL)
+              |      ELSE list_transform(embedding, v ->
+              |        CAST(CAST(round(v::DOUBLE / (amax/127.0)) AS INT)
+              |             * (amax/127.0) AS REAL))
+              |    END AS de
+              |  FROM am),
+              |q AS (
+              |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+              |  WHERE vec_id < 8),
+              |s AS (
+              |  SELECT query_id, e.vec_id, ${dCos("qe", "e.de")} AS c
+              |  FROM q, dq e WHERE e.vec_id <> query_id),
+              |r AS (
+              |  SELECT query_id, vec_id, c,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rnk
+              |  FROM s)
+              |SELECT query_id, rnk::BIGINT AS rank, vec_id, round(c, 6) AS cosine
+              |FROM r WHERE rnk <= 5""".stripMargin)),
+
     // IVF ANN: probed-cell search — recall vs brute force asserted in
     // SimilaritySpec; not SQL-oracled (approximate by design).
     GraftQuery("q_sim_ivf",

@@ -235,6 +235,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.lshPairs(vecs, "vec_id", "embedding", 0.9).count() === 0L)
   }
 
+  test("int8TopK recall vs float-exact scan is near-perfect") {
+    Similarity.ensureRegistered(spark)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val k = 5
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.int8TopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect sq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"int8 recall $recall — SQ should be near-lossless")
+  }
+
   test("ivfKMeansTopK learns cells that give reasonable recall vs brute force") {
     Similarity.ensureRegistered(spark)
     val emb = Tables.t(spark, sfDir, "embeddings")
