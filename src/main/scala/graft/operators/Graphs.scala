@@ -78,11 +78,29 @@ object Graphs {
     * after convergence or stops short. `tol = 0` (default) keeps the
     * exact fixed-iteration recurrence the SQL oracles unroll. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      tol: Double = 0.0): DataFrame =
+    // weight-1 delegation is BIT-exact, not just equivalent: rank·1.0
+    // is the identity in IEEE arithmetic and Σ1.0 over a group equals
+    // count-as-double, so the unweighted oracles keep hash-matching
+    pageRankWeighted(edges.select(col("src"), col("dst"), lit(1.0).as("w")),
+      iters, damping, tol)
+
+  /** [[pageRank]] with per-edge weights: contributions split
+    * proportionally — `r' = (1-d)/N + d·Σ r(u)·w(u,v)/wsum(u)` — the
+    * importance-weighted centrality (co-occurrence counts, citation
+    * multiplicity, trade volume) the unit-weight walk flattens. Same
+    * contract (every node needs an out-edge; symmetrize first, carrying
+    * the weight both ways) and the same scale shape: edges+weights are
+    * partitioned once, each iteration shuffles only the node-sized rank
+    * relation. Weights must be positive (a zero-weight-sum node would
+    * divide by zero exactly like a dangling node). */
+  def pageRankWeighted(edges: DataFrame, iters: Int, damping: Double = 0.85,
       tol: Double = 0.0): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("double"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = e.groupBy("src").agg(sum(col("w")).as("wsum"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
     val n = nodes.count()
@@ -98,7 +116,8 @@ object Graphs {
       ranks = e
         .join(r, e("src") === r("node"))
         .join(deg, "src")
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .select(col("dst").as("node"),
+          (col("rank") * col("w") / col("wsum")).as("c"))
         .groupBy("node")
         .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank"))
       // each round references the previous rank relation ONCE, so the

@@ -721,6 +721,52 @@ object Extensions extends QueryModule {
              |       JOIN deg ON e.src = deg.src GROUP BY e.dst)
              |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin)),
 
+    // WEIGHTED PageRank over the same trade graph, edge weight = number
+    // of order-line co-occurrences — volume-weighted centrality (a
+    // supplier shipping 100 lines to a customer pulls more rank than a
+    // one-line relationship, which unit weights flatten). Oracle unrolls
+    // the weighted recurrence, rank·w/wsum in place of rank/deg.
+    GraftQuery("q_pagerank_weighted",
+      (s, dir) => {
+        val e0 = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        val ranks = graft.operators.Graphs.pageRankWeighted(edges, iters = 3)
+        drained(s, ranks,
+          ranks.select(col("node"), round(col("rank"), 9).as("rank")))
+      },
+      Some("""WITH e0 AS (
+             |  SELECT o_custkey*2 AS a, l_suppkey*2+1 AS b,
+             |    count(*)::DOUBLE AS w
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  GROUP BY 1, 2),
+             |e AS (SELECT a AS src, b AS dst, w FROM e0
+             |      UNION ALL SELECT b AS src, a AS dst, w FROM e0),
+             |deg AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),
+             |nodes AS (SELECT DISTINCT src AS node FROM e),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+             |r1 AS (SELECT e.dst AS node,
+             |         (1 - 0.85)/(SELECT n FROM nn)
+             |           + 0.85 * sum(r.rank * e.w / deg.wsum) AS rank
+             |       FROM e JOIN r0 r ON e.src = r.node
+             |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+             |r2 AS (SELECT e.dst AS node,
+             |         (1 - 0.85)/(SELECT n FROM nn)
+             |           + 0.85 * sum(r.rank * e.w / deg.wsum) AS rank
+             |       FROM e JOIN r1 r ON e.src = r.node
+             |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+             |r3 AS (SELECT e.dst AS node,
+             |         (1 - 0.85)/(SELECT n FROM nn)
+             |           + 0.85 * sum(r.rank * e.w / deg.wsum) AS rank
+             |       FROM e JOIN r2 r ON e.src = r.node
+             |       JOIN deg ON e.src = deg.src GROUP BY e.dst)
+             |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin)),
+
     // directed PageRank with dangling-mass redistribution: the
     // customer→supplier trade graph kept DIRECTED — every supplier is a
     // dangling sink whose mass re-spreads uniformly each round (the
