@@ -467,6 +467,22 @@ object Dedup {
       .where(col("sh").isNotNull)
   }
 
+  /** Shared hot-capped shingle inverted index for [[ngramJaccard]] /
+    * [[ngramContainment]]: one persisted shingle pass (it feeds the hot
+    * list, both self-join sides and the size relation — caller-unpersist
+    * contract: registry/bench/verify consumers clear the cache after
+    * materializing), exploded to (doc_id, s) with shingles whose
+    * document frequency exceeds `maxDf` anti-joined away. */
+  private def cappedShingleIndex(docs: DataFrame, idCol: String,
+      textCol: String, maxDf: Int): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+    e0.join(hot.select(col("s")), Seq("s"), "left_anti")
+  }
+
   /** EXACT n-gram (shingle) Jaccard near-dup via a shingle inverted index,
     * with hot shingles dropped. Explode shingle hashes, self-join on hash
     * equality (only docs sharing a shingle pair up — the n² pair space is
@@ -487,22 +503,6 @@ object Dedup {
     * 3-gram shared by 10^6 docs now costs one combiner row instead of
     * 10^12 join rows; the loss is observable through [[hotShingles]].
     */
-  /** Shared hot-capped shingle inverted index for [[ngramJaccard]] /
-    * [[ngramContainment]]: one persisted shingle pass (it feeds the hot
-    * list, both self-join sides and the size relation — caller-unpersist
-    * contract: registry/bench/verify consumers clear the cache after
-    * materializing), exploded to (doc_id, s) with shingles whose
-    * document frequency exceeds `maxDf` anti-joined away. */
-  private def cappedShingleIndex(docs: DataFrame, idCol: String,
-      textCol: String, maxDf: Int): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf)
-    e0.join(hot.select(col("s")), Seq("s"), "left_anti")
-  }
-
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     val e = cappedShingleIndex(docs, idCol, textCol, maxDf)

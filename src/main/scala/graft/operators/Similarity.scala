@@ -132,14 +132,6 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
   }
 
-  /** Exact top-k nearest (cosine) corpus vectors for each query vector,
-    * two-phase: queries broadcast (small side), scoring is a map over the
-    * corpus, then each task keeps at most k rows per query in a bounded
-    * heap (phase 1) and only the ≤ P×k survivors per query meet the final
-    * per-query rank (phase 2). No operator ever sorts the full scored
-    * relation for one query in one task — the shape that made the
-    * single-window formulation a one-reducer funnel at corpus scale.
-    * Deterministic (cosine desc, id asc) total order throughout. */
   /** Int8 scalar quantization (SQ) of an embedding column — the storage
     * rung between raw floats and PQ codes: 4× smaller than float32 at
     * ~0.1% cosine error, keeping exact per-dimension structure (unlike
@@ -184,6 +176,14 @@ object Similarity {
     bruteTopK(dequant, queries, idCol, embCol, k)
   }
 
+  /** Exact top-k nearest (cosine) corpus vectors for each query vector,
+    * two-phase: queries broadcast (small side), scoring is a map over the
+    * corpus, then each task keeps at most k rows per query in a bounded
+    * heap (phase 1) and only the ≤ P×k survivors per query meet the final
+    * per-query rank (phase 2). No operator ever sorts the full scored
+    * relation for one query in one task — the shape that made the
+    * single-window formulation a one-reducer funnel at corpus scale.
+    * Deterministic (cosine desc, id asc) total order throughout. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession

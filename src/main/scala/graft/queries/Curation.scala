@@ -416,7 +416,8 @@ object Curation extends QueryModule {
                  |  aggregate(zip_with(embedding, codes,
                  |      (v, c) -> (CAST(v AS DOUBLE) - c * scale)
                  |              * (CAST(v AS DOUBLE) - c * scale)),
-                 |    CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 64.0
+                 |    CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+                 |    / CAST(size(embedding) AS DOUBLE)
                  |END, 12)""".stripMargin).as("mse")),
       Some("""WITH q AS (SELECT vec_id, embedding,
              |    list_reduce([0.0::DOUBLE] ||
@@ -430,7 +431,7 @@ object Curation extends QueryModule {
              |                   * (amax/127.0))
              |      * (v::DOUBLE - CAST(round(v::DOUBLE / (amax/127.0)) AS INT)
              |                   * (amax/127.0))),
-             |      (x, y) -> x + y) / 64.0
+             |      (x, y) -> x + y) / CAST(len(embedding) AS DOUBLE)
              |  END, 12) AS mse
              |FROM q""".stripMargin)),
 

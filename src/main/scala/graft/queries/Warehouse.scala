@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 warehouse-maintenance + corpus-forensics surface:
@@ -255,51 +256,73 @@ object Warehouse extends QueryModule {
              |GROUP BY 1""".stripMargin)),
 
     // ---- equi-DEPTH histogram (the CBO/skew-analysis sibling of
-    //      q_histogram's equi-width buckets): boundaries at the exact
-    //      octile quantiles, assignment by comparison count (1 + Σ
-    //      v > b_i — integer, no float bucket arithmetic to flip).
-    //      Boundaries are one broadcast row; the corpus pass is one
-    //      stateless filter+agg. ----
+    //      q_histogram's equi-width buckets). NOT interpolated
+    //      quantiles: Spark percentile() and DuckDB quantile_cont()
+    //      interpolate with different arithmetic and demonstrably
+    //      diverge by 1 ulp on real inputs — a cross-engine flip
+    //      waiting for a boundary that lands on a duplicated value.
+    //      Instead, boundaries come from a CUMULATIVE HISTOGRAM over
+    //      integer cents (prices are 2-dp doubles; v*100 rounds to the
+    //      same integer in both engines because both start from the
+    //      same double): b_i = smallest cents value whose cumulative
+    //      count reaches i/8 of the rows — exact integer arithmetic
+    //      end to end, and an actual data value, never an interpolant.
+    //      Scale shape: map-side-combined (cents, count) histogram;
+    //      the cumsum window runs over the DISTINCT-cents relation,
+    //      whose size is bounded by the price domain (~10^7), not the
+    //      corpus — the adaptiveQualityFilter argument. ----
     GraftQuery("q_equidepth_hist",
       (s, dir) => {
         import s.implicits._
         val li = t(s, dir, "lineitem")
-        // ONE array-percentile aggregate, not seven scalar ones: each
-        // scalar percentile() buffers the whole column independently
-        // (measured 7x cost, ~11 s vs ~2 s at sf0.1 local[32])
-        val b = li.agg(
-          expr("""percentile(l_extendedprice,
-                 |  array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D))"""
-            .stripMargin).as("bs"))
+          .select($"l_extendedprice".as("v"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+        val hist = li.groupBy($"c").agg(count(lit(1)).as("cnt"))
+        val cum = hist
+          .withColumn("cum", sum($"cnt").over(Window.orderBy($"c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(hist.agg(sum($"cnt").as("tot"))))
+        val b = cum.agg(
+          min(when($"cum" >= expr("(tot * 1) DIV 8"), $"c")).as("b1"),
+          min(when($"cum" >= expr("(tot * 2) DIV 8"), $"c")).as("b2"),
+          min(when($"cum" >= expr("(tot * 3) DIV 8"), $"c")).as("b3"),
+          min(when($"cum" >= expr("(tot * 4) DIV 8"), $"c")).as("b4"),
+          min(when($"cum" >= expr("(tot * 5) DIV 8"), $"c")).as("b5"),
+          min(when($"cum" >= expr("(tot * 6) DIV 8"), $"c")).as("b6"),
+          min(when($"cum" >= expr("(tot * 7) DIV 8"), $"c")).as("b7"))
         li.join(broadcast(b))
           .withColumn("bucket", (lit(1) +
-            ($"l_extendedprice" > element_at($"bs", 1)).cast("int") +
-            ($"l_extendedprice" > element_at($"bs", 2)).cast("int") +
-            ($"l_extendedprice" > element_at($"bs", 3)).cast("int") +
-            ($"l_extendedprice" > element_at($"bs", 4)).cast("int") +
-            ($"l_extendedprice" > element_at($"bs", 5)).cast("int") +
-            ($"l_extendedprice" > element_at($"bs", 6)).cast("int") +
-            ($"l_extendedprice" > element_at($"bs", 7)).cast("int")).cast("long"))
+            ($"c" > $"b1").cast("int") + ($"c" > $"b2").cast("int") +
+            ($"c" > $"b3").cast("int") + ($"c" > $"b4").cast("int") +
+            ($"c" > $"b5").cast("int") + ($"c" > $"b6").cast("int") +
+            ($"c" > $"b7").cast("int")).cast("long"))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n"),
-            round(min($"l_extendedprice"), 2).as("min_value"),
-            round(max($"l_extendedprice"), 2).as("max_value"))
+            round(min($"v"), 2).as("min_value"),
+            round(max($"v"), 2).as("max_value"))
       },
-      Some("""WITH b AS (SELECT
-             |    quantile_cont(l_extendedprice, 0.125) AS b1,
-             |    quantile_cont(l_extendedprice, 0.25) AS b2,
-             |    quantile_cont(l_extendedprice, 0.375) AS b3,
-             |    quantile_cont(l_extendedprice, 0.5) AS b4,
-             |    quantile_cont(l_extendedprice, 0.625) AS b5,
-             |    quantile_cont(l_extendedprice, 0.75) AS b6,
-             |    quantile_cont(l_extendedprice, 0.875) AS b7
+      Some("""WITH li AS (SELECT l_extendedprice AS v,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
              |  FROM lineitem),
-             |x AS (SELECT l_extendedprice AS v,
-             |    CAST(1 + (l_extendedprice > b1)::INT + (l_extendedprice > b2)::INT
-             |       + (l_extendedprice > b3)::INT + (l_extendedprice > b4)::INT
-             |       + (l_extendedprice > b5)::INT + (l_extendedprice > b6)::INT
-             |       + (l_extendedprice > b7)::INT AS BIGINT) AS bucket
-             |  FROM lineitem, b)
+             |hist AS (SELECT c, count(*)::BIGINT AS cnt FROM li GROUP BY c),
+             |cum AS (SELECT c,
+             |    sum(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+             |    (SELECT sum(cnt) FROM hist) AS tot
+             |  FROM hist),
+             |b AS (SELECT
+             |    min(CASE WHEN cum >= (tot * 1) // 8 THEN c END) AS b1,
+             |    min(CASE WHEN cum >= (tot * 2) // 8 THEN c END) AS b2,
+             |    min(CASE WHEN cum >= (tot * 3) // 8 THEN c END) AS b3,
+             |    min(CASE WHEN cum >= (tot * 4) // 8 THEN c END) AS b4,
+             |    min(CASE WHEN cum >= (tot * 5) // 8 THEN c END) AS b5,
+             |    min(CASE WHEN cum >= (tot * 6) // 8 THEN c END) AS b6,
+             |    min(CASE WHEN cum >= (tot * 7) // 8 THEN c END) AS b7
+             |  FROM cum),
+             |x AS (SELECT v,
+             |    CAST(1 + (c > b1)::INT + (c > b2)::INT + (c > b3)::INT
+             |       + (c > b4)::INT + (c > b5)::INT + (c > b6)::INT
+             |       + (c > b7)::INT AS BIGINT) AS bucket
+             |  FROM li, b)
              |SELECT bucket, count(*)::BIGINT AS n,
              |  round(min(v), 2) AS min_value, round(max(v), 2) AS max_value
              |FROM x GROUP BY bucket""".stripMargin)))
