@@ -32,6 +32,53 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Two-phase distributed INCLUSIVE prefix sum over `valueCol` in
+    * `orderCol` order — the reusable core of [[packOffsets]], for any
+    * cumulative-distribution computation (equi-depth histograms, CDF
+    * lookups) that would otherwise plan `Window.orderBy(x)` with no
+    * PARTITION BY and funnel the relation through one reducer.
+    *
+    * Returns the input columns plus `cumCol` (running total INCLUDING the
+    * current row), and the grand total as a driver-side Long (free: the
+    * phase-2 driver prefix sum already materializes every partition
+    * total, so the caller never re-aggregates the relation to learn it).
+    *
+    * Scale shape: phase 1 cumsums within range partitions in parallel;
+    * phase 2 collects P longs (driver-safe at any size) and broadcasts
+    * base offsets back. Exact integer arithmetic end to end; boundary-
+    * invariant under range-partitioner sampling shifts, like packOffsets.
+    */
+  def prefixSumInclusive(df: DataFrame, orderCol: String, valueCol: String,
+      cumCol: String = "cum", numParts: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+
+    val local = df
+      .repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = local.withColumn("__local_cum",
+      sum(col(valueCol)).over(w))
+
+    val totals = local.groupBy("__pid").agg(sum(col(valueCol)).as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val grand = totals.map(_._2).sum
+    val baseByPid = totals.map(_._1).zip(
+      totals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot }.init)
+    val baseDf = broadcast(
+      spark.createDataFrame(baseByPid.toSeq).toDF("__pid", "__base"))
+
+    val out = cum.join(baseDf, "__pid")
+      .withColumn(cumCol, col("__base") + col("__local_cum"))
+      .drop("__pid", "__base", "__local_cum")
+    (out, grand)
+  }
+
   def packOffsets(docs: DataFrame, idCol: String, textCol: String,
       packSize: Int, numParts: Int = 0): DataFrame = {
     val spark = docs.sparkSession

@@ -267,10 +267,15 @@ object Warehouse extends QueryModule {
     //      same double): b_i = smallest cents value whose cumulative
     //      count reaches i/8 of the rows — exact integer arithmetic
     //      end to end, and an actual data value, never an interpolant.
-    //      Scale shape: map-side-combined (cents, count) histogram;
-    //      the cumsum window runs over the DISTINCT-cents relation,
-    //      whose size is bounded by the price domain (~10^7), not the
-    //      corpus — the adaptiveQualityFilter argument. ----
+    //      Scale shape: map-side-combined (cents, count) histogram,
+    //      then the TWO-PHASE DISTRIBUTED PREFIX SUM of
+    //      Packing.prefixSumInclusive — per-range-partition cumsum in
+    //      parallel + P collected totals — so no single-partition
+    //      Window node exists anywhere in the plan (r5 verdict: the
+    //      previous Window.orderBy(c) cumsum was a one-task straggler
+    //      over the ~10^7-value cents domain). The grand total comes
+    //      free from the prefix sum's phase 2, replacing the old
+    //      broadcast tot join. ----
     GraftQuery("q_equidepth_hist",
       (s, dir) => {
         import s.implicits._
@@ -278,18 +283,16 @@ object Warehouse extends QueryModule {
           .select($"l_extendedprice".as("v"),
             expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
         val hist = li.groupBy($"c").agg(count(lit(1)).as("cnt"))
-        val cum = hist
-          .withColumn("cum", sum($"cnt").over(Window.orderBy($"c")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .join(broadcast(hist.agg(sum($"cnt").as("tot"))))
+        val (cum, tot) =
+          graft.operators.Packing.prefixSumInclusive(hist, "c", "cnt")
         val b = cum.agg(
-          min(when($"cum" >= expr("(tot * 1) DIV 8"), $"c")).as("b1"),
-          min(when($"cum" >= expr("(tot * 2) DIV 8"), $"c")).as("b2"),
-          min(when($"cum" >= expr("(tot * 3) DIV 8"), $"c")).as("b3"),
-          min(when($"cum" >= expr("(tot * 4) DIV 8"), $"c")).as("b4"),
-          min(when($"cum" >= expr("(tot * 5) DIV 8"), $"c")).as("b5"),
-          min(when($"cum" >= expr("(tot * 6) DIV 8"), $"c")).as("b6"),
-          min(when($"cum" >= expr("(tot * 7) DIV 8"), $"c")).as("b7"))
+          min(when($"cum" >= lit(tot * 1 / 8), $"c")).as("b1"),
+          min(when($"cum" >= lit(tot * 2 / 8), $"c")).as("b2"),
+          min(when($"cum" >= lit(tot * 3 / 8), $"c")).as("b3"),
+          min(when($"cum" >= lit(tot * 4 / 8), $"c")).as("b4"),
+          min(when($"cum" >= lit(tot * 5 / 8), $"c")).as("b5"),
+          min(when($"cum" >= lit(tot * 6 / 8), $"c")).as("b6"),
+          min(when($"cum" >= lit(tot * 7 / 8), $"c")).as("b7"))
         li.join(broadcast(b))
           .withColumn("bucket", (lit(1) +
             ($"c" > $"b1").cast("int") + ($"c" > $"b2").cast("int") +

@@ -114,6 +114,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("equi-depth histogram cumsum never plans a single-partition window") {
+    val plan = executed("q_equidepth_hist")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the per-partition cumsum window in:\n$plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"window with empty PARTITION BY = global total order through one task:\n$w")
+    }
+  }
+
   test("correlated scalar AVG (Q17) decorrelates — no per-outer-row nested loop") {
     val plan = executed("q_tpch_q17")
     val nlj = collectAll(plan) {
