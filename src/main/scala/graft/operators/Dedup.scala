@@ -469,18 +469,20 @@ object Dedup {
 
   /** Shared hot-capped shingle inverted index for [[ngramJaccard]] /
     * [[ngramContainment]]: one persisted shingle pass (it feeds the hot
-    * list, both self-join sides and the size relation — caller-unpersist
-    * contract: registry/bench/verify consumers clear the cache after
-    * materializing), exploded to (doc_id, s) with shingles whose
-    * document frequency exceeds `maxDf` anti-joined away. */
+    * list, both self-join sides and the size relation), exploded to
+    * (doc_id, s) with shingles whose document frequency exceeds `maxDf`
+    * anti-joined away. Returns (cachedShingleSets, index) — the first
+    * element is the persisted relation, surfaced through the public
+    * operators' tuples so library callers can release it without a
+    * global `spark.catalog.clearCache()`. */
   private def cappedShingleIndex(docs: DataFrame, idCol: String,
-      textCol: String, maxDf: Int): DataFrame = {
+      textCol: String, maxDf: Int): (DataFrame, DataFrame) = {
     val sh = shingleSets(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
-    e0.join(hot.select(col("s")), Seq("s"), "left_anti")
+    (sh, e0.join(hot.select(col("s")), Seq("s"), "left_anti"))
   }
 
   /** EXACT n-gram (shingle) Jaccard near-dup via a shingle inverted index,
@@ -504,8 +506,8 @@ object Dedup {
     * 10^12 join rows; the loss is observable through [[hotShingles]].
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val e = cappedShingleIndex(docs, idCol, textCol, maxDf)
+      threshold: Double, maxDf: Int = DefaultMaxShingleDf): (DataFrame, DataFrame) = {
+    val (cached, e) = cappedShingleIndex(docs, idCol, textCol, maxDf)
     val counts = e.as("a")
       .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -513,13 +515,14 @@ object Dedup {
     // sizes from the FILTERED index (shingle_hashes emits distinct hashes,
     // so the row count per doc is the set size)
     val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    counts
+    val pairs = counts
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("cnt") / (col("na") + col("nb") - col("cnt")).cast("double"), 4)
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (cached, pairs)
   }
 
   /** EXACT asymmetric n-gram CONTAINMENT — |A∩B| / |A| — the near-dup
@@ -537,8 +540,8 @@ object Dedup {
     * a pair of exact duplicates emits both directions.
     */
   def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val e = cappedShingleIndex(docs, idCol, textCol, maxDf)
+      threshold: Double, maxDf: Int = DefaultMaxShingleDf): (DataFrame, DataFrame) = {
+    val (cached, e) = cappedShingleIndex(docs, idCol, textCol, maxDf)
     // join each unordered pair ONCE (a < b) through the heavy shuffle +
     // count, then emit both directions from the counted relation — the
     // |A∩B| count is symmetric, so the != spelling would push every pair
@@ -556,12 +559,13 @@ object Dedup {
         .as("p"), col("cnt"))
       .select(col("p.contained_id"), col("p.container_id"), col("cnt"))
     val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    directed
+    val pairs = directed
       .join(sz.select(col("doc_id").as("contained_id"), col("n").as("na")),
         "contained_id")
       .select(col("contained_id"), col("container_id"),
         round(col("cnt") / col("na").cast("double"), 4).as("containment"))
       .where(col("containment") >= threshold)
+    (cached, pairs)
   }
 
   /** Audit relation for [[ngramJaccard]]: one row per shingle hash dropped

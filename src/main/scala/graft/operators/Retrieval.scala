@@ -40,30 +40,41 @@ object Retrieval {
     * match and would only shift avgdl).
     *
     * @param terms single-column (`word`) query relation, assumed tiny
+    * @return (cachedTf, topK) — triangleStats-style: `cachedTf` is the
+    *         persisted (doc, word, tf) relation the plan references
+    *         several times; the CALLER must `cachedTf.unpersist()` after
+    *         materializing `topK` (or reuse it for further retrieval),
+    *         otherwise its MEMORY_AND_DISK blocks strand for the life of
+    *         the session. Registry/bench/verify consumers clear the
+    *         whole cache instead.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      terms: DataFrame, k: Int): DataFrame =
-    bm25Core(tfRelation(docs, idCol, textCol), terms.select(col("word")), k)
+      terms: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val tf = tfRelation(docs, idCol, textCol)
+    (tf, bm25Core(tf, terms.select(col("word")), k))
+  }
 
   /** [[bm25TopK]] with the query derived from the corpus itself: the
     * `nTerms` rarest terms (df asc, word asc — deterministic). Shares
     * the single tokenize pass with the scoring — the separate
     * term-selection scan a naive wrapper pays is the most expensive
-    * stage duplicated for nothing at 100 TB. */
+    * stage duplicated for nothing at 100 TB. Same (cachedTf, topK)
+    * release contract as [[bm25TopK]]. */
   def bm25TopKRarest(docs: DataFrame, idCol: String, textCol: String,
-      nTerms: Int, k: Int): DataFrame = {
+      nTerms: Int, k: Int): (DataFrame, DataFrame) = {
     val tf = tfRelation(docs, idCol, textCol)
     // df of EVERY word falls out of the tf relation (one row per
     // (doc, word)); sort+limit = distributed TakeOrdered over the vocab
     val terms = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").asc, col("word").asc).limit(nTerms)
       .select(col("word"))
-    bm25Core(tf, terms, k)
+    (tf, bm25Core(tf, terms, k))
   }
 
   /** One persisted (doc, word, tf) pass — feeds df, dl, corpus stats
-    * and the term match (caller-release contract: registry/bench/verify
-    * consumers clear the cache after materializing). */
+    * and the term match. Returned to callers through the public
+    * operators' (cached, result) tuples so library users can release
+    * it without a global `spark.catalog.clearCache()`. */
   private def tfRelation(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
@@ -122,18 +133,27 @@ object Retrieval {
     * target flag riding the groupBy key (persisted — feeds the word
     * stats and the final rejoin); word ratios join back on `word` (NOT
     * broadcast — a web-scale vocabulary is itself large); the totals
-    * relation is one row. Integer-range caveat: cnt_t·total_raw·10⁶
+    * relation is one row. Integer-range guard: cnt_t·total_raw·10⁶
     * must fit in a BIGINT — beyond ~10¹² total tokens, pre-divide the
     * totals (the ppm resolution hides the difference long before the
-    * ratio overflows).
+    * ratio overflows). The guard is enforced, not advisory: the ratio
+    * expression `raise_error`s on the first word whose product would
+    * wrap, because non-ANSI Spark would otherwise overflow SILENTLY
+    * (DuckDB errors; silent-wrong-on-one-engine is the worst failure
+    * mode). The check `cnt_t > (MAXLONG div 10⁶) div tot_r` is exact —
+    * `floor(floor(a/b)/c) = floor(a/(bc))` for positive integers — and
+    * itself overflow-free.
     *
     * @param isTarget row predicate marking the target subset (must be
     *                 constant per document, and must select at least one
     *                 token — an empty target makes every ratio divide by
     *                 zero, an ANSI error rather than a silent answer)
+    * @return (cachedTf, weights) — same release contract as
+    *         [[bm25TopK]]: caller unpersists `cachedTf` after
+    *         materializing `weights`.
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: org.apache.spark.sql.Column): DataFrame = {
+      isTarget: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val tf = docs
       .select(col(idCol).as("doc_id"), isTarget.cast("int").as("is_t"),
         explode(expr(Dedup.wordsExpr(textCol))).as("word"))
@@ -145,12 +165,18 @@ object Retrieval {
     val totals = wstats.agg(sum(col("cnt_r")).as("tot_r"), sum(col("cnt_t")).as("tot_t"))
     val rated = wstats.join(totals)
       .select(col("word"),
-        expr("(cnt_t * tot_r * 1000000L) DIV (cnt_r * tot_t)").as("ratio_ppm"))
-    tf.join(rated, "word")
+        expr("""IF(cnt_t > (9223372036854775807L DIV 1000000L) DIV tot_r,
+               |  raise_error(concat('importanceWeights: cnt_t*tot_r*1e6 ',
+               |    'overflows BIGINT for word stats cnt_t=', cnt_t,
+               |    ' tot_r=', tot_r, ' — pre-scale the totals')),
+               |  (cnt_t * tot_r * 1000000L) DIV (cnt_r * tot_t))""".stripMargin)
+          .as("ratio_ppm"))
+    val weights = tf.join(rated, "word")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_words"),
         sum(expr("tf * ratio_ppm")).as("weight"))
       .select(col("doc_id"), col("n_words"), col("weight"),
         expr("weight DIV n_words").as("w_per_tok"))
+    (tf, weights)
   }
 }

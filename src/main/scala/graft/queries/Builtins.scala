@@ -231,7 +231,7 @@ object Builtins extends QueryModule {
     //      semantics — bounding the one formerly-quadratic path. ----
     GraftQuery("q_ngram_jaccard",
       (s, dir) => graft.operators.Dedup.ngramJaccard(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.2),
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.2)._2,
       Some("""WITH d AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
              |  FROM documents),

@@ -79,7 +79,7 @@ object Curation extends QueryModule {
     //      (see operators/Retrieval.scala for the arithmetic contract) ----
     GraftQuery("q_bm25",
       (s, dir) => graft.operators.Retrieval.bm25TopKRarest(
-        t(s, dir, "documents"), "doc_id", "text", nTerms = 3, k = 10),
+        t(s, dir, "documents"), "doc_id", "text", nTerms = 3, k = 10)._2,
       Some("""WITH u AS (
              |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
              |    w -> w <> '')) AS word
@@ -196,7 +196,7 @@ object Curation extends QueryModule {
     //      ratios, BIGINT scores — see Retrieval.importanceWeights) ----
     GraftQuery("q_dsir_weights",
       (s, dir) => graft.operators.Retrieval.importanceWeights(
-        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en"),
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")._2,
       Some("""WITH u AS (
              |  SELECT doc_id, (lang = 'en')::INT AS is_t,
              |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
@@ -228,7 +228,7 @@ object Curation extends QueryModule {
     GraftQuery("q_dsir_sample",
       (s, dir) => {
         val w = graft.operators.Retrieval.importanceWeights(
-          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")._2
         val mm = w.agg(min(col("w_per_tok")).as("lo"), max(col("w_per_tok")).as("hi"))
         // +1 in the numerator: the minimum-weight document keeps a small
         // NONZERO probability (proportional sampling, not a hard floor
@@ -440,7 +440,7 @@ object Curation extends QueryModule {
     //      inverted-index + hot-shingle-cap semantics as q_ngram_jaccard ----
     GraftQuery("q_ngram_containment",
       (s, dir) => graft.operators.Dedup.ngramContainment(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5),
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)._2,
       Some("""WITH d AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
              |  FROM documents),

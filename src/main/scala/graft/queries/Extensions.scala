@@ -854,7 +854,8 @@ object Extensions extends QueryModule {
              |       FROM deg),
              |ne AS (SELECT count(*)::BIGINT AS n_edges FROM und)
              |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-             |  round(3.0 * n_triangles / n_wedges, 6) AS global_cc
+             |  CASE WHEN n_wedges > 0
+             |    THEN round(3.0 * n_triangles / n_wedges, 6) END AS global_cc
              |FROM nw, ne, tri""".stripMargin)),
 
     // (8,8)-core of the customer↔supplier bipartite graph: peel until
@@ -887,7 +888,15 @@ object Extensions extends QueryModule {
            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |  WHERE o_custkey % 20 = 0 AND l_suppkey % 4 = 0),
            |${rounds.mkString(",\n")}
-           |SELECT c, s FROM r16""".stripMargin
+           |SELECT c, s FROM r16
+           |UNION ALL
+           |-- convergence sentinel: peeling is monotone (r16 ⊆ r15), so
+           |-- equal counts ⟺ fixpoint reached inside the 16 unrolled
+           |-- rounds. If a future fixture needs more, this emits an extra
+           |-- (-1,-1) row the Spark side never produces — a LOUD
+           |-- row-count failure naming the cause, not a silent cell diff.
+           |SELECT -1 AS c, -1 AS s
+           |WHERE (SELECT count(*) FROM r15) <> (SELECT count(*) FROM r16)""".stripMargin
       }),
 
     // bounded-hop BFS from a seed set over the part↔supplier bipartite

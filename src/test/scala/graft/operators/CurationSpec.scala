@@ -22,7 +22,7 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val terms = Seq("x").toDF("word")
     val got = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 10)
-      .as[(Long, Long, Long)].collect().toSeq
+      ._2.as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 848874L, 1L), (2L, 554621L, 2L)))
   }
 
@@ -31,7 +31,7 @@ class CurationSpec extends SparkSpec {
     val docs = Seq((1L, "x a b c d e f g"), (2L, "x a b")).toDF("doc_id", "text")
     val terms = Seq("x").toDF("word")
     val got = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 2)
-      .as[(Long, Long, Long)].collect()
+      ._2.as[(Long, Long, Long)].collect()
       .map { case (id, sc, _) => id -> sc }.toMap
     assert(got(2L) > got(1L), s"short doc must outrank long: $got")
   }
@@ -70,7 +70,7 @@ class CurationSpec extends SparkSpec {
     //   t1: weight 3e6, w_per_tok 1.5e6; r1: weight 1e6, w_per_tok 5e5
     val docs = Seq((1L, "x y", 1), (2L, "x z", 0)).toDF("doc_id", "text", "t")
     val got = Retrieval.importanceWeights(docs, "doc_id", "text", col("t") === 1)
-      .as[(Long, Long, Long, Long)].collect()
+      ._2.as[(Long, Long, Long, Long)].collect()
       .map { case (id, n, w, wpt) => id -> ((n, w, wpt)) }.toMap
     assert(got(1L) === ((2L, 3000000L, 1500000L)))
     assert(got(2L) === ((2L, 1000000L, 500000L)))
@@ -93,7 +93,7 @@ class CurationSpec extends SparkSpec {
       (1L, "w1 w2 w3 w4 w5"),
       (2L, "w1 w2 w3 w4 w5 w6 w7")).toDF("doc_id", "text")
     val got = Dedup.ngramContainment(docs, "doc_id", "text", threshold = 0.7)
-      .as[(Long, Long, Double)].collect().toSeq
+      ._2.as[(Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 2L, 1.0)))
   }
 
@@ -102,7 +102,21 @@ class CurationSpec extends SparkSpec {
     val docs = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"))
       .toDF("doc_id", "text")
     val got = Dedup.ngramContainment(docs, "doc_id", "text", threshold = 0.99)
-      .as[(Long, Long, Double)].collect().toSet
+      ._2.as[(Long, Long, Double)].collect().toSet
     assert(got === Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
+  test("the returned cache handle releases the tf relation on unpersist") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val terms = Seq("x").toDF("word")
+    val (cached, out) = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 10)
+    out.collect()
+    assert(cached.storageLevel.useMemory || cached.storageLevel.useDisk,
+      "tf relation should be persisted while the result is alive")
+    cached.unpersist(blocking = true)
+    assert(cached.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE,
+      "library callers must be able to release the cache without clearCache()")
   }
 }

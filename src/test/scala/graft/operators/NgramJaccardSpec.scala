@@ -15,7 +15,7 @@ class NgramJaccardSpec extends SparkSpec {
     import spark.implicits._
     // doc1 shingles {a b c, b c d}, doc2 {b c d, c d e}: |∩|=1, |∪|=3
     val docs = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
-    val out = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.1)
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.1)._2
       .as[(Long, Long, Double)].collect()
     assert(out.toSeq === Seq((1L, 2L, 0.3333)))
   }
@@ -30,12 +30,12 @@ class NgramJaccardSpec extends SparkSpec {
       (i.toLong, s"stop phrase here u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
 
     val capped = Dedup.ngramJaccard(docs, "doc_id", "text",
-      threshold = 0.01, maxDf = cap)
+      threshold = 0.01, maxDf = cap)._2
     assert(capped.count() === 0L,
       "hot shingle must be dropped before the self-join")
 
     val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text",
-      threshold = 0.01, maxDf = Int.MaxValue)
+      threshold = 0.01, maxDf = Int.MaxValue)._2
     assert(uncapped.count() === n.toLong * (n - 1) / 2,
       "without the cap every pair shares the boilerplate shingle")
 
@@ -52,9 +52,9 @@ class NgramJaccardSpec extends SparkSpec {
         (10L to 19L).map(i => i -> (1 to 8).map(j => s"u${i}x$j").mkString(" ")))
       .toDF("doc_id", "text")
     val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 0.2, maxDf = 8)
-      .as[(Long, Long, Double)].collect().toSet
+      ._2.as[(Long, Long, Double)].collect().toSet
     val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", 0.2,
-      maxDf = Int.MaxValue).as[(Long, Long, Double)].collect().toSet
+      maxDf = Int.MaxValue)._2.as[(Long, Long, Double)].collect().toSet
     assert(capped === uncapped)
     assert(capped.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
