@@ -421,6 +421,72 @@ object Dedup {
       (col("id") === col("label")).as("keep"))
   }
 
+  /** INCREMENTAL maintenance of the near-dup cluster artifact — the
+    * "clusters as a maintained table, not a per-query recomputation"
+    * contract a 100 TB pipeline needs: the corpus-wide connected-
+    * components pass runs ONCE, its (doc_id, cluster_id, keep) output is
+    * written down, and each new crawl batch folds in by touching only
+    * the clusters its pairs reach.
+    *
+    * Key property (what the oracle checks): because every old cluster is
+    * already internally connected, the union graph's components equal
+    * the components of the CONTRACTED graph — supernodes = old cluster
+    * ids plus new doc ids, edges = `newPairs` mapped through the old
+    * assignment. And since each old cluster_id IS the min doc id of its
+    * members, the contracted min-label is the global min of the merged
+    * component — so `updateClusters(dupClusters(P_old), P_new)` equals
+    * `dupClusters(P_old ∪ P_new)` row for row, for ANY split of the
+    * pair set. Batches compose: fold in crawl after crawl without drift.
+    *
+    * Scale shape: the iterative CC runs on the contracted graph —
+    * O(|newPairs|) supernodes, NOT the corpus. The artifact itself is
+    * touched by exactly one scan (the relabel left join); `relabel` is
+    * supernode-sized (AQE broadcasts it), so maintenance cost is one
+    * pass over the stored clusters plus a batch-sized CC, regardless of
+    * corpus size. At 100 TB the `newPairs` input comes from probing the
+    * maintained LSH band index with the new batch — the same band-hash
+    * equi-join [[minhashPairs]] plans, with the old side read from the
+    * index instead of recomputed.
+    *
+    * @param oldClusters prior artifact: (doc_id, cluster_id, keep) as
+    *                    emitted by [[dupClusters]] (or a prior call)
+    * @param newPairs    near-dup pairs (doc_a, doc_b) with at least one
+    *                    endpoint outside the old artifact's corpus
+    */
+  def updateClusters(oldClusters: DataFrame, newPairs: DataFrame): DataFrame = {
+    val m = oldClusters.select(col("doc_id"), col("cluster_id"))
+    // contract both endpoints through the old assignment (unknown ids —
+    // the new batch — stay themselves); an edge inside one old cluster
+    // contracts to a self-loop and drops out
+    val contracted = newPairs
+      .join(m.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")),
+        Seq("doc_a"), "left")
+      .join(m.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    // CC over the contracted (batch-sized) graph only
+    val touched = dupClusters(contracted)
+    val relabel = touched.select(col("doc_id").as("old_cid"),
+      col("cluster_id").as("new_cid"))
+    // one pass over the stored artifact: members of merged clusters take
+    // the merged label, untouched clusters pass through unchanged
+    val expandedOld = oldClusters
+      .join(relabel, oldClusters("cluster_id") === relabel("old_cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
+    // genuinely-new docs are the touched supernodes that are NOT old
+    // cluster ids (old cluster ids are doc ids — their membership rows
+    // already flow through expandedOld)
+    val newDocRows = touched
+      .join(m.select(col("cluster_id").as("k")).distinct(),
+        touched("doc_id") === col("k"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    expandedOld.union(newDocRows)
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
   /** Exact dedup: group identical normalized text, keep the smallest id.
     * Keyed on (hash, text): the hash makes partitioning/compare cheap and
     * the text column guards against (astronomically unlikely) collisions.

@@ -240,6 +240,56 @@ object Extensions extends QueryModule {
               |       (id = min(lab)) AS keep
               |FROM walk GROUP BY id""".stripMargin)),
 
+    // Incremental cluster maintenance — the r5-verdict "maintained
+    // artifact" design: clusters are computed once and each new crawl
+    // batch folds in by contracting its pairs through the stored
+    // assignment and running CC on the BATCH-sized contracted graph
+    // (Dedup.updateClusters). Fixture: docs with doc_id % 10 == 0 are
+    // the "new batch"; the artifact is built from the remaining 90%.
+    // The oracle is the full-corpus recompute (same recursive closure
+    // as q_dedup_clusters) — checking the maintenance theorem
+    // updateClusters(dupClusters(P_old), P_new) == dupClusters(P_all)
+    // cell for cell, not just "it ran".
+    GraftQuery("q_clusters_incremental",
+      (s, dir) => {
+        val pairs = Dedup.minhashPairs(t(s, dir, "documents"),
+            "doc_id", "text", 0.5)
+          .select("doc_a", "doc_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val newA = col("doc_a") % 10 === 0
+        val newB = col("doc_b") % 10 === 0
+        val oldC = Dedup.dupClusters(pairs.where(!newA && !newB))
+        val out = Dedup.updateClusters(oldC, pairs.where(newA || newB))
+        drained(s, pairs, out)
+      },
+      Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |bands AS (
+              |  SELECT doc_id, j,
+              |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash
+              |  FROM mh, range(4) t(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b
+              |    ON a.j = b.j AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+              |p AS (
+              |  SELECT doc_a, doc_b, ma.sh AS sh_a, mb.sh AS sh_b
+              |  FROM cand
+              |  JOIN mh ma ON ma.doc_id = doc_a
+              |  JOIN mh mb ON mb.doc_id = doc_b),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM p
+              |  WHERE round(len(list_intersect(sh_a, sh_b))
+              |        / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) >= 0.5),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |walk(id, lab) AS (
+              |  SELECT a, a FROM e
+              |  UNION
+              |  SELECT e.a, walk.lab FROM e JOIN walk ON walk.id = e.b)
+              |SELECT id AS doc_id, min(lab) AS cluster_id,
+              |       (id = min(lab)) AS keep
+              |FROM walk GROUP BY id""".stripMargin)),
+
     // group-aware train/val/test split: assignment hashes the near-dup
     // CLUSTER id, so near-duplicates can never straddle train and eval —
     // the leakage channel a doc-level random split leaves open. The
