@@ -95,7 +95,36 @@ object Graphs {
     * relation. Weights must be positive (a zero-weight-sum node would
     * divide by zero exactly like a dangling node). */
   def pageRankWeighted(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      tol: Double = 0.0): DataFrame = {
+      tol: Double = 0.0): DataFrame =
+    pageRankImpl(edges, iters, damping, tol, init = None)
+
+  /** WARM-START PageRank — the "ranks as a maintained artifact" path:
+    * instead of recomputing centrality from the uniform vector after
+    * every crawl/graph delta, seed the iteration with the STORED ranks
+    * of the previous graph. Nodes present in `init` start from their
+    * old rank; genuinely new nodes start at 1/N of the NEW graph. The
+    * recurrence, contract (`src`,`dst`, every node has an out-edge) and
+    * scale shape are exactly [[pageRank]]'s — the warm start changes
+    * only the initial vector, so with `tol` termination the iteration
+    * count collapses when the delta is small (the stored vector is
+    * already near the new fixpoint), and with fixed `iters` the result
+    * is deterministic and SQL-oracle-reproducible.
+    *
+    * @param init prior rank artifact (node, rank) — typically the
+    *             persisted output of a previous [[pageRank]] run
+    */
+  def pageRankWarmStart(edges: DataFrame, init: DataFrame, iters: Int,
+      damping: Double = 0.85, tol: Double = 0.0): DataFrame =
+    pageRankImpl(edges.select(col("src"), col("dst"), lit(1.0).as("w")),
+      iters, damping, tol, init = Some(init))
+
+  /** [[pageRankWarmStart]] for weighted edges (`src`, `dst`, `w`). */
+  def pageRankWeightedWarmStart(edges: DataFrame, init: DataFrame,
+      iters: Int, damping: Double = 0.85, tol: Double = 0.0): DataFrame =
+    pageRankImpl(edges, iters, damping, tol, init = Some(init))
+
+  private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
+      tol: Double, init: Option[DataFrame]): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("w").cast("double"))
       .repartition(col("src"))
@@ -107,7 +136,15 @@ object Graphs {
     require(n > 0, "pageRank needs a non-empty graph")
     val teleport = (1.0 - damping) / n
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // warm start: stored ranks where known, uniform 1/N(new) for nodes
+    // the artifact has never seen — one node-sized left join, no edge
+    // relation involved
+    var ranks = init match {
+      case None => nodes.withColumn("rank", lit(1.0 / n))
+      case Some(r0) => nodes
+        .join(r0.select(col("node"), col("rank").as("__init")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__init"), lit(1.0 / n)).as("rank"))
+    }
     var lastCut: Option[(DataFrame, () => Unit)] = None
     var converged = false
     var i = 1

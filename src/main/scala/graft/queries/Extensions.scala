@@ -30,9 +30,16 @@ object Extensions extends QueryModule {
     * that ran next). Only for node-sized outputs — one (long, double)
     * row per graph node here; cluster-scale callers should consume the
     * operator's cached result directly, then unpersist it themselves. */
-  private def drained(s: SparkSession, cached: DataFrame, out: DataFrame): DataFrame = {
+  private def drained(s: SparkSession, cached: DataFrame, out: DataFrame): DataFrame =
+    drainedAll(s, Seq(cached), out)
+
+  /** [[drained]] for operators that leave more than one cached relation
+    * behind (e.g. a warm-start rank query: the old-graph artifact cut
+    * plus the final cut). */
+  private def drainedAll(s: SparkSession, cached: Seq[DataFrame],
+      out: DataFrame): DataFrame = {
     val rows = out.collect()
-    cached.unpersist(blocking = true)
+    cached.foreach(_.unpersist(blocking = true))
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -770,6 +777,78 @@ object Extensions extends QueryModule {
              |       FROM e JOIN r2 r ON e.src = r.node
              |       JOIN deg ON e.src = deg.src GROUP BY e.dst)
              |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin)),
+
+    // WARM-START PageRank — ranks as a MAINTAINED artifact (r5 verdict's
+    // design note): the old graph's rank vector (3 iterations on orders
+    // with o_orderkey % 20 != 0) seeds 2 further iterations on the full
+    // graph, instead of a cold uniform restart. New-graph-only nodes
+    // start at 1/N(new). Fixed iteration counts keep the whole two-phase
+    // trajectory deterministic, so the oracle unrolls BOTH phases —
+    // 3 rounds on the old edges, the coalesce hand-off, 2 rounds on the
+    // full edges — and hash-matches the warm-started result exactly.
+    GraftQuery("q_pagerank_incremental",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"), col("o_orderkey"))
+        def sym(e0: DataFrame) = e0
+          .select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        val eOld = sym(base.where(col("o_orderkey") % 20 =!= 0)
+          .select(col("a"), col("b")).distinct())
+        val eNew = sym(base.select(col("a"), col("b")).distinct())
+        val artifact = graft.operators.Graphs.pageRank(eOld, iters = 3)
+        val ranks = graft.operators.Graphs.pageRankWarmStart(
+          eNew, artifact, iters = 2)
+        drainedAll(s, Seq(artifact, ranks),
+          ranks.select(col("node"), round(col("rank"), 9).as("rank")))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_custkey*2 AS a, l_suppkey*2+1 AS b, o_orderkey
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |eo0 AS (SELECT DISTINCT a, b FROM base WHERE o_orderkey % 20 <> 0),
+             |en0 AS (SELECT DISTINCT a, b FROM base),
+             |eo AS (SELECT a AS src, b AS dst FROM eo0
+             |       UNION ALL SELECT b AS src, a AS dst FROM eo0),
+             |en AS (SELECT a AS src, b AS dst FROM en0
+             |       UNION ALL SELECT b AS src, a AS dst FROM en0),
+             |dego AS (SELECT src, count(*) AS deg FROM eo GROUP BY src),
+             |degn AS (SELECT src, count(*) AS deg FROM en GROUP BY src),
+             |no AS (SELECT DISTINCT src AS node FROM eo),
+             |nno AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM no),
+             |nn2 AS (SELECT DISTINCT src AS node FROM en),
+             |nnn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nn2),
+             |o0 AS (SELECT node, 1.0/(SELECT n FROM nno) AS rank FROM no),
+             |o1 AS (SELECT eo.dst AS node,
+             |         (1 - 0.85)/(SELECT n FROM nno)
+             |           + 0.85 * sum(r.rank / dego.deg) AS rank
+             |       FROM eo JOIN o0 r ON eo.src = r.node
+             |       JOIN dego ON eo.src = dego.src GROUP BY eo.dst),
+             |o2 AS (SELECT eo.dst AS node,
+             |         (1 - 0.85)/(SELECT n FROM nno)
+             |           + 0.85 * sum(r.rank / dego.deg) AS rank
+             |       FROM eo JOIN o1 r ON eo.src = r.node
+             |       JOIN dego ON eo.src = dego.src GROUP BY eo.dst),
+             |o3 AS (SELECT eo.dst AS node,
+             |         (1 - 0.85)/(SELECT n FROM nno)
+             |           + 0.85 * sum(r.rank / dego.deg) AS rank
+             |       FROM eo JOIN o2 r ON eo.src = r.node
+             |       JOIN dego ON eo.src = dego.src GROUP BY eo.dst),
+             |w0 AS (SELECT nn2.node,
+             |         coalesce(o3.rank, 1.0/(SELECT n FROM nnn)) AS rank
+             |       FROM nn2 LEFT JOIN o3 ON nn2.node = o3.node),
+             |w1 AS (SELECT en.dst AS node,
+             |         (1 - 0.85)/(SELECT n FROM nnn)
+             |           + 0.85 * sum(r.rank / degn.deg) AS rank
+             |       FROM en JOIN w0 r ON en.src = r.node
+             |       JOIN degn ON en.src = degn.src GROUP BY en.dst),
+             |w2 AS (SELECT en.dst AS node,
+             |         (1 - 0.85)/(SELECT n FROM nnn)
+             |           + 0.85 * sum(r.rank / degn.deg) AS rank
+             |       FROM en JOIN w1 r ON en.src = r.node
+             |       JOIN degn ON en.src = degn.src GROUP BY en.dst)
+             |SELECT node, round(rank, 9) AS rank FROM w2""".stripMargin)),
 
     // WEIGHTED PageRank over the same trade graph, edge weight = number
     // of order-line co-occurrences — volume-weighted centrality (a

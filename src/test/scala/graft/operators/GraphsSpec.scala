@@ -189,4 +189,55 @@ class GraphsSpec extends SparkSpec {
     d.unpersist(blocking = true)
     assert(got === Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("pageRankWarmStart from the fixpoint stays at the fixpoint") {
+    import spark.implicits._
+    val star = (1L to 4L).map(l => (0L, l)).toDF("a", "b")
+    val sym = star.select($"a".as("src"), $"b".as("dst"))
+      .union(star.select($"b".as("src"), $"a".as("dst")))
+    val fix = Graphs.pageRank(sym, iters = 200, damping = 0.5, tol = 1e-12)
+    val after = Graphs.pageRankWarmStart(sym, fix, iters = 1, damping = 0.5)
+    val fm = fix.as[(Long, Double)].collect().toMap
+    val am = after.as[(Long, Double)].collect().toMap
+    fix.unpersist(blocking = true)
+    for ((n, r) <- fm)
+      assert(math.abs(am(n) - r) < 1e-10, s"node $n moved: $r -> ${am(n)}")
+  }
+
+  test("pageRankWarmStart seeds unknown nodes at 1/N of the new graph") {
+    import spark.implicits._
+    // artifact knows only node 9 (rank 0.7); graph is 1↔2. One iteration
+    // from init (r(1)=r(2)=1/2) equals the cold 1-iteration run — the
+    // stale artifact entry for a node no longer in the graph is ignored.
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val init = Seq((9L, 0.7)).toDF("node", "rank")
+    val warm = Graphs.pageRankWarmStart(e, init, iters = 1)
+      .as[(Long, Double)].collect().toMap
+    val cold = Graphs.pageRank(e, iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(warm === cold)
+  }
+
+  test("warm start is closer to the new fixpoint than a cold start after equal rounds") {
+    import spark.implicits._
+    // old graph: 6-node PATH (non-uniform ranks — a cycle would be
+    // vertex-transitive and its uniform fixpoint coincides with the cold
+    // init, making warm == cold vacuously); new graph: path plus one
+    // chord — a small delta, so old ranks are near the new fixpoint
+    val oldE = (0L to 4L).map(i => (i, i + 1)).toDF("a", "b")
+    val newE = ((0L to 4L).map(i => (i, i + 1)) :+ ((0L, 3L))).toDF("a", "b")
+    def sym(e: org.apache.spark.sql.DataFrame) =
+      e.select($"a".as("src"), $"b".as("dst"))
+        .union(e.select($"b".as("src"), $"a".as("dst")))
+    val artifact = Graphs.pageRank(sym(oldE), iters = 15)
+    val fix = Graphs.pageRank(sym(newE), iters = 100, tol = 1e-11)
+    val warm = Graphs.pageRankWarmStart(sym(newE), artifact, iters = 2)
+    val cold = Graphs.pageRank(sym(newE), iters = 2)
+    val fm = fix.as[(Long, Double)].collect().toMap
+    def dist(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double)].collect().map { case (n, r) => math.abs(r - fm(n)) }.max
+    val (dw, dc) = (dist(warm), dist(cold))
+    Seq(artifact, fix, warm, cold).foreach(_.unpersist(blocking = true))
+    assert(dw < dc, s"warm $dw should beat cold $dc")
+  }
 }
