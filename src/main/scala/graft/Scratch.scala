@@ -86,7 +86,117 @@ object Scratch {
         .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
       time("join+agg")(c.write.format("noop").mode("overwrite").save())
     }
-    val modes = Set("ngramprof", "cleanprof")
+    if (args.contains("winaudit")) {
+      // Which registry queries still plan a single-partition (global
+      // ORDER BY, no PARTITION BY) window, and on how many input rows?
+      // Diagnostic for the r5-verdict straggler audit.
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: allNodes(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          r +: allNodes(r.child)
+        case other =>
+          other +: (other.children ++ other.subqueries).flatMap(allNodes)
+      }
+      val auditDir = "/root/testdata/sf0.001"
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        try {
+          val df = fn(spark, auditDir)
+          df.collect()
+          val globals = allNodes(df.queryExecution.executedPlan).collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty =>
+              (w: org.apache.spark.sql.execution.SparkPlan,
+                w.orderSpec.map(_.sql).mkString(","))
+            case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+                if w.partitionSpec.isEmpty =>
+              (w: org.apache.spark.sql.execution.SparkPlan,
+                w.orderSpec.map(_.sql).mkString(","))
+          }
+          for ((w, ord) <- globals) {
+            val rows = w.children.headOption
+              .flatMap(_.metrics.get("numOutputRows").map(_.value))
+              .getOrElse(-1L)
+            println(s"WINAUDIT $name: ${w.getClass.getSimpleName} " +
+              s"inputRows~$rows orderBy=$ord")
+          }
+        } catch { case e: Throwable =>
+          println(s"WINAUDIT $name FAILED: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (args.contains("scalegen")) {
+      // Bench-only scale replicas (x3 / x10 of sf0.1) for the verdict's
+      // scale-ladder evidence: replicate each input table of the five most
+      // expensive operators with keys shifted per replica, and content
+      // perturbed so cross-replica rows never match (otherwise identical
+      // replicated text/names/vectors would manufacture quadratic
+      // cross-replica duplicate pairs and the ladder would measure data
+      // semantics, not operator scaling):
+      //  - customer names get per-replica 3-char tags (pairwise edit
+      //    distance 3 > the fuzzy-join threshold 2);
+      //  - every 3rd document word becomes a replica token (ShingleK=3, so
+      //    every shingle differs cross-replica -> Jaccard 0);
+      //  - embeddings rotate by r positions (cross-replica cosine ~0,
+      //    within-replica geometry untouched).
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val src = "/root/testdata/sf0.1"
+      def maxKey(tbl: String, c: String): Long =
+        Tables.t(spark, src, tbl)
+          .agg(max(col(c).cast("long"))).head.getLong(0) + 1
+      val oShift = maxKey("orders", "o_orderkey")
+      val cShift = maxKey("customer", "c_custkey")
+      val sShift = maxKey("lineitem", "l_suppkey")
+      val dShift = maxKey("documents", "doc_id")
+      val vShift = maxKey("embeddings", "vec_id")
+      def shifted(df: DataFrame, c: String, delta: Long, r: Int): DataFrame =
+        df.withColumn(c,
+          (col(c).cast("long") + lit(delta * r)).cast(df.schema(c).dataType))
+      for (factor <- Seq(3, 10)) {
+        val out = s"/tmp/graft_scale/x$factor"
+        def gen(tbl: String)(tf: (DataFrame, Int) => DataFrame): Unit = {
+          val base = Tables.t(spark, src, tbl)
+          (0 until factor).map(r => tf(base, r)).reduce(_ union _)
+            .write.mode("overwrite").parquet(s"$out/$tbl.parquet")
+          println(s"SCALEGEN x$factor $tbl done")
+        }
+        gen("orders")((df, r) =>
+          shifted(shifted(df, "o_orderkey", oShift, r), "o_custkey", cShift, r))
+        gen("lineitem")((df, r) =>
+          shifted(shifted(df, "l_orderkey", oShift, r), "l_suppkey", sShift, r))
+        gen("customer") { (df, r) =>
+          val tag = ('a' + r).toChar.toString * 3
+          shifted(df, "c_custkey", cShift, r)
+            .withColumn("c_name",
+              if (r == 0) col("c_name") else concat(lit(tag), col("c_name")))
+        }
+        gen("documents") { (df, r) =>
+          val d = shifted(df, "doc_id", dShift, r)
+          if (r == 0) d
+          else d.withColumn("text", expr(
+            s"""array_join(transform(split(text, ' '),
+               |  (w, i) -> IF(i % 3 = 0, 'zq$r', w)), ' ')""".stripMargin))
+        }
+        gen("embeddings") { (df, r) =>
+          val d = shifted(df, "vec_id", vShift, r)
+          if (r == 0) d
+          else d.withColumn("embedding", expr(
+            s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+              s"slice(embedding, 1, $r))"))
+        }
+        // events (Bench's warmup input) is copied raw by the caller:
+        // writing it through Tables.t would bake in the ns->us rebuild and
+        // break the loader's nanosAsLong re-read.
+      }
+    }
+
+    val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen")
     val toTime =
       if (args.isEmpty) defaults
       else args.toSeq.filterNot(a => a.startsWith("explain:") || modes(a))

@@ -35,6 +35,25 @@ class CmsSpec extends SparkSpec {
     }
   }
 
+  test("q_heavy_hitters estimates on the sf0.1 fixture sit in [true, true + eps*N]") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    val est = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(est.size == 50, s"expected 50 candidate keys, got ${est.size}")
+    val li = Tables.t(spark, dir, "lineitem")
+    val truth = li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      .where($"l_partkey".isin(est.keys.toSeq: _*))
+      .as[(Long, Long)].collect().toMap
+    val n = li.count()
+    val slack = (0.001 * n).ceil.toLong + 1
+    for ((k, e) <- est) {
+      assert(e >= truth(k), s"CMS underestimated part $k: $e < ${truth(k)}")
+      assert(e <= truth(k) + slack,
+        s"part $k: estimate $e exceeds eps*N slack ($slack) over ${truth(k)}")
+    }
+  }
+
   test("mergeFrequencyBatch maintains per-key frequencies incrementally with a replay fence") {
     import spark.implicits._
     graft.functions.SketchFunctions.register(spark)
