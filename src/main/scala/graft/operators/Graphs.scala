@@ -418,4 +418,55 @@ object Graphs {
     e.unpersist(); deg.unpersist(); nodes.unpersist()
     out
   }
+
+  /** Synchronous label propagation (community detection, Raghavan et al.
+    * 2007): labels start as node ids; each round every node adopts the
+    * most frequent label among its NEIGHBORS, ties broken by the
+    * smallest label — both rules deterministic, so a fixed `rounds`
+    * trajectory is exactly reproducible in unrolled SQL (the classic
+    * randomized-order variant is not). Communities ≈ dense groups; on a
+    * near-dup corpus graph this is the "soft clusters" complement of
+    * [[Dedup.dupClusters]]' exact connected components.
+    *
+    * Contract: `edges(src, dst)` symmetrized, like [[pageRank]] (every
+    * node has ≥ 1 out-edge; isolated nodes have no neighbors and no
+    * community).
+    *
+    * Scale shape: edges are hash-partitioned on `src` once and
+    * persisted; each round shuffles (a) the node-sized label relation to
+    * meet the edges and (b) the (node, label, cnt) vote relation — both
+    * long-keyed, no corpus-wide window anywhere: the per-node argmax is
+    * a two-level aggregate, `max(struct(cnt, -label))`, which partial-
+    * aggregates map-side exactly like any max. O(rounds) shuffles of
+    * node-sized relations, edges never move again. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val l0 = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels: DataFrame = l0
+    var release: () => Unit = () => { l0.unpersist(); () }
+    for (_ <- 1 to rounds) {
+      val cur = labels
+      val nextPlan = e
+        .join(cur, e("dst") === cur("node"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        // argmax with min-label tie-break as ONE max over an ordered
+        // struct: (cnt, -label) compares lexicographically, so the max
+        // struct is the highest count and, within it, the smallest label
+        .groupBy(col("src").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
+      val (next, releaseNext) = cut(nextPlan, truncate = false)
+      release()
+      labels = next
+      release = releaseNext
+    }
+    e.unpersist()
+    // stays persisted for the caller (registry wrappers drain it)
+    labels
+  }
 }

@@ -896,6 +896,45 @@ object Extensions extends QueryModule {
              |       JOIN deg ON e.src = deg.src GROUP BY e.dst)
              |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin)),
 
+    // LABEL-PROPAGATION communities over the same trade graph: labels
+    // start as node ids; each synchronous round every node adopts its
+    // neighbors' most frequent label (tie -> smallest label). Both rules
+    // are deterministic, so the oracle unrolls the 4 rounds exactly —
+    // per-node argmax as a row_number window over the (node, label)
+    // vote counts. MATERIALIZED per the unrolled-recurrence rule.
+    GraftQuery("q_label_prop",
+      (s, dir) => {
+        val e0 = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        val labs = graft.operators.Graphs.labelPropagation(edges, rounds = 4)
+        drained(s, labs, labs)
+      },
+      Some {
+        def round(i: Int) =
+          s"""l$i AS MATERIALIZED (
+             |  SELECT src AS node, label FROM (
+             |    SELECT e.src, l.label, count(*) AS cnt,
+             |      row_number() OVER (PARTITION BY e.src
+             |        ORDER BY count(*) DESC, l.label) AS rk
+             |    FROM e JOIN l${i - 1} l ON e.dst = l.node
+             |    GROUP BY e.src, l.label)
+             |  WHERE rk = 1)"""
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+           |     UNION ALL SELECT b AS src, a AS dst FROM e0),
+           |l0 AS MATERIALIZED (
+           |  SELECT DISTINCT src AS node, src AS label FROM e),
+           |${(1 to 4).map(round).mkString(",\n")}
+           |SELECT node, label FROM l4""".stripMargin
+      }),
+
     // directed PageRank with dangling-mass redistribution: the
     // customer→supplier trade graph kept DIRECTED — every supplier is a
     // dangling sink whose mass re-spreads uniformly each round (the

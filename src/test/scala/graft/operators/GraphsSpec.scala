@@ -240,4 +240,35 @@ class GraphsSpec extends SparkSpec {
     Seq(artifact, fix, warm, cold).foreach(_.unpersist(blocking = true))
     assert(dw < dc, s"warm $dw should beat cold $dc")
   }
+
+  test("labelPropagation finds the two cliques across a bridge") {
+    import spark.implicits._
+    // two triangles {0,1,2} and {10,11,12} joined by bridge 2-10: after
+    // convergence each triangle carries its minimum member's label
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L))
+    val e = und.toDF("a", "b")
+      .select($"a".as("src"), $"b".as("dst"))
+      .union(und.toDF("a", "b").select($"b".as("src"), $"a".as("dst")))
+    val labs = Graphs.labelPropagation(e, rounds = 4)
+    val m = labs.as[(Long, Long)].collect().toMap
+    labs.unpersist(blocking = true)
+    assert(m(0L) == m(1L) && m(1L) == m(2L), s"left triangle split: $m")
+    assert(m(10L) == m(11L) && m(11L) == m(12L), s"right triangle split: $m")
+    assert(m(0L) != m(10L), s"bridge merged the communities: $m")
+  }
+
+  test("labelPropagation round 1 is the exact min-tie-break neighbor vote") {
+    import spark.implicits._
+    // star 0-{1,2,3}: after 1 round the hub sees labels {1,2,3} (all
+    // count 1 -> tie -> min = 1); each leaf sees only {0}
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val e = und.toDF("a", "b")
+      .select($"a".as("src"), $"b".as("dst"))
+      .union(und.toDF("a", "b").select($"b".as("src"), $"a".as("dst")))
+    val labs = Graphs.labelPropagation(e, rounds = 1)
+    val m = labs.as[(Long, Long)].collect().toMap
+    labs.unpersist(blocking = true)
+    assert(m == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L), s"got $m")
+  }
 }
