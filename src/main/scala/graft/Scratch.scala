@@ -185,10 +185,18 @@ object Scratch {
         }
         gen("embeddings") { (df, r) =>
           val d = shifted(df, "vec_id", vShift, r)
+          // per-replica diagonal ±1 orthogonal transform: intra-replica
+          // dot products are preserved EXACTLY while cross-replica
+          // cosines collapse to ~0 whatever structure the vectors have
+          // (a rotation, tried first, kept adjacent-rotation cosines
+          // high on smooth vectors and manufactured cross-replica
+          // near-dup pairs — 77 s at x3 vs 33 s at x10, non-monotone)
+          val rng = new scala.util.Random(4242 + r)
+          val signs = Array.fill(64)(if (rng.nextBoolean()) 1.0f else -1.0f)
           if (r == 0) d
           else d.withColumn("embedding", expr(
-            s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
-              s"slice(embedding, 1, $r))"))
+            s"zip_with(embedding, array(${signs.map(x =>
+              s"CAST($x AS FLOAT)").mkString(",")}), (v, s) -> v * s)"))
         }
         // events (Bench's warmup input) is copied raw by the caller:
         // writing it through Tables.t would bake in the ns->us rebuild and

@@ -114,6 +114,48 @@ object Retrieval {
           .orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * two rankers over the same rarest-terms query: BM25 and plain term
+    * COVERAGE (how many query terms the doc contains — the "different
+    * retriever" whose errors are uncorrelated with BM25's tf/length
+    * normalization). `rrf = Σ_rankers 10⁶ div (60 + rank)` with the
+    * standard k=60 damping, in exact integer arithmetic (the float
+    * 1/(60+r) form is orderable but not bit-reproducible as a sum);
+    * docs missing from a ranker's top-`perRanker` contribute 0.
+    *
+    * Scale shape: the corpus-sized work is [[tfRelation]] ONCE (shared
+    * by both rankers); each ranker ends in a distributed TakeOrdered;
+    * the fusion itself is a full-outer join of two ≤ perRanker-row
+    * relations — driver-trivial at any corpus size. Same (cachedTf,
+    * result) release contract as [[bm25TopK]].
+    */
+  def rrfRarest(docs: DataFrame, idCol: String, textCol: String,
+      nTerms: Int, perRanker: Int, k: Int): (DataFrame, DataFrame) = {
+    val win = org.apache.spark.sql.expressions.Window
+    val tf = tfRelation(docs, idCol, textCol)
+    val terms = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").asc, col("word").asc).limit(nTerms)
+      .select(col("word"))
+    val bm = bm25Core(tf, terms, perRanker)
+    // tf has one row per (doc, word), so coverage = matched-row count
+    val cov = tf.join(broadcast(terms), "word")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
+      .orderBy(col("cov").desc, col("doc_id")).limit(perRanker)
+      .withColumn("rk", row_number().over(
+        win.orderBy(col("cov").desc, col("doc_id"))).cast("long"))
+    val fused = bm.select(col("doc_id"), col("rk").as("rk_bm25"))
+      .join(cov.select(col("doc_id"), col("rk").as("rk_cov")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr("1000000L DIV (60 + rk_bm25)"), lit(0L)) +
+          coalesce(expr("1000000L DIV (60 + rk_cov)"), lit(0L))).as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(k)
+      // post-limit window over ≤ k rows, like bm25Core's rank
+      .withColumn("rk", row_number().over(
+        win.orderBy(col("rrf_ppm").desc, col("doc_id"))).cast("long"))
+    (tf, fused)
+  }
+
   /** DSIR-style importance weights for data selection: score every raw
     * document by how much its unigram profile looks like a TARGET
     * subset (the "sample raw data that resembles the high-quality

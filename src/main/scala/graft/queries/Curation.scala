@@ -108,6 +108,54 @@ object Curation extends QueryModule {
              |  FROM agg)
              |SELECT doc_id, score, rk::BIGINT AS rk FROM top WHERE rk <= 10""".stripMargin)),
 
+    // ---- reciprocal-rank fusion of BM25 with a term-coverage ranker
+    //      over the same 3-rarest-terms query: rrf = Σ 10⁶ div (60+rk),
+    //      integer-exact, missing-from-top-20 contributes 0 ----
+    GraftQuery("q_rrf_fusion",
+      (s, dir) => graft.operators.Retrieval.rrfRarest(
+        t(s, dir, "documents"), "doc_id", "text",
+        nTerms = 3, perRanker = 20, k = 10)._2,
+      Some("""WITH u AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             |    w -> w <> '')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+             |       FROM u GROUP BY 1, 2),
+             |dfw AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+             |terms AS (SELECT word, df FROM dfw ORDER BY df ASC, word ASC LIMIT 3),
+             |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+             |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM dl),
+             |tr AS (SELECT word, ((2 * (n - df) + 1) * 1000000) // (2 * df + 1)
+             |         AS idf_ppm, n, s
+             |       FROM terms, st),
+             |sc AS (SELECT tf.doc_id,
+             |    floor((tr.idf_ppm::DOUBLE * tf.tf::DOUBLE * 22.0
+             |           * tr.s::DOUBLE)
+             |      / (10.0 * tr.s::DOUBLE * tf.tf::DOUBLE
+             |         + 3.0 * tr.s::DOUBLE
+             |         + 9.0 * tr.n::DOUBLE * dl.dl::DOUBLE))::BIGINT AS score_t
+             |  FROM tf JOIN tr ON tf.word = tr.word
+             |  JOIN dl ON tf.doc_id = dl.doc_id),
+             |agg AS (SELECT doc_id, sum(score_t)::BIGINT AS score
+             |        FROM sc GROUP BY 1),
+             |bmk AS (SELECT doc_id, rk FROM (
+             |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+             |      AS rk FROM agg) WHERE rk <= 20),
+             |cov AS (SELECT tf.doc_id, count(*)::BIGINT AS cov
+             |        FROM tf JOIN terms ON tf.word = terms.word GROUP BY 1),
+             |covk AS (SELECT doc_id, rk FROM (
+             |    SELECT doc_id, row_number() OVER (ORDER BY cov DESC, doc_id)
+             |      AS rk FROM cov) WHERE rk <= 20),
+             |f AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             |    (coalesce(1000000 // (60 + b.rk), 0)
+             |     + coalesce(1000000 // (60 + c.rk), 0))::BIGINT AS rrf_ppm
+             |  FROM bmk b FULL OUTER JOIN covk c ON b.doc_id = c.doc_id),
+             |top AS (SELECT doc_id, rrf_ppm,
+             |    row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rk
+             |  FROM f)
+             |SELECT doc_id, rrf_ppm, rk::BIGINT AS rk
+             |FROM top WHERE rk <= 10""".stripMargin)),
+
     // ---- KMV/theta distinct sketch: per-language distinct-shingle
     //      estimate from a 256-value bounded sketch. Deterministic
     //      hashing makes the SKETCH ITSELF oracle-checkable — DuckDB
@@ -384,6 +432,48 @@ object Curation extends QueryModule {
     //      ORDER BY hash LIMIT n the oracle can afford but a cluster
     //      shouldn't pay; bottom-k-by-hash is also mergeable (a uniform
     //      sample maintained incrementally alongside the matviews) ----
+    // ---- weighted sample WITHOUT replacement (Efraimidis & Spirakis
+    //      2006 exponential-key / A-ES): key = ln(u)/w with u a
+    //      deterministic md5 uniform in (0,1] and w = token count; the
+    //      top-64 keys ARE a w-proportional sample without replacement.
+    //      Distributed shape: stateless scan + TakeOrdered — no global
+    //      sort, no rand() (reproducible run-over-run and in the
+    //      oracle). ln() is the one transcendental: both engines
+    //      evaluate it on identical doubles and keys are ~1e-3 apart
+    //      vs ~1e-16 ulp, so the order (all that is compared — the key
+    //      itself is never output) is engine-stable. ----
+    GraftQuery("q_weighted_sample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr(s"size(${graft.operators.Dedup.wordsExpr("text")})")
+              .cast("long").as("n_tokens"),
+            expr(graft.operators.Dedup.h60raw("concat(doc_id, ':ws')")).as("h"))
+          .where(col("n_tokens") > 0)
+          .withColumn("key",
+            log((col("h") + 1).cast("double") / lit(Pow60.toDouble))
+              / col("n_tokens"))
+        d.orderBy(col("key").desc, col("doc_id")).limit(64)
+          // post-limit rank window over the 64 surviving rows only
+          .withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("key").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("n_tokens"), col("rk"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+             |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+             |      AS n_tokens,
+             |    ('0x'||substr(md5(doc_id || ':ws'),1,15))::BIGINT AS h
+             |  FROM documents),
+             |k AS (SELECT doc_id, n_tokens,
+             |    ln((h + 1)::DOUBLE / $Pow60) / n_tokens AS key
+             |  FROM d WHERE n_tokens > 0),
+             |top AS (SELECT doc_id, n_tokens,
+             |    row_number() OVER (ORDER BY key DESC, doc_id) AS rk
+             |  FROM k)
+             |SELECT doc_id, n_tokens, rk::BIGINT AS rk
+             |FROM top WHERE rk <= 64""".stripMargin)),
+
     GraftQuery("q_bottomk_sample",
       (s, dir) => {
         graft.functions.ThetaExprs.register(s)

@@ -355,6 +355,28 @@ object Pipeline extends QueryModule {
              |SELECT event_id, event_type, round((value - m) / sd, 2) AS z
              |FROM s WHERE abs(round((value - m) / sd, 2)) >= 2.5""".stripMargin)),
 
+    // ---- 2-D skyline / Pareto frontier: orders that are maximal in
+    //      (total price, order recency) — no other order is >= on both
+    //      and > on one. Two-phase distributed prefix MAX over range
+    //      partitions (Skyline.skyline2D); the oracle's global
+    //      ORDER BY window is exactly the one-reducer shape the
+    //      operator avoids. No arithmetic on the compared columns, so
+    //      raw doubles/dates hash-match bit-for-bit. ----
+    GraftQuery("q_skyline",
+      (s, dir) => graft.operators.Skyline.skyline2D(
+        t(s, dir, "orders").select(col("o_totalprice").as("price"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day")),
+        "price", "day"),
+      Some("""WITH d AS (SELECT o_totalprice AS price,
+             |    date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS day
+             |  FROM orders),
+             |g AS (SELECT price, max(day) AS day FROM d GROUP BY price),
+             |s AS (SELECT price, day,
+             |    max(day) OVER (ORDER BY price DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |  FROM g)
+             |SELECT price, day FROM s WHERE pm IS NULL OR day > pm""".stripMargin)),
+
     // ---- sequence packing: global token offsets + pack ranges via a
     //      two-phase distributed prefix sum (per-partition cumsum + P
     //      collected totals broadcast back) — the oracle's single window

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** skyline2D: Pareto-frontier semantics (maximize-maximize), same-x
+  * collapse, and boundary-invariance of the two-phase prefix max. */
+class SkylineSpec extends SparkSpec {
+
+  private def sky(pts: Seq[(Long, Long)], parts: Int = 0): Set[(Long, Long)] = {
+    import spark.implicits._
+    val out = Skyline.skyline2D(pts.toDF("x", "y"), "x", "y", numParts = parts)
+      .as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    out
+  }
+
+  private def brute(pts: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val d = pts.distinct
+    d.filter { case (x, y) =>
+      !d.exists { case (a, b) =>
+        a >= x && b >= y && (a > x || b > y)
+      }
+    }.toSet
+  }
+
+  test("hand case: staircase survives, dominated interior drops") {
+    val pts = Seq[(Long, Long)](
+      (10, 1), (8, 5), (5, 8), (1, 10), // the staircase
+      (7, 4), (4, 7), (2, 2),           // strictly inside
+      (8, 3))                           // dominated by (8,5)
+    assert(sky(pts) == Set[(Long, Long)]((10, 1), (8, 5), (5, 8), (1, 10)))
+  }
+
+  test("same x keeps only the max y; duplicate points collapse") {
+    val pts = Seq[(Long, Long)]((5, 1), (5, 9), (5, 9), (3, 2))
+    assert(sky(pts) == Set[(Long, Long)]((5, 9)))
+  }
+
+  test("matches brute force on a deterministic pseudo-random set, any partitioning") {
+    // md5-free LCG so the fixture is stable across runs
+    var s = 12345L
+    def next(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s % 1000 }
+    val pts = Seq.fill(500)((next(), next()))
+    val expect = brute(pts)
+    assert(sky(pts) == expect)
+    assert(sky(pts, parts = 1) == expect, "single partition must agree")
+    assert(sky(pts, parts = 17) == expect, "odd partition count must agree")
+  }
+}
