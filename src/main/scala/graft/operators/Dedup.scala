@@ -487,6 +487,18 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** Persist a cluster artifact (doc_id, cluster_id, keep) as a bucketed
+    * table — the write-once/read-many layout for [[dupClusters]] /
+    * [[updateClusters]] output: bucketing by doc_id pre-pays the shuffle
+    * every artifact consumer (split assignment, keep-filter joins,
+    * incremental maintenance's relabel join) would otherwise repeat, the
+    * same layout discipline as [[Bucketing.writeBucketed]]. */
+  def writeClusters(clusters: DataFrame, table: String, path: String,
+      numBuckets: Int = 8): Unit =
+    Bucketing.writeBucketed(
+      clusters.select(col("doc_id"), col("cluster_id"), col("keep")),
+      table, path, "doc_id", numBuckets)
+
   /** Exact dedup: group identical normalized text, keep the smallest id.
     * Keyed on (hash, text): the hash makes partitioning/compare cheap and
     * the text column guards against (astronomically unlikely) collisions.

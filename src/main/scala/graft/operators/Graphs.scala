@@ -469,4 +469,15 @@ object Graphs {
     // stays persisted for the caller (registry wrappers drain it)
     labels
   }
+
+  /** Persist a rank artifact (node, rank) as a bucketed table — the
+    * write-once/read-many layout for [[pageRank]]-family output, so rank
+    * consumers (quality-weighted sampling, warm-start reseeds via
+    * [[pageRankWarmStart]]) read a pre-bucketed node-keyed relation
+    * instead of re-running the iteration. Same discipline as
+    * [[Dedup.writeClusters]]. */
+  def writeRanks(ranks: DataFrame, table: String, path: String,
+      numBuckets: Int = 8): Unit =
+    Bucketing.writeBucketed(ranks.select(col("node"), col("rank")),
+      table, path, "node", numBuckets)
 }

@@ -104,6 +104,80 @@ object Extensions extends QueryModule {
        |      (acc, b) -> acc*2 + b) AS s
        |  FROM embeddings, planes)""".stripMargin
 
+  /** Full near-dup cluster + group-aware split oracle (MinHash bands →
+    * verified pairs → recursive-CTE connected components → md5 split),
+    * shared by q_group_split and the materialized-artifact read path
+    * q_group_split_artifact, which must hash-match it row for row. */
+  private[queries] val groupSplitOracle: String =
+    s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |bands AS (
+       |  SELECT doc_id, j,
+       |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash
+       |  FROM mh, range(4) t(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.j = b.j AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+       |p AS (
+       |  SELECT doc_a, doc_b, ma.sh AS sh_a, mb.sh AS sh_b
+       |  FROM cand
+       |  JOIN mh ma ON ma.doc_id = doc_a
+       |  JOIN mh mb ON mb.doc_id = doc_b),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM p
+       |  WHERE round(len(list_intersect(sh_a, sh_b))
+       |        / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) >= 0.5),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(id, lab) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT e.a, walk.lab FROM e JOIN walk ON walk.id = e.b),
+       |comp AS (SELECT id AS doc_id, min(lab) AS cluster_id
+       |         FROM walk GROUP BY id),
+       |g AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |h AS (
+       |  SELECT doc_id, group_id,
+       |    ('0x'||substr(md5(CAST(group_id AS VARCHAR)),1,15))::BIGINT % 100 AS hh
+       |  FROM g)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN hh < 90 THEN 'train'
+       |       WHEN hh < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM h""".stripMargin
+
+  /** 3-iteration unrolled PageRank oracle over the symmetrized trade
+    * graph, shared by q_pagerank and the rank-artifact read path
+    * q_pagerank_artifact, which must hash-match it row for row. */
+  private[queries] val pagerankOracle: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT a AS src, b AS dst FROM e0
+      |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |nodes AS (SELECT DISTINCT src AS node FROM e),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+      |r1 AS (SELECT e.dst AS node,
+      |         (1 - 0.85)/(SELECT n FROM nn)
+      |           + 0.85 * sum(r.rank / deg.deg) AS rank
+      |       FROM e JOIN r0 r ON e.src = r.node
+      |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS node,
+      |         (1 - 0.85)/(SELECT n FROM nn)
+      |           + 0.85 * sum(r.rank / deg.deg) AS rank
+      |       FROM e JOIN r1 r ON e.src = r.node
+      |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+      |r3 AS (SELECT e.dst AS node,
+      |         (1 - 0.85)/(SELECT n FROM nn)
+      |           + 0.85 * sum(r.rank / deg.deg) AS rank
+      |       FROM e JOIN r2 r ON e.src = r.node
+      |       JOIN deg ON e.src = deg.src GROUP BY e.dst)
+      |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin
+
   private val langs = TextAnalysis.stopwords.map(_._1)
 
   /** Alphabetical-first-argmax CASE chain — the SAME string is valid Spark
@@ -310,44 +384,26 @@ object Extensions extends QueryModule {
             Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
               .select("doc_a", "doc_b")))
       },
-      Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-              |bands AS (
-              |  SELECT doc_id, j,
-              |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash
-              |  FROM mh, range(4) t(j)),
-              |cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM bands a JOIN bands b
-              |    ON a.j = b.j AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-              |p AS (
-              |  SELECT doc_a, doc_b, ma.sh AS sh_a, mb.sh AS sh_b
-              |  FROM cand
-              |  JOIN mh ma ON ma.doc_id = doc_a
-              |  JOIN mh mb ON mb.doc_id = doc_b),
-              |pairs AS (
-              |  SELECT doc_a, doc_b FROM p
-              |  WHERE round(len(list_intersect(sh_a, sh_b))
-              |        / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) >= 0.5),
-              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-              |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-              |walk(id, lab) AS (
-              |  SELECT a, a FROM e
-              |  UNION
-              |  SELECT e.a, walk.lab FROM e JOIN walk ON walk.id = e.b),
-              |comp AS (SELECT id AS doc_id, min(lab) AS cluster_id
-              |         FROM walk GROUP BY id),
-              |g AS (
-              |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
-              |  FROM documents d LEFT JOIN comp c USING (doc_id)),
-              |h AS (
-              |  SELECT doc_id, group_id,
-              |    ('0x'||substr(md5(CAST(group_id AS VARCHAR)),1,15))::BIGINT % 100 AS hh
-              |  FROM g)
-              |SELECT doc_id, group_id,
-              |  CASE WHEN hh < 90 THEN 'train'
-              |       WHEN hh < 95 THEN 'val'
-              |       ELSE 'test' END AS split
-              |FROM h""".stripMargin)),
+      Some(Extensions.groupSplitOracle)),
+
+    // the same split THROUGH THE MATERIALIZED ARTIFACT (r5 verdict #3):
+    // clusters are computed once, written as a doc_id-bucketed table
+    // (write-once/read-many — the shape a 100 TB pipeline actually
+    // runs), and the split derives from the READ-BACK artifact. Same
+    // oracle as q_group_split: layout must change nothing semantically.
+    GraftQuery("q_group_split_artifact",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val docs = t(s, dir, "documents")
+        Dedup.writeClusters(
+          Dedup.dupClusters(
+            Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+              .select("doc_a", "doc_b")),
+          s"clusters_art_$tag", s"/tmp/graft_artifacts/$tag/clusters")
+        Dedup.groupAwareSplit(docs, "doc_id", s.table(s"clusters_art_$tag"))
+      },
+      Some(Extensions.groupSplitOracle)),
+
 
     GraftQuery("q_simhash_sig",
       (s, dir) => Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text"),
@@ -752,31 +808,31 @@ object Extensions extends QueryModule {
         drained(s, ranks,
           ranks.select(col("node"), round(col("rank"), 9).as("rank")))
       },
-      Some("""WITH e0 AS (
-             |  SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
-             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-             |e AS (SELECT a AS src, b AS dst FROM e0
-             |      UNION ALL SELECT b AS src, a AS dst FROM e0),
-             |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-             |nodes AS (SELECT DISTINCT src AS node FROM e),
-             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-             |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
-             |r1 AS (SELECT e.dst AS node,
-             |         (1 - 0.85)/(SELECT n FROM nn)
-             |           + 0.85 * sum(r.rank / deg.deg) AS rank
-             |       FROM e JOIN r0 r ON e.src = r.node
-             |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
-             |r2 AS (SELECT e.dst AS node,
-             |         (1 - 0.85)/(SELECT n FROM nn)
-             |           + 0.85 * sum(r.rank / deg.deg) AS rank
-             |       FROM e JOIN r1 r ON e.src = r.node
-             |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
-             |r3 AS (SELECT e.dst AS node,
-             |         (1 - 0.85)/(SELECT n FROM nn)
-             |           + 0.85 * sum(r.rank / deg.deg) AS rank
-             |       FROM e JOIN r2 r ON e.src = r.node
-             |       JOIN deg ON e.src = deg.src GROUP BY e.dst)
-             |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin)),
+      Some(Extensions.pagerankOracle)),
+
+    // the same ranks THROUGH THE MATERIALIZED ARTIFACT (r5 verdict #3):
+    // the 3-iteration rank vector is written once as a node-bucketed
+    // table and the query output is the READ-BACK artifact — the
+    // write-once/read-many shape that amortizes the iterative cost
+    // across every downstream consumer. Same oracle as q_pagerank.
+    GraftQuery("q_pagerank_artifact",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val e0 = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        val ranks = graft.operators.Graphs.pageRank(edges, iters = 3)
+        graft.operators.Graphs.writeRanks(ranks, s"ranks_art_$tag",
+          s"/tmp/graft_artifacts/$tag/ranks")
+        ranks.unpersist(blocking = true)
+        s.table(s"ranks_art_$tag")
+          .select(col("node"), round(col("rank"), 9).as("rank"))
+      },
+      Some(Extensions.pagerankOracle)),
 
     // WARM-START PageRank — ranks as a MAINTAINED artifact (r5 verdict's
     // design note): the old graph's rank vector (3 iterations on orders
