@@ -146,4 +146,57 @@ class StreamingDedupSpec extends SparkSpec {
         s"each id must be emitted exactly once within the watermark: $got")
     } finally q.stop()
   }
+
+  test("e2e: band state feeds the maintained cluster artifact, old splits stable over 3 batches") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ww = (1 to 40).map(i => s"ww$i").mkString(" ")
+    // the full r5-verdict-#4 loop: stream → band-state candidates →
+    // verify-few → updateClusters fold into the artifact → split; new
+    // docs must JOIN existing clusters and never disturb old rows
+    var allDocs = Seq.empty[(Long, String)]
+    var artifact = Seq.empty[(Long, Long, Boolean)]
+      .toDF("doc_id", "cluster_id", "keep")
+    val snapshots = scala.collection.mutable.ArrayBuffer
+      .empty[Map[Long, Long]]          // per-batch (doc_id -> cluster_id)
+    val splits = scala.collection.mutable.ArrayBuffer
+      .empty[Map[Long, String]]        // per-batch (doc_id -> split)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupCandidates(in.toDF().toDF("doc_id", "text"))
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[DupCandidate], _: Long) =>
+          val pairs = StreamingDedup.verifyCandidates(
+            batch, allDocs.toDF("doc_id", "text"), "doc_id", "text", 0.5)
+            .select($"doc_id".as("doc_a"), $"prior_id".as("doc_b"))
+          artifact = Dedup.updateClusters(artifact, pairs)
+            .localCheckpoint(true)
+      }.start()
+    try {
+      for (b <- Seq(
+        Seq((1L, base), (2L, base + " x"), (3L, (1 to 40).map(i => s"zz$i").mkString(" "))),
+        Seq((11L, base + " y"), (12L, ww)),
+        Seq((21L, base + " z"), (22L, ww + " t")))) {
+        allDocs ++= b                  // corpus snapshot BEFORE the batch runs
+        in.addData(b: _*)
+        q.processAllAvailable()
+        snapshots += artifact.select($"doc_id", $"cluster_id")
+          .as[(Long, Long)].collect().toMap
+        splits += Dedup.groupAwareSplit(
+          allDocs.toDF("doc_id", "text"), "doc_id", artifact)
+          .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+      }
+      // growth: each batch's near-dups joined the EXISTING cluster
+      assert(snapshots(0) === Map(1L -> 1L, 2L -> 1L))
+      assert(snapshots(1) === Map(1L -> 1L, 2L -> 1L, 11L -> 1L))
+      assert(snapshots(2) === Map(1L -> 1L, 2L -> 1L, 11L -> 1L,
+        21L -> 1L, 12L -> 12L, 22L -> 12L))
+      // stability: a doc's cluster id never changes after assignment
+      for (i <- 1 until snapshots.size; (d, c) <- snapshots(i - 1))
+        assert(snapshots(i)(d) == c, s"batch $i moved doc $d: $c -> ${snapshots(i)(d)}")
+      // and old docs' split assignments are batch-invariant
+      for (i <- 1 until splits.size; (d, s0) <- splits(i - 1))
+        assert(splits(i)(d) == s0, s"batch $i moved doc $d split: $s0 -> ${splits(i)(d)}")
+    } finally q.stop()
+  }
 }
