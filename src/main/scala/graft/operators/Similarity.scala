@@ -200,6 +200,47 @@ object Similarity {
       .where(col("emb").isNotNull)
     val scored = c.join(q, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), cos(col("q_emb"), col("emb")).as("c"))
+    heapTopK(scored, k)
+  }
+
+  /** [[bruteTopK]] with GROUP exclusion — hard-negative mining's
+    * "nearest neighbors that are NOT my near-duplicates": a corpus
+    * vector sharing the query's group id (e.g. a semantic-dedup cluster
+    * from [[lshPairs]] + [[Dedup.dupClusters]]) never ranks, so the
+    * returned neighbors are high-similarity NON-members — exactly the
+    * negatives a contrastive trainer wants. `groups` is (vec_id, gid);
+    * vectors absent from it are singleton groups (own id).
+    *
+    * Scale shape: identical to [[bruteTopK]] (broadcast queries, map-
+    * side scoring, bounded heaps) plus ONE corpus-sized equi-join to
+    * attach gids — the same join any consumer of the cluster artifact
+    * pays, and it rides the same shuffle key (vec_id). */
+  def bruteTopKExcludingGroups(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, groups: DataFrame, k: Int): DataFrame = {
+    val g = groups.select(col("vec_id").cast("long").as("__gv"), col("gid"))
+    def withGid(df: DataFrame, id: String, out: String): DataFrame =
+      df.join(g, df(id) === g("__gv"), "left")
+        .withColumn(out, coalesce(col("gid"), df(id)))
+        .drop("__gv", "gid")
+    val q = broadcast(withGid(
+      queries.select(col(idCol).cast("long").as("query_id"),
+        col(embCol).as("q_emb")).where(col("q_emb").isNotNull),
+      "query_id", "q_gid"))
+    val c = withGid(
+      corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).as("emb")).where(col("emb").isNotNull),
+      "vec_id", "c_gid")
+    val scored = c.join(q,
+      col("query_id") =!= col("vec_id") && col("q_gid") =!= col("c_gid"))
+      .select(col("query_id"), col("vec_id"), cos(col("q_emb"), col("emb")).as("c"))
+    heapTopK(scored, k)
+  }
+
+  /** Shared tail of the brute-force family: bounded per-partition heaps
+    * then a merge over ≤ P×k survivors per query. */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
 
     // Phase 1: per-partition bounded selection. Memory per task is
     // O(|queries| × k) — queries are the broadcast-small side by contract.

@@ -475,6 +475,58 @@ object Extensions extends QueryModule {
               |       (id = min(lab)) AS keep
               |FROM walk GROUP BY id""".stripMargin)),
 
+    // HARD-NEGATIVE MINING: for each query vector, the top-5 most
+    // similar corpus vectors that are NOT in its semantic-dedup cluster
+    // — high-similarity non-members, the contrastive trainer's
+    // negatives. Composes the SRP cluster graph (q_embed_clusters) with
+    // the group-excluding brute top-k; the oracle rebuilds both and
+    // ranks with the exclusion applied.
+    GraftQuery("q_hard_negatives",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+        val groups = graft.operators.Dedup.dupClusters(
+          Similarity.lshPairs(emb, "vec_id", "embedding", 0.4)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+          .select(col("doc_id").as("vec_id"), col("cluster_id").as("gid"))
+        Similarity.bruteTopKExcludingGroups(emb,
+          emb.where(col("vec_id") < 8), "vec_id", "embedding", groups, 5)
+      },
+      Some(s"""${duckSrpCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |bands AS (
+              |  SELECT vec_id, j, (s >> (4*j)) % 16 AS bval FROM sig, range(4) t(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM bands a JOIN bands b
+              |    ON a.j = b.j AND a.bval = b.bval AND a.vec_id < b.vec_id),
+              |cosd AS (
+              |  SELECT vec_a, vec_b, ${dCos("ea.embedding", "eb.embedding")} AS c
+              |  FROM cand
+              |  JOIN embeddings ea ON ea.vec_id = vec_a
+              |  JOIN embeddings eb ON eb.vec_id = vec_b),
+              |pairs AS (SELECT vec_a, vec_b FROM cosd WHERE c >= 0.4),
+              |e AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+              |      UNION ALL SELECT vec_b, vec_a FROM pairs),
+              |walk(id, lab) AS (
+              |  SELECT a, a FROM e
+              |  UNION
+              |  SELECT e.a, walk.lab FROM e JOIN walk ON walk.id = e.b),
+              |comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+              |g AS (SELECT e2.vec_id, coalesce(comp.cluster_id, e2.vec_id) AS gid
+              |      FROM embeddings e2 LEFT JOIN comp ON e2.vec_id = comp.id),
+              |qg AS (SELECT q.vec_id AS query_id, q.embedding AS qe, g.gid AS q_gid
+              |       FROM embeddings q JOIN g ON g.vec_id = q.vec_id
+              |       WHERE q.vec_id < 8),
+              |s2 AS (SELECT qg.query_id, e3.vec_id, ${dCos("qg.qe", "e3.embedding")} AS c
+              |       FROM qg CROSS JOIN embeddings e3
+              |       JOIN g cg ON cg.vec_id = e3.vec_id
+              |       WHERE e3.vec_id <> qg.query_id AND cg.gid <> qg.q_gid),
+              |r AS (SELECT query_id, vec_id, c,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rnk
+              |  FROM s2)
+              |SELECT query_id, rnk::BIGINT AS rank, vec_id, round(c, 6) AS cosine
+              |FROM r WHERE rnk <= 5""".stripMargin)),
+
     GraftQuery("q_sim_topk",
       (s, dir) => {
         Similarity.ensureRegistered(s)

@@ -121,6 +121,47 @@ object Warehouse extends QueryModule {
              |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin)),
 
+    // ---- ENTITY RESOLUTION capstone: fuzzy pairs → connected
+    // components → canonical records. Every customer maps to the
+    // smallest custkey of its edit-distance-≤2 name cluster (the
+    // canonical entity) and carries that entity's name — the classic
+    // master-data dedup flow, composed from FuzzyJoin's deletion
+    // blocking and dupClusters' CC (both individually oracled). The
+    // oracle redoes it brute-force: cross-join pairs + recursive CC. ----
+    GraftQuery("q_entity_resolution",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), col("c_name"))
+        val pairs = graft.operators.FuzzyJoin.selfJoinDeletion(
+          cust, "c_custkey", "c_name", k = 2)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        val clusters = graft.operators.Dedup.dupClusters(pairs)
+        cust
+          .join(clusters.select(col("doc_id").as("c_custkey"), col("cluster_id")),
+            Seq("c_custkey"), "left")
+          .withColumn("entity_id", coalesce(col("cluster_id"), col("c_custkey")))
+          .join(cust.select(col("c_custkey").as("entity_id"),
+            col("c_name").as("canonical_name")), Seq("entity_id"))
+          .select(col("c_custkey"), col("entity_id"), col("canonical_name"))
+      },
+      Some("""WITH RECURSIVE c AS (
+             |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0),
+             |p AS (SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b
+             |  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+             |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+             |      UNION ALL SELECT doc_b, doc_a FROM p),
+             |walk(id, lab) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT e.a, walk.lab FROM e JOIN walk ON walk.id = e.b),
+             |comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+             |g AS (SELECT c.c_custkey,
+             |    coalesce(comp.cluster_id, c.c_custkey) AS entity_id
+             |  FROM c LEFT JOIN comp ON c.c_custkey = comp.id)
+             |SELECT g.c_custkey, g.entity_id, cn.c_name AS canonical_name
+             |FROM g JOIN c cn ON cn.c_custkey = g.entity_id""".stripMargin)),
+
     // ---- exact shared spans: document pairs sharing a verbatim 6-word
     // run (span-level dedup signal MinHash document similarity misses) ----
     GraftQuery("q_span_dedup",
