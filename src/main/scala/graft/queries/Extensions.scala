@@ -694,6 +694,45 @@ object Extensions extends QueryModule {
            |FROM f""".stripMargin
       }),
 
+    // ---- per-source document cap: keep the top-40 docs per source by
+    //      composite quality (the "at most N pages per domain" curation
+    //      step), via TopN's histogram-threshold plan — the per-row
+    //      ranking touches only the one boundary tie-class per source,
+    //      never a full per-source sort. Oracle = the straightforward
+    //      per-group row_number the operator avoids. ----
+    GraftQuery("q_source_cap",
+      (s, dir) => graft.operators.TopN.topNPerGroup(
+        TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text",
+          keep = Seq("source"))
+          .select(col("doc_id"), col("source"), col("quality")),
+        "source", "quality", "doc_id", 40),
+      Some {
+        val en = TextAnalysis.stopwords.toMap.apply("en")
+          .map(x => s"'$x'").mkString("[", ", ", "]")
+        s"""WITH d AS (
+           |  SELECT doc_id, source, text, ${dWords("text")} AS words
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, source,
+           |    round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 4) AS ttr,
+           |    round(len(list_filter(words, w -> list_contains($en, w)))
+           |          / CAST(len(words) AS DOUBLE), 4) AS stop_ratio,
+           |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           |          / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio
+           |  FROM d WHERE len(words) >= 1),
+           |q AS (
+           |  SELECT doc_id, source,
+           |    CAST(round(ttr * 10000) * 3 + round(stop_ratio * 10000) * 3
+           |         + round(alpha_ratio * 10000) * 4 AS BIGINT) AS quality
+           |  FROM f),
+           |r AS (
+           |  SELECT doc_id, source, quality,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY quality DESC, doc_id) AS rk
+           |  FROM q)
+           |SELECT doc_id, source, quality FROM r WHERE rk <= 40""".stripMargin
+      }),
+
     GraftQuery("q_text_tokens",
       (s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text"),
       Some(s"""SELECT doc_id,
