@@ -126,6 +126,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("skyline prefix max never plans a single-partition window") {
+    val plan = executed("q_skyline")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the per-partition running max in:\n$plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"window with empty PARTITION BY = global total order through one task:\n$w")
+    }
+  }
+
+  test("per-source cap windows only histogram rows and boundary ties, never a full per-group sort") {
+    val plan = executed("q_source_cap")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the histogram + boundary windows in:\n$plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"window with empty PARTITION BY = global total order through one task:\n$w")
+      // both windows rank tiny relations: the (source, quality) histogram
+      // and the single boundary tie-class per source — never the corpus
+      // projection itself (which would make this the per-group sort the
+      // operator exists to avoid)
+    }
+  }
+
   test("correlated scalar AVG (Q17) decorrelates — no per-outer-row nested loop") {
     val plan = executed("q_tpch_q17")
     val nlj = collectAll(plan) {
