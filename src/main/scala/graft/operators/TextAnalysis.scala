@@ -277,6 +277,48 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** Characteristic vocabulary per class (source/topic/cluster) — the
+    * c-TF-IDF idea (class-based TF-IDF, as popularized by BERTopic)
+    * reduced to exact integer arithmetic: a term's CONCENTRATION
+    * `conc_ppm = tf(term, class)·10⁶ div tf(term)` is the share of the
+    * term's corpus occurrences captured by the class; with a minimum
+    * in-class support it surfaces the terms that are both frequent in
+    * and specific to the class ("what words make this source itself").
+    *
+    * Integer-exact end to end (the ratio is a ppm integer division, no
+    * logs), so the oracle reproduces it bit-for-bit. The product
+    * `tf·10⁶` stays far from BIGINT range until a single term exceeds
+    * ~9·10¹² in-class occurrences.
+    *
+    * Scale shape: one tokenize pass builds the (class, word, tf)
+    * relation (persisted — it feeds the global term counts and the
+    * score join); everything after is vocabulary-sized, not
+    * corpus-sized, and the min-support filter shrinks the per-class
+    * rank input further. The per-class window ranks the filtered vocab
+    * — bounded by distinctive-term count per class, not corpus size.
+    *
+    * @return (cachedTfc, topTerms) — caller releases `cachedTfc` after
+    *         materializing (same contract as [[Retrieval.bm25TopK]]). */
+  def classTerms(docs: DataFrame, classCol: String, textCol: String,
+      minTf: Long, k: Int): (DataFrame, DataFrame) = {
+    val tfc = docs
+      .select(col(classCol).as("class"),
+        explode(expr(Dedup.wordsExpr(textCol))).as("word"))
+      .groupBy(col("class"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gtf = tfc.groupBy(col("word")).agg(sum(col("tf")).as("gtf"))
+    val scored = tfc.join(gtf, "word")
+      .where(col("tf") >= minTf)
+      .select(col("class"), col("word"), col("tf"),
+        expr("tf * 1000000L DIV gtf").as("conc_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("class"))
+      .orderBy(col("conc_ppm").desc, col("tf").desc, col("word"))
+    (tfc, scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k))
+  }
+
   /** Corpus-wide adjacent character-pair counts — the statistic one BPE
     * training iteration maximizes ("which two symbols merge next").
     * Pairs are counted within words, weighted by corpus word frequency

@@ -108,6 +108,29 @@ object Curation extends QueryModule {
              |  FROM agg)
              |SELECT doc_id, score, rk::BIGINT AS rk FROM top WHERE rk <= 10""".stripMargin)),
 
+    // ---- characteristic vocabulary per source (c-TF-IDF reduced to
+    //      exact ppm concentration): top-5 terms per source that are
+    //      frequent in AND specific to it ----
+    GraftQuery("q_class_terms",
+      (s, dir) => graft.operators.TextAnalysis.classTerms(
+        t(s, dir, "documents"), "source", "text", minTf = 5L, k = 5)._2,
+      Some("""WITH u AS (
+             |  SELECT source, unnest(list_filter(string_split(text, ' '),
+             |    w -> w <> '')) AS word
+             |  FROM documents),
+             |tfc AS (SELECT source AS class, word, count(*)::BIGINT AS tf
+             |        FROM u GROUP BY 1, 2),
+             |gtf AS (SELECT word, sum(tf)::BIGINT AS gtf FROM tfc GROUP BY 1),
+             |sc AS (SELECT class, tfc.word, tf,
+             |    ((tf * 1000000) // gtf)::BIGINT AS conc_ppm
+             |  FROM tfc JOIN gtf ON tfc.word = gtf.word WHERE tf >= 5),
+             |r AS (SELECT class, word, tf, conc_ppm,
+             |    row_number() OVER (PARTITION BY class
+             |      ORDER BY conc_ppm DESC, tf DESC, word) AS rk
+             |  FROM sc)
+             |SELECT class, word, tf, conc_ppm, rk::BIGINT AS rk
+             |FROM r WHERE rk <= 5""".stripMargin)),
+
     // ---- reciprocal-rank fusion of BM25 with a term-coverage ranker
     //      over the same 3-rarest-terms query: rrf = Σ 10⁶ div (60+rk),
     //      integer-exact, missing-from-top-20 contributes 0 ----
