@@ -385,6 +385,24 @@ object Builtins extends QueryModule {
              |json_extract_string(props, '$.s') AS s
              |FROM events""".stripMargin)),
 
+    // ---- VARIANT (Spark 4 semi-structured type): props parsed ONCE
+    //      into the binary variant encoding, fields then extracted with
+    //      typed variant_get — the open-schema path that skips
+    //      per-extraction JSON re-parsing (q_from_json's shape) ----
+    GraftQuery("q_variant",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_id", parse_json($"props").as("v"))
+          .select($"event_id",
+            variant_get($"v", "$.k", "long").as("k"),
+            variant_get($"v", "$.s", "string").as("s"))
+      },
+      Some("""SELECT event_id,
+             |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |json_extract_string(props, '$.s') AS s
+             |FROM events""".stripMargin)),
+
     // ---- date arithmetic ----
     GraftQuery("q_date_arith",
       (s, dir) => {
