@@ -121,6 +121,34 @@ object Warehouse extends QueryModule {
              |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin)),
 
+    // ---- SCHEMA EVOLUTION read: two write epochs (the second adds a
+    //      column) merged into one scan via mergeSchema + partition
+    //      discovery — the add-a-column migration every long-lived
+    //      table hits; old rows surface NULL for the new column. The
+    //      oracle reconstructs the same relation from the base table
+    //      (no file reads), proving layout+evolution change nothing. ----
+    GraftQuery("q_schema_evolution",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val base = s"/tmp/graft_evolve/$tag"
+        val o = t(s, dir, "orders")
+        o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$base/epoch=1")
+        o.where(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$base/epoch=2")
+        s.read.option("mergeSchema", "true").parquet(base)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"), col("epoch").cast("long").as("epoch"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  CASE WHEN o_orderkey % 2 <> 0 THEN o_orderpriority END
+             |    AS o_orderpriority,
+             |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS epoch
+             |FROM orders""".stripMargin)),
+
     // ---- ENTITY RESOLUTION capstone: fuzzy pairs → connected
     // components → canonical records. Every customer maps to the
     // smallest custkey of its edit-distance-≤2 name cluster (the
