@@ -79,4 +79,25 @@ object Ivm {
           .as("total"): _*)
       .where(col("cnt") =!= 0)
   }
+
+  /** Incremental maintenance of a JOIN view `V = A ⋈_key B` under
+    * INSERT deltas to both sides. With A₁ = A₀ ∪ ΔA and B₁ = B₀ ∪ ΔB:
+    *
+    *   V₁ = V₀ ∪ (ΔA ⋈ B₁) ∪ (A₀ ⋈ ΔB)
+    *
+    * — exact multiset algebra: the ΔA⋈ΔB cross term appears exactly
+    * once (inside ΔA⋈B₁), so the decomposition equals the full rejoin
+    * row for row. Refresh cost is two delta-against-one-side joins —
+    * never a rescan of V₀'s base tables; on bucketed layouts both
+    * joins are exchange-free on the delta's small side.
+    *
+    * Deletes are the aggregate path's job ([[refresh]] with
+    * retractions); deleting from a join view needs per-row provenance
+    * counts (multiset difference), deliberately out of scope here.
+    * Sides must share only the join key column names. */
+  def refreshJoin(view: DataFrame, dA: DataFrame, aOld: DataFrame,
+      dB: DataFrame, bNew: DataFrame, key: Seq[String]): DataFrame =
+    view
+      .unionByName(dA.join(bNew, key))
+      .unionByName(aOld.join(dB, key))
 }

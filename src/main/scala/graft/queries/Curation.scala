@@ -497,6 +497,43 @@ object Curation extends QueryModule {
              |SELECT doc_id, n_tokens, rk::BIGINT AS rk
              |FROM top WHERE rk <= 64""".stripMargin)),
 
+    // ---- stratified weighted sample: q_weighted_sample's A-ES keys
+    //      ranked PER LANGUAGE (16 docs each) — per-stratum
+    //      w-proportional samples in one pass; the window partitions by
+    //      language, so no global sort ----
+    GraftQuery("q_group_weighted_sample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr(s"size(${graft.operators.Dedup.wordsExpr("text")})")
+              .cast("long").as("n_tokens"),
+            expr(graft.operators.Dedup.h60raw("concat(doc_id, ':gws')")).as("h"))
+          .where(col("n_tokens") > 0)
+          .withColumn("key",
+            log((col("h") + 1).cast("double") / lit(Pow60.toDouble))
+              / col("n_tokens"))
+        d.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))
+            .orderBy(col("key").desc, col("doc_id"))).cast("long"))
+          .where(col("rk") <= 16)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("rk"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+             |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+             |      AS n_tokens,
+             |    ('0x'||substr(md5(doc_id || ':gws'),1,15))::BIGINT AS h
+             |  FROM documents),
+             |k AS (SELECT doc_id, lang, n_tokens,
+             |    ln((h + 1)::DOUBLE / $Pow60) / n_tokens AS key
+             |  FROM d WHERE n_tokens > 0),
+             |r AS (SELECT doc_id, lang, n_tokens,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY key DESC, doc_id) AS rk
+             |  FROM k)
+             |SELECT doc_id, lang, n_tokens, rk::BIGINT AS rk
+             |FROM r WHERE rk <= 16""".stripMargin)),
+
     GraftQuery("q_bottomk_sample",
       (s, dir) => {
         graft.functions.ThetaExprs.register(s)

@@ -287,6 +287,28 @@ object Warehouse extends QueryModule {
     // delta aggregates (cents kept as exact integers — no FP drift
     // between the incremental and recomputed sums); the oracle is the
     // full recompute over the effective row set ----
+    // ---- JOIN-view IVM: V = orders ⋈ lineitem maintained under
+    //      insert deltas to BOTH sides (V₀ ∪ ΔA⋈B₁ ∪ A₀⋈ΔB — exact
+    //      multiset algebra, the ΔA⋈ΔB cross term lands exactly once);
+    //      the oracle is the full rejoin the refresh must equal ----
+    GraftQuery("q_ivm_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_linenumber"), col("l_quantity"))
+        val oOld = o.where(col("o_orderkey") % 10 =!= 0)
+        val dO = o.where(col("o_orderkey") % 10 === 0)
+        val lOld = l.where(col("l_linenumber") % 3 =!= 0)
+        val dL = l.where(col("l_linenumber") % 3 === 0)
+        val v0 = oOld.join(lOld, Seq("o_orderkey"))
+        graft.operators.Ivm.refreshJoin(v0, dO, oOld, dL, l, Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  l_linenumber, l_quantity
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin)),
+
     GraftQuery("q_ivm_retract",
       (s, dir) => {
         val orders = t(s, dir, "orders").withColumn("cents",
