@@ -355,6 +355,43 @@ object Pipeline extends QueryModule {
              |SELECT event_id, event_type, round((value - m) / sd, 2) AS z
              |FROM s WHERE abs(round((value - m) / sd, 2)) >= 2.5""".stripMargin)),
 
+    // ---- interval max-concurrency: each event occupies
+    //      [ts, ts + value seconds); the classic +1/-1 boundary sweep
+    //      gives the peak number of simultaneously-open intervals per
+    //      event type. Ends sort before starts at the same instant
+    //      (half-open semantics); within a tie-class the prefix-value
+    //      SET is order-invariant, so max(cum) is deterministic in both
+    //      engines. Window partitions by event_type — no global sort. ----
+    GraftQuery("q_max_concurrency",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .where($"value" > 0)
+          .select($"event_type", unix_micros($"ts").as("st"),
+            (unix_micros($"ts") + $"value".cast("long") * 1000000L).as("en"))
+        val bounds = ev.select($"event_type", $"st".as("t"), lit(1L).as("d"))
+          .union(ev.select($"event_type", $"en".as("t"), lit(-1L).as("d")))
+        val w = Window.partitionBy($"event_type").orderBy($"t", $"d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bounds.withColumn("cum", sum($"d").over(w))
+          .groupBy($"event_type")
+          .agg(max($"cum").as("max_concurrent"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch_us(ts)::BIGINT AS st,
+             |    -- floor, not a bare cast: DuckDB's double->int cast ROUNDS
+             |    -- while Spark's truncates
+             |    epoch_us(ts)::BIGINT + CAST(floor(value) AS BIGINT) * 1000000 AS en
+             |  FROM events WHERE value > 0),
+             |b AS (SELECT event_type, st AS t, 1::BIGINT AS d FROM ev
+             |      UNION ALL SELECT event_type, en, -1::BIGINT FROM ev),
+             |c AS (SELECT event_type,
+             |    sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+             |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             |  FROM b)
+             |SELECT event_type, max(cum)::BIGINT AS max_concurrent
+             |FROM c GROUP BY event_type""".stripMargin)),
+
     // ---- 2-D skyline / Pareto frontier: orders that are maximal in
     //      (total price, order recency) — no other order is >= on both
     //      and > on one. Two-phase distributed prefix MAX over range
