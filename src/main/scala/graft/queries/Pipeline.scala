@@ -355,6 +355,42 @@ object Pipeline extends QueryModule {
              |SELECT event_id, event_type, round((value - m) / sd, 2) AS z
              |FROM s WHERE abs(round((value - m) / sd, 2)) >= 2.5""".stripMargin)),
 
+    // ---- co-occurrence mining (market basket): the 50 part pairs most
+    //      often ordered together. The self-join key is the order, so
+    //      pair fan-out is bounded by C(lines-per-order, 2) — linear in
+    //      orders, never parts² ----
+    GraftQuery("q_cooccurrence",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("part_a"),
+            col("b.l_partkey").as("part_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+          .limit(50)
+          .withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("n_orders").desc, col("part_a"), col("part_b")))
+              .cast("long"))
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |    count(*)::BIGINT AS n_orders
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2),
+             |r AS (SELECT part_a, part_b, n_orders,
+             |    row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)
+             |      AS rk
+             |  FROM p)
+             |SELECT part_a, part_b, n_orders, rk::BIGINT AS rk
+             |FROM r WHERE rk <= 50""".stripMargin)),
+
     // ---- interval max-concurrency: each event occupies
     //      [ts, ts + value seconds); the classic +1/-1 boundary sweep
     //      gives the peak number of simultaneously-open intervals per

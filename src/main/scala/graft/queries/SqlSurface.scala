@@ -154,6 +154,29 @@ object SqlSurface extends QueryModule {
              |round(covar_pop(l_quantity, l_discount), 6) + 0.0 AS cov_qd
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- grouped linear regression (the corr/covar family's missing
+    //      member): per event type, OLS slope/intercept of value on the
+    //      event's epoch DAY (small integers — huge epoch-micros x
+    //      values would put all the signal below the rounding cut) ----
+    GraftQuery("q_regression",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_type",
+            expr("unix_micros(ts) DIV 86400000000").cast("double").as("x"),
+            $"value".as("y"))
+          .groupBy($"event_type").agg(
+            count(lit(1)).as("n"),
+            (round(expr("regr_slope(y, x)"), 6) + 0.0).as("slope"),
+            (round(expr("regr_intercept(y, x)"), 4) + 0.0).as("intercept"))
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+             |round(regr_slope(value, (epoch_us(ts) // 86400000000)::DOUBLE), 6)
+             |  + 0.0 AS slope,
+             |round(regr_intercept(value, (epoch_us(ts) // 86400000000)::DOUBLE), 4)
+             |  + 0.0 AS intercept
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- persistent-catalog resolution (reference: Hive-resolved
     //      traffic_limits, MainApp.java:32-44). The inputs resolve through
     //      the SESSION CATALOG (CREATE TABLE ... USING parquet LOCATION +
