@@ -283,6 +283,30 @@ object Builtins extends QueryModule {
              |round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- median absolute deviation: the robust spread statistic
+    //      (q_outliers' stddev is hostage to the very outliers it
+    //      hunts). Two grouped percentile passes: per-group median,
+    //      rejoined, then the median of absolute deviations ----
+    GraftQuery("q_mad",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select($"l_returnflag", $"l_quantity")
+        val med = li.groupBy($"l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5D)").as("med"))
+        li.join(med, "l_returnflag")
+          .groupBy($"l_returnflag")
+          .agg(round(min($"med"), 4).as("median_qty"),
+            round(expr("percentile(abs(l_quantity - med), 0.5D)"), 4).as("mad"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l.l_returnflag,
+             |  round(min(m.med), 4) AS median_qty,
+             |  round(quantile_cont(abs(l.l_quantity - m.med), 0.5), 4) AS mad
+             |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+             |GROUP BY l.l_returnflag""".stripMargin)),
+
     // ---- deterministic hash sampling (reproducible ~10% sample across
     //      engines AND cluster sizes — never rand()-based at scale) ----
     GraftQuery("q_sample",
