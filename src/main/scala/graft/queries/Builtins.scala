@@ -283,6 +283,32 @@ object Builtins extends QueryModule {
              |round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- grouped mode (most frequent value, smallest-value tie-break)
+    //      as two aggregations — the count argmax is a single
+    //      max(struct(cnt, -value)) that partial-aggregates map-side,
+    //      the same no-window argmax shape as label propagation ----
+    GraftQuery("q_mode",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_quantity")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy($"l_returnflag")
+          .agg(max(struct($"cnt", (-$"l_quantity").as("negq"))).as("m"))
+          .select($"l_returnflag", $"m.cnt".as("n_occurrences"),
+            (-$"m.negq").as("mode_qty"))
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, l_quantity, count(*)::BIGINT AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT l_returnflag, l_quantity, cnt,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY cnt DESC, l_quantity) AS rk
+             |  FROM c)
+             |SELECT l_returnflag, cnt AS n_occurrences,
+             |  l_quantity AS mode_qty
+             |FROM r WHERE rk = 1""".stripMargin)),
+
     // ---- median absolute deviation: the robust spread statistic
     //      (q_outliers' stddev is hostage to the very outliers it
     //      hunts). Two grouped percentile passes: per-group median,
