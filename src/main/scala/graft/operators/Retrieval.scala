@@ -221,4 +221,54 @@ object Retrieval {
         expr("weight DIV n_words").as("w_per_tok"))
     (tf, weights)
   }
+
+  /** Exact TF-IDF cosine similarity self-join over the inverted index —
+    * the all-pairs document-similarity operator (near-dup detection on
+    * VOCABULARY overlap, where shingle Jaccard sees only verbatim runs).
+    *
+    * Weights are BIGINT-exact: `w(d,t) = tf · ((N·1000) div df)` — the
+    * per-mille idf RATIO (monotone in log idf, log-free like
+    * [[bm25TopK]]'s odds form). Dot products and squared norms are then
+    * BIGINT sums — order-independent under shuffle, unlike float TF-IDF
+    * whose Σ changes with aggregation order. The ONLY float ops are the
+    * final `dot / (√na · √nb)` on exact integers — IEEE sqrt/divide are
+    * correctly rounded, so both engines produce identical bits.
+    *
+    * Scale shape: pairs come from the inverted index (join on `word`),
+    * so only documents SHARING a term ever meet; terms with df >
+    * `maxDf` are dropped from the index — they are boilerplate
+    * carrying ~zero idf weight but df²/2 join rows (the same df-cap
+    * rationale as [[Dedup]]'s shingle index, mirrored in the oracle).
+    * Overflow headroom: w ≤ 1000·N·tf, so Σw² needs
+    * (1000·N·maxTf)²·terms < 2⁶³ — fine to N ~ 10⁵ docs; beyond that
+    * shrink the idf scale (precision-for-range) or switch the norm
+    * accumulation to DECIMAL(38), both one-line changes.
+    *
+    * @return (cachedTf, pairs) — [[bm25TopK]]'s release contract;
+    *         pairs = (doc_a, doc_b, cosine) with cosine ≥ threshold. */
+  def tfidfSimJoin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Long = 256L): (DataFrame, DataFrame) = {
+    val tf = tfRelation(docs, idCol, textCol)
+    val dfw = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = tf.select(col("doc_id")).distinct().count()
+    val weights = tf.join(dfw.where(col("df") <= maxDf), "word")
+      .select(col("doc_id"), col("word"),
+        expr(s"tf * ((${n}L * 1000L) DIV df)").as("w"))
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(sum(expr("w * w")).as("nsq"))
+    val dots = weights.as("a")
+      .join(weights.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(expr("a.w * b.w")).as("dot"))
+    (tf, dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nsq").as("nsq_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nsq").as("nsq_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("nsq_a").cast("double")) * sqrt(col("nsq_b").cast("double"))))
+          .as("c"))
+      .where(col("c") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("c"), 6).as("cosine")))
+  }
 }

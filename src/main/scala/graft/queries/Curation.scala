@@ -108,6 +108,37 @@ object Curation extends QueryModule {
              |  FROM agg)
              |SELECT doc_id, score, rk::BIGINT AS rk FROM top WHERE rk <= 10""".stripMargin)),
 
+    // ---- exact TF-IDF cosine similarity self-join via the inverted
+    //      index (vocabulary-overlap near-dups, where shingle Jaccard
+    //      sees only verbatim runs): BIGINT-exact weights/dots/norms,
+    //      the only floats are the final IEEE sqrt+divide ----
+    GraftQuery("q_tfidf_sim",
+      (s, dir) => graft.operators.Retrieval.tfidfSimJoin(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.6)._2,
+      Some("""WITH u AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             |    w -> w <> '')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+             |       FROM u GROUP BY 1, 2),
+             |dfw AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+             |nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tf),
+             |w AS (SELECT doc_id, tf.word,
+             |    (tf * (((SELECT n FROM nn) * 1000) // df))::BIGINT AS w
+             |  FROM tf JOIN dfw ON tf.word = dfw.word WHERE df <= 256),
+             |norms AS (SELECT doc_id, sum(w * w)::BIGINT AS nsq
+             |          FROM w GROUP BY 1),
+             |d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    sum(a.w * b.w)::BIGINT AS dot
+             |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |c AS (SELECT doc_a, doc_b,
+             |    dot::DOUBLE / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE)) AS c
+             |  FROM d JOIN norms na ON na.doc_id = doc_a
+             |  JOIN norms nb ON nb.doc_id = doc_b)
+             |SELECT doc_a, doc_b, round(c, 6) AS cosine
+             |FROM c WHERE c >= 0.6""".stripMargin)),
+
     // ---- characteristic vocabulary per source (c-TF-IDF reduced to
     //      exact ppm concentration): top-5 terms per source that are
     //      frequent in AND specific to it ----
