@@ -355,6 +355,44 @@ object Pipeline extends QueryModule {
              |SELECT event_id, event_type, round((value - m) / sd, 2) AS z
              |FROM s WHERE abs(round((value - m) / sd, 2)) >= 2.5""".stripMargin)),
 
+    // ---- OHLC resampling bars: per (event type, hour) the first /
+    //      max / min / last value — time-series downsampling as one
+    //      grouped aggregate; open/close are min_by/max_by over the
+    //      (ts, event_id) struct (deterministic tiebreak), so no
+    //      windows and full map-side partial aggregation ----
+    GraftQuery("q_ohlc",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+          .agg(
+            expr("min_by(value, struct(ts, event_id))").as("open"),
+            max($"value").as("high"),
+            min($"value").as("low"),
+            expr("max_by(value, struct(ts, event_id))").as("close"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |    ts, event_id, value
+             |  FROM events),
+             |o AS (SELECT event_type, hour, value,
+             |    row_number() OVER (PARTITION BY event_type, hour
+             |      ORDER BY ts, event_id) AS rf,
+             |    row_number() OVER (PARTITION BY event_type, hour
+             |      ORDER BY ts DESC, event_id DESC) AS rl
+             |  FROM b),
+             |agg AS (SELECT event_type, hour, max(value) AS high,
+             |    min(value) AS low, count(*)::BIGINT AS n
+             |  FROM b GROUP BY 1, 2)
+             |SELECT agg.event_type, agg.hour, fo.value AS open, agg.high,
+             |  agg.low, lc.value AS close, agg.n
+             |FROM agg
+             |JOIN o fo ON fo.event_type = agg.event_type
+             |  AND fo.hour = agg.hour AND fo.rf = 1
+             |JOIN o lc ON lc.event_type = agg.event_type
+             |  AND lc.hour = agg.hour AND lc.rl = 1""".stripMargin)),
+
     // ---- co-occurrence mining (market basket): the 50 part pairs most
     //      often ordered together. The self-join key is the order, so
     //      pair fan-out is bounded by C(lines-per-order, 2) — linear in
