@@ -355,6 +355,34 @@ object Pipeline extends QueryModule {
              |SELECT event_id, event_type, round((value - m) / sd, 2) AS z
              |FROM s WHERE abs(round((value - m) / sd, 2)) >= 2.5""".stripMargin)),
 
+    // ---- burst suppression: drop events repeating within 1 HOUR of
+    //      the PREVIOUS raw event per (user, type) — retry/duplicate
+    //      rate limiting (threshold sized to the fixture's gap
+    //      distribution: p1 ~ 30 min, so the filter provably fires);
+    //      gap-from-previous semantics (not transitive
+    //      closure) keeps it one lag window, deterministic, and exactly
+    //      SQL-expressible. The batch twin of the streaming
+    //      dropDuplicatesWithinWatermark state. ----
+    GraftQuery("q_event_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .withColumn("gap_us",
+            unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+          .where($"gap_us".isNull || $"gap_us" > 3600000000L)
+          .select($"event_id", $"user_id", $"event_type", $"ts")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_id, user_id, event_type, ts,
+             |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+             |      PARTITION BY user_id, event_type
+             |      ORDER BY ts, event_id)) AS gap_us
+             |  FROM events)
+             |SELECT event_id, user_id, event_type, ts
+             |FROM g WHERE gap_us IS NULL OR gap_us > 3600000000""".stripMargin)),
+
     // ---- OHLC resampling bars: per (event type, hour) the first /
     //      max / min / last value — time-series downsampling as one
     //      grouped aggregate; open/close are min_by/max_by over the
