@@ -16,7 +16,10 @@ final case class TopNBoard(group: String, ids: Seq[Long], scores: Seq[Long])
   * State is the n-entry leaderboard per group (2n longs) — bounded
   * regardless of stream length, the same bounded-state discipline as
   * [[StreamingDedup]]'s one-long buckets and [[StreamingPacking]]'s
-  * one-long offsets. A batch's rows merge into the board in (score
+  * one-long offsets. Entries are OBSERVATIONS, not keyed by id: the
+  * same id re-scored later coexists with its earlier entry (exact
+  * duplicate observations collapse); callers wanting best-score-per-id
+  * semantics dedup upstream (`max_by` per id within the batch). A batch's rows merge into the board in (score
   * desc, id asc) order, so replays of a committed batch rebuild the
   * identical board (deterministic merge, no arrival-order dependence
   * within a batch). Emits each group's board once per batch it appears
