@@ -283,6 +283,38 @@ object Builtins extends QueryModule {
              |round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- year-over-year growth: monthly order counts vs the same
+    //      month a year earlier, growth as exact integer ppm (counts
+    //      avoid the float-sum ordering trap a revenue ratio has). The
+    //      lag window runs over the months-sized aggregate, partitioned
+    //      by month-of-year — never the fact table ----
+    GraftQuery("q_yoy",
+      (s, dir) => {
+        import s.implicits._
+        val m = t(s, dir, "orders")
+          .groupBy(year($"o_orderdate").cast("long").as("y"),
+            month($"o_orderdate").cast("long").as("m"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"m").orderBy($"y")
+        m.withColumn("prev_n", lag($"n", 1).over(w))
+          .withColumn("growth_ppm",
+            when($"prev_n".isNotNull, expr("n * 1000000L DIV prev_n")))
+          .select($"y", $"m", $"n", $"prev_n", $"growth_ppm")
+      },
+      Some("""WITH m AS (
+             |  SELECT date_part('year', o_orderdate)::BIGINT AS y,
+             |    date_part('month', o_orderdate)::BIGINT AS m,
+             |    count(*)::BIGINT AS n
+             |  FROM orders GROUP BY 1, 2),
+             |g AS (SELECT y, m, n,
+             |    lag(n) OVER (PARTITION BY m ORDER BY y) AS prev_n
+             |  FROM m)
+             |SELECT y, m, n, prev_n,
+             |  CASE WHEN prev_n IS NOT NULL
+             |       THEN (n * 1000000) // prev_n END AS growth_ppm
+             |FROM g""".stripMargin)),
+
     // ---- grouped mode (most frequent value, smallest-value tie-break)
     //      as two aggregations — the count argmax is a single
     //      max(struct(cnt, -value)) that partial-aggregates map-side,
