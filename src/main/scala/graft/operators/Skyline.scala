@@ -36,6 +36,10 @@ import org.apache.spark.sql.functions._
   * and by the already-collected partition maxima, so dropping it early
   * would let a recompute re-sample different range boundaries than the
   * collected bases describe.
+  *
+  * Contract: both coordinates non-null (a null x forms its own group
+  * and a null y neither dominates nor survives comparisons — filter
+  * upstream; the fixture columns are non-null by construction).
   */
 object Skyline {
 

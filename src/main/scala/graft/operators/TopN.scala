@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * number of rows sharing one score within one group, not group size.
   * Ties at the boundary break by smallest id (deterministic, mirrors
   * the `ORDER BY score DESC, id` oracle exactly).
+  *
+  * Contract: scores must be non-null — the histogram rejoin is an
+  * equi-join on (group, score), and SQL NULL never equi-matches, so a
+  * null-scored row would silently vanish rather than rank last. Filter
+  * or coalesce nulls upstream (q_source_cap's quality is non-null by
+  * construction).
   */
 object TopN {
 
