@@ -190,6 +190,53 @@ object Warehouse extends QueryModule {
              |SELECT g.c_custkey, g.entity_id, cn.c_name AS canonical_name
              |FROM g JOIN c cn ON cn.c_custkey = g.entity_id""".stripMargin)),
 
+    // ---- survivorship / golden record: q_entity_resolution's clusters
+    //      collapsed to ONE record per entity under explicit rules —
+    //      identity fields from the earliest member (min_by custkey),
+    //      numeric fields by best-observation (max balance). All
+    //      single-pass min_by/max aggregates; keys are unique so every
+    //      rule is deterministic. ----
+    GraftQuery("q_golden_record",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
+        val pairs = graft.operators.FuzzyJoin.selfJoinDeletion(
+          cust.select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", k = 1)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        val clusters = graft.operators.Dedup.dupClusters(pairs)
+        cust
+          .join(clusters.select(col("doc_id").as("c_custkey"), col("cluster_id")),
+            Seq("c_custkey"), "left")
+          .withColumn("entity_id", coalesce(col("cluster_id"), col("c_custkey")))
+          .groupBy(col("entity_id"))
+          .agg(count(lit(1)).as("n_members"),
+            expr("min_by(c_name, c_custkey)").as("name"),
+            expr("min_by(c_mktsegment, c_custkey)").as("segment"),
+            expr("min_by(c_nationkey, c_custkey)").cast("long").as("nationkey"),
+            max(col("c_acctbal")).as("best_acctbal"))
+      },
+      Some("""WITH RECURSIVE c AS (
+             |  SELECT * FROM customer WHERE c_custkey % 7 = 0),
+             |p AS (SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b
+             |  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+             |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+             |      UNION ALL SELECT doc_b, doc_a FROM p),
+             |walk(id, lab) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT e.a, walk.lab FROM e JOIN walk ON walk.id = e.b),
+             |comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+             |g AS (SELECT c.*,
+             |    coalesce(comp.cluster_id, c.c_custkey) AS entity_id
+             |  FROM c LEFT JOIN comp ON c.c_custkey = comp.id)
+             |SELECT entity_id, count(*)::BIGINT AS n_members,
+             |  arg_min(c_name, c_custkey) AS name,
+             |  arg_min(c_mktsegment, c_custkey) AS segment,
+             |  arg_min(c_nationkey, c_custkey)::BIGINT AS nationkey,
+             |  max(c_acctbal) AS best_acctbal
+             |FROM g GROUP BY entity_id""".stripMargin)),
+
     // ---- exact shared spans: document pairs sharing a verbatim 6-word
     // run (span-level dedup signal MinHash document similarity misses) ----
     GraftQuery("q_span_dedup",
