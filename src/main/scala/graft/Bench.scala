@@ -40,41 +40,69 @@ object Bench {
     // than 3 back-to-back reps per query) separates the reps of any one
     // query by minutes, so a transient GC episode can poison at most one
     // of its three samples — the median survives.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Safe parse: reps=0 would make median() index s(-1); garbage would
+    // throw before any timing ran. Anything unusable falls back to 3.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(3)
+
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try run(fn) catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Isolation (untimed): drop blocks a query left persisted so no
+      // query's residue contaminates the next timing (r4 verdict: the
+      // pagerank queries' stranded rank cuts inflated q_project_scalar
+      // 40× purely by alphabetical adjacency).
+      spark.catalog.clearCache()
+      dt
+    }
+
     val runs: Seq[Map[String, Double]] = (1 to reps).map { _ =>
-      registry.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Isolation (untimed): drop blocks a query left persisted so no
-        // query's residue contaminates the next timing (r4 verdict: the
-        // pagerank queries' stranded rank cuts inflated q_project_scalar
-        // 40× purely by alphabetical adjacency).
-        spark.catalog.clearCache()
-        name -> dt
-      }.toMap
+      registry.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
     }
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+
+    // Adaptive reps: a query whose first-`reps` spread (max−min) exceeds
+    // its own median caught a GC/JIT episode in at least one sample
+    // (r6 bench: q_ngram_jaccard 35.7 s spread on a 3.5 s median); two
+    // more samples make the median robust to TWO poisoned reps instead
+    // of one. Extra passes sweep only the wobbly queries, in registry
+    // order, so they stay minutes apart from their earlier samples.
+    val base: Map[String, Seq[Double]] =
+      registry.map { case (name, _) => name -> runs.map(_(name)) }.toMap
+    val wobbly = registry.filter { case (name, _) =>
+      val s = base(name); (s.max - s.min) > median(s)
+    }
+    val extra: Seq[Map[String, Double]] =
+      if (wobbly.isEmpty) Seq.empty
+      else (1 to 2).map { _ =>
+        wobbly.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+      }
+    val samplesOf: Map[String, Seq[Double]] =
+      registry.map { case (name, _) =>
+        name -> (base(name) ++ extra.flatMap(_.get(name)))
+      }.toMap
+
     val stats = registry.map { case (name, _) =>
-      val samples = runs.map(_(name))
-      (name, median(samples), samples.min, samples.max)
+      val samples = samplesOf(name)
+      (name, median(samples), samples.min, samples.max, samples.size)
     }
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     // stdout line: per-query MEDIANS as plain scalars (the shape every
     // prior round's record uses, so round-over-round diffs keep working)
-    val qs = stats.map { case (k, med, _, _) => s"\"" + k + "\":" + fmt(med) }
+    val qs = stats.map { case (k, med, _, _, _) => s"\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val total = stats.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // full per-query detail (median + min/max spread) for the side file
-    val detail = stats.map { case (k, med, mn, mx) =>
-      s"\"" + k + s"""":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)},"spread":${fmt(mx - mn)}}"""
+    val detail = stats.map { case (k, med, mn, mx, n) =>
+      s"\"" + k + s"""":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)},"spread":${fmt(mx - mn)},"runs":$n}"""
     }.mkString("{", ",", "}")
     val detailLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$reps,"queries":$detail,"sf":"$sfDir"}"""

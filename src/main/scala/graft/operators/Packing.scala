@@ -38,10 +38,24 @@ object Packing {
     * lookups) that would otherwise plan `Window.orderBy(x)` with no
     * PARTITION BY and funnel the relation through one reducer.
     *
-    * Returns the input columns plus `cumCol` (running total INCLUDING the
-    * current row), and the grand total as a driver-side Long (free: the
-    * phase-2 driver prefix sum already materializes every partition
-    * total, so the caller never re-aggregates the relation to learn it).
+    * Returns `(cachedLocal, out, grandTotal)`: `out` is the input columns
+    * plus `cumCol` (running total INCLUDING the current row); the grand
+    * total is a driver-side Long (free: the phase-2 driver prefix sum
+    * already materializes every partition total, so the caller never
+    * re-aggregates the relation to learn it); `cachedLocal` is the
+    * persisted range-partitioned relation the triangleStats-style release
+    * contract hands back — `out`'s plan AND the already-collected
+    * partition totals both reference it, so unpersisting before `out`
+    * materializes would let a recompute re-sample different range
+    * boundaries than the collected bases describe (a stale-base wrong
+    * answer). Materialize `out` first, then `cachedLocal.unpersist()`
+    * (registry wrappers use [[graft.queries.Drain]]).
+    *
+    * Contract: `valueCol` must be an INTEGRAL type (checked eagerly from
+    * the schema — free). A double/decimal input would sum to a non-Long
+    * and the exact-integer-arithmetic guarantee below is the whole point;
+    * callers with fractional values scale to integers first (the way
+    * q_equidepth_hist works in cents).
     *
     * Scale shape: phase 1 cumsums within range partitions in parallel;
     * phase 2 collects P longs (driver-safe at any size) and broadcasts
@@ -49,8 +63,13 @@ object Packing {
     * invariant under range-partitioner sampling shifts, like packOffsets.
     */
   def prefixSumInclusive(df: DataFrame, orderCol: String, valueCol: String,
-      cumCol: String = "cum", numParts: Int = 0): (DataFrame, Long) = {
+      cumCol: String = "cum", numParts: Int = 0): (DataFrame, DataFrame, Long) = {
     val spark = df.sparkSession
+    val dt = df.schema(valueCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+      s"prefixSumInclusive: $valueCol must be integral, got ${dt.typeName} " +
+        "(sum() over fractional types breaks the exact-integer contract; " +
+        "scale to integers upstream, e.g. cents)")
     val parts =
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
@@ -66,7 +85,7 @@ object Packing {
       sum(col(valueCol)).over(w))
 
     val totals = local.groupBy("__pid").agg(sum(col(valueCol)).as("tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.getInt(0) -> r.getAs[Number](1).longValue).sortBy(_._1)
     val grand = totals.map(_._2).sum
     val baseByPid = totals.map(_._1).zip(
       totals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot }.init)
@@ -76,7 +95,7 @@ object Packing {
     val out = cum.join(baseDf, "__pid")
       .withColumn(cumCol, col("__base") + col("__local_cum"))
       .drop("__pid", "__base", "__local_cum")
-    (out, grand)
+    (local, out, grand)
   }
 
   def packOffsets(docs: DataFrame, idCol: String, textCol: String,

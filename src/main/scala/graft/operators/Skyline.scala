@@ -31,26 +31,37 @@ import org.apache.spark.sql.functions._
   * in any engine; the internal double cast for the driver-side prefix
   * is exact for integer magnitudes < 2^53.
   *
-  * The distinct-x relation stays persisted for the caller (registry
-  * wrappers drain the cache) — it is referenced both by the output plan
-  * and by the already-collected partition maxima, so dropping it early
-  * would let a recompute re-sample different range boundaries than the
-  * collected bases describe.
+  * Returns `(cachedDistinctX, frontier)` — the triangleStats-style
+  * release contract: the persisted distinct-x relation is referenced
+  * both by the frontier plan and by the already-collected partition
+  * maxima, so unpersisting it BEFORE the frontier materializes would
+  * let a recompute re-sample different range boundaries than the
+  * collected bases describe (a stale-base wrong answer, not just a
+  * slowdown). Callers materialize the frontier first, then release the
+  * handle (registry wrapper uses [[graft.queries.Drain]]).
   *
-  * Contract: both coordinates non-null (a null x forms its own group
-  * and a null y neither dominates nor survives comparisons — filter
-  * upstream; the fixture columns are non-null by construction).
+  * Contract: both coordinates non-null — enforced IN-PLAN with a
+  * `raise_error` branch (zero extra passes; a null x would form its own
+  * group and a null y neither dominates nor survives comparisons,
+  * silently vanishing rows — this fails the job loudly instead).
   */
 object Skyline {
 
   def skyline2D(points: DataFrame, xCol: String, yCol: String,
-      numParts: Int = 0): DataFrame = {
+      numParts: Int = 0): (DataFrame, DataFrame) = {
     val spark = points.sparkSession
+    // The guard rewrites yCol itself, so column pruning can never drop
+    // it; evaluated once per row inside the existing first pass.
+    val guarded = points.withColumn(yCol,
+      when(col(xCol).isNull || col(yCol).isNull, raise_error(lit(
+        s"skyline2D: $xCol/$yCol must be non-null (a null coordinate " +
+          "would silently vanish from the frontier — filter upstream)")))
+        .otherwise(col(yCol)))
     val parts =
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
 
-    val local = points
+    val local = guarded
       .groupBy(col(xCol)).agg(max(col(yCol)).as(yCol))
       .repartitionByRange(parts, col(xCol).desc)
       .sortWithinPartitions(col(xCol).desc)
@@ -74,10 +85,11 @@ object Skyline {
     val baseDf = broadcast(
       spark.createDataFrame(baseByPid.toSeq).toDF("__pid", "__base"))
 
-    cum.join(baseDf, "__pid")
+    val frontier = cum.join(baseDf, "__pid")
       // greatest skips the NULL __localmax of each partition's first row
       .where(col(yCol).cast("double") >
         greatest(col("__localmax"), col("__base")))
       .select(col(xCol), col(yCol))
+    (local, frontier)
   }
 }

@@ -29,16 +29,25 @@ import org.apache.spark.sql.functions._
   *
   * Contract: scores must be non-null — the histogram rejoin is an
   * equi-join on (group, score), and SQL NULL never equi-matches, so a
-  * null-scored row would silently vanish rather than rank last. Filter
-  * or coalesce nulls upstream (q_source_cap's quality is non-null by
-  * construction).
+  * null-scored row would otherwise silently vanish rather than rank
+  * last. Enforced IN-PLAN with a `raise_error` branch (zero extra
+  * passes, evaluated inside the existing histogram scan): a null score
+  * fails the job loudly instead. Filter or coalesce nulls upstream
+  * (q_source_cap's quality is non-null by construction).
   */
 object TopN {
 
   def topNPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
-    val hist = df.groupBy(col(groupCol), col(scoreCol))
+    // The guard rewrites scoreCol itself, so column pruning can never
+    // drop it; both the histogram and the rejoin read the guarded column.
+    val guarded = df.withColumn(scoreCol,
+      when(col(scoreCol).isNull, raise_error(lit(
+        s"topNPerGroup: $scoreCol must be non-null (a null score would " +
+          "silently vanish from the top-N — filter or coalesce upstream)")))
+        .otherwise(col(scoreCol)))
+    val hist = guarded.groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("__cnt"))
     val wh = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -53,7 +62,7 @@ object TopN {
           .otherwise(lit(n.toLong) - col("__above")))
       .select(col(groupCol), col(scoreCol), col("__take"))
 
-    val joined = df.join(marks, Seq(groupCol, scoreCol))
+    val joined = guarded.join(marks, Seq(groupCol, scoreCol))
     val pass = joined.where(col("__take") === -1L)
     // boundary rows are ONE score per group, so this window's partitions
     // hold only that score's ties

@@ -283,11 +283,15 @@ object Builtins extends QueryModule {
              |round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
-    // ---- year-over-year growth: monthly order counts vs the same
-    //      month a year earlier, growth as exact integer ppm (counts
-    //      avoid the float-sum ordering trap a revenue ratio has). The
-    //      lag window runs over the months-sized aggregate, partitioned
-    //      by month-of-year — never the fact table ----
+    // ---- year-over-year growth: monthly order counts vs the LATEST
+    //      PRECEDING year with data for that month (lag over
+    //      PARTITION BY m ORDER BY y — if a month has a gap year the
+    //      comparison silently spans it rather than being strictly y-1;
+    //      the oracle lags identically, so this IS the checked
+    //      semantics). Growth as exact integer ppm (counts avoid the
+    //      float-sum ordering trap a revenue ratio has). The lag window
+    //      runs over the months-sized aggregate, partitioned by
+    //      month-of-year — never the fact table ----
     GraftQuery("q_yoy",
       (s, dir) => {
         import s.implicits._

@@ -31,17 +31,14 @@ object Extensions extends QueryModule {
     * row per graph node here; cluster-scale callers should consume the
     * operator's cached result directly, then unpersist it themselves. */
   private def drained(s: SparkSession, cached: DataFrame, out: DataFrame): DataFrame =
-    drainedAll(s, Seq(cached), out)
+    Drain.drained(s, cached, out)
 
   /** [[drained]] for operators that leave more than one cached relation
     * behind (e.g. a warm-start rank query: the old-graph artifact cut
     * plus the final cut). */
   private def drainedAll(s: SparkSession, cached: Seq[DataFrame],
-      out: DataFrame): DataFrame = {
-    val rows = out.collect()
-    cached.foreach(_.unpersist(blocking = true))
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-  }
+      out: DataFrame): DataFrame =
+    Drain.drainedAll(s, cached, out)
 
   // ---- DuckDB dialect fragments (mirror graft.operators.Dedup) ----
   private val P = "1000000007"

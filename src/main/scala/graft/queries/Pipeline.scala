@@ -502,10 +502,15 @@ object Pipeline extends QueryModule {
     //      operator avoids. No arithmetic on the compared columns, so
     //      raw doubles/dates hash-match bit-for-bit. ----
     GraftQuery("q_skyline",
-      (s, dir) => graft.operators.Skyline.skyline2D(
-        t(s, dir, "orders").select(col("o_totalprice").as("price"),
-          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day")),
-        "price", "day"),
+      (s, dir) => {
+        val (cached, frontier) = graft.operators.Skyline.skyline2D(
+          t(s, dir, "orders").select(col("o_totalprice").as("price"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day")),
+          "price", "day")
+        // frontier is driver-small (8 rows at sf0.01): drain so the
+        // distinct-x cache is released for library callers too
+        Drain.drained(s, cached, frontier)
+      },
       Some("""WITH d AS (SELECT o_totalprice AS price,
              |    date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS day
              |  FROM orders),

@@ -421,7 +421,7 @@ object Warehouse extends QueryModule {
           .select($"l_extendedprice".as("v"),
             expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
         val hist = li.groupBy($"c").agg(count(lit(1)).as("cnt"))
-        val (cum, tot) =
+        val (cachedCum, cum, tot) =
           graft.operators.Packing.prefixSumInclusive(hist, "c", "cnt")
         val b = cum.agg(
           min(when($"cum" >= lit(tot * 1 / 8), $"c")).as("b1"),
@@ -431,7 +431,7 @@ object Warehouse extends QueryModule {
           min(when($"cum" >= lit(tot * 5 / 8), $"c")).as("b5"),
           min(when($"cum" >= lit(tot * 6 / 8), $"c")).as("b6"),
           min(when($"cum" >= lit(tot * 7 / 8), $"c")).as("b7"))
-        li.join(broadcast(b))
+        val out = li.join(broadcast(b))
           .withColumn("bucket", (lit(1) +
             ($"c" > $"b1").cast("int") + ($"c" > $"b2").cast("int") +
             ($"c" > $"b3").cast("int") + ($"c" > $"b4").cast("int") +
@@ -441,6 +441,10 @@ object Warehouse extends QueryModule {
           .agg(count(lit(1)).as("n"),
             round(min($"v"), 2).as("min_value"),
             round(max($"v"), 2).as("max_value"))
+        // 8-row output: drain it so the prefix sum's cached relation is
+        // released even for library callers outside the bench's
+        // clearCache discipline (ADVICE r6)
+        Drain.drained(s, cachedCum, out)
       },
       Some("""WITH li AS (SELECT l_extendedprice AS v,
              |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c

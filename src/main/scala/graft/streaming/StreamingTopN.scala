@@ -44,9 +44,11 @@ object StreamingTopN {
         (g: String, it: Iterator[(String, Long, Long)],
             state: GroupState[Seq[(Long, Long)]]) =>
           val cur = state.getOption.getOrElse(Seq.empty)
+          // sortWith, not sortBy(-s): negating Long.MinValue overflows back
+          // to Long.MinValue and would sort a minimum score as the best.
           val merged = (cur ++ it.map { case (_, id, s) => (id, s) })
             .distinct
-            .sortBy { case (id, s) => (-s, id) }
+            .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
             .take(n)
           if (merged == cur) Iterator.empty // unchanged board: no emit
           else {

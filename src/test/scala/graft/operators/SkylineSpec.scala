@@ -8,9 +8,10 @@ class SkylineSpec extends SparkSpec {
 
   private def sky(pts: Seq[(Long, Long)], parts: Int = 0): Set[(Long, Long)] = {
     import spark.implicits._
-    val out = Skyline.skyline2D(pts.toDF("x", "y"), "x", "y", numParts = parts)
-      .as[(Long, Long)].collect().toSet
-    spark.catalog.clearCache()
+    val (cached, frontier) =
+      Skyline.skyline2D(pts.toDF("x", "y"), "x", "y", numParts = parts)
+    val out = frontier.as[(Long, Long)].collect().toSet
+    cached.unpersist(blocking = true)
     out
   }
 
@@ -45,5 +46,28 @@ class SkylineSpec extends SparkSpec {
     assert(sky(pts) == expect)
     assert(sky(pts, parts = 1) == expect, "single partition must agree")
     assert(sky(pts, parts = 17) == expect, "odd partition count must agree")
+  }
+
+  test("null coordinate fails loudly instead of silently vanishing") {
+    import spark.implicits._
+    val pts = Seq((java.lang.Long.valueOf(5L), java.lang.Long.valueOf(1L)),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long]))
+      .toDF("x", "y")
+    val (cached, frontier) = Skyline.skyline2D(pts, "x", "y")
+    val e = intercept[Exception] { frontier.collect() }
+    cached.unpersist(blocking = true)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must be non-null")), s"got: $e")
+  }
+
+  test("no stranded cache blocks after unpersisting the returned handle") {
+    import spark.implicits._
+    val pts = Seq.tabulate(50)(i => (i.toLong, (i % 7).toLong)).toDF("x", "y")
+    val (cached, frontier) = Skyline.skyline2D(pts, "x", "y")
+    frontier.collect()
+    cached.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "skyline2D must not strand cached blocks once its handle is released")
   }
 }

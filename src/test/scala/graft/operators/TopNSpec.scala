@@ -41,4 +41,16 @@ class TopNSpec extends SparkSpec {
     for (n <- Seq(1, 3, 17))
       assert(run(rows, n) == brute(rows, n), s"mismatch at n=$n")
   }
+
+  test("null score fails loudly instead of silently dropping the row") {
+    import spark.implicits._
+    val df = Seq(("a", java.lang.Long.valueOf(9L), 1L),
+      ("a", null.asInstanceOf[java.lang.Long], 2L)).toDF("g", "s", "id")
+    val e = intercept[Exception] {
+      TopN.topNPerGroup(df, "g", "s", "id", 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must be non-null")), s"got: $e")
+  }
 }

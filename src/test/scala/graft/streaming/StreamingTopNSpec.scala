@@ -58,4 +58,24 @@ class StreamingTopNSpec extends SparkSpec {
       assert(last.ids == Seq(4L, 6L), s"tie must keep smallest ids: $last")
     } finally q.stop()
   }
+
+  test("Long.MinValue score sorts worst, not best (negation overflow)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamingTopN.topNPerGroup(
+      in.toDF().toDF("g", "id", "s"), "g", "id", "s", n = 2)
+      .writeStream.format("memory").queryName("tb3").outputMode("append").start()
+    try {
+      // -s of Long.MinValue overflows back to Long.MinValue, which a
+      // sortBy(-s) ranks as the BEST entry; the explicit ordering must
+      // rank it last and evict it once two real scores exist
+      in.addData(("m", 1L, Long.MinValue), ("m", 2L, 5L), ("m", 3L, 7L))
+      q.processAllAvailable()
+      val last = spark.table("tb3").as[TopNBoard].collect()
+        .filter(_.group == "m").last
+      assert(last.ids == Seq(3L, 2L) && last.scores == Seq(7L, 5L),
+        s"MinValue observation must not top the board: $last")
+    } finally q.stop()
+  }
 }
