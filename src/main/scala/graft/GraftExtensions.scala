@@ -9,6 +9,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.VectorFunctions.descriptors.foreach(ext.injectFunction)
     graft.functions.SketchFunctions.descriptors.foreach(ext.injectFunction)
     graft.functions.ZorderFunctions.descriptors.foreach(ext.injectFunction)
+    graft.multimodal.MediaFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }

@@ -18,16 +18,25 @@ object Tables {
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw long nanos and rebuild a micro-precision
-    * timestamp with exact integer division (a double division would lose
-    * precision above 2^53 ns). DuckDB truncates ns→µs the same way, so
-    * oracle timestamps match bit-for-bit.
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects, so it is read as raw long nanos and
+    * rebuilt as a micro-precision timestamp with exact integer division (a
+    * double division would lose precision above 2^53 ns; DuckDB truncates
+    * ns→µs the same way, so oracle timestamps match bit-for-bit) — or as
+    * plain TIMESTAMP(MICROS), which needs only a cast from the inferred
+    * TIMESTAMP_NTZ to the session-zone type every downstream window/agg
+    * expects (session tz is pinned UTC, so the instant is unchanged).
+    * Branch on the type the reader actually produced.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", raw("ts").cast("timestamp"))
+    }
   }
 }

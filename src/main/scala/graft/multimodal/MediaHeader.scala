@@ -1,0 +1,195 @@
+package graft.multimodal
+
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM binary container-header parsers (SURVEY.md §2.11 — the
+  * multimodal column family). No native codec, no image library: just the
+  * published file-format specs read byte-by-byte, which is exactly what the
+  * metadata pass of a 100 TB media-ingest pipeline does before deciding
+  * what to hand to a real decoder (route by container, drop corrupt or
+  * truncated payloads, partition by resolution/sample-rate buckets).
+  *
+  * Formats (each from its public spec):
+  *  - PNG  (RFC 2083 / W3C): 8-byte signature, then the IHDR chunk —
+  *    length BE32, type "IHDR", width BE32 @16, height BE32 @20, bit
+  *    depth @24, color type @25; chunk CRC32 (ISO 3309, as implemented
+  *    by `java.util.zip.CRC32`) over type+data verified when present.
+  *    An IHDR CRC mismatch rejects the payload (libpng errors there too).
+  *  - BMP  (BITMAPINFOHEADER and its 108/124-byte successors): "BM",
+  *    DIB-header size LE32 @14, width LE32(signed) @18, height
+  *    LE32(signed) @22 (negative = top-down, reported as-is), bpp
+  *    LE16 @28.
+  *  - WAV  (RIFF 1991 spec): "RIFF" + size + "WAVE", then a REAL chunk
+  *    walk — id(4) + size LE32 + data (word-aligned: odd sizes pad one
+  *    byte) — until the "fmt " chunk: channels LE16 @+2, sample rate
+  *    LE32 @+4, bits/sample LE16 @+14. Payloads whose fmt chunk sits
+  *    after a LIST/JUNK chunk parse identically to canonical ones.
+  *
+  * Anything else (or any truncated/corrupt payload) is `unknown` with
+  * null fields — loud at the column level, never an exception, so one bad
+  * blob cannot kill a 100 TB scan.
+  */
+object MediaHeader {
+
+  /** Parsed metadata; -1 in a slot means "not applicable / unknown" and
+    * is surfaced as SQL NULL by the expression. */
+  final case class Meta(format: String, width: Long, height: Long,
+      bitDepth: Long, channels: Long, sampleRate: Long)
+
+  val Unknown: Meta = Meta("unknown", -1L, -1L, -1L, -1L, -1L)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** Signed little-endian int32 (BMP dimensions are signed by spec). */
+  private def le32s(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+      ((b(o + 3) & 0xff) << 24)).toLong
+
+  private def le32u(b: Array[Byte], o: Int): Long = le32s(b, o) & 0xffffffffL
+
+  private def le16(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toLong
+
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def parsePng(b: Array[Byte]): Meta = {
+    if (b.length < 29) return Unknown
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return Unknown; i += 1 }
+    val len = be32(b, 8)
+    if (len < 13 || tag(b, 12) != "IHDR") return Unknown
+    // IHDR CRC covers type+data; verify when the chunk is complete.
+    if (b.length >= 16 + len + 4) {
+      val crc = new CRC32
+      crc.update(b, 12, 4 + len.toInt)
+      if (crc.getValue != be32(b, 16 + len.toInt)) return Unknown
+    }
+    val colorType = b(25) & 0xff
+    // channel count is determined by color type (PNG spec §4.1.1):
+    // 0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA
+    val ch = colorType match {
+      case 0 | 3 => 1L
+      case 2 => 3L
+      case 4 => 2L
+      case 6 => 4L
+      case _ => return Unknown
+    }
+    Meta("png", be32(b, 16), be32(b, 20), (b(24) & 0xff).toLong, ch, -1L)
+  }
+
+  private def parseBmp(b: Array[Byte]): Meta = {
+    if (b.length < 30 || b(0) != 'B' || b(1) != 'M') return Unknown
+    val dib = le32u(b, 14)
+    // BITMAPINFOHEADER / V4 / V5; the legacy 12-byte BITMAPCOREHEADER has
+    // a different field layout and 16-bit dims — not emitted since the
+    // Windows 2.x era, rejected rather than misread.
+    if (dib != 40L && dib != 108L && dib != 124L) return Unknown
+    val bpp = le16(b, 28)
+    Meta("bmp", le32s(b, 18), le32s(b, 22), bpp,
+      if (bpp % 8 == 0 && bpp / 8 >= 1) bpp / 8 else -1L, -1L)
+  }
+
+  private def parseWav(b: Array[Byte]): Meta = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return Unknown
+    var o = 12L
+    while (o + 8 <= b.length) {
+      val id = tag(b, o.toInt)
+      val size = le32u(b, o.toInt + 4)
+      if (id == "fmt ") {
+        if (size < 16 || o + 8 + 16 > b.length) return Unknown
+        val d = o.toInt + 8
+        return Meta("wav", -1L, -1L, le16(b, d + 14), le16(b, d + 2),
+          le32u(b, d + 4))
+      }
+      o += 8 + size + (size & 1L) // RIFF chunks are word-aligned
+    }
+    Unknown
+  }
+
+  /** Dispatch on the magic bytes; never throws. */
+  def parse(b: Array[Byte]): Meta = {
+    if (b == null || b.length < 2) return Unknown
+    if (b(0) == PngSig(0)) parsePng(b)
+    else if (b(0) == 'B' && b(1) == 'M') parseBmp(b)
+    else if (b(0) == 'R' && b.length >= 4 && tag(b, 0) == "RIFF") parseWav(b)
+    else Unknown
+  }
+}
+
+/** media_meta(binary) → struct(format, width, height, bit_depth, channels,
+  * sample_rate) — the container-header parse as a native Catalyst
+  * expression, so metadata extraction runs inside the scan projection with
+  * no Dataset round-trip.
+  *
+  * CodegenFallback is deliberate (same rationale as [[graft.functions.SimHash60]]):
+  * the work is a per-row byte scan inside nullSafeEval; whole-stage fusion
+  * would save one virtual call per row while complicating CRC/array state.
+  */
+case class MediaMeta(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "media_meta"
+
+  override def dataType: DataType = MediaMeta.schema
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = MediaHeader.parse(input.asInstanceOf[Array[Byte]])
+    def slot(v: Long): Any = if (v < 0) null else v
+    InternalRow(UTF8String.fromString(m.format), slot(m.width),
+      slot(m.height), slot(m.bitDepth), slot(m.channels), slot(m.sampleRate))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MediaMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("bit_depth", LongType),
+    StructField("channels", LongType),
+    StructField("sample_rate", LongType)))
+}
+
+object MediaFunctions {
+  val fns: Seq[(String, FunctionBuilder, String)] = Seq(
+    ("media_meta", (e: Seq[Expression]) => MediaMeta(e(0)),
+      "media_meta(bytes) - container-header metadata (png/bmp/wav) as a struct"))
+
+  def descriptors: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
+    fns.map { case (name, builder, usage) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft.multimodal.MediaHeader", name, usage),
+        builder)
+    }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    descriptors.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+}

@@ -1,20 +1,27 @@
 package graft.multimodal
 
+import java.util.zip.CRC32
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Typed media payload: opaque bytes + structured metadata. */
 final case class MediaRecord(doc_id: Long, media: Array[Byte])
 
-/** Deterministic "decoded" features of a media payload. */
+/** Decoded features of a media payload: cheap byte stats plus the REAL
+  * container-header metadata from [[MediaHeader]] (None where the field
+  * does not apply to the container, or the payload is not recognized). */
 final case class MediaFeatures(
     doc_id: Long,
     n_bytes: Long,
     byte_sum: Long,
     header_hex: String,
     format: String,
-    width: Long,
-    height: Long)
+    width: Option[Long],
+    height: Option[Long],
+    bit_depth: Option[Long],
+    channels: Option[Long],
+    sample_rate: Option[Long])
 
 /** Multimodal-column plumbing (SURVEY.md §2.11): image/audio/video as
   * opaque `BinaryType` columns with typed metadata, processed by batched
@@ -24,33 +31,65 @@ final case class MediaFeatures(
   * with a `BinaryType` payload, decode as `mapPartitions` (one decoder
   * instance per partition, streaming iterator — no per-row setup, no
   * driver collect; the 100 TB path is "binary parquet in, features out,
-  * no shuffle"). Only the codec itself is stubbed: this container has no
-  * image/audio libraries, so [[StubDecoder]] derives deterministic
-  * features from the raw bytes. Swap it for a real JNI/javax decoder
-  * without touching the plumbing.
+  * no shuffle"). Header metadata comes from [[MediaHeader]] — a real
+  * pure-JVM parse of the PNG/BMP/RIFF-WAV container specs, not a stub.
+  * Only PIXEL/SAMPLE decode (which needs codec libraries this container
+  * lacks) remains out of scope; [[resizeStub]] marks where it would slot.
   */
 object Multimodal {
 
-  /** The decode stub — the one deliberately-fake piece. A real
-    * implementation would parse an actual codec header here. */
-  object StubDecoder {
-    def decode(r: MediaRecord): MediaFeatures = {
-      val b = r.media
-      val n = b.length.toLong
-      var sum = 0L
-      var i = 0
-      while (i < b.length) { sum += b(i) & 0xff; i += 1 }
-      val hex = b.take(8).map(x => f"${x & 0xff}%02X").mkString
-      val b0 = if (b.length > 0) b(0) & 0xff else 0
-      val b1 = if (b.length > 1) b(1) & 0xff else 0
-      MediaFeatures(
-        doc_id = r.doc_id,
-        n_bytes = n,
-        byte_sum = sum,
-        header_hex = hex,
-        format = if (b0 % 2 == 0) "rgb8" else "gray8",
-        width = b0 % 64 + 1,
-        height = b1 % 64 + 1)
+  /** Bytes shown in `header_hex`: covers the full fixed-layout metadata
+    * region of every supported container (PNG IHDR data ends at 28; BMP
+    * bpp low byte is 28; WAV sample-rate field ends at 27) while staying
+    * strictly short of the PNG IHDR CRC at 29..32 — so a SQL oracle can
+    * reconstruct the prefix from first principles without a CRC32. */
+  val HeaderHexBytes = 29
+
+  /** doc_id → deterministic REAL container payload, for exercising the
+    * header parsers without binary files on disk. Valid headers per spec:
+    * kind 0 = PNG (signature + IHDR incl a correct CRC32), kind 1 = BMP
+    * (54-byte BITMAPINFOHEADER file header, BI_RGB so zero image bytes is
+    * legal), kind 2 = canonical WAV (fmt + 8-byte data chunk). */
+  object MediaFixtures {
+    private def le16(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    def payload(docId: Long): Array[Byte] = {
+      val w = docId % 300 + 1
+      val h = docId % 200 + 1
+      docId % 3 match {
+        case 0 =>
+          val colorType = 2 + 4 * (docId % 2) // truecolor / truecolor+alpha
+          val typeAndData = "IHDR".getBytes("US-ASCII") ++ be32(w) ++
+            be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+          val crc = new CRC32
+          crc.update(typeAndData)
+          Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+            be32(13) ++ typeAndData ++ be32(crc.getValue)
+        case 1 =>
+          "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
+            le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+            le32(0) ++ le32(0) ++ le32(2835) ++ le32(2835) ++
+            le32(0) ++ le32(0)
+        case _ =>
+          val ch = docId % 2 + 1
+          val sr = (docId % 4) match {
+            case 0 => 8000L; case 1 => 16000L; case 2 => 44100L
+            case _ => 48000L
+          }
+          "RIFF".getBytes("US-ASCII") ++ le32(44) ++
+            "WAVE".getBytes("US-ASCII") ++
+            "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+            le16(ch) ++ le32(sr) ++ le32(sr * ch * 2) ++ le16(ch * 2) ++
+            le16(16) ++
+            "data".getBytes("US-ASCII") ++ le32(8) ++ new Array[Byte](8)
+      }
     }
   }
 
@@ -64,17 +103,35 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Batched decode: one decoder per partition, streamed. */
+  /** One deterministic real-header payload per input id — media-column
+    * test data generated distributedly (no driver-side byte building). */
+  def fixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, MediaFixtures.payload(id))))
+  }
+
+  /** Batched decode: one decoder per partition, streamed. Byte stats are
+    * one tight loop; metadata is the real [[MediaHeader]] parse. */
   def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
-      // per-partition decoder setup would go here (codec contexts etc.)
-      it.map(StubDecoder.decode)
-    }
+    ds.mapPartitions(_.map { r =>
+      val b = r.media
+      var sum = 0L
+      var i = 0
+      while (i < b.length) { sum += b(i) & 0xff; i += 1 }
+      val hex = b.take(HeaderHexBytes).map(x => f"${x & 0xff}%02x").mkString
+      val m = MediaHeader.parse(b)
+      def slot(v: Long): Option[Long] = if (v < 0) None else Some(v)
+      MediaFeatures(r.doc_id, b.length.toLong, sum, hex, m.format,
+        slot(m.width), slot(m.height), slot(m.bitDepth), slot(m.channels),
+        slot(m.sampleRate))
+    })
   }
 
-  /** Feature extraction stub: L2-normalized 64-bin byte histogram as an
+  /** Feature extraction: L2-normalized 64-bin byte histogram as an
     * `Array[Float]` embedding — the plumbing shape of an image/audio
     * feature extractor (fixed-dim float vector per payload, pure
     * per-partition map). Output plugs directly into
@@ -99,8 +156,10 @@ object Multimodal {
 
   /** Resize stub: downsample the payload to a fixed `target` length by
     * strided byte selection — the plumbing shape of image resize (fixed
-    * output geometry per row, pure per-partition map). A real
-    * implementation swaps the sampler for a pixel-space scaler. */
+    * output geometry per row, pure per-partition map). This is the one
+    * remaining stand-in: a pixel-space scaler needs a codec library this
+    * container does not have; swap the sampler for one without touching
+    * the plumbing. */
   def resizeStub(ds: Dataset[MediaRecord], target: Int): Dataset[MediaRecord] = {
     val spark = ds.sparkSession
     import spark.implicits._

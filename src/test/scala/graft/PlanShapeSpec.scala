@@ -114,28 +114,51 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  // q_equidepth_hist and q_skyline drain their driver-small outputs into a
+  // local relation to release the operator caches (ADVICE r6), so the
+  // registry query's own plan is a LocalTableScan — the shape to pin lives
+  // on the OPERATOR's pre-drain DataFrame, inspected directly here.
+
   test("equi-depth histogram cumsum never plans a single-partition window") {
-    val plan = executed("q_equidepth_hist")
-    val windows = collectAll(plan) {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }
-    assert(windows.nonEmpty, s"expected the per-partition cumsum window in:\n$plan")
-    windows.foreach { w =>
-      assert(w.partitionSpec.nonEmpty,
-        s"window with empty PARTITION BY = global total order through one task:\n$w")
-    }
+    import org.apache.spark.sql.functions._
+    val hist = Tables.t(spark, sfDir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cnt"))
+    val (cached, cum, _) =
+      graft.operators.Packing.prefixSumInclusive(hist, "c", "cnt")
+    try {
+      cum.collect() // finalize AQE
+      val plan = cum.queryExecution.executedPlan
+      val windows = collectAll(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"expected the per-partition cumsum window in:\n$plan")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"window with empty PARTITION BY = global total order through one task:\n$w")
+      }
+    } finally cached.unpersist(blocking = true)
   }
 
   test("skyline prefix max never plans a single-partition window") {
-    val plan = executed("q_skyline")
-    val windows = collectAll(plan) {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }
-    assert(windows.nonEmpty, s"expected the per-partition running max in:\n$plan")
-    windows.foreach { w =>
-      assert(w.partitionSpec.nonEmpty,
-        s"window with empty PARTITION BY = global total order through one task:\n$w")
-    }
+    import org.apache.spark.sql.functions._
+    val pts = Tables.t(spark, sfDir, "orders")
+      .select(col("o_totalprice").as("price"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+    val (cached, frontier) =
+      graft.operators.Skyline.skyline2D(pts, "price", "day")
+    try {
+      frontier.collect() // finalize AQE
+      val plan = frontier.queryExecution.executedPlan
+      val windows = collectAll(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"expected the per-partition running max in:\n$plan")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"window with empty PARTITION BY = global total order through one task:\n$w")
+      }
+    } finally cached.unpersist(blocking = true)
   }
 
   test("per-source cap windows only histogram rows and boundary ties, never a full per-group sort") {

@@ -16,7 +16,11 @@ class MultimodalSpec extends SparkSpec {
     assert(a.n_bytes === 2L)
     assert(a.byte_sum === ('A'.toLong + 'B'.toLong))
     assert(a.header_hex === "4142")
-    assert(a.width === 'A'.toInt % 64 + 1)
+    // a non-media payload parses as unknown with null metadata — the
+    // negative half of the real header-parser contract
+    assert(a.format === "unknown")
+    assert(a.width === None)
+    assert(a.sample_rate === None)
     // empty payload degrades deterministically, not with an exception
     assert(feats(2L).n_bytes === 0L)
     assert(feats(2L).header_hex === "")

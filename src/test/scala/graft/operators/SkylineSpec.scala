@@ -53,9 +53,14 @@ class SkylineSpec extends SparkSpec {
     val pts = Seq((java.lang.Long.valueOf(5L), java.lang.Long.valueOf(1L)),
       (java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long]))
       .toDF("x", "y")
-    val (cached, frontier) = Skyline.skyline2D(pts, "x", "y")
-    val e = intercept[Exception] { frontier.collect() }
-    cached.unpersist(blocking = true)
+    // the guard can fire inside skyline2D itself (its partition-totals
+    // pass is the first action over the guarded column — and on a local
+    // relation even plan optimization may evaluate it), so the whole
+    // construct-and-collect sequence sits inside the intercept
+    val e = intercept[Exception] {
+      val (cached, frontier) = Skyline.skyline2D(pts, "x", "y")
+      try frontier.collect() finally cached.unpersist(blocking = true)
+    }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("must be non-null")), s"got: $e")
@@ -63,11 +68,16 @@ class SkylineSpec extends SparkSpec {
 
   test("no stranded cache blocks after unpersisting the returned handle") {
     import spark.implicits._
+    // the session is shared across suites, so compare against a snapshot:
+    // skyline2D must add no NET persistent RDDs, whatever other suites
+    // left behind
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val pts = Seq.tabulate(50)(i => (i.toLong, (i % 7).toLong)).toDF("x", "y")
     val (cached, frontier) = Skyline.skyline2D(pts, "x", "y")
     frontier.collect()
     cached.unpersist(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "skyline2D must not strand cached blocks once its handle is released")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"skyline2D must not strand cached blocks once its handle is released: $leaked")
   }
 }
