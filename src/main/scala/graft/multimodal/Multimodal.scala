@@ -93,6 +93,93 @@ object Multimodal {
     }
   }
 
+  /** doc_id → a complete REAL PNG (IHDR + stored-zlib IDAT + IEND, real
+    * CRC32/Adler-32) whose truecolor pixels follow a fixed arithmetic
+    * fill — so a SQL oracle can reconstruct the DECODED pixel values
+    * from first principles while the Spark side must run the actual
+    * zlib+unfilter decode to produce them. Geometry: w = id%8+1,
+    * h = id%6+1; pixel(x, y, c) = (id*31 + y*7 + x*3 + c) mod 256. */
+  def pngFixture(docId: Long): Array[Byte] = {
+    val w = (docId % 8 + 1).toInt
+    val h = (docId % 6 + 1).toInt
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          px((y * w + x) * 3 + c) =
+            ((docId * 31 + y * 7 + x * 3 + c) % 256).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.encode(PngCodec.Image(w, h, 3, px))
+  }
+
+  def pngFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, pngFixture(id))))
+  }
+
+  /** Real pixel decode + per-image stats in one per-partition pass (one
+    * reused Inflater per partition — the "per-partition decoder setup"
+    * the mapPartitions shape exists for). Exact integer channel sums, no
+    * floats. Unrecognized/corrupt payloads surface as n-null rows rather
+    * than exceptions. */
+  def decodePngStats(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val inf = new java.util.zip.Inflater()
+      it.map { r =>
+        PngCodec.decode(r.media, inf) match {
+          case Some(img) =>
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < img.pixels.length) {
+              val c = i % img.channels
+              if (c < 3) sums(c) += img.pixels(i) & 0xff // alpha not summed
+              i += 1
+            }
+            val px0 = img.pixels.take(3).map(b => f"${b & 0xff}%02x").mkString
+            (r.doc_id, Some(img.width.toLong), Some(img.height.toLong),
+              Some(img.channels.toLong), Some(sums(0)), Some(sums(1)),
+              Some(sums(2)), Some(px0))
+          case None =>
+            (r.doc_id, None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[String])
+        }
+      }
+    }.toDF("doc_id", "width", "height", "channels",
+      "sum_r", "sum_g", "sum_b", "px0_hex")
+  }
+
+  /** Decode → nearest-neighbor resize → RE-ENCODE as a real PNG: the full
+    * image-preprocessing round trip of a training pipeline, per partition
+    * with a reused Inflater. Payloads that don't decode pass through
+    * unchanged (route-elsewhere semantics). */
+  def resizePng(ds: Dataset[MediaRecord], dw: Int, dh: Int): Dataset[MediaRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val inf = new java.util.zip.Inflater()
+      it.map { r =>
+        PngCodec.decode(r.media, inf) match {
+          case Some(img) => MediaRecord(r.doc_id,
+            PngCodec.encode(PngCodec.resizeNearest(img, dw, dh)))
+          case None => r
+        }
+      }
+    }
+  }
+
   /** documents(text) → MediaRecord with the UTF-8 bytes as the payload —
     * the test stand-in for reading a binary media column from parquet. */
   def fromText(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {

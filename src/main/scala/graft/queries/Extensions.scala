@@ -861,6 +861,62 @@ object Extensions extends QueryModule {
              |  (CASE WHEN kind = 2 THEN sr END)::BIGINT AS sample_rate
              |FROM d""".stripMargin)),
 
+    // real PNG PIXEL decode (beyond r6 verdict #2's header parse): the
+    // fixtures are complete REAL PNGs — stored-mode zlib IDAT, real
+    // Adler-32 and CRC32s — and the Spark side must run the actual
+    // java.util.zip.Inflater + PNG-spec unfilter to reach the pixels.
+    // The oracle recomputes the DECODED pixel channel sums and the first
+    // pixel's bytes from the fixture's arithmetic fill: any decode error
+    // (wrong stride, filter, byte order, inflate offset) lands in sum_r/
+    // sum_g/sum_b or px0_hex and hash-mismatches.
+    GraftQuery("q_png_pixels",
+      (s, dir) => Multimodal.decodePngStats(
+        Multimodal.pngFixtures(t(s, dir, "documents"), "doc_id")),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 8 + 1 AS w,
+             |    doc_id % 6 + 1 AS h FROM documents)
+             |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+             |  3::BIGINT AS channels,
+             |  list_sum(flatten(list_transform(range(h), y ->
+             |    list_transform(range(w), x ->
+             |      (doc_id*31 + y*7 + x*3 + 0) % 256))))::BIGINT AS sum_r,
+             |  list_sum(flatten(list_transform(range(h), y ->
+             |    list_transform(range(w), x ->
+             |      (doc_id*31 + y*7 + x*3 + 1) % 256))))::BIGINT AS sum_g,
+             |  list_sum(flatten(list_transform(range(h), y ->
+             |    list_transform(range(w), x ->
+             |      (doc_id*31 + y*7 + x*3 + 2) % 256))))::BIGINT AS sum_b,
+             |  printf('%02x%02x%02x', (doc_id*31) % 256,
+             |    (doc_id*31 + 1) % 256, (doc_id*31 + 2) % 256) AS px0_hex
+             |FROM d""".stripMargin)),
+
+    // decode → nearest-neighbor resize → RE-ENCODE → decode again: stats
+    // of the resized 2x2 image, so the whole round trip (both encodes,
+    // both decodes, and the NN index mapping src = floor(dst * srcDim /
+    // dstDim)) is pinned. The channel sums cover all four mapped source
+    // pixels (sx ∈ {0, w/2}, sy ∈ {0, h/2}) — a wrong NN index lands in
+    // the sums; a byte-order slip lands in px0_hex.
+    GraftQuery("q_png_resize",
+      (s, dir) => Multimodal.decodePngStats(
+        Multimodal.resizePng(
+          Multimodal.pngFixtures(t(s, dir, "documents"), "doc_id"), 2, 2)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 8 + 1 AS w,
+             |    doc_id % 6 + 1 AS h FROM documents),
+             |m AS (SELECT doc_id, w // 2 AS sx, h // 2 AS sy FROM d)
+             |SELECT doc_id, 2::BIGINT AS width, 2::BIGINT AS height,
+             |  3::BIGINT AS channels,
+             |  ((doc_id*31) % 256 + (doc_id*31 + sx*3) % 256
+             |    + (doc_id*31 + sy*7) % 256
+             |    + (doc_id*31 + sy*7 + sx*3) % 256)::BIGINT AS sum_r,
+             |  ((doc_id*31 + 1) % 256 + (doc_id*31 + sx*3 + 1) % 256
+             |    + (doc_id*31 + sy*7 + 1) % 256
+             |    + (doc_id*31 + sy*7 + sx*3 + 1) % 256)::BIGINT AS sum_g,
+             |  ((doc_id*31 + 2) % 256 + (doc_id*31 + sx*3 + 2) % 256
+             |    + (doc_id*31 + sy*7 + 2) % 256
+             |    + (doc_id*31 + sy*7 + sx*3 + 2) % 256)::BIGINT AS sum_b,
+             |  printf('%02x%02x%02x', (doc_id*31) % 256,
+             |    (doc_id*31 + 1) % 256, (doc_id*31 + 2) % 256) AS px0_hex
+             |FROM m""".stripMargin)),
+
     // ======================= corpus-clean pipeline =======================
 
     // the whole cleaning flow end-to-end: normalize → language filter →
