@@ -34,6 +34,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    byte) — until the "fmt " chunk: channels LE16 @+2, sample rate
   *    LE32 @+4, bits/sample LE16 @+14. Payloads whose fmt chunk sits
   *    after a LIST/JUNK chunk parse identically to canonical ones.
+  *  - JPEG (ITU T.81): SOI, marker-segment walk (BE16 self-inclusive
+  *    lengths) to the first SOF0/SOF2 frame header.
+  *  - GIF  (87a/89a): logical screen descriptor, LE16 dims.
   *
   * Anything else (or any truncated/corrupt payload) is `unknown` with
   * null fields — loud at the column level, never an exception, so one bad
@@ -105,22 +108,69 @@ object MediaHeader {
       if (bpp % 8 == 0 && bpp / 8 >= 1) bpp / 8 else -1L, -1L)
   }
 
-  private def parseWav(b: Array[Byte]): Meta = {
+  /** RIFF chunk walk: offset+size of the first chunk with `want` id. */
+  private def riffChunk(b: Array[Byte], want: String): Option[(Int, Int)] = {
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
-      return Unknown
+      return None
     var o = 12L
     while (o + 8 <= b.length) {
       val id = tag(b, o.toInt)
       val size = le32u(b, o.toInt + 4)
-      if (id == "fmt ") {
-        if (size < 16 || o + 8 + 16 > b.length) return Unknown
-        val d = o.toInt + 8
-        return Meta("wav", -1L, -1L, le16(b, d + 14), le16(b, d + 2),
-          le32u(b, d + 4))
+      if (id == want) {
+        if (o + 8 + size > b.length) return None
+        return Some((o.toInt + 8, size.toInt))
       }
       o += 8 + size + (size & 1L) // RIFF chunks are word-aligned
     }
+    None
+  }
+
+  private def parseWav(b: Array[Byte]): Meta =
+    riffChunk(b, "fmt ") match {
+      case Some((d, size)) if size >= 16 =>
+        Meta("wav", -1L, -1L, le16(b, d + 14), le16(b, d + 2), le32u(b, d + 4))
+      case _ => Unknown
+    }
+
+  /** The `data` chunk's (offset, byteLength) — the raw PCM samples a
+    * decoder reads directly (PCM IS the decoded form; no codec needed). */
+  def wavData(b: Array[Byte]): Option[(Int, Int)] = riffChunk(b, "data")
+
+  /** JPEG/JFIF marker walk (ITU T.81 §B): SOI, then FF-prefixed segments
+    * each carrying a BE16 length that includes itself; dimensions live in
+    * the first SOF frame header (baseline C0 / progressive C2: precision
+    * @+2, height BE16 @+3, width BE16 @+5, component count @+7). */
+  private def parseJpeg(b: Array[Byte]): Meta = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return Unknown
+    var o = 2
+    while (o + 4 <= b.length) {
+      if ((b(o) & 0xff) != 0xff) return Unknown // lost marker sync
+      val marker = b(o + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return Unknown // EOI/SOS first
+      val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      if (len < 2 || o + 2 + len > b.length) return Unknown
+      if (marker == 0xc0 || marker == 0xc2) {
+        if (len < 10) return Unknown
+        val d = o + 4
+        val h = ((b(d + 1) & 0xff) << 8) | (b(d + 2) & 0xff)
+        val w = ((b(d + 3) & 0xff) << 8) | (b(d + 4) & 0xff)
+        return Meta("jpeg", w.toLong, h.toLong, (b(d) & 0xff).toLong,
+          (b(d + 5) & 0xff).toLong, -1L)
+      }
+      o += 2 + len
+    }
     Unknown
+  }
+
+  /** GIF87a/89a logical screen descriptor: width/height LE16 @6/@8; the
+    * packed byte @10 carries color resolution bits 4-6 (depth = value+1). */
+  private def parseGif(b: Array[Byte]): Meta = {
+    if (b.length < 13) return Unknown
+    val magic = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (magic != "GIF87a" && magic != "GIF89a") return Unknown
+    Meta("gif", le16(b, 6), le16(b, 8),
+      (((b(10) & 0xff) >> 4) & 7) + 1L, -1L, -1L)
   }
 
   /** Dispatch on the magic bytes; never throws. */
@@ -129,6 +179,8 @@ object MediaHeader {
     if (b(0) == PngSig(0)) parsePng(b)
     else if (b(0) == 'B' && b(1) == 'M') parseBmp(b)
     else if (b(0) == 'R' && b.length >= 4 && tag(b, 0) == "RIFF") parseWav(b)
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) parseJpeg(b)
+    else if (b(0) == 'G') parseGif(b)
     else Unknown
   }
 }

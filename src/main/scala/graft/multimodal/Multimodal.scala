@@ -49,8 +49,17 @@ object Multimodal {
     * header parsers without binary files on disk. Valid headers per spec:
     * kind 0 = PNG (signature + IHDR incl a correct CRC32), kind 1 = BMP
     * (54-byte BITMAPINFOHEADER file header, BI_RGB so zero image bytes is
-    * legal), kind 2 = canonical WAV (fmt + 8-byte data chunk). */
+    * legal), kind 2 = canonical WAV (fmt + a 64-byte PCM data chunk whose
+    * 16-bit samples follow a fixed arithmetic fill — PCM IS the decoded
+    * form, so WAV "decode" here is fully real), kind 3 = JPEG/JFIF (SOI +
+    * APP0 + SOF0 + EOI), kind 4 = GIF89a screen descriptor. */
   object MediaFixtures {
+    /** Total 16-bit samples in the WAV fixture's data chunk. */
+    val WavSamples = 32
+
+    /** Sample i of doc `docId`'s WAV fixture: full signed 16-bit range. */
+    def wavSample(docId: Long, i: Int): Int =
+      (((docId * 17 + i * 13) % 65536) - 32768).toInt
     private def le16(v: Long): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     private def le32(v: Long): Array[Byte] =
@@ -63,7 +72,7 @@ object Multimodal {
     def payload(docId: Long): Array[Byte] = {
       val w = docId % 300 + 1
       val h = docId % 200 + 1
-      docId % 3 match {
+      docId % 5 match {
         case 0 =>
           val colorType = 2 + 4 * (docId % 2) // truecolor / truecolor+alpha
           val typeAndData = "IHDR".getBytes("US-ASCII") ++ be32(w) ++
@@ -77,18 +86,41 @@ object Multimodal {
             le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
             le32(0) ++ le32(0) ++ le32(2835) ++ le32(2835) ++
             le32(0) ++ le32(0)
-        case _ =>
+        case 2 =>
           val ch = docId % 2 + 1
           val sr = (docId % 4) match {
             case 0 => 8000L; case 1 => 16000L; case 2 => 44100L
             case _ => 48000L
           }
-          "RIFF".getBytes("US-ASCII") ++ le32(44) ++
+          val data = new Array[Byte](WavSamples * 2)
+          var i = 0
+          while (i < WavSamples) {
+            val s = wavSample(docId, i)
+            data(2 * i) = (s & 0xff).toByte
+            data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          "RIFF".getBytes("US-ASCII") ++ le32(36L + data.length) ++
             "WAVE".getBytes("US-ASCII") ++
             "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
             le16(ch) ++ le32(sr) ++ le32(sr * ch * 2) ++ le16(ch * 2) ++
             le16(16) ++
-            "data".getBytes("US-ASCII") ++ le32(8) ++ new Array[Byte](8)
+            "data".getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data
+        case 3 =>
+          // SOI + JFIF APP0 + SOF0 (3 components) + EOI: every segment
+          // length per T.81, dims big-endian in the frame header
+          val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x10) ++
+            "JFIF".getBytes("US-ASCII") ++
+            Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+          val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x11, 8,
+            ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+            ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, 3,
+            1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+          Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0 ++
+            Array[Byte](0xff.toByte, 0xd9.toByte)
+        case _ =>
+          "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
+            Array[Byte](0x70, 0, 0)
       }
     }
   }
@@ -159,6 +191,46 @@ object Multimodal {
       }
     }.toDF("doc_id", "width", "height", "channels",
       "sum_r", "sum_g", "sum_b", "px0_hex")
+  }
+
+  /** Real PCM decode + per-clip stats in one per-partition pass. For
+    * 16-bit PCM WAV the data chunk's bytes ARE the decoded samples (no
+    * codec exists to stub): reassemble each signed little-endian sample
+    * and reduce to exact integer stats — peak, sum of |s|, sum of s² (the
+    * integer core of RMS/loudness features). Non-WAV / non-16-bit
+    * payloads surface as null-stat rows, never exceptions. */
+  def decodeWavStats(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val none7 = (0L, None: Option[Long], None: Option[Long],
+      None: Option[Long], None: Option[Long], None: Option[Long],
+      None: Option[Long])
+    ds.mapPartitions(_.map { r =>
+      val m = MediaHeader.parse(r.media)
+      if (m.format != "wav" || m.bitDepth != 16) none7.copy(_1 = r.doc_id)
+      else MediaHeader.wavData(r.media) match {
+        case Some((off, len)) =>
+          val n = len / 2
+          var peak = 0L
+          var sumAbs = 0L
+          var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            // signed 16-bit LE: high byte keeps its sign, low byte is raw
+            val s = (r.media(off + 2 * i + 1) << 8) |
+              (r.media(off + 2 * i) & 0xff)
+            val a = math.abs(s.toLong)
+            if (a > peak) peak = a
+            sumAbs += a
+            sumSq += s.toLong * s
+            i += 1
+          }
+          (r.doc_id, Some(m.channels), Some(m.sampleRate), Some(n.toLong),
+            Some(peak), Some(sumAbs), Some(sumSq))
+        case None => none7.copy(_1 = r.doc_id)
+      }
+    }).toDF("doc_id", "channels", "sample_rate", "n_samples",
+      "peak", "sum_abs", "sum_sq")
   }
 
   /** Decode → nearest-neighbor resize → RE-ENCODE as a real PNG: the full

@@ -830,7 +830,7 @@ object Extensions extends QueryModule {
             col("m.sample_rate").as("sample_rate"))
       },
       Some("""WITH d AS (
-             |  SELECT doc_id, doc_id % 3 AS kind,
+             |  SELECT doc_id, doc_id % 5 AS kind,
              |    doc_id % 300 + 1 AS w, doc_id % 200 + 1 AS h,
              |    2 + 4 * (doc_id % 2) AS ct,
              |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
@@ -845,21 +845,59 @@ object Extensions extends QueryModule {
              |    WHEN 1 THEN '424d36000000000000003600000028000000'
              |      || printf('%02x%02x0000', w % 256, w // 256)
              |      || printf('%02x000000', h) || '010018'
-             |    ELSE '524946462c00000057415645666d742010000000'
+             |    WHEN 2 THEN '524946466400000057415645666d742010000000'
              |      || '0100' || printf('%02x00', ch)
              |      || printf('%02x%02x0000', sr % 256, sr // 256)
              |      || printf('%02x', (sr * ch * 2) % 256)
+             |    WHEN 3 THEN 'ffd8ffe000104a46494600010100000100010000'
+             |      || 'ffc0001108' || printf('%04x', h) || printf('%04x', w)
+             |    ELSE '474946383961'
+             |      || printf('%02x%02x', w % 256, w // 256)
+             |      || printf('%02x%02x', h % 256, h // 256) || '700000'
              |  END AS header_hex,
-             |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END
-             |    AS format,
-             |  (CASE WHEN kind IN (0, 1) THEN w END)::BIGINT AS width,
-             |  (CASE WHEN kind IN (0, 1) THEN h END)::BIGINT AS height,
-             |  (CASE kind WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 16 END)::BIGINT
+             |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
+             |    WHEN 3 THEN 'jpeg' ELSE 'gif' END AS format,
+             |  (CASE WHEN kind <> 2 THEN w END)::BIGINT AS width,
+             |  (CASE WHEN kind <> 2 THEN h END)::BIGINT AS height,
+             |  (CASE kind WHEN 1 THEN 24 WHEN 2 THEN 16 ELSE 8 END)::BIGINT
              |    AS bit_depth,
              |  (CASE kind WHEN 0 THEN CASE ct WHEN 2 THEN 3 ELSE 4 END
-             |    WHEN 1 THEN 3 ELSE ch END)::BIGINT AS channels,
+             |    WHEN 1 THEN 3 WHEN 2 THEN ch WHEN 3 THEN 3 END)::BIGINT
+             |    AS channels,
              |  (CASE WHEN kind = 2 THEN sr END)::BIGINT AS sample_rate
              |FROM d""".stripMargin)),
+
+    // real PCM decode: for 16-bit WAV the data chunk IS the decoded
+    // audio — the Spark side chunk-walks to it and reassembles each
+    // signed LE sample; the oracle recomputes peak/|s|-sum/s²-sum (the
+    // integer core of RMS features) from the fixture's sample arithmetic.
+    // Non-WAV kinds are null-stat rows (route-elsewhere, not errors).
+    GraftQuery("q_wav_pcm",
+      (s, dir) => Multimodal.decodeWavStats(
+        Multimodal.fixtures(t(s, dir, "documents"), "doc_id")),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 5 AS kind,
+             |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |      WHEN 2 THEN 44100 ELSE 48000 END AS sr,
+             |    doc_id % 2 + 1 AS ch
+             |  FROM documents),
+             |s AS (SELECT doc_id, kind, sr, ch,
+             |    list_transform(range(32),
+             |      i -> (doc_id*17 + i*13) % 65536 - 32768) AS smp
+             |  FROM d)
+             |SELECT doc_id,
+             |  (CASE WHEN kind = 2 THEN ch END)::BIGINT AS channels,
+             |  (CASE WHEN kind = 2 THEN sr END)::BIGINT AS sample_rate,
+             |  (CASE WHEN kind = 2 THEN 32 END)::BIGINT AS n_samples,
+             |  (CASE WHEN kind = 2 THEN
+             |    list_aggregate(list_transform(smp, x -> abs(x)), 'max')
+             |  END)::BIGINT AS peak,
+             |  (CASE WHEN kind = 2 THEN
+             |    list_sum(list_transform(smp, x -> abs(x)))
+             |  END)::BIGINT AS sum_abs,
+             |  (CASE WHEN kind = 2 THEN
+             |    list_sum(list_transform(smp, x -> x * x))
+             |  END)::BIGINT AS sum_sq
+             |FROM s""".stripMargin)),
 
     // real PNG PIXEL decode (beyond r6 verdict #2's header parse): the
     // fixtures are complete REAL PNGs — stored-mode zlib IDAT, real

@@ -70,9 +70,9 @@ class MediaHeaderSpec extends SparkSpec {
   }
 
   test("fixture payloads parse back to their generating arithmetic") {
-    for (id <- 0L until 24L) {
+    for (id <- 0L until 40L) {
       val m = MediaHeader.parse(Multimodal.MediaFixtures.payload(id))
-      id % 3 match {
+      id % 5 match {
         case 0 =>
           assert(m.format === "png")
           assert(m.width === id % 300 + 1)
@@ -83,13 +83,61 @@ class MediaHeaderSpec extends SparkSpec {
           assert(m.format === "bmp")
           assert(m.width === id % 300 + 1)
           assert(m.bitDepth === 24L)
-        case _ =>
+        case 2 =>
           assert(m.format === "wav")
           assert(m.channels === id % 2 + 1)
           assert(m.sampleRate ===
             Seq(8000L, 16000L, 44100L, 48000L)((id % 4).toInt))
+        case 3 =>
+          assert(m.format === "jpeg")
+          assert(m.width === id % 300 + 1)
+          assert(m.height === id % 200 + 1)
+          assert(m.bitDepth === 8L)
+          assert(m.channels === 3L)
+        case _ =>
+          assert(m.format === "gif")
+          assert(m.width === id % 300 + 1)
+          assert(m.height === id % 200 + 1)
+          assert(m.bitDepth === 8L)
       }
     }
+  }
+
+  test("JPEG marker walk skips APP/comment segments to the first SOF") {
+    val base = Multimodal.MediaFixtures.payload(3L) // kind 3 → JPEG
+    assert(MediaHeader.parse(base) ===
+      MediaHeader.Meta("jpeg", 4L, 4L, 8L, 3L, -1L))
+    // splice a COM segment (FFFE, len 6: 4 payload bytes) after APP0 —
+    // the walk must skip it by its self-inclusive BE16 length
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0, 6, 'h', 'i', '!', '!')
+    val spliced = base.take(20) ++ com ++ base.drop(20)
+    assert(MediaHeader.parse(spliced) ===
+      MediaHeader.Meta("jpeg", 4L, 4L, 8L, 3L, -1L))
+    // SOS before any SOF (corrupt ordering) rejects rather than misreads
+    val sos = base.clone(); sos(21) = 0xda.toByte
+    assert(MediaHeader.parse(sos).format === "unknown")
+  }
+
+  test("GIF87a also parses; short or bad-magic payloads reject") {
+    val gif = Multimodal.MediaFixtures.payload(4L)
+    assert(MediaHeader.parse(gif) ===
+      MediaHeader.Meta("gif", 5L, 5L, 8L, -1L, -1L))
+    val g87 = gif.clone(); g87(4) = '7'
+    assert(MediaHeader.parse(g87).format === "gif")
+    assert(MediaHeader.parse("GIF99a_____..".getBytes("US-ASCII")).format
+      === "unknown")
+    assert(MediaHeader.parse(gif.take(10)).format === "unknown")
+  }
+
+  test("wavData exposes the PCM chunk; samples round-trip as signed 16-bit") {
+    val wav = Multimodal.MediaFixtures.payload(2L)
+    val (off, len) = MediaHeader.wavData(wav).get
+    assert(len === Multimodal.MediaFixtures.WavSamples * 2)
+    for (i <- 0 until Multimodal.MediaFixtures.WavSamples) {
+      val s = (wav(off + 2 * i + 1) << 8) | (wav(off + 2 * i) & 0xff)
+      assert(s === Multimodal.MediaFixtures.wavSample(2L, i))
+    }
+    assert(MediaHeader.wavData(Multimodal.MediaFixtures.payload(0L)).isEmpty)
   }
 
   test("media_meta runs as a native expression inside a projection") {
