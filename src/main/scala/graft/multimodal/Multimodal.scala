@@ -252,6 +252,77 @@ object Multimodal {
     }
   }
 
+  /** doc_id → a structurally REAL ISO-BMFF/MP4: ftyp(isom) + moov(mvhd v0
+    * + n trak boxes, the LAST encoded with a 64-bit largesize header) +
+    * a size-0 ("to end") mdat — so the oracle-checked corpus itself
+    * exercises all three box-size encodings of ISO 14496-12.
+    * timescale = 1000·(id%5+1), duration = (id·37)%100000 ticks,
+    * tracks = id%3+1. */
+  def mp4Fixture(docId: Long): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    val timescale = 1000L * (docId % 5 + 1)
+    val duration = (docId * 37) % 100000
+    val nTracks = (docId % 3 + 1).toInt
+
+    val ftyp = be32(24) ++ cc("ftyp") ++ cc("isom") ++ be32(0x200) ++
+      cc("isom") ++ cc("mp41")
+    // mvhd v0 (§8.2.2): 100 data bytes; rate 1.0, volume 1.0, unity matrix
+    val mvhd = be32(108) ++ cc("mvhd") ++ be32(0) /* v0+flags */ ++
+      be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+      be32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+      (be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be32(0x40000000L)) ++ new Array[Byte](24) ++ be32(nTracks + 1L)
+    // tkhd v0 (§8.3.2): 84 data bytes — ver/flags, creation, modification,
+    // track_ID, then reserved/duration/layer/matrix/width/height zeros
+    def tkhd(id: Int): Array[Byte] = be32(92) ++ cc("tkhd") ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(id.toLong) ++ new Array[Byte](68)
+    def trak(id: Int, largesize: Boolean): Array[Byte] = {
+      val body = tkhd(id)
+      if (!largesize) be32(8L + body.length) ++ cc("trak") ++ body
+      else be32(1) ++ cc("trak") ++ be64(16L + body.length) ++ body
+    }
+    val traks = (1 to nTracks).toArray.flatMap(i =>
+      trak(i, largesize = i == nTracks))
+    val moov = be32(8L + mvhd.length + traks.length) ++ cc("moov") ++
+      mvhd ++ traks
+    // trailing mdat with size 0 = "extends to end of file" (§4.2)
+    val mdat = be32(0) ++ cc("mdat") ++
+      Array.tabulate((docId % 7).toInt)(i => ((docId + i) % 256).toByte)
+    ftyp ++ moov ++ mdat
+  }
+
+  def mp4Fixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, mp4Fixture(id))))
+  }
+
+  /** Box-walk metadata per clip: brand, movie timescale/duration (exact
+    * integer ms), track count. Null row fields when the payload is not a
+    * parseable ISO-BMFF container. */
+  def mp4Meta(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { r =>
+      val hex = r.media.take(32).map(b => f"${b & 0xff}%02x").mkString
+      Mp4.parse(r.media) match {
+        case Some(i) => (r.doc_id, hex, Some(i.brand), Some(i.timescale),
+          Some(i.duration), Some(i.durationMs), Some(i.nTracks.toLong))
+        case None => (r.doc_id, hex, None: Option[String],
+          None: Option[Long], None: Option[Long], None: Option[Long],
+          None: Option[Long])
+      }
+    }).toDF("doc_id", "hdr_hex", "brand", "timescale", "duration",
+      "duration_ms", "n_tracks")
+  }
+
   /** documents(text) → MediaRecord with the UTF-8 bytes as the payload —
     * the test stand-in for reading a binary media column from parquet. */
   def fromText(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {

@@ -955,6 +955,31 @@ object Extensions extends QueryModule {
              |    (doc_id*31 + 1) % 256, (doc_id*31 + 2) % 256) AS px0_hex
              |FROM m""".stripMargin)),
 
+    // ISO-BMFF/MP4 box-walk metadata — the video-container member of the
+    // real-parser family. The fixtures exercise all three box-size
+    // encodings (BE32, 64-bit largesize on the last trak, size-0 mdat);
+    // the 32-byte prefix pin covers ftyp in full plus the moov header,
+    // whose size is a function of the track count — so even the box
+    // LAYOUT arithmetic is oracle-checked, not just the parsed fields.
+    GraftQuery("q_mp4_meta",
+      (s, dir) => Multimodal.mp4Meta(
+        Multimodal.mp4Fixtures(t(s, dir, "documents"), "doc_id")),
+      Some("""WITH d AS (SELECT doc_id,
+             |    1000 * (doc_id % 5 + 1) AS ts2,
+             |    (doc_id * 37) % 100000 AS dur,
+             |    doc_id % 3 + 1 AS ntr
+             |  FROM documents)
+             |SELECT doc_id,
+             |  '000000186674797069736f6d0000020069736f6d6d703431'
+             |    || printf('%08x', 224 + (ntr - 1) * 100) || '6d6f6f76'
+             |    AS hdr_hex,
+             |  'isom' AS brand,
+             |  ts2::BIGINT AS timescale,
+             |  dur::BIGINT AS duration,
+             |  (dur * 1000 // ts2)::BIGINT AS duration_ms,
+             |  ntr::BIGINT AS n_tracks
+             |FROM d""".stripMargin)),
+
     // ======================= corpus-clean pipeline =======================
 
     // the whole cleaning flow end-to-end: normalize → language filter →
