@@ -980,6 +980,19 @@ object Extensions extends QueryModule {
              |  ntr::BIGINT AS n_tracks
              |FROM d""".stripMargin)),
 
+    // gzip ingestion round trip: every document's text → a spec-complete
+    // RFC 1952 member (real CRC-32/ISIZE trailer, stored-mode DEFLATE) →
+    // decoded back through the REAL java.util.zip.GZIPInputStream (which
+    // verifies the trailer). The oracle is the source table itself: the
+    // round trip must be byte-identity. This is the ingestion shape of a
+    // compressed 100 TB corpus — per-partition streaming, no driver
+    // bytes, one decoder per partition.
+    GraftQuery("q_gzip_roundtrip",
+      (s, dir) => graft.multimodal.Gzip.decompressTexts(
+        graft.multimodal.Gzip.compressTexts(
+          t(s, dir, "documents"), "doc_id", "text")),
+      Some("SELECT doc_id, text FROM documents")),
+
     // ======================= corpus-clean pipeline =======================
 
     // the whole cleaning flow end-to-end: normalize → language filter →
