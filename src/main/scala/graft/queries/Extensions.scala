@@ -980,6 +980,36 @@ object Extensions extends QueryModule {
              |  ntr::BIGINT AS n_tracks
              |FROM d""".stripMargin)),
 
+    // route-by-container profile: the first pass a mixed-media ingest
+    // runs — media_meta inside the scan projection, then a per-format
+    // rollup (counts, total payload bytes, max parsed width). The
+    // total_bytes column pins every fixture's full encoded length, so
+    // even the container layouts beyond the 29-byte header pin are
+    // oracle-checked in aggregate.
+    GraftQuery("q_media_route",
+      (s, dir) => {
+        graft.multimodal.MediaFunctions.register(s)
+        Multimodal.fixtures(t(s, dir, "documents"), "doc_id").toDF()
+          .select(expr("media_meta(media)").as("m"),
+            expr("octet_length(media)").cast("long").as("nb"))
+          .groupBy(col("m.format").as("format"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("nb")).as("total_bytes"),
+            max(col("m.width")).as("max_width"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 5 AS kind,
+             |    doc_id % 300 + 1 AS w FROM documents)
+             |SELECT CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+             |    WHEN 2 THEN 'wav' WHEN 3 THEN 'jpeg' ELSE 'gif' END
+             |    AS format,
+             |  count(*)::BIGINT AS n,
+             |  (count(*) * CASE kind WHEN 0 THEN 33 WHEN 1 THEN 54
+             |    WHEN 2 THEN 108 WHEN 3 THEN 41 ELSE 13 END)::BIGINT
+             |    AS total_bytes,
+             |  (CASE WHEN kind = 2 THEN NULL ELSE max(w) END)::BIGINT
+             |    AS max_width
+             |FROM d GROUP BY kind""".stripMargin)),
+
     // gzip ingestion round trip: every document's text → a spec-complete
     // RFC 1952 member (real CRC-32/ISIZE trailer, stored-mode DEFLATE) →
     // decoded back through the REAL java.util.zip.GZIPInputStream (which
