@@ -26,37 +26,40 @@ object Gzip {
     out.write(0x1f); out.write(0x8b); out.write(8); out.write(0)
     out.write(0); out.write(0); out.write(0); out.write(0)
     out.write(0); out.write(0xff)
-    var off = 0
-    while (off < data.length || data.isEmpty && off == 0) {
-      val n = math.min(65535, data.length - off)
-      val last = off + n == data.length
-      out.write(if (last) 1 else 0)
-      out.write(n & 0xff); out.write((n >> 8) & 0xff)
-      out.write(~n & 0xff); out.write((~n >> 8) & 0xff)
-      out.write(data, off, n)
-      off += n
-      if (last) off = data.length + 1 // terminate (handles empty input)
-    }
+    ByteIo.writeStoredBlocks(out, data)
     val crc = new CRC32
     crc.update(data)
-    val c = crc.getValue
-    out.write((c & 0xff).toInt); out.write(((c >> 8) & 0xff).toInt)
-    out.write(((c >> 16) & 0xff).toInt); out.write(((c >> 24) & 0xff).toInt)
-    val isize = data.length.toLong & 0xffffffffL
-    out.write((isize & 0xff).toInt); out.write(((isize >> 8) & 0xff).toInt)
-    out.write(((isize >> 16) & 0xff).toInt)
-    out.write(((isize >> 24) & 0xff).toInt)
+    out.write(ByteIo.le32b(crc.getValue), 0, 4)
+    out.write(ByteIo.le32b(data.length.toLong & 0xffffffffL), 0, 4)
     out.toByteArray
   }
 
+  /** Ceiling on decompressed member size. A corpus document is MBs at
+    * most; a member that inflates past this is a decompression bomb (a
+    * ~1 MB stream can legally expand ~1000×) and is rejected like any
+    * other corrupt payload — an unbounded readAllBytes would let one
+    * hostile member OOM the executor, which is exactly the
+    * kill-the-scan failure the never-throw contract exists to prevent. */
+  val MaxDecodedBytes: Int = 1 << 28 // 256 MiB
+
   /** Real decode incl. trailer CRC verification; None on any corruption
-    * (route-elsewhere, never throw — one bad member must not kill a
-    * corpus-wide scan). */
+    * or a decompressed size past [[MaxDecodedBytes]] (route-elsewhere,
+    * never throw — one bad member must not kill a corpus-wide scan). */
   def gunzip(b: Array[Byte]): Option[Array[Byte]] =
     if (b == null || b.length < 18) None
     else try {
       val in = new GZIPInputStream(new ByteArrayInputStream(b))
-      try Some(in.readAllBytes()) finally in.close()
+      try {
+        val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (out.size().toLong + n > MaxDecodedBytes) return None
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        Some(out.toByteArray)
+      } finally in.close()
     } catch { case _: java.io.IOException => None }
 
   /** documents → (doc_id, gz): each text as one spec-complete gzip

@@ -35,7 +35,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    LE32 @+4, bits/sample LE16 @+14. Payloads whose fmt chunk sits
   *    after a LIST/JUNK chunk parse identically to canonical ones.
   *  - JPEG (ITU T.81): SOI, marker-segment walk (BE16 self-inclusive
-  *    lengths) to the first SOF0/SOF2 frame header.
+  *    lengths, FF fill bytes and standalone RSTn/TEM skipped) to the
+  *    first SOF frame header (any of C0-CF except DHT/JPG/DAC).
   *  - GIF  (87a/89a): logical screen descriptor, LE16 dims.
   *
   * Anything else (or any truncated/corrupt payload) is `unknown` with
@@ -51,22 +52,7 @@ object MediaHeader {
 
   val Unknown: Meta = Meta("unknown", -1L, -1L, -1L, -1L, -1L)
 
-  private def be32(b: Array[Byte], o: Int): Long =
-    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
-      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
-
-  /** Signed little-endian int32 (BMP dimensions are signed by spec). */
-  private def le32s(b: Array[Byte], o: Int): Long =
-    ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
-      ((b(o + 3) & 0xff) << 24)).toLong
-
-  private def le32u(b: Array[Byte], o: Int): Long = le32s(b, o) & 0xffffffffL
-
-  private def le16(b: Array[Byte], o: Int): Long =
-    ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toLong
-
-  private def tag(b: Array[Byte], o: Int): String =
-    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  import ByteIo.{be32, le16, le32s, le32u, fourCC => tag}
 
   private val PngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -138,27 +124,40 @@ object MediaHeader {
 
   /** JPEG/JFIF marker walk (ITU T.81 §B): SOI, then FF-prefixed segments
     * each carrying a BE16 length that includes itself; dimensions live in
-    * the first SOF frame header (baseline C0 / progressive C2: precision
-    * @+2, height BE16 @+3, width BE16 @+5, component count @+7). */
+    * the first SOF frame header (precision @+2, height BE16 @+3, width
+    * BE16 @+5, component count @+7). All SOF variants C0-CF are frame
+    * headers except C4 (DHT), C8 (JPG) and CC (DAC) — real encoders emit
+    * C1 (extended sequential) and others, not only C0/C2. Standalone
+    * markers (FF fill bytes, RSTn, TEM) carry no length and are skipped
+    * per §B.1.1.2. */
   private def parseJpeg(b: Array[Byte]): Meta = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return Unknown
     var o = 2
-    while (o + 4 <= b.length) {
+    while (o + 2 <= b.length) {
       if ((b(o) & 0xff) != 0xff) return Unknown // lost marker sync
       val marker = b(o + 1) & 0xff
-      if (marker == 0xd9 || marker == 0xda) return Unknown // EOI/SOS first
-      val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-      if (len < 2 || o + 2 + len > b.length) return Unknown
-      if (marker == 0xc0 || marker == 0xc2) {
-        if (len < 10) return Unknown
-        val d = o + 4
-        val h = ((b(d + 1) & 0xff) << 8) | (b(d + 2) & 0xff)
-        val w = ((b(d + 3) & 0xff) << 8) | (b(d + 4) & 0xff)
-        return Meta("jpeg", w.toLong, h.toLong, (b(d) & 0xff).toLong,
-          (b(d + 5) & 0xff).toLong, -1L)
+      if (marker == 0xff) { o += 1 } // FF fill byte before a marker
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        o += 2 // TEM / RSTn: standalone, no length field
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return Unknown // EOI/SOS before any frame header
+      } else {
+        if (o + 4 > b.length) return Unknown
+        val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        if (len < 2 || o + 2 + len > b.length) return Unknown
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 10) return Unknown
+          val d = o + 4
+          val h = ((b(d + 1) & 0xff) << 8) | (b(d + 2) & 0xff)
+          val w = ((b(d + 3) & 0xff) << 8) | (b(d + 4) & 0xff)
+          return Meta("jpeg", w.toLong, h.toLong, (b(d) & 0xff).toLong,
+            (b(d + 5) & 0xff).toLong, -1L)
+        }
+        o += 2 + len
       }
-      o += 2 + len
     }
     Unknown
   }
@@ -198,7 +197,11 @@ case class MediaMeta(child: Expression) extends UnaryExpression with CodegenFall
   override def prettyName: String = "media_meta"
 
   override def dataType: DataType = MediaMeta.schema
-  override def nullable: Boolean = false
+  // UnaryExpression.eval short-circuits a null child to a null RESULT
+  // (nullSafeEval is never called), so the struct itself is nullable
+  // whenever the input is — declaring false would let NullPropagation
+  // constant-fold IS NOT NULL checks over null-media rows.
+  override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess

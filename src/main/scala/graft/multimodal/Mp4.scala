@@ -25,14 +25,7 @@ object Mp4 {
       duration * 1000L / timescale
   }
 
-  private def be32(b: Array[Byte], o: Int): Long =
-    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
-      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
-
-  private def be64(b: Array[Byte], o: Int): Long = (be32(b, o) << 32) | be32(b, o + 4)
-
-  private def fourCC(b: Array[Byte], o: Int): String =
-    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  import ByteIo.{be32, be64, fourCC}
 
   /** Walk sibling boxes in [from, until), invoking f(type, payloadFrom,
     * payloadUntil). Returns false on any structural violation. */

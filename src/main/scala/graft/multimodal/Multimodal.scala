@@ -60,14 +60,7 @@ object Multimodal {
     /** Sample i of doc `docId`'s WAV fixture: full signed 16-bit range. */
     def wavSample(docId: Long, i: Int): Int =
       (((docId * 17 + i * 13) % 65536) - 32768).toInt
-    private def le16(v: Long): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    private def le32(v: Long): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    private def be32(v: Long): Array[Byte] =
-      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    import ByteIo.{be32b => be32, le16b => le16, le32b => le32}
 
     def payload(docId: Long): Array[Byte] = {
       val w = docId % 300 + 1
@@ -259,10 +252,7 @@ object Multimodal {
     * timescale = 1000·(id%5+1), duration = (id·37)%100000 ticks,
     * tracks = id%3+1. */
   def mp4Fixture(docId: Long): Array[Byte] = {
-    def be32(v: Long): Array[Byte] =
-      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    import ByteIo.{be32b => be32, be64b => be64}
     def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
     val timescale = 1000L * (docId % 5 + 1)

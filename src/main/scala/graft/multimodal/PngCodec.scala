@@ -32,45 +32,41 @@ object PngCodec {
   private val Sig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  private def be32(b: Array[Byte], o: Int): Int =
-    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
-      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-
-  private def be32bytes(v: Long): Array[Byte] =
-    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-
   /** Decode with a caller-provided Inflater so a `mapPartitions` decoder
     * can reuse one native-buffer context across its whole partition. */
   def decode(png: Array[Byte], inf: Inflater): Option[Image] = {
     if (png == null || png.length < 45) return None // sig+IHDR+empty IDAT+IEND
     var i = 0
     while (i < 8) { if (png(i) != Sig(i)) return None; i += 1 }
-    if (be32(png, 8) != 13 || new String(png, 12, 4, "US-ASCII") != "IHDR")
+    if (ByteIo.be32(png, 8) != 13L || ByteIo.fourCC(png, 12) != "IHDR")
       return None
-    val w = be32(png, 16)
-    val h = be32(png, 20)
+    val wL = ByteIo.be32(png, 16)
+    val hL = ByteIo.be32(png, 20)
     val bitDepth = png(24) & 0xff
     val colorType = png(25) & 0xff
     val interlace = png(28) & 0xff
     if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
       png(26) != 0 || png(27) != 0 || interlace != 0) return None
-    if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
+    if (wL <= 0 || hL <= 0 || wL * hL > (1 << 26)) return None
+    val w = wL.toInt
+    val h = hL.toInt
     val ch = if (colorType == 2) 3 else 4
 
     // chunk walk: concatenate every IDAT payload (one zlib stream split
-    // across chunks is the spec-mandated layout for large images)
+    // across chunks is the spec-mandated layout for large images). All
+    // offset arithmetic in Long: a hostile 0x7fffffff chunk length must
+    // fail the bounds check, not wrap Int and slip past it.
     val idat = new java.io.ByteArrayOutputStream()
-    var o = 33
+    var o = 33L
     var sawEnd = false
     while (!sawEnd && o + 8 <= png.length) {
-      val len = be32(png, o)
-      val typ = new String(png, o + 4, 4, "US-ASCII")
-      if (len < 0 || o + 12 + len > png.length) return None
+      val len = ByteIo.be32(png, o.toInt)
+      val typ = ByteIo.fourCC(png, o.toInt + 4)
+      if (o + 12 + len > png.length) return None
       val crc = new CRC32
-      crc.update(png, o + 4, 4 + len)
-      if (crc.getValue != (be32(png, o + 8 + len) & 0xffffffffL)) return None
-      if (typ == "IDAT") idat.write(png, o + 8, len)
+      crc.update(png, o.toInt + 4, 4 + len.toInt)
+      if (crc.getValue != ByteIo.be32(png, o.toInt + 8 + len.toInt)) return None
+      if (typ == "IDAT") idat.write(png, o.toInt + 8, len.toInt)
       else if (typ == "IEND") sawEnd = true
       o += 12 + len
     }
@@ -83,7 +79,10 @@ object PngCodec {
     try {
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // the whole stream was handed over up front, so zero progress
+        // without `finished` means truncation, a preset-dictionary
+        // (FDICT) stream, or any other stall — reject, never spin
+        if (n == 0) return None
         off += n
       }
     } catch { case _: java.util.zip.DataFormatException => return None }
@@ -152,29 +151,19 @@ object PngCodec {
     // stored blocks, then Adler-32 of the uncompressed data
     val z = new java.io.ByteArrayOutputStream()
     z.write(0x78); z.write(0x01)
-    var off = 0
-    while (off < filtered.length || off == 0 && filtered.isEmpty) {
-      val n = math.min(65535, filtered.length - off)
-      val last = off + n == filtered.length
-      z.write(if (last) 1 else 0)
-      z.write(n & 0xff); z.write((n >> 8) & 0xff)
-      z.write(~n & 0xff); z.write((~n >> 8) & 0xff)
-      z.write(filtered, off, n)
-      off += n
-      if (last) off = filtered.length + 1 // terminate (handles empty input)
-    }
+    ByteIo.writeStoredBlocks(z, filtered)
     val adler = new java.util.zip.Adler32
     adler.update(filtered)
-    z.write(be32bytes(adler.getValue), 0, 4)
+    z.write(ByteIo.be32b(adler.getValue), 0, 4)
 
     def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
       val crc = new CRC32
       val t = typ.getBytes("US-ASCII")
       crc.update(t); crc.update(data)
-      be32bytes(data.length.toLong) ++ t ++ data ++ be32bytes(crc.getValue)
+      ByteIo.be32b(data.length.toLong) ++ t ++ data ++ ByteIo.be32b(crc.getValue)
     }
     val colorType: Byte = if (img.channels == 3) 2 else 6
-    val ihdr = be32bytes(img.width.toLong) ++ be32bytes(img.height.toLong) ++
+    val ihdr = ByteIo.be32b(img.width.toLong) ++ ByteIo.be32b(img.height.toLong) ++
       Array[Byte](8, colorType, 0, 0, 0)
     Sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
       chunk("IEND", Array.empty[Byte])

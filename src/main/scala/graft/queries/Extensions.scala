@@ -545,16 +545,28 @@ object Extensions extends QueryModule {
     GraftQuery("q_hard_negatives_artifact",
       (s, dir) => {
         Similarity.ensureRegistered(s)
-        val tag = graft.GraftCatalog.dbFor(dir)
-        val tbl = s"embclusters_art_$tag"
         val emb = t(s, dir, "embeddings")
+        // The artifact is keyed on a fingerprint of WHAT was clustered,
+        // not just the path: with a persistent metastore, a regenerated
+        // dataset at the same location would otherwise serve a stale
+        // cluster assignment silently. One cheap agg scan per invocation;
+        // a warehouse-scale deployment swaps this for the source table's
+        // snapshot/version id instead of rescanning.
+        val fp = java.lang.Long.toHexString(
+          emb.agg(expr("bit_xor(xxhash64(vec_id, embedding))"))
+            .head.getLong(0))
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val tbl = s"embclusters_art_${tag}_$fp"
         if (!s.catalog.tableExists(tbl)) {
           val clusters = graft.operators.Dedup.dupClusters(
             Similarity.lshPairs(emb, "vec_id", "embedding", 0.4)
               .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
           Dedup.writeClusters(clusters, tbl,
-            s"/tmp/graft_artifacts/$tag/embclusters")
-          clusters.unpersist(blocking = true)
+            s"/tmp/graft_artifacts/$tag/embclusters_$fp")
+          // clusters is localCheckpoint-backed (dupClusters cuts lineage
+          // per round), so there is no CacheManager entry to unpersist;
+          // the checkpoint blocks are freed by the ContextCleaner once
+          // this reference drops.
         }
         val groups = s.table(tbl)
           .select(col("doc_id").as("vec_id"), col("cluster_id").as("gid"))
@@ -795,16 +807,35 @@ object Extensions extends QueryModule {
       // half is q_media_meta over real-header fixtures)
       (s, dir) => Multimodal.decodeFeatures(
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")).toDF(),
-      Some("""SELECT doc_id,
+      // The oracle mirrors the parser's dispatch for the ONE container a
+      // plain ASCII text can actually satisfy: a literal GIF87a/GIF89a
+      // prefix (13+ bytes) IS a valid GIF screen descriptor, and the
+      // parser rightly says so (file(1) agrees). The other magics are
+      // unreachable from text: PNG \x89 and JPEG \xFF can't lead valid
+      // UTF-8, BMP needs a binary DIB-size field, RIFF needs binary
+      // chunk sizes.
+      Some("""WITH d AS (SELECT *,
+             |    (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%')
+             |      AND length(text) >= 13 AS gifish
+             |  FROM documents)
+             |SELECT doc_id,
              |  length(text)::BIGINT AS n_bytes,
              |  list_sum(list_transform(range(length(text)),
              |    i -> ascii(text[i+1])))::BIGINT AS byte_sum,
              |  lower(hex(substr(text, 1, 29))) AS header_hex,
-             |  'unknown' AS format,
-             |  NULL::BIGINT AS width, NULL::BIGINT AS height,
-             |  NULL::BIGINT AS bit_depth, NULL::BIGINT AS channels,
+             |  CASE WHEN gifish THEN 'gif' ELSE 'unknown' END AS format,
+             |  (CASE WHEN gifish THEN
+             |    ascii(substr(text, 7, 1)) + 256 * ascii(substr(text, 8, 1))
+             |  END)::BIGINT AS width,
+             |  (CASE WHEN gifish THEN
+             |    ascii(substr(text, 9, 1)) + 256 * ascii(substr(text, 10, 1))
+             |  END)::BIGINT AS height,
+             |  (CASE WHEN gifish THEN
+             |    (ascii(substr(text, 11, 1)) // 16) % 8 + 1
+             |  END)::BIGINT AS bit_depth,
+             |  NULL::BIGINT AS channels,
              |  NULL::BIGINT AS sample_rate
-             |FROM documents""".stripMargin)),
+             |FROM d""".stripMargin)),
 
     // real container-header decode (r6 verdict #2): deterministic
     // REAL-header payloads (PNG signature+IHDR+CRC32, BMP

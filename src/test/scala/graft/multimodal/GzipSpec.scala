@@ -27,6 +27,18 @@ class GzipSpec extends AnyFunSuite {
     assert(Gzip.gunzip(bos.toByteArray).map(_.toSeq) === Some(data.toSeq))
   }
 
+  test("a decompression bomb is rejected at the size cap, not inflated into OOM") {
+    // ~300 MB of zeros compresses to ~300 KB; decode must stop at
+    // MaxDecodedBytes (256 MiB) and return None instead of allocating on
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    val zeros = new Array[Byte](1 << 16)
+    for (_ <- 0 until ((300L << 20) >> 16).toInt) g.write(zeros)
+    g.close()
+    assert(bos.size() < (1 << 21), "bomb fixture should be small compressed")
+    assert(Gzip.gunzip(bos.toByteArray).isEmpty)
+  }
+
   test("corrupt trailer CRC, truncation, and foreign bytes reject as None") {
     val gz = Gzip.gzipStored("payload".getBytes("UTF-8"))
     val badCrc = gz.clone()

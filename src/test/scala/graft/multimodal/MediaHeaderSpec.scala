@@ -118,6 +118,32 @@ class MediaHeaderSpec extends SparkSpec {
     assert(MediaHeader.parse(sos).format === "unknown")
   }
 
+  test("JPEG: non-baseline SOF markers, fill bytes, and RSTn all walk correctly") {
+    val base = Multimodal.MediaFixtures.payload(3L)
+    val expected = MediaHeader.Meta("jpeg", 4L, 4L, 8L, 3L, -1L)
+    // SOF1 (extended sequential) — emitted by real encoders
+    val sof1 = base.clone(); sof1(21) = 0xc1.toByte
+    assert(MediaHeader.parse(sof1) === expected)
+    // FF fill byte before the SOF marker (legal padding, §B.1.1.2)
+    val filled = base.take(20) ++ Array(0xff.toByte) ++ base.drop(20)
+    assert(MediaHeader.parse(filled) === expected)
+    // standalone RST marker (no length field) is skipped, not misread
+    val rst = base.take(20) ++
+      Array(0xff.toByte, 0xd0.toByte) ++ base.drop(20)
+    assert(MediaHeader.parse(rst) === expected)
+    // DHT (C4) is NOT a frame header: its payload must not parse as dims
+    val dht = base.clone(); dht(21) = 0xc4.toByte
+    assert(MediaHeader.parse(dht).format === "unknown")
+  }
+
+  test("ASCII text with a literal GIF magic IS a GIF (parser and oracle agree)") {
+    // the one container whose magic+fields are satisfiable by plain text;
+    // q_multimodal_features' oracle mirrors exactly this arithmetic
+    val b = "GIF89aABCDpxx".getBytes("US-ASCII")
+    assert(MediaHeader.parse(b) === MediaHeader.Meta("gif",
+      'A' + 256L * 'B', 'C' + 256L * 'D', ('p' >> 4 & 7) + 1L, -1L, -1L))
+  }
+
   test("GIF87a also parses; short or bad-magic payloads reject") {
     val gif = Multimodal.MediaFixtures.payload(4L)
     assert(MediaHeader.parse(gif) ===

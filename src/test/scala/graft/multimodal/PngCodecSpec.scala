@@ -132,6 +132,26 @@ class PngCodecSpec extends AnyFunSuite {
     assert(PngCodec.decode(Array.empty[Byte]).isEmpty)
   }
 
+  test("a preset-dictionary (FDICT) zlib stream rejects instead of spinning") {
+    // FLG 0x20: FDICT set, (0x78*256 + 0x20) % 31 == 0 so the header is
+    // well-formed zlib — Inflater returns 0 needing a dictionary we don't
+    // have; decode must reject, not loop forever
+    val (w, h, ch) = (2, 2, 3)
+    val filtered = applyFilter(0, testPixels(w, h, ch), w, h, ch)
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x20)
+    z.write(Array[Byte](1, 2, 3, 4)) // dictionary id
+    ByteIo.writeStoredBlocks(z, filtered)
+    val adler = new java.util.zip.Adler32
+    adler.update(filtered)
+    z.write(ByteIo.be32b(adler.getValue), 0, 4)
+    val ihdr = ByteIo.be32b(w.toLong) ++ ByteIo.be32b(h.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.empty)
+    assert(PngCodec.decode(png).isEmpty)
+  }
+
   test("nearest-neighbor resize maps src = floor(dst * srcDim / dstDim)") {
     // 4x2 RGB with pixel value = x*10 + y per channel
     val px = Array.tabulate(4 * 2 * 3) { i =>
