@@ -56,6 +56,7 @@ object GraftSession {
     val spark = builder(master).getOrCreate()
     // idempotent — covers sessions created before the extensions conf
     functions.VectorFunctions.register(spark)
+    multimodal.MediaFunctions.register(spark)
     spark
   }
 }
