@@ -226,6 +226,118 @@ object Multimodal {
       "peak", "sum_abs", "sum_sq")
   }
 
+  /** 8×8-bit difference hash (dHash) over REALLY decoded pixels: NN
+    * resize to a 9×8 grayscale grid (integer luma 299R+587G+114B, no
+    * division — the comparison is scale-free), one bit per horizontally
+    * adjacent pair. The standard perceptual fingerprint an image-dedup
+    * pipeline computes right after decode. Byte j (row j's 8 gradient
+    * bits) is packed at bits 8j of `dhash` and rendered first in
+    * `dhash_hex`. Non-PNG/corrupt payloads are dropped (flatMap). */
+  def imageDHash(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val inf = new java.util.zip.Inflater()
+      it.flatMap { r =>
+        PngCodec.decode(r.media, inf).map { img =>
+          def gray(x: Int, y: Int): Int = {
+            val o = (y * img.width + x) * img.channels
+            299 * (img.pixels(o) & 0xff) + 587 * (img.pixels(o + 1) & 0xff) +
+              114 * (img.pixels(o + 2) & 0xff)
+          }
+          val bytes = new Array[Int](8)
+          var v = 0L
+          var j = 0
+          while (j < 8) {
+            val sy = j * img.height / 8
+            var prev = gray(0, sy)
+            var bits = 0
+            var i = 0
+            while (i < 8) {
+              val cur = gray((i + 1) * img.width / 9, sy)
+              if (cur > prev) bits |= 1 << i
+              prev = cur
+              i += 1
+            }
+            bytes(j) = bits
+            v |= bits.toLong << (8 * j)
+            j += 1
+          }
+          (r.doc_id, v, bytes.map(b => f"$b%02x").mkString)
+        }
+      }
+    }.toDF("doc_id", "dhash", "dhash_hex")
+  }
+
+  /** Perceptual near-duplicate pairs: dHash → four 16-bit bands →
+    * equi-join per band (bucketed, NOT all-pairs — the banding guarantees
+    * every pair within hamming ≤ 3 shares at least one exact band) →
+    * exact hamming verify on the candidates. Returns (cached dhash
+    * relation, pairs); the caller releases the cache after consuming. */
+  def imageNearDupPairs(ds: Dataset[MediaRecord],
+      maxHamming: Int = 3): (DataFrame, DataFrame) = {
+    require(maxHamming <= 3,
+      s"4-band LSH only guarantees recall up to hamming 3, got $maxHamming")
+    val h = imageDHash(ds).select("doc_id", "dhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = h.select(col("doc_id"), col("dhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("v", expr("shiftrightunsigned(dhash, 16 * band) & 65535"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+    val pairs = cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    (h, pairs)
+  }
+
+  /** Real-PNG fixtures with CONTROLLED near-duplicates for the perceptual
+    * dedup surface: ids in the same group of 8 share base geometry and
+    * pixels; non-canonical members differ only in the (0,0) pixel — one
+    * resized sample — so in-group hamming is 0-1 while cross-group hashes
+    * are uncorrelated. The pixel fill is a NONLINEAR integer mix (a
+    * linear-in-x ramp would give every image the same mostly-ones
+    * gradient hash): u = (base·131 + y·37 + x·11 + c + 1) · 2654435761,
+    * pixel = (u XOR u/1024) mod 256 — exact in 64-bit on both engines
+    * (u < 2^51, no overflow), so a SQL oracle reproduces it verbatim. */
+  def pngNearFixture(docId: Long): Array[Byte] = {
+    val base = docId - (docId % 8)
+    val w = (base % 16 + 9).toInt
+    val h = (base % 12 + 8).toInt
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          val u = (base * 131 + y * 37 + x * 11 + c + 1) * 2654435761L
+          val bump = if (x == 0 && y == 0 && docId % 8 != 0)
+            (docId % 8) * 40 else 0L
+          px((y * w + x) * 3 + c) =
+            ((((u ^ (u >> 10)) % 256) + bump) % 256).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.encode(PngCodec.Image(w, h, 3, px))
+  }
+
+  def pngNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, pngNearFixture(id))))
+  }
+
   /** Decode → nearest-neighbor resize → RE-ENCODE as a real PNG: the full
     * image-preprocessing round trip of a training pipeline, per partition
     * with a reused Inflater. Payloads that don't decode pass through

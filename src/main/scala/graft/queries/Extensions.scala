@@ -216,6 +216,36 @@ object Extensions extends QueryModule {
        |SELECT query_id, rnk::BIGINT AS rank, vec_id, round(c, 6) AS cosine
        |FROM r WHERE rnk <= 5""".stripMargin
 
+  /** Shared dHash oracle scaffolding: rebuilds the near-fixture pixels
+    * (nonlinear integer mix — see Multimodal.pngNearFixture), the 9×8
+    * NN-resampled integer-luma grid, and the per-row gradient bytes `b`
+    * (CTE `bh`), all in exact 64-bit arithmetic. The final SELECT renders
+    * hex (q_image_dhash) or brute hamming pairs (q_image_neardup). */
+  private[queries] def imageDhashOracle(finalSelect: String): String =
+    s"""WITH g AS (SELECT doc_id, doc_id - doc_id % 8 AS base,
+       |    (doc_id - doc_id % 8) % 16 + 9 AS w,
+       |    (doc_id - doc_id % 8) % 12 + 8 AS h
+       |  FROM documents),
+       |gm AS (SELECT doc_id,
+       |  list_transform(range(8), j ->
+       |    list_transform(range(9), i ->
+       |      list_sum(list_transform(range(3), c ->
+       |        ([299, 587, 114][c+1]) *
+       |          ((xor((base*131 + (j*h//8)*37 + (i*w//9)*11 + c + 1)
+       |              * 2654435761,
+       |            (base*131 + (j*h//8)*37 + (i*w//9)*11 + c + 1)
+       |              * 2654435761 // 1024) % 256
+       |           + CASE WHEN i = 0 AND j = 0 AND doc_id % 8 <> 0
+       |                  THEN (doc_id % 8) * 40 ELSE 0 END) % 256))))) AS m
+       |  FROM g),
+       |bh AS (SELECT doc_id,
+       |  list_transform(range(8), j ->
+       |    (list_sum(list_transform(range(8), i ->
+       |      CASE WHEN m[j+1][i+2] > m[j+1][i+1] THEN 1 << i ELSE 0 END))
+       |      )::BIGINT) AS b
+       |  FROM gm)
+       |$finalSelect""".stripMargin
+
   private val langs = TextAnalysis.stopwords.map(_._1)
 
   /** Alphabetical-first-argmax CASE chain — the SAME string is valid Spark
@@ -1040,6 +1070,41 @@ object Extensions extends QueryModule {
              |  (CASE WHEN kind = 2 THEN NULL ELSE max(w) END)::BIGINT
              |    AS max_width
              |FROM d GROUP BY kind""".stripMargin)),
+
+    // perceptual image fingerprint over REALLY decoded pixels: every
+    // fixture is a complete real PNG; the Spark side must inflate +
+    // unfilter it before the 9×8 grayscale dHash can exist. The oracle
+    // recomputes the hash from the fixture's pixel arithmetic (integer
+    // luma, NN sample indices, gradient bits) — a decode or resize slip
+    // lands in the bits.
+    GraftQuery("q_image_dhash",
+      (s, dir) => Multimodal.imageDHash(
+        Multimodal.pngNearFixtures(t(s, dir, "documents"), "doc_id"))
+        .select(col("doc_id"), col("dhash_hex")),
+      Some(Extensions.imageDhashOracle("SELECT doc_id, " +
+        "printf('%02x%02x%02x%02x%02x%02x%02x%02x', b[1], b[2], b[3], " +
+        "b[4], b[5], b[6], b[7], b[8]) AS dhash_hex FROM bh"))),
+
+    // perceptual near-dup pairs: banded (four 16-bit bands — bucketed,
+    // NOT all-pairs; every pair within hamming ≤ 3 shares a band) with
+    // exact hamming verify; the oracle goes brute over all id pairs.
+    // Fixture groups of 8 share pixels up to a one-sample bump, so true
+    // pairs are in-group (hamming ≤ 1) and cross-group collisions are
+    // ~2^-16 per band per pair.
+    GraftQuery("q_image_neardup",
+      (s, dir) => {
+        val (cached, pairs) = Multimodal.imageNearDupPairs(
+          Multimodal.pngNearFixtures(t(s, dir, "documents"), "doc_id"))
+        drained(s, cached, pairs)
+      },
+      Some(Extensions.imageDhashOracle(
+        """SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+          |  list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1]))))::BIGINT AS hamming
+          |FROM bh a JOIN bh b2 ON a.doc_id < b2.doc_id
+          |WHERE list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3"""
+          .stripMargin))),
 
     // gzip ingestion round trip: every document's text → a spec-complete
     // RFC 1952 member (real CRC-32/ISIZE trailer, stored-mode DEFLATE) →

@@ -62,6 +62,29 @@ class MultimodalSpec extends SparkSpec {
     assert(top1.head.getAs[Double]("cosine") > 0.9)
   }
 
+  test("imageDHash: in-group fixtures hash within hamming 1, cross-group far apart") {
+    import spark.implicits._
+    val ids = (0L until 16L).toDF("doc_id")
+    val hashes = Multimodal.imageDHash(
+        Multimodal.pngNearFixtures(ids, "doc_id"))
+      .select($"doc_id", $"dhash").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    for (a <- 0L until 8L; b <- a + 1 until 8L)
+      assert(ham(a, b) <= 1, s"in-group ($a,$b)")
+    assert(ham(0L, 8L) > 3, "cross-group hashes must not be near")
+  }
+
+  test("imageNearDupPairs recovers exactly the in-group pairs via banding") {
+    import spark.implicits._
+    val ids = (0L until 16L).toDF("doc_id")
+    val (cached, pairs) = Multimodal.imageNearDupPairs(
+      Multimodal.pngNearFixtures(ids, "doc_id"))
+    val got = pairs.as[(Long, Long, Long)].collect()
+    cached.unpersist(blocking = true)
+    assert(got.length === 2 * 28, s"two full groups of 8: ${got.length}")
+    assert(got.forall { case (a, b, h) => a / 8 == b / 8 && h <= 1 })
+  }
+
   test("binary payload round-trips through parquet (the 100 TB storage shape)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("mm").toString
