@@ -338,6 +338,22 @@ class PlanShapeSpec extends SparkSpec {
       "the bloom probe must prune BEFORE the fact side is exchanged")
   }
 
+  test("image near-dup candidate join is banded equi, never cartesian") {
+    import org.apache.spark.sql.functions.col
+    val (cached, pairs) = graft.multimodal.Multimodal.imageNearDupPairs(
+      graft.multimodal.Multimodal.pngNearFixtures(
+        Tables.t(spark, sfDir, "documents").select(col("doc_id")), "doc_id"))
+    try {
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan
+      val bad = collectAll(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      }
+      assert(bad.isEmpty, s"non-equi join in image near-dup:\n$plan")
+    } finally cached.unpersist(blocking = true)
+  }
+
   test("fuzzy join never plans a cartesian product") {
     // the whole point of similarity blocking (deletion variants here):
     // candidate generation is an equi-join on the variant hash — never a
