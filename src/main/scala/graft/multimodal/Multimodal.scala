@@ -338,6 +338,80 @@ object Multimodal {
       .mapPartitions(_.map(id => MediaRecord(id, pngNearFixture(id))))
   }
 
+  /** Canonical 16 kHz mono WAV whose 64 16-bit samples follow a NONLINEAR
+    * integer mix (u = (id·131 + i·29 + 1)·2654435761; s = (u XOR u/512)
+    * mod 65536 − 32768) — exact in 64-bit on both engines, and free of
+    * the monotone-envelope structure a linear ramp would give the
+    * fingerprint below. */
+  def audioFixture(docId: Long): Array[Byte] = {
+    import ByteIo.{le16b => le16, le32b => le32}
+    val n = 64
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val u = (docId * 131 + i * 29 + 1) * 2654435761L
+      val s = (((u ^ (u >> 9)) % 65536) - 32768).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    "RIFF".getBytes("US-ASCII") ++ le32(36L + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(16000) ++ le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data
+  }
+
+  def audioFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, audioFixture(id))))
+  }
+
+  /** Perceptual audio fingerprint over really-decoded PCM: the clip's
+    * energy envelope (sum |s| per frame, 16 equal frames) reduced to 15
+    * gradient bits — the audio analogue of [[imageDHash]]'s dHash, and
+    * the same exact-integer arithmetic discipline (no FFT dependency; an
+    * envelope gradient is the first stage of chromaprint-style
+    * fingerprints). Non-WAV / too-short clips are dropped. */
+  def audioFingerprint(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      val m = MediaHeader.parse(r.media)
+      if (m.format != "wav" || m.bitDepth != 16) None
+      else MediaHeader.wavData(r.media).flatMap { case (off, len) =>
+        val n = len / 2
+        if (n < 16) None
+        else {
+          val frameLen = n / 16
+          val e = new Array[Long](16)
+          var f = 0
+          while (f < 16) {
+            var k = 0
+            var acc = 0L
+            while (k < frameLen) {
+              val idx = off + 2 * (f * frameLen + k)
+              val s = (r.media(idx + 1) << 8) | (r.media(idx) & 0xff)
+              acc += math.abs(s.toLong)
+              k += 1
+            }
+            e(f) = acc
+            f += 1
+          }
+          var fp = 0L
+          var b = 0
+          while (b < 15) {
+            if (e(b + 1) > e(b)) fp |= 1L << b
+            b += 1
+          }
+          Some((r.doc_id, fp))
+        }
+      }
+    }).toDF("doc_id", "fingerprint")
+  }
+
   /** Decode → nearest-neighbor resize → RE-ENCODE as a real PNG: the full
     * image-preprocessing round trip of a training pipeline, per partition
     * with a reused Inflater. Payloads that don't decode pass through

@@ -1106,6 +1106,29 @@ object Extensions extends QueryModule {
           |    bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3"""
           .stripMargin))),
 
+    // perceptual audio fingerprint over really-decoded PCM: energy
+    // envelope (16 frames of |s| sums) → 15 gradient bits, the audio
+    // analogue of q_image_dhash. The oracle rebuilds the samples from
+    // the fixture's nonlinear mix and recomputes the envelope bits in
+    // exact integer arithmetic.
+    GraftQuery("q_audio_fingerprint",
+      (s, dir) => Multimodal.audioFingerprint(
+        Multimodal.audioFixtures(t(s, dir, "documents"), "doc_id")),
+      Some("""WITH s AS (SELECT doc_id, list_transform(range(64), i ->
+             |    xor((doc_id*131 + i*29 + 1) * 2654435761,
+             |        (doc_id*131 + i*29 + 1) * 2654435761 // 512)
+             |      % 65536 - 32768) AS smp
+             |  FROM documents),
+             |e AS (SELECT doc_id, list_transform(range(16), f ->
+             |    list_sum(list_transform(range(4), k ->
+             |      abs(smp[f*4 + k + 1])))) AS en
+             |  FROM s)
+             |SELECT doc_id,
+             |  (list_sum(list_transform(range(15), f ->
+             |    CASE WHEN en[f+2] > en[f+1] THEN 1 << f ELSE 0 END)
+             |  ))::BIGINT AS fingerprint
+             |FROM e""".stripMargin)),
+
     // gzip ingestion round trip: every document's text → a spec-complete
     // RFC 1952 member (real CRC-32/ISIZE trailer, stored-mode DEFLATE) →
     // decoded back through the REAL java.util.zip.GZIPInputStream (which
