@@ -145,12 +145,8 @@ object Multimodal {
     PngCodec.encode(PngCodec.Image(w, h, 3, px))
   }
 
-  def pngFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(id => MediaRecord(id, pngFixture(id))))
-  }
+  def pngFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(pngFixture)
 
   /** Real pixel decode + per-image stats in one per-partition pass (one
     * reused Inflater per partition — the "per-partition decoder setup"
@@ -161,7 +157,7 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      val inf = new java.util.zip.Inflater()
+      val inf = partitionInflater()
       it.map { r =>
         PngCodec.decode(r.media, inf) match {
           case Some(img) =>
@@ -237,7 +233,7 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      val inf = new java.util.zip.Inflater()
+      val inf = partitionInflater()
       it.flatMap { r =>
         PngCodec.decode(r.media, inf).map { img =>
           def gray(x: Int, y: Int): Int = {
@@ -272,25 +268,38 @@ object Multimodal {
   /** Perceptual near-duplicate pairs: dHash → four 16-bit bands →
     * equi-join per band (bucketed, NOT all-pairs — the banding guarantees
     * every pair within hamming ≤ 3 shares at least one exact band) →
-    * exact hamming verify on the candidates. Returns (cached dhash
+    * exact hamming verify on the candidates. Hot buckets are capped with
+    * the same guard as text/embedding LSH (`Dedup.capBuckets`): a corpus
+    * with 100k copies of one image would otherwise put them all in one
+    * bucket in all four bands and the self-join would emit 4·C(100k, 2)
+    * candidates. Dropped members pair with their bucket representative
+    * instead (`bucketRescuePairs` star — O(dropped), and the exact
+    * hamming verify below still applies, so precision is untouched and
+    * cluster-level recall survives transitively). Returns (cached dhash
     * relation, pairs); the caller releases the cache after consuming. */
-  def imageNearDupPairs(ds: Dataset[MediaRecord],
-      maxHamming: Int = 3): (DataFrame, DataFrame) = {
+  def imageNearDupPairs(ds: Dataset[MediaRecord], maxHamming: Int = 3,
+      maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket)
+      : (DataFrame, DataFrame) = {
     require(maxHamming <= 3,
       s"4-band LSH only guarantees recall up to hamming 3, got $maxHamming")
     val h = imageDHash(ds).select("doc_id", "dhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = h.select(col("doc_id"), col("dhash"),
+    val rawBanded = h.select(col("doc_id"), col("dhash"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("v", expr("shiftrightunsigned(dhash, 16 * band) & 65535"))
+    val banded = graft.operators.Dedup.capBuckets(
+      rawBanded, "doc_id", Seq("band", "v"), maxBucket)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .union(graft.operators.Dedup.bucketRescuePairs(
+        rawBanded, "doc_id", Seq("band", "v"), maxBucket))
       .distinct()
     val pairs = cand
+      .join(h.select(col("doc_id").as("doc_a"), col("dhash").as("ha")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"), col("dhash").as("hb")), "doc_b")
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -331,12 +340,8 @@ object Multimodal {
     PngCodec.encode(PngCodec.Image(w, h, 3, px))
   }
 
-  def pngNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(id => MediaRecord(id, pngNearFixture(id))))
-  }
+  def pngNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(pngNearFixture)
 
   /** Canonical 16 kHz mono WAV whose 64 16-bit samples follow a NONLINEAR
     * integer mix (u = (id·131 + i·29 + 1)·2654435761; s = (u XOR u/512)
@@ -362,12 +367,8 @@ object Multimodal {
       "data".getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data
   }
 
-  def audioFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(id => MediaRecord(id, audioFixture(id))))
-  }
+  def audioFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(audioFixture)
 
   /** Perceptual audio fingerprint over really-decoded PCM: the clip's
     * energy envelope (sum |s| per frame, 16 equal frames) reduced to 15
@@ -420,7 +421,7 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      val inf = new java.util.zip.Inflater()
+      val inf = partitionInflater()
       it.map { r =>
         PngCodec.decode(r.media, inf) match {
           case Some(img) => MediaRecord(r.doc_id,
@@ -473,12 +474,8 @@ object Multimodal {
     ftyp ++ moov ++ mdat
   }
 
-  def mp4Fixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(id => MediaRecord(id, mp4Fixture(id))))
-  }
+  def mp4Fixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(mp4Fixture)
 
   /** Box-walk metadata per clip: brand, movie timescale/duration (exact
     * integer ms), track count. Null row fields when the payload is not a
@@ -499,6 +496,28 @@ object Multimodal {
       "duration_ms", "n_tracks")
   }
 
+  /** One deterministic payload per input id, built distributedly — the
+    * single wrapper behind every fixture family (payload fn is the only
+    * thing that varies). */
+  private def fixtureDs(docs: DataFrame, idCol: String)(
+      f: Long => Array[Byte]): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, f(id))))
+  }
+
+  /** Per-partition Inflater whose native zlib buffers are released
+    * DETERMINISTICALLY at task end (a bare `new Inflater` waits for GC
+    * finalization — off-heap memory the JVM heap accounting never sees,
+    * accumulating on long-lived executors). */
+  private def partitionInflater(): java.util.zip.Inflater = {
+    val inf = new java.util.zip.Inflater()
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => inf.end())
+    inf
+  }
+
   /** documents(text) → MediaRecord with the UTF-8 bytes as the payload —
     * the test stand-in for reading a binary media column from parquet. */
   def fromText(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
@@ -511,12 +530,8 @@ object Multimodal {
 
   /** One deterministic real-header payload per input id — media-column
     * test data generated distributedly (no driver-side byte building). */
-  def fixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(id => MediaRecord(id, MediaFixtures.payload(id))))
-  }
+  def fixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(MediaFixtures.payload)
 
   /** Batched decode: one decoder per partition, streamed. Byte stats are
     * one tight loop; metadata is the real [[MediaHeader]] parse. */
