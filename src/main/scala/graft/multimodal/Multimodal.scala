@@ -31,10 +31,15 @@ final case class MediaFeatures(
   * with a `BinaryType` payload, decode as `mapPartitions` (one decoder
   * instance per partition, streaming iterator — no per-row setup, no
   * driver collect; the 100 TB path is "binary parquet in, features out,
-  * no shuffle"). Header metadata comes from [[MediaHeader]] — a real
-  * pure-JVM parse of the PNG/BMP/RIFF-WAV container specs, not a stub.
-  * Only PIXEL/SAMPLE decode (which needs codec libraries this container
-  * lacks) remains out of scope; [[resizeStub]] marks where it would slot.
+  * no shuffle"). The decoders are real, pure-JVM implementations of the
+  * published specs: container metadata via [[MediaHeader]] (PNG / BMP /
+  * RIFF-WAV / JPEG / GIF) and [[Mp4]], PNG pixels via [[PngCodec]]
+  * (java.util.zip.Inflater IS the real zlib), 16-bit PCM samples read
+  * directly (PCM is its own decoded form), gzip members via [[Gzip]].
+  * Derived on top: perceptual image dHash + banded near-dup pairs,
+  * audio energy-envelope fingerprints, per-format routing. The only
+  * remaining stand-in is [[resizeStub]]'s byte-stride sampler for
+  * non-PNG payloads — [[resizePng]] does the real pixel-space resize.
   */
 object Multimodal {
 
