@@ -50,7 +50,11 @@ object Gzip {
     else try {
       val in = new GZIPInputStream(new ByteArrayInputStream(b))
       try {
-        val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+        // size hint in Long: b.length * 4 wraps Int past 512 MiB and a
+        // negative capacity throws IllegalArgumentException — which is
+        // not an IOException and would escape the never-throw contract
+        val hint = math.min(b.length.toLong * 4, 1L << 16).toInt
+        val out = new java.io.ByteArrayOutputStream(hint)
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n >= 0) {
@@ -60,7 +64,7 @@ object Gzip {
         }
         Some(out.toByteArray)
       } finally in.close()
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** documents → (doc_id, gz): each text as one spec-complete gzip
     * member, built distributedly. */

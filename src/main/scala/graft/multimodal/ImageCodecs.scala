@@ -1,0 +1,25 @@
+package graft.multimodal
+
+import java.util.zip.Inflater
+
+/** Magic-byte router over the real pixel decoders — the single entry
+  * point a mixed-format corpus scan uses. PNG routes through the shared
+  * per-partition [[Inflater]]; JPEG needs no native context. Unrecognized
+  * or corrupt payloads are None (route-elsewhere, never throw). */
+object ImageCodecs {
+
+  /** Container of a payload by magic alone (cheap pre-dispatch). */
+  def sniff(b: Array[Byte]): String =
+    if (b == null || b.length < 3) "unknown"
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N') "png"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else "unknown"
+
+  /** Decode any supported image container to packed RGB(A) pixels. */
+  def decode(b: Array[Byte], inf: Inflater): Option[PngCodec.Image] =
+    sniff(b) match {
+      case "png" => PngCodec.decode(b, inf)
+      case "jpeg" => JpegCodec.decode(b)
+      case _ => None
+    }
+}

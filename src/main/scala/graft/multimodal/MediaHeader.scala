@@ -232,7 +232,7 @@ object MediaMeta {
 object MediaFunctions {
   val fns: Seq[(String, FunctionBuilder, String)] = Seq(
     ("media_meta", (e: Seq[Expression]) => MediaMeta(e(0)),
-      "media_meta(bytes) - container-header metadata (png/bmp/wav) as a struct"))
+      "media_meta(bytes) - container-header metadata (png/bmp/wav/jpeg/gif) as a struct"))
 
   def descriptors: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
     fns.map { case (name, builder, usage) =>

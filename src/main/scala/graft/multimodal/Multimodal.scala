@@ -34,12 +34,13 @@ final case class MediaFeatures(
   * no shuffle"). The decoders are real, pure-JVM implementations of the
   * published specs: container metadata via [[MediaHeader]] (PNG / BMP /
   * RIFF-WAV / JPEG / GIF) and [[Mp4]], PNG pixels via [[PngCodec]]
-  * (java.util.zip.Inflater IS the real zlib), 16-bit PCM samples read
-  * directly (PCM is its own decoded form), gzip members via [[Gzip]].
-  * Derived on top: perceptual image dHash + banded near-dup pairs,
-  * audio energy-envelope fingerprints, per-format routing. The only
-  * remaining stand-in is [[resizeStub]]'s byte-stride sampler for
-  * non-PNG payloads — [[resizePng]] does the real pixel-space resize.
+  * (java.util.zip.Inflater IS the real zlib), baseline JPEG pixels via
+  * [[JpegCodec]] (T.81 Huffman + IDCT, implemented per spec), 16-bit
+  * PCM samples read directly (PCM is its own decoded form), gzip
+  * members via [[Gzip]]. Derived on top: perceptual image dHash +
+  * banded near-dup pairs over BOTH image formats ([[ImageCodecs]]
+  * routing), audio energy-envelope fingerprints, real pixel-space
+  * resize for every supported format, per-format routing.
   */
 object Multimodal {
 
@@ -155,16 +156,17 @@ object Multimodal {
 
   /** Real pixel decode + per-image stats in one per-partition pass (one
     * reused Inflater per partition — the "per-partition decoder setup"
-    * the mapPartitions shape exists for). Exact integer channel sums, no
-    * floats. Unrecognized/corrupt payloads surface as n-null rows rather
-    * than exceptions. */
-  def decodePngStats(ds: Dataset[MediaRecord]): DataFrame = {
+    * the mapPartitions shape exists for), routed by container magic
+    * ([[ImageCodecs]]: PNG and baseline JPEG). Exact integer channel
+    * sums, no floats. Unrecognized/corrupt payloads surface as n-null
+    * rows rather than exceptions. */
+  def decodeImageStats(ds: Dataset[MediaRecord]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
       val inf = partitionInflater()
       it.map { r =>
-        PngCodec.decode(r.media, inf) match {
+        ImageCodecs.decode(r.media, inf) match {
           case Some(img) =>
             val sums = new Array[Long](3)
             var i = 0
@@ -233,14 +235,16 @@ object Multimodal {
     * adjacent pair. The standard perceptual fingerprint an image-dedup
     * pipeline computes right after decode. Byte j (row j's 8 gradient
     * bits) is packed at bits 8j of `dhash` and rendered first in
-    * `dhash_hex`. Non-PNG/corrupt payloads are dropped (flatMap). */
+    * `dhash_hex`. Decode is routed by container magic ([[ImageCodecs]]:
+    * PNG + baseline JPEG, the formats that dominate a web corpus);
+    * undecodable payloads are dropped (flatMap). */
   def imageDHash(ds: Dataset[MediaRecord]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
       val inf = partitionInflater()
       it.flatMap { r =>
-        PngCodec.decode(r.media, inf).map { img =>
+        ImageCodecs.decode(r.media, inf).map { img =>
           def gray(x: Int, y: Int): Int = {
             val o = (y * img.width + x) * img.channels
             299 * (img.pixels(o) & 0xff) + 587 * (img.pixels(o + 1) & 0xff) +
@@ -280,10 +284,19 @@ object Multimodal {
     * candidates. Dropped members pair with their bucket representative
     * instead (`bucketRescuePairs` star — O(dropped), and the exact
     * hamming verify below still applies, so precision is untouched and
-    * cluster-level recall survives transitively). Returns (cached dhash
-    * relation, pairs); the caller releases the cache after consuming. */
+    * cluster-level recall survives transitively). PAIR-level recall
+    * caveat: when the cap engages in ALL four bands, a pair of two
+    * dropped members is only recovered through their shared
+    * representative, so the emitted pair SET is star-shaped there —
+    * cluster membership is preserved, the full pairwise closure is not
+    * (a brute-force oracle would list pairs this path never emits). The
+    * default cap is therefore 8× the text-LSH default: these bands are
+    * 16-bit values, so legitimate buckets are tiny and only a truly
+    * degenerate corpus (>8192 byte-identical hashes) engages the cap.
+    * Returns (cached dhash relation, pairs); the caller releases the
+    * cache after consuming. */
   def imageNearDupPairs(ds: Dataset[MediaRecord], maxHamming: Int = 3,
-      maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket)
+      maxBucket: Int = 8 * graft.operators.Dedup.DefaultMaxBucket)
       : (DataFrame, DataFrame) = {
     require(maxHamming <= 3,
       s"4-band LSH only guarantees recall up to hamming 3, got $maxHamming")
@@ -347,6 +360,94 @@ object Multimodal {
 
   def pngNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
     fixtureDs(docs, idCol)(pngNearFixture)
+
+  /** doc_id → a complete REAL baseline JPEG, 16×16, alternating 4:4:4
+    * (even ids) and 4:2:0 (odd ids), restart markers every 2 MCUs when
+    * id%3==0 — so the oracle-checked corpus exercises Huffman DC chains,
+    * AC run/size coding, both subsampling layouts, and RSTn resync.
+    *
+    * The quantized coefficients live on the {(0,0),(4,0),(0,4),(4,4)}
+    * basis, where every IDCT term is exactly F/8 (cos((2x+1)·4π/16) =
+    * ±√2/2): with luma quant 8 and chroma quant 16 the decoded samples
+    * are EXACT integers a SQL oracle rebuilds from first principles —
+    * luma Y(x,y) = 128 + a + sx·b + sy·c + sx·sy·d per 8×8 block (sx =
+    * +1 for x%8 ∈ {0,3,4,7} else −1), DC-only chroma = 128 + 2·dc, and
+    * the fixed-point YCbCr→RGB of [[JpegCodec]] is integer arithmetic
+    * the oracle mirrors verbatim. Any decode slip — wrong Huffman table,
+    * predictor reset, dequant index, IDCT scale, upsample index, or
+    * conversion constant — lands in the channel sums. */
+  def jpegFixture(docId: Long): Array[Byte] = {
+    val mode420 = docId % 2 == 1
+    val q8 = Array.fill(64)(8)
+    val q16 = Array.fill(64)(16)
+    def block(comp: Int, by: Int, bx: Int): Array[Int] = {
+      val c = new Array[Int](64)
+      comp match {
+        case 0 =>
+          c(0) = ((docId * 7 + by * 5 + bx * 3) % 48).toInt - 24
+          c(4) = ((docId * 11 + by * 7 + bx * 5) % 24).toInt - 12
+          c(32) = ((docId * 13 + by * 3 + bx * 7) % 24).toInt - 12
+          c(36) = ((docId * 5 + by * 11 + bx * 13) % 16).toInt - 8
+        case 1 =>
+          c(0) = ((docId * 3 + by * 2 + bx) % 20).toInt - 10
+        case _ =>
+          c(0) = ((docId * 9 + by + bx * 2) % 20).toInt - 10
+      }
+      c
+    }
+    JpegCodec.encode(16, 16, mode420, q8, q16, block,
+      restartInterval = if (docId % 3 == 0) 2 else 0)
+  }
+
+  def jpegFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(jpegFixture)
+
+  /** Real-JPEG fixtures with CONTROLLED near-duplicates, the JPEG twin of
+    * [[pngNearFixture]]: ids in the same group of 8 share coefficients;
+    * non-canonical members bump the DC of luma block (0,1) by 1–2, which
+    * shifts that block's Y uniformly and can flip only the dHash bits
+    * whose comparison touches that block — in-group hamming stays small
+    * while cross-group hashes are uncorrelated. Geometry is 72×16 — nine
+    * luma block COLUMNS, so each of the nine dHash sample columns lands
+    * in a different block and every gradient bit compares two
+    * independently-seeded blocks (a 16×16 two-block design concentrates
+    * the hash into a handful of sign patterns, and at 50k docs the
+    * cross-group hamming≤3 collisions explode quadratically). Chroma
+    * coefficients are zero (Cb = Cr = 128), so RGB = Y exactly under the
+    * fixed-point conversion and the oracle works in luma alone. Groups
+    * alternate 4:4:4 / 4:2:0 (72 is not a multiple of 16, so the 4:2:0
+    * groups also exercise padded-MCU decode) and both layouts flow
+    * through the perceptual path. */
+  def jpegNearFixture(docId: Long): Array[Byte] = {
+    val base = docId - docId % 8
+    val m = docId % 8
+    val bump = if (m == 0) 0 else (m % 2).toInt + 1
+    val q8 = Array.fill(64)(8)
+    val q16 = Array.fill(64)(16)
+    // NONLINEAR coefficient mix (same Knuth-multiplier construction as
+    // pngNearFixture, and for the same reason: linear-in-index formulas
+    // make every gradient comparison the sign of a near-constant step,
+    // collapsing the corpus to a handful of distinct hashes): exact in
+    // 64-bit on both engines, so the SQL oracle reproduces it verbatim.
+    def mix(by: Int, bx: Int, slot: Int, range: Int): Int = {
+      val u = (base * 131 + by * 37 + bx * 11 + slot * 29 + 1) * 2654435761L
+      (((u ^ (u >> 10)) % range) - range / 2).toInt
+    }
+    def block(comp: Int, by: Int, bx: Int): Array[Int] = {
+      val c = new Array[Int](64)
+      if (comp == 0) {
+        c(0) = mix(by, bx, 0, 48) + (if (by == 0 && bx == 1) bump else 0)
+        c(4) = mix(by, bx, 1, 24)
+        c(32) = mix(by, bx, 2, 24)
+        c(36) = mix(by, bx, 3, 16)
+      }
+      c
+    }
+    JpegCodec.encode(72, 16, mode420 = (base / 8) % 2 == 1, q8, q16, block)
+  }
+
+  def jpegNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(jpegNearFixture)
 
   /** Canonical 16 kHz mono WAV whose 64 16-bit samples follow a NONLINEAR
     * integer mix (u = (id·131 + i·29 + 1)·2654435761; s = (u XOR u/512)
@@ -418,17 +519,22 @@ object Multimodal {
     }).toDF("doc_id", "fingerprint")
   }
 
-  /** Decode → nearest-neighbor resize → RE-ENCODE as a real PNG: the full
-    * image-preprocessing round trip of a training pipeline, per partition
-    * with a reused Inflater. Payloads that don't decode pass through
-    * unchanged (route-elsewhere semantics). */
-  def resizePng(ds: Dataset[MediaRecord], dw: Int, dh: Int): Dataset[MediaRecord] = {
+  /** Decode (routed: PNG or baseline JPEG) → nearest-neighbor resize in
+    * PIXEL space → RE-ENCODE as a real PNG: the full image-preprocessing
+    * round trip of a training pipeline, per partition with a reused
+    * Inflater. PNG is the canonical output container (lossless — a
+    * resize stage must not add a second generation of DCT loss to JPEG
+    * inputs). Payloads that don't decode pass through unchanged
+    * (route-elsewhere semantics). Replaces the byte-stride `resizeStub`
+    * this engine shipped through r7 — every supported image format now
+    * takes the real pixel path. */
+  def resizeImage(ds: Dataset[MediaRecord], dw: Int, dh: Int): Dataset[MediaRecord] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
       val inf = partitionInflater()
       it.map { r =>
-        PngCodec.decode(r.media, inf) match {
+        ImageCodecs.decode(r.media, inf) match {
           case Some(img) => MediaRecord(r.doc_id,
             PngCodec.encode(PngCodec.resizeNearest(img, dw, dh)))
           case None => r
@@ -578,24 +684,6 @@ object Multimodal {
       while (j < dim) { h(j) *= inv; j += 1 }
       (r.doc_id, h)
     }).toDF("doc_id", "embedding")
-  }
-
-  /** Resize stub: downsample the payload to a fixed `target` length by
-    * strided byte selection — the plumbing shape of image resize (fixed
-    * output geometry per row, pure per-partition map). This is the one
-    * remaining stand-in: a pixel-space scaler needs a codec library this
-    * container does not have; swap the sampler for one without touching
-    * the plumbing. */
-  def resizeStub(ds: Dataset[MediaRecord], target: Int): Dataset[MediaRecord] = {
-    val spark = ds.sparkSession
-    import spark.implicits._
-    ds.mapPartitions(_.map { r =>
-      val n = r.media.length
-      val out =
-        if (n <= target) r.media
-        else Array.tabulate(target)(i => r.media((i.toLong * n / target).toInt))
-      MediaRecord(r.doc_id, out)
-    })
   }
 
   /** Frame sampling stub: every `stride`-th byte as a "frame" digest —

@@ -72,7 +72,12 @@ object PngCodec {
     }
     if (!sawEnd || idat.size() == 0) return None
 
-    val raw = new Array[Byte](h * (1 + w * ch))
+    // Deflate expands at most ~1032:1 (one distance-1 match per bit), so
+    // a tiny hostile payload with maximal IHDR dims cannot force the full
+    // ~268 MB raw allocation before failing — reject it pre-alloc.
+    val rawLen = h.toLong * (1 + w.toLong * ch)
+    if (rawLen > idat.size().toLong * 1032L) return None
+    val raw = new Array[Byte](rawLen.toInt)
     inf.reset()
     inf.setInput(idat.toByteArray)
     var off = 0

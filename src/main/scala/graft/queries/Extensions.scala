@@ -246,6 +246,49 @@ object Extensions extends QueryModule {
        |  FROM gm)
        |$finalSelect""".stripMargin
 
+  /** Shared dHash oracle scaffolding for the JPEG near-fixtures
+    * (Multimodal.jpegNearFixture): rebuilds the DECODED luma from the
+    * coefficient-space closed form (Y = 128 + a + sx·b + sy·c + sx·sy·d
+    * per 8×8 block, the exact-basis identity JpegCodec's fixture design
+    * rests on), samples the 9×8 dHash grid of the fixed 72×16 geometry —
+    * sample columns are x = 8i, so every grid point has x%8 = 0 (sx =
+    * +1) and block column bx = i — and emits the per-row gradient bytes
+    * `b` (CTE `bh`). Chroma is zero in these fixtures so RGB = Y and the
+    * oracle works in luma alone. The final SELECT renders hex
+    * (q_jpeg_dhash) or brute hamming pairs (q_jpeg_neardup). */
+  private[queries] def jpegDhashOracle(finalSelect: String): String =
+    s"""WITH g AS (SELECT doc_id, doc_id - doc_id % 8 AS base,
+       |    CASE WHEN doc_id % 8 = 0 THEN 0
+       |         ELSE (doc_id % 8) % 2 + 1 END AS bump
+       |  FROM documents),
+       |ym AS (SELECT doc_id,
+       |  list_transform([0,2,4,6,8,10,12,14], y ->
+       |    list_transform(range(9), i ->
+       |      128
+       |      + xor((base*131 + (y//8)*37 + i*11 + 1) * 2654435761,
+       |            (base*131 + (y//8)*37 + i*11 + 1) * 2654435761 // 1024)
+       |        % 48 - 24
+       |      + CASE WHEN y//8 = 0 AND i = 1 THEN bump ELSE 0 END
+       |      + xor((base*131 + (y//8)*37 + i*11 + 30) * 2654435761,
+       |            (base*131 + (y//8)*37 + i*11 + 30) * 2654435761 // 1024)
+       |        % 24 - 12
+       |      + (CASE WHEN list_contains([0,3,4,7], y%8) THEN 1 ELSE -1 END)
+       |        * (xor((base*131 + (y//8)*37 + i*11 + 59) * 2654435761,
+       |               (base*131 + (y//8)*37 + i*11 + 59) * 2654435761 // 1024)
+       |           % 24 - 12)
+       |      + (CASE WHEN list_contains([0,3,4,7], y%8) THEN 1 ELSE -1 END)
+       |        * (xor((base*131 + (y//8)*37 + i*11 + 88) * 2654435761,
+       |               (base*131 + (y//8)*37 + i*11 + 88) * 2654435761 // 1024)
+       |           % 16 - 8))) AS m
+       |  FROM g),
+       |bh AS (SELECT doc_id,
+       |  list_transform(range(8), j ->
+       |    (list_sum(list_transform(range(8), i ->
+       |      CASE WHEN m[j+1][i+2] > m[j+1][i+1] THEN 1 << i ELSE 0 END))
+       |      )::BIGINT) AS b
+       |  FROM ym)
+       |$finalSelect""".stripMargin
+
   private val langs = TextAnalysis.stopwords.map(_._1)
 
   /** Alphabetical-first-argmax CASE chain — the SAME string is valid Spark
@@ -844,6 +887,11 @@ object Extensions extends QueryModule {
       // unreachable from text: PNG \x89 and JPEG \xFF can't lead valid
       // UTF-8, BMP needs a binary DIB-size field, RIFF needs binary
       // chunk sizes.
+      // ASCII-corpus invariant: the oracle's substr/length/ascii are
+      // CHARACTER-indexed while the Spark side is byte-indexed — they
+      // agree only because the generated documents.text is pure ASCII
+      // (verified by MultimodalSpec's ascii-invariant assertion; a
+      // multi-byte UTF-8 char in the first 29 bytes would diverge).
       Some("""WITH d AS (SELECT *,
              |    (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%')
              |      AND length(text) >= 13 AS gifish
@@ -969,7 +1017,7 @@ object Extensions extends QueryModule {
     // (wrong stride, filter, byte order, inflate offset) lands in sum_r/
     // sum_g/sum_b or px0_hex and hash-mismatches.
     GraftQuery("q_png_pixels",
-      (s, dir) => Multimodal.decodePngStats(
+      (s, dir) => Multimodal.decodeImageStats(
         Multimodal.pngFixtures(t(s, dir, "documents"), "doc_id")),
       Some("""WITH d AS (SELECT doc_id, doc_id % 8 + 1 AS w,
              |    doc_id % 6 + 1 AS h FROM documents)
@@ -995,8 +1043,8 @@ object Extensions extends QueryModule {
     // pixels (sx ∈ {0, w/2}, sy ∈ {0, h/2}) — a wrong NN index lands in
     // the sums; a byte-order slip lands in px0_hex.
     GraftQuery("q_png_resize",
-      (s, dir) => Multimodal.decodePngStats(
-        Multimodal.resizePng(
+      (s, dir) => Multimodal.decodeImageStats(
+        Multimodal.resizeImage(
           Multimodal.pngFixtures(t(s, dir, "documents"), "doc_id"), 2, 2)),
       Some("""WITH d AS (SELECT doc_id, doc_id % 8 + 1 AS w,
              |    doc_id % 6 + 1 AS h FROM documents),
@@ -1098,6 +1146,90 @@ object Extensions extends QueryModule {
         drained(s, cached, pairs)
       },
       Some(Extensions.imageDhashOracle(
+        """SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+          |  list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1]))))::BIGINT AS hamming
+          |FROM bh a JOIN bh b2 ON a.doc_id < b2.doc_id
+          |WHERE list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3"""
+          .stripMargin))),
+
+    // real baseline-JPEG PIXEL decode (r7 verdict #1): the fixtures are
+    // complete REAL JPEGs — Annex K Huffman tables, DC differential +
+    // AC run/size entropy coding, 4:4:4 and 4:2:0 layouts, restart
+    // markers — and the Spark side must run the actual T.81 decode
+    // (Huffman → dequant → IDCT → upsample → fixed-point YCbCr→RGB) to
+    // reach the pixels. The coefficients live on the exact-IDCT basis
+    // (see Multimodal.jpegFixture), so the oracle rebuilds every channel
+    // sum from first principles; any slip in any stage hash-mismatches.
+    GraftQuery("q_jpeg_pixels",
+      (s, dir) => Multimodal.decodeImageStats(
+        Multimodal.jpegFixtures(t(s, dir, "documents"), "doc_id")),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 2 AS md FROM documents),
+             |pix AS (SELECT doc_id,
+             |  flatten(list_transform(range(16), y ->
+             |    list_transform(range(16), x -> [
+             |      128 + (doc_id*7 + (y//8)*5 + (x//8)*3) % 48 - 24
+             |      + (CASE WHEN list_contains([0,3,4,7], x%8)
+             |              THEN 1 ELSE -1 END)
+             |        * ((doc_id*11 + (y//8)*7 + (x//8)*5) % 24 - 12)
+             |      + (CASE WHEN list_contains([0,3,4,7], y%8)
+             |              THEN 1 ELSE -1 END)
+             |        * ((doc_id*13 + (y//8)*3 + (x//8)*7) % 24 - 12)
+             |      + (CASE WHEN list_contains([0,3,4,7], x%8)
+             |              THEN 1 ELSE -1 END)
+             |        * (CASE WHEN list_contains([0,3,4,7], y%8)
+             |                THEN 1 ELSE -1 END)
+             |        * ((doc_id*5 + (y//8)*11 + (x//8)*13) % 16 - 8),
+             |      2 * ((doc_id*3 + (CASE WHEN md=0 THEN y//8 ELSE 0 END)*2
+             |           + (CASE WHEN md=0 THEN x//8 ELSE 0 END)) % 20 - 10),
+             |      2 * ((doc_id*9 + (CASE WHEN md=0 THEN y//8 ELSE 0 END)
+             |           + (CASE WHEN md=0 THEN x//8 ELSE 0 END)*2) % 20 - 10)
+             |    ]))) AS p
+             |  FROM d),
+             |rgb AS (SELECT doc_id,
+             |    list_transform(p, v ->
+             |      v[1] + (91881*v[3] + 32768 + 1073741824) // 65536 - 16384)
+             |      AS rs,
+             |    list_transform(p, v ->
+             |      v[1] - ((22554*v[2] + 46802*v[3] + 32768 + 1073741824)
+             |              // 65536 - 16384)) AS gs,
+             |    list_transform(p, v ->
+             |      v[1] + (116130*v[2] + 32768 + 1073741824) // 65536 - 16384)
+             |      AS bs
+             |  FROM pix)
+             |SELECT doc_id, 16::BIGINT AS width, 16::BIGINT AS height,
+             |  3::BIGINT AS channels,
+             |  list_sum(rs)::BIGINT AS sum_r,
+             |  list_sum(gs)::BIGINT AS sum_g,
+             |  list_sum(bs)::BIGINT AS sum_b,
+             |  printf('%02x%02x%02x', rs[1], gs[1], bs[1]) AS px0_hex
+             |FROM rgb""".stripMargin)),
+
+    // perceptual fingerprint over really-decoded JPEG pixels — the JPEG
+    // twin of q_image_dhash, through the same routed imageDHash path.
+    // The oracle rebuilds the decoded luma from the exact-basis closed
+    // form and recomputes the gradient bits.
+    GraftQuery("q_jpeg_dhash",
+      (s, dir) => Multimodal.imageDHash(
+        Multimodal.jpegNearFixtures(t(s, dir, "documents"), "doc_id"))
+        .select(col("doc_id"), col("dhash_hex")),
+      Some(Extensions.jpegDhashOracle("SELECT doc_id, " +
+        "printf('%02x%02x%02x%02x%02x%02x%02x%02x', b[1], b[2], b[3], " +
+        "b[4], b[5], b[6], b[7], b[8]) AS dhash_hex FROM bh"))),
+
+    // perceptual near-dup pairs over JPEG — same banded + capped +
+    // rescue path as q_image_neardup, brute-force oracle. In-group
+    // variants differ by a DC bump on one luma block, so true pairs sit
+    // at small hamming; the DCT-domain structure is what a real
+    // recompressed-image dedup faces.
+    GraftQuery("q_jpeg_neardup",
+      (s, dir) => {
+        val (cached, pairs) = Multimodal.imageNearDupPairs(
+          Multimodal.jpegNearFixtures(t(s, dir, "documents"), "doc_id"))
+        drained(s, cached, pairs)
+      },
+      Some(Extensions.jpegDhashOracle(
         """SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
           |  list_sum(list_transform(range(8), k ->
           |    bit_count(xor(a.b[k+1], b2.b[k+1]))))::BIGINT AS hamming

@@ -36,14 +36,38 @@ class MultimodalSpec extends SparkSpec {
       (1L, 0L, 'a'.toLong), (1L, 3L, 'd'.toLong), (1L, 6L, 'g'.toLong)))
   }
 
-  test("resizeStub downsamples to the target length and keeps short payloads") {
+  test("resizeImage routes every format through the real pixel path") {
     import spark.implicits._
-    val docs = Seq((1L, "0123456789abcdef"), (2L, "xy")).toDF("doc_id", "text")
-    val out = Multimodal.resizeStub(
-      Multimodal.fromText(docs, "doc_id", "text"), target = 4)
-      .collect().map(r => r.doc_id -> new String(r.media)).toMap
-    assert(out(1L) === "048c") // strided selection 16 → 4
-    assert(out(2L) === "xy")   // already under target: unchanged
+    val recs = Seq(
+      MediaRecord(0L, Multimodal.pngFixture(0L)), // png (1x1 here)
+      MediaRecord(1L, Multimodal.jpegFixture(1L)), // jpeg 16x16
+      MediaRecord(2L, "not an image".getBytes("UTF-8"))) // passthrough
+    val out = Multimodal.resizeImage(recs.toDS(), 4, 4)
+      .collect().map(r => r.doc_id -> r.media).toMap
+    // both decodable formats come back as REAL 4x4 PNGs
+    for (id <- Seq(0L, 1L)) {
+      val img = PngCodec.decode(out(id)).getOrElse(fail(s"doc $id not PNG"))
+      assert(img.width === 4 && img.height === 4)
+    }
+    // the JPEG's resized pixels equal the closed-form NN sample of its
+    // exact-basis decode (sx = x*16/4 → source cols 0,4,8,12)
+    val jImg = PngCodec.decode(out(1L)).get
+    val full = JpegCodec.decode(Multimodal.jpegFixture(1L)).get
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      assert(jImg.pixels((y * 4 + x) * 3 + c) ===
+        full.pixels(((y * 4) * 16 + x * 4) * 3 + c))
+    assert(out(2L) === "not an image".getBytes("UTF-8")) // unchanged
+  }
+
+  test("documents corpus is pure ASCII (q_multimodal_features oracle invariant)") {
+    import spark.implicits._
+    // the q_multimodal_features oracle indexes text by CHARACTER while
+    // the Spark side is byte-indexed; they agree only while the corpus
+    // is ASCII-clean — pin that invariant where the fixture data lives
+    val nonAscii = graft.Tables.t(spark, sfDir, "documents")
+      .select($"text").as[String]
+      .filter(t => t != null && t.exists(_ > 127)).count()
+    assert(nonAscii === 0L)
   }
 
   test("decode → featurize → ANN search composes into one pipeline") {
