@@ -5,6 +5,22 @@ import org.apache.spark.sql.SparkSession
   * and prints one JSON line. Each query is fully materialized through the
   * built-in `noop` sink — `count()` would let Catalyst prune every computed
   * column and time only the scan+agg skeleton.
+  *
+  * Reproducibility design (r7 verdict: a 21% total drift with no
+  * plan-relevant change made real regressions invisible):
+  *   - one FULL untimed warmup pass pays per-query codegen/JIT/classload
+  *     cost before any timing (the old single-query warmup left each
+  *     query's first-compile inside its own rep-1 sample);
+  *   - each timed pass runs the registry in a different rotation, so a
+  *     positional effect (one query's residue inflating its alphabetical
+  *     neighbor — the r4 pagerank/q_project_scalar incident) lands on
+  *     different queries each pass and the median shakes it off;
+  *   - an untimed GC fence between queries keeps one query's garbage from
+  *     being collected inside the next query's timed region (the r5
+  *     "GC episode smears a contiguous stretch" failure mode);
+  *   - per-pass box metadata (loadavg, MemAvailable, JVM GC seconds, wall
+  *     time) is recorded in the detail file so a drifted total can be
+  *     attributed to box load instead of code.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,12 +37,6 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Untimed warmup: pays one-time JVM/codegen/classloading cost (~5 s)
-    // so per-query numbers measure the queries, not startup.
-    SparkEntry.queries.get("q_grouped_sum").foreach(fn =>
-      try run(fn) catch { case _: Throwable => () })
-    spark.catalog.clearCache()
-
     // optional subset (args) for timing-isolation experiments; the driver
     // passes no args and times the full registry
     val only = args.toSet
@@ -35,30 +45,70 @@ object Bench {
 
     // Median-of-3: single-run numbers on this box swing up to 4× with no
     // code change (r5 verdict: q_group_split 4.33 vs 11.72 s across two
-    // runs of identical code — one GC/JIT episode smearing a contiguous
-    // alphabetical stretch). Running the FULL registry three times (rather
-    // than 3 back-to-back reps per query) separates the reps of any one
-    // query by minutes, so a transient GC episode can poison at most one
-    // of its three samples — the median survives.
+    // runs of identical code). Reps are FULL registry passes (not 3
+    // back-to-back runs per query), so the samples of any one query are
+    // separated by minutes and a transient episode poisons at most one.
     // Safe parse: reps=0 would make median() index s(-1); garbage would
     // throw before any timing ran. Anything unusable falls back to 3.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(3)
+
+    import scala.jdk.CollectionConverters._
+    def gcSeconds(): Double =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime.max(0L)).sum / 1e3
+    def loadAvg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def memAvailableGiB(): Double =
+      try scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toDouble / (1024 * 1024) }.getOrElse(-1.0)
+      catch { case _: Throwable => -1.0 }
 
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // Isolation (untimed): drop blocks a query left persisted so no
-      // query's residue contaminates the next timing (r4 verdict: the
-      // pagerank queries' stranded rank cuts inflated q_project_scalar
-      // 40× purely by alphabetical adjacency).
+      // query's residue contaminates the next timing, then collect this
+      // query's garbage NOW instead of letting it surface as a GC pause
+      // inside the next query's timed region.
       spark.catalog.clearCache()
+      System.gc()
       dt
     }
 
-    val runs: Seq[Map[String, Double]] = (1 to reps).map { _ =>
-      registry.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    // Untimed warmup pass over the whole registry: pays one-time
+    // codegen/JIT/classloading per query (the driver's per-round number
+    // should measure steady-state queries, not first-compile). Skippable
+    // via SPARK_GRAFT_BENCH_WARMUP=0 for quick local experiments.
+    case class PassMeta(kind: String, wallSec: Double, gcSec: Double,
+                        load1m: Double, memAvailGiB: Double)
+    val passMetas = scala.collection.mutable.ArrayBuffer.empty[PassMeta]
+    def meteredPass[A](kind: String)(body: => A): A = {
+      val (w0, g0) = (System.nanoTime(), gcSeconds())
+      val out = body
+      passMetas += PassMeta(kind, (System.nanoTime() - w0) / 1e9,
+        gcSeconds() - g0, loadAvg1m(), memAvailableGiB())
+      out
+    }
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+      meteredPass("warmup") {
+        registry.foreach { case (_, fn) => try run(fn) catch { case _: Throwable => () } }
+        spark.catalog.clearCache(); System.gc()
+      }
+
+    // Each pass rotates the execution order by a different offset so any
+    // position-dependent contamination shifts to a different query.
+    def rotated(i: Int): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+      val n = registry.size
+      if (n == 0) registry else { val off = (i * 61) % n; registry.drop(off) ++ registry.take(off) }
+    }
+    val runs: Seq[Map[String, Double]] = (1 to reps).map { i =>
+      meteredPass(s"rep$i") {
+        rotated(i).map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+      }
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -79,8 +129,10 @@ object Bench {
     }
     val extra: Seq[Map[String, Double]] =
       if (wobbly.isEmpty) Seq.empty
-      else (1 to 2).map { _ =>
-        wobbly.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+      else (1 to 2).map { j =>
+        meteredPass(s"extra$j") {
+          wobbly.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+        }
       }
     val samplesOf: Map[String, Seq[Double]] =
       registry.map { case (name, _) =>
@@ -100,12 +152,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // full per-query detail (median + min/max spread) for the side file
+    // full per-query detail (median + min/max spread) plus per-pass box
+    // metadata for the side file
     val detail = stats.map { case (k, med, mn, mx, n) =>
       s"\"" + k + s"""":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)},"spread":${fmt(mx - mn)},"runs":$n}"""
     }.mkString("{", ",", "}")
+    val passes = passMetas.map { m =>
+      s"""{"pass":"${m.kind}","wallSec":${fmt(m.wallSec)},"gcSec":${fmt(m.gcSec)},"load1m":${fmt(m.load1m)},"memAvailGiB":${fmt(m.memAvailGiB)}}"""
+    }.mkString("[", ",", "]")
     val detailLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$reps,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$reps,"passes":$passes,"queries":$detail,"sf":"$sfDir"}"""
     // The driver captures stdout with a tail that can truncate the
     // alphabetical head of the per-query map; persist the full line so
     // round-over-round comparisons never lose queries. SUBSET runs skip
