@@ -142,7 +142,14 @@ object FuzzyJoin {
     * that the exact Levenshtein verify kills, so correctness never rests
     * on the hash. Variant generation is per-row HOF work inside codegen.
     */
-  def selfJoinDeletion(df: DataFrame, idCol: String, strCol: String,
+  /** `(id, h)` deletion-variant hash keys — the FastSS blocking index for
+    * `strCol`: one row per distinct variant obtained by deleting 0..k
+    * characters, keyed by `xxhash64(variant)` (8 bytes; collisions only
+    * add candidates the exact verify kills). Shared by [[selfJoinDeletion]]
+    * and the streaming entity-resolution fold
+    * ([[graft.streaming.StreamingEntityResolution]]), which persists these
+    * keys as its incremental blocking state. */
+  def deletionVariantKeys(df: DataFrame, idCol: String, strCol: String,
       k: Int): DataFrame = {
     require(k >= 1 && k <= 2, s"deletion blocking targets k ≤ 2, got $k")
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
@@ -164,9 +171,14 @@ object FuzzyJoin {
             |           substring(s, j + 2, length(s)))))))""".stripMargin
         s"array_distinct(concat(array(s), $del1, $del2))"
       }
-    val keyed = base
-      .select(col("id"), explode(expr(
-        s"transform($variantsExpr, v -> xxhash64(v))")).as("h"))
+    base.select(col("id"), explode(expr(
+      s"transform($variantsExpr, v -> xxhash64(v))")).as("h"))
+  }
+
+  def selfJoinDeletion(df: DataFrame, idCol: String, strCol: String,
+      k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val keyed = deletionVariantKeys(df, idCol, strCol, k)
     val candidates = keyed
       .join(keyed.select(col("id").as("id_b"), col("h")), Seq("h"))
       .where(col("id") < col("id_b"))

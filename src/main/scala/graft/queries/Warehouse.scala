@@ -190,6 +190,45 @@ object Warehouse extends QueryModule {
              |SELECT g.c_custkey, g.entity_id, cn.c_name AS canonical_name
              |FROM g JOIN c cn ON cn.c_custkey = g.entity_id""".stripMargin)),
 
+    // ---- STREAMING entity resolution twin: the same corpus folded in
+    // three custkey-hash micro-batches through the incremental artifact
+    // ([[graft.streaming.StreamingEntityResolution]]) — FastSS variant
+    // index probe per batch + updateClusters contraction — must equal the
+    // batch capstone bit-for-bit, so it shares q_entity_resolution's
+    // brute-force recursive-CC oracle. ----
+    GraftQuery("q_entity_resolution_stream",
+      (s, dir) => {
+        val base = s"/tmp/graft_er_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingEntityResolution.init(s, base)
+        val cust = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), col("c_name"))
+        (0 to 2).foreach { i =>
+          graft.streaming.StreamingEntityResolution.foldBatch(s, base,
+            cust.where(pmod(col("c_custkey"), lit(3)) === i),
+            "c_custkey", "c_name", k = 2)
+        }
+        graft.streaming.StreamingEntityResolution.resolved(s, base)
+          .select(col("id").as("c_custkey"), col("entity_id"),
+            col("canonical_name"))
+      },
+      Some("""WITH RECURSIVE c AS (
+             |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0),
+             |p AS (SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b
+             |  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+             |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+             |      UNION ALL SELECT doc_b, doc_a FROM p),
+             |walk(id, lab) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT e.a, walk.lab FROM e JOIN walk ON walk.id = e.b),
+             |comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+             |g AS (SELECT c.c_custkey,
+             |    coalesce(comp.cluster_id, c.c_custkey) AS entity_id
+             |  FROM c LEFT JOIN comp ON c.c_custkey = comp.id)
+             |SELECT g.c_custkey, g.entity_id, cn.c_name AS canonical_name
+             |FROM g JOIN c cn ON cn.c_custkey = g.entity_id""".stripMargin)),
+
     // ---- survivorship / golden record: q_entity_resolution's clusters
     //      collapsed to ONE record per entity under explicit rules —
     //      identity fields from the earliest member (min_by custkey),

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Incremental entity resolution: per-micro-batch folds into the stored
+  * artifact must equal the batch recompute on the union — blocking is
+  * lossless and cluster labels are min-member ids, so the batch split
+  * cannot show through. */
+class StreamingEntityResolutionSpec extends SparkSpec {
+
+  private def freshBase(): String = {
+    val p = java.nio.file.Files.createTempDirectory("er_stream").toString
+    StreamingEntityResolution.init(spark, p)
+    p
+  }
+
+  test("3-batch streamed fold equals the batch recompute on the union") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val rows = Seq(
+      (1L, "Customer#0001"), (2L, "Customer#0002"), (3L, "Customer#0103"),
+      (4L, "Customer#9999"), (5L, "Customer#0001x"), (6L, "Custoner#0002"),
+      (7L, "Kustomer#0103"), (8L, "Wholly Different"), (9L, "Customer#01x3"))
+    val base = freshBase()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingEntityResolution.attach(in.toDF().toDF("id", "name"),
+      base, "id", "name", k = 2, checkpoint = s"$base/_ckpt")
+    try rows.grouped(3).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = StreamingEntityResolution.resolved(spark, base)
+      .as[(Long, Long, String)].collect().toSet
+
+    val all = rows.toDF("id", "s")
+    val pairs = graft.operators.FuzzyJoin.selfJoinDeletion(all, "id", "s", 2)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val clusters = graft.operators.Dedup.dupClusters(pairs)
+    val expected = all
+      .join(clusters.select(col("doc_id").as("id"), col("cluster_id")),
+        Seq("id"), "left")
+      .withColumn("entity_id", coalesce(col("cluster_id"), col("id")))
+      .join(all.select(col("id").as("entity_id"), col("s").as("canonical_name")),
+        Seq("entity_id"))
+      .select(col("id"), col("entity_id"), col("canonical_name"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.exists { case (id, e, _) => id != e })
+  }
+
+  test("a later bridge record merges two existing entities") {
+    import spark.implicits._
+    val base = freshBase()
+    def fold(rows: (Long, String)*): Unit =
+      StreamingEntityResolution.foldBatch(spark, base,
+        rows.toDF("id", "name"), "id", "name", k = 2)
+    def view(): Map[Long, Long] =
+      StreamingEntityResolution.resolved(spark, base)
+        .as[(Long, Long, String)].collect().map(r => r._1 -> r._2).toMap
+
+    fold((100L, "zeta aaaa"))
+    fold((110L, "zeta bbbb"))                   // dist 4 from 100: separate
+    assert(view() === Map(100L -> 100L, 110L -> 110L))
+    fold((120L, "zeta aabb"))                   // dist 2 to BOTH: bridges
+    assert(view() === Map(100L -> 100L, 110L -> 100L, 120L -> 100L))
+    val canon = StreamingEntityResolution.resolved(spark, base)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(canon(110L) === "zeta aaaa")         // entity 100's name wins
+  }
+
+  test("a replayed micro-batch is a no-op (at-least-once safety)") {
+    import spark.implicits._
+    val base = freshBase()
+    val batch = Seq((1L, "alpha one"), (2L, "alpha onx"))
+    StreamingEntityResolution.foldBatch(spark, base,
+      batch.toDF("id", "name"), "id", "name", k = 2)
+    val before = StreamingEntityResolution.resolved(spark, base)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    StreamingEntityResolution.foldBatch(spark, base,
+      batch.toDF("id", "name"), "id", "name", k = 2)
+    val after = StreamingEntityResolution.resolved(spark, base)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(after === before)
+    assert(before.map(_._1) === Seq(1L, 2L)) // no member duplication
+  }
+}
