@@ -89,4 +89,125 @@ object Mp4 {
     if (!ok || brand == null || timescale <= 0 || duration < 0) None
     else Some(Info(brand, timescale, duration, tracks))
   }
+
+  /** Sample tables of the first complete track (§8.5–8.7): codec 4CC from
+    * `stsd`, media timescale from `mdhd`, decode-time runs from `stts`
+    * (run-length (count, delta) pairs) and per-sample byte sizes from
+    * `stsz` (uniform when `sample_size != 0`). Everything a frame sampler
+    * needs to pick samples by timestamp without touching `mdat`. */
+  final case class Samples(codec: String, mediaTimescale: Long,
+      sampleCount: Long, runs: Vector[(Long, Long)], uniformSize: Long,
+      sizes: Vector[Long]) {
+    /** Decode timestamp (media ticks) of 0-based sample `i`: the prefix
+      * sum of the stts run deltas before it. */
+    def dtsOf(i: Long): Long = {
+      var left = i
+      var dts = 0L
+      var r = 0
+      while (r < runs.length && left > 0) {
+        val (cnt, delta) = runs(r)
+        val take = math.min(left, cnt)
+        dts += take * delta
+        left -= take
+        r += 1
+      }
+      dts
+    }
+    def sizeOf(i: Int): Long =
+      if (uniformSize > 0) uniformSize else sizes(i)
+  }
+
+  def parseSamples(b: Array[Byte]): Option[Samples] = {
+    if (b == null || b.length < 16 || fourCC(b, 4) != "ftyp") return None
+    var codec: String = null
+    var mts = -1L
+    var count = -1L
+    var runs = Vector.empty[(Long, Long)]
+    var uni = -1L
+    var sizes = Vector.empty[Long]
+    var done = false
+    val ok = walk(b, 0, b.length) { (typ, from, until) =>
+      if (typ != "moov") true
+      else walk(b, from, until) { (t1, f1, u1) =>
+        if (t1 != "trak" || done) true
+        else {
+          // reset per trak so a metadata-only track can't half-fill state
+          codec = null; mts = -1L; count = -1L
+          runs = Vector.empty; uni = -1L; sizes = Vector.empty
+          val trakOk = walk(b, f1, u1) { (t2, f2, u2) =>
+            if (t2 != "mdia") true
+            else walk(b, f2, u2) { (t3, f3, u3) =>
+              t3 match {
+                case "mdhd" =>
+                  if (u3 - f3 < 4) false
+                  else (b(f3) & 0xff) match {
+                    case 0 if u3 - f3 >= 20 => mts = be32(b, f3 + 12); true
+                    case 1 if u3 - f3 >= 28 => mts = be32(b, f3 + 20); true
+                    case _ => false
+                  }
+                case "minf" =>
+                  walk(b, f3, u3) { (t4, f4, u4) =>
+                    if (t4 != "stbl") true
+                    else walk(b, f4, u4) { (t5, f5, u5) =>
+                      t5 match {
+                        case "stsd" =>
+                          // FullBox + entry_count, then entry [size][4CC]
+                          if (u5 - f5 < 16 || be32(b, f5 + 4) < 1) false
+                          else { codec = fourCC(b, f5 + 12); true }
+                        case "stts" =>
+                          if (u5 - f5 < 8) false
+                          else {
+                            val ec = be32(b, f5 + 4)
+                            if (8 + ec * 8 > u5 - f5) false
+                            else {
+                              var j = 0
+                              val acc = Vector.newBuilder[(Long, Long)]
+                              while (j < ec) {
+                                acc += ((be32(b, f5 + 8 + j * 8),
+                                  be32(b, f5 + 12 + j * 8)))
+                                j += 1
+                              }
+                              runs = acc.result()
+                              true
+                            }
+                          }
+                        case "stsz" =>
+                          if (u5 - f5 < 12) false
+                          else {
+                            uni = be32(b, f5 + 4)
+                            count = be32(b, f5 + 8)
+                            if (uni != 0L) true
+                            else if (12 + count * 4 > u5 - f5) false
+                            else {
+                              var j = 0
+                              val acc = Vector.newBuilder[Long]
+                              while (j < count) {
+                                acc += be32(b, f5 + 12 + j * 4)
+                                j += 1
+                              }
+                              sizes = acc.result()
+                              true
+                            }
+                          }
+                        case _ => true // stsc, stco, ctts... not needed
+                      }
+                    }
+                  }
+                case _ => true // hdlr etc.
+              }
+            }
+          }
+          if (!trakOk) false
+          else {
+            // consistency: stts run counts must cover the stsz count
+            if (codec != null && mts > 0 && count >= 0 &&
+              runs.map(_._1).sum == count) done = true
+            true
+          }
+        }
+      }
+    }
+    if (!ok || !done) None
+    else Some(Samples(codec, mts, count, runs, uni, sizes))
+  }
 }

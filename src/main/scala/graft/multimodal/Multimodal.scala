@@ -686,15 +686,83 @@ object Multimodal {
     }).toDF("doc_id", "embedding")
   }
 
-  /** Frame sampling stub: every `stride`-th byte as a "frame" digest —
-    * the plumbing shape of video frame extraction (explode to one row per
-    * sampled frame). */
+  /** MP4 fixture with a full sample-table leg (§8.5–8.7): one video trak
+    * carrying mdhd (media timescale), a minimal 'avc1' stsd entry, a
+    * two-run stts and a per-sample stsz (uniform for doc%4==0 — both
+    * stsz branches exercised) — everything [[sampleFrames]] needs. Kept
+    * SEPARATE from [[mp4Fixture]], whose exact box layout is byte-pinned
+    * by q_mp4_meta's hdr_hex oracle. */
+  def mp4SampleFixture(docId: Long): Array[Byte] = {
+    import ByteIo.{be32b => be32}
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val n = (docId % 50 + 10).toInt       // sample count, 10..59
+    val n1 = n / 2                        // first stts run length
+    val d1 = (docId % 5 + 1) * 100        // ticks/sample, run 1
+    val d2 = d1 + 40                      // ticks/sample, run 2
+    val mts = 1000L * (docId % 4 + 1)     // media timescale
+    val dur = n1 * d1 + (n - n1) * d2
+
+    val ftyp = be32(24) ++ cc("ftyp") ++ cc("isom") ++ be32(0x200) ++
+      cc("isom") ++ cc("mp41")
+    val mvhd = be32(108) ++ cc("mvhd") ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(mts) ++ be32(dur) ++
+      be32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+      (be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be32(0x40000000L)) ++ new Array[Byte](24) ++ be32(2)
+    val tkhd = be32(92) ++ cc("tkhd") ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1) ++ new Array[Byte](68)
+    // mdhd v0 (§8.4.2): creation/modification, timescale, duration,
+    // language 'und' (0x55c4) + pre_defined
+    val mdhd = be32(32) ++ cc("mdhd") ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(mts) ++ be32(dur) ++ be32(0x55c40000L)
+    // stsd: one minimal SampleEntry — 6 reserved bytes + data_ref_index
+    val stsdEntry = be32(16) ++ cc("avc1") ++ new Array[Byte](6) ++
+      Array[Byte](0, 1)
+    val stsd = be32(16L + stsdEntry.length) ++ cc("stsd") ++ be32(0) ++
+      be32(1) ++ stsdEntry
+    val stts = be32(32) ++ cc("stts") ++ be32(0) ++ be32(2) ++
+      be32(n1.toLong) ++ be32(d1) ++ be32((n - n1).toLong) ++ be32(d2)
+    val stszBody =
+      if (docId % 4 == 0) be32(docId % 200 + 100) ++ be32(n.toLong)
+      else be32(0) ++ be32(n.toLong) ++
+        Array.range(0, n).flatMap(i => be32((docId * 13 + i * 7) % 991 + 1))
+    val stsz = be32(12L + stszBody.length) ++ cc("stsz") ++ be32(0) ++
+      stszBody
+    val stbl = be32(8L + stsd.length + stts.length + stsz.length) ++
+      cc("stbl") ++ stsd ++ stts ++ stsz
+    val minf = be32(8L + stbl.length) ++ cc("minf") ++ stbl
+    val mdia = be32(8L + mdhd.length + minf.length) ++ cc("mdia") ++
+      mdhd ++ minf
+    val trak = be32(8L + tkhd.length + mdia.length) ++ cc("trak") ++
+      tkhd ++ mdia
+    val moov = be32(8L + mvhd.length + trak.length) ++ cc("moov") ++
+      mvhd ++ trak
+    val mdat = be32(0) ++ cc("mdat")
+    ftyp ++ moov ++ mdat
+  }
+
+  def mp4SampleFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(mp4SampleFixture)
+
+  /** REAL frame sampling: every `stride`-th sample of the clip's first
+    * complete track, located through the parsed sample tables
+    * ([[Mp4.parseSamples]]) — decode timestamp in exact integer ms from
+    * the stts runs, byte size from stsz, codec from stsd. Non-ISO-BMFF
+    * payloads are dropped (flatMap), same route-elsewhere contract as
+    * the other decoders; shuffle-free per-partition work. */
   def sampleFrames(ds: Dataset[MediaRecord], stride: Int): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.flatMap { r =>
-      r.media.indices.by(stride).map(i =>
-        (r.doc_id, i.toLong, (r.media(i) & 0xff).toLong))
-    }.toDF("doc_id", "frame_idx", "frame_value")
+      Mp4.parseSamples(r.media) match {
+        case Some(t) =>
+          (0L until t.sampleCount by stride.toLong).map { i =>
+            (r.doc_id, i, t.dtsOf(i) * 1000L / t.mediaTimescale,
+              t.sizeOf(i.toInt), t.codec)
+          }
+        case None => Seq.empty
+      }
+    }.toDF("doc_id", "sample_idx", "t_ms", "n_bytes", "codec")
   }
 }

@@ -251,17 +251,32 @@ object Builtins extends QueryModule {
              |FROM c JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
              |WHERE round(cnt / CAST(sa.n + sb.n - cnt AS DOUBLE), 4) >= 0.2""".stripMargin)),
 
-    // ---- multimodal frame sampling (video-shaped explode) ----
+    // ---- multimodal frame sampling over REAL MP4 sample tables: every
+    // 5th sample of each clip's video track, timestamp from the two-run
+    // stts (prefix-sum of run deltas → exact integer ms at the mdhd
+    // media timescale), byte size from stsz (per-sample table, uniform
+    // for doc%4==0), codec from stsd. The oracle rebuilds the sample
+    // arithmetic from the fixture formulas — a run-boundary or
+    // timescale slip lands in t_ms. ----
     GraftQuery("q_frame_sample",
       (s, dir) => graft.multimodal.Multimodal.sampleFrames(
-        graft.multimodal.Multimodal.fromText(
-          t(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text"),
-        stride = 16),
-      Some("""WITH u AS (
-             |  SELECT doc_id, unnest(list_transform(range((length(text) + 15) // 16),
-             |    i -> {'idx': i * 16, 'val': ascii(text[i * 16 + 1])})) AS e
-             |  FROM documents WHERE doc_id < 100)
-             |SELECT doc_id, e.idx AS frame_idx, e.val AS frame_value FROM u""".stripMargin)),
+        graft.multimodal.Multimodal.mp4SampleFixtures(
+          t(s, dir, "documents"), "doc_id"),
+        stride = 5),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n,
+             |    (doc_id % 5 + 1) * 100 AS d1, 1000 * (doc_id % 4 + 1) AS mts
+             |  FROM documents),
+             |s AS (SELECT doc_id, n, d1, d1 + 40 AS d2, n // 2 AS n1, mts,
+             |    unnest(range(0, n, 5)) AS i FROM d)
+             |SELECT doc_id, i::BIGINT AS sample_idx,
+             |  ((CASE WHEN i < n1 THEN i * d1
+             |         ELSE n1 * d1 + (i - n1) * d2 END) * 1000 // mts)::BIGINT
+             |    AS t_ms,
+             |  (CASE WHEN doc_id % 4 = 0 THEN doc_id % 200 + 100
+             |        ELSE (doc_id * 13 + i * 7) % 991 + 1 END)::BIGINT
+             |    AS n_bytes,
+             |  'avc1' AS codec
+             |FROM s""".stripMargin)),
 
     // ---- exact percentiles (interpolated continuous quantiles) ----
     GraftQuery("q_percentile",

@@ -54,6 +54,72 @@ class Mp4Spec extends AnyFunSuite {
     assert(Mp4.parse(Array.empty[Byte]).isEmpty)
   }
 
+  test("sample-table fixtures parse back to their generating arithmetic") {
+    for (id <- 0L until 30L) {
+      val t = Mp4.parseSamples(Multimodal.mp4SampleFixture(id))
+        .getOrElse(fail(s"sample fixture $id did not parse"))
+      val n = (id % 50 + 10).toInt
+      val d1 = (id % 5 + 1) * 100
+      assert(t.codec === "avc1")
+      assert(t.mediaTimescale === 1000L * (id % 4 + 1))
+      assert(t.sampleCount === n.toLong)
+      assert(t.runs === Vector((n / 2.toLong, d1), (n - n / 2.toLong, d1 + 40)))
+      if (id % 4 == 0) {
+        assert(t.uniformSize === id % 200 + 100)
+        assert(t.sizeOf(n - 1) === id % 200 + 100)
+      } else {
+        assert(t.uniformSize === 0L)
+        assert(t.sizeOf(3) === (id * 13 + 21) % 991 + 1)
+      }
+      // dts prefix-sum across the run boundary
+      assert(t.dtsOf(0) === 0L)
+      assert(t.dtsOf(n / 2 + 1) === (n / 2) * d1 + (d1 + 40))
+      // the parse-level walk still reads the movie header of this layout
+      val i = Mp4.parse(Multimodal.mp4SampleFixture(id)).get
+      assert(i.nTracks === 1 && i.timescale === t.mediaTimescale)
+    }
+  }
+
+  test("golden hand-built stbl parses; truncated sample tables reject") {
+    def fullBox(typ: String, data: Array[Byte]): Array[Byte] =
+      be32(12L + data.length) ++ cc(typ) ++ be32(0) ++ data
+    def box(typ: String, data: Array[Byte]): Array[Byte] =
+      be32(8L + data.length) ++ cc(typ) ++ data
+    val ftyp = be32(16) ++ cc("ftyp") ++ cc("mp42") ++ be32(0)
+    val mvhdData = be32(0) ++ be32(0) ++ be32(600) ++ be32(1200) ++
+      new Array[Byte](80)
+    val mdhdData = be32(0) ++ be32(0) ++ be32(600) ++ be32(1200) ++ be32(0)
+    def stbl(sttsData: Array[Byte], stszData: Array[Byte]): Array[Byte] = {
+      val entry = box("hvc1", new Array[Byte](8))
+      box("stbl", fullBox("stsd", be32(1) ++ entry) ++
+        fullBox("stts", sttsData) ++ fullBox("stsz", stszData))
+    }
+    def clip(sttsData: Array[Byte], stszData: Array[Byte]): Array[Byte] = {
+      val mdia = box("mdia", (be32(32) ++ cc("mdhd") ++ be32(0) ++ mdhdData)
+        ++ box("minf", stbl(sttsData, stszData)))
+      ftyp ++ box("moov",
+        (be32(108) ++ cc("mvhd") ++ be32(0) ++ mvhdData) ++ box("trak", mdia))
+    }
+    // 3 samples: runs (2×300, 1×600); sizes 10/20/30
+    val good = clip(be32(2) ++ be32(2) ++ be32(300) ++ be32(1) ++ be32(600),
+      be32(0) ++ be32(3) ++ be32(10) ++ be32(20) ++ be32(30))
+    val t = Mp4.parseSamples(good).getOrElse(fail("golden clip rejected"))
+    assert(t.codec === "hvc1" && t.mediaTimescale === 600L)
+    assert(t.dtsOf(2) === 600L && t.sizeOf(2) === 30L)
+    // stts declares more entries than its box holds → reject
+    assert(Mp4.parseSamples(clip(
+      be32(9) ++ be32(2) ++ be32(300) ++ be32(1) ++ be32(600),
+      be32(0) ++ be32(3) ++ be32(10) ++ be32(20) ++ be32(30))).isEmpty)
+    // stsz count disagrees with stts coverage → reject
+    assert(Mp4.parseSamples(clip(
+      be32(1) ++ be32(2) ++ be32(300),
+      be32(0) ++ be32(3) ++ be32(10) ++ be32(20) ++ be32(30))).isEmpty)
+    // per-sample stsz table truncated → reject
+    assert(Mp4.parseSamples(clip(
+      be32(2) ++ be32(2) ++ be32(300) ++ be32(1) ++ be32(600),
+      be32(0) ++ be32(9))).isEmpty)
+  }
+
   test("mp4Meta surfaces null fields for undecodable payloads") {
     // direct function check without a Spark job: the Dataset op is a thin
     // mapPartitions over Mp4.parse, exercised end-to-end by q_mp4_meta

@@ -26,14 +26,20 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).header_hex === "")
   }
 
-  test("sampleFrames explodes one row per strided byte") {
+  test("sampleFrames reads real stts/stsz arithmetic; non-MP4 rows drop") {
     import spark.implicits._
-    val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
-    val frames = Multimodal.sampleFrames(
-      Multimodal.fromText(docs, "doc_id", "text"), stride = 3)
-      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: n=11 samples, n1=5, d1=200, d2=240, mts=2000, per-sample stsz
+    val recs = Seq(
+      MediaRecord(1L, Multimodal.mp4SampleFixture(1L)),
+      MediaRecord(9L, "not a container".getBytes("UTF-8")))
+    val frames = Multimodal.sampleFrames(recs.toDS(), stride = 5)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    def size(i: Int) = (13L + i * 7) % 991 + 1
     assert(frames === Set(
-      (1L, 0L, 'a'.toLong), (1L, 3L, 'd'.toLong), (1L, 6L, 'g'.toLong)))
+      (1L, 0L, 0L, size(0), "avc1"),
+      (1L, 5L, 500L, size(5), "avc1"),    // dts 5*200, at mts 2000
+      (1L, 10L, 1100L, size(10), "avc1"))) // crosses into the d2=240 run
+    assert(!frames.exists(_._1 == 9L))
   }
 
   test("resizeImage routes every format through the real pixel path") {
