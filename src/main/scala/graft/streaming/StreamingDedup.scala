@@ -93,6 +93,40 @@ object StreamingDedup {
       textCol: String = "text"): Dataset[DupCandidate] =
     candidates(bandedSimhashes(docs, idCol, textCol))
 
+  /** Perceptual-image variant of [[bandedSignatures]]: the binary payload
+    * is really decoded ([[graft.multimodal.ImageCodecs]] via
+    * [[graft.multimodal.Multimodal.imageDHash]]), and the 64-bit dHash
+    * splits into 4 × 16-bit bands — candidates are exact for Hamming ≤ 3
+    * (pigeonhole, mirroring the batch
+    * [[graft.multimodal.Multimodal.imageNearDupPairs]]). Undecodable
+    * payloads drop (route-elsewhere), same contract as batch. */
+  def bandedDHashes(images: Dataset[graft.multimodal.MediaRecord]): DataFrame =
+    graft.multimodal.Multimodal.imageDHash(images)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), j -> shiftrightunsigned(dhash, 16 * j) & 65535)")))
+      .toDF("doc_id", "band", "bhash")
+
+  /** Streaming perceptual image near-dup candidates (same state core:
+    * first claimant per (band, 16-bit value) bucket, 8 B of state). */
+  def nearDupCandidatesImage(
+      images: Dataset[graft.multimodal.MediaRecord]): Dataset[DupCandidate] =
+    candidates(bandedDHashes(images))
+
+  /** Exact-Hamming verify tail for image candidates: per micro-batch,
+    * join the (tiny) candidate set to the corpus fingerprints
+    * (`doc_id`, `dhash` — e.g. the persisted output of
+    * [[graft.multimodal.Multimodal.imageDHash]]) and keep pairs within
+    * `maxHamming`. Work is proportional to candidates, not the stream. */
+  def verifyCandidatesHamming(batch: Dataset[DupCandidate],
+      corpusHashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    batch.toDF().select(col("doc_id"), col("prior_id")).distinct()
+      .join(corpusHashes.select(col("doc_id"), col("dhash").as("ha")), "doc_id")
+      .join(corpusHashes.select(col("doc_id").as("prior_id"),
+        col("dhash").as("hb")), "prior_id")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("prior_id"), col("hamming"))
+
   /** The verify-few tail of the streaming pipeline: per micro-batch, join
     * the (tiny) candidate set back to the corpus and keep pairs whose TRUE
     * shingle Jaccard clears `threshold`. `corpus` is the static (or

@@ -55,6 +55,44 @@ class StreamingMediaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming image near-dup: 3-batch streamed clusters equal the batch recompute") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // two near-dup groups of 8 (pngNearFixture: in-group hamming 0-1),
+    // members deliberately split ACROSS micro-batches
+    val ids = (0L until 16L).toSeq
+    val corpus = ids.map(id => MediaRecord(id, Multimodal.pngNearFixture(id)))
+    val corpusHashes = Multimodal.imageDHash(corpus.toDS())
+      .select("doc_id", "dhash")
+    val verified = scala.collection.mutable.Set[(Long, Long)]()
+    val in = MemoryStream[MediaRecord]
+    val q = StreamingDedup.nearDupCandidatesImage(in.toDS())
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[DupCandidate], _: Long) =>
+          StreamingDedup.verifyCandidatesHamming(batch, corpusHashes)
+            .select("doc_id", "prior_id").as[(Long, Long)]
+            .collect().foreach(verified += _)
+      }.start()
+    try Seq(0 until 6, 6 until 11, 11 until 16).foreach { r =>
+      in.addData(r.map(corpus(_)): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamPairs = verified.toSeq
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("doc_a", "doc_b")
+    val streamed = graft.operators.Dedup.dupClusters(streamPairs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    val (h, batchPairs) = Multimodal.imageNearDupPairs(corpus.toDS())
+    val batch = graft.operators.Dedup.dupClusters(
+      batchPairs.select("doc_a", "doc_b"))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    h.unpersist()
+    // the stream's star candidates (vs the bucket's first claimant) must
+    // recover the same connected components as the batch's full buckets
+    assert(streamed === batch)
+    assert(streamed.map(_._2) === Set(0L, 8L)) // one cluster per group
+  }
+
   private implicit class Tuple3Ops(rows: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, (Long, String)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
