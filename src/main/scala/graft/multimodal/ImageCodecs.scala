@@ -4,7 +4,8 @@ import java.util.zip.Inflater
 
 /** Magic-byte router over the real pixel decoders — the single entry
   * point a mixed-format corpus scan uses. PNG routes through the shared
-  * per-partition [[Inflater]]; JPEG needs no native context. Unrecognized
+  * per-partition [[Inflater]]; JPEG and GIF need no native context.
+  * Unrecognized
   * or corrupt payloads are None (route-elsewhere, never throw). */
 object ImageCodecs {
 
@@ -13,6 +14,7 @@ object ImageCodecs {
     if (b == null || b.length < 3) "unknown"
     else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N') "png"
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
     else "unknown"
 
   /** Decode any supported image container to packed RGB(A) pixels. */
@@ -20,6 +22,7 @@ object ImageCodecs {
     sniff(b) match {
       case "png" => PngCodec.decode(b, inf)
       case "jpeg" => JpegCodec.decode(b)
+      case "gif" => GifCodec.decode(b)
       case _ => None
     }
 }

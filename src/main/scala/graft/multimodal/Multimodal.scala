@@ -36,11 +36,12 @@ final case class MediaFeatures(
   * RIFF-WAV / JPEG / GIF) and [[Mp4]], PNG pixels via [[PngCodec]]
   * (java.util.zip.Inflater IS the real zlib), baseline JPEG pixels via
   * [[JpegCodec]] (T.81 Huffman + IDCT, implemented per spec), 16-bit
-  * PCM samples read directly (PCM is its own decoded form), gzip
-  * members via [[Gzip]]. Derived on top: perceptual image dHash +
-  * banded near-dup pairs over BOTH image formats ([[ImageCodecs]]
-  * routing), audio energy-envelope fingerprints, real pixel-space
-  * resize for every supported format, per-format routing.
+  * PCM samples read directly (PCM is its own decoded form), GIF frames
+  * via [[GifCodec]] (real LZW, interlace, animation), gzip members via
+  * [[Gzip]]. Derived on top: perceptual image dHash + banded near-dup
+  * pairs over ALL three image formats ([[ImageCodecs]] routing), audio
+  * energy-envelope fingerprints, MP4 sample-table frame sampling, real
+  * pixel-space resize for every supported format, per-format routing.
   */
 object Multimodal {
 
@@ -157,7 +158,7 @@ object Multimodal {
   /** Real pixel decode + per-image stats in one per-partition pass (one
     * reused Inflater per partition — the "per-partition decoder setup"
     * the mapPartitions shape exists for), routed by container magic
-    * ([[ImageCodecs]]: PNG and baseline JPEG). Exact integer channel
+    * ([[ImageCodecs]]: PNG, baseline JPEG, GIF). Exact integer channel
     * sums, no floats. Unrecognized/corrupt payloads surface as n-null
     * rows rather than exceptions. */
   def decodeImageStats(ds: Dataset[MediaRecord]): DataFrame = {
@@ -236,7 +237,7 @@ object Multimodal {
     * pipeline computes right after decode. Byte j (row j's 8 gradient
     * bits) is packed at bits 8j of `dhash` and rendered first in
     * `dhash_hex`. Decode is routed by container magic ([[ImageCodecs]]:
-    * PNG + baseline JPEG, the formats that dominate a web corpus);
+    * PNG + baseline JPEG + GIF, the formats that dominate a web corpus);
     * undecodable payloads are dropped (flatMap). */
   def imageDHash(ds: Dataset[MediaRecord]): DataFrame = {
     val spark = ds.sparkSession
@@ -519,7 +520,7 @@ object Multimodal {
     }).toDF("doc_id", "fingerprint")
   }
 
-  /** Decode (routed: PNG or baseline JPEG) → nearest-neighbor resize in
+  /** Decode (routed: PNG, baseline JPEG, or GIF) → nearest-neighbor resize in
     * PIXEL space → RE-ENCODE as a real PNG: the full image-preprocessing
     * round trip of a training pipeline, per partition with a reused
     * Inflater. PNG is the canonical output container (lossless — a
@@ -744,6 +745,71 @@ object Multimodal {
 
   def mp4SampleFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
     fixtureDs(docs, idCol)(mp4SampleFixture)
+
+  /** Shared 16-color GIF fixture palette: entry j, channel c =
+    * (docId·17 + j·29 + c·13) mod 256 — exact in 64-bit, SQL-rebuildable. */
+  private def gifPalette(docId: Long): Array[Byte] =
+    Array.tabulate(16 * 3) { i =>
+      ((docId * 17 + (i / 3) * 29 + (i % 3) * 13) % 256).toByte
+    }
+
+  /** Real single-frame GIF fixture: LZW-compressed 16-color frame with
+    * index(x,y) = (docId + x·3 + y·5) mod 16 over [[gifPalette]];
+    * docId % 5 == 0 streams are INTERLACED — the decoder must de-weave
+    * them back to scan order, so the (weave-invariant) oracle pins the
+    * four-pass logic too. */
+  def gifFixture(docId: Long): Array[Byte] = {
+    val w = (docId % 9 + 2).toInt
+    val h = (docId % 7 + 2).toInt
+    val idx = Array.tabulate(w * h) { i =>
+      ((docId + (i % w) * 3 + (i / w) * 5) % 16).toByte
+    }
+    GifCodec.encodeIndexed(w, h, gifPalette(docId), idx, minCode = 4,
+      interlaced = docId % 5 == 0)
+  }
+
+  def gifFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(gifFixture)
+
+  /** Animated GIF fixture: docId % 3 + 2 frames on the shared palette,
+    * frame f delayed (docId + f·7) % 100 + 1 cs with
+    * index(x,y,f) = (docId + f·11 + x·3 + y·5) mod 16. */
+  def gifAnimFixture(docId: Long): Array[Byte] = {
+    val w = (docId % 9 + 2).toInt
+    val h = (docId % 7 + 2).toInt
+    val frames = (0 until (docId % 3 + 2).toInt).map { f =>
+      val delay = ((docId + f * 7) % 100 + 1).toInt
+      val idx = Array.tabulate(w * h) { i =>
+        ((docId + f * 11 + (i % w) * 3 + (i / w) * 5) % 16).toByte
+      }
+      (delay, idx)
+    }
+    GifCodec.encodeAnimated(w, h, gifPalette(docId), frames, minCode = 4)
+  }
+
+  def gifAnimFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(gifAnimFixture)
+
+  /** Animated-GIF frame walk: one row per decoded frame with its GCE
+    * delay and exact RGB channel sums — the video-adjacent sampling
+    * surface over REAL LZW-decoded frames. Non-GIF payloads drop
+    * (flatMap); shuffle-free per-partition work. */
+  def gifFrameStats(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      GifCodec.decodeFrames(r.media).toSeq.flatMap(_.zipWithIndex.map {
+        case (f, i) =>
+          val sums = new Array[Long](3)
+          var j = 0
+          while (j < f.pixels.length) {
+            sums(j % 3) += f.pixels(j) & 0xff
+            j += 1
+          }
+          (r.doc_id, i.toLong, f.delayCs.toLong, sums(0), sums(1), sums(2))
+      })
+    }.toDF("doc_id", "frame_idx", "delay_cs", "sum_r", "sum_g", "sum_b")
+  }
 
   /** REAL frame sampling: every `stride`-th sample of the clip's first
     * complete track, located through the parsed sample tables

@@ -1036,6 +1036,63 @@ object Extensions extends QueryModule {
              |    (doc_id*31 + 1) % 256, (doc_id*31 + 2) % 256) AS px0_hex
              |FROM d""".stripMargin)),
 
+    // GIF pixels through the REAL LZW decoder: every fixture is a legal
+    // GIF89a stream (variable-width codes, clear/EOI); docId%5==0 frames
+    // are additionally INTERLACED, so the oracle — which rebuilds channel
+    // sums from the palette/index arithmetic in scan order — also pins
+    // the four-pass de-weave. px0_hex pins the palette lookup of the
+    // first index.
+    GraftQuery("q_gif_pixels",
+      (s, dir) => Multimodal.decodeImageStats(
+        Multimodal.gifFixtures(t(s, dir, "documents"), "doc_id")),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 9 + 2 AS w,
+             |    doc_id % 7 + 2 AS h FROM documents)
+             |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+             |  3::BIGINT AS channels,
+             |  list_sum(flatten(list_transform(range(h), y ->
+             |    list_transform(range(w), x ->
+             |      (doc_id*17 + ((doc_id + x*3 + y*5) % 16)*29) % 256))))::BIGINT
+             |    AS sum_r,
+             |  list_sum(flatten(list_transform(range(h), y ->
+             |    list_transform(range(w), x ->
+             |      (doc_id*17 + ((doc_id + x*3 + y*5) % 16)*29 + 13) % 256))))::BIGINT
+             |    AS sum_g,
+             |  list_sum(flatten(list_transform(range(h), y ->
+             |    list_transform(range(w), x ->
+             |      (doc_id*17 + ((doc_id + x*3 + y*5) % 16)*29 + 26) % 256))))::BIGINT
+             |    AS sum_b,
+             |  printf('%02x%02x%02x',
+             |    (doc_id*17 + (doc_id % 16)*29) % 256,
+             |    (doc_id*17 + (doc_id % 16)*29 + 13) % 256,
+             |    (doc_id*17 + (doc_id % 16)*29 + 26) % 256) AS px0_hex
+             |FROM d""".stripMargin)),
+
+    // animated-GIF frame walk: one row per LZW-decoded frame with its
+    // Graphics Control Extension delay — the GIF analogue of
+    // q_frame_sample's MP4 sample tables. A frame-order, delay-byte, or
+    // per-frame index slip lands in (frame_idx, delay_cs, sums).
+    GraftQuery("q_gif_frames",
+      (s, dir) => Multimodal.gifFrameStats(
+        Multimodal.gifAnimFixtures(t(s, dir, "documents"), "doc_id")),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 9 + 2 AS w,
+             |    doc_id % 7 + 2 AS h, doc_id % 3 + 2 AS nf FROM documents),
+             |f AS (SELECT doc_id, w, h, unnest(range(nf)) AS fi FROM d)
+             |SELECT doc_id, fi::BIGINT AS frame_idx,
+             |  ((doc_id + fi*7) % 100 + 1)::BIGINT AS delay_cs,
+             |  list_sum(flatten(list_transform(range(h), y ->
+             |    list_transform(range(w), x ->
+             |      (doc_id*17 + ((doc_id + fi*11 + x*3 + y*5) % 16)*29) % 256))))::BIGINT
+             |    AS sum_r,
+             |  list_sum(flatten(list_transform(range(h), y ->
+             |    list_transform(range(w), x ->
+             |      (doc_id*17 + ((doc_id + fi*11 + x*3 + y*5) % 16)*29 + 13) % 256))))::BIGINT
+             |    AS sum_g,
+             |  list_sum(flatten(list_transform(range(h), y ->
+             |    list_transform(range(w), x ->
+             |      (doc_id*17 + ((doc_id + fi*11 + x*3 + y*5) % 16)*29 + 26) % 256))))::BIGINT
+             |    AS sum_b
+             |FROM f""".stripMargin)),
+
     // decode → nearest-neighbor resize → RE-ENCODE → decode again: stats
     // of the resized 2x2 image, so the whole round trip (both encodes,
     // both decodes, and the NN index mapping src = floor(dst * srcDim /
