@@ -790,6 +790,36 @@ object Multimodal {
   def gifAnimFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
     fixtureDs(docs, idCol)(gifAnimFixture)
 
+  /** GIF twin of [[pngNearFixture]]/[[jpegNearFixture]]: ids in the same
+    * group of 8 share geometry (the PNG family's w/h), a NONLINEARLY
+    * mixed palette (u = (base·131 + k·37 + c·11 + 1)·2654435761, entry =
+    * (u XOR u/1024) mod 256 — a linear palette recurs every 256/gcd
+    * bases and whole groups collide as exact dups) and index plane
+    * ((base + x·3 + y·5) mod 16); non-canonical members remap ONLY the
+    * (0,0) index to (base + (id%8)·7) mod 16 — never the canonical value
+    * for id%8 ∈ 1..7 — so in-group dHashes differ in at most bit 0 of
+    * row 0 while cross-group palettes decorrelate the hashes. */
+  def gifNearFixture(docId: Long): Array[Byte] = {
+    val base = docId - (docId % 8)
+    val w = (base % 16 + 9).toInt
+    val h = (base % 12 + 8).toInt
+    val pal = Array.tabulate(16 * 3) { i =>
+      val u = (base * 131 + (i / 3) * 37 + (i % 3) * 11 + 1) * 2654435761L
+      ((u ^ (u / 1024)) % 256).toByte
+    }
+    val idx = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      if (x == 0 && y == 0 && docId % 8 != 0)
+        ((base + (docId % 8) * 7) % 16).toByte
+      else ((base + x * 3 + y * 5) % 16).toByte
+    }
+    GifCodec.encodeIndexed(w, h, pal, idx, minCode = 4)
+  }
+
+  def gifNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(gifNearFixture)
+
   /** Animated-GIF frame walk: one row per decoded frame with its GCE
     * delay and exact RGB channel sums — the video-adjacent sampling
     * surface over REAL LZW-decoded frames. Non-GIF payloads drop

@@ -246,6 +246,43 @@ object Extensions extends QueryModule {
        |  FROM gm)
        |$finalSelect""".stripMargin
 
+  /** Shared dHash oracle scaffolding for the GIF near-fixtures
+    * (Multimodal.gifNearFixture): decoded pixel (x,y,c) is the mixed
+    * palette lookup (u XOR u/1024) mod 256,
+    * u = (base·131 + idx·37 + c·11 + 1)·2654435761, with
+    * idx = (base + x·3 + y·5) mod 16, remapped at (0,0) for
+    * non-canonical members — sampled only at grid point (i=0, j=0),
+    * every other grid coordinate is ≥ 1. Same 9×8 grid / gradient-bit
+    * arithmetic as [[imageDhashOracle]]. */
+  private[queries] def gifDhashOracle(finalSelect: String): String =
+    s"""WITH g AS (SELECT doc_id, doc_id - doc_id % 8 AS base,
+       |    (doc_id - doc_id % 8) % 16 + 9 AS w,
+       |    (doc_id - doc_id % 8) % 12 + 8 AS h
+       |  FROM documents),
+       |gi AS (SELECT doc_id, base, w, h,
+       |  list_transform(range(8), j ->
+       |    list_transform(range(9), i ->
+       |      CASE WHEN i = 0 AND j = 0 AND doc_id % 8 <> 0
+       |           THEN (base + (doc_id % 8) * 7) % 16
+       |           ELSE (base + (i*w//9)*3 + (j*h//8)*5) % 16 END)) AS idx
+       |  FROM g),
+       |gm AS (SELECT doc_id,
+       |  list_transform(range(8), j ->
+       |    list_transform(range(9), i ->
+       |      list_sum(list_transform(range(3), c ->
+       |        ([299, 587, 114][c+1]) *
+       |          (xor((base*131 + idx[j+1][i+1]*37 + c*11 + 1) * 2654435761,
+       |               (base*131 + idx[j+1][i+1]*37 + c*11 + 1) * 2654435761
+       |                 // 1024) % 256))))) AS m
+       |  FROM gi),
+       |bh AS (SELECT doc_id,
+       |  list_transform(range(8), j ->
+       |    (list_sum(list_transform(range(8), i ->
+       |      CASE WHEN m[j+1][i+2] > m[j+1][i+1] THEN 1 << i ELSE 0 END))
+       |      )::BIGINT) AS b
+       |  FROM gm)
+       |$finalSelect""".stripMargin
+
   /** Shared dHash oracle scaffolding for the JPEG near-fixtures
     * (Multimodal.jpegNearFixture): rebuilds the DECODED luma from the
     * coefficient-space closed form (Y = 128 + a + sx·b + sy·c + sx·sy·d
@@ -1287,6 +1324,37 @@ object Extensions extends QueryModule {
         drained(s, cached, pairs)
       },
       Some(Extensions.jpegDhashOracle(
+        """SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+          |  list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1]))))::BIGINT AS hamming
+          |FROM bh a JOIN bh b2 ON a.doc_id < b2.doc_id
+          |WHERE list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3"""
+          .stripMargin))),
+
+    // perceptual fingerprint over really-decoded GIF pixels — completes
+    // the dHash family across all three image formats (PNG r7, JPEG r7,
+    // GIF r8), through the same routed imageDHash path; the Spark side
+    // must run the real LZW decode + palette lookup to reach the pixels.
+    GraftQuery("q_gif_dhash",
+      (s, dir) => Multimodal.imageDHash(
+        Multimodal.gifNearFixtures(t(s, dir, "documents"), "doc_id"))
+        .select(col("doc_id"), col("dhash_hex")),
+      Some(Extensions.gifDhashOracle("SELECT doc_id, " +
+        "printf('%02x%02x%02x%02x%02x%02x%02x%02x', b[1], b[2], b[3], " +
+        "b[4], b[5], b[6], b[7], b[8]) AS dhash_hex FROM bh"))),
+
+    // perceptual near-dup pairs over GIF — same banded + capped + rescue
+    // path, brute-force oracle. A palette-remap of one pixel is the GIF
+    // analogue of the PNG family's sample bump: in-group pairs sit at
+    // hamming ≤ 1, cross-group palettes decorrelate.
+    GraftQuery("q_gif_neardup",
+      (s, dir) => {
+        val (cached, pairs) = Multimodal.imageNearDupPairs(
+          Multimodal.gifNearFixtures(t(s, dir, "documents"), "doc_id"))
+        drained(s, cached, pairs)
+      },
+      Some(Extensions.gifDhashOracle(
         """SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
           |  list_sum(list_transform(range(8), k ->
           |    bit_count(xor(a.b[k+1], b2.b[k+1]))))::BIGINT AS hamming
