@@ -303,9 +303,19 @@ object Multimodal {
       s"4-band LSH only guarantees recall up to hamming 3, got $maxHamming")
     val h = imageDHash(ds).select("doc_id", "dhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rawBanded = h.select(col("doc_id"), col("dhash"),
+    (h, bandedHammingPairs(h, "dhash", maxHamming, maxBucket))
+  }
+
+  /** The banded near-dup core shared by every 64-bit perceptual
+    * signature (image dHash, audio envelope fingerprint): four 16-bit
+    * bands → per-band bucket equi-join (capped hot buckets + star
+    * rescue, see [[imageNearDupPairs]]) → exact hamming verify. `h` must
+    * be persisted by the caller (it is referenced three times). */
+  def bandedHammingPairs(h: DataFrame, sigCol: String, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    val rawBanded = h.select(col("doc_id"), col(sigCol).as("sig"),
         explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("v", expr("shiftrightunsigned(dhash, 16 * band) & 65535"))
+      .withColumn("v", expr("shiftrightunsigned(sig, 16 * band) & 65535"))
     val banded = graft.operators.Dedup.capBuckets(
       rawBanded, "doc_id", Seq("band", "v"), maxBucket)
     val cand = banded.as("a")
@@ -316,13 +326,12 @@ object Multimodal {
       .union(graft.operators.Dedup.bucketRescuePairs(
         rawBanded, "doc_id", Seq("band", "v"), maxBucket))
       .distinct()
-    val pairs = cand
-      .join(h.select(col("doc_id").as("doc_a"), col("dhash").as("ha")), "doc_a")
-      .join(h.select(col("doc_id").as("doc_b"), col("dhash").as("hb")), "doc_b")
+    cand
+      .join(h.select(col("doc_id").as("doc_a"), col(sigCol).as("ha")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"), col(sigCol).as("hb")), "doc_b")
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-    (h, pairs)
   }
 
   /** Real-PNG fixtures with CONTROLLED near-duplicates for the perceptual
@@ -486,39 +495,113 @@ object Multimodal {
   def audioFingerprint(ds: Dataset[MediaRecord]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions(_.flatMap { r =>
-      val m = MediaHeader.parse(r.media)
-      if (m.format != "wav" || m.bitDepth != 16) None
-      else MediaHeader.wavData(r.media).flatMap { case (off, len) =>
-        val n = len / 2
-        if (n < 16) None
-        else {
-          val frameLen = n / 16
-          val e = new Array[Long](16)
-          var f = 0
-          while (f < 16) {
-            var k = 0
-            var acc = 0L
-            while (k < frameLen) {
-              val idx = off + 2 * (f * frameLen + k)
-              val s = (r.media(idx + 1) << 8) | (r.media(idx) & 0xff)
-              acc += math.abs(s.toLong)
-              k += 1
-            }
-            e(f) = acc
-            f += 1
-          }
-          var fp = 0L
-          var b = 0
-          while (b < 15) {
-            if (e(b + 1) > e(b)) fp |= 1L << b
-            b += 1
-          }
-          Some((r.doc_id, fp))
-        }
-      }
-    }).toDF("doc_id", "fingerprint")
+    ds.mapPartitions(_.flatMap(r =>
+      envelopeGradientBits(r, frames = 16).map((r.doc_id, _))))
+      .toDF("doc_id", "fingerprint")
   }
+
+  /** Energy-envelope gradient bits over really-decoded 16-bit PCM:
+    * `frames` equal frames of sum |s|, bit b set iff e(b+1) > e(b) —
+    * frames−1 bits. Non-WAV / non-16-bit / too-short clips → None. */
+  private def envelopeGradientBits(r: MediaRecord, frames: Int): Option[Long] = {
+    val m = MediaHeader.parse(r.media)
+    if (m.format != "wav" || m.bitDepth != 16) None
+    else MediaHeader.wavData(r.media).flatMap { case (off, len) =>
+      val n = len / 2
+      if (n < frames) None
+      else {
+        val frameLen = n / frames
+        val e = new Array[Long](frames)
+        var f = 0
+        while (f < frames) {
+          var k = 0
+          var acc = 0L
+          while (k < frameLen) {
+            val idx = off + 2 * (f * frameLen + k)
+            val s = (r.media(idx + 1) << 8) | (r.media(idx) & 0xff)
+            acc += math.abs(s.toLong)
+            k += 1
+          }
+          e(f) = acc
+          f += 1
+        }
+        var fp = 0L
+        var b = 0
+        while (b < frames - 1) {
+          if (e(b + 1) > e(b)) fp |= 1L << b
+          b += 1
+        }
+        Some(fp)
+      }
+    }
+  }
+
+  /** 64-bit audio fingerprint (65 envelope frames → 64 gradient bits) —
+    * wide enough for the 4×16-bit banded near-dup core. Emitted as a
+    * per-byte hex string alongside the raw bits so the oracle can pin
+    * the exact value without 64-bit sign gymnastics. */
+  def audioFingerprint64(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      envelopeGradientBits(r, frames = 65).map { fp =>
+        val hex = (0 until 8)
+          .map(j => f"${(fp >>> (8 * j)) & 0xffL}%02x").mkString
+        (r.doc_id, fp, hex)
+      }
+    }).toDF("doc_id", "fingerprint", "fp_hex")
+  }
+
+  /** Perceptual audio near-duplicate pairs: 64-bit envelope fingerprint
+    * through the same banded core as [[imageNearDupPairs]] (four 16-bit
+    * bands, capped hot buckets + star rescue, exact hamming verify).
+    * Same recall contract: every pair within hamming ≤ 3 is guaranteed;
+    * see the image variant's scaladoc for the cap's pair-level caveat.
+    * Returns (cached fingerprint relation, pairs); caller releases. */
+  def audioNearDupPairs(ds: Dataset[MediaRecord], maxHamming: Int = 3,
+      maxBucket: Int = 8 * graft.operators.Dedup.DefaultMaxBucket)
+      : (DataFrame, DataFrame) = {
+    require(maxHamming <= 3,
+      s"4-band LSH only guarantees recall up to hamming 3, got $maxHamming")
+    val h = audioFingerprint64(ds).select("doc_id", "fingerprint")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (h, bandedHammingPairs(h, "fingerprint", maxHamming, maxBucket))
+  }
+
+  /** WAV fixtures with CONTROLLED near-duplicates for the audio dedup
+    * surface: 260 samples = 65 envelope frames × 4. Ids in the same
+    * group of 8 share base samples (the [[audioFixture]] nonlinear mix,
+    * keyed by the group base so the envelope is uncorrelated across
+    * groups); non-canonical member m replaces every sample of frame 7·m
+    * with a fixed loud value, flipping at most gradient bits 7·m−1 and
+    * 7·m — in-group hamming ≤ 2 vs base, ≤ 4 variant-to-variant. */
+  def audioNearFixture(docId: Long): Array[Byte] = {
+    import ByteIo.{le16b => le16, le32b => le32}
+    val base = docId - docId % 8
+    val m = (docId % 8).toInt
+    val n = 260
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s =
+        if (m > 0 && i / 4 == 7 * m) 30000
+        else {
+          val u = (base * 131 + i * 29 + 1) * 2654435761L
+          (((u ^ (u >> 9)) % 65536) - 32768).toInt
+        }
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    "RIFF".getBytes("US-ASCII") ++ le32(36L + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(16000) ++ le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data
+  }
+
+  def audioNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(audioNearFixture)
 
   /** Decode (routed: PNG, baseline JPEG, or GIF) → nearest-neighbor resize in
     * PIXEL space → RE-ENCODE as a real PNG: the full image-preprocessing
@@ -819,6 +902,26 @@ object Multimodal {
 
   def gifNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
     fixtureDs(docs, idCol)(gifNearFixture)
+
+  /** Mixed-format corpus: each doc id yields TWO payloads with the SAME
+    * pixel content — media id 2·id is the GIF near-fixture, 2·id+1 is a
+    * real PNG re-encode of its decoded RGB. A web corpus stores the same
+    * image under many containers; a perceptual dedup must find the
+    * cross-format pair (byte/hash dedup never can). The PNG twin is
+    * produced by really decoding the GIF and re-encoding — so the query
+    * path exercises both codecs plus the format routing in one pass. */
+  def crossFormatNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.flatMap { id =>
+      val gif = gifNearFixture(id)
+      // our own encoder's stream always decodes; a None here is a codec
+      // bug and should fail loudly in tests, not silently thin the corpus
+      val img = GifCodec.decode(gif).getOrElse(
+        throw new IllegalStateException(s"gif fixture $id failed to decode"))
+      Seq(MediaRecord(2 * id, gif), MediaRecord(2 * id + 1, PngCodec.encode(img)))
+    })
+  }
 
   /** Animated-GIF frame walk: one row per decoded frame with its GCE
     * delay and exact RGB channel sums — the video-adjacent sampling

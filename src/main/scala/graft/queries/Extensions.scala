@@ -221,6 +221,33 @@ object Extensions extends QueryModule {
     * NN-resampled integer-luma grid, and the per-row gradient bytes `b`
     * (CTE `bh`), all in exact 64-bit arithmetic. The final SELECT renders
     * hex (q_image_dhash) or brute hamming pairs (q_image_neardup). */
+  /** Shared oracle scaffolding for the 64-bit audio fingerprint
+    * (Multimodal.audioNearFixture): 260 samples, 65 energy-envelope
+    * frames of 4, 64 gradient bits materialized as 8 bytes (b[1]..b[8],
+    * LSB-first) so the SQL never builds a signed 64-bit value. Sample i
+    * of member m in group `base`: the audioFixture nonlinear mix keyed
+    * by base, except frame 7·m is replaced by a fixed loud sample. */
+  private[queries] def audioFp64Oracle(finalSelect: String): String =
+    s"""WITH d AS (SELECT doc_id, doc_id - doc_id % 8 AS base,
+       |    doc_id % 8 AS m FROM documents),
+       |s AS (SELECT doc_id, list_transform(range(260), i ->
+       |    CASE WHEN m > 0 AND i // 4 = 7 * m THEN 30000
+       |         ELSE xor((base*131 + i*29 + 1) * 2654435761,
+       |                  (base*131 + i*29 + 1) * 2654435761 // 512)
+       |              % 65536 - 32768 END) AS smp
+       |  FROM d),
+       |e AS (SELECT doc_id, list_transform(range(65), f ->
+       |    list_sum(list_transform(range(4), k ->
+       |      abs(smp[f*4 + k + 1])))) AS en
+       |  FROM s),
+       |bh AS (SELECT doc_id,
+       |  list_transform(range(8), j ->
+       |    (list_sum(list_transform(range(8), t ->
+       |      CASE WHEN en[j*8 + t + 2] > en[j*8 + t + 1]
+       |           THEN 1 << t ELSE 0 END)))::BIGINT) AS b
+       |  FROM e)
+       |$finalSelect""".stripMargin
+
   private[queries] def imageDhashOracle(finalSelect: String): String =
     s"""WITH g AS (SELECT doc_id, doc_id - doc_id % 8 AS base,
        |    (doc_id - doc_id % 8) % 16 + 9 AS w,
@@ -1385,6 +1412,65 @@ object Extensions extends QueryModule {
              |    CASE WHEN en[f+2] > en[f+1] THEN 1 << f ELSE 0 END)
              |  ))::BIGINT AS fingerprint
              |FROM e""".stripMargin)),
+
+    // cross-format perceptual near-dup — the capability byte-level dedup
+    // can never have: the same pixels stored as GIF (media id 2·d) and
+    // as a real PNG re-encode (2·d+1) must land in the same bucket and
+    // verify at hamming 0, through the routed decode (two codecs in one
+    // scan). Oracle: the GIF pixel-arithmetic hash applies to BOTH
+    // media ids of a doc, then brute pairs — so a routing slip, a codec
+    // disagreement on any pixel, or a banding slip all mismatch.
+    GraftQuery("q_crossformat_neardup",
+      (s, dir) => {
+        val (cached, pairs) = Multimodal.imageNearDupPairs(
+          Multimodal.crossFormatNearFixtures(t(s, dir, "documents"), "doc_id"))
+        drained(s, cached, pairs)
+      },
+      Some(Extensions.gifDhashOracle(
+        """, ids AS (SELECT doc_id * 2 AS mid, doc_id FROM documents
+          |  UNION ALL SELECT doc_id * 2 + 1, doc_id FROM documents),
+          |hh AS (SELECT ids.mid, bh.b FROM ids JOIN bh USING (doc_id))
+          |SELECT a.mid AS doc_a, b2.mid AS doc_b,
+          |  list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1]))))::BIGINT AS hamming
+          |FROM hh a JOIN hh b2 ON a.mid < b2.mid
+          |WHERE list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3"""
+          .stripMargin))),
+
+    // 64-bit audio fingerprint over really-decoded PCM (65 envelope
+    // frames → 64 gradient bits): the band-compatible widening of
+    // q_audio_fingerprint, emitted as per-byte hex so the oracle never
+    // touches signed 64-bit arithmetic. The oracle rebuilds every sample
+    // from the fixture mix and recomputes the bits exactly.
+    GraftQuery("q_audio_fp64",
+      (s, dir) => Multimodal.audioFingerprint64(
+        Multimodal.audioNearFixtures(t(s, dir, "documents"), "doc_id"))
+        .select(col("doc_id"), col("fp_hex")),
+      Some(Extensions.audioFp64Oracle("SELECT doc_id, " +
+        "printf('%02x%02x%02x%02x%02x%02x%02x%02x', b[1], b[2], b[3], " +
+        "b[4], b[5], b[6], b[7], b[8]) AS fp_hex FROM bh"))),
+
+    // perceptual audio near-dup pairs — the audio leg of the near-dup
+    // family (text LSH, image dHash, now PCM envelope), through the
+    // SAME banded core (four 16-bit bands, capped buckets + star rescue,
+    // exact hamming verify); brute-force oracle. In-group variants
+    // differ by one loud envelope frame (hamming ≤ 2 vs base), the
+    // re-recorded / re-leveled clip shape an audio dedup faces.
+    GraftQuery("q_audio_neardup",
+      (s, dir) => {
+        val (cached, pairs) = Multimodal.audioNearDupPairs(
+          Multimodal.audioNearFixtures(t(s, dir, "documents"), "doc_id"))
+        drained(s, cached, pairs)
+      },
+      Some(Extensions.audioFp64Oracle(
+        """SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+          |  list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1]))))::BIGINT AS hamming
+          |FROM bh a JOIN bh b2 ON a.doc_id < b2.doc_id
+          |WHERE list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3"""
+          .stripMargin))),
 
     // gzip ingestion round trip: every document's text → a spec-complete
     // RFC 1952 member (real CRC-32/ISIZE trailer, stored-mode DEFLATE) →

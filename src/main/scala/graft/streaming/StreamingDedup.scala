@@ -112,6 +112,22 @@ object StreamingDedup {
       images: Dataset[graft.multimodal.MediaRecord]): Dataset[DupCandidate] =
     candidates(bandedDHashes(images))
 
+  /** Audio variant of [[bandedDHashes]]: the 64-bit PCM envelope
+    * fingerprint ([[graft.multimodal.Multimodal.audioFingerprint64]],
+    * really-decoded samples) split into the same 4 × 16-bit bands.
+    * Non-WAV / too-short clips drop, same route-elsewhere contract. */
+  def bandedAudioFps(clips: Dataset[graft.multimodal.MediaRecord]): DataFrame =
+    graft.multimodal.Multimodal.audioFingerprint64(clips)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), j -> shiftrightunsigned(fingerprint, 16 * j) & 65535)")))
+      .toDF("doc_id", "band", "bhash")
+
+  /** Streaming perceptual audio near-dup candidates (same 8 B/bucket
+    * band-state core as text MinHash/SimHash and image dHash). */
+  def nearDupCandidatesAudio(
+      clips: Dataset[graft.multimodal.MediaRecord]): Dataset[DupCandidate] =
+    candidates(bandedAudioFps(clips))
+
   /** Exact-Hamming verify tail for image candidates: per micro-batch,
     * join the (tiny) candidate set to the corpus fingerprints
     * (`doc_id`, `dhash` — e.g. the persisted output of

@@ -115,6 +115,38 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall { case (a, b, h) => a / 8 == b / 8 && h <= 1 })
   }
 
+  test("audioFingerprint64: in-group clips within hamming 2, cross-group far apart") {
+    import spark.implicits._
+    val ids = (0L until 16L).toDF("doc_id")
+    val fps = Multimodal.audioFingerprint64(
+        Multimodal.audioNearFixtures(ids, "doc_id"))
+      .select($"doc_id", $"fingerprint").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    for (m <- 1L until 8L)
+      assert(ham(0L, m) <= 2, s"base-vs-variant $m: ${ham(0L, m)}")
+    assert(ham(0L, 8L) > 3, "cross-group fingerprints must not be near")
+    // hex column mirrors the raw bits byte-for-byte, LSB-first
+    val hex = Multimodal.audioFingerprint64(
+        Multimodal.audioNearFixtures(ids, "doc_id"))
+      .select($"doc_id", $"fp_hex").as[(Long, String)].collect().toMap
+    val expect = (0 until 8)
+      .map(j => f"${(fps(3L) >>> (8 * j)) & 0xffL}%02x").mkString
+    assert(hex(3L) === expect)
+  }
+
+  test("crossFormatNearFixtures: GIF and its PNG re-encode pair at hamming 0") {
+    import spark.implicits._
+    val ids = (0L until 8L).toDF("doc_id")
+    val (cached, pairs) = Multimodal.imageNearDupPairs(
+      Multimodal.crossFormatNearFixtures(ids, "doc_id"))
+    val got = pairs.as[(Long, Long, Long)].collect()
+    cached.unpersist(blocking = true)
+    // every doc's two containers must be found as an exact perceptual dup
+    for (d <- 0L until 8L)
+      assert(got.exists { case (a, b, h) => a == 2 * d && b == 2 * d + 1 && h == 0 },
+        s"cross-format pair for doc $d missing")
+  }
+
   test("binary payload round-trips through parquet (the 100 TB storage shape)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("mm").toString

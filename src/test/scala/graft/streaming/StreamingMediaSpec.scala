@@ -93,6 +93,41 @@ class StreamingMediaSpec extends SparkSpec {
     assert(streamed.map(_._2) === Set(0L, 8L)) // one cluster per group
   }
 
+  test("streaming audio near-dup: 3-batch streamed clusters equal the batch recompute") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // two near-dup groups of 8 (audioNearFixture: in-group hamming ≤ 2)
+    val ids = (0L until 16L).toSeq
+    val corpus = ids.map(id => MediaRecord(id, Multimodal.audioNearFixture(id)))
+    val corpusFps = Multimodal.audioFingerprint64(corpus.toDS())
+      .select($"doc_id", $"fingerprint".as("dhash"))
+    val verified = scala.collection.mutable.Set[(Long, Long)]()
+    val in = MemoryStream[MediaRecord]
+    val q = StreamingDedup.nearDupCandidatesAudio(in.toDS())
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[DupCandidate], _: Long) =>
+          StreamingDedup.verifyCandidatesHamming(batch, corpusFps)
+            .select("doc_id", "prior_id").as[(Long, Long)]
+            .collect().foreach(verified += _)
+      }.start()
+    try Seq(0 until 6, 6 until 11, 11 until 16).foreach { r =>
+      in.addData(r.map(corpus(_)): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamPairs = verified.toSeq
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("doc_a", "doc_b")
+    val streamed = graft.operators.Dedup.dupClusters(streamPairs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    val (h, batchPairs) = Multimodal.audioNearDupPairs(corpus.toDS())
+    val batch = graft.operators.Dedup.dupClusters(
+      batchPairs.select("doc_a", "doc_b"))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    h.unpersist()
+    assert(streamed === batch)
+    assert(streamed.map(_._2) === Set(0L, 8L)) // one cluster per group
+  }
+
   private implicit class Tuple3Ops(rows: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, (Long, String)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
