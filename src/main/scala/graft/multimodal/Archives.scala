@@ -391,6 +391,28 @@ object Archives {
     }).toDF("doc_id", "member_offset", "text")
   }
 
+  /** `.tar.gz` fixtures: the tar fixture compressed as one RFC 1952
+    * member — the most common way a corpus tarball actually ships. */
+  def tgzFixtures(docs: DataFrame, idCol: String, textCol: String): Dataset[ArchiveRecord] =
+    grouped(docs, idCol, textCol)(ms => Gzip.gzipStored(tarFixture(ms)))
+
+  /** `.tar.gz` explode: the real gzip decode (CRC/ISIZE-verified, bombs
+    * rejected — [[Gzip.gunzip]]) composed with the checksum-verified tar
+    * walk. Offsets are within the DECOMPRESSED stream — the coordinate
+    * space a tar index actually uses (gzip is not seekable; a 100 TB
+    * pipeline decompresses once and indexes the tar offsets). */
+  def tgzExplode(ds: Dataset[ArchiveRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      Gzip.gunzip(rec.archive).toSeq.flatMap(tarMembers).flatMap {
+        case (NamePattern(id), off, data) =>
+          Some((id.toLong, off, new String(data, UTF_8)))
+        case _ => None
+      }
+    }).toDF("doc_id", "member_offset", "text")
+  }
+
   // ======================= WARC (.warc.gz) =======================
 
   /** One WARC/1.0 resource record, gzip'd as its own RFC 1952 member

@@ -246,33 +246,39 @@ object Multimodal {
       val inf = partitionInflater()
       it.flatMap { r =>
         ImageCodecs.decode(r.media, inf).map { img =>
-          def gray(x: Int, y: Int): Int = {
-            val o = (y * img.width + x) * img.channels
-            299 * (img.pixels(o) & 0xff) + 587 * (img.pixels(o + 1) & 0xff) +
-              114 * (img.pixels(o + 2) & 0xff)
-          }
-          val bytes = new Array[Int](8)
-          var v = 0L
-          var j = 0
-          while (j < 8) {
-            val sy = j * img.height / 8
-            var prev = gray(0, sy)
-            var bits = 0
-            var i = 0
-            while (i < 8) {
-              val cur = gray((i + 1) * img.width / 9, sy)
-              if (cur > prev) bits |= 1 << i
-              prev = cur
-              i += 1
-            }
-            bytes(j) = bits
-            v |= bits.toLong << (8 * j)
-            j += 1
-          }
-          (r.doc_id, v, bytes.map(b => f"$b%02x").mkString)
+          val v = dhashOf(img)
+          (r.doc_id, v,
+            (0 until 8).map(j => f"${(v >>> (8 * j)) & 0xffL}%02x").mkString)
         }
       }
     }.toDF("doc_id", "dhash", "dhash_hex")
+  }
+
+  /** The 9×8 grayscale gradient dHash of one decoded image — byte j is
+    * row j's 8 left-to-right luma-gradient bits on the NN-sampled grid. */
+  def dhashOf(img: PngCodec.Image): Long = {
+    def gray(x: Int, y: Int): Int = {
+      val o = (y * img.width + x) * img.channels
+      299 * (img.pixels(o) & 0xff) + 587 * (img.pixels(o + 1) & 0xff) +
+        114 * (img.pixels(o + 2) & 0xff)
+    }
+    var v = 0L
+    var j = 0
+    while (j < 8) {
+      val sy = j * img.height / 8
+      var prev = gray(0, sy)
+      var bits = 0
+      var i = 0
+      while (i < 8) {
+        val cur = gray((i + 1) * img.width / 9, sy)
+        if (cur > prev) bits |= 1 << i
+        prev = cur
+        i += 1
+      }
+      v |= bits.toLong << (8 * j)
+      j += 1
+    }
+    v
   }
 
   /** Perceptual near-duplicate pairs: dHash → four 16-bit bands →
@@ -922,6 +928,86 @@ object Multimodal {
       Seq(MediaRecord(2 * id, gif), MediaRecord(2 * id + 1, PngCodec.encode(img)))
     })
   }
+
+  /** Frames per video the near-dup fid packing reserves. */
+  val MaxVideoFrames = 1024L
+
+  /** Per-frame perceptual hashes of an animated clip: one row per
+    * really-decoded frame with its 9×8 dHash — the shot-level signature
+    * video dedup works from. Non-animated/undecodable payloads drop. */
+  def videoFrameHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      GifCodec.decodeFrames(r.media).toSeq.flatMap(_.zipWithIndex
+        .take(MaxVideoFrames.toInt).map { case (f, i) =>
+          (r.doc_id, i.toLong,
+            dhashOf(PngCodec.Image(f.width, f.height, 3, f.pixels)))
+        })
+    }.toDF("doc_id", "frame", "dhash")
+  }
+
+  /** Shot-level video near-dup: two clips match when ANY frame pair is
+    * within `maxHamming` — no temporal alignment assumed (a re-edit
+    * reorders/crops the timeline but reuses the footage). Frame hashes
+    * go through the SAME banded core as stills (fid = doc·1024 + frame
+    * packs the frame dimension into the pair machinery), then pairs
+    * collapse per video pair with the evidence a dedup policy needs:
+    * how many near-frame pairs and how close the closest. Work scales
+    * with frames, not frames² — the banding is the point at 100 TB.
+    * Returns (cached frame-hash relation, pairs); caller releases. */
+  def videoNearDupPairs(ds: Dataset[MediaRecord], maxHamming: Int = 3,
+      maxBucket: Int = 8 * graft.operators.Dedup.DefaultMaxBucket)
+      : (DataFrame, DataFrame) = {
+    require(maxHamming <= 3,
+      s"4-band LSH only guarantees recall up to hamming 3, got $maxHamming")
+    val fh = videoFrameHashes(ds)
+      .select((col("doc_id") * MaxVideoFrames + col("frame")).as("doc_id"),
+        col("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val framePairs = bandedHammingPairs(fh, "dhash", maxHamming, maxBucket)
+    val pairs = framePairs
+      .withColumn("va", expr(s"doc_a div $MaxVideoFrames"))
+      .withColumn("vb", expr(s"doc_b div $MaxVideoFrames"))
+      .where(col("va") < col("vb"))
+      .groupBy(col("va").as("doc_a"), col("vb").as("doc_b"))
+      .agg(count(lit(1)).as("n_near_frames"),
+        min(col("hamming")).as("min_hamming"))
+    (fh, pairs)
+  }
+
+  /** Animated fixtures with CONTROLLED near-duplicate clips: ids in the
+    * same group of 8 share the [[gifNearFixture]] geometry/palette and
+    * three frames with index plane (base + f·11 + x·3 + y·5) mod 16;
+    * non-canonical member m remaps ONLY pixel (0,0) of frame m mod 3 —
+    * so any two group members share at least one bit-exact frame and
+    * their edited frames stay within dHash hamming 1, while cross-group
+    * palettes decorrelate everything. Built over a doc subset (id%3=0)
+    * to keep the brute-force oracle's frame-pair join bounded. */
+  def videoNearFixture(docId: Long): Array[Byte] = {
+    val base = docId - (docId % 8)
+    val m = (docId % 8).toInt
+    val w = (base % 16 + 9).toInt
+    val h = (base % 12 + 8).toInt
+    val pal = Array.tabulate(16 * 3) { i =>
+      val u = (base * 131 + (i / 3) * 37 + (i % 3) * 11 + 1) * 2654435761L
+      ((u ^ (u / 1024)) % 256).toByte
+    }
+    val frames = (0 until 3).map { f =>
+      val idx = Array.tabulate(w * h) { i =>
+        val x = i % w
+        val y = i / w
+        if (x == 0 && y == 0 && m != 0 && f == m % 3)
+          ((base + m * 7) % 16).toByte
+        else ((base + f * 11 + x * 3 + y * 5) % 16).toByte
+      }
+      (10, idx)
+    }
+    GifCodec.encodeAnimated(w, h, pal, frames, minCode = 4)
+  }
+
+  def videoNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs.where(col(idCol) % 3 === 0), idCol)(videoNearFixture)
 
   /** Animated-GIF frame walk: one row per decoded frame with its GCE
     * delay and exact RGB channel sums — the video-adjacent sampling

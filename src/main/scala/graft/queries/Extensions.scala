@@ -310,6 +310,45 @@ object Extensions extends QueryModule {
        |  FROM gm)
        |$finalSelect""".stripMargin
 
+  /** Per-frame dHash oracle scaffolding for the video near-fixtures
+    * (Multimodal.videoNearFixture): the [[gifDhashOracle]] pixel
+    * arithmetic extended by the frame dimension — index plane
+    * (base + f·11 + x·3 + y·5) mod 16 with the (0,0) remap applied only
+    * in frame m mod 3 of non-canonical members. Ends with CTE `bh`
+    * holding (doc_id, f, b[8]) over the id%3=0 fixture subset. */
+  private[queries] def videoDhashOracle(finalSelect: String): String =
+    s"""WITH g AS (SELECT doc_id, doc_id - doc_id % 8 AS base,
+       |    doc_id % 8 AS m,
+       |    (doc_id - doc_id % 8) % 16 + 9 AS w,
+       |    (doc_id - doc_id % 8) % 12 + 8 AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |fr AS (SELECT g.*, ff.f FROM g
+       |  CROSS JOIN (SELECT unnest(range(3)) AS f) ff),
+       |gi AS (SELECT doc_id, base, f,
+       |  list_transform(range(8), j ->
+       |    list_transform(range(9), i ->
+       |      CASE WHEN i = 0 AND j = 0 AND m <> 0 AND f = m % 3
+       |           THEN (base + m * 7) % 16
+       |           ELSE (base + f*11 + (i*w//9)*3 + (j*h//8)*5) % 16
+       |      END)) AS idx
+       |  FROM fr),
+       |gm AS (SELECT doc_id, f,
+       |  list_transform(range(8), j ->
+       |    list_transform(range(9), i ->
+       |      list_sum(list_transform(range(3), c ->
+       |        ([299, 587, 114][c+1]) *
+       |          (xor((base*131 + idx[j+1][i+1]*37 + c*11 + 1) * 2654435761,
+       |               (base*131 + idx[j+1][i+1]*37 + c*11 + 1) * 2654435761
+       |                 // 1024) % 256))))) AS mm
+       |  FROM gi),
+       |bh AS (SELECT doc_id, f,
+       |  list_transform(range(8), j ->
+       |    (list_sum(list_transform(range(8), i ->
+       |      CASE WHEN mm[j+1][i+2] > mm[j+1][i+1] THEN 1 << i ELSE 0 END))
+       |      )::BIGINT) AS b
+       |  FROM gm)
+       |$finalSelect""".stripMargin
+
   /** Shared dHash oracle scaffolding for the JPEG near-fixtures
     * (Multimodal.jpegNearFixture): rebuilds the DECODED luma from the
     * coefficient-space closed form (Y = 128 + a + sx·b + sy·c + sx·sy·d
@@ -1438,6 +1477,33 @@ object Extensions extends QueryModule {
           |    bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3"""
           .stripMargin))),
 
+    // shot-level video near-dup: two clips match when ANY frame pair is
+    // perceptually near (no temporal alignment assumed — a re-edit
+    // reorders the timeline but reuses footage). Per-frame dHash over
+    // REALLY-decoded animated-GIF frames through the same banded core
+    // (frames packed as doc·1024+frame), collapsed per video pair with
+    // near-frame count + closest distance. The oracle rebuilds every
+    // frame hash from the palette/index arithmetic and goes brute over
+    // all frame pairs — a decode, banding, or collapse slip mismatches.
+    GraftQuery("q_video_neardup",
+      (s, dir) => {
+        val (cached, pairs) = Multimodal.videoNearDupPairs(
+          Multimodal.videoNearFixtures(t(s, dir, "documents"), "doc_id"))
+        drained(s, cached, pairs)
+      },
+      Some(Extensions.videoDhashOracle(
+        """, fp AS (SELECT a.doc_id AS va, b2.doc_id AS vb,
+          |    list_sum(list_transform(range(8), k ->
+          |      bit_count(xor(a.b[k+1], b2.b[k+1])))) AS ham
+          |  FROM bh a JOIN bh b2 ON a.doc_id < b2.doc_id
+          |  WHERE list_sum(list_transform(range(8), k ->
+          |      bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3)
+          |SELECT va AS doc_a, vb AS doc_b,
+          |  count(*)::BIGINT AS n_near_frames,
+          |  min(ham)::BIGINT AS min_hamming
+          |FROM fp GROUP BY va, vb"""
+          .stripMargin))),
+
     // 64-bit audio fingerprint over really-decoded PCM (65 envelope
     // frames → 64 gradient bits): the band-compatible widening of
     // q_audio_fingerprint, emitted as per-byte hex so the oracle never
@@ -1528,6 +1594,26 @@ object Extensions extends QueryModule {
     GraftQuery("q_tar_members",
       (s, dir) => graft.multimodal.Archives.tarExplode(
         graft.multimodal.Archives.tarFixtures(
+          t(s, dir, "documents"), "doc_id", "text")),
+      Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
+             |    length(text)::BIGINT AS n, text FROM documents)
+             |SELECT doc_id,
+             |  COALESCE(sum(512 + 512 * ((n + 511) // 512))
+             |    OVER (PARTITION BY aid ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0)::BIGINT AS member_offset,
+             |  text
+             |FROM m""".stripMargin)),
+
+    // .tar.gz — the composition a corpus tarball actually ships as: real
+    // gzip decode (CRC/ISIZE verified, bombs rejected) feeding the
+    // checksum-verified tar walk; offsets are in the decompressed stream
+    // (the coordinate space a tar index uses — gzip is not seekable).
+    // Same offset oracle as q_tar_members: the gzip layer must be
+    // byte-transparent.
+    GraftQuery("q_tgz_members",
+      (s, dir) => graft.multimodal.Archives.tgzExplode(
+        graft.multimodal.Archives.tgzFixtures(
           t(s, dir, "documents"), "doc_id", "text")),
       Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
              |    length(text)::BIGINT AS n, text FROM documents)

@@ -164,6 +164,18 @@ class ArchivesSpec extends SparkSpec {
     } finally inf.end()
   }
 
+  test("tgz composition: gzip layer is byte-transparent to the tar walk") {
+    val ms = members(4)
+    val tgz = Gzip.gzipStored(Archives.tarFixture(ms))
+    val back = Gzip.gunzip(tgz).map(Archives.tarMembers).get
+    assert(back.map(_._1) === ms.map { case (id, _) => s"doc-$id.txt" })
+    assert(back.map(_._3.toSeq) === ms.map(_._2.toSeq))
+    // corrupt gzip trailer → whole archive rejected before the tar walk
+    val bad = tgz.clone()
+    bad(tgz.length - 5) = (bad(tgz.length - 5) ^ 1).toByte
+    assert(Gzip.gunzip(bad).isEmpty)
+  }
+
   // ======================= Spark end-to-end =======================
 
   test("zip/tar/warc explode all round-trip the documents table") {

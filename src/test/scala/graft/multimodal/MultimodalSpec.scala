@@ -147,6 +147,24 @@ class MultimodalSpec extends SparkSpec {
         s"cross-format pair for doc $d missing")
   }
 
+  test("videoNearDupPairs: clips sharing footage pair up regardless of which frame matches") {
+    import spark.implicits._
+    // ids 0,3,6,... (the %3 fixture subset) — two groups of 8 → members
+    // 0,3,6 + 24,27,30 land in groups 0 and 24
+    val ids = (0L until 48L).toDF("doc_id")
+    val (cached, pairs) = Multimodal.videoNearDupPairs(
+      Multimodal.videoNearFixtures(ids, "doc_id"))
+    val got = pairs.as[(Long, Long, Long, Long)].collect()
+    cached.unpersist(blocking = true)
+    assert(got.nonEmpty)
+    // in-group pairs: ≥1 bit-exact shared frame and closest distance 0
+    for ((a, b) <- Seq((0L, 3L), (0L, 6L), (3L, 6L), (24L, 27L)))
+      assert(got.exists { case (x, y, n, mh) =>
+        x == a && y == b && n >= 1 && mh == 0 }, s"missing video pair ($a,$b)")
+    // no cross-group pair (palettes decorrelate)
+    assert(got.forall { case (a, b, _, _) => a / 8 == b / 8 })
+  }
+
   test("binary payload round-trips through parquet (the 100 TB storage shape)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("mm").toString
