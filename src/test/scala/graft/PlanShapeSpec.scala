@@ -354,6 +354,40 @@ class PlanShapeSpec extends SparkSpec {
     } finally cached.unpersist(blocking = true)
   }
 
+  test("audio and video near-dup candidate joins are banded equi, never cartesian") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, sfDir, "documents").select(col("doc_id"))
+    for ((label, build) <- Seq[(String, () => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame))](
+        "audio" -> (() => graft.multimodal.Multimodal.audioNearDupPairs(
+          graft.multimodal.Multimodal.audioNearFixtures(docs, "doc_id"))),
+        "video" -> (() => graft.multimodal.Multimodal.videoNearDupPairs(
+          graft.multimodal.Multimodal.videoNearFixtures(docs, "doc_id"))))) {
+      val (cached, pairs) = build()
+      try {
+        pairs.collect()
+        val plan = pairs.queryExecution.executedPlan
+        val bad = collectAll(plan) {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+        }
+        assert(bad.isEmpty, s"non-equi join in $label near-dup:\n$plan")
+      } finally cached.unpersist(blocking = true)
+    }
+  }
+
+  test("archive explode plans are scan-shaped: the only shuffle is archive assembly") {
+    // zipExplode/warcSplit/tarExplode are mapPartitions over archive rows —
+    // at scale (archives already on disk) they are shuffle-free scans. The
+    // fixture path's single exchange is the groupBy that PACKS the
+    // archives; parsing adds none.
+    for (q <- Seq("q_zip_explode", "q_warc_split", "q_tar_members", "q_tgz_members")) {
+      val plan = executed(q)
+      val exchanges = collectAll(plan) { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size <= 1,
+        s"$q should shuffle only to assemble fixture archives:\n$plan")
+    }
+  }
+
   test("fuzzy join never plans a cartesian product") {
     // the whole point of similarity blocking (deletion variants here):
     // candidate generation is an equi-join on the variant hash — never a
