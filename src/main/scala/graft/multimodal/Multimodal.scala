@@ -52,6 +52,24 @@ object Multimodal {
     * reconstruct the prefix from first principles without a CRC32. */
   val HeaderHexBytes = 29
 
+  /** Two-stage MULTIPLICATIVE fixture mix, exact in 63 bits on both
+    * engines (every intermediate < 2^63, so the DuckDB oracle reproduces
+    * it verbatim with xor + integer division). The multiplicative
+    * coupling of the group key `a` and the element key `b` is the point:
+    * an ADDITIVE mix (a·C1 + b·C2 folded once) decomposes as u(a) + v(b),
+    * so the element-to-element DIFFERENCES every gradient-bit signature
+    * compares are the SAME for all groups — cross-group hashes correlate
+    * and a scale ladder over replicated fixtures manufactures quadratic
+    * near-dup pairs (measured: q_crossformat_neardup 31× at 10× data
+    * before this mix). Here the per-element stride scales with the group
+    * key, so the folds decorrelate across groups. */
+  private[multimodal] def mix2(a: Long, b: Long): Long = {
+    val v = (a + 48271L) * b * 48271L
+    val w = v ^ (v / 512)
+    val x = (w % 1000003L) * 2654435761L
+    x ^ (x / 8192)
+  }
+
   /** doc_id → deterministic REAL container payload, for exercising the
     * header parsers without binary files on disk. Valid headers per spec:
     * kind 0 = PNG (signature + IHDR incl a correct CRC32), kind 1 = BMP
@@ -576,9 +594,9 @@ object Multimodal {
 
   /** WAV fixtures with CONTROLLED near-duplicates for the audio dedup
     * surface: 260 samples = 65 envelope frames × 4. Ids in the same
-    * group of 8 share base samples (the [[audioFixture]] nonlinear mix,
-    * keyed by the group base so the envelope is uncorrelated across
-    * groups); non-canonical member m replaces every sample of frame 7·m
+    * group of 8 share base samples ([[mix2]] keyed by the group base, so
+    * the envelope decorrelates across groups — see mix2's scaladoc for
+    * why an additive mix does not); non-canonical member m replaces every sample of frame 7·m
     * with a fixed loud value, flipping at most gradient bits 7·m−1 and
     * 7·m — in-group hamming ≤ 2 vs base, ≤ 4 variant-to-variant. */
   def audioNearFixture(docId: Long): Array[Byte] = {
@@ -591,10 +609,7 @@ object Multimodal {
     while (i < n) {
       val s =
         if (m > 0 && i / 4 == 7 * m) 30000
-        else {
-          val u = (base * 131 + i * 29 + 1) * 2654435761L
-          (((u ^ (u >> 9)) % 65536) - 32768).toInt
-        }
+        else (mix2(base * 131, i * 29 + 1) % 65536 - 32768).toInt
       data(2 * i) = (s & 0xff).toByte
       data(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
@@ -880,10 +895,11 @@ object Multimodal {
     fixtureDs(docs, idCol)(gifAnimFixture)
 
   /** GIF twin of [[pngNearFixture]]/[[jpegNearFixture]]: ids in the same
-    * group of 8 share geometry (the PNG family's w/h), a NONLINEARLY
-    * mixed palette (u = (base·131 + k·37 + c·11 + 1)·2654435761, entry =
-    * (u XOR u/1024) mod 256 — a linear palette recurs every 256/gcd
-    * bases and whole groups collide as exact dups) and index plane
+    * group of 8 share geometry (the PNG family's w/h), a palette from
+    * the MULTIPLICATIVE [[mix2]] (entry = mix2(base·131, k·37+c·11+1)
+    * mod 256 — a linear palette recurs across bases and whole groups
+    * collide; an additive nonlinear one correlates gradient bits
+    * cross-group, see mix2's scaladoc) and index plane
     * ((base + x·3 + y·5) mod 16); non-canonical members remap ONLY the
     * (0,0) index to (base + (id%8)·7) mod 16 — never the canonical value
     * for id%8 ∈ 1..7 — so in-group dHashes differ in at most bit 0 of
@@ -893,8 +909,7 @@ object Multimodal {
     val w = (base % 16 + 9).toInt
     val h = (base % 12 + 8).toInt
     val pal = Array.tabulate(16 * 3) { i =>
-      val u = (base * 131 + (i / 3) * 37 + (i % 3) * 11 + 1) * 2654435761L
-      ((u ^ (u / 1024)) % 256).toByte
+      (mix2(base * 131, (i / 3) * 37 + (i % 3) * 11 + 1) % 256).toByte
     }
     val idx = Array.tabulate(w * h) { i =>
       val x = i % w
@@ -990,8 +1005,7 @@ object Multimodal {
     val w = (base % 16 + 9).toInt
     val h = (base % 12 + 8).toInt
     val pal = Array.tabulate(16 * 3) { i =>
-      val u = (base * 131 + (i / 3) * 37 + (i % 3) * 11 + 1) * 2654435761L
-      ((u ^ (u / 1024)) % 256).toByte
+      (mix2(base * 131, (i / 3) * 37 + (i % 3) * 11 + 1) % 256).toByte
     }
     val frames = (0 until 3).map { f =>
       val idx = Array.tabulate(w * h) { i =>

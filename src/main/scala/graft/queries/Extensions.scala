@@ -221,6 +221,17 @@ object Extensions extends QueryModule {
     * NN-resampled integer-luma grid, and the per-row gradient bytes `b`
     * (CTE `bh`), all in exact 64-bit arithmetic. The final SELECT renders
     * hex (q_image_dhash) or brute hamming pairs (q_image_neardup). */
+  /** DuckDB rendering of Multimodal.mix2 — the two-stage multiplicative
+    * fixture mix (see its scaladoc for why additive mixes are banned:
+    * they correlate gradient-bit hashes across fixture groups). Every
+    * intermediate stays under 2^63 so BIGINT arithmetic is exact. */
+  private def dMix2(a: String, b: String): String = {
+    val v = s"(($a + 48271) * ($b) * 48271)"
+    val w = s"xor($v, $v // 512)"
+    val x = s"(($w % 1000003) * 2654435761)"
+    s"xor($x, $x // 8192)"
+  }
+
   /** Shared oracle scaffolding for the 64-bit audio fingerprint
     * (Multimodal.audioNearFixture): 260 samples, 65 energy-envelope
     * frames of 4, 64 gradient bits materialized as 8 bytes (b[1]..b[8],
@@ -232,9 +243,8 @@ object Extensions extends QueryModule {
        |    doc_id % 8 AS m FROM documents),
        |s AS (SELECT doc_id, list_transform(range(260), i ->
        |    CASE WHEN m > 0 AND i // 4 = 7 * m THEN 30000
-       |         ELSE xor((base*131 + i*29 + 1) * 2654435761,
-       |                  (base*131 + i*29 + 1) * 2654435761 // 512)
-       |              % 65536 - 32768 END) AS smp
+       |         ELSE ${dMix2("base*131", "i*29 + 1")} % 65536 - 32768
+       |    END) AS smp
        |  FROM d),
        |e AS (SELECT doc_id, list_transform(range(65), f ->
        |    list_sum(list_transform(range(4), k ->
@@ -275,8 +285,7 @@ object Extensions extends QueryModule {
 
   /** Shared dHash oracle scaffolding for the GIF near-fixtures
     * (Multimodal.gifNearFixture): decoded pixel (x,y,c) is the mixed
-    * palette lookup (u XOR u/1024) mod 256,
-    * u = (base·131 + idx·37 + c·11 + 1)·2654435761, with
+    * palette lookup mix2(base·131, idx·37 + c·11 + 1) mod 256, with
     * idx = (base + x·3 + y·5) mod 16, remapped at (0,0) for
     * non-canonical members — sampled only at grid point (i=0, j=0),
     * every other grid coordinate is ≥ 1. Same 9×8 grid / gradient-bit
@@ -298,9 +307,8 @@ object Extensions extends QueryModule {
        |    list_transform(range(9), i ->
        |      list_sum(list_transform(range(3), c ->
        |        ([299, 587, 114][c+1]) *
-       |          (xor((base*131 + idx[j+1][i+1]*37 + c*11 + 1) * 2654435761,
-       |               (base*131 + idx[j+1][i+1]*37 + c*11 + 1) * 2654435761
-       |                 // 1024) % 256))))) AS m
+       |          (${dMix2("base*131", "idx[j+1][i+1]*37 + c*11 + 1")}
+       |            % 256))))) AS m
        |  FROM gi),
        |bh AS (SELECT doc_id,
        |  list_transform(range(8), j ->
@@ -337,9 +345,8 @@ object Extensions extends QueryModule {
        |    list_transform(range(9), i ->
        |      list_sum(list_transform(range(3), c ->
        |        ([299, 587, 114][c+1]) *
-       |          (xor((base*131 + idx[j+1][i+1]*37 + c*11 + 1) * 2654435761,
-       |               (base*131 + idx[j+1][i+1]*37 + c*11 + 1) * 2654435761
-       |                 // 1024) % 256))))) AS mm
+       |          (${dMix2("base*131", "idx[j+1][i+1]*37 + c*11 + 1")}
+       |            % 256))))) AS mm
        |  FROM gi),
        |bh AS (SELECT doc_id, f,
        |  list_transform(range(8), j ->
