@@ -128,6 +128,31 @@ class StreamingMediaSpec extends SparkSpec {
     assert(streamed.map(_._2) === Set(0L, 8L)) // one cluster per group
   }
 
+  test("streaming archive ingestion: .warc.gz records explode per micro-batch") {
+    import spark.implicits._
+    import graft.multimodal.{Archives, ArchiveRecord}
+    implicit val sql = spark.sqlContext
+    // archives arrive as a stream (the crawl-delivery shape); the same
+    // batch warcSplit call runs per micro-batch unchanged
+    def warcOf(ids: Range) = Archives.warcFixture(
+      ids.map(i => i.toLong -> s"doc $i body".getBytes("UTF-8")))
+    val in = MemoryStream[ArchiveRecord]
+    val q = Archives.warcSplit(in.toDS())
+      .writeStream.format("memory").queryName("warc_records")
+      .outputMode("append").start()
+    try {
+      in.addData(ArchiveRecord(0L, warcOf(0 until 3)))
+      q.processAllAvailable()
+      assert(spark.table("warc_records").count() === 3)
+      in.addData(ArchiveRecord(1L, warcOf(3 until 8)),
+        ArchiveRecord(2L, Array[Byte](1, 2, 3))) // corrupt archive: drops
+      q.processAllAvailable()
+      val rows = spark.table("warc_records")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      assert(rows === (0 until 8).map(i => i.toLong -> s"doc $i body").toMap)
+    } finally q.stop()
+  }
+
   private implicit class Tuple3Ops(rows: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, (Long, String)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
