@@ -1558,6 +1558,44 @@ object Extensions extends QueryModule {
           t(s, dir, "documents"), "doc_id", "text")),
       Some("SELECT doc_id, text FROM documents")),
 
+    // modern compressed ingestion beyond gzip — the codecs Spark itself
+    // ships (zstd-jni / lz4-java / snappy-java; zstd is what large web
+    // corpora ship as today). Byte-identity oracles like q_gzip_roundtrip;
+    // the engineering under test is the ingestion contract: streamed
+    // per-partition decode, bombs stopped by a cap that never trusts the
+    // frame's declared content size, corrupt payloads dropped not thrown.
+    GraftQuery("q_zstd_roundtrip",
+      (s, dir) => graft.multimodal.Compressed.decompressTexts(
+        graft.multimodal.Compressed.compressTexts(
+          t(s, dir, "documents"), "doc_id", "text", "zstd"), "zstd"),
+      Some("SELECT doc_id, text FROM documents")),
+
+    GraftQuery("q_lz4_roundtrip",
+      (s, dir) => graft.multimodal.Compressed.decompressTexts(
+        graft.multimodal.Compressed.compressTexts(
+          t(s, dir, "documents"), "doc_id", "text", "lz4"), "lz4"),
+      Some("SELECT doc_id, text FROM documents")),
+
+    GraftQuery("q_snappy_roundtrip",
+      (s, dir) => graft.multimodal.Compressed.decompressTexts(
+        graft.multimodal.Compressed.compressTexts(
+          t(s, dir, "documents"), "doc_id", "text", "snappy"), "snappy"),
+      Some("SELECT doc_id, text FROM documents")),
+
+    // mixed-compression corpus routing by magic number: the scan that
+    // tells a pipeline which per-codec readers to launch. The oracle
+    // pins the sniff against the fixture's codec assignment — a magic
+    // mix-up (e.g. reading LZ4's little-endian magic big-endian) breaks
+    // the partition.
+    GraftQuery("q_compressed_route",
+      (s, dir) => graft.multimodal.Compressed.routeTexts(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
+             |    ELSE 'lz4' END AS format,
+             |  count(*)::BIGINT AS n_payloads,
+             |  sum(length(text))::BIGINT AS decoded_bytes
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // ======================= archive ingestion =======================
 
     // ZIP metadata-only corpus scan: real EOCD → central-directory walk
