@@ -422,13 +422,7 @@ object Archives {
   def warcFixture(members: Seq[(Long, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1024)
     members.foreach { case (id, data) =>
-      val header = ("WARC/1.0\r\n" +
-        "WARC-Type: resource\r\n" +
-        s"WARC-Record-ID: <urn:graft:$id>\r\n" +
-        s"Content-Length: ${data.length}\r\n" +
-        "\r\n").getBytes(US_ASCII)
-      val record = header ++ data ++ "\r\n\r\n".getBytes(US_ASCII)
-      val gz = Gzip.gzipStored(record)
+      val gz = Gzip.gzipStored(warcRecordBytes(id, data))
       out.write(gz, 0, gz.length)
     }
     out.toByteArray
@@ -479,7 +473,7 @@ object Archives {
 
   /** Minimal WARC record parse: headers up to the blank line, payload =
     * Content-Length bytes after it. Returns (record-id field, payload). */
-  private def warcRecord(rec: Array[Byte]): Option[(String, Array[Byte])] = {
+  private[multimodal] def warcRecord(rec: Array[Byte]): Option[(String, Array[Byte])] = {
     var i = 0
     var hdrEnd = -1
     while (hdrEnd < 0 && i + 3 < rec.length) {
@@ -502,6 +496,45 @@ object Archives {
   }
 
   private val RecordIdPattern = "<urn:graft:([0-9]+)>".r
+
+  /** `.warc.zst`-style fixtures: one RFC 8878 zstd frame per WARC record
+    * ([[Compressed.zstdStoredFrame]] — deterministic raw-block frames, so
+    * the oracle can compute every boundary), frames concatenated. */
+  def warcZstFixtures(docs: DataFrame, idCol: String, textCol: String): Dataset[ArchiveRecord] =
+    grouped(docs, idCol, textCol) { members =>
+      val out = new java.io.ByteArrayOutputStream(1024)
+      members.foreach { case (id, data) =>
+        val record = warcRecordBytes(id, data)
+        val z = Compressed.zstdStoredFrame(record)
+        out.write(z, 0, z.length)
+      }
+      out.toByteArray
+    }
+
+  private def warcRecordBytes(id: Long, data: Array[Byte]): Array[Byte] =
+    ("WARC/1.0\r\n" +
+      "WARC-Type: resource\r\n" +
+      s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+      s"Content-Length: ${data.length}\r\n" +
+      "\r\n").getBytes(US_ASCII) ++ data ++ "\r\n\r\n".getBytes(US_ASCII)
+
+  /** The zstd twin of [[warcSplit]]: member boundaries recovered by the
+    * real zstd frame parser ([[Compressed.zstdFrames]]), then the same
+    * WARC record grammar. Same output shape, same scale story — the
+    * boundary fields are what make a 100 TB .warc.zst splittable. */
+  def warcZstSplit(ds: Dataset[ArchiveRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      Compressed.zstdFrames(rec.archive).flatMap { case (off, len, data) =>
+        warcRecord(data) match {
+          case Some((RecordIdPattern(id), payload)) =>
+            Some((id.toLong, off, len, new String(payload, UTF_8)))
+          case _ => None
+        }
+      }
+    }).toDF("doc_id", "member_offset", "member_len", "text")
+  }
 
   /** Split a .warc.gz into records WITH their member boundaries —
     * (doc_id, member_offset, member_len, text). The boundary fields are

@@ -39,6 +39,71 @@ object Compressed {
   def zstdCompress(data: Array[Byte]): Array[Byte] =
     com.github.luben.zstd.Zstd.compress(data, 3)
 
+  /** Spec-complete RFC 8878 zstd frame with RAW blocks — deterministic
+    * bytes (no compressor-version drift), legal input to any zstd
+    * decoder (CompressedSpec cross-checks with zstd-jni's own stream
+    * reader and frame parser). Layout: magic 28 B5 2F FD, single-segment
+    * Frame_Header_Descriptor, content size in the smallest legal FCS
+    * field (§3.1.1.1: 1 byte < 256; 2 bytes stores n−256 up to 65791;
+    * else 4 bytes), then raw blocks of ≤ 128 KiB (3-byte little-endian
+    * header: last-bit | type 00 | size << 3), no checksum. */
+  def zstdStoredFrame(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    require(n < (1L << 32), "single 4-byte-FCS frame only")
+    val fcs: Array[Byte] =
+      if (n < 256) Array(n.toByte)
+      else if (n < 65792) ByteIo.le16b(n - 256)
+      else ByteIo.le32b(n.toLong)
+    val fcsFlag = if (n < 256) 0 else if (n < 65792) 1 else 2
+    val out = new java.io.ByteArrayOutputStream(n + 16)
+    out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
+    out.write((fcsFlag << 6) | 0x20) // single-segment, no checksum/dict
+    out.write(fcs, 0, fcs.length)
+    var off = 0
+    var done = false
+    while (!done) {
+      val len = math.min(1 << 17, n - off) // Block_Maximum_Size = 128 KiB
+      val last = off + len == n
+      val hdr = ((len << 3) | (if (last) 1 else 0)).toLong
+      out.write((hdr & 0xff).toInt); out.write(((hdr >> 8) & 0xff).toInt)
+      out.write(((hdr >> 16) & 0xff).toInt)
+      out.write(data, off, len)
+      off += len
+      done = last
+    }
+    out.toByteArray
+  }
+
+  /** Walk concatenated zstd frames recovering MEMBER BOUNDARIES — the
+    * modern splittable-corpus layout (one frame per record, what a
+    * transparent multi-frame stream read deliberately hides). Boundary
+    * discovery is the REAL zstd frame parser
+    * (`Zstd.findFrameCompressedSize`, which walks block headers without
+    * decompressing); each frame then decodes through the capped stream
+    * path. Stops at the first corrupt frame — downstream offsets are
+    * unknowable past it. */
+  def zstdFrames(b: Array[Byte]): Vector[(Long, Long, Array[Byte])] = {
+    val out = Vector.newBuilder[(Long, Long, Array[Byte])]
+    if (b == null) return out.result()
+    var off = 0L
+    var done = false
+    while (!done && off < b.length) {
+      val size =
+        try com.github.luben.zstd.Zstd.findFrameCompressedSize(b, off.toInt)
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      if (size <= 0 || com.github.luben.zstd.Zstd.isError(size) ||
+          off + size > b.length) done = true
+      else {
+        val frame = java.util.Arrays.copyOfRange(b, off.toInt, (off + size).toInt)
+        zstdDecompress(frame) match {
+          case Some(data) => out += ((off, size, data)); off += size
+          case None => done = true
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Streaming zstd decode with the shared bomb cap; the frame's declared
     * content size is deliberately ignored as an allocation hint. The
     * magic is checked first — an empty or foreign byte string must be

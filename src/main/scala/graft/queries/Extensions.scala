@@ -1696,6 +1696,34 @@ object Extensions extends QueryModule {
              |  member_len::BIGINT AS member_len, text
              |FROM g""".stripMargin)),
 
+    // .warc.zst — the modern splittable-corpus layout: one RFC 8878 zstd
+    // frame per WARC record, frames concatenated. Boundary recovery is
+    // the REAL zstd frame parser (Zstd.findFrameCompressedSize walks
+    // block headers without decompressing); fixtures use our
+    // deterministic raw-block frame encoder so the oracle computes every
+    // boundary from the spec: frame = 4 magic + 1 FHD + FCS field (1
+    // byte < 256, 2 bytes < 65792, else 4) + 3-byte header per 128 KiB
+    // raw block + payload.
+    GraftQuery("q_warc_zst_split",
+      (s, dir) => graft.multimodal.Archives.warcZstSplit(
+        graft.multimodal.Archives.warcZstFixtures(
+          t(s, dir, "documents"), "doc_id", "text")),
+      Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
+             |    length(text)::BIGINT AS n, text FROM documents),
+             |r AS (SELECT *, 81 + length(CAST(doc_id AS VARCHAR))
+             |    + length(CAST(n AS VARCHAR)) + n + 4 AS rec_len FROM m),
+             |g AS (SELECT *, 5
+             |    + (CASE WHEN rec_len < 256 THEN 1
+             |            WHEN rec_len < 65792 THEN 2 ELSE 4 END)
+             |    + 3 * greatest(1, (rec_len + 131071) // 131072)
+             |    + rec_len AS member_len FROM r)
+             |SELECT doc_id,
+             |  COALESCE(sum(member_len) OVER (PARTITION BY aid ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0)::BIGINT AS member_offset,
+             |  member_len::BIGINT AS member_len, text
+             |FROM g""".stripMargin)),
+
     // ======================= corpus-clean pipeline =======================
 
     // the whole cleaning flow end-to-end: normalize → language filter →

@@ -70,6 +70,44 @@ class CompressedSpec extends SparkSpec {
     assert(Compressed.snappyDecompress(forged).isEmpty)
   }
 
+  test("zstdStoredFrame: every FCS branch and multi-block decode via the real zstd") {
+    // 0/255 → 1-byte FCS; 256/65791 → 2-byte; 65792 → 4-byte; 200000
+    // additionally spans two raw blocks (128 KiB cap)
+    for (n <- Seq(0, 1, 255, 256, 65791, 65792, 200000)) {
+      val data = Array.tabulate(n)(i => ((i * 31 + n) % 256).toByte)
+      val frame = Compressed.zstdStoredFrame(data)
+      assert(Compressed.sniff(frame) === "zstd")
+      // the independent reference decoder accepts our frame bytes
+      assert(Compressed.zstdDecompress(frame).map(_.toSeq) === Some(data.toSeq),
+        s"n=$n")
+      // and the reference frame parser agrees on the exact frame length
+      assert(com.github.luben.zstd.Zstd.findFrameCompressedSize(frame)
+        === frame.length, s"n=$n")
+      val fcsLen = if (n < 256) 1 else if (n < 65792) 2 else 4
+      val blocks = math.max(1, (n + (1 << 17) - 1) / (1 << 17))
+      assert(frame.length === 5 + fcsLen + 3 * blocks + n, s"n=$n")
+    }
+  }
+
+  test("zstdFrames recovers exact member boundaries; corruption stops the walk") {
+    val records = (0 until 4).map(i => s"record $i ${"y" * (i * 300)}".getBytes("UTF-8"))
+    val concat = records.map(Compressed.zstdStoredFrame).reduce(_ ++ _)
+    val got = Compressed.zstdFrames(concat)
+    assert(got.map(_._3.toSeq) === records.map(_.toSeq))
+    // boundaries tile the file exactly
+    assert(got.map(f => f._1 + f._2).last === concat.length)
+    got.sliding(2).foreach { case Vector((o1, l1, _), (o2, _, _)) =>
+      assert(o1 + l1 === o2)
+    case _ => () }
+    // flip a block-header byte of frame 1: walk keeps frame 0 only
+    val f0len = Compressed.zstdStoredFrame(records(0)).length
+    val bad = concat.clone()
+    bad(f0len + 5) = (bad(f0len + 5) ^ 0x7f).toByte
+    assert(Compressed.zstdFrames(bad).size <= 1)
+    assert(Compressed.zstdFrames(Array.empty[Byte]).isEmpty)
+    assert(Compressed.zstdFrames(null).isEmpty)
+  }
+
   test("mixed-codec corpus decodes through routed per-codec scans") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.t(spark, sfDir, "documents")
