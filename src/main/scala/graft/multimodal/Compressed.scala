@@ -115,7 +115,13 @@ object Compressed {
 
   def lz4Compress(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+    // 64 KiB blocks: the writer allocates its block buffer up front, and
+    // the default 4 MiB block size costs a 4 MiB allocation PER PAYLOAD
+    // on encode and again on decode (the reader sizes its buffer from
+    // the frame's BD byte) — measured 18 s vs 0.2 s for the corpus
+    // roundtrip. Frames stay legal for any lz4 reader.
+    val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+      net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB)
     out.write(data); out.close()
     bos.toByteArray
   }
