@@ -62,9 +62,16 @@ object Multimodal {
     * and a scale ladder over replicated fixtures manufactures quadratic
     * near-dup pairs (measured: q_crossformat_neardup 31× at 10× data
     * before this mix). Here the per-element stride scales with the group
-    * key, so the folds decorrelate across groups. */
+    * key, so the folds decorrelate across groups.
+    *
+    * Bounds: `a` is pre-reduced mod 1000003 before the multiply, so the
+    * first-stage product stays < 2^63 for ANY non-negative `a` and any
+    * `b` ≲ 1.8e8 (element keys here are < 1e5). The remaining ceiling is
+    * the CALLER's `base * 131` fold: exact up to doc_id ≈ 7e16, far past
+    * any ladder. Without the pre-reduction the first stage overflowed at
+    * doc_id ≈ 1.9e8 — silently wrapped on the JVM, raised by DuckDB. */
   private[multimodal] def mix2(a: Long, b: Long): Long = {
-    val v = (a + 48271L) * b * 48271L
+    val v = ((a % 1000003L) + 48271L) * b * 48271L
     val w = v ^ (v / 512)
     val x = (w % 1000003L) * 2654435761L
     x ^ (x / 8192)

@@ -216,17 +216,14 @@ object Extensions extends QueryModule {
        |SELECT query_id, rnk::BIGINT AS rank, vec_id, round(c, 6) AS cosine
        |FROM r WHERE rnk <= 5""".stripMargin
 
-  /** Shared dHash oracle scaffolding: rebuilds the near-fixture pixels
-    * (nonlinear integer mix — see Multimodal.pngNearFixture), the 9×8
-    * NN-resampled integer-luma grid, and the per-row gradient bytes `b`
-    * (CTE `bh`), all in exact 64-bit arithmetic. The final SELECT renders
-    * hex (q_image_dhash) or brute hamming pairs (q_image_neardup). */
   /** DuckDB rendering of Multimodal.mix2 — the two-stage multiplicative
     * fixture mix (see its scaladoc for why additive mixes are banned:
     * they correlate gradient-bit hashes across fixture groups). Every
-    * intermediate stays under 2^63 so BIGINT arithmetic is exact. */
+    * intermediate stays under 2^63 so BIGINT arithmetic is exact: `a` is
+    * pre-reduced mod 1000003 (mirroring mix2) so the first-stage product
+    * is bounded for any non-negative group key. */
   private def dMix2(a: String, b: String): String = {
-    val v = s"(($a + 48271) * ($b) * 48271)"
+    val v = s"((($a % 1000003) + 48271) * ($b) * 48271)"
     val w = s"xor($v, $v // 512)"
     val x = s"(($w % 1000003) * 2654435761)"
     s"xor($x, $x // 8192)"
@@ -258,6 +255,11 @@ object Extensions extends QueryModule {
        |  FROM e)
        |$finalSelect""".stripMargin
 
+  /** Shared dHash oracle scaffolding: rebuilds the near-fixture pixels
+    * (nonlinear integer mix — see Multimodal.pngNearFixture), the 9×8
+    * NN-resampled integer-luma grid, and the per-row gradient bytes `b`
+    * (CTE `bh`), all in exact 64-bit arithmetic. The final SELECT renders
+    * hex (q_image_dhash) or brute hamming pairs (q_image_neardup). */
   private[queries] def imageDhashOracle(finalSelect: String): String =
     s"""WITH g AS (SELECT doc_id, doc_id - doc_id % 8 AS base,
        |    (doc_id - doc_id % 8) % 16 + 9 AS w,
@@ -1593,7 +1595,7 @@ object Extensions extends QueryModule {
       Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
              |    ELSE 'lz4' END AS format,
              |  count(*)::BIGINT AS n_payloads,
-             |  sum(length(text))::BIGINT AS decoded_bytes
+             |  sum(octet_length(encode(text)))::BIGINT AS decoded_bytes
              |FROM documents GROUP BY 1""".stripMargin)),
 
     // ======================= archive ingestion =======================
@@ -1614,11 +1616,11 @@ object Extensions extends QueryModule {
       Some("""SELECT doc_id // 8 AS archive_id,
              |  'doc-' || doc_id || '.txt' AS name,
              |  (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8 END)::BIGINT AS method,
-             |  (CASE WHEN doc_id % 2 = 0 THEN length(text)
-             |        ELSE length(text)
-             |          + 5 * greatest(1, (length(text) + 65534) // 65535)
+             |  (CASE WHEN doc_id % 2 = 0 THEN octet_length(encode(text))
+             |        ELSE octet_length(encode(text))
+             |          + 5 * greatest(1, (octet_length(encode(text)) + 65534) // 65535)
              |   END)::BIGINT AS comp_size,
-             |  length(text)::BIGINT AS uncomp_size
+             |  octet_length(encode(text))::BIGINT AS uncomp_size
              |FROM documents""".stripMargin)),
 
     // ZIP member explode: central-directory-driven local-header reads,
@@ -1641,7 +1643,7 @@ object Extensions extends QueryModule {
         graft.multimodal.Archives.tarFixtures(
           t(s, dir, "documents"), "doc_id", "text")),
       Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
-             |    length(text)::BIGINT AS n, text FROM documents)
+             |    octet_length(encode(text))::BIGINT AS n, text FROM documents)
              |SELECT doc_id,
              |  COALESCE(sum(512 + 512 * ((n + 511) // 512))
              |    OVER (PARTITION BY aid ORDER BY doc_id
@@ -1661,7 +1663,7 @@ object Extensions extends QueryModule {
         graft.multimodal.Archives.tgzFixtures(
           t(s, dir, "documents"), "doc_id", "text")),
       Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
-             |    length(text)::BIGINT AS n, text FROM documents)
+             |    octet_length(encode(text))::BIGINT AS n, text FROM documents)
              |SELECT doc_id,
              |  COALESCE(sum(512 + 512 * ((n + 511) // 512))
              |    OVER (PARTITION BY aid ORDER BY doc_id
@@ -1684,7 +1686,7 @@ object Extensions extends QueryModule {
         graft.multimodal.Archives.warcFixtures(
           t(s, dir, "documents"), "doc_id", "text")),
       Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
-             |    length(text)::BIGINT AS n, text FROM documents),
+             |    octet_length(encode(text))::BIGINT AS n, text FROM documents),
              |r AS (SELECT *, 81 + length(CAST(doc_id AS VARCHAR))
              |    + length(CAST(n AS VARCHAR)) + n + 4 AS rec_len FROM m),
              |g AS (SELECT *, 10 + 5 * greatest(1, (rec_len + 65534) // 65535)
@@ -1709,7 +1711,7 @@ object Extensions extends QueryModule {
         graft.multimodal.Archives.warcZstFixtures(
           t(s, dir, "documents"), "doc_id", "text")),
       Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
-             |    length(text)::BIGINT AS n, text FROM documents),
+             |    octet_length(encode(text))::BIGINT AS n, text FROM documents),
              |r AS (SELECT *, 81 + length(CAST(doc_id AS VARCHAR))
              |    + length(CAST(n AS VARCHAR)) + n + 4 AS rec_len FROM m),
              |g AS (SELECT *, 5
