@@ -15,13 +15,18 @@ package graft.multimodal
   * fixed point (FIX(1.40200)=91881 etc — integer-exact, so a SQL oracle
   * can reproduce every output byte).
   *
-  * Scope: baseline/extended-sequential Huffman frames (SOF0/SOF1), 8-bit
-  * precision, 1 or 3 components, sampling factors 1–2 (4:4:4, 4:2:2,
-  * 4:4:0, 4:2:0, grayscale) — what a web corpus actually contains.
-  * Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical frames
-  * return None (route-elsewhere, never throw: one exotic payload must not
-  * kill a 100 TB scan). Hostile-payload guards mirror [[PngCodec]]:
-  * pixel-count cap, entropy-segment bounds checks, no unbounded loops.
+  * Scope: baseline/extended-sequential Huffman frames (SOF0/SOF1) and
+  * PROGRESSIVE Huffman frames (SOF2, T.81 Annex G: spectral selection +
+  * successive approximation, DC and AC first/refinement scans, EOB runs,
+  * multi-scan coefficient accumulation), 8-bit precision, 1 or 3
+  * components, sampling factors 1–2 (4:4:4, 4:2:2, 4:4:0, 4:2:0,
+  * grayscale) — what a web corpus actually contains, progressive being
+  * the majority layout for large web JPEGs. Arithmetic coding, 12-bit,
+  * and hierarchical frames return None (route-elsewhere, never throw:
+  * one exotic payload must not kill a 100 TB scan). Hostile-payload
+  * guards mirror [[PngCodec]]: pixel-count cap (tighter for progressive,
+  * which must buffer every coefficient until EOI), entropy-segment
+  * bounds checks, a scan-count cap, no unbounded loops.
   *
   * Encode path is coefficient-level: the caller supplies QUANTIZED DCT
   * coefficients per block and the standard Annex K Huffman tables are
@@ -151,6 +156,39 @@ object JpegCodec {
   private def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
+  /** Separable 2-D IDCT (T.81 A.3.3) of one DEQUANTIZED natural-order
+    * block, level-shifted and clamped into `plane` at (px0, py0). Shared
+    * by the sequential scan loop and progressive EOI reconstruction. */
+  private def idct8x8(coeff: Array[Int], tmp: Array[Double],
+      plane: Array[Int], pw: Int, py0: Int, px0: Int): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += coeff(v * 8 + u) * CosT(x)(u); u += 1 }
+        tmp(v * 8 + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var vv = 0
+        while (vv < 8) { acc += tmp(vv * 8 + x) * CosT(y)(vv); vv += 1 }
+        val s = Math.round(0.25 * acc).toInt + 128
+        plane((py0 + y) * pw + px0 + x) =
+          if (s < 0) 0 else if (s > 255) 255 else s
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
     var td = 0 // DC huffman table id (from SOS)
     var ta = 0 // AC huffman table id
@@ -177,15 +215,185 @@ object JpegCodec {
     var h = 0
     var comps: Array[Component] = null
 
+    // ---- progressive (SOF2) state: per-component coefficient buffers,
+    // zigzag-indexed per block over the MCU-PADDED block grid, filled
+    // scan by scan and reconstructed (dequant + IDCT) only at EOI.
+    var progressive = false
+    var progDone = false
+    var progScans = 0
+    var pCoef: Array[Array[Int]] = null
+    var pMcusX = 0
+    var pMcusY = 0
+    var pBlocksW: Array[Int] = null // padded grid width (blocks) = mcusX·h
+    var pCompBW: Array[Int] = null // real grid width = ceil(compW/8)
+    var pCompBH: Array[Int] = null
+
     def u16(o: Int): Int = {
       if (o + 1 >= b.length) bail()
       ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
     }
 
+    /** Decode ONE progressive scan (T.81 G.2) into [[pCoef]]; returns the
+      * byte offset just past its entropy data. DC scans are interleaved
+      * (all components) or single-component; AC scans are always
+      * single-component (spec rule). Coefficient indices are ZIGZAG per
+      * block, matching the scan's spectral band [ss,se]. */
+    def progScan(scanCis: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+        start: Int): Int = {
+      if (ss == 0) { if (se != 0) bail() } // DC scan
+      else if (scanCis.length != 1 || se < ss || se > 63) bail()
+      if (al > 13 || ah > 14 || (ah != 0 && ah != al + 1)) bail()
+      val br = new BitReader(b, start)
+      var eobrun = 0
+      val pred = new Array[Int](comps.length)
+      var rstSeq = 0
+
+      def dcBlock(ci: Int, blockIdx: Int): Unit = {
+        val base = blockIdx * 64
+        if (ah == 0) {
+          val dct = dcTables(comps(ci).td)
+          if (dct == null) bail()
+          val t = br.decodeHuff(dct)
+          if (t > 15) bail()
+          pred(ci) += extend(br.receive(t), t)
+          pCoef(ci)(base) = pred(ci) << al
+        } else if (br.readBit() == 1) pCoef(ci)(base) |= (1 << al)
+      }
+
+      def acBlock(ci: Int, blockIdx: Int): Unit = {
+        val coef = pCoef(ci)
+        val base = blockIdx * 64
+        val act = acTables(comps(ci).ta)
+        if (act == null) bail()
+        if (ah == 0) {
+          // first scan for this band: run/size with EOB runs (G.2.2)
+          if (eobrun > 0) { eobrun -= 1; return }
+          var k = ss
+          var open = true
+          while (open && k <= se) {
+            val rs = br.decodeHuff(act)
+            val r = rs >> 4
+            val s = rs & 15
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+                open = false
+              } else k += 16 // ZRL
+            } else {
+              k += r
+              if (k > se) bail()
+              coef(base + k) = extend(br.receive(s), s) << al
+              k += 1
+            }
+          }
+        } else {
+          // refinement (G.1.2.3): newly-significant ±1<<al placements
+          // threaded through correction bits of already-nonzero coeffs.
+          // `c & p1` tests bit al of the magnitude — valid because every
+          // stored value is a multiple of 2^al until this scan refines it.
+          val p1 = 1 << al
+          def correct(i: Int): Unit = {
+            val c = coef(i)
+            if (br.readBit() == 1 && (c & p1) == 0)
+              coef(i) = if (c >= 0) c + p1 else c - p1
+          }
+          var k = ss
+          if (eobrun == 0) {
+            var open = true
+            while (open && k <= se) {
+              val rs = br.decodeHuff(act)
+              var r = rs >> 4
+              val s = rs & 15
+              var newVal = 0
+              if (s == 0) {
+                if (r < 15) {
+                  eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                  open = false // current block finishes via the EOB path
+                } // r == 15: ZRL — skip 16 zero-history positions
+              } else {
+                if (s != 1) bail() // refinement can only create ±1<<al
+                newVal = if (br.readBit() == 1) p1 else -p1
+              }
+              if (open) {
+                var placed = false
+                while (!placed && k <= se) {
+                  if (coef(base + k) != 0) correct(base + k)
+                  else if (r == 0) {
+                    if (newVal != 0) coef(base + k) = newVal
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+                if (!placed && newVal != 0) bail() // run past band end
+              }
+            }
+          }
+          if (eobrun > 0) {
+            while (k <= se) {
+              if (coef(base + k) != 0) correct(base + k)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+      }
+
+      def maybeRestart(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.restart(rstSeq % 8)
+          rstSeq += 1
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+
+      if (ss == 0 && scanCis.length > 1) {
+        // interleaved DC scan over the frame MCU grid
+        if (scanCis.length != comps.length) bail()
+        var mcu = 0
+        val total = pMcusX * pMcusY
+        while (mcu < total) {
+          maybeRestart(mcu)
+          val my = mcu / pMcusX
+          val mx = mcu % pMcusX
+          var i = 0
+          while (i < scanCis.length) {
+            val ci = scanCis(i)
+            val ch = if (comps.length == 1) 1 else comps(ci).h
+            val cv = if (comps.length == 1) 1 else comps(ci).v
+            var bv = 0
+            while (bv < cv) {
+              var bu = 0
+              while (bu < ch) {
+                dcBlock(ci, (my * cv + bv) * pBlocksW(ci) + mx * ch + bu)
+                bu += 1
+              }
+              bv += 1
+            }
+            i += 1
+          }
+          mcu += 1
+        }
+      } else {
+        // non-interleaved: raster over the component's REAL block grid
+        // (ceil(compW/8) × ceil(compH/8)), stored at the padded stride
+        val ci = scanCis(0)
+        val bw = pCompBW(ci)
+        val total = bw * pCompBH(ci)
+        var unit = 0
+        while (unit < total) {
+          maybeRestart(unit)
+          val blockIdx = (unit / bw) * pBlocksW(ci) + unit % bw
+          if (ss == 0) dcBlock(ci, blockIdx) else acBlock(ci, blockIdx)
+          unit += 1
+        }
+      }
+      br.pos
+    }
+
     var o = 2
     var sawSos = false
     var scanStart = -1
-    while (!sawSos) {
+    while (!sawSos && !progDone) {
       // marker: any number of 0xFF fill bytes then the code
       if (o >= b.length) bail()
       if ((b(o) & 0xff) != 0xff) bail()
@@ -194,15 +402,21 @@ object JpegCodec {
       val marker = b(o) & 0xff
       o += 1
       marker match {
-        case 0xd9 => return None // EOI before any scan
-        case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+        case 0xd9 => // EOI: terminates a progressive frame, fatal otherwise
+          if (progressive && progScans > 0) progDone = true else return None
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential, SOF2 progressive
+          if (comps != null) bail() // second frame header
+          progressive = marker == 0xc2
           val len = u16(o)
           if (o + len > b.length || len < 8) bail()
           val prec = b(o + 2) & 0xff
           h = u16(o + 3)
           w = u16(o + 5)
           val nc = b(o + 7) & 0xff
-          if (prec != 8 || w <= 0 || h <= 0 || w.toLong * h > (1L << 26))
+          // progressive buffers every coefficient of every block until
+          // EOI (~12 B/pixel at 4:4:4), so its pixel cap is 4× tighter
+          val cap = if (progressive) (1L << 24) else (1L << 26)
+          if (prec != 8 || w <= 0 || h <= 0 || w.toLong * h > cap)
             bail()
           if (nc != 1 && nc != 3) bail()
           if (len != 8 + 3 * nc) bail()
@@ -213,10 +427,32 @@ object JpegCodec {
             if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) bail()
             c
           }
+          if (progressive) {
+            // effective factors: single-component frames are always
+            // non-interleaved, their declared factors don't shape the grid
+            val eh = Array.tabulate(nc)(i => if (nc == 1) 1 else comps(i).h)
+            val ev = Array.tabulate(nc)(i => if (nc == 1) 1 else comps(i).v)
+            val hm = eh.max
+            val vm = ev.max
+            pMcusX = (w + 8 * hm - 1) / (8 * hm)
+            pMcusY = (h + 8 * vm - 1) / (8 * vm)
+            pBlocksW = Array.tabulate(nc)(i => pMcusX * eh(i))
+            val pBlocksH = Array.tabulate(nc)(i => pMcusY * ev(i))
+            pCompBW = Array.tabulate(nc) { i =>
+              val compW = (w * eh(i) + hm - 1) / hm
+              (compW + 7) / 8
+            }
+            pCompBH = Array.tabulate(nc) { i =>
+              val compH = (h * ev(i) + vm - 1) / vm
+              (compH + 7) / 8
+            }
+            pCoef = Array.tabulate(nc)(i =>
+              new Array[Int](pBlocksW(i) * pBlocksH(i) * 64))
+          }
           o += len
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
             0xce | 0xcf =>
-          return None // progressive / lossless / arithmetic: out of scope
+          return None // lossless / arithmetic / hierarchical: out of scope
         case 0xc4 => // DHT — possibly several tables in one segment
           val len = u16(o)
           if (o + len > b.length) bail()
@@ -263,23 +499,36 @@ object JpegCodec {
           val len = u16(o)
           if (o + len > b.length) bail()
           val ns = b(o + 2) & 0xff
-          if (ns != comps.length || len != 6 + 2 * ns) bail()
+          if (len != 6 + 2 * ns) bail()
+          if (!progressive && ns != comps.length) bail()
+          if (progressive && (ns < 1 || ns > comps.length)) bail()
+          val scanCis = new Array[Int](ns)
           var i = 0
           while (i < ns) {
             val cs = b(o + 3 + 2 * i) & 0xff
-            val c = comps.find(_.id == cs).getOrElse(bail())
+            val ci = comps.indexWhere(_.id == cs)
+            if (ci < 0) bail()
+            scanCis(i) = ci
+            val c = comps(ci)
             val tdta = b(o + 4 + 2 * i) & 0xff
             c.td = tdta >> 4
             c.ta = tdta & 15
             if (c.td > 3 || c.ta > 3) bail()
             i += 1
           }
-          // spectral selection / approximation must be baseline (0, 63, 0)
-          if ((b(o + 3 + 2 * ns) & 0xff) != 0 ||
-            (b(o + 4 + 2 * ns) & 0xff) != 63 ||
-            (b(o + 5 + 2 * ns) & 0xff) != 0) bail()
-          scanStart = o + len
-          sawSos = true
+          val ss = b(o + 3 + 2 * ns) & 0xff
+          val se = b(o + 4 + 2 * ns) & 0xff
+          val ahal = b(o + 5 + 2 * ns) & 0xff
+          if (!progressive) {
+            // spectral selection / approximation must be (0, 63, 0)
+            if (ss != 0 || se != 63 || ahal != 0) bail()
+            scanStart = o + len
+            sawSos = true
+          } else {
+            progScans += 1
+            if (progScans > 64) bail() // hostile many-scan bomb
+            o = progScan(scanCis, ss, se, ahal >> 4, ahal & 15, o + len)
+          }
         case 0xd8 => bail() // nested SOI
         case m if m >= 0xd0 && m <= 0xd7 => bail() // RST outside a scan
         case 0x01 => () // TEM, standalone
@@ -308,10 +557,37 @@ object JpegCodec {
       if (quant(c.tq) == null) bail()
     }
 
-    val br = new BitReader(b, scanStart)
-    val pred = new Array[Int](nc)
     val coeff = new Array[Int](64)
     val tmp = new Array[Double](64)
+
+    if (progressive) {
+      // ------------------------- progressive reconstruction (at EOI)
+      // every scan already accumulated into pCoef (zigzag per block,
+      // padded grid — same geometry as planeW/planeH by construction):
+      // dequantize with the tables in effect at EOI, dezigzag, IDCT.
+      var ci = 0
+      while (ci < nc) {
+        val qt = quant(comps(ci).tq)
+        val coef = pCoef(ci)
+        val bwP = planeW(ci) / 8
+        val bhP = planeH(ci) / 8
+        var bi = 0
+        while (bi < bwP * bhP) {
+          val base = bi * 64
+          var k = 0
+          while (k < 64) {
+            coeff(Zigzag(k)) = coef(base + k) * qt(k)
+            k += 1
+          }
+          idct8x8(coeff, tmp, planes(ci), planeW(ci),
+            (bi / bwP) * 8, (bi % bwP) * 8)
+          bi += 1
+        }
+        ci += 1
+      }
+    } else {
+    val br = new BitReader(b, scanStart)
+    val pred = new Array[Int](nc)
     var rstSeq = 0
     var mcu = 0
     val totalMcus = mcusX * mcusY
@@ -358,36 +634,8 @@ object JpegCodec {
               }
             }
             // ---- separable IDCT (A.3.3) + level shift into the plane ----
-            var v = 0
-            while (v < 8) {
-              var x = 0
-              while (x < 8) {
-                var acc = 0.0
-                var u = 0
-                while (u < 8) { acc += coeff(v * 8 + u) * CosT(x)(u); u += 1 }
-                tmp(v * 8 + x) = acc
-                x += 1
-              }
-              v += 1
-            }
-            val py0 = (my * cv_(ci) + bv) * 8
-            val px0 = (mx * ch_(ci) + bu) * 8
-            val pw = planeW(ci)
-            val plane = planes(ci)
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var acc = 0.0
-                var vv = 0
-                while (vv < 8) { acc += tmp(vv * 8 + x) * CosT(y)(vv); vv += 1 }
-                val s = Math.round(0.25 * acc).toInt + 128
-                plane((py0 + y) * pw + px0 + x) =
-                  if (s < 0) 0 else if (s > 255) 255 else s
-                x += 1
-              }
-              y += 1
-            }
+            idct8x8(coeff, tmp, planes(ci), planeW(ci),
+              (my * cv_(ci) + bv) * 8, (mx * ch_(ci) + bu) * 8)
             bu += 1
           }
           bv += 1
@@ -395,6 +643,7 @@ object JpegCodec {
         ci += 1
       }
       mcu += 1
+    }
     }
 
     // -------------------------------------------- upsample + color convert
@@ -771,6 +1020,225 @@ object JpegCodec {
       mcu += 1
     }
     bw.flush()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ------------------------------------------------- progressive encode
+
+  /** One progressive scan descriptor (T.81 Annex G). DC scans (ss=0,
+    * se=0) list the interleaved components; AC scans must name exactly
+    * one component (spec rule B.2.3 for progressive). */
+  final case class ProgScan(comps: Seq[Int], ss: Int, se: Int,
+      ah: Int, al: Int)
+
+  /** The libjpeg-shaped default script: DC first at al=1, luma low band
+    * first (fast first paint), chroma, luma high band, then DC + AC
+    * successive-approximation refinements — so a stream encoded with it
+    * exercises EVERY progressive decode path: interleaved DC first +
+    * refinement, AC first scans with EOB runs, and the AC refinement
+    * correction-bit algorithm (G.1.2.3). */
+  val DefaultProgScript: Seq[ProgScan] = Seq(
+    ProgScan(Seq(0, 1, 2), 0, 0, 0, 1),
+    ProgScan(Seq(0), 1, 5, 0, 2),
+    ProgScan(Seq(2), 1, 63, 0, 1),
+    ProgScan(Seq(1), 1, 63, 0, 1),
+    ProgScan(Seq(0), 6, 63, 0, 2),
+    ProgScan(Seq(0, 1, 2), 0, 0, 1, 0),
+    ProgScan(Seq(0), 1, 63, 2, 1),
+    ProgScan(Seq(2), 1, 63, 1, 0),
+    ProgScan(Seq(1), 1, 63, 1, 0),
+    ProgScan(Seq(0), 1, 63, 1, 0))
+
+  /** AC point transform (G.1.2.2): divide, i.e. truncate toward zero —
+    * NOT the arithmetic shift DC uses. */
+  private def acPT(v: Int, al: Int): Int =
+    if (v >= 0) v >> al else -((-v) >> al)
+
+  /** Emit a complete PROGRESSIVE (SOF2) JFIF stream for a 3-component
+    * YCbCr image from the same QUANTIZED coefficient blocks [[encode]]
+    * takes — progressive transmission is a lossless rearrangement, so a
+    * conformant decoder reconstructs pixels IDENTICAL to the sequential
+    * stream's (which is what lets the progressive fixtures share the
+    * sequential fixtures' first-principles oracle).
+    *
+    * Scan-by-scan encoding per Annex G: DC first scans code the
+    * arithmetic-shifted DC diffs; DC refinements send bit `al` per
+    * block; AC first scans code the point-transformed band with EOB;
+    * AC refinement scans interleave newly-significant ±1·2^al
+    * placements with buffered correction bits for already-nonzero
+    * coefficients, flushing ZRLs before any nonzero position exactly as
+    * the decoder's G.1.2.3 walk consumes them. Huffman tables are the
+    * standard Annex K set (legal for every symbol the script emits). */
+  def encodeProgressive(w: Int, h: Int, mode420: Boolean,
+      quantLuma: Array[Int], quantChroma: Array[Int],
+      coeffs: (Int, Int, Int) => Array[Int],
+      script: Seq[ProgScan] = DefaultProgScript): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad geometry ${w}x$h")
+    require(quantLuma.length == 64 && quantChroma.length == 64,
+      "quant tables must have 64 zigzag entries")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def m(code: Int): Unit = { out.write(0xff); out.write(code) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+
+    m(0xd8) // SOI
+    m(0xe0); u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0)
+    u16(1); u16(1); out.write(0); out.write(0)
+    for ((tq, qt) <- Seq((0, quantLuma), (1, quantChroma))) {
+      m(0xdb); u16(2 + 65); out.write(tq)
+      qt.foreach(q => out.write(q & 0xff))
+    }
+    // SOF2 — same payload layout as SOF0, progressive marker
+    m(0xc2); u16(8 + 9); out.write(8)
+    u16(h); u16(w); out.write(3)
+    val lumaHV = if (mode420) 0x22 else 0x11
+    out.write(1); out.write(lumaHV); out.write(0)
+    out.write(2); out.write(0x11); out.write(1)
+    out.write(3); out.write(0x11); out.write(1)
+    for ((tc, th, bits, vals) <- Seq(
+        (0, 0, DcLumaBits, DcLumaVals), (1, 0, AcLumaBits, AcLumaVals),
+        (0, 1, DcChromaBits, DcChromaVals),
+        (1, 1, AcChromaBits, AcChromaVals))) {
+      m(0xc4); u16(2 + 17 + vals.length)
+      out.write((tc << 4) | th)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+
+    // Materialize every block once (progressive visits each block in
+    // several scans). Padded MCU grids, matching [[encode]]'s geometry.
+    val lh = if (mode420) 2 else 1
+    val mcusX = (w + 8 * lh - 1) / (8 * lh)
+    val mcusY = (h + 8 * lh - 1) / (8 * lh)
+    val blocksW = Array(mcusX * lh, mcusX, mcusX)
+    val blocksH = Array(mcusY * lh, mcusY, mcusY)
+    val blocks: Array[Array[Array[Int]]] = Array.tabulate(3) { ci =>
+      Array.tabulate(blocksW(ci) * blocksH(ci)) { bi =>
+        val blk = coeffs(ci, bi / blocksW(ci), bi % blocksW(ci))
+        require(blk.length == 64, "coefficient block must have 64 entries")
+        blk
+      }
+    }
+    // Non-interleaved AC scans cover the REAL block grid only (padding
+    // blocks keep their DC; they are cropped away at decode).
+    val compBW = Array.tabulate(3) { ci =>
+      val cw = if (ci == 0) w else (w + lh - 1) / lh
+      (cw + 7) / 8
+    }
+    val compBH = Array.tabulate(3) { ci =>
+      val chh = if (ci == 0) h else (h + lh - 1) / lh
+      (chh + 7) / 8
+    }
+
+    for (scan <- script) {
+      val ns = scan.comps.length
+      require(ns >= 1 && ns <= 3, "scan must name 1-3 components")
+      require(scan.ss != 0 || scan.se == 0, "DC scan band must be [0,0]")
+      require(scan.ss == 0 || ns == 1, "AC scans are single-component")
+      m(0xda); u16(6 + 2 * ns); out.write(ns)
+      for (ci <- scan.comps) {
+        out.write(ci + 1) // component ids are 1,2,3
+        out.write(if (ci == 0) 0x00 else 0x11)
+      }
+      out.write(scan.ss); out.write(scan.se)
+      out.write((scan.ah << 4) | scan.al)
+
+      val bw = new BitWriter(out)
+      if (scan.ss == 0) {
+        // ---------------- DC scan, interleaved over the MCU grid
+        val pred = new Array[Int](3)
+        var mcu = 0
+        while (mcu < mcusX * mcusY) {
+          val my = mcu / mcusX
+          val mx = mcu % mcusX
+          for (ci <- scan.comps) {
+            val ch = if (ci == 0) lh else 1
+            var bv = 0
+            while (bv < ch) {
+              var bu = 0
+              while (bu < ch) {
+                val blk = blocks(ci)((my * ch + bv) * blocksW(ci) + mx * ch + bu)
+                if (scan.ah == 0) {
+                  val v = blk(0) >> scan.al // DC PT is the arithmetic shift
+                  val diff = v - pred(ci)
+                  pred(ci) = v
+                  val t = bitLen(math.abs(diff))
+                  val c = (if (ci == 0) DcLumaCodes else DcChromaCodes)(t)
+                  if (c == null) bail()
+                  bw.write(c(0), c(1))
+                  if (t > 0)
+                    bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+                } else bw.writeBit((blk(0) >> scan.al) & 1)
+                bu += 1
+              }
+              bv += 1
+            }
+          }
+          mcu += 1
+        }
+      } else {
+        // ---------------- AC scan, raster over the real block grid
+        val ci = scan.comps.head
+        val ac = if (ci == 0) AcLumaCodes else AcChromaCodes
+        def sym(s: Int): Unit = { val c = ac(s); if (c == null) bail(); bw.write(c(0), c(1)) }
+        val bwG = compBW(ci)
+        var unit = 0
+        while (unit < bwG * compBH(ci)) {
+          val blk = blocks(ci)((unit / bwG) * blocksW(ci) + unit % bwG)
+          if (scan.ah == 0) {
+            // first scan for the band: run/size over the point transform
+            var r = 0
+            var k = scan.ss
+            while (k <= scan.se) {
+              val v = acPT(blk(Zigzag(k)), scan.al)
+              if (v == 0) r += 1
+              else {
+                while (r > 15) { sym(0xf0); r -= 16 }
+                val s = bitLen(math.abs(v))
+                if (s > 10) bail()
+                sym((r << 4) | s)
+                bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+                r = 0
+              }
+              k += 1
+            }
+            if (r > 0) sym(0x00) // EOB0
+          } else {
+            // refinement: G.1.2.3 encoder — buffer correction bits of
+            // history coefficients, flush after the next symbol, in the
+            // exact order the decoder's walk consumes them
+            val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+            def flushPending(): Unit = {
+              pending.foreach(bw.writeBit)
+              pending.clear()
+            }
+            var r = 0
+            var k = scan.ss
+            while (k <= scan.se) {
+              val v = blk(Zigzag(k))
+              val a = math.abs(v) >> scan.al
+              if (a == 0) r += 1
+              else {
+                while (r > 15) { sym(0xf0); flushPending(); r -= 16 }
+                if (a > 1) pending += (a & 1) // history: correction bit
+                else { // newly significant at this precision
+                  sym((r << 4) | 1)
+                  bw.writeBit(if (v > 0) 1 else 0)
+                  flushPending()
+                  r = 0
+                }
+              }
+              k += 1
+            }
+            if (r > 0 || pending.nonEmpty) { sym(0x00); flushPending() }
+          }
+          unit += 1
+        }
+      }
+      bw.flush()
+    }
     m(0xd9) // EOI
     out.toByteArray
   }

@@ -417,31 +417,49 @@ object Multimodal {
     * the oracle mirrors verbatim. Any decode slip — wrong Huffman table,
     * predictor reset, dequant index, IDCT scale, upsample index, or
     * conversion constant — lands in the channel sums. */
+  private def jpegFixtureBlock(docId: Long)(comp: Int, by: Int, bx: Int): Array[Int] = {
+    val c = new Array[Int](64)
+    comp match {
+      case 0 =>
+        c(0) = ((docId * 7 + by * 5 + bx * 3) % 48).toInt - 24
+        c(4) = ((docId * 11 + by * 7 + bx * 5) % 24).toInt - 12
+        c(32) = ((docId * 13 + by * 3 + bx * 7) % 24).toInt - 12
+        c(36) = ((docId * 5 + by * 11 + bx * 13) % 16).toInt - 8
+      case 1 =>
+        c(0) = ((docId * 3 + by * 2 + bx) % 20).toInt - 10
+      case _ =>
+        c(0) = ((docId * 9 + by + bx * 2) % 20).toInt - 10
+    }
+    c
+  }
+
   def jpegFixture(docId: Long): Array[Byte] = {
-    val mode420 = docId % 2 == 1
     val q8 = Array.fill(64)(8)
     val q16 = Array.fill(64)(16)
-    def block(comp: Int, by: Int, bx: Int): Array[Int] = {
-      val c = new Array[Int](64)
-      comp match {
-        case 0 =>
-          c(0) = ((docId * 7 + by * 5 + bx * 3) % 48).toInt - 24
-          c(4) = ((docId * 11 + by * 7 + bx * 5) % 24).toInt - 12
-          c(32) = ((docId * 13 + by * 3 + bx * 7) % 24).toInt - 12
-          c(36) = ((docId * 5 + by * 11 + bx * 13) % 16).toInt - 8
-        case 1 =>
-          c(0) = ((docId * 3 + by * 2 + bx) % 20).toInt - 10
-        case _ =>
-          c(0) = ((docId * 9 + by + bx * 2) % 20).toInt - 10
-      }
-      c
-    }
-    JpegCodec.encode(16, 16, mode420, q8, q16, block,
+    JpegCodec.encode(16, 16, docId % 2 == 1, q8, q16, jpegFixtureBlock(docId),
       restartInterval = if (docId % 3 == 0) 2 else 0)
   }
 
   def jpegFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
     fixtureDs(docs, idCol)(jpegFixture)
+
+  /** The PROGRESSIVE (SOF2) twin of [[jpegFixture]]: the SAME quantized
+    * coefficients transmitted through the libjpeg-shaped 10-scan script
+    * (DC first/refinement, AC spectral bands, AC successive-approximation
+    * refinements with EOB runs — [[JpegCodec.DefaultProgScript]]).
+    * Progressive transmission is a lossless rearrangement, so the decoded
+    * pixels are IDENTICAL to the sequential fixture's and
+    * q_jpeg_progressive shares q_jpeg_pixels' first-principles oracle —
+    * which therefore pins the ENTIRE Annex G decode path. */
+  def jpegProgressiveFixture(docId: Long): Array[Byte] = {
+    val q8 = Array.fill(64)(8)
+    val q16 = Array.fill(64)(16)
+    JpegCodec.encodeProgressive(16, 16, docId % 2 == 1, q8, q16,
+      jpegFixtureBlock(docId))
+  }
+
+  def jpegProgressiveFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(jpegProgressiveFixture)
 
   /** Real-JPEG fixtures with CONTROLLED near-duplicates, the JPEG twin of
     * [[pngNearFixture]]: ids in the same group of 8 share coefficients;
@@ -457,8 +475,11 @@ object Multimodal {
     * coefficients are zero (Cb = Cr = 128), so RGB = Y exactly under the
     * fixed-point conversion and the oracle works in luma alone. Groups
     * alternate 4:4:4 / 4:2:0 (72 is not a multiple of 16, so the 4:2:0
-    * groups also exercise padded-MCU decode) and both layouts flow
-    * through the perceptual path. */
+    * groups also exercise padded-MCU decode), and members with id%4 ≥ 2
+    * ship as PROGRESSIVE (SOF2) streams of the same coefficients — so
+    * in-group near-dup pairs span sequential↔progressive transmission
+    * (a real recompression corpus mixes both) while the pixel-level
+    * oracle is untouched, progressive decode being lossless. */
   def jpegNearFixture(docId: Long): Array[Byte] = {
     val base = docId - docId % 8
     val m = docId % 8
@@ -484,7 +505,10 @@ object Multimodal {
       }
       c
     }
-    JpegCodec.encode(72, 16, mode420 = (base / 8) % 2 == 1, q8, q16, block)
+    if (docId % 4 >= 2)
+      JpegCodec.encodeProgressive(72, 16, (base / 8) % 2 == 1, q8, q16, block)
+    else
+      JpegCodec.encode(72, 16, mode420 = (base / 8) % 2 == 1, q8, q16, block)
   }
 
   def jpegNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =

@@ -358,6 +358,56 @@ object Extensions extends QueryModule {
        |  FROM gm)
        |$finalSelect""".stripMargin
 
+  /** First-principles oracle for the sequential AND progressive JPEG
+    * pixel fixtures (Multimodal.jpegFixture / jpegProgressiveFixture —
+    * same quantized coefficients, two transmission layouts, identical
+    * decoded pixels): rebuilds every channel sum from the exact-IDCT
+    * closed form (see jpegFixture's scaladoc) plus the verbatim
+    * fixed-point YCbCr→RGB arithmetic. The `+ 1073741824 // 65536 -
+    * 16384` dance is floor division adjusted to Java's >> on possibly
+    * negative intermediates. */
+  private[queries] val jpegPixelsOracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 2 AS md FROM documents),
+      |pix AS (SELECT doc_id,
+      |  flatten(list_transform(range(16), y ->
+      |    list_transform(range(16), x -> [
+      |      128 + (doc_id*7 + (y//8)*5 + (x//8)*3) % 48 - 24
+      |      + (CASE WHEN list_contains([0,3,4,7], x%8)
+      |              THEN 1 ELSE -1 END)
+      |        * ((doc_id*11 + (y//8)*7 + (x//8)*5) % 24 - 12)
+      |      + (CASE WHEN list_contains([0,3,4,7], y%8)
+      |              THEN 1 ELSE -1 END)
+      |        * ((doc_id*13 + (y//8)*3 + (x//8)*7) % 24 - 12)
+      |      + (CASE WHEN list_contains([0,3,4,7], x%8)
+      |              THEN 1 ELSE -1 END)
+      |        * (CASE WHEN list_contains([0,3,4,7], y%8)
+      |                THEN 1 ELSE -1 END)
+      |        * ((doc_id*5 + (y//8)*11 + (x//8)*13) % 16 - 8),
+      |      2 * ((doc_id*3 + (CASE WHEN md=0 THEN y//8 ELSE 0 END)*2
+      |           + (CASE WHEN md=0 THEN x//8 ELSE 0 END)) % 20 - 10),
+      |      2 * ((doc_id*9 + (CASE WHEN md=0 THEN y//8 ELSE 0 END)
+      |           + (CASE WHEN md=0 THEN x//8 ELSE 0 END)*2) % 20 - 10)
+      |    ]))) AS p
+      |  FROM d),
+      |rgb AS (SELECT doc_id,
+      |    list_transform(p, v ->
+      |      v[1] + (91881*v[3] + 32768 + 1073741824) // 65536 - 16384)
+      |      AS rs,
+      |    list_transform(p, v ->
+      |      v[1] - ((22554*v[2] + 46802*v[3] + 32768 + 1073741824)
+      |              // 65536 - 16384)) AS gs,
+      |    list_transform(p, v ->
+      |      v[1] + (116130*v[2] + 32768 + 1073741824) // 65536 - 16384)
+      |      AS bs
+      |  FROM pix)
+      |SELECT doc_id, 16::BIGINT AS width, 16::BIGINT AS height,
+      |  3::BIGINT AS channels,
+      |  list_sum(rs)::BIGINT AS sum_r,
+      |  list_sum(gs)::BIGINT AS sum_g,
+      |  list_sum(bs)::BIGINT AS sum_b,
+      |  printf('%02x%02x%02x', rs[1], gs[1], bs[1]) AS px0_hex
+      |FROM rgb""".stripMargin
+
   /** Shared dHash oracle scaffolding for the JPEG near-fixtures
     * (Multimodal.jpegNearFixture): rebuilds the DECODED luma from the
     * coefficient-space closed form (Y = 128 + a + sx·b + sy·c + sx·sy·d
@@ -1334,46 +1384,23 @@ object Extensions extends QueryModule {
     GraftQuery("q_jpeg_pixels",
       (s, dir) => Multimodal.decodeImageStats(
         Multimodal.jpegFixtures(t(s, dir, "documents"), "doc_id")),
-      Some("""WITH d AS (SELECT doc_id, doc_id % 2 AS md FROM documents),
-             |pix AS (SELECT doc_id,
-             |  flatten(list_transform(range(16), y ->
-             |    list_transform(range(16), x -> [
-             |      128 + (doc_id*7 + (y//8)*5 + (x//8)*3) % 48 - 24
-             |      + (CASE WHEN list_contains([0,3,4,7], x%8)
-             |              THEN 1 ELSE -1 END)
-             |        * ((doc_id*11 + (y//8)*7 + (x//8)*5) % 24 - 12)
-             |      + (CASE WHEN list_contains([0,3,4,7], y%8)
-             |              THEN 1 ELSE -1 END)
-             |        * ((doc_id*13 + (y//8)*3 + (x//8)*7) % 24 - 12)
-             |      + (CASE WHEN list_contains([0,3,4,7], x%8)
-             |              THEN 1 ELSE -1 END)
-             |        * (CASE WHEN list_contains([0,3,4,7], y%8)
-             |                THEN 1 ELSE -1 END)
-             |        * ((doc_id*5 + (y//8)*11 + (x//8)*13) % 16 - 8),
-             |      2 * ((doc_id*3 + (CASE WHEN md=0 THEN y//8 ELSE 0 END)*2
-             |           + (CASE WHEN md=0 THEN x//8 ELSE 0 END)) % 20 - 10),
-             |      2 * ((doc_id*9 + (CASE WHEN md=0 THEN y//8 ELSE 0 END)
-             |           + (CASE WHEN md=0 THEN x//8 ELSE 0 END)*2) % 20 - 10)
-             |    ]))) AS p
-             |  FROM d),
-             |rgb AS (SELECT doc_id,
-             |    list_transform(p, v ->
-             |      v[1] + (91881*v[3] + 32768 + 1073741824) // 65536 - 16384)
-             |      AS rs,
-             |    list_transform(p, v ->
-             |      v[1] - ((22554*v[2] + 46802*v[3] + 32768 + 1073741824)
-             |              // 65536 - 16384)) AS gs,
-             |    list_transform(p, v ->
-             |      v[1] + (116130*v[2] + 32768 + 1073741824) // 65536 - 16384)
-             |      AS bs
-             |  FROM pix)
-             |SELECT doc_id, 16::BIGINT AS width, 16::BIGINT AS height,
-             |  3::BIGINT AS channels,
-             |  list_sum(rs)::BIGINT AS sum_r,
-             |  list_sum(gs)::BIGINT AS sum_g,
-             |  list_sum(bs)::BIGINT AS sum_b,
-             |  printf('%02x%02x%02x', rs[1], gs[1], bs[1]) AS px0_hex
-             |FROM rgb""".stripMargin)),
+      Some(Extensions.jpegPixelsOracle)),
+
+    // PROGRESSIVE (SOF2) pixel decode: the same quantized coefficients as
+    // q_jpeg_pixels transmitted through the libjpeg-shaped 10-scan script
+    // (DC successive approximation, AC spectral bands, AC refinement with
+    // EOB runs — T.81 Annex G). Progressive transmission is lossless, so
+    // the SAME first-principles oracle pins the entire multi-scan decode:
+    // any slip in scan sequencing, EOB-run bookkeeping, or the
+    // correction-bit walk lands in the channel sums. Matters at corpus
+    // scale: most large web JPEGs are progressive, and a decoder that
+    // routes them elsewhere silently drops them from the image family.
+    GraftQuery("q_jpeg_progressive",
+      (s, dir) => Multimodal.decodeImageStats(
+        Multimodal.jpegProgressiveFixtures(t(s, dir, "documents"), "doc_id")),
+      Some(Extensions.jpegPixelsOracle)),
+
+
 
     // perceptual fingerprint over really-decoded JPEG pixels — the JPEG
     // twin of q_image_dhash, through the same routed imageDHash path.

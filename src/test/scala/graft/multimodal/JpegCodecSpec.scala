@@ -173,7 +173,9 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode("notjpeg".getBytes) === None)
     assert(JpegCodec.decode(good.take(good.length - 8)) === None, "truncated scan")
     assert(JpegCodec.decode(good.take(20)) === None, "truncated header")
-    // SOF0 → SOF2 (progressive): out of scope, must route elsewhere
+    // SOF0 → SOF2 on a SEQUENTIAL stream: the scan header's (0,63,0)
+    // band is illegal for a progressive DC scan, so this forged frame
+    // must be rejected, not misdecoded
     val prog = good.clone()
     val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
       i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
@@ -187,5 +189,103 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(big) === None)
     // EOI immediately after SOI: no frame at all
     assert(JpegCodec.decode(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === None)
+  }
+
+  // ----------------------------------------------- progressive (SOF2)
+
+  test("progressive fixture decodes EXACTLY like its sequential twin (both modes)") {
+    // progressive transmission is a lossless rearrangement of the same
+    // quantized coefficients: pixels must equal the sequential closed
+    // form bit-for-bit, through DC SA, AC spectral bands, AC refinement
+    for (id <- 0L until 24L) {
+      val bytes = Multimodal.jpegProgressiveFixture(id)
+      val img = JpegCodec.decode(bytes)
+        .getOrElse(fail(s"progressive fixture $id did not decode"))
+      assert(img.width === 16 && img.height === 16 && img.channels === 3)
+      assert(img.pixels.toSeq === expectedFixturePixels(id).toSeq,
+        s"pixel mismatch for progressive fixture $id")
+    }
+  }
+
+  test("ImageIO (independent JDK codec) decodes our progressive stream to the same image") {
+    for (id <- Seq(0L, 1L, 2L, 5L)) { // both subsampling modes
+      val bytes = Multimodal.jpegProgressiveFixture(id)
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"ImageIO rejected our progressive stream for id $id")
+      assert(ref.getWidth === 16 && ref.getHeight === 16)
+      val ours = expectedFixturePixels(id)
+      var maxDiff = 0
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val rgb = ref.getRGB(x, y)
+        val o = (y * 16 + x) * 3
+        maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - (ours(o) & 0xff)))
+        maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xff) - (ours(o + 1) & 0xff)))
+        maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - (ours(o + 2) & 0xff)))
+      }
+      assert(maxDiff <= 2, s"ImageIO disagrees by $maxDiff on progressive id $id")
+    }
+  }
+
+  private def imageIoProgressiveJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new IIOImage(img, null, null), p)
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  test("we decode ImageIO progressive-encoded natural images like ImageIO does") {
+    // 41x19: partial MCUs on both axes; an independent encoder's scan
+    // script (not ours) driving our Annex G scan loop
+    val src = naturalImage(41, 19)
+    val bytes = imageIoProgressiveJpeg(src, 0.9f)
+    // confirm the payload really is SOF2
+    val isProg = bytes.indices.exists(i => (bytes(i) & 0xff) == 0xff &&
+      i + 1 < bytes.length && (bytes(i + 1) & 0xff) == 0xc2)
+    assert(isProg, "ImageIO did not emit a progressive stream")
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val ours = JpegCodec.decode(bytes)
+      .getOrElse(fail("our decoder rejected an ImageIO progressive stream"))
+    assert(ours.width === 41 && ours.height === 19 && ours.channels === 3)
+    var sumDiff = 0L
+    var maxDiff = 0
+    for (y <- 0 until 19; x <- 0 until 41) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * 41 + x) * 3
+      val dr = math.abs(((rgb >> 16) & 0xff) - (ours.pixels(o) & 0xff))
+      val dg = math.abs(((rgb >> 8) & 0xff) - (ours.pixels(o + 1) & 0xff))
+      val db = math.abs((rgb & 0xff) - (ours.pixels(o + 2) & 0xff))
+      sumDiff += dr + dg + db
+      maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
+    }
+    val meanDiff = sumDiff.toDouble / (41 * 19 * 3)
+    assert(maxDiff <= 3, s"max per-channel diff $maxDiff")
+    assert(meanDiff <= 1.0, s"mean per-channel diff $meanDiff")
+  }
+
+  test("hostile progressive payloads are rejected, never thrown") {
+    val good = Multimodal.jpegProgressiveFixture(4L)
+    assert(JpegCodec.decode(good).isDefined)
+    // truncated mid-scan
+    assert(JpegCodec.decode(good.take(good.length / 2)) === None)
+    // EOI with zero scans: SOF2 then EOI directly
+    val sof = good.indices.find(i => (good(i) & 0xff) == 0xff &&
+      (good(i + 1) & 0xff) == 0xc2).get
+    val sofLen = ((good(sof + 2) & 0xff) << 8) | (good(sof + 3) & 0xff)
+    val noScan = good.take(sof + 2 + sofLen) ++ Array(0xff, 0xd9).map(_.toByte)
+    assert(JpegCodec.decode(noScan) === None)
+    // oversized progressive dims (within the sequential cap, above the
+    // tighter progressive cap): 5000x4000 = 2e7 > 2^24 must be rejected
+    val big = good.clone()
+    big(sof + 5) = ((4000 >> 8) & 0xff).toByte; big(sof + 6) = (4000 & 0xff).toByte
+    big(sof + 7) = ((5000 >> 8) & 0xff).toByte; big(sof + 8) = (5000 & 0xff).toByte
+    assert(JpegCodec.decode(big) === None)
   }
 }
