@@ -1,0 +1,402 @@
+package graft.multimodal
+
+import java.util.zip.Inflater
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+
+/** FILE-backed splittable archive ingestion — the missing half of
+  * [[Archives]] (whose walkers take in-memory `BinaryType` rows, capped
+  * at 2 GiB and one task per archive). A real 100 TB corpus is
+  * `.warc.gz` / `.warc.zst` / `.tar` FILES in object storage; this
+  * module makes those files splittable the way a production pipeline
+  * actually does it:
+  *
+  *  1. '''Index pass''' ([[buildIndex]]) — one streaming task per file
+  *     walks member boundaries with the REAL parsers (gzip member
+  *     inflate + CRC, zstd frame-header walk, tar 512-block arithmetic)
+  *     through a bounded sliding window (memory is O(window), not
+  *     O(file)), and persists a boundary index `(path, member_offset,
+  *     member_len)` as parquet. Tar never reads payload bytes at all —
+  *     the header states the size, so the walk SEEKS over members.
+  *     This pass is sequential per file because the formats make it so
+  *     (a gzip member's length is only discoverable by inflating it);
+  *     it is paid ONCE, and it is exactly what petabyte WARC pipelines
+  *     ship as sidecar index files.
+  *  2. '''Serve pass''' ([[readWarcMembers]] / [[readTarMembers]]) —
+  *     splits are planned FROM the
+  *     index (`member_offset / targetSplitBytes`), so one large archive
+  *     fans out to many tasks, each doing ranged reads (seek + read per
+  *     member) of only its byte range. No task ever materializes a
+  *     whole file; a 10 GiB archive with a 128 MiB split target becomes
+  *     ~80 parallel tasks.
+  *
+  * File access goes through the Hadoop [[FileSystem]] API, so the same
+  * code paths serve `file://` here and `hdfs://`/`s3a://` on a cluster.
+  * Corrupt files follow the package's never-throw contract: the index
+  * walk stops at the first unparseable boundary (downstream boundaries
+  * are unknowable), a corrupt member at serve time is dropped.
+  *
+  * Reference scope: the reference tails a packed capture stream from ONE
+  * process (/root/reference/src/main/java/org/test/pcap4j/
+  * CaptureNetworkReceiver.java:23-128); file-backed boundary-indexed
+  * ingestion is that same stream-to-records step re-expressed for a
+  * distributed filesystem corpus.
+  */
+object ArchiveFiles {
+
+  /** Initial sliding-window size for boundary walks; grows geometrically
+    * (up to [[MaxWindowBytes]]) if a single member outsizes it. */
+  val WindowBytes: Int = 4 << 20
+  val MaxWindowBytes: Int = 512 << 20
+
+  final case class MemberBoundary(path: String, member_offset: Long,
+      member_len: Long)
+
+  /** Hadoop [[org.apache.hadoop.conf.Configuration]] is a Writable, not
+    * Serializable; ship it to executors through its own wire format so
+    * scheme-specific settings (s3a credentials providers, hdfs
+    * nameservices) survive. (Spark's internal equivalent is
+    * private[spark].) */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  // ================================================= fixture files
+
+  /** Materialize archive records as real files `<dir>/archive-<id><ext>`
+    * (ext includes the dot, e.g. ".warc.gz"). Distributed write, one
+    * file per record, via the Hadoop FS API (atomic-rename semantics on
+    * file:// and hdfs://). Existing files of the same length are kept —
+    * fixture builds are deterministic, so a same-length file IS the
+    * fixture (this makes re-runs cheap, the write-once artifact shape).
+    */
+  def writeDir(ds: Dataset[ArchiveRecord], dir: String, ext: String): Unit = {
+    val spark = ds.sparkSession
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new Path(dir)
+    val fs0 = base.getFileSystem(conf.value)
+    fs0.mkdirs(base)
+    ds.foreachPartition { (it: Iterator[ArchiveRecord]) =>
+      val fs = new Path(dir).getFileSystem(conf.value)
+      it.foreach { rec =>
+        val f = new Path(dir, f"archive-${rec.archive_id}%06d$ext")
+        val keep = try {
+          val st = fs.getFileStatus(f)
+          st.getLen == rec.archive.length
+        } catch { case _: java.io.FileNotFoundException => false }
+        if (!keep) {
+          val tmp = new Path(dir, f".archive-${rec.archive_id}%06d$ext.tmp")
+          val out = fs.create(tmp, true)
+          out.write(rec.archive)
+          out.close()
+          fs.delete(f, false)
+          fs.rename(tmp, f)
+        }
+      }
+    }
+  }
+
+  // ================================================= index pass
+
+  /** List the archive files of `dir` with extension `ext`, sorted —
+    * deterministic task assignment. */
+  private def listArchives(spark: SparkSession, dir: String,
+      ext: String): Seq[String] = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(ext) &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  /** A bounded sliding window over one file. `view(off, want)` returns
+    * (buffer, idx) such that buffer(idx) is file offset `off` and AT
+    * LEAST min(want, bytes-to-EOF) bytes are present — and, crucially,
+    * EVERY byte of the returned buffer is a valid file byte (the member
+    * parsers bound themselves by `buffer.length`, so a partially-filled
+    * window would let them read stale garbage past EOF). */
+  private final class FileWindow(in: org.apache.hadoop.fs.FSDataInputStream,
+      fileLen: Long) {
+    private var buf = Array.emptyByteArray
+    private var bufStart = 0L
+
+    def view(off: Long, want: Int): (Array[Byte], Int) = {
+      val avail = math.min(want.toLong, fileLen - off).toInt
+      if (off >= bufStart && off - bufStart + avail <= buf.length)
+        return (buf, (off - bufStart).toInt)
+      val size = math.max(math.min(WindowBytes.toLong, fileLen - off).toInt,
+        avail)
+      buf = new Array[Byte](size)
+      in.readFully(off, buf, 0, size)
+      bufStart = off
+      (buf, 0)
+    }
+  }
+
+  /** Walk ONE file's member boundaries. `fmt` ∈ {"warc.gz", "warc.zst",
+    * "tar"}. Never throws: stops at the first boundary it cannot prove.
+    */
+  private def walkBoundaries(fs: FileSystem, path: String, fmt: String,
+      inf: Inflater): Vector[MemberBoundary] = {
+    val out = Vector.newBuilder[MemberBoundary]
+    val p = new Path(path)
+    val fileLen =
+      try fs.getFileStatus(p).getLen
+      catch { case scala.util.control.NonFatal(_) => return out.result() }
+    val in =
+      try fs.open(p)
+      catch { case scala.util.control.NonFatal(_) => return out.result() }
+    try {
+      val win = new FileWindow(in, fileLen)
+      var off = 0L
+      var done = false
+      while (!done && off < fileLen) {
+        fmt match {
+          case "tar" =>
+            // header-only walk: read 512 bytes, trust the (checksummed)
+            // size field, SEEK over the payload — no member bytes read
+            if (off + 512 > fileLen) done = true
+            else {
+              val (b, i) = win.view(off, 512)
+              tarHeader(b, i) match {
+                case Some((_, size)) =>
+                  val mlen = 512L + ((size + 511) / 512) * 512
+                  if (off + mlen > fileLen) done = true
+                  else { out += MemberBoundary(path, off, mlen); off += mlen }
+                case None => done = true
+              }
+            }
+          case "warc.gz" =>
+            // a gzip member's length is only discoverable by inflating;
+            // grow the window geometrically if a member outsizes it
+            var want = WindowBytes
+            var parsed: Option[(Long, Array[Byte])] = None
+            var give = false
+            while (parsed.isEmpty && !give) {
+              if (want > MaxWindowBytes) give = true
+              else {
+                val (b, i) = win.view(off, want)
+                parsed = Archives.gzipMemberAt(b, i, inf)
+                if (parsed.isEmpty) {
+                  val covered = b.length - i // valid bytes from off
+                  if (off + covered >= fileLen) give = true // true corruption
+                  else want = covered * 2
+                }
+              }
+            }
+            parsed match {
+              case Some((mlen, _)) =>
+                out += MemberBoundary(path, off, mlen); off += mlen
+              case None => done = true
+            }
+          case "warc.zst" =>
+            // frame-header walk (block sizes are declared): the frame's
+            // bytes must be present but are never decompressed
+            var want = WindowBytes
+            var size = -1L
+            var give = false
+            while (size <= 0 && !give) {
+              if (want > MaxWindowBytes) give = true
+              else {
+                val (b, i) = win.view(off, want)
+                val covered = b.length - i
+                val s =
+                  try com.github.luben.zstd.Zstd.findFrameCompressedSize(b, i)
+                  catch { case scala.util.control.NonFatal(_) => -1L }
+                if (s > 0 && !com.github.luben.zstd.Zstd.isError(s) &&
+                    s <= covered) size = s
+                else if (off + covered >= fileLen) give = true
+                else want = covered * 2
+              }
+            }
+            if (size <= 0) done = true
+            else { out += MemberBoundary(path, off, size); off += size }
+          case _ => done = true
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    finally in.close()
+    out.result()
+  }
+
+  /** ustar header parse at `b(i)`: Some((name, size)) for a checksummed
+    * regular-file header, None otherwise. Mirrors [[Archives.tarMembers]]
+    * field arithmetic. */
+  private def tarHeader(b: Array[Byte], i: Int): Option[(String, Long)] = {
+    var allZero = true
+    var k = 0
+    while (allZero && k < 512) { if (b(i + k) != 0) allZero = false; k += 1 }
+    if (allZero) return None
+    val magicOk = b(i + 257) == 'u' && b(i + 258) == 's' &&
+      b(i + 259) == 't' && b(i + 260) == 'a' && b(i + 261) == 'r'
+    if (!magicOk) return None
+    var sum = 0L
+    k = 0
+    while (k < 512) {
+      sum += (if (k >= 148 && k < 156) ' '.toLong else (b(i + k) & 0xff).toLong)
+      k += 1
+    }
+    val stored = octalAt(b, i + 148, 8)
+    val size = octalAt(b, i + 124, 12)
+    if (!stored.contains(sum) || size.isEmpty) return None
+    var end = i
+    while (end < i + 100 && b(end) != 0) end += 1
+    Some((new String(b, i, end - i, java.nio.charset.StandardCharsets.UTF_8),
+      size.get))
+  }
+
+  private def octalAt(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    var v = 0L
+    var seen = false
+    var i = off
+    while (i < off + len) {
+      val c = b(i) & 0xff
+      if (c >= '0' && c <= '7') {
+        v = v * 8 + (c - '0'); seen = true
+        if (v > (1L << 40)) return None
+      } else if (c != ' ' && c != 0) return None
+      i += 1
+    }
+    if (seen) Some(v) else None
+  }
+
+  /** Index pass: one streaming task per file; returns `(path,
+    * member_offset, member_len)`. Persist the result with
+    * [[writeIndex]] — the index is the write-once artifact every later
+    * read plans its splits from. */
+  def buildIndex(spark: SparkSession, dir: String, fmt: String): DataFrame = {
+    import spark.implicits._
+    val ext = "." + fmt
+    val paths = listArchives(spark, dir, ext)
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val n = math.max(1, paths.size)
+    spark.createDataset(paths).repartition(n)
+      .mapPartitions { it =>
+        val inf = new Inflater(true)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => inf.end())
+        it.flatMap { path =>
+          val fs = new Path(path).getFileSystem(conf.value)
+          walkBoundaries(fs, path, fmt, inf)
+        }
+      }
+      .toDF()
+  }
+
+  /** Persist + reload the boundary index (overwrite: the index derives
+    * entirely from the files; rebuilding is idempotent). */
+  def writeIndex(index: DataFrame, path: String): DataFrame = {
+    index.write.mode(SaveMode.Overwrite).parquet(path)
+    index.sparkSession.read.parquet(path)
+  }
+
+  // ================================================= serve pass
+
+  /** Serve WARC members (`.warc.gz` / `.warc.zst`) from a boundary
+    * index with per-split parallelism: members are bucketed into
+    * `member_offset / targetSplitBytes` ranges, each (path, bucket)
+    * becomes one task doing seek+read per member. Output matches
+    * [[Archives.warcSplit]] byte for byte: (doc_id, member_offset,
+    * member_len, text). */
+  def readWarcMembers(index: DataFrame, fmt: String,
+      targetSplitBytes: Long = 128L << 20): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    require(fmt == "warc.gz" || fmt == "warc.zst", s"bad warc format $fmt")
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    planSplits(index, targetSplitBytes)
+      .groupByKey { case (path, split, _, _) => (path, split) }
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        val path = key._1
+        val fs = new Path(path).getFileSystem(conf.value)
+        val in = fs.open(new Path(path))
+        val inf = new Inflater(true)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          inf.end(); in.close()
+        }
+        it.flatMap { case (_, _, off, len) =>
+          if (len > MaxWindowBytes) None
+          else {
+            val member = new Array[Byte](len.toInt)
+            in.readFully(off, member, 0, len.toInt)
+            val payload =
+              if (fmt == "warc.gz") Archives.gzipMemberAt(member, 0, inf).map(_._2)
+              else Compressed.zstdDecompress(member)
+            payload.flatMap(Archives.warcRecord).flatMap {
+              case (Archives.RecordIdPattern(id), data) =>
+                Some((id.toLong, off, len,
+                  new String(data, java.nio.charset.StandardCharsets.UTF_8)))
+              case _ => None
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "member_offset", "member_len", "text")
+  }
+
+  /** Serve tar members from a boundary index; output matches
+    * [[Archives.tarExplode]]: (doc_id, member_offset, text). */
+  def readTarMembers(index: DataFrame,
+      targetSplitBytes: Long = 128L << 20): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    planSplits(index, targetSplitBytes)
+      .groupByKey { case (path, split, _, _) => (path, split) }
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        val path = key._1
+        val fs = new Path(path).getFileSystem(conf.value)
+        val in = fs.open(new Path(path))
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        it.flatMap { case (_, _, off, len) =>
+          if (len > MaxWindowBytes) None
+          else {
+            val member = new Array[Byte](len.toInt)
+            in.readFully(off, member, 0, len.toInt)
+            tarHeader(member, 0).flatMap { case (name, size) =>
+              name match {
+                case Archives.NamePattern(id) if 512 + size <= len =>
+                  Some((id.toLong, off, new String(member, 512, size.toInt,
+                    java.nio.charset.StandardCharsets.UTF_8)))
+                case _ => None
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "member_offset", "text")
+  }
+
+  /** Split planning: (path, split_id, member_offset, member_len), one
+    * split per `targetSplitBytes` range of each file. Exposed for the
+    * parallelism spec. */
+  private[multimodal] def planSplits(index: DataFrame,
+      targetSplitBytes: Long): Dataset[(String, Long, Long, Long)] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val target = math.max(1L, targetSplitBytes)
+    index.select("path", "member_offset", "member_len")
+      .as[(String, Long, Long)]
+      .map { case (path, off, len) => (path, off / target, off, len) }
+  }
+}

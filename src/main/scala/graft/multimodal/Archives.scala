@@ -77,7 +77,7 @@ object Archives {
   // Digit count bounded to 18 so the captured id always fits a Long:
   // a hostile `doc-99999999999999999999.txt` simply fails to match and
   // the member is dropped, instead of id.toLong throwing mid-scan.
-  private val NamePattern = "doc-([0-9]{1,18})\\.txt".r
+  private[multimodal] val NamePattern = "doc-([0-9]{1,18})\\.txt".r
 
   // ======================= ZIP =======================
 
@@ -499,7 +499,7 @@ object Archives {
   }
 
   // Same Long-overflow guard as NamePattern: >18-digit ids don't match.
-  private val RecordIdPattern = "<urn:graft:([0-9]{1,18})>".r
+  private[multimodal] val RecordIdPattern = "<urn:graft:([0-9]{1,18})>".r
 
   /** `.warc.zst`-style fixtures: one RFC 8878 zstd frame per WARC record
     * ([[Compressed.zstdStoredFrame]] — deterministic raw-block frames, so

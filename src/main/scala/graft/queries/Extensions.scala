@@ -408,6 +408,61 @@ object Extensions extends QueryModule {
       |  printf('%02x%02x%02x', rs[1], gs[1], bs[1]) AS px0_hex
       |FROM rgb""".stripMargin
 
+  /** First-principles offset oracle for the tar fixtures, shared by the
+    * row-based (q_tar_members, q_tgz_members) and file-backed
+    * (q_tar_file_members) walks: 512-byte header + payload padded to
+    * 512, offsets via per-archive prefix sum. */
+  private[queries] val tarMembersOracle: String =
+    """WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
+      |    octet_length(encode(text))::BIGINT AS n, text FROM documents)
+      |SELECT doc_id,
+      |  COALESCE(sum(512 + 512 * ((n + 511) // 512))
+      |    OVER (PARTITION BY aid ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0)::BIGINT AS member_offset,
+      |  text
+      |FROM m""".stripMargin
+
+  /** First-principles boundary oracle for the .warc.gz fixtures, shared
+    * by the row-based (q_warc_split) and file-backed (q_warc_file_split)
+    * walks: WARC header grammar (81 + digits(id) + digits(n) header
+    * chars + payload + CRLF CRLF) inside gzip-stored framing (10 + 5
+    * per 64 KiB stored block + rec + 8), offsets via prefix sum. */
+  private[queries] val warcSplitOracle: String =
+    """WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
+      |    octet_length(encode(text))::BIGINT AS n, text FROM documents),
+      |r AS (SELECT *, 81 + length(CAST(doc_id AS VARCHAR))
+      |    + length(CAST(n AS VARCHAR)) + n + 4 AS rec_len FROM m),
+      |g AS (SELECT *, 10 + 5 * greatest(1, (rec_len + 65534) // 65535)
+      |    + rec_len + 8 AS member_len FROM r)
+      |SELECT doc_id,
+      |  COALESCE(sum(member_len) OVER (PARTITION BY aid ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0)::BIGINT AS member_offset,
+      |  member_len::BIGINT AS member_len, text
+      |FROM g""".stripMargin
+
+  /** The .warc.zst twin of [[warcSplitOracle]]: RFC 8878 raw-block frame
+    * arithmetic (4 magic + 1 FHD + 1/2/4-byte FCS + 3-byte header per
+    * 128 KiB raw block + payload). Shared by q_warc_zst_split and
+    * q_warc_zst_file_split. */
+  private[queries] val warcZstSplitOracle: String =
+    """WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
+      |    octet_length(encode(text))::BIGINT AS n, text FROM documents),
+      |r AS (SELECT *, 81 + length(CAST(doc_id AS VARCHAR))
+      |    + length(CAST(n AS VARCHAR)) + n + 4 AS rec_len FROM m),
+      |g AS (SELECT *, 5
+      |    + (CASE WHEN rec_len < 256 THEN 1
+      |            WHEN rec_len < 65792 THEN 2 ELSE 4 END)
+      |    + 3 * greatest(1, (rec_len + 131071) // 131072)
+      |    + rec_len AS member_len FROM r)
+      |SELECT doc_id,
+      |  COALESCE(sum(member_len) OVER (PARTITION BY aid ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0)::BIGINT AS member_offset,
+      |  member_len::BIGINT AS member_len, text
+      |FROM g""".stripMargin
+
   /** Shared dHash oracle scaffolding for the JPEG near-fixtures
     * (Multimodal.jpegNearFixture): rebuilds the DECODED luma from the
     * coefficient-space closed form (Y = 128 + a + sx·b + sy·c + sx·sy·d
@@ -1669,15 +1724,7 @@ object Extensions extends QueryModule {
       (s, dir) => graft.multimodal.Archives.tarExplode(
         graft.multimodal.Archives.tarFixtures(
           t(s, dir, "documents"), "doc_id", "text")),
-      Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
-             |    octet_length(encode(text))::BIGINT AS n, text FROM documents)
-             |SELECT doc_id,
-             |  COALESCE(sum(512 + 512 * ((n + 511) // 512))
-             |    OVER (PARTITION BY aid ORDER BY doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             |    0)::BIGINT AS member_offset,
-             |  text
-             |FROM m""".stripMargin)),
+      Some(Extensions.tarMembersOracle)),
 
     // .tar.gz — the composition a corpus tarball actually ships as: real
     // gzip decode (CRC/ISIZE verified, bombs rejected) feeding the
@@ -1689,15 +1736,7 @@ object Extensions extends QueryModule {
       (s, dir) => graft.multimodal.Archives.tgzExplode(
         graft.multimodal.Archives.tgzFixtures(
           t(s, dir, "documents"), "doc_id", "text")),
-      Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
-             |    octet_length(encode(text))::BIGINT AS n, text FROM documents)
-             |SELECT doc_id,
-             |  COALESCE(sum(512 + 512 * ((n + 511) // 512))
-             |    OVER (PARTITION BY aid ORDER BY doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             |    0)::BIGINT AS member_offset,
-             |  text
-             |FROM m""".stripMargin)),
+      Some(Extensions.tarMembersOracle)),
 
     // .warc.gz record split — the Common Crawl shape: one gzip member per
     // WARC record, members concatenated. The splitter must recover MEMBER
@@ -1712,18 +1751,7 @@ object Extensions extends QueryModule {
       (s, dir) => graft.multimodal.Archives.warcSplit(
         graft.multimodal.Archives.warcFixtures(
           t(s, dir, "documents"), "doc_id", "text")),
-      Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
-             |    octet_length(encode(text))::BIGINT AS n, text FROM documents),
-             |r AS (SELECT *, 81 + length(CAST(doc_id AS VARCHAR))
-             |    + length(CAST(n AS VARCHAR)) + n + 4 AS rec_len FROM m),
-             |g AS (SELECT *, 10 + 5 * greatest(1, (rec_len + 65534) // 65535)
-             |    + rec_len + 8 AS member_len FROM r)
-             |SELECT doc_id,
-             |  COALESCE(sum(member_len) OVER (PARTITION BY aid ORDER BY doc_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             |    0)::BIGINT AS member_offset,
-             |  member_len::BIGINT AS member_len, text
-             |FROM g""".stripMargin)),
+      Some(Extensions.warcSplitOracle)),
 
     // .warc.zst — the modern splittable-corpus layout: one RFC 8878 zstd
     // frame per WARC record, frames concatenated. Boundary recovery is
@@ -1737,21 +1765,59 @@ object Extensions extends QueryModule {
       (s, dir) => graft.multimodal.Archives.warcZstSplit(
         graft.multimodal.Archives.warcZstFixtures(
           t(s, dir, "documents"), "doc_id", "text")),
-      Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
-             |    octet_length(encode(text))::BIGINT AS n, text FROM documents),
-             |r AS (SELECT *, 81 + length(CAST(doc_id AS VARCHAR))
-             |    + length(CAST(n AS VARCHAR)) + n + 4 AS rec_len FROM m),
-             |g AS (SELECT *, 5
-             |    + (CASE WHEN rec_len < 256 THEN 1
-             |            WHEN rec_len < 65792 THEN 2 ELSE 4 END)
-             |    + 3 * greatest(1, (rec_len + 131071) // 131072)
-             |    + rec_len AS member_len FROM r)
-             |SELECT doc_id,
-             |  COALESCE(sum(member_len) OVER (PARTITION BY aid ORDER BY doc_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             |    0)::BIGINT AS member_offset,
-             |  member_len::BIGINT AS member_len, text
-             |FROM g""".stripMargin)),
+      Some(Extensions.warcZstSplitOracle)),
+
+    // =============== FILE-backed splittable archive ingestion ===============
+    // (r8 verdict #3) — archives as FILES on a (Hadoop-API) filesystem,
+    // not in-memory rows: a streaming one-task-per-file index pass
+    // persists a member-boundary parquet artifact, then the serve pass
+    // plans splits FROM the index (member_offset / targetSplitBytes) so
+    // one large archive fans out across tasks doing ranged reads. The
+    // 4 KiB split target here is deliberately tiny so even fixture-sized
+    // archives exercise multi-split serving; oracles are IDENTICAL to
+    // the row-based twins — the file layer must change nothing.
+
+    GraftQuery("q_warc_file_split",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val root = s"/tmp/graft_artifacts/$tag/warcfiles"
+        graft.multimodal.ArchiveFiles.writeDir(
+          graft.multimodal.Archives.warcFixtures(
+            t(s, dir, "documents"), "doc_id", "text"), root, ".warc.gz")
+        val idx = graft.multimodal.ArchiveFiles.writeIndex(
+          graft.multimodal.ArchiveFiles.buildIndex(s, root, "warc.gz"),
+          s"$root-index")
+        graft.multimodal.ArchiveFiles.readWarcMembers(idx, "warc.gz", 4096)
+      },
+      Some(Extensions.warcSplitOracle)),
+
+    GraftQuery("q_warc_zst_file_split",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val root = s"/tmp/graft_artifacts/$tag/warczstfiles"
+        graft.multimodal.ArchiveFiles.writeDir(
+          graft.multimodal.Archives.warcZstFixtures(
+            t(s, dir, "documents"), "doc_id", "text"), root, ".warc.zst")
+        val idx = graft.multimodal.ArchiveFiles.writeIndex(
+          graft.multimodal.ArchiveFiles.buildIndex(s, root, "warc.zst"),
+          s"$root-index")
+        graft.multimodal.ArchiveFiles.readWarcMembers(idx, "warc.zst", 4096)
+      },
+      Some(Extensions.warcZstSplitOracle)),
+
+    GraftQuery("q_tar_file_members",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val root = s"/tmp/graft_artifacts/$tag/tarfiles"
+        graft.multimodal.ArchiveFiles.writeDir(
+          graft.multimodal.Archives.tarFixtures(
+            t(s, dir, "documents"), "doc_id", "text"), root, ".tar")
+        val idx = graft.multimodal.ArchiveFiles.writeIndex(
+          graft.multimodal.ArchiveFiles.buildIndex(s, root, "tar"),
+          s"$root-index")
+        graft.multimodal.ArchiveFiles.readTarMembers(idx, 4096)
+      },
+      Some(Extensions.tarMembersOracle)),
 
     // ======================= corpus-clean pipeline =======================
 

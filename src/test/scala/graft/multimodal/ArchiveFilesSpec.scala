@@ -1,0 +1,139 @@
+package graft.multimodal
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.Tables
+
+/** File-backed splittable archive ingestion: byte-identity with the
+  * row-based walkers, >1 serve task per large archive via the boundary
+  * index, bounded-window growth past an oversized member, and the
+  * never-throw contract on truncated files. */
+class ArchiveFilesSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_afspec_$tag").toString
+    d
+  }
+
+  private def docs = Tables.t(spark, sfDir, "documents")
+
+  test("file-backed .warc.gz serve is row-for-row identical to the row-based split") {
+    val dir = freshDir("warc")
+    ArchiveFiles.writeDir(
+      Archives.warcFixtures(docs, "doc_id", "text"), dir, ".warc.gz")
+    val idx = ArchiveFiles.writeIndex(
+      ArchiveFiles.buildIndex(spark, dir, "warc.gz"), s"$dir-index")
+    val served = ArchiveFiles.readWarcMembers(idx, "warc.gz", 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val rowBased = Archives.warcSplit(
+        Archives.warcFixtures(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(served.length === rowBased.length)
+    assert(served.toSeq === rowBased.toSeq)
+  }
+
+  test("tar index pass reads headers only and serve matches tarExplode") {
+    val dir = freshDir("tar")
+    ArchiveFiles.writeDir(
+      Archives.tarFixtures(docs, "doc_id", "text"), dir, ".tar")
+    val idx = ArchiveFiles.writeIndex(
+      ArchiveFiles.buildIndex(spark, dir, "tar"), s"$dir-index")
+    val served = ArchiveFiles.readTarMembers(idx, 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val rowBased = Archives.tarExplode(
+        Archives.tarFixtures(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(served.toSeq === rowBased.toSeq)
+  }
+
+  test("a large archive fans out to MULTIPLE serve splits via the index") {
+    // one big archive: 64 members → with a 4 KiB split target the
+    // single file must plan several (path, split) tasks
+    val dir = freshDir("fanout")
+    val ms = (0L until 64L).map(i => i -> (s"doc $i " + "y" * 500).getBytes("UTF-8"))
+    val one = ArchiveRecord(0L, {
+      val out = new java.io.ByteArrayOutputStream()
+      ms.foreach { case (id, data) =>
+        val rec = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+          s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+          s"Content-Length: ${data.length}\r\n\r\n").getBytes("US-ASCII")
+        val g = Gzip.gzipStored(rec ++ data ++ "\r\n\r\n".getBytes("US-ASCII"))
+        out.write(g, 0, g.length)
+      }
+      out.toByteArray
+    })
+    import spark.implicits._
+    ArchiveFiles.writeDir(Seq(one).toDS(), dir, ".warc.gz")
+    val idx = ArchiveFiles.buildIndex(spark, dir, "warc.gz")
+    assert(idx.count() === 64)
+    val splits = ArchiveFiles.planSplits(idx, 4096)
+      .collect().map { case (p, s, _, _) => (p, s) }.distinct
+    assert(splits.length > 1, s"expected >1 split, got ${splits.length}")
+    assert(splits.map(_._1).distinct.length === 1, "all splits of one file")
+    // and the members still serve completely and correctly
+    val served = ArchiveFiles.readWarcMembers(idx, "warc.gz", 4096)
+      .collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    assert(served.length === 64)
+    assert(served(7)._2 === "doc 7 " + "y" * 500)
+  }
+
+  test("the index window grows past a member larger than the initial window") {
+    // one member of ~6 MiB (> WindowBytes = 4 MiB): the geometric window
+    // growth must find its boundary; a second small member must follow
+    val dir = freshDir("bigmember")
+    val big = ("z" * (6 << 20)).getBytes("UTF-8")
+    val recBig = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Record-ID: <urn:graft:1>\r\n" +
+      s"Content-Length: ${big.length}\r\n\r\n").getBytes("US-ASCII") ++
+      big ++ "\r\n\r\n".getBytes("US-ASCII")
+    val small = "small".getBytes("UTF-8")
+    val recSmall = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Record-ID: <urn:graft:2>\r\n" +
+      s"Content-Length: ${small.length}\r\n\r\n").getBytes("US-ASCII") ++
+      small ++ "\r\n\r\n".getBytes("US-ASCII")
+    val payload = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g1 = Gzip.gzipStored(recBig); out.write(g1, 0, g1.length)
+      val g2 = Gzip.gzipStored(recSmall); out.write(g2, 0, g2.length)
+      out.toByteArray
+    }
+    import spark.implicits._
+    ArchiveFiles.writeDir(Seq(ArchiveRecord(0L, payload)).toDS(), dir, ".warc.gz")
+    val idx = ArchiveFiles.buildIndex(spark, dir, "warc.gz").collect()
+    assert(idx.length === 2, s"expected 2 members, got ${idx.length}")
+    val served = ArchiveFiles.readWarcMembers(
+        ArchiveFiles.buildIndex(spark, dir, "warc.gz"), "warc.gz", 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getString(3).length)).sortBy(_._1)
+    assert(served.toSeq === Seq((1L, 6 << 20), (2L, 5)))
+  }
+
+  test("a truncated file indexes its complete prefix and never throws") {
+    val dir = freshDir("trunc")
+    ArchiveFiles.writeDir(
+      Archives.warcFixtures(docs, "doc_id", "text"), dir, ".warc.gz")
+    // truncate the first file to 60% — mid-member
+    val f = Files.list(Paths.get(dir)).toArray.map(_.toString).sorted
+      .find(_.endsWith(".warc.gz")).get
+    val bytes = Files.readAllBytes(Paths.get(f))
+    Files.write(Paths.get(f), java.util.Arrays.copyOf(bytes, bytes.length * 3 / 5))
+    val full = Archives.warcSplit(
+        Archives.warcFixtures(docs, "doc_id", "text"))
+      .count()
+    val idx = ArchiveFiles.buildIndex(spark, dir, "warc.gz")
+    val n = idx.count()
+    assert(n > 0 && n < full, s"prefix index expected, got $n of $full")
+    // and every indexed member still serves
+    assert(ArchiveFiles.readWarcMembers(idx, "warc.gz", 4096).count() === n)
+  }
+
+  test("an empty or missing directory yields an empty index, not an error") {
+    val dir = freshDir("empty")
+    assert(ArchiveFiles.buildIndex(spark, dir, "warc.gz").count() === 0)
+    assert(ArchiveFiles.buildIndex(spark, dir + "/nope", "tar").count() === 0)
+  }
+}
