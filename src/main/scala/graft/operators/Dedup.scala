@@ -454,6 +454,42 @@ object Dedup {
     *                    endpoint outside the old artifact's corpus
     */
   def updateClusters(oldClusters: DataFrame, newPairs: DataFrame): DataFrame = {
+    val (relabel, newDocRows) = contractBatch(oldClusters, newPairs)
+    // one pass over the stored artifact: members of merged clusters take
+    // the merged label, untouched clusters pass through unchanged
+    val expandedOld = oldClusters
+      .join(relabel, oldClusters("cluster_id") === relabel("old_cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
+    expandedOld.union(newDocRows)
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** The CHANGED-ROWS-ONLY twin of [[updateClusters]]: rows for members
+    * of clusters touched by the batch (inner relabel join) plus the
+    * genuinely-new docs — NOT the full assignment. Work and output are
+    * proportional to the touched clusters, which is what lets a
+    * streaming fold rewrite only affected storage buckets
+    * ([[graft.streaming.StreamingEntityResolution]]) instead of
+    * re-streaming a 100 TB assignment every micro-batch. Upserting the
+    * delta over the old assignment equals [[updateClusters]] exactly
+    * (same relabel, same new rows; untouched rows pass through by NOT
+    * being written). */
+  def updateClustersDelta(oldClusters: DataFrame, newPairs: DataFrame): DataFrame = {
+    val (relabel, newDocRows) = contractBatch(oldClusters, newPairs)
+    val changedOld = oldClusters
+      .join(relabel, oldClusters("cluster_id") === relabel("old_cid"))
+      .select(col("doc_id"), col("new_cid").as("cluster_id"))
+    changedOld.union(newDocRows)
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Shared incremental-contraction core: the batch's verified pairs
+    * contract through the old assignment, CC runs over the
+    * batch-sized contracted graph only, producing the (old label →
+    * new label) relabel map and the new-doc assignment rows. */
+  private def contractBatch(oldClusters: DataFrame,
+      newPairs: DataFrame): (DataFrame, DataFrame) = {
     val m = oldClusters.select(col("doc_id"), col("cluster_id"))
     // contract both endpoints through the old assignment (unknown ids —
     // the new batch — stay themselves); an edge inside one old cluster
@@ -470,21 +506,14 @@ object Dedup {
     val touched = dupClusters(contracted)
     val relabel = touched.select(col("doc_id").as("old_cid"),
       col("cluster_id").as("new_cid"))
-    // one pass over the stored artifact: members of merged clusters take
-    // the merged label, untouched clusters pass through unchanged
-    val expandedOld = oldClusters
-      .join(relabel, oldClusters("cluster_id") === relabel("old_cid"), "left")
-      .select(col("doc_id"),
-        coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
     // genuinely-new docs are the touched supernodes that are NOT old
     // cluster ids (old cluster ids are doc ids — their membership rows
-    // already flow through expandedOld)
+    // already flow through the stored assignment)
     val newDocRows = touched
       .join(m.select(col("cluster_id").as("k")).distinct(),
         touched("doc_id") === col("k"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
-    expandedOld.union(newDocRows)
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
+    (relabel, newDocRows)
   }
 
   /** Persist a cluster artifact (doc_id, cluster_id, keep) as a bucketed

@@ -22,17 +22,24 @@ import org.apache.spark.sql.types._
   * State lives in three artifacts under `base`, not in operator state:
   *  - `members`   (id, s): every record seen, append-only;
   *  - `variants`  (id, h): the blocking index, append-only;
-  *  - `clusters/e=N` (doc_id, cluster_id, keep): the assignment, one
-  *    epoch dir per fold (read old epoch, write new — never in place).
+  *  - `clusters`  (doc_id, cluster_id, keep): the assignment as a
+  *    doc_id-bucketed partitioned table maintained through
+  *    [[UpsertSink.upsertBatch]]'s dynamic-partition-overwrite
+  *    discipline — each fold upserts only the CHANGED rows
+  *    ([[graft.operators.Dedup.updateClustersDelta]]: members of
+  *    clusters the batch touched, plus new docs), so buckets holding
+  *    only untouched clusters are NOT rewritten (their files stay
+  *    byte-identical, asserted by the spec).
   *
   * Scale notes (100 TB): per batch, work is proportional to the BATCH —
-  * its variant keys, the candidate pairs they select, and the contracted
-  * component graph. The two appends are partitioned writes; the variant
-  * probe is a shuffled equi-join on 8-byte hashes (a hot variant key is a
-  * skewed join key, handled by AQE, never driver memory); the epoch
-  * rewrite streams the old artifact through one relabel join. For
-  * read-many serving, compact `clusters/e=N` into a bucketed table via
-  * [[graft.operators.Dedup.writeClusters]].
+  * its variant keys, the candidate pairs they select, the contracted
+  * component graph, and the storage buckets its delta lands in. The two
+  * appends are partitioned writes; the variant probe is a shuffled
+  * equi-join on 8-byte hashes (a hot variant key is a skewed join key,
+  * handled by AQE, never driver memory). The r8 design rewrote the FULL
+  * assignment per fold (epoch dirs) — batch-proportional compute but
+  * corpus-proportional IO; the bucketed delta upsert removes that last
+  * corpus-sized term from the fold.
   *
   * Invariant inherited from the batch operator: cluster labels are the
   * minimum member id, so a streamed fold over any batch split equals the
@@ -77,20 +84,21 @@ object StreamingEntityResolution {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Latest cluster epoch (0 = none yet) and its assignment. */
-  private def latestClusters(spark: SparkSession, base: String): (Int, DataFrame) = {
+  /** Docs-per-bucket partitioning of the clusters table; a fold rewrites
+    * only the buckets its delta lands in. 8 here (single-box scale —
+    * fewer commit-protocol round trips per fold); on a cluster size it
+    * so one bucket ≈ one comfortable task (e.g. 4096 at 100 TB). */
+  val ClusterBuckets = 8
+
+  /** The current assignment (doc_id, cluster_id, keep); empty before the
+    * first fold. */
+  private def readClusters(spark: SparkSession, base: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(clustersRoot(base))
     val fs = hadoopFs(spark, clustersRoot(base))
-    val epochs =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.map(_.getPath.getName)
-        .collect { case s if s.startsWith("e=") => s.drop(2).toInt }
-    val e = if (epochs.isEmpty) 0 else epochs.max
-    val df =
-      if (e == 0) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], clusterSchema)
-      else spark.read.schema(clusterSchema).parquet(s"${clustersRoot(base)}/e=$e")
-    (e, df)
+    if (fs.exists(root))
+      spark.read.parquet(clustersRoot(base)).drop("bucket")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], clusterSchema)
   }
 
   /** Fold one micro-batch of `(idCol, strCol)` records into the artifact.
@@ -135,9 +143,40 @@ object StreamingEntityResolution {
         .where(col("dist") >= 0 && col("dist") <= k)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
 
-      val (epoch, old) = latestClusters(spark, base)
-      Dedup.updateClusters(old, pairs)
-        .write.mode("overwrite").parquet(s"${clustersRoot(base)}/e=${epoch + 1}")
+      // changed-rows-only fold (r8 verdict #4): merge the delta into the
+      // doc_id-bucketed table; untouched clusters' buckets are untouched
+      // files, so fold IO is delta-proportional, not corpus-sized.
+      // Leaner than UpsertSink.upsertBatch on purpose — delta keys are
+      // unique by construction (no window dedupe) and the affected
+      // buckets are collected as LITERALS so the existing-rows read is
+      // statically partition-pruned instead of semi-joined.
+      val old = readClusters(spark, base)
+      val delta = Dedup.updateClustersDelta(old, pairs)
+        .withColumn("bucket",
+          pmod(xxhash64(col("doc_id")), lit(ClusterBuckets.toLong)))
+        .persist()
+      try {
+        val affected = delta.select("bucket").distinct()
+          .collect().map(_.getLong(0))
+        if (affected.nonEmpty) {
+          val root = clustersRoot(base)
+          val exists = hadoopFs(spark, root)
+            .exists(new org.apache.hadoop.fs.Path(root))
+          val merged =
+            if (!exists) delta
+            else spark.read.parquet(root)
+              .where(col("bucket").isin(affected.toSeq: _*))
+              .join(delta.select(col("doc_id").as("__k")),
+                col("doc_id") === col("__k"), "left_anti")
+              .drop("__k")
+              .unionByName(delta)
+          // materialize before overwriting the path the merge just read
+          val mat = merged.localCheckpoint(true)
+          UpsertSink.withDynamicOverwrite(spark) {
+            mat.write.mode("overwrite").partitionBy("bucket").parquet(root)
+          }
+        }
+      } finally delta.unpersist()
 
       // append the batch's index keys and members AFTER the fold has
       // materialized, so this batch never probes its own stored keys
@@ -152,7 +191,7 @@ object StreamingEntityResolution {
     * name — same shape as the batch `q_entity_resolution` capstone. */
   def resolved(spark: SparkSession, base: String): DataFrame = {
     val m = readOr(spark, membersPath(base), memberSchema)
-    val c = latestClusters(spark, base)._2
+    val c = readClusters(spark, base)
     m.join(c.select(col("doc_id").as("id"), col("cluster_id")), Seq("id"), "left")
       .withColumn("entity_id", coalesce(col("cluster_id"), col("id")))
       .join(m.select(col("id").as("entity_id"), col("s").as("canonical_name")),
