@@ -130,6 +130,103 @@ object Scratch {
       }
     }
 
+    if (args.contains("erprof")) {
+      // Fold-cost isolation for the streaming-ER storage designs (r8
+      // verdict #4): seed a SYNTHETIC large assignment (N members, all
+      // singleton clusters, with their real FastSS k=1 variant index),
+      // then time ONE small fold (200 records, half near-dups of seeds)
+      // under (a) the merge-on-read delta design foldBatch ships, and
+      // (b) the r8 design's write path (updateClusters + full-assignment
+      // rewrite) on an identical twin artifact. The batch pipeline
+      // (probe/verify/CC) is shared; the difference isolates the fold's
+      // STORAGE term, which is what the designs disagree about.
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, FuzzyJoin}
+      import graft.streaming.StreamingEntityResolution
+      for (n <- Seq(100000L, 1000000L, 4000000L)) {
+        // deterministic, pairwise-distant seed names (digits not
+        // repeated — suffix varies with id so edit distance > 1)
+        def seeds = spark.range(n).select(col("id"),
+          concat(lit("member-"), col("id"), lit("-"),
+            pmod(col("id") * 2654435761L, lit(997L))).as("s"))
+        def seedArtifact(base: String): Unit = {
+          val fs = new org.apache.hadoop.fs.Path(base)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(base), true)
+          seeds.write.parquet(s"$base/members")
+          FuzzyJoin.deletionVariantKeys(seeds, "id", "s", 1)
+            .write.parquet(s"$base/variants")
+          seeds.select(col("id").as("doc_id"), col("id").as("cluster_id"),
+              lit(true).as("keep"))
+            .write.parquet(s"$base/clusters/compacted")
+        }
+        val batch = spark.range(100).select(
+            (col("id") + 2 * n).as("id"),
+            concat(lit("member-"), col("id") * 37 % n, lit("-"),
+              pmod(col("id") * 37 % n * 2654435761L, lit(997L)), lit("x")).as("s"))
+          .union(spark.range(100).select((col("id") + 3 * n).as("id"),
+            concat(lit("fresh-"), col("id"), lit("-none")).as("s")))
+          .persist()
+        batch.count()
+
+        def fullRewriteFold(fullBase: String): Unit = {
+          // the r8 write path: same probe/verify/contraction, then the
+          // FULL assignment rewrite to a new epoch dir
+          val storedV = spark.read.parquet(s"$fullBase/variants")
+          val storedM = spark.read.parquet(s"$fullBase/members")
+          val b = batch.join(storedM.select(col("id")), Seq("id"), "left_anti")
+          val bv = FuzzyJoin.deletionVariantKeys(b, "id", "s", 1)
+          val candOld = bv
+            .join(storedV.select(col("h"), col("id").as("id_o")), Seq("h"))
+            .where(col("id") =!= col("id_o"))
+            .select(least(col("id"), col("id_o")).as("id_a"),
+              greatest(col("id"), col("id_o")).as("id_b"))
+          val candNew = bv
+            .join(bv.select(col("h"), col("id").as("id_o")), Seq("h"))
+            .where(col("id") < col("id_o"))
+            .select(col("id").as("id_a"), col("id_o").as("id_b"))
+          val cands = candOld.unionByName(candNew).distinct()
+          val names = storedM.unionByName(b)
+          val pairs = cands
+            .join(names.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+            .join(names.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+            .withColumn("dist", levenshtein(col("s_a"), col("s_b"), 1))
+            .where(col("dist") >= 0 && col("dist") <= 1)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          val old = spark.read.parquet(s"$fullBase/clusters/compacted")
+          Dedup.updateClusters(old, pairs)
+            .write.mode("overwrite").parquet(s"$fullBase/clusters/e=1")
+        }
+
+        // alternate fresh-dir reps (A B A B): the first fold after a seed
+        // pays one-time JIT/page-cache costs of ~2-4 s, so per-design
+        // MINIMA are the comparable storage-term signal. Wall time is
+        // dominated by the SHARED probe reads at local-NVMe speeds, so
+        // the decisive per-design metric is BYTES WRITTEN by the fold —
+        // the term that owns the fold cost on real object storage.
+        def dirBytes(path: String): Long = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+        }
+        for (rep <- 1 to 2) {
+          val fullBase = s"/tmp/graft_er_prof/full_${n}_$rep"
+          seedArtifact(fullBase)
+          time(s"er_fold_fullrw_n${n}_r$rep")(fullRewriteFold(fullBase))
+          println(s"FOLD_WRITE fullrw n=$n rep=$rep bytes=" +
+            dirBytes(s"$fullBase/clusters/e=1"))
+          val morBase = s"/tmp/graft_er_prof/mor_${n}_$rep"
+          seedArtifact(morBase)
+          time(s"er_fold_mor_n${n}_r$rep")(
+            StreamingEntityResolution.foldBatch(spark, morBase, batch,
+              "id", "s", k = 1))
+          println(s"FOLD_WRITE mor    n=$n rep=$rep bytes=" +
+            dirBytes(s"$morBase/clusters/delta"))
+        }
+        batch.unpersist()
+      }
+    }
+
     if (args.contains("scalegen")) {
       // Bench-only scale replicas (x3 / x10 of sf0.1) for the verdict's
       // scale-ladder evidence: replicate each input table of the five most
@@ -204,7 +301,7 @@ object Scratch {
       }
     }
 
-    val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen")
+    val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen", "erprof")
     val toTime =
       if (args.isEmpty) defaults
       else args.toSeq.filterNot(a => a.startsWith("explain:") || modes(a))

@@ -84,52 +84,78 @@ class StreamingEntityResolutionSpec extends SparkSpec {
     assert(before.map(_._1) === Seq(1L, 2L)) // no member duplication
   }
 
-  test("a fold rewrites ONLY the buckets its delta touches (r8 verdict #4)") {
+  private def clusterFiles(base: String): Map[String, (Long, Long)] = {
+    val root = java.nio.file.Paths.get(s"$base/clusters")
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    java.nio.file.Files.walk(root).forEach { p =>
+      val f = p.toFile
+      if (f.isFile && f.getName.endsWith(".parquet"))
+        out(p.toString) = (f.lastModified(), f.length())
+    }
+    out.toMap
+  }
+
+  test("a fold writes ONLY its delta; stored cluster files are untouched (r8 verdict #4)") {
     import spark.implicits._
     val base = freshBase()
     def fold(rows: (Long, String)*): Unit =
       StreamingEntityResolution.foldBatch(spark, base,
         rows.toDF("id", "name"), "id", "name", k = 2)
     // seed folds: names are PAIRWISE distant (every id digit repeated 3×,
-    // so two distinct ids differ by ≥3 > k=2) — distinct entities that
-    // populate several storage buckets without cross-linking
+    // so two distinct ids differ by ≥3 > k=2) — distinct entities
     def seedName(i: Long): String = ("%03d".format(i) * 3) + " entity"
     fold((0L until 40L).map(i => (i, seedName(i))): _*)
     fold((100L until 140L).map(i => (i, seedName(i))): _*)
 
-    def bucketFiles(): Map[String, (Long, Long)] = {
-      val root = java.nio.file.Paths.get(s"$base/clusters")
-      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
-      java.nio.file.Files.walk(root).forEach { p =>
-        val f = p.toFile
-        if (f.isFile && f.getName.endsWith(".parquet"))
-          out(p.toString) = (f.lastModified(), f.length())
-      }
-      out.toMap
-    }
-    val before = bucketFiles()
-    assert(before.keys.map(_.split("bucket=")(1).split("/")(0)).toSet.size > 1,
-      "seed folds should span multiple buckets")
+    val before = clusterFiles(base)
+    assert(before.nonEmpty, "seed folds must materialize cluster state")
 
-    // one NEW record near one existing entity: the delta is a handful of
-    // rows landing in few buckets — every other bucket's files must
-    // remain byte-identical (same path, same mtime, same length)
+    // one NEW record near one existing entity: the fold appends one
+    // delta dir — every pre-existing cluster file must remain
+    // byte-identical (same path, same mtime, same length)
     Thread.sleep(1100) // mtime granularity
     fold((500L, seedName(7) + "x")) // 1 edit from entity 7, ≥3 from the rest
-    val after = bucketFiles()
-    val unchanged = before.keySet.intersect(after.keySet)
-      .count(p => before(p) == after(p))
-    val total = before.size
-    assert(unchanged > 0, "expected untouched bucket files to survive as-is")
-    assert(after.keySet.intersect(before.keySet).size < total ||
-      before.keySet != after.keySet,
-      "at least one bucket must have been rewritten")
-    // strong form: the majority of buckets were not rewritten
-    assert(unchanged * 2 > total,
-      s"only $unchanged of $total bucket files survived the fold unchanged")
+    val after = clusterFiles(base)
+    assert(before.keySet.subsetOf(after.keySet), "no stored file may vanish")
+    val rewritten = before.keySet.filter(p => before(p) != after(p))
+    assert(rewritten.isEmpty,
+      s"fold must not rewrite stored cluster files, but touched $rewritten")
+    assert(after.size > before.size, "the fold must append a delta")
     // and the assignment is still right
     val view = StreamingEntityResolution.resolved(spark, base)
       .as[(Long, Long, String)].collect().map(r => r._1 -> r._2).toMap
     assert(view(500L) === view(7L), "new record must join entity 7's cluster")
+  }
+
+  test("deltas retire into a compacted base every CompactEvery folds") {
+    import spark.implicits._
+    val base = freshBase()
+    def fold(rows: (Long, String)*): Unit =
+      StreamingEntityResolution.foldBatch(spark, base,
+        rows.toDF("id", "name"), "id", "name", k = 2)
+    def seedName(i: Long): String = ("%04d".format(i) * 3) + " compacte"
+    // CompactEvery folds → the last one triggers compaction
+    (0 until StreamingEntityResolution.CompactEvery).foreach { f =>
+      fold((f * 10L until f * 10L + 5L).map(i => (i, seedName(i))): _*)
+    }
+    val deltaDir = java.nio.file.Paths.get(s"$base/clusters/delta")
+    val remaining =
+      if (!java.nio.file.Files.exists(deltaDir)) 0
+      else java.nio.file.Files.list(deltaDir).count()
+    assert(remaining === 0, s"deltas must retire at compaction, $remaining left")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/clusters/compacted")))
+    // the compacted view equals a one-shot batch fold of the same rows
+    val view = StreamingEntityResolution.resolved(spark, base)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(view.length === 5 * StreamingEntityResolution.CompactEvery)
+    val ref = freshBase()
+    StreamingEntityResolution.foldBatch(spark, ref,
+      (0 until StreamingEntityResolution.CompactEvery).flatMap(f =>
+        (f * 10L until f * 10L + 5L).map(i => (i, seedName(i))))
+        .toDF("id", "name"), "id", "name", k = 2)
+    val oneShot = StreamingEntityResolution.resolved(spark, ref)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(view === oneShot, "compacted streamed view must equal batch fold")
   }
 }
