@@ -1829,6 +1829,42 @@ object Extensions extends QueryModule {
         lang = "en", minQuality = 3000L, jaccard = 0.8),
       Some(Extensions.corpusCleanOracle)),
 
+    // the cleaning flow fed from COMPRESSED ARCHIVES instead of a table:
+    // .warc.zst fixtures split through the real zstd frame walk, records
+    // flow into the identical clean stages. Same oracle as
+    // q_corpus_clean — the archive layer must be byte-transparent.
+    GraftQuery("q_corpus_clean_warc_zst",
+      (s, dir) => graft.operators.CorpusClean.clean(
+        graft.multimodal.Archives.warcZstSplit(
+          graft.multimodal.Archives.warcZstFixtures(
+            t(s, dir, "documents"), "doc_id", "text"))
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", lang = "en", minQuality = 3000L, jaccard = 0.8),
+      Some(Extensions.corpusCleanOracle)),
+
+    // the STREAMED capstone (r8 verdict #5): the same .warc.zst corpus
+    // arrives as three ascending micro-batches of archives; each fold
+    // runs split → normalize/gate → exact dedup → banded near-dedup
+    // against the append-only artifact state
+    // (graft.streaming.StreamingCorpusClean). The final cleaned view
+    // must hash-match the BATCH oracle — streamed ingestion may change
+    // nothing about what survives.
+    GraftQuery("q_corpus_clean_stream",
+      (s, dir) => {
+        val base = s"/tmp/graft_cc_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingCorpusClean.init(s, base)
+        val arcs = graft.multimodal.Archives.warcZstFixtures(
+          t(s, dir, "documents"), "doc_id", "text")
+        val maxId = arcs.agg(max(col("archive_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingCorpusClean.foldWarcZst(s, base,
+            arcs.where(col("archive_id") >= i * maxId / 3 &&
+              col("archive_id") < (i + 1) * maxId / 3))
+        }
+        graft.streaming.StreamingCorpusClean.cleaned(s, base)
+      },
+      Some(Extensions.corpusCleanOracle)),
+
     // capstone composition: the cleaned corpus fed straight into sequence
     // packing — clean → global token offsets in one declarative flow; the
     // oracle nests the full clean oracle as a subquery and adds the

@@ -1,0 +1,178 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.multimodal.{Archives, ArchiveRecord}
+
+/** The Common-Crawl-shaped streamed ingestion capstone: `.warc.zst`
+  * archives arrive as a stream, and every micro-batch folds through the
+  * SAME stages as the batch [[graft.operators.CorpusClean.clean]] —
+  * record split (real zstd frame walk), normalize + language/quality
+  * gates (the `norm_ws` / `clean_gate` kernels), exact dedup, MinHash
+  * banded near-dedup with exact-Jaccard verify — so the cleaned-corpus
+  * view is always current and ALWAYS EQUAL to what the batch operator
+  * would compute on everything seen so far (hash-matched against
+  * q_corpus_clean's brute-force oracle by q_corpus_clean_stream).
+  *
+  * State lives in three append-only artifacts under `base` (the
+  * [[StreamingEntityResolution]] discipline — batch-proportional folds,
+  * no corpus rewrite, no driver state):
+  *  - `texts` (doc_id, norm_text): exact-dedup survivors;
+  *  - `bands` (doc_id, band, bhash): their MinHash band index — the
+  *    blocking structure an arriving document probes, so near-dup
+  *    candidates are (new × bucket-mates), never (corpus × corpus);
+  *  - `drops` (doc_id): near-dup losers (the larger id of each verified
+  *    pair, exactly the batch operator's drop rule).
+  *
+  * Equality contract: near-dedup is ORDER-INDEPENDENT (both pair
+  * members are indexed, the pair is found when the later one arrives,
+  * the larger id drops regardless of arrival order). Exact dedup keeps
+  * the first-stored id per text, which equals the batch min-id rule
+  * when batches arrive in ascending doc_id order — the natural shape of
+  * a crawl stream (monotone record ids) and the documented assumption
+  * here, like the min-label invariant in [[StreamingEntityResolution]].
+  *
+  * Scale notes (100 TB): per fold, work is proportional to the batch —
+  * its records, its band keys, the bucket-mates they select, and the
+  * candidate verifies. The band probe is a shuffled equi-join on
+  * (band, 8-byte bhash); hot buckets are skewed join keys (AQE), never
+  * driver state. The three appends are partitioned writes. Candidates
+  * here are UNCAPPED (the batch operator caps hot buckets and rescues
+  * via representatives): the verified-pair SET is identical as long as
+  * the capped path loses no true pairs, which is exactly the property
+  * q_corpus_clean's brute-force oracle pins per round.
+  */
+object StreamingCorpusClean {
+
+  private val textSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("norm_text", StringType)))
+  private val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("bhash", LongType)))
+  private val dropSchema = StructType(Seq(StructField("doc_id", LongType)))
+
+  private def textsPath(base: String) = s"$base/texts"
+  private def bandsPath(base: String) = s"$base/bands"
+  private def dropsPath(base: String) = s"$base/drops"
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Wipe the artifact directory (fresh run). */
+  def init(spark: SparkSession, base: String): Unit = {
+    hadoopFs(spark, base).delete(new org.apache.hadoop.fs.Path(base), true)
+    ()
+  }
+
+  private def readOr(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val fs = hadoopFs(spark, path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Fold one micro-batch of raw documents `(idCol, textCol)`. */
+  def foldDocs(spark: SparkSession, base: String, batch: DataFrame,
+      idCol: String, textCol: String, lang: String = "en",
+      minQuality: Long = 3000L, jaccard: Double = 0.8): Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    val storedT = readOr(spark, textsPath(base), textSchema)
+    val storedB = readOr(spark, bandsPath(base), bandSchema)
+
+    // normalize + fused language/quality gate — the batch scan stage
+    val cleaned = batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        call_function("norm_ws", col(textCol)).as("norm_text"))
+      .where(call_function("clean_gate",
+        col("norm_text"), lit(lang), lit(minQuality)))
+
+    // exact dedup: texts already stored drop (their keeper arrived in an
+    // earlier batch — ascending arrival makes that the min id); within
+    // the batch the smallest id per text survives. A replayed batch is
+    // all stored texts, i.e. a no-op.
+    val newExact = cleaned
+      .join(storedT.select(col("norm_text")), Seq("norm_text"), "left_anti")
+      .groupBy(col("norm_text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("norm_text"))
+      .persist()
+    try {
+      val newBands = StreamingDedup
+        .bandedSignatures(newExact, "doc_id", "norm_text")
+        .persist()
+
+      // candidates: new-vs-stored through the band index, new-vs-new
+      // within the batch — together, every band collision among all
+      // exact survivors whose later member is in this batch
+      val candOld = newBands.as("n")
+        .join(storedB.as("s"),
+          col("n.band") === col("s.band") && col("n.bhash") === col("s.bhash") &&
+            col("n.doc_id") =!= col("s.doc_id"))
+        .select(least(col("n.doc_id"), col("s.doc_id")).as("doc_a"),
+          greatest(col("n.doc_id"), col("s.doc_id")).as("doc_b"))
+      val candNew = newBands.as("a")
+        .join(newBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val cands = candOld.unionByName(candNew).distinct()
+
+      // exact-Jaccard verify on candidate rows only — the batch
+      // operator's verify expression verbatim (rounded to 4 dp)
+      import graft.operators.Dedup.{shinglesExpr, wordsExpr}
+      val sh = storedT.unionByName(newExact)
+        .select(col("doc_id").as("id"),
+          expr(shinglesExpr(wordsExpr("norm_text"))).as("sh"))
+      val verified = cands
+        .join(sh.withColumnRenamed("sh", "sh_a"), col("doc_a") === col("id")).drop("id")
+        .join(sh.withColumnRenamed("sh", "sh_b"), col("doc_b") === col("id")).drop("id")
+        .where(expr(
+          """round(size(array_intersect(sh_a, sh_b)) /
+            |      CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 4)"""
+            .stripMargin) >= jaccard)
+        .select(col("doc_b").as("doc_id")).distinct()
+
+      // append AFTER the fold's joins materialized, so the batch never
+      // probes its own stored rows
+      verified.write.mode("append").parquet(dropsPath(base))
+      newBands.write.mode("append").parquet(bandsPath(base))
+      newExact.write.mode("append").parquet(textsPath(base))
+      newBands.unpersist()
+    } finally newExact.unpersist()
+  }
+
+  /** Fold one micro-batch of `.warc.zst` ARCHIVES: record split through
+    * the real zstd frame walk, then the document fold above. */
+  def foldWarcZst(spark: SparkSession, base: String,
+      archives: Dataset[ArchiveRecord], lang: String = "en",
+      minQuality: Long = 3000L, jaccard: Double = 0.8): Unit =
+    foldDocs(spark, base,
+      Archives.warcZstSplit(archives).select(col("doc_id"), col("text")),
+      "doc_id", "text", lang, minQuality, jaccard)
+
+  /** The always-current cleaned corpus: exact survivors minus near-dup
+    * losers — the batch [[graft.operators.CorpusClean.clean]] output
+    * shape (doc_id, norm_text). */
+  def cleaned(spark: SparkSession, base: String): DataFrame =
+    readOr(spark, textsPath(base), textSchema)
+      .join(readOr(spark, dropsPath(base), dropSchema), Seq("doc_id"),
+        "left_anti")
+
+  /** Attach the fold to an archive stream via foreachBatch (at-least-once
+    * after recovery; the fold's stored-text anti-join makes replays
+    * no-ops). */
+  def attach(archives: Dataset[ArchiveRecord], base: String,
+      checkpoint: String, lang: String = "en", minQuality: Long = 3000L,
+      jaccard: Double = 0.8): StreamingQuery =
+    archives.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (ds: Dataset[ArchiveRecord], _: Long) =>
+        foldWarcZst(ds.sparkSession, base, ds, lang, minQuality, jaccard)
+      }
+      .start()
+}

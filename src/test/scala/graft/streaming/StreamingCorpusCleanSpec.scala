@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.Tables
+import graft.multimodal.{Archives, ArchiveRecord}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The streamed .warc.zst → clean → dedup capstone: micro-batch folds
+  * must equal the batch CorpusClean recompute on everything seen, with
+  * replays as no-ops, through the real Structured Streaming wiring. */
+class StreamingCorpusCleanSpec extends SparkSpec {
+
+  private def freshBase(): String =
+    java.nio.file.Files.createTempDirectory("graft_scc").toString + "/state"
+
+  private def docs = Tables.t(spark, sfDir, "documents")
+
+  private def batchResult(): Seq[(Long, String)] = {
+    import spark.implicits._
+    graft.operators.CorpusClean.clean(docs, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+  }
+
+  test("3 streamed .warc.zst micro-batches equal the batch clean on the union") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = freshBase()
+    StreamingCorpusClean.init(spark, base)
+    val arcs = Archives.warcZstFixtures(docs, "doc_id", "text")
+      .collect().sortBy(_.archive_id)
+    val thirds = arcs.grouped(math.max(1, (arcs.length + 2) / 3)).toSeq
+
+    val in = MemoryStream[ArchiveRecord]
+    val q = StreamingCorpusClean.attach(in.toDS(), base,
+      checkpoint = s"$base-ckpt")
+    try {
+      thirds.foreach { third =>
+        in.addData(third.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = StreamingCorpusClean.cleaned(spark, base)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed === batchResult())
+  }
+
+  test("a replayed micro-batch is a no-op (at-least-once safety)") {
+    import spark.implicits._
+    val base = freshBase()
+    StreamingCorpusClean.init(spark, base)
+    val arcs = Archives.warcZstFixtures(docs, "doc_id", "text")
+    StreamingCorpusClean.foldWarcZst(spark, base, arcs)
+    val before = StreamingCorpusClean.cleaned(spark, base)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    StreamingCorpusClean.foldWarcZst(spark, base, arcs) // replay
+    val after = StreamingCorpusClean.cleaned(spark, base)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(after === before)
+    assert(before === batchResult()) // single fold == batch too
+  }
+
+  test("a corrupt archive in a batch is dropped, the rest of the batch folds") {
+    import spark.implicits._
+    val base = freshBase()
+    StreamingCorpusClean.init(spark, base)
+    val good = Archives.warcZstFixtures(docs, "doc_id", "text").collect()
+    val poisoned = good :+ ArchiveRecord(999999L, Array[Byte](1, 2, 3, 4))
+    StreamingCorpusClean.foldWarcZst(spark, base,
+      spark.createDataset(poisoned.toSeq))
+    val streamed = StreamingCorpusClean.cleaned(spark, base)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed === batchResult())
+  }
+}
