@@ -20,6 +20,50 @@ import org.apache.spark.sql.functions._
   */
 object Curation extends QueryModule {
 
+  /** Generated N-round BPE oracle: chained per-round CTEs, each
+    * MATERIALIZED (v_i and b_i are each referenced twice — re-reference
+    * of an inlined DuckDB CTE is exponential). Mirrors
+    * [[graft.operators.TextAnalysis.bpeMerges]] construct for construct:
+    * chr(1)-delimited segmentations, overlapping pair COUNTS, greedy
+    * non-overlapping `replace` application, (cnt DESC, left, right)
+    * argmax tiebreak. */
+  private[queries] def bpeMergesOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH u AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+        |    AS word FROM documents),
+        |wf AS (SELECT word, count(*)::BIGINT AS freq FROM u GROUP BY 1),
+        |v1 AS MATERIALIZED (
+        |  SELECT regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g')
+        |    AS wstr, freq FROM wf)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |tok$r AS (SELECT string_split(substr(wstr, 2, length(wstr) - 2),
+        |    chr(1) || chr(1)) AS t, freq FROM v$r),
+        |p$r AS (SELECT (unnest(list_transform(range(1, len(t)),
+        |      j -> struct_pack(l := t[j], r := t[j+1])))).l AS left_sym,
+        |    (unnest(list_transform(range(1, len(t)),
+        |      j -> struct_pack(l := t[j], r := t[j+1])))).r AS right_sym,
+        |    freq FROM tok$r WHERE len(t) >= 2),
+        |c$r AS (SELECT left_sym, right_sym, sum(freq)::BIGINT AS cnt
+        |    FROM p$r GROUP BY 1, 2),
+        |b$r AS MATERIALIZED (SELECT left_sym, right_sym, cnt FROM c$r
+        |    ORDER BY cnt DESC, left_sym, right_sym LIMIT 1)""".stripMargin)
+      if (r < rounds) sb.append(s""",
+        |v${r + 1} AS MATERIALIZED (
+        |  SELECT replace(wstr,
+        |      chr(1) || b.left_sym || chr(1) || chr(1) || b.right_sym || chr(1),
+        |      chr(1) || b.left_sym || b.right_sym || chr(1)) AS wstr, freq
+        |  FROM v$r, b$r b)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to rounds).map(r =>
+      s"SELECT $r::BIGINT AS round, left_sym, right_sym, cnt FROM b$r")
+      .mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
 
@@ -437,6 +481,18 @@ object Curation extends QueryModule {
              |    row_number() OVER (ORDER BY cnt DESC, pair) AS rk
              |  FROM c)
              |SELECT pair, cnt, rk::BIGINT AS rk FROM top WHERE rk <= 20""".stripMargin)),
+
+    // ---- BPE merge induction, N FULL ROUNDS (r8 verdict #8): count →
+    //      argmax merge → re-segment → repeat. Segmentations ride as
+    //      \x01-delimited strings so the greedy non-overlapping merge is
+    //      the SQL replace function in both engines; the oracle unrolls
+    //      the six rounds as materialized CTE chains. Any slip — pair
+    //      counting, the (cnt, left, right) tiebreak, or greedy
+    //      re-segmentation order — diverges by round 2. ----
+    GraftQuery("q_bpe_merges_n",
+      (s, dir) => graft.operators.TextAnalysis.bpeMerges(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 6),
+      Some(Curation.bpeMergesOracle(6))),
 
     // ---- KMV rollup: per-nation distinct-customer sketches UNION-merged
     //      up to region level — the OLAP point of a mergeable sketch:

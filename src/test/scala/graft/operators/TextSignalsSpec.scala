@@ -51,4 +51,34 @@ class TextSignalsSpec extends SparkSpec {
     // ratio is exactly compressed/raw rounded to 4dp
     assert(ratio1 === math.rint(c1.toDouble / n1 * 10000) / 10000)
   }
+
+  test("bpeMerges: hand-computed 3-round trainer on a toy corpus") {
+    import spark.implicits._
+    // corpus words: abab×3, ab×1, cd×1
+    // round 1 pairs: (a,b) = 3·2 + 1 = 7, (b,a) = 3, (c,d) = 1 → merge ab
+    // round 2 vocab: [ab,ab]×3, [ab]×1, [c,d]×1
+    //   pairs: (ab,ab) = 3, (c,d) = 1 → merge abab
+    // round 3 vocab: [abab]×3, [ab]×1, [c,d]×1 → only (c,d) = 1 → merge cd
+    val docs = Seq((1L, "abab abab"), (2L, "abab ab cd"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bpeMerges(docs, "doc_id", "text", rounds = 3)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "a", "b", 7L),
+      (2L, "ab", "ab", 3L),
+      (3L, "c", "d", 1L)))
+  }
+
+  test("bpeMerges: greedy LEFT-to-right non-overlapping application") {
+    import spark.implicits._
+    // "aaa": round-1 (a,a) counts 2 (overlapping pairs both count), the
+    // merge consumes greedily from the left → [aa, a], so round 2 sees
+    // (aa, a) = 1, NOT (a, aa)
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bpeMerges(docs, "doc_id", "text", rounds = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+  }
 }
