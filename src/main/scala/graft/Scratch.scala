@@ -227,6 +227,27 @@ object Scratch {
       }
     }
 
+    if (args.contains("scalegen30")) {
+      // documents-only ×30 replica (r8 verdict #6: the deeper ladder
+      // point for the media near-dup family) — same perturbation rule as
+      // scalegen's documents branch so cross-replica shingles never match
+      import org.apache.spark.sql.functions._
+      val src = "/root/testdata/sf0.1"
+      val base = Tables.t(spark, src, "documents")
+      val dShift = base.agg(max(col("doc_id").cast("long"))).head.getLong(0) + 1
+      val out = "/tmp/graft_scale/x30"
+      (0 until 30).map { r =>
+        val d = base.withColumn("doc_id",
+          (col("doc_id").cast("long") + lit(dShift * r)))
+        if (r == 0) d
+        else d.withColumn("text", expr(
+          s"""array_join(transform(split(text, ' '),
+             |  (w, i) -> IF(i % 3 = 0, 'zq$r', w)), ' ')""".stripMargin))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println("SCALEGEN x30 documents done")
+    }
+
     if (args.contains("scalegen")) {
       // Bench-only scale replicas (x3 / x10 of sf0.1) for the verdict's
       // scale-ladder evidence: replicate each input table of the five most
@@ -301,7 +322,7 @@ object Scratch {
       }
     }
 
-    val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen", "erprof")
+    val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen", "scalegen30", "erprof")
     val toTime =
       if (args.isEmpty) defaults
       else args.toSeq.filterNot(a => a.startsWith("explain:") || modes(a))
