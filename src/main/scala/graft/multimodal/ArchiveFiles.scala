@@ -279,10 +279,16 @@ object ArchiveFiles {
     * member_offset, member_len)`. Persist the result with
     * [[writeIndex]] — the index is the write-once artifact every later
     * read plans its splits from. */
-  def buildIndex(spark: SparkSession, dir: String, fmt: String): DataFrame = {
+  def buildIndex(spark: SparkSession, dir: String, fmt: String): DataFrame =
+    indexFiles(spark, listArchives(spark, dir, "." + fmt), fmt)
+
+  /** Index an EXPLICIT file list (the incremental entry point: a file
+    * stream hands each micro-batch the newly-discovered archives and
+    * only those are walked — see
+    * [[graft.streaming.StreamingCorpusClean.attachWarcZstFiles]]). */
+  def indexFiles(spark: SparkSession, paths: Seq[String],
+      fmt: String): DataFrame = {
     import spark.implicits._
-    val ext = "." + fmt
-    val paths = listArchives(spark, dir, ext)
     val conf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val n = math.max(1, paths.size)

@@ -175,4 +175,48 @@ object StreamingCorpusClean {
         foldWarcZst(ds.sparkSession, base, ds, lang, minQuality, jaccard)
       }
       .start()
+
+  /** The fully file-backed pipeline: WATCH a directory for new
+    * `.warc.zst` FILES (Spark's file stream source tracks discovery in
+    * the checkpoint — exactly-once file delivery), and per micro-batch
+    * run the [[graft.multimodal.ArchiveFiles]] two-pass ingestion over
+    * only the NEW files — streaming boundary-index walk, index-planned
+    * ranged member reads — then fold the records through the clean
+    * stages. This is the whole Common-Crawl loop: a crawler drops
+    * archive files into object storage, the cleaned corpus stays
+    * current, no file is ever read twice.
+    *
+    * The file source is asked for paths only (`content` is dropped
+    * before it is ever materialized — the 2 GiB row limit never
+    * applies); the per-batch path list collected to the driver is
+    * new-files-sized, the same bounded shape as every fold here. */
+  def attachWarcZstFiles(spark: SparkSession, dir: String, base: String,
+      checkpoint: String, lang: String = "en", minQuality: Long = 3000L,
+      jaccard: Double = 0.8,
+      targetSplitBytes: Long = 128L << 20): StreamingQuery = {
+    val files = spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", "*.warc.zst")
+      .load(dir)
+      .select(col("path")) // prune content BEFORE the scan materializes it
+    files.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val paths = batch.select("path").collect().map(_.getString(0)).toSeq
+        if (paths.nonEmpty) {
+          val idx = graft.multimodal.ArchiveFiles
+            .indexFiles(s, paths.sorted, "warc.zst")
+          val docs = graft.multimodal.ArchiveFiles
+            .readWarcMembers(idx, "warc.zst", targetSplitBytes)
+            .select(col("doc_id"), col("text"))
+          foldDocs(s, base, docs, "doc_id", "text", lang, minQuality, jaccard)
+        }
+      }
+      .start()
+  }
 }

@@ -59,6 +59,39 @@ class StreamingCorpusCleanSpec extends SparkSpec {
     assert(before === batchResult()) // single fold == batch too
   }
 
+  test("file-backed stream: new .warc.zst FILES landing in a watched dir fold incrementally") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sccf").toString
+    val watched = s"$root/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watched))
+    val base = s"$root/state"
+    StreamingCorpusClean.init(spark, base)
+
+    val arcs = Archives.warcZstFixtures(docs, "doc_id", "text")
+      .collect().sortBy(_.archive_id)
+    val (wave1, wave2) = arcs.splitAt(arcs.length / 2)
+    def drop(wave: Array[graft.multimodal.ArchiveRecord]): Unit =
+      wave.foreach { rec =>
+        val p = java.nio.file.Paths.get(watched,
+          f"crawl-${rec.archive_id}%06d.warc.zst")
+        java.nio.file.Files.write(p, rec.archive)
+      }
+
+    drop(wave1)
+    val q = StreamingCorpusClean.attachWarcZstFiles(spark, watched, base,
+      checkpoint = s"$root/ckpt", targetSplitBytes = 4096)
+    try {
+      q.processAllAvailable()
+      val afterWave1 = StreamingCorpusClean.cleaned(spark, base).count()
+      assert(afterWave1 > 0, "first wave of files must fold")
+      drop(wave2) // a crawler drops more files; the source discovers them
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = StreamingCorpusClean.cleaned(spark, base)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed === batchResult())
+  }
+
   test("a corrupt archive in a batch is dropped, the rest of the batch folds") {
     import spark.implicits._
     val base = freshBase()
