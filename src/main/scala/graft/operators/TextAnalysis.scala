@@ -368,15 +368,49 @@ object TextAnalysis {
     * round r twice (through the argmax and the re-segmentation), which
     * would otherwise double the logical plan every round. */
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame =
+    bpeTrain(docs, idCol, textCol, rounds)._1
+
+  /** BPE ENCODE: apply the `rounds`-merge tokenizer trained on this very
+    * corpus to every document — the train→apply round trip. Output is
+    * (doc_id, n_words, n_bpe_tokens): token counts under the learned
+    * segmentation. Per-word segment sizes join back through the
+    * word-frequency vocabulary, so encode costs one small join, never a
+    * per-document re-segmentation — the reason real BPE encoders
+    * precompute a word→pieces table. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
+    val sep = "\u0001"
+    val vocab = bpeTrain(docs, idCol, textCol, rounds)._2
+    val pieces = vocab.select(col("word"),
+      size(split(expr("substring(wstr, 2, length(wstr) - 2)"), sep + sep))
+        .cast("long").as("n_pieces"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(expr(Dedup.wordsExpr(textCol))).as("word"))
+      .join(pieces, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_bpe_tokens"))
+  }
+
+  /** Shared trainer core: (merge list, final word→segmentation vocabulary
+    * with ALL `rounds` merges applied). The final application stays LAZY:
+    * bpeMerges never pays for it, bpeEncode consumes it once. */
+  private def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     val sep = "\u0001"
     var vocab = docs
       .select(explode(expr(Dedup.wordsExpr(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .where(!col("word").contains(sep)) // vacuous on the ASCII corpus
-      .select(regexp_replace(col("word"), "(.)", s"$sep$$1$sep").as("wstr"),
+      .select(col("word"),
+        regexp_replace(col("word"), "(.)", s"$sep$$1$sep").as("wstr"),
         col("freq"))
       .localCheckpoint(true)
+    val mergeExpr = expr(
+      """replace(wstr,
+        |  concat(chr(1), left_sym, chr(1), chr(1), right_sym, chr(1)),
+        |  concat(chr(1), left_sym, right_sym, chr(1)))""".stripMargin)
     val outs = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val toks = vocab.select(col("freq"),
@@ -394,17 +428,11 @@ object TextAnalysis {
           col("left_sym"), col("right_sym"), col("cnt"))
         .localCheckpoint(true)
       outs += best
-      if (r < rounds) {
-        vocab = vocab.crossJoin(broadcast(best))
-          .select(expr(
-            """replace(wstr,
-              |  concat(chr(1), left_sym, chr(1), chr(1), right_sym, chr(1)),
-              |  concat(chr(1), left_sym, right_sym, chr(1)))""".stripMargin)
-            .as("wstr"), col("freq"))
-          .localCheckpoint(true)
-      }
+      val applied = vocab.crossJoin(broadcast(best))
+        .select(col("word"), mergeExpr.as("wstr"), col("freq"))
+      vocab = if (r < rounds) applied.localCheckpoint(true) else applied
     }
-    outs.result().reduce(_ unionByName _)
+    (outs.result().reduce(_ unionByName _), vocab.select("word", "wstr"))
   }
 
   /** Deflate compression ratio per document — the classic cheap "is this

@@ -27,15 +27,40 @@ object Curation extends QueryModule {
     * chr(1)-delimited segmentations, overlapping pair COUNTS, greedy
     * non-overlapping `replace` application, (cnt DESC, left, right)
     * argmax tiebreak. */
-  private[queries] def bpeMergesOracle(rounds: Int): String = {
+  private[queries] def bpeMergesOracle(rounds: Int): String =
+    bpeChain(rounds, applyLast = false) + "\n" +
+      (1 to rounds).map(r =>
+        s"SELECT $r::BIGINT AS round, left_sym, right_sym, cnt FROM b$r")
+        .mkString("\nUNION ALL\n")
+
+  /** ENCODE oracle: the same trained chain with the FINAL merge applied,
+    * then per-document token counts through the word→pieces join —
+    * mirrors [[graft.operators.TextAnalysis.bpeEncode]]. */
+  private[queries] def bpeEncodeOracle(rounds: Int): String =
+    bpeChain(rounds, applyLast = true) + s""",
+      |enc AS (SELECT word,
+      |    len(string_split(substr(wstr, 2, length(wstr) - 2),
+      |        chr(1) || chr(1)))::BIGINT AS n
+      |  FROM v${rounds + 1})
+      |SELECT doc_id, count(*)::BIGINT AS n_words,
+      |  sum(n)::BIGINT AS n_bpe_tokens
+      |FROM u JOIN enc USING (word) GROUP BY doc_id""".stripMargin
+
+  /** The shared trained-vocabulary CTE chain: word frequencies, chr(1)-
+    * delimited segmentations, `rounds` iterations of pair-count → argmax
+    * → greedy re-segment. `applyLast` also applies round `rounds`' merge
+    * (yielding v_{rounds+1}, the vocabulary encode uses). */
+  private def bpeChain(rounds: Int, applyLast: Boolean): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH u AS (
-        |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), w -> w <> ''))
         |    AS word FROM documents),
         |wf AS (SELECT word, count(*)::BIGINT AS freq FROM u GROUP BY 1),
         |v1 AS MATERIALIZED (
-        |  SELECT regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g')
+        |  SELECT word,
+        |    regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g')
         |    AS wstr, freq FROM wf)""".stripMargin)
     for (r <- 1 to rounds) {
       sb.append(s""",
@@ -50,17 +75,13 @@ object Curation extends QueryModule {
         |    FROM p$r GROUP BY 1, 2),
         |b$r AS MATERIALIZED (SELECT left_sym, right_sym, cnt FROM c$r
         |    ORDER BY cnt DESC, left_sym, right_sym LIMIT 1)""".stripMargin)
-      if (r < rounds) sb.append(s""",
+      if (r < rounds || applyLast) sb.append(s""",
         |v${r + 1} AS MATERIALIZED (
-        |  SELECT replace(wstr,
+        |  SELECT word, replace(wstr,
         |      chr(1) || b.left_sym || chr(1) || chr(1) || b.right_sym || chr(1),
         |      chr(1) || b.left_sym || b.right_sym || chr(1)) AS wstr, freq
         |  FROM v$r, b$r b)""".stripMargin)
     }
-    sb.append("\n")
-    sb.append((1 to rounds).map(r =>
-      s"SELECT $r::BIGINT AS round, left_sym, right_sym, cnt FROM b$r")
-      .mkString("\nUNION ALL\n"))
     sb.toString
   }
 
@@ -493,6 +514,16 @@ object Curation extends QueryModule {
       (s, dir) => graft.operators.TextAnalysis.bpeMerges(
         t(s, dir, "documents"), "doc_id", "text", rounds = 6),
       Some(Curation.bpeMergesOracle(6))),
+
+    // ---- BPE ENCODE: apply the 6-merge tokenizer trained above to the
+    //      corpus itself — per-document token counts under the learned
+    //      segmentation, the train→apply round trip every tokenizer
+    //      pipeline runs. Encode is one word→pieces join, never a
+    //      per-document re-segmentation. ----
+    GraftQuery("q_bpe_encode",
+      (s, dir) => graft.operators.TextAnalysis.bpeEncode(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 6),
+      Some(Curation.bpeEncodeOracle(6))),
 
     // ---- KMV rollup: per-nation distinct-customer sketches UNION-merged
     //      up to region level — the OLAP point of a mergeable sketch:

@@ -81,4 +81,22 @@ class TextSignalsSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
     assert(got === Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
   }
+
+  test("bpeEncode: per-doc token counts under the learned segmentation") {
+    import spark.implicits._
+    // after 2 merges (ab, then abab): "abab"→1 piece, "ab"→1, "cd"→2
+    val docs = Seq((1L, "abab abab"), (2L, "abab ab cd"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", rounds = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L), // 2 words, each "abab" = one piece
+      (2L, 3L, 4L))) // abab(1) + ab(1) + cd(2 pieces: no cd merge yet)
+    // round 3 learns cd as well → doc 2 drops to 3 tokens
+    val got3 = graft.operators.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", rounds = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got3 === Seq((1L, 2L, 2L), (2L, 3L, 3L)))
+  }
 }
