@@ -479,6 +479,34 @@ class PlanShapeSpec extends SparkSpec {
     } finally cached.unpersist(blocking = true)
   }
 
+  test("BPE encode joins words to pieces via broadcast, applies merges via 1-row NLJ only") {
+    val plan = executed("q_bpe_encode")
+    // the word→pieces join must broadcast (vocabulary-sized build side);
+    // the only nested-loop joins allowed are the 1-row argmax merge
+    // applications (a cross join with a single-row broadcast side)
+    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"word→pieces join must broadcast:\n$plan")
+    val smj = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"no sort-merge join belongs in encode:\n$plan")
+  }
+
+  test("file-backed archive serve shuffles once by (path, split) then map-serves") {
+    val plan = executed("q_warc_file_split")
+    // index → serve is ONE exchange (the groupByKey by (path, split_id))
+    // feeding MapGroups ranged reads; a second data shuffle would mean
+    // the split planning degenerated
+    val mg = collectAll(plan) {
+      case m: org.apache.spark.sql.execution.MapGroupsExec => m
+    }
+    assert(mg.nonEmpty, s"expected MapGroups serve stage:\n$plan")
+    val exchanges = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.length <= 2,
+      s"serve path should shuffle once (plus at most the index build " +
+        s"repartition), got ${exchanges.length}:\n$plan")
+  }
+
   test("kmv sketches partial-aggregate map-side (ObjectHashAggregate)") {
     val plan = executed("q_kmv_distinct")
     // the TypedImperativeAggregate must run as a real two-phase
