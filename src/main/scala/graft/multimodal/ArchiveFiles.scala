@@ -148,9 +148,87 @@ object ArchiveFiles {
     }
   }
 
+  /** Read a ZIP file's central directory WITHOUT scanning the file: the
+    * EOCD lives in the last 22+65535 bytes, names the CD's offset/size,
+    * and the CD names every member's local-header offset — ZIP is the
+    * one archive format whose boundary index is free (two tail-ranged
+    * reads instead of a full sequential walk). Returns (cdOffset,
+    * entries) or None on any structural violation. */
+  private def readZipDirectory(in: org.apache.hadoop.fs.FSDataInputStream,
+      fileLen: Long): Option[(Long, Vector[Archives.ZipEntry])] = {
+    if (fileLen < 22) return None
+    val tailLen = math.min(fileLen, 22L + 65535L).toInt
+    val tail = new Array[Byte](tailLen)
+    in.readFully(fileLen - tailLen, tail, 0, tailLen)
+    var eocd = -1
+    var p = tailLen - 22
+    while (eocd < 0 && p >= 0) {
+      if (tail(p) == 0x50 && tail(p + 1) == 0x4b && tail(p + 2) == 0x05 &&
+          tail(p + 3) == 0x06 &&
+          ByteIo.le16(tail, p + 20) == tailLen - (p + 22)) eocd = p
+      p -= 1
+    }
+    if (eocd < 0) return None
+    val entries = ByteIo.le16(tail, eocd + 10).toInt
+    if (ByteIo.le16(tail, eocd + 8) != entries) return None // single disk
+    val cdSize = ByteIo.le32u(tail, eocd + 12)
+    val cdOff = ByteIo.le32u(tail, eocd + 16)
+    val eocdAbs = fileLen - tailLen + eocd
+    if (cdSize > (64 << 20) || cdOff + cdSize > eocdAbs) return None
+    val cd =
+      if (cdOff >= fileLen - tailLen) // CD already inside the tail read
+        java.util.Arrays.copyOfRange(tail, (cdOff - (fileLen - tailLen)).toInt,
+          (cdOff - (fileLen - tailLen) + cdSize).toInt)
+      else {
+        val buf = new Array[Byte](cdSize.toInt)
+        in.readFully(cdOff, buf, 0, buf.length)
+        buf
+      }
+    var o = 0
+    var i = 0
+    val out = Vector.newBuilder[Archives.ZipEntry]
+    while (i < entries) {
+      if (o + 46 > cd.length) return None
+      if (ByteIo.le32u(cd, o) != 0x02014b50L) return None
+      val method = ByteIo.le16(cd, o + 10).toInt
+      val crc = ByteIo.le32u(cd, o + 16)
+      val comp = ByteIo.le32u(cd, o + 20)
+      val uncomp = ByteIo.le32u(cd, o + 24)
+      val nameLen = ByteIo.le16(cd, o + 28).toInt
+      val extraLen = ByteIo.le16(cd, o + 30).toInt
+      val commentLen = ByteIo.le16(cd, o + 32).toInt
+      val localOff = ByteIo.le32u(cd, o + 42)
+      if (nameLen > 4096 || o + 46 + nameLen + extraLen + commentLen > cd.length)
+        return None
+      out += Archives.ZipEntry(
+        new String(cd, o + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8),
+        method, comp, uncomp, crc, localOff)
+      o += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    Some((cdOff, out.result()))
+  }
+
+  /** Member extents [localOffset, nextLocalOffset) derived from the
+    * central directory — descriptor-proof (the span includes any data
+    * descriptor; decode uses the CD's authoritative sizes). Strictly
+    * validated: offsets must be increasing and end at the CD. */
+  private def zipBoundaries(cdOff: Long,
+      entries: Vector[Archives.ZipEntry]): Option[Vector[(Long, Long)]] = {
+    val sorted = entries.map(_.localOffset).sorted
+    if (sorted.isEmpty) return Some(Vector.empty)
+    val ends = sorted.drop(1) :+ cdOff
+    val spans = sorted.zip(ends).map { case (a, b) => (a, b - a) }
+    val ok = sorted.head >= 0 &&
+      sorted.zip(sorted.drop(1)).forall { case (a, b) => a < b } &&
+      spans.forall(_._2 >= 30)
+    if (ok) Some(spans) else None
+  }
+
   /** Walk ONE file's member boundaries. `fmt` ∈ {"warc.gz", "warc.zst",
-    * "tar"}. Never throws: stops at the first boundary it cannot prove.
-    */
+    * "tar", "zip"}. Never throws: stops at the first boundary it cannot
+    * prove (zip: all-or-nothing — the boundaries come from one trusted
+    * central directory, and a lying CD invalidates every extent). */
   private def walkBoundaries(fs: FileSystem, path: String, fmt: String,
       inf: Inflater): Vector[MemberBoundary] = {
     val out = Vector.newBuilder[MemberBoundary]
@@ -204,6 +282,18 @@ object ArchiveFiles {
                 out += MemberBoundary(path, off, mlen); off += mlen
               case None => done = true
             }
+          case "zip" =>
+            // NO walk at all: two tail-ranged reads (EOCD, then CD)
+            // yield every member extent — the cheapest index any
+            // format here offers
+            val spans = for {
+              (cdOff, entries) <- readZipDirectory(in, fileLen)
+              s <- zipBoundaries(cdOff, entries)
+            } yield s
+            spans.getOrElse(Vector.empty).foreach { case (offm, len) =>
+              out += MemberBoundary(path, offm, len)
+            }
+            done = true
           case "warc.zst" =>
             // frame-header walk (block sizes are declared): the frame's
             // bytes must be present but are never decompressed
@@ -362,6 +452,56 @@ object ArchiveFiles {
         }
       }
       .toDF("doc_id", "member_offset", "member_len", "text")
+  }
+
+  /** Serve ZIP document members from a boundary index; output matches
+    * [[Archives.zipExplode]]: (doc_id, text). Each (path, split) task
+    * re-reads the tiny central directory once (two tail-ranged reads)
+    * for the authoritative per-member metadata — local headers written
+    * with data descriptors (e.g. by `ZipOutputStream`) carry zero size
+    * fields, so CD-driven decode is what makes streamed-writer zips
+    * servable at all — then ranged-reads and CRC-verifies only its
+    * assigned members. */
+  def readZipMembers(index: DataFrame,
+      targetSplitBytes: Long = 128L << 20): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    planSplits(index, targetSplitBytes)
+      .groupByKey { case (path, split, _, _) => (path, split) }
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        val path = key._1
+        val fs = new Path(path).getFileSystem(conf.value)
+        val in = fs.open(new Path(path))
+        val inf = new Inflater(true)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          inf.end(); in.close()
+        }
+        val fileLen = fs.getFileStatus(new Path(path)).getLen
+        val byOffset: Map[Long, Archives.ZipEntry] =
+          readZipDirectory(in, fileLen)
+            .map(_._2.map(e => e.localOffset -> e).toMap)
+            .getOrElse(Map.empty)
+        it.flatMap { case (_, _, off, len) =>
+          if (len > MaxWindowBytes) None
+          else byOffset.get(off).flatMap { e =>
+            val member = new Array[Byte](len.toInt)
+            in.readFully(off, member, 0, len.toInt)
+            Archives.zipMember(member, e.copy(localOffset = 0), inf)
+              .flatMap { data =>
+                e.name match {
+                  case Archives.NamePattern(id) =>
+                    Some((id.toLong,
+                      new String(data, java.nio.charset.StandardCharsets.UTF_8)))
+                  case _ => None
+                }
+              }
+          }
+        }
+      }
+      .toDF("doc_id", "text")
   }
 
   /** Serve tar members from a boundary index; output matches

@@ -1805,6 +1805,26 @@ object Extensions extends QueryModule {
       },
       Some(Extensions.warcZstSplitOracle)),
 
+    // ZIP is the one format whose index pass is FREE: the central
+    // directory at the file tail already names every member extent, so
+    // buildIndex("zip") does two tail-ranged reads instead of a scan,
+    // and the serve decodes with the CD's authoritative sizes (which is
+    // also what makes data-descriptor zips — every ZipOutputStream
+    // archive — servable: their LOCAL headers carry zero size fields).
+    GraftQuery("q_zip_file_explode",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val root = s"/tmp/graft_artifacts/$tag/zipfiles"
+        graft.multimodal.ArchiveFiles.writeDir(
+          graft.multimodal.Archives.zipFixtures(
+            t(s, dir, "documents"), "doc_id", "text"), root, ".zip")
+        val idx = graft.multimodal.ArchiveFiles.writeIndex(
+          graft.multimodal.ArchiveFiles.buildIndex(s, root, "zip"),
+          s"$root-index")
+        graft.multimodal.ArchiveFiles.readZipMembers(idx, 4096)
+      },
+      Some("SELECT doc_id, text FROM documents")),
+
     GraftQuery("q_tar_file_members",
       (s, dir) => {
         val tag = graft.GraftCatalog.dbFor(dir)

@@ -51,6 +51,44 @@ class ArchiveFilesSpec extends SparkSpec {
     assert(served.toSeq === rowBased.toSeq)
   }
 
+  test("zip files index from the central directory alone and serve like zipExplode") {
+    val dir = freshDir("zip")
+    ArchiveFiles.writeDir(
+      Archives.zipFixtures(docs, "doc_id", "text"), dir, ".zip")
+    val idx = ArchiveFiles.writeIndex(
+      ArchiveFiles.buildIndex(spark, dir, "zip"), s"$dir-index")
+    val served = ArchiveFiles.readZipMembers(idx, 4096)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val rowBased = Archives.zipExplode(
+        Archives.zipFixtures(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(served.toSeq === rowBased.toSeq)
+  }
+
+  test("a ZipOutputStream zip (data descriptors, zero local sizes) serves via the CD") {
+    // the JDK's streamed writer emits bit-3 local headers whose
+    // size/CRC fields are zero — only the central directory knows the
+    // truth, which is exactly what the file-backed serve decodes with
+    val dir = freshDir("jdkzip")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    val texts = (0 until 5).map(i =>
+      (i.toLong, s"jdk payload $i " + "w" * (i * 13)))
+    texts.foreach { case (id, txt) =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(s"doc-$id.txt"))
+      zout.write(txt.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    zout.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "archive-000000.zip"), bos.toByteArray)
+    val idx = ArchiveFiles.buildIndex(spark, dir, "zip")
+    assert(idx.count() === 5)
+    val served = ArchiveFiles.readZipMembers(idx, 4096)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(served.toSeq === texts)
+  }
+
   test("a large archive fans out to MULTIPLE serve splits via the index") {
     // one big archive: 64 members → with a 4 KiB split target the
     // single file must plan several (path, split) tasks
