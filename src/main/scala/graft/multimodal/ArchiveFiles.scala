@@ -222,7 +222,15 @@ object ArchiveFiles {
     val ok = sorted.head >= 0 &&
       sorted.zip(sorted.drop(1)).forall { case (a, b) => a < b } &&
       spans.forall(_._2 >= 30)
-    if (ok) Some(spans) else None
+    if (!ok) return None
+    // extents derive from ALL entries (consecutive offsets), but members
+    // beyond the decode cap are excluded from the index up front — the
+    // same bound Archives.zipMember enforces, so serve never silently
+    // drops an indexed boundary
+    val bySize = entries.map(e => e.localOffset ->
+      math.max(e.compSize, e.uncompSize)).toMap
+    Some(spans.filter { case (o, _) =>
+      bySize.getOrElse(o, Long.MaxValue) <= Gzip.MaxDecodedBytes.toLong })
   }
 
   /** Walk ONE file's member boundaries. `fmt` ∈ {"warc.gz", "warc.zst",
@@ -252,11 +260,15 @@ object ArchiveFiles {
             else {
               val (b, i) = win.view(off, 512)
               tarHeader(b, i) match {
-                case Some((_, size)) =>
+                // same member-size cap as the row-based Archives.tarMembers
+                // walk, so no indexed boundary can exceed what the serve
+                // pass will materialize — the serve-side len guard is
+                // defense-in-depth only
+                case Some((_, size)) if size <= Gzip.MaxDecodedBytes.toLong =>
                   val mlen = 512L + ((size + 511) / 512) * 512
                   if (off + mlen > fileLen) done = true
                   else { out += MemberBoundary(path, off, mlen); off += mlen }
-                case None => done = true
+                case _ => done = true
               }
             }
           case "warc.gz" =>
@@ -410,17 +422,23 @@ object ArchiveFiles {
 
   // ================================================= serve pass
 
-  /** Serve WARC members (`.warc.gz` / `.warc.zst`) from a boundary
-    * index with per-split parallelism: members are bucketed into
-    * `member_offset / targetSplitBytes` ranges, each (path, bucket)
-    * becomes one task doing seek+read per member. Output matches
-    * [[Archives.warcSplit]] byte for byte: (doc_id, member_offset,
-    * member_len, text). */
-  def readWarcMembers(index: DataFrame, fmt: String,
-      targetSplitBytes: Long = 128L << 20): DataFrame = {
+  /** Shared serve scaffolding: bucket the index rows into
+    * `member_offset / targetSplitBytes` ranges, run one task per
+    * (path, bucket), open the file once per group with task-scoped
+    * cleanup, and hand each member's ranged bytes to the format's
+    * decoder. `makeDecoder` runs once per group — it may allocate
+    * per-task native state (Inflater) or prime per-file metadata (the
+    * ZIP central directory) and register its own completion listeners.
+    * Members above [[MaxWindowBytes]] cannot occur in OUR indexes (the
+    * index passes cap member sizes — see [[walkBoundaries]]); the guard
+    * protects against a foreign or hand-edited index and follows the
+    * package's drop-not-throw contract. */
+  private def serveSplits[T: org.apache.spark.sql.Encoder](index: DataFrame,
+      targetSplitBytes: Long)(
+      makeDecoder: (String, FileSystem, org.apache.hadoop.fs.FSDataInputStream)
+        => (Long, Long) => Option[T]): org.apache.spark.sql.Dataset[T] = {
     val spark = index.sparkSession
     import spark.implicits._
-    require(fmt == "warc.gz" || fmt == "warc.zst", s"bad warc format $fmt")
     val conf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     planSplits(index, targetSplitBytes)
@@ -429,29 +447,56 @@ object ArchiveFiles {
         val path = key._1
         val fs = new Path(path).getFileSystem(conf.value)
         val in = fs.open(new Path(path))
-        val inf = new Inflater(true)
         val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-          inf.end(); in.close()
-        }
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        val decode = makeDecoder(path, fs, in)
         it.flatMap { case (_, _, off, len) =>
-          if (len > MaxWindowBytes) None
-          else {
-            val member = new Array[Byte](len.toInt)
-            in.readFully(off, member, 0, len.toInt)
-            val payload =
-              if (fmt == "warc.gz") Archives.gzipMemberAt(member, 0, inf).map(_._2)
-              else Compressed.zstdDecompress(member)
-            payload.flatMap(Archives.warcRecord).flatMap {
-              case (Archives.RecordIdPattern(id), data) =>
-                Some((id.toLong, off, len,
-                  new String(data, java.nio.charset.StandardCharsets.UTF_8)))
-              case _ => None
-            }
-          }
+          if (len > MaxWindowBytes) None else decode(off, len)
         }
       }
-      .toDF("doc_id", "member_offset", "member_len", "text")
+  }
+
+  /** One member's bytes via a positioned read. */
+  private def readRange(in: org.apache.hadoop.fs.FSDataInputStream,
+      off: Long, len: Long): Array[Byte] = {
+    val member = new Array[Byte](len.toInt)
+    in.readFully(off, member, 0, len.toInt)
+    member
+  }
+
+  /** A per-task Inflater wired to the task-completion listener. */
+  private def taskInflater(): Inflater = {
+    val inf = new Inflater(true)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => inf.end())
+    inf
+  }
+
+  /** Serve WARC members (`.warc.gz` / `.warc.zst`) from a boundary
+    * index with per-split parallelism. Output matches
+    * [[Archives.warcSplit]] byte for byte: (doc_id, member_offset,
+    * member_len, text). */
+  def readWarcMembers(index: DataFrame, fmt: String,
+      targetSplitBytes: Long = 128L << 20): DataFrame = {
+    require(fmt == "warc.gz" || fmt == "warc.zst", s"bad warc format $fmt")
+    val spark = index.sparkSession
+    import spark.implicits._
+    serveSplits[(Long, Long, Long, String)](index, targetSplitBytes) {
+      (_, _, in) =>
+        val inf = taskInflater()
+        (off, len) => {
+          val member = readRange(in, off, len)
+          val payload =
+            if (fmt == "warc.gz") Archives.gzipMemberAt(member, 0, inf).map(_._2)
+            else Compressed.zstdDecompress(member)
+          payload.flatMap(Archives.warcRecord).flatMap {
+            case (Archives.RecordIdPattern(id), data) =>
+              Some((id.toLong, off, len,
+                new String(data, java.nio.charset.StandardCharsets.UTF_8)))
+            case _ => None
+          }
+        }
+    }.toDF("doc_id", "member_offset", "member_len", "text")
   }
 
   /** Serve ZIP document members from a boundary index; output matches
@@ -466,42 +511,27 @@ object ArchiveFiles {
       targetSplitBytes: Long = 128L << 20): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val conf = new SerializableHadoopConf(
-      spark.sparkContext.hadoopConfiguration)
-    planSplits(index, targetSplitBytes)
-      .groupByKey { case (path, split, _, _) => (path, split) }
-      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
-        val path = key._1
-        val fs = new Path(path).getFileSystem(conf.value)
-        val in = fs.open(new Path(path))
-        val inf = new Inflater(true)
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-          inf.end(); in.close()
-        }
-        val fileLen = fs.getFileStatus(new Path(path)).getLen
-        val byOffset: Map[Long, Archives.ZipEntry] =
-          readZipDirectory(in, fileLen)
-            .map(_._2.map(e => e.localOffset -> e).toMap)
-            .getOrElse(Map.empty)
-        it.flatMap { case (_, _, off, len) =>
-          if (len > MaxWindowBytes) None
-          else byOffset.get(off).flatMap { e =>
-            val member = new Array[Byte](len.toInt)
-            in.readFully(off, member, 0, len.toInt)
-            Archives.zipMember(member, e.copy(localOffset = 0), inf)
-              .flatMap { data =>
-                e.name match {
-                  case Archives.NamePattern(id) =>
-                    Some((id.toLong,
-                      new String(data, java.nio.charset.StandardCharsets.UTF_8)))
-                  case _ => None
-                }
+    serveSplits[(Long, String)](index, targetSplitBytes) { (path, fs, in) =>
+      val inf = taskInflater()
+      val fileLen = fs.getFileStatus(new Path(path)).getLen
+      val byOffset: Map[Long, Archives.ZipEntry] =
+        readZipDirectory(in, fileLen)
+          .map(_._2.map(e => e.localOffset -> e).toMap)
+          .getOrElse(Map.empty)
+      (off, len) =>
+        byOffset.get(off).flatMap { e =>
+          Archives.zipMember(readRange(in, off, len),
+              e.copy(localOffset = 0), inf)
+            .flatMap { data =>
+              e.name match {
+                case Archives.NamePattern(id) =>
+                  Some((id.toLong,
+                    new String(data, java.nio.charset.StandardCharsets.UTF_8)))
+                case _ => None
               }
-          }
+            }
         }
-      }
-      .toDF("doc_id", "text")
+    }.toDF("doc_id", "text")
   }
 
   /** Serve tar members from a boundary index; output matches
@@ -510,33 +540,19 @@ object ArchiveFiles {
       targetSplitBytes: Long = 128L << 20): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val conf = new SerializableHadoopConf(
-      spark.sparkContext.hadoopConfiguration)
-    planSplits(index, targetSplitBytes)
-      .groupByKey { case (path, split, _, _) => (path, split) }
-      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
-        val path = key._1
-        val fs = new Path(path).getFileSystem(conf.value)
-        val in = fs.open(new Path(path))
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
-        it.flatMap { case (_, _, off, len) =>
-          if (len > MaxWindowBytes) None
-          else {
-            val member = new Array[Byte](len.toInt)
-            in.readFully(off, member, 0, len.toInt)
-            tarHeader(member, 0).flatMap { case (name, size) =>
-              name match {
-                case Archives.NamePattern(id) if 512 + size <= len =>
-                  Some((id.toLong, off, new String(member, 512, size.toInt,
-                    java.nio.charset.StandardCharsets.UTF_8)))
-                case _ => None
-              }
-            }
+    serveSplits[(Long, Long, String)](index, targetSplitBytes) { (_, _, in) =>
+      (off, len) => {
+        val member = readRange(in, off, len)
+        tarHeader(member, 0).flatMap { case (name, size) =>
+          name match {
+            case Archives.NamePattern(id) if 512 + size <= len =>
+              Some((id.toLong, off, new String(member, 512, size.toInt,
+                java.nio.charset.StandardCharsets.UTF_8)))
+            case _ => None
           }
         }
       }
-      .toDF("doc_id", "member_offset", "text")
+    }.toDF("doc_id", "member_offset", "text")
   }
 
   /** Split planning: (path, split_id, member_offset, member_len), one

@@ -428,8 +428,15 @@ object TextAnalysis {
           col("left_sym"), col("right_sym"), col("cnt"))
         .localCheckpoint(true)
       outs += best
-      val applied = vocab.crossJoin(broadcast(best))
-        .select(col("word"), mergeExpr.as("wstr"), col("freq"))
+      // LEFT join on the 0-or-1-row argmax, NOT a cross join: once the
+      // corpus runs out of mergeable pairs `best` is EMPTY, and a cross
+      // join would wipe the whole vocabulary (and bpeEncode's output
+      // with it) — an exhausted round must leave segmentations unchanged
+      val applied = vocab.join(broadcast(best), lit(true), "left")
+        .select(col("word"),
+          when(col("left_sym").isNull, col("wstr"))
+            .otherwise(mergeExpr).as("wstr"),
+          col("freq"))
       vocab = if (r < rounds) applied.localCheckpoint(true) else applied
     }
     (outs.result().reduce(_ unionByName _), vocab.select("word", "wstr"))

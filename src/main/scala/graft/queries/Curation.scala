@@ -77,10 +77,13 @@ object Curation extends QueryModule {
         |    ORDER BY cnt DESC, left_sym, right_sym LIMIT 1)""".stripMargin)
       if (r < rounds || applyLast) sb.append(s""",
         |v${r + 1} AS MATERIALIZED (
-        |  SELECT word, replace(wstr,
+        |  SELECT word,
+        |    CASE WHEN b.left_sym IS NULL THEN wstr
+        |         ELSE replace(wstr,
         |      chr(1) || b.left_sym || chr(1) || chr(1) || b.right_sym || chr(1),
-        |      chr(1) || b.left_sym || b.right_sym || chr(1)) AS wstr, freq
-        |  FROM v$r, b$r b)""".stripMargin)
+        |      chr(1) || b.left_sym || b.right_sym || chr(1)) END AS wstr,
+        |    freq
+        |  FROM v$r LEFT JOIN b$r b ON TRUE)""".stripMargin)
     }
     sb.toString
   }

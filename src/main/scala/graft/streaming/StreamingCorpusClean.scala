@@ -120,12 +120,21 @@ object StreamingCorpusClean {
           col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      val cands = candOld.unionByName(candNew).distinct()
+      // persisted: the candidate relation feeds three consumers below
+      // (the id semi-join and both verify rejoins)
+      val cands = candOld.unionByName(candNew).distinct().persist()
 
       // exact-Jaccard verify on candidate rows only — the batch
-      // operator's verify expression verbatim (rounded to 4 dp)
+      // operator's verify expression verbatim (rounded to 4 dp). The
+      // shingle projection is SEMI-JOINED to the candidate ids first:
+      // without it every fold would evaluate the expensive shingle
+      // arrays for the ENTIRE stored corpus just to verify a
+      // batch-sized candidate set.
       import graft.operators.Dedup.{shinglesExpr, wordsExpr}
+      val candIds = cands.select(col("doc_a").as("cid"))
+        .unionByName(cands.select(col("doc_b").as("cid"))).distinct()
       val sh = storedT.unionByName(newExact)
+        .join(candIds, col("doc_id") === col("cid"), "left_semi")
         .select(col("doc_id").as("id"),
           expr(shinglesExpr(wordsExpr("norm_text"))).as("sh"))
       val verified = cands
@@ -142,6 +151,7 @@ object StreamingCorpusClean {
       verified.write.mode("append").parquet(dropsPath(base))
       newBands.write.mode("append").parquet(bandsPath(base))
       newExact.write.mode("append").parquet(textsPath(base))
+      cands.unpersist()
       newBands.unpersist()
     } finally newExact.unpersist()
   }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   *  - `members`   (id, s): every record seen, append-only;
   *  - `variants`  (id, h): the blocking index, append-only;
   *  - `clusters`  (doc_id, cluster_id, keep): the assignment as a
-  *    MERGE-ON-READ table — `clusters/compacted` (the last compaction)
+  *    MERGE-ON-READ table — `clusters/c=N` (the last committed compaction)
   *    plus one `clusters/delta/d=N` dir per fold holding ONLY the
   *    changed rows ([[graft.operators.Dedup.updateClustersDelta]]:
   *    members of clusters the batch touched, plus new docs). A fold
@@ -97,7 +97,13 @@ object StreamingEntityResolution {
     * corpus-sized compaction write over this many folds. */
   val CompactEvery = 8
 
-  private def compactedPath(base: String) = s"${clustersRoot(base)}/compacted"
+  /** Compacted bases are EPOCH-NUMBERED dirs `c=N` (N = last delta seq
+    * folded in), committed by their `_SUCCESS` marker — compaction never
+    * renames or deletes the live base, it writes the next one and
+    * retires superseded state afterwards, so every crash point leaves a
+    * readable (base, deltas-above-it) pair. */
+  private def compactedPath(base: String, n: Int) =
+    s"${clustersRoot(base)}/c=$n"
   private def deltaRoot(base: String) = s"${clustersRoot(base)}/delta"
   private def deltaPath(base: String, d: Int) = s"${deltaRoot(base)}/d=$d"
 
@@ -111,20 +117,34 @@ object StreamingEntityResolution {
       .sorted
   }
 
+  /** Highest COMMITTED (_SUCCESS present) compacted epoch, 0 = none. */
+  private def latestCompactedSeq(spark: SparkSession, base: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(clustersRoot(base))
+    val fs = hadoopFs(spark, clustersRoot(base))
+    if (!fs.exists(root)) return 0
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("c=") => s.drop(2).toInt }
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(
+        s"${compactedPath(base, n)}/_SUCCESS")))
+      .sorted.lastOption.getOrElse(0)
+  }
+
   /** The current assignment (doc_id, cluster_id, keep): merge-on-read of
-    * the compacted base and the per-fold deltas, latest fold wins per
-    * doc. The window dedupe runs over the DELTAS only (small by the
-    * [[CompactEvery]] bound); the base merges in through a broadcast
+    * the newest committed compacted base and the delta folds ABOVE it
+    * (deltas at or below the base's epoch are already folded in — they
+    * linger only if a crash interrupted their retirement), latest fold
+    * wins per doc. The window dedupe runs over the DELTAS only (small by
+    * the [[CompactEvery]] bound); the base merges in through a broadcast
     * anti-join on the deltas' doc_ids — no corpus-sized shuffle. */
   private def readClusters(spark: SparkSession, base: String): DataFrame = {
     val emptyDf = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], clusterSchema)
-    val fs = hadoopFs(spark, clustersRoot(base))
+    val cseq = latestCompactedSeq(spark, base)
     val baseDf =
-      if (fs.exists(new org.apache.hadoop.fs.Path(compactedPath(base))))
-        spark.read.schema(clusterSchema).parquet(compactedPath(base))
+      if (cseq > 0)
+        spark.read.schema(clusterSchema).parquet(compactedPath(base, cseq))
       else emptyDf
-    val seqs = deltaSeqs(spark, base)
+    val seqs = deltaSeqs(spark, base).filter(_ > cseq)
     if (seqs.isEmpty) return baseDf
     val deltas = seqs.map { d =>
       spark.read.schema(clusterSchema).parquet(deltaPath(base, d))
@@ -141,19 +161,28 @@ object StreamingEntityResolution {
       .unionByName(latest)
   }
 
-  /** Retire the deltas into a new compacted base: write the merged view
-    * to a fresh dir, swap it in, drop the old base and the folded
-    * deltas. The swap is rename-based, so a reader never sees a
-    * half-written base; deltas are removed only after the swap. */
+  /** Retire the deltas into the next compacted base `c=N` (N = the
+    * highest delta folded). Crash-safe at every point WITHOUT renames:
+    * the live base is never touched; `c=N` becomes real only when its
+    * `_SUCCESS` marker lands (readers gate on it); the superseded base
+    * and the folded deltas are deleted only afterwards, and a crash
+    * before those deletes merely leaves garbage that readClusters
+    * already excludes (deltas ≤ N) and the next compaction re-retires.
+    */
   def compact(spark: SparkSession, base: String): Unit = {
     val fs = hadoopFs(spark, clustersRoot(base))
-    val seqs = deltaSeqs(spark, base)
+    val prev = latestCompactedSeq(spark, base)
+    val seqs = deltaSeqs(spark, base).filter(_ > prev)
+    if (seqs.isEmpty) return
+    val n = seqs.max
     val merged = readClusters(spark, base)
-    val tmp = s"${clustersRoot(base)}/.compacting"
-    merged.write.mode("overwrite").parquet(tmp)
-    val dst = new org.apache.hadoop.fs.Path(compactedPath(base))
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    merged.write.mode("overwrite").parquet(compactedPath(base, n))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        s"${compactedPath(base, n)}/_SUCCESS")))
+      throw new java.io.IOException(
+        s"compaction of $base did not commit c=$n — state NOT retired")
+    if (prev > 0)
+      fs.delete(new org.apache.hadoop.fs.Path(compactedPath(base, prev)), true)
     seqs.foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(deltaPath(base, d)), true))
   }
@@ -202,12 +231,15 @@ object StreamingEntityResolution {
 
       // changed-rows-only fold (r8 verdict #4): APPEND the delta as a new
       // merge-on-read fold dir — O(delta) write, the corpus is never
-      // rewritten here. Compaction below amortizes the full write.
-      val seqs = deltaSeqs(spark, base)
+      // rewritten here. Compaction below amortizes the full write. The
+      // new delta's seq must top BOTH the live deltas and the compacted
+      // epoch (readers exclude deltas at or below the base's epoch).
+      val cseq = latestCompactedSeq(spark, base)
+      val seqs = deltaSeqs(spark, base).filter(_ > cseq)
       val old = readClusters(spark, base)
       Dedup.updateClustersDelta(old, pairs)
         .write.mode("overwrite")
-        .parquet(deltaPath(base, seqs.lastOption.getOrElse(0) + 1))
+        .parquet(deltaPath(base, math.max(seqs.lastOption.getOrElse(0), cseq) + 1))
       if (seqs.length + 1 >= CompactEvery) compact(spark, base)
 
       // append the batch's index keys and members AFTER the fold has

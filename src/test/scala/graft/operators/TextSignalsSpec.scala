@@ -99,4 +99,25 @@ class TextSignalsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got3 === Seq((1L, 2L, 2L), (2L, 3L, 3L)))
   }
+
+  test("bpe merge exhaustion: extra rounds are no-ops, never a vocabulary wipe") {
+    import spark.implicits._
+    // single-char words: ZERO mergeable pairs — every round's argmax is
+    // empty; encode must still count one piece per word
+    val docs = Seq((1L, "a b"), (2L, "b")).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis
+      .bpeMerges(docs, "doc_id", "text", rounds = 2).collect()
+    assert(merges.isEmpty, "no pairs → no merges emitted")
+    val enc = graft.operators.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", rounds = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(enc === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
+    // exhaustion AFTER real merges: "ab ab" learns ab in round 1, rounds
+    // 2-3 are dry; counts must reflect the round-1 merge only
+    val docs2 = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val enc2 = graft.operators.TextAnalysis
+      .bpeEncode(docs2, "doc_id", "text", rounds = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(enc2 === Seq((1L, 2L, 2L)))
+  }
 }

@@ -143,8 +143,10 @@ class StreamingEntityResolutionSpec extends SparkSpec {
       if (!java.nio.file.Files.exists(deltaDir)) 0
       else java.nio.file.Files.list(deltaDir).count()
     assert(remaining === 0, s"deltas must retire at compaction, $remaining left")
-    assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$base/clusters/compacted")))
+    val compacted = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$base/clusters")).toArray
+      .map(_.toString).filter(_.matches(".*/c=\\d+$"))
+    assert(compacted.length === 1, s"one committed base expected: ${compacted.toSeq}")
     // the compacted view equals a one-shot batch fold of the same rows
     val view = StreamingEntityResolution.resolved(spark, base)
       .as[(Long, Long, String)].collect().sorted.toSeq
@@ -157,5 +159,12 @@ class StreamingEntityResolutionSpec extends SparkSpec {
     val oneShot = StreamingEntityResolution.resolved(spark, ref)
       .as[(Long, Long, String)].collect().sorted.toSeq
     assert(view === oneShot, "compacted streamed view must equal batch fold")
+    // folds CONTINUE after compaction: the next delta's seq must top the
+    // compacted epoch, or readers would exclude it as already-folded
+    fold((9000L, seedName(0) + "x")) // near-dup of entity 0
+    val after = StreamingEntityResolution.resolved(spark, base)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._2).toMap
+    assert(after(9000L) === after(0L), "post-compaction fold must be visible")
+    assert(after.size === view.length + 1)
   }
 }
