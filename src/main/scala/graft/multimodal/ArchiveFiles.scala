@@ -77,10 +77,13 @@ object ArchiveFiles {
   /** Materialize archive records as real files `<dir>/archive-<id><ext>`
     * (ext includes the dot, e.g. ".warc.gz"). Distributed write, one
     * file per record, via the Hadoop FS API (atomic-rename semantics on
-    * file:// and hdfs://). Existing files of the same length are kept —
-    * fixture builds are deterministic, so a same-length file IS the
-    * fixture (this makes re-runs cheap, the write-once artifact shape).
-    */
+    * file:// and hdfs://). An existing file is kept only when its
+    * CONTENT matches (length + CRC-32 of the stored bytes) — length
+    * alone would keep a stale fixture whenever a changed generator
+    * produces same-length different bytes, and the resulting oracle
+    * mismatch would point at the wrong code. Tmp names carry the task
+    * attempt id so speculative duplicate attempts never collide; both
+    * then rename to the same final bytes. */
   def writeDir(ds: Dataset[ArchiveRecord], dir: String, ext: String): Unit = {
     val spark = ds.sparkSession
     val conf = new SerializableHadoopConf(
@@ -90,14 +93,28 @@ object ArchiveFiles {
     fs0.mkdirs(base)
     ds.foreachPartition { (it: Iterator[ArchiveRecord]) =>
       val fs = new Path(dir).getFileSystem(conf.value)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       it.foreach { rec =>
         val f = new Path(dir, f"archive-${rec.archive_id}%06d$ext")
         val keep = try {
           val st = fs.getFileStatus(f)
-          st.getLen == rec.archive.length
+          st.getLen == rec.archive.length && {
+            val want = new java.util.zip.CRC32
+            want.update(rec.archive)
+            val got = new java.util.zip.CRC32
+            val in = fs.open(f)
+            try {
+              val buf = new Array[Byte](64 << 10)
+              var n = in.read(buf)
+              while (n > 0) { got.update(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+            got.getValue == want.getValue
+          }
         } catch { case _: java.io.FileNotFoundException => false }
         if (!keep) {
-          val tmp = new Path(dir, f".archive-${rec.archive_id}%06d$ext.tmp")
+          val tmp = new Path(dir,
+            f".archive-${rec.archive_id}%06d$ext.$attempt%d.tmp")
           val out = fs.create(tmp, true)
           out.write(rec.archive)
           out.close()
@@ -225,12 +242,16 @@ object ArchiveFiles {
     if (!ok) return None
     // extents derive from ALL entries (consecutive offsets), but members
     // beyond the decode cap are excluded from the index up front — the
-    // same bound Archives.zipMember enforces, so serve never silently
-    // drops an indexed boundary
-    val bySize = entries.map(e => e.localOffset ->
-      math.max(e.compSize, e.uncompSize)).toMap
-    Some(spans.filter { case (o, _) =>
-      bySize.getOrElse(o, Long.MaxValue) <= Gzip.MaxDecodedBytes.toLong })
+    // EXACT bound Archives.zipMember enforces (uncompSize only: an
+    // incompressible DEFLATE member whose compSize tops the cap while
+    // uncompSize stays under it is still servable, and the row-based
+    // zipExplode serves it — the twins must agree). compSize ≤ extent is
+    // a CD-sanity check only: a lying compSize would fail the ranged
+    // decode anyway.
+    val byEntry = entries.map(e => e.localOffset -> e).toMap
+    Some(spans.filter { case (o, len) =>
+      byEntry.get(o).exists(e =>
+        e.uncompSize <= Gzip.MaxDecodedBytes.toLong && e.compSize <= len) })
   }
 
   /** Walk ONE file's member boundaries. `fmt` ∈ {"warc.gz", "warc.zst",

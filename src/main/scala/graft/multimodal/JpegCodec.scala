@@ -347,8 +347,14 @@ object JpegCodec {
         }
 
       if (ss == 0 && scanCis.length > 1) {
-        // interleaved DC scan over the frame MCU grid
-        if (scanCis.length != comps.length) bail()
+        // interleaved DC scan over the FRAME MCU grid. T.81 allows any
+        // 1 ≤ Ns ≤ Nf subset of components here (B.2.3: components must
+        // be distinct, at most 4); the MCU geometry still derives from
+        // the frame's max sampling factors — per-component data units
+        // per MCU stay Hi×Vi — so a subset scan walks the same grid and
+        // simply emits fewer components per MCU.
+        if (scanCis.distinct.length != scanCis.length || scanCis.length > 4)
+          bail()
         var mcu = 0
         val total = pMcusX * pMcusY
         while (mcu < total) {

@@ -417,7 +417,7 @@ object Multimodal {
     * the oracle mirrors verbatim. Any decode slip — wrong Huffman table,
     * predictor reset, dequant index, IDCT scale, upsample index, or
     * conversion constant — lands in the channel sums. */
-  private def jpegFixtureBlock(docId: Long)(comp: Int, by: Int, bx: Int): Array[Int] = {
+  private[multimodal] def jpegFixtureBlock(docId: Long)(comp: Int, by: Int, bx: Int): Array[Int] = {
     val c = new Array[Int](64)
     comp match {
       case 0 =>

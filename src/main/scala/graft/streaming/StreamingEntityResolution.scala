@@ -107,13 +107,21 @@ object StreamingEntityResolution {
   private def deltaRoot(base: String) = s"${clustersRoot(base)}/delta"
   private def deltaPath(base: String, d: Int) = s"${deltaRoot(base)}/d=$d"
 
-  /** Delta fold numbers currently on disk, ascending. */
+  /** COMMITTED delta fold numbers on disk, ascending — gated on the
+    * `_SUCCESS` marker exactly like [[latestCompactedSeq]], so a write
+    * that died between task and job commit is never read as the latest
+    * fold (its incomplete latest-wins rows could shadow correct base
+    * rows). An uncommitted `d=N` orphan is invisible to readers and gets
+    * reclaimed by the next fold, which recomputes N = max(committed)+1
+    * and overwrites the dir. */
   private def deltaSeqs(spark: SparkSession, base: String): Seq[Int] = {
     val root = new org.apache.hadoop.fs.Path(deltaRoot(base))
     val fs = hadoopFs(spark, deltaRoot(base))
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
       .collect { case s if s.startsWith("d=") => s.drop(2).toInt }
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(
+        s"${deltaPath(base, d)}/_SUCCESS")))
       .sorted
   }
 
@@ -134,8 +142,14 @@ object StreamingEntityResolution {
     * (deltas at or below the base's epoch are already folded in — they
     * linger only if a crash interrupted their retirement), latest fold
     * wins per doc. The window dedupe runs over the DELTAS only (small by
-    * the [[CompactEvery]] bound); the base merges in through a broadcast
-    * anti-join on the deltas' doc_ids — no corpus-sized shuffle. */
+    * the [[CompactEvery]] bound); the base merges in through an anti-join
+    * on the deltas' doc_ids — BROADCAST while the deltas' on-disk bytes
+    * stay under [[BroadcastDeltaBytes]], shuffled otherwise (a delta
+    * carries every member of each touched cluster, so one batch merging
+    * into a very large stored cluster makes the fold cluster-sized; the
+    * size gate keeps that case off the driver). */
+  private[streaming] val BroadcastDeltaBytes: Long = 16L << 20
+
   private def readClusters(spark: SparkSession, base: String): DataFrame = {
     val emptyDf = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], clusterSchema)
@@ -146,6 +160,9 @@ object StreamingEntityResolution {
       else emptyDf
     val seqs = deltaSeqs(spark, base).filter(_ > cseq)
     if (seqs.isEmpty) return baseDf
+    val fs = hadoopFs(spark, deltaRoot(base))
+    val deltaBytes = seqs.map(d => fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(deltaPath(base, d))).getLength).sum
     val deltas = seqs.map { d =>
       spark.read.schema(clusterSchema).parquet(deltaPath(base, d))
         .withColumn("__d", lit(d))
@@ -155,9 +172,10 @@ object StreamingEntityResolution {
     val latest = deltas
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .select(col("doc_id"), col("cluster_id"), col("keep"))
+    val keys = latest.select(col("doc_id").as("__k"))
+    val antiKeys = if (deltaBytes <= BroadcastDeltaBytes) broadcast(keys) else keys
     baseDf
-      .join(broadcast(latest.select(col("doc_id").as("__k"))),
-        col("doc_id") === col("__k"), "left_anti")
+      .join(antiKeys, col("doc_id") === col("__k"), "left_anti")
       .unionByName(latest)
   }
 

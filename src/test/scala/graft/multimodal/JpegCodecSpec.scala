@@ -270,6 +270,42 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(meanDiff <= 1.0, s"mean per-channel diff $meanDiff")
   }
 
+  test("subset-interleaved progressive DC scans (1 <= Ns < Nf) decode exactly") {
+    // T.81 B.2.3 allows a DC scan to interleave any distinct subset of
+    // the frame's components; the MCU grid stays the FRAME grid. Split
+    // the DC first pass {Y,Cb}+{Cr} and the DC refinement {Cb,Cr}+{Y}
+    // and the pixels must still equal the sequential closed form.
+    // (4:4:4 geometry: the single-component scans' raster equals the MCU
+    // walk there, which is what the encoder emits.)
+    import JpegCodec.ProgScan
+    val subsetScript = Seq(
+      ProgScan(Seq(0, 1), 0, 0, 0, 1), // DC first, {Y, Cb} only
+      ProgScan(Seq(2), 0, 0, 0, 1),    // DC first, {Cr} alone
+      ProgScan(Seq(0), 1, 63, 0, 1),
+      ProgScan(Seq(1), 1, 63, 0, 0),
+      ProgScan(Seq(2), 1, 63, 0, 0),
+      ProgScan(Seq(1, 2), 0, 0, 1, 0), // DC refinement, {Cb, Cr}
+      ProgScan(Seq(0), 0, 0, 1, 0),    // DC refinement, {Y} alone
+      ProgScan(Seq(0), 1, 63, 1, 0))
+    val q8 = Array.fill(64)(8)
+    val q16 = Array.fill(64)(16)
+    for (id <- Seq(0L, 2L, 6L, 12L)) { // even ids: 4:4:4 fixtures
+      val bytes = JpegCodec.encodeProgressive(16, 16, mode420 = false,
+        q8, q16, Multimodal.jpegFixtureBlock(id), subsetScript)
+      val img = JpegCodec.decode(bytes)
+        .getOrElse(fail(s"subset-interleaved DC stream $id did not decode"))
+      assert(img.pixels.toSeq === expectedFixturePixels(id).toSeq,
+        s"pixel mismatch for subset-interleaved DC fixture $id")
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"ImageIO rejected subset-DC stream $id")
+    }
+    // a DC scan naming the same component twice violates B.2.3: reject
+    val dup = JpegCodec.encodeProgressive(16, 16, mode420 = false,
+      q8, q16, Multimodal.jpegFixtureBlock(0L),
+      Seq(ProgScan(Seq(0, 0), 0, 0, 0, 1)) ++ subsetScript.drop(2))
+    assert(JpegCodec.decode(dup) === None)
+  }
+
   test("hostile progressive payloads are rejected, never thrown") {
     val good = Multimodal.jpegProgressiveFixture(4L)
     assert(JpegCodec.decode(good).isDefined)
