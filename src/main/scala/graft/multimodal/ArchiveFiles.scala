@@ -169,14 +169,20 @@ object ArchiveFiles {
     * EOCD lives in the last 22+65535 bytes, names the CD's offset/size,
     * and the CD names every member's local-header offset — ZIP is the
     * one archive format whose boundary index is free (two tail-ranged
-    * reads instead of a full sequential walk). Returns (cdOffset,
-    * entries) or None on any structural violation. */
+    * reads instead of a full sequential walk; a ZIP64 archive adds one
+    * more ranged read for the ZIP64 EOCD record). ZIP64-aware end to
+    * end — locator + EOCD record for the CD extent and entry count,
+    * [[Archives.parseCentralDirectory]] for per-entry 0xFFFFFFFF
+    * placeholders — since streaming writers emit that layout at ANY
+    * size, and >4 GiB archives require it. Returns (cdOffset, entries)
+    * or None on any structural violation. */
   private def readZipDirectory(in: org.apache.hadoop.fs.FSDataInputStream,
       fileLen: Long): Option[(Long, Vector[Archives.ZipEntry])] = {
     if (fileLen < 22) return None
     val tailLen = math.min(fileLen, 22L + 65535L).toInt
+    val tailStart = fileLen - tailLen
     val tail = new Array[Byte](tailLen)
-    in.readFully(fileLen - tailLen, tail, 0, tailLen)
+    in.readFully(tailStart, tail, 0, tailLen)
     var eocd = -1
     var p = tailLen - 22
     while (eocd < 0 && p >= 0) {
@@ -186,44 +192,49 @@ object ArchiveFiles {
       p -= 1
     }
     if (eocd < 0) return None
-    val entries = ByteIo.le16(tail, eocd + 10).toInt
+    var entries: Long = ByteIo.le16(tail, eocd + 10)
     if (ByteIo.le16(tail, eocd + 8) != entries) return None // single disk
-    val cdSize = ByteIo.le32u(tail, eocd + 12)
-    val cdOff = ByteIo.le32u(tail, eocd + 16)
-    val eocdAbs = fileLen - tailLen + eocd
+    var cdSize = ByteIo.le32u(tail, eocd + 12)
+    var cdOff = ByteIo.le32u(tail, eocd + 16)
+    val eocdAbs = tailStart + eocd
+    if (eocdAbs >= 20) {
+      // ZIP64 EOCD locator directly precedes the EOCD when present
+      val loc: Array[Byte] =
+        if (eocd >= 20) java.util.Arrays.copyOfRange(tail, eocd - 20, eocd)
+        else {
+          val buf = new Array[Byte](20)
+          in.readFully(eocdAbs - 20, buf, 0, 20)
+          buf
+        }
+      if (ByteIo.le32u(loc, 0) == 0x07064b50L) {
+        if (ByteIo.le32u(loc, 4) != 0 || ByteIo.le32u(loc, 16) != 1)
+          return None
+        val z64 = ByteIo.le64(loc, 8)
+        if (z64 < 0 || z64 + 56 > eocdAbs - 20) return None
+        val rec = new Array[Byte](56)
+        in.readFully(z64, rec, 0, 56)
+        if (ByteIo.le32u(rec, 0) != 0x06064b50L) return None
+        if (ByteIo.le32u(rec, 16) != 0 || ByteIo.le32u(rec, 20) != 0)
+          return None // single disk, CD starts on it
+        entries = ByteIo.le64(rec, 24)
+        if (entries != ByteIo.le64(rec, 32)) return None
+        cdSize = ByteIo.le64(rec, 40)
+        cdOff = ByteIo.le64(rec, 48)
+        if (entries < 0 || cdSize < 0 || cdOff < 0 || cdOff + cdSize > z64)
+          return None
+      }
+    }
     if (cdSize > (64 << 20) || cdOff + cdSize > eocdAbs) return None
     val cd =
-      if (cdOff >= fileLen - tailLen) // CD already inside the tail read
-        java.util.Arrays.copyOfRange(tail, (cdOff - (fileLen - tailLen)).toInt,
-          (cdOff - (fileLen - tailLen) + cdSize).toInt)
+      if (cdOff >= tailStart && cdOff + cdSize <= fileLen) // inside the tail
+        java.util.Arrays.copyOfRange(tail, (cdOff - tailStart).toInt,
+          (cdOff - tailStart + cdSize).toInt)
       else {
         val buf = new Array[Byte](cdSize.toInt)
         in.readFully(cdOff, buf, 0, buf.length)
         buf
       }
-    var o = 0
-    var i = 0
-    val out = Vector.newBuilder[Archives.ZipEntry]
-    while (i < entries) {
-      if (o + 46 > cd.length) return None
-      if (ByteIo.le32u(cd, o) != 0x02014b50L) return None
-      val method = ByteIo.le16(cd, o + 10).toInt
-      val crc = ByteIo.le32u(cd, o + 16)
-      val comp = ByteIo.le32u(cd, o + 20)
-      val uncomp = ByteIo.le32u(cd, o + 24)
-      val nameLen = ByteIo.le16(cd, o + 28).toInt
-      val extraLen = ByteIo.le16(cd, o + 30).toInt
-      val commentLen = ByteIo.le16(cd, o + 32).toInt
-      val localOff = ByteIo.le32u(cd, o + 42)
-      if (nameLen > 4096 || o + 46 + nameLen + extraLen + commentLen > cd.length)
-        return None
-      out += Archives.ZipEntry(
-        new String(cd, o + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8),
-        method, comp, uncomp, crc, localOff)
-      o += 46 + nameLen + extraLen + commentLen
-      i += 1
-    }
-    Some((cdOff, out.result()))
+    Archives.parseCentralDirectory(cd, entries).map(es => (cdOff, es))
   }
 
   /** Member extents [localOffset, nextLocalOffset) derived from the
@@ -276,20 +287,37 @@ object ArchiveFiles {
         fmt match {
           case "tar" =>
             // header-only walk: read 512 bytes, trust the (checksummed)
-            // size field, SEEK over the payload — no member bytes read
-            if (off + 512 > fileLen) done = true
-            else {
-              val (b, i) = win.view(off, 512)
-              tarHeader(b, i) match {
-                // same member-size cap as the row-based Archives.tarMembers
-                // walk, so no indexed boundary can exceed what the serve
-                // pass will materialize — the serve-side len guard is
-                // defense-in-depth only
-                case Some((_, size)) if size <= Gzip.MaxDecodedBytes.toLong =>
-                  val mlen = 512L + ((size + 511) / 512) * 512
-                  if (off + mlen > fileLen) done = true
-                  else { out += MemberBoundary(path, off, mlen); off += mlen }
-                case _ => done = true
+            // size field, SEEK over the payload — no member bytes read.
+            // GNU @LongLink ('L') / PAX ('x'/'g') meta members extend
+            // the CURRENT extent instead of closing one: a ranged read
+            // of a long-name member must start at its meta header so
+            // the serve-side parse sees the whole logical member.
+            val start = off
+            var metas = 0
+            var chain = true
+            while (chain) {
+              if (off + 512 > fileLen) { done = true; chain = false }
+              else {
+                val (b, i) = win.view(off, 512)
+                tarHeader(b, i) match {
+                  // same member-size cap as the row-based
+                  // Archives.tarMembers walk, so no indexed boundary can
+                  // exceed what the serve pass will materialize — the
+                  // serve-side len guard is defense-in-depth only
+                  case Some((_, size, tf))
+                      if size <= Gzip.MaxDecodedBytes.toLong =>
+                    val mlen = 512L + ((size + 511) / 512) * 512
+                    if (off + mlen > fileLen) { done = true; chain = false }
+                    else if ((tf == 'L' || tf == 'x' || tf == 'g') &&
+                        metas < 8) {
+                      off += mlen; metas += 1
+                    } else {
+                      out += MemberBoundary(path, start, off + mlen - start)
+                      off += mlen
+                      chain = false
+                    }
+                  case _ => done = true; chain = false
+                }
               }
             }
           case "warc.gz" =>
@@ -357,10 +385,11 @@ object ArchiveFiles {
     out.result()
   }
 
-  /** ustar header parse at `b(i)`: Some((name, size)) for a checksummed
-    * regular-file header, None otherwise. Mirrors [[Archives.tarMembers]]
-    * field arithmetic. */
-  private def tarHeader(b: Array[Byte], i: Int): Option[(String, Long)] = {
+  /** ustar header parse at `b(i)`: Some((name, size, typeflag)) for a
+    * checksummed header, None otherwise. Mirrors [[Archives.tarMembers]]
+    * field arithmetic; the typeflag is what lets the boundary walk keep
+    * GNU/PAX meta members inside their logical member's extent. */
+  private def tarHeader(b: Array[Byte], i: Int): Option[(String, Long, Byte)] = {
     var allZero = true
     var k = 0
     while (allZero && k < 512) { if (b(i + k) != 0) allZero = false; k += 1 }
@@ -380,7 +409,7 @@ object ArchiveFiles {
     var end = i
     while (end < i + 100 && b(end) != 0) end += 1
     Some((new String(b, i, end - i, java.nio.charset.StandardCharsets.UTF_8),
-      size.get))
+      size.get, b(i + 156)))
   }
 
   private def octalAt(b: Array[Byte], off: Int, len: Int): Option[Long] = {
@@ -555,6 +584,23 @@ object ArchiveFiles {
     }.toDF("doc_id", "text")
   }
 
+  /** One logical tar member from its ranged bytes: the full GNU/PAX
+    * meta-chain parse ([[Archives.tarLogicalMember]] — the extent starts
+    * at the meta header for long-name members), id matched on the path's
+    * basename. */
+  private def tarServeMember(member: Array[Byte], off: Long,
+      len: Long): Option[(Long, String, Long, String)] =
+    Archives.tarLogicalMember(member, 0).flatMap {
+      case (name, tf, poff, size, _) =>
+        Archives.baseName(name) match {
+          case Archives.NamePattern(id)
+              if (tf == '0' || tf == 0) && poff + size <= len =>
+            Some((id.toLong, name, off, new String(member, poff, size.toInt,
+              java.nio.charset.StandardCharsets.UTF_8)))
+          case _ => None
+        }
+    }
+
   /** Serve tar members from a boundary index; output matches
     * [[Archives.tarExplode]]: (doc_id, member_offset, text). */
   def readTarMembers(index: DataFrame,
@@ -562,18 +608,24 @@ object ArchiveFiles {
     val spark = index.sparkSession
     import spark.implicits._
     serveSplits[(Long, Long, String)](index, targetSplitBytes) { (_, _, in) =>
-      (off, len) => {
-        val member = readRange(in, off, len)
-        tarHeader(member, 0).flatMap { case (name, size) =>
-          name match {
-            case Archives.NamePattern(id) if 512 + size <= len =>
-              Some((id.toLong, off, new String(member, 512, size.toInt,
-                java.nio.charset.StandardCharsets.UTF_8)))
-            case _ => None
-          }
-        }
-      }
+      (off, len) =>
+        tarServeMember(readRange(in, off, len), off, len)
+          .map { case (id, _, o, text) => (id, o, text) }
     }.toDF("doc_id", "member_offset", "text")
+  }
+
+  /** [[readTarMembers]] with the member's full PATH — the surface the
+    * long-name (GNU `@LongLink` / PAX `path=`) queries check, since the
+    * >100-char path is exactly what a plain ustar header cannot carry. */
+  def readTarMemberNames(index: DataFrame,
+      targetSplitBytes: Long = 128L << 20): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    serveSplits[(Long, String, String)](index, targetSplitBytes) { (_, _, in) =>
+      (off, len) =>
+        tarServeMember(readRange(in, off, len), off, len)
+          .map { case (id, name, _, text) => (id, name, text) }
+    }.toDF("doc_id", "name", "text")
   }
 
   /** Split planning: (path, split_id, member_offset, member_len), one

@@ -26,6 +26,15 @@ object ByteIo {
   def le16(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toLong
 
+  /** Little-endian 64-bit read as a signed Long. ZIP64 size/offset
+    * fields are unsigned u64 by spec, but any real value tops out far
+    * below 2^63 — callers reject negatives as hostile. */
+  def le64(b: Array[Byte], o: Int): Long =
+    le32u(b, o) | (le32u(b, o + 4) << 32)
+
+  def le64b(v: Long): Array[Byte] =
+    le32b(v & 0xffffffffL) ++ le32b((v >>> 32) & 0xffffffffL)
+
   def fourCC(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 

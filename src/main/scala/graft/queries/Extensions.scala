@@ -1839,6 +1839,52 @@ object Extensions extends QueryModule {
       },
       Some(Extensions.tarMembersOracle)),
 
+    // ZIP64: the layout every STREAMING zip writer emits at any size
+    // (0xFFFFFFFF placeholders in CD + EOCD, real values in the 0x0001
+    // extra fields and the ZIP64 EOCD record) and any >4 GiB / >65,535-
+    // member archive requires. The boundary index still comes from tail-
+    // ranged reads only — one extra 56-byte read for the ZIP64 EOCD
+    // record; a classic-EOCD-only reader sees nothing but placeholders
+    // and silently drops every member, which is the regression this
+    // query pins against.
+    GraftQuery("q_zip64_file_explode",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val root = s"/tmp/graft_artifacts/$tag/zip64files"
+        graft.multimodal.ArchiveFiles.writeDir(
+          graft.multimodal.Archives.zip64Fixtures(
+            t(s, dir, "documents"), "doc_id", "text"), root, ".zip")
+        val idx = graft.multimodal.ArchiveFiles.writeIndex(
+          graft.multimodal.ArchiveFiles.buildIndex(s, root, "zip"),
+          s"$root-index")
+        graft.multimodal.ArchiveFiles.readZipMembers(idx, 4096)
+      },
+      Some("SELECT doc_id, text FROM documents")),
+
+    // Long member paths (>100 chars): the ustar name field cannot carry
+    // them, so real writers emit a GNU @LongLink ('L') or PAX ('x',
+    // `path=` record) meta member — even/odd doc_ids exercise both. The
+    // walk keeps each meta member inside its logical member's extent
+    // (a ranged read must start at the meta header), and the oracle
+    // rebuilds the full path, so a reader that fell back to the
+    // truncated 100-byte header name mismatches every row.
+    GraftQuery("q_tar_longname_members",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val root = s"/tmp/graft_artifacts/$tag/tarlongfiles"
+        graft.multimodal.ArchiveFiles.writeDir(
+          graft.multimodal.Archives.tarLongFixtures(
+            t(s, dir, "documents"), "doc_id", "text"), root, ".tar")
+        val idx = graft.multimodal.ArchiveFiles.writeIndex(
+          graft.multimodal.ArchiveFiles.buildIndex(s, root, "tar"),
+          s"$root-index")
+        graft.multimodal.ArchiveFiles.readTarMemberNames(idx, 4096)
+      },
+      Some("""SELECT doc_id,
+              repeat(chr(97 + CAST(doc_id % 26 AS INTEGER)), 104)
+                || '/doc-' || doc_id || '.txt' AS name,
+              text FROM documents""")),
+
     // ======================= corpus-clean pipeline =======================
 
     // the whole cleaning flow end-to-end: normalize → language filter →

@@ -174,4 +174,55 @@ class ArchiveFilesSpec extends SparkSpec {
     assert(ArchiveFiles.buildIndex(spark, dir, "warc.gz").count() === 0)
     assert(ArchiveFiles.buildIndex(spark, dir + "/nope", "tar").count() === 0)
   }
+
+  test("ZIP64 files index through the ZIP64 EOCD record and serve like the row-based explode") {
+    val dir = freshDir("zip64")
+    ArchiveFiles.writeDir(
+      Archives.zip64Fixtures(docs, "doc_id", "text"), dir, ".zip")
+    val idx = ArchiveFiles.writeIndex(
+      ArchiveFiles.buildIndex(spark, dir, "zip"), s"$dir-index")
+    val served = ArchiveFiles.readZipMembers(idx, 4096)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val rowBased = Archives.zipExplode(
+        Archives.zip64Fixtures(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(served.nonEmpty)
+    assert(served.toSeq === rowBased.toSeq)
+  }
+
+  test("a truncated ZIP64 locator drops the file from the index, never throws") {
+    val dir = freshDir("zip64bad")
+    val one = Archives.zip64Fixture(
+      Seq(3L -> "zip64 victim payload".getBytes("UTF-8")))
+    // clobber the locator's record offset to point past the locator —
+    // the walk must reject the whole file (a lying directory poisons
+    // every extent), not throw and not serve garbage
+    val locOff = one.length - 22 - 20
+    assert(ByteIo.le32u(one, locOff) === 0x07064b50L)
+    val bad = one.clone()
+    System.arraycopy(ByteIo.le64b(one.length.toLong), 0, bad, locOff + 8, 8)
+    Files.write(Paths.get(dir, "archive-000000.zip"), bad)
+    assert(ArchiveFiles.buildIndex(spark, dir, "zip").count() === 0)
+  }
+
+  test("long-name tar extents include their meta headers and serve full paths") {
+    val dir = freshDir("tarlong")
+    ArchiveFiles.writeDir(
+      Archives.tarLongFixtures(docs, "doc_id", "text"), dir, ".tar")
+    val idx = ArchiveFiles.writeIndex(
+      ArchiveFiles.buildIndex(spark, dir, "tar"), s"$dir-index")
+    // every logical member's extent spans meta header + real header +
+    // payload: at least 3 blocks
+    val tooSmall = idx.where("member_len < 1536").count()
+    assert(tooSmall === 0, s"$tooSmall extents missing their meta header")
+    val served = ArchiveFiles.readTarMemberNames(idx, 4096)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val expected = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+      .map { case (id, text) => (id, Archives.longMemberName(id), text) }
+    assert(served.toSeq === expected.toSeq)
+    assert(served.forall(_._2.length > 100))
+  }
 }

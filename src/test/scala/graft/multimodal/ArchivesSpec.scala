@@ -61,6 +61,142 @@ class ArchivesSpec extends SparkSpec {
     }
   }
 
+  test("ZIP64 fixture: placeholders resolve through the 0x0001 extras and the ZIP64 EOCD") {
+    val ms = members(5)
+    val zip = Archives.zip64Fixture(ms)
+    // every 32-bit CD size/offset field is 0xFFFFFFFF on the wire; the
+    // parsed entries must still carry the REAL values
+    val dir = Archives.zipDirectory(zip)
+      .getOrElse(fail("zip64 fixture did not parse"))
+    assert(dir.size === 5)
+    val inf = new Inflater(true)
+    try {
+      dir.zip(ms).foreach { case (e, (id, data)) =>
+        assert(e.name === s"doc-$id.txt")
+        assert(e.uncompSize === data.length)
+        assert(e.uncompSize < 0xffffffffL && e.compSize < 0xffffffffL &&
+          e.localOffset < 0xffffffffL, "placeholder leaked through")
+        assert(Archives.zipMember(zip, e, inf).map(_.toSeq) === Some(data.toSeq))
+      }
+    } finally inf.end()
+    // the JDK's ZipFile (independent ZIP64 reader) agrees
+    val tmp = java.io.File.createTempFile("graft-zip64", ".zip")
+    try {
+      java.nio.file.Files.write(tmp.toPath, zip)
+      val zf = new java.util.zip.ZipFile(tmp)
+      try {
+        val es = zf.entries()
+        ms.foreach { case (id, data) =>
+          val e = es.nextElement()
+          assert(e.getName === s"doc-$id.txt")
+          assert(zf.getInputStream(e).readAllBytes().toSeq === data.toSeq)
+        }
+      } finally zf.close()
+    } finally tmp.delete()
+  }
+
+  test("hostile ZIP64 structures reject as None, never throw") {
+    val good = Archives.zip64Fixture(members(3))
+    def locOff: Int = { // the ZIP64 EOCD locator precedes the 22-byte EOCD
+      good.length - 22 - 20
+    }
+    assert(ByteIo.le32u(good, locOff) === 0x07064b50L)
+    // locator pointing past itself (record offset >= locator)
+    val badOff = good.clone()
+    System.arraycopy(ByteIo.le64b(good.length.toLong), 0, badOff, locOff + 8, 8)
+    assert(Archives.zipDirectory(badOff) === None)
+    // multi-disk locator
+    val badDisk = good.clone()
+    System.arraycopy(ByteIo.le32b(2), 0, badDisk, locOff + 16, 4)
+    assert(Archives.zipDirectory(badDisk) === None)
+    // ZIP64 EOCD record signature clobbered
+    val z64 = ByteIo.le64(good, locOff + 8).toInt
+    val badSig = good.clone()
+    badSig(z64) = 0x51
+    assert(Archives.zipDirectory(badSig) === None)
+    // CD entry placeholder with its resolving extra field id clobbered
+    val cdOff = ByteIo.le64(good, z64 + 48).toInt
+    val nameLen = ByteIo.le16(good, cdOff + 28).toInt
+    val badExtra = good.clone()
+    badExtra(cdOff + 46 + nameLen) = 0x42 // 0x0001 -> 0x0142
+    assert(Archives.zipDirectory(badExtra) === None)
+  }
+
+  // ======================= long-name tar =======================
+
+  test("GNU @LongLink and PAX path members carry >100-char names through the walk") {
+    val ms = members(6) // even ids -> GNU 'L', odd -> PAX 'x'
+    val tar = Archives.tarLongFixture(ms)
+    val seen = Archives.tarMembers(tar)
+    assert(seen.size === 6)
+    seen.zip(ms).foreach { case ((name, _, data), (id, payload)) =>
+      assert(name === Archives.longMemberName(id))
+      assert(name.length > 100, "fixture name fits a plain header — test is vacuous")
+      assert(data.toSeq === payload.toSeq)
+    }
+    // explode resolves ids from the basename
+    import spark.implicits._
+    val docs = (0L until 6L).map(i => (i, s"payload $i " + "x" * (i.toInt * 7 % 40)))
+      .toDF("doc_id", "text")
+    val exploded = Archives.tarExplode(Archives.tarLongFixtures(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(exploded.toSeq === docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
+  }
+
+  test("ustar prefix-field names (100-255 chars, no meta member) resolve") {
+    // patch a classic fixture's header: move a directory prefix into the
+    // 155-byte prefix field and re-checksum — the POSIX split mechanism
+    val tar = Archives.tarFixture(members(1))
+    val prefix = "p" * 120
+    val pb = prefix.getBytes("US-ASCII")
+    System.arraycopy(pb, 0, tar, 345, pb.length)
+    java.util.Arrays.fill(tar, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (i <- 0 until 512) sum += tar(i) & 0xff
+    System.arraycopy(("0" * 6 + java.lang.Long.toOctalString(sum)).takeRight(6)
+      .getBytes("US-ASCII"), 0, tar, 148, 6)
+    tar(154) = 0; tar(155) = ' '
+    val seen = Archives.tarMembers(tar)
+    assert(seen.size === 1)
+    assert(seen.head._1 === prefix + "/doc-0.txt")
+  }
+
+  test("hostile long-name metas stop the walk or fall back, never throw") {
+    val ms = members(4)
+    // truncate right after a meta header: its promised payload is gone
+    val tar = Archives.tarLongFixture(ms)
+    assert(Archives.tarMembers(tar.take(512)) === Vector())
+    // a PAX payload violating the `len key=value\n` grammar (len lies
+    // about its span): the path override is ignored and the member
+    // parses under its own header name
+    val bogusPax = ("9999 path=/evil\n").getBytes("UTF-8")
+    val payload = "hello".getBytes("UTF-8")
+    val paxTar = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Archives.tarHeaderBlock("PaxHeaders.0/doc-1.txt".getBytes("US-ASCII"),
+        bogusPax.length.toLong, 'x'), 0, 512)
+      out.write(bogusPax, 0, bogusPax.length)
+      out.write(new Array[Byte](512 - bogusPax.length), 0, 512 - bogusPax.length)
+      out.write(Archives.tarHeaderBlock("doc-1.txt".getBytes("US-ASCII"),
+        payload.length.toLong, '0'), 0, 512)
+      out.write(payload, 0, payload.length)
+      out.write(new Array[Byte](512 - payload.length), 0, 512 - payload.length)
+      out.write(new Array[Byte](1024), 0, 1024)
+      out.toByteArray
+    }
+    val seen = Archives.tarMembers(paxTar)
+    assert(seen.size === 1)
+    assert(seen.head._1 === "doc-1.txt")
+    assert(seen.head._3.toSeq === payload.toSeq)
+    // meta members with no terminal member before EOF zeros: no emission
+    val onlyMetas = {
+      val one = Archives.tarLongFixture(Seq(0L -> "x".getBytes("UTF-8")))
+      // first member = L header + payload block; cut before the real header
+      one.take(1024) ++ new Array[Byte](1024)
+    }
+    assert(Archives.tarMembers(onlyMetas) === Vector())
+  }
+
   test("hostile ZIPs reject as None, never throw") {
     val good = Archives.zipFixture(members(3))
     assert(Archives.zipDirectory(good.take(good.length - 3)).isEmpty) // truncated EOCD
