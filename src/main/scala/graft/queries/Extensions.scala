@@ -1784,9 +1784,8 @@ object Extensions extends QueryModule {
         graft.multimodal.ArchiveFiles.writeDir(
           graft.multimodal.Archives.warcFixtures(
             t(s, dir, "documents"), "doc_id", "text"), root, ".warc.gz")
-        val idx = graft.multimodal.ArchiveFiles.writeIndex(
-          graft.multimodal.ArchiveFiles.buildIndex(s, root, "warc.gz"),
-          s"$root-index")
+        val idx = graft.multimodal.ArchiveFiles.ensureIndex(
+          s, root, "warc.gz", s"$root-index")
         graft.multimodal.ArchiveFiles.readWarcMembers(idx, "warc.gz", 4096)
       },
       Some(Extensions.warcSplitOracle)),
@@ -1798,9 +1797,8 @@ object Extensions extends QueryModule {
         graft.multimodal.ArchiveFiles.writeDir(
           graft.multimodal.Archives.warcZstFixtures(
             t(s, dir, "documents"), "doc_id", "text"), root, ".warc.zst")
-        val idx = graft.multimodal.ArchiveFiles.writeIndex(
-          graft.multimodal.ArchiveFiles.buildIndex(s, root, "warc.zst"),
-          s"$root-index")
+        val idx = graft.multimodal.ArchiveFiles.ensureIndex(
+          s, root, "warc.zst", s"$root-index")
         graft.multimodal.ArchiveFiles.readWarcMembers(idx, "warc.zst", 4096)
       },
       Some(Extensions.warcZstSplitOracle)),
@@ -1818,9 +1816,8 @@ object Extensions extends QueryModule {
         graft.multimodal.ArchiveFiles.writeDir(
           graft.multimodal.Archives.zipFixtures(
             t(s, dir, "documents"), "doc_id", "text"), root, ".zip")
-        val idx = graft.multimodal.ArchiveFiles.writeIndex(
-          graft.multimodal.ArchiveFiles.buildIndex(s, root, "zip"),
-          s"$root-index")
+        val idx = graft.multimodal.ArchiveFiles.ensureIndex(
+          s, root, "zip", s"$root-index")
         graft.multimodal.ArchiveFiles.readZipMembers(idx, 4096)
       },
       Some("SELECT doc_id, text FROM documents")),
@@ -1832,9 +1829,8 @@ object Extensions extends QueryModule {
         graft.multimodal.ArchiveFiles.writeDir(
           graft.multimodal.Archives.tarFixtures(
             t(s, dir, "documents"), "doc_id", "text"), root, ".tar")
-        val idx = graft.multimodal.ArchiveFiles.writeIndex(
-          graft.multimodal.ArchiveFiles.buildIndex(s, root, "tar"),
-          s"$root-index")
+        val idx = graft.multimodal.ArchiveFiles.ensureIndex(
+          s, root, "tar", s"$root-index")
         graft.multimodal.ArchiveFiles.readTarMembers(idx, 4096)
       },
       Some(Extensions.tarMembersOracle)),
@@ -1854,9 +1850,8 @@ object Extensions extends QueryModule {
         graft.multimodal.ArchiveFiles.writeDir(
           graft.multimodal.Archives.zip64Fixtures(
             t(s, dir, "documents"), "doc_id", "text"), root, ".zip")
-        val idx = graft.multimodal.ArchiveFiles.writeIndex(
-          graft.multimodal.ArchiveFiles.buildIndex(s, root, "zip"),
-          s"$root-index")
+        val idx = graft.multimodal.ArchiveFiles.ensureIndex(
+          s, root, "zip", s"$root-index")
         graft.multimodal.ArchiveFiles.readZipMembers(idx, 4096)
       },
       Some("SELECT doc_id, text FROM documents")),
@@ -1875,9 +1870,8 @@ object Extensions extends QueryModule {
         graft.multimodal.ArchiveFiles.writeDir(
           graft.multimodal.Archives.tarLongFixtures(
             t(s, dir, "documents"), "doc_id", "text"), root, ".tar")
-        val idx = graft.multimodal.ArchiveFiles.writeIndex(
-          graft.multimodal.ArchiveFiles.buildIndex(s, root, "tar"),
-          s"$root-index")
+        val idx = graft.multimodal.ArchiveFiles.ensureIndex(
+          s, root, "tar", s"$root-index")
         graft.multimodal.ArchiveFiles.readTarMemberNames(idx, 4096)
       },
       Some("""SELECT doc_id,

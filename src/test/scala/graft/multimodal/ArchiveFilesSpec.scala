@@ -175,6 +175,34 @@ class ArchiveFilesSpec extends SparkSpec {
     assert(ArchiveFiles.buildIndex(spark, dir + "/nope", "tar").count() === 0)
   }
 
+  test("ensureIndex skips the boundary walk while the archive listing is unchanged") {
+    val dir = freshDir("reuse")
+    ArchiveFiles.writeDir(
+      Archives.warcFixtures(docs, "doc_id", "text"), dir, ".warc.gz")
+    val idxPath = s"$dir-index"
+    def indexFiles(): Set[String] =
+      Files.list(Paths.get(idxPath)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    val idx1 = ArchiveFiles.ensureIndex(spark, dir, "warc.gz", idxPath)
+    val n = idx1.count()
+    assert(n > 0)
+    val files1 = indexFiles()
+    // second invocation: listing unchanged -> NO walk, NO rewrite — the
+    // parquet part files (uuid-named per write) must be the same files
+    val idx2 = ArchiveFiles.ensureIndex(spark, dir, "warc.gz", idxPath)
+    assert(indexFiles() === files1, "index was rewritten on an unchanged listing")
+    assert(idx2.count() === n)
+    // drift: rewrite one archive with different content (same name) ->
+    // manifest mtime/length changes -> full rebuild
+    val f = Files.list(Paths.get(dir)).toArray.map(_.toString).sorted
+      .find(_.endsWith(".warc.gz")).get
+    val bytes = Files.readAllBytes(Paths.get(f))
+    Files.write(Paths.get(f), java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    val idx3 = ArchiveFiles.ensureIndex(spark, dir, "warc.gz", idxPath)
+    assert(indexFiles() !== files1, "index was NOT rebuilt after a file changed")
+    assert(idx3.count() < n)
+  }
+
   test("ZIP64 files index through the ZIP64 EOCD record and serve like the row-based explode") {
     val dir = freshDir("zip64")
     ArchiveFiles.writeDir(
