@@ -35,9 +35,11 @@ object Curation extends QueryModule {
 
   /** ENCODE oracle: the same trained chain with the FINAL merge applied,
     * then per-document token counts through the word→pieces join —
-    * mirrors [[graft.operators.TextAnalysis.bpeEncode]]. */
-  private[queries] def bpeEncodeOracle(rounds: Int): String =
-    bpeChain(rounds, applyLast = true) + s""",
+    * mirrors [[graft.operators.TextAnalysis.bpeEncode]]. `src`/`prelude`
+    * retarget the chain at a derived corpus CTE (the UTF-8 variant). */
+  private[queries] def bpeEncodeOracle(rounds: Int,
+      src: String = "documents", prelude: String = ""): String =
+    bpeChain(rounds, applyLast = true, src, prelude) + s""",
       |enc AS (SELECT word,
       |    len(string_split(substr(wstr, 2, length(wstr) - 2),
       |        chr(1) || chr(1)))::BIGINT AS n
@@ -49,18 +51,20 @@ object Curation extends QueryModule {
   /** The shared trained-vocabulary CTE chain: word frequencies, chr(1)-
     * delimited segmentations, `rounds` iterations of pair-count → argmax
     * → greedy re-segment. `applyLast` also applies round `rounds`' merge
-    * (yielding v_{rounds+1}, the vocabulary encode uses). */
-  private def bpeChain(rounds: Int, applyLast: Boolean): String = {
+    * (yielding v_{rounds+1}, the vocabulary encode uses). `prelude` (a
+    * complete `name AS (...),` fragment) injects the CTE `src` reads. */
+  private def bpeChain(rounds: Int, applyLast: Boolean,
+      src: String = "documents", prelude: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH u AS (
+      s"""WITH ${prelude}u AS (
         |  SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), w -> w <> ''))
-        |    AS word FROM documents),
+        |    AS word FROM $src),
         |wf AS (SELECT word, count(*)::BIGINT AS freq FROM u GROUP BY 1),
         |v1 AS MATERIALIZED (
         |  SELECT word,
-        |    regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g')
+        |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g')
         |    AS wstr, freq FROM wf)""".stripMargin)
     for (r <- 1 to rounds) {
       sb.append(s""",
@@ -527,6 +531,19 @@ object Curation extends QueryModule {
       (s, dir) => graft.operators.TextAnalysis.bpeEncode(
         t(s, dir, "documents"), "doc_id", "text", rounds = 6),
       Some(Curation.bpeEncodeOracle(6))),
+
+    // ---- the BPE train→apply round trip over the MULTIBYTE corpus:
+    //      the char-split regexp ('(.)') and the chr(1)-delimited greedy
+    //      merge must both operate on CODE POINTS, or surrogate-pair
+    //      emoji and combining marks shear mid-character and every count
+    //      diverges (see graft.operators.Utf8Corpus) ----
+    GraftQuery("q_utf8_bpe_encode",
+      (s, dir) => graft.operators.TextAnalysis.bpeEncode(
+        graft.operators.Utf8Corpus.decorate(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "text", rounds = 6),
+      Some(Curation.bpeEncodeOracle(6, src = "docs8",
+        prelude = s"docs8 AS (${graft.operators.Utf8Corpus.oracleCte}),\n"))),
 
     // ---- KMV rollup: per-nation distinct-customer sketches UNION-merged
     //      up to region level — the OLAP point of a mergeable sketch:

@@ -1088,6 +1088,70 @@ object Extensions extends QueryModule {
               |              (acc, h) -> (acc*31 + h) % $P) AS fingerprint
               |FROM d WHERE len(words) >= 1""".stripMargin)),
 
+    // ======================= UTF-8 (non-ASCII) corpus =======================
+    // The generated corpus is pure ASCII, so these queries re-run the
+    // byte-vs-char-sensitive operators over graft.operators.Utf8Corpus's
+    // decorated variant (every UTF-8 width class incl. a surrogate-pair
+    // emoji and a combining mark). Oracles reproduce the decoration via
+    // chr() code points and must stay cell-exact — proving the engine's
+    // char functions count code points and its byte functions count
+    // bytes, on text a real crawl actually contains.
+
+    GraftQuery("q_utf8_byte_stats",
+      (s, dir) => graft.operators.Utf8Corpus.decorate(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          octet_length(col("text")).cast("long").as("n_bytes")),
+      Some(s"""WITH docs8 AS (${graft.operators.Utf8Corpus.oracleCte})
+              |SELECT doc_id, length(text)::BIGINT AS n_chars,
+              |  strlen(text)::BIGINT AS n_bytes
+              |FROM docs8""".stripMargin)),
+
+    GraftQuery("q_utf8_tokens",
+      (s, dir) => TextAnalysis.tokenCounts(graft.operators.Utf8Corpus.decorate(
+        t(s, dir, "documents"), "doc_id", "text"), "doc_id", "text"),
+      Some(s"""WITH docs8 AS (${graft.operators.Utf8Corpus.oracleCte})
+              |SELECT doc_id,
+              |  len(${dWords("text")})::BIGINT AS n_ws_tokens,
+              |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT
+              |    AS n_bpe_tokens,
+              |  length(text)::BIGINT AS n_chars
+              |FROM docs8""".stripMargin)),
+
+    GraftQuery("q_utf8_redact",
+      (s, dir) => graft.operators.Utf8Corpus.decorate(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), lit("[0-9]+"), lit("#")).as("redacted"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_hits")),
+      Some(s"""WITH docs8 AS (${graft.operators.Utf8Corpus.oracleCte})
+              |SELECT doc_id,
+              |  regexp_replace(text, '[0-9]+', '#', 'g') AS redacted,
+              |  len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_hits
+              |FROM docs8""".stripMargin)),
+
+    // multibyte text through the REAL archive codecs: gzip'd WARC members
+    // and CRC-verified zip members must round-trip the decorated bytes
+    // exactly (UTF-8 encode → container → decode → UTF-8 decode)
+    GraftQuery("q_utf8_warc_roundtrip",
+      (s, dir) => graft.multimodal.Archives.warcSplit(
+          graft.multimodal.Archives.warcFixtures(
+            graft.operators.Utf8Corpus.decorate(
+              t(s, dir, "documents"), "doc_id", "text"), "doc_id", "text"))
+        .select(col("doc_id"), col("text")),
+      Some(s"""WITH docs8 AS (${graft.operators.Utf8Corpus.oracleCte})
+              |SELECT doc_id, text FROM docs8""".stripMargin)),
+
+    GraftQuery("q_utf8_zip_roundtrip",
+      (s, dir) => graft.multimodal.Archives.zipExplode(
+        graft.multimodal.Archives.zipFixtures(
+          graft.operators.Utf8Corpus.decorate(
+            t(s, dir, "documents"), "doc_id", "text"), "doc_id", "text")),
+      Some(s"""WITH docs8 AS (${graft.operators.Utf8Corpus.oracleCte})
+              |SELECT doc_id, text FROM docs8""".stripMargin)),
+
     // ======================= multimodal =======================
 
     GraftQuery("q_multimodal_features",

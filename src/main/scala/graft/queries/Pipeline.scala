@@ -576,6 +576,40 @@ object Pipeline extends QueryModule {
              |  e.idx * $ChunkStride AS start0, e.chunk AS chunk,
              |  length(e.chunk)::BIGINT AS chunk_len FROM u""".stripMargin)),
 
+    // ---- the same chunker over the MULTIBYTE corpus: substring /
+    //      length are code-point-indexed in both engines, so chunk
+    //      boundaries land identically even through surrogate-pair
+    //      emoji and combining marks (see graft.operators.Utf8Corpus) ----
+    GraftQuery("q_utf8_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val extraExpr =
+          s"""CASE WHEN length(text) > $ChunkLen
+             | THEN (length(text) - ${ChunkLen - ChunkStride + 1}) DIV $ChunkStride
+             | ELSE 0 END""".stripMargin
+        graft.operators.Utf8Corpus.decorate(
+            t(s, dir, "documents"), "doc_id", "text")
+          .select($"doc_id", $"text", expr(extraExpr).as("extra"))
+          .select($"doc_id", posexplode(expr(
+            s"transform(sequence(0, extra), i -> substring(text, i * $ChunkStride + 1, $ChunkLen))")))
+          .toDF("doc_id", "chunk_idx", "chunk")
+          .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+            ($"chunk_idx".cast("long") * ChunkStride).as("start0"),
+            $"chunk", length($"chunk").cast("long").as("chunk_len"))
+      },
+      Some(s"""WITH docs8 AS (${graft.operators.Utf8Corpus.oracleCte}),
+             |d AS (SELECT doc_id, text,
+             |  CASE WHEN length(text) > $ChunkLen
+             |    THEN (length(text) - ${ChunkLen - ChunkStride + 1}) // $ChunkStride
+             |    ELSE 0 END AS extra
+             |  FROM docs8),
+             |u AS (SELECT doc_id, unnest(list_transform(range(extra + 1),
+             |  i -> {'idx': i, 'chunk': substr(text, (i * $ChunkStride + 1)::INT, $ChunkLen)})) AS e
+             |  FROM d)
+             |SELECT doc_id, e.idx AS chunk_idx,
+             |  e.idx * $ChunkStride AS start0, e.chunk AS chunk,
+             |  length(e.chunk)::BIGINT AS chunk_len FROM u""".stripMargin)),
+
     // ---- stratified deterministic sampling (per-language rates) ----
     GraftQuery("q_stratified_sample",
       (s, dir) => {
