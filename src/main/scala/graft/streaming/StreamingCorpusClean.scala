@@ -27,13 +27,14 @@ import graft.multimodal.{Archives, ArchiveRecord}
   *  - `drops` (doc_id): near-dup losers (the larger id of each verified
   *    pair, exactly the batch operator's drop rule).
   *
-  * Equality contract: near-dedup is ORDER-INDEPENDENT (both pair
-  * members are indexed, the pair is found when the later one arrives,
-  * the larger id drops regardless of arrival order). Exact dedup keeps
-  * the first-stored id per text, which equals the batch min-id rule
-  * when batches arrive in ascending doc_id order — the natural shape of
-  * a crawl stream (monotone record ids) and the documented assumption
-  * here, like the min-label invariant in [[StreamingEntityResolution]].
+  * Equality contract: BOTH dedup stages are ORDER-INDEPENDENT. Near-dup:
+  * both pair members are indexed, the pair is found when the later one
+  * arrives, the larger id drops regardless of arrival order. Exact: the
+  * batch min-id rule holds for any arrival order because a smaller id
+  * arriving AFTER its text was stored demotes the stored keeper (one
+  * drops append) and takes over — so shuffled or descending replays of
+  * the same corpus converge to the identical cleaned view (asserted by
+  * StreamingCorpusCleanSpec's descending/shuffled-order test).
   *
   * Scale notes (100 TB): per fold, work is proportional to the batch —
   * its records, its band keys, the bucket-mates they select, and the
@@ -92,16 +93,31 @@ object StreamingCorpusClean {
       .where(call_function("clean_gate",
         col("norm_text"), lit(lang), lit(minQuality)))
 
-    // exact dedup: texts already stored drop (their keeper arrived in an
-    // earlier batch — ascending arrival makes that the min id); within
-    // the batch the smallest id per text survives. A replayed batch is
-    // all stored texts, i.e. a no-op.
-    val newExact = cleaned
-      .join(storedT.select(col("norm_text")), Seq("norm_text"), "left_anti")
+    // exact dedup, ORDER-INDEPENDENT (r9 verdict #6): within the batch
+    // the smallest id per text survives; against the store, the arriving
+    // id wins only if SMALLER than the stored keeper — in which case the
+    // stored keeper is DEMOTED (appended to drops, one extra delta-sized
+    // write) so the cleaned view equals the batch min-id rule for ANY
+    // arrival order, not just ascending crawl order. A replayed batch
+    // arrives with ids EQUAL to their stored keepers — strictly-smaller
+    // loses, so replays stay no-ops. (The demoted keeper would usually
+    // also fall to the near-dup verify — identical text is Jaccard 1 —
+    // but short texts can have empty shingle sets, so demotion is
+    // explicit, not delegated.)
+    val storedKeeper = storedT
+      .groupBy(col("norm_text")).agg(min(col("doc_id")).as("stored_id"))
+    val batchMin = cleaned
       .groupBy(col("norm_text")).agg(min(col("doc_id")).as("doc_id"))
+      .join(storedKeeper, Seq("norm_text"), "left")
+      .where(col("stored_id").isNull || col("doc_id") < col("stored_id"))
+      .persist()
+    val demoted = batchMin.where(col("stored_id").isNotNull)
+      .select(col("stored_id").as("doc_id"))
+    val newExact = batchMin
       .select(col("doc_id"), col("norm_text"))
       .persist()
     try {
+      demoted.write.mode("append").parquet(dropsPath(base))
       val newBands = StreamingDedup
         .bandedSignatures(newExact, "doc_id", "norm_text")
         .persist()
@@ -153,7 +169,10 @@ object StreamingCorpusClean {
       newExact.write.mode("append").parquet(textsPath(base))
       cands.unpersist()
       newBands.unpersist()
-    } finally newExact.unpersist()
+    } finally {
+      newExact.unpersist()
+      batchMin.unpersist()
+    }
   }
 
   /** Fold one micro-batch of `.warc.zst` ARCHIVES: record split through

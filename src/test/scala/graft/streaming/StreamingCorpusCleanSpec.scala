@@ -44,6 +44,33 @@ class StreamingCorpusCleanSpec extends SparkSpec {
     assert(streamed === batchResult())
   }
 
+  test("descending and shuffled arrival orders converge to the batch clean (r9 verdict #6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // exact dedup's min-id rule must hold for ANY arrival order: a
+    // smaller id arriving after its text was stored demotes the stored
+    // keeper. Descending order makes EVERY exact-dup collision hit the
+    // demotion path (the keeper always arrives last).
+    val expected = batchResult()
+    for ((order, tag) <- Seq[(Array[Long] => Array[Long], String)](
+        (_.sortBy(-_), "descending"),
+        (ids => ids.sortBy(id => (id * 2654435761L) % 1000003L), "shuffled"))) {
+      val base = freshBase()
+      StreamingCorpusClean.init(spark, base)
+      val ids = docs.select("doc_id").as[Long].collect()
+      val ordered = order(ids)
+      val thirds = ordered.grouped(math.max(1, (ordered.length + 2) / 3)).toSeq
+      thirds.foreach { part =>
+        val batch = docs.where(col("doc_id").isin(part: _*))
+          .select(col("doc_id"), col("text"))
+        StreamingCorpusClean.foldDocs(spark, base, batch, "doc_id", "text")
+      }
+      val streamed = StreamingCorpusClean.cleaned(spark, base)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(streamed === expected, s"$tag arrival diverged from the batch clean")
+    }
+  }
+
   test("a replayed micro-batch is a no-op (at-least-once safety)") {
     import spark.implicits._
     val base = freshBase()
