@@ -97,7 +97,9 @@ object Mp4 {
     * needs to pick samples by timestamp without touching `mdat`. */
   final case class Samples(codec: String, mediaTimescale: Long,
       sampleCount: Long, runs: Vector[(Long, Long)], uniformSize: Long,
-      sizes: Vector[Long]) {
+      sizes: Vector[Long],
+      stsc: Vector[(Long, Long)] = Vector.empty,
+      chunkOffsets: Vector[Long] = Vector.empty) {
     /** Decode timestamp (media ticks) of 0-based sample `i`: the prefix
       * sum of the stts run deltas before it. */
     def dtsOf(i: Long): Long = {
@@ -115,6 +117,40 @@ object Mp4 {
     }
     def sizeOf(i: Int): Long =
       if (uniformSize > 0) uniformSize else sizes(i)
+
+    /** Absolute (fileOffset, byteSize) per sample, resolved through the
+      * sample-to-chunk map (§8.7.4: stsc runs of (first_chunk,
+      * samples_per_chunk)) and the chunk-offset table — the lookup that
+      * turns sample METADATA into readable payload ranges. Empty when
+      * the track carries no chunk tables (metadata-only fixtures) or the
+      * tables are inconsistent; never throws. */
+    def sampleOffsets: Vector[(Long, Long)] = {
+      if (stsc.isEmpty || chunkOffsets.isEmpty || sampleCount <= 0 ||
+          sampleCount > (1 << 22)) return Vector.empty
+      if (uniformSize <= 0 && sizes.length < sampleCount) return Vector.empty
+      val out = Vector.newBuilder[(Long, Long)]
+      var sample = 0
+      var ci = 0
+      var si = 0
+      while (ci < chunkOffsets.length && sample < sampleCount) {
+        while (si + 1 < stsc.length && stsc(si + 1)._1 <= ci + 1) si += 1
+        val spc = stsc(si)._2
+        if (spc <= 0) return Vector.empty
+        var off = chunkOffsets(ci)
+        var k = 0L
+        while (k < spc && sample < sampleCount) {
+          val sz = sizeOf(sample)
+          if (sz < 0) return Vector.empty
+          out += ((off, sz))
+          off += sz
+          sample += 1
+          k += 1
+        }
+        ci += 1
+      }
+      val res = out.result()
+      if (res.length == sampleCount) res else Vector.empty
+    }
   }
 
   def parseSamples(b: Array[Byte]): Option[Samples] = {
@@ -125,6 +161,8 @@ object Mp4 {
     var runs = Vector.empty[(Long, Long)]
     var uni = -1L
     var sizes = Vector.empty[Long]
+    var stsc = Vector.empty[(Long, Long)]
+    var stco = Vector.empty[Long]
     var done = false
     val ok = walk(b, 0, b.length) { (typ, from, until) =>
       if (typ != "moov") true
@@ -134,6 +172,7 @@ object Mp4 {
           // reset per trak so a metadata-only track can't half-fill state
           codec = null; mts = -1L; count = -1L
           runs = Vector.empty; uni = -1L; sizes = Vector.empty
+          stsc = Vector.empty; stco = Vector.empty
           val trakOk = walk(b, f1, u1) { (t2, f2, u2) =>
             if (t2 != "mdia") true
             else walk(b, f2, u2) { (t3, f3, u3) =>
@@ -189,7 +228,50 @@ object Mp4 {
                               true
                             }
                           }
-                        case _ => true // stsc, stco, ctts... not needed
+                        case "stsc" =>
+                          // §8.7.4: (first_chunk, samples_per_chunk,
+                          // description_index) runs — the map from
+                          // sample numbers to chunks
+                          if (u5 - f5 < 8) false
+                          else {
+                            val ec = be32(b, f5 + 4)
+                            if (8 + ec * 12 > u5 - f5) false
+                            else {
+                              var j = 0
+                              val acc = Vector.newBuilder[(Long, Long)]
+                              var prev = 0L
+                              var mono = true
+                              while (j < ec) {
+                                val first = be32(b, f5 + 8 + j * 12)
+                                if (first <= prev) mono = false
+                                prev = first
+                                acc += ((first, be32(b, f5 + 12 + j * 12)))
+                                j += 1
+                              }
+                              if (!mono) false
+                              else { stsc = acc.result(); true }
+                            }
+                          }
+                        case "stco" | "co64" =>
+                          // chunk offsets, 32-bit (stco) or 64-bit (co64)
+                          if (u5 - f5 < 8) false
+                          else {
+                            val wid = if (t5 == "stco") 4 else 8
+                            val ec = be32(b, f5 + 4)
+                            if (8 + ec * wid > u5 - f5) false
+                            else {
+                              var j = 0
+                              val acc = Vector.newBuilder[Long]
+                              while (j < ec) {
+                                acc += (if (wid == 4) be32(b, f5 + 8 + j * 4)
+                                  else be64(b, f5 + 8 + j * 8))
+                                j += 1
+                              }
+                              stco = acc.result()
+                              true
+                            }
+                          }
+                        case _ => true // ctts, stss... not needed
                       }
                     }
                   }
@@ -208,6 +290,6 @@ object Mp4 {
       }
     }
     if (!ok || !done) None
-    else Some(Samples(codec, mts, count, runs, uni, sizes))
+    else Some(Samples(codec, mts, count, runs, uni, sizes, stsc, stco))
   }
 }

@@ -881,6 +881,211 @@ object Multimodal {
   def mp4SampleFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
     fixtureDs(docs, idCol)(mp4SampleFixture)
 
+  // ============================ MJPEG ============================
+
+  /** Frames per MJPEG clip fixture. */
+  val MjpegFrames = 3
+
+  /** Per-(group, frame) JPEG fixture id: mix2-decorrelated (a linear id
+    * would correlate gradient-bit hashes across groups — the banned
+    * additive-mix failure) and EVEN, so every frame is the 4:4:4 layout
+    * with per-block chroma. SQL twin: `2 * (dMix2(base*131, f+1) %
+    * 500000)`. */
+  private[multimodal] def mjpegJid(base: Long, f: Int): Long =
+    2L * (mix2(base * 131, f + 1L) % 500000L)
+
+  /** A REAL MJPEG MP4: full sample-table leg — stsd entry '''jpeg''' (the
+    * QuickTime Motion-JPEG 4CC), stts (one uniform run, 100 ticks/frame
+    * at timescale 1000 → exactly 100 ms/frame), per-sample stsz, stsc +
+    * stco (one chunk holding all frames) — and an mdat whose samples ARE
+    * complete baseline JPEG streams. The one codec an MP4 can carry that
+    * our pure-JVM decoders fully decode: sample location (chunk-offset
+    * resolution) and sample decode (T.81) are both real. Built in two
+    * passes because stco's offset depends on moov's own length. */
+  def mjpegClip(frames: Seq[Array[Byte]]): Array[Byte] = {
+    import ByteIo.{be32b => be32}
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    require(frames.nonEmpty, "an MJPEG clip needs at least one frame")
+    val n = frames.length
+    val mts = 1000L
+    val delta = 100L
+    val dur = n * delta
+
+    def assemble(mdatPayloadOff: Long): Array[Byte] = {
+      val ftyp = be32(24) ++ cc("ftyp") ++ cc("isom") ++ be32(0x200) ++
+        cc("isom") ++ cc("mp41")
+      val mvhd = be32(108) ++ cc("mvhd") ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(mts) ++ be32(dur) ++
+        be32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+        (be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(0x40000000L)) ++ new Array[Byte](24) ++ be32(2)
+      val tkhd = be32(92) ++ cc("tkhd") ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be32(1) ++ new Array[Byte](68)
+      val mdhd = be32(32) ++ cc("mdhd") ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be32(mts) ++ be32(dur) ++ be32(0x55c40000L)
+      val stsdEntry = be32(16) ++ cc("jpeg") ++ new Array[Byte](6) ++
+        Array[Byte](0, 1)
+      val stsd = be32(16L + stsdEntry.length) ++ cc("stsd") ++ be32(0) ++
+        be32(1) ++ stsdEntry
+      val stts = be32(24) ++ cc("stts") ++ be32(0) ++ be32(1) ++
+        be32(n.toLong) ++ be32(delta)
+      val stsz = be32(20L + 4L * n) ++ cc("stsz") ++ be32(0) ++ be32(0) ++
+        be32(n.toLong) ++ frames.toArray.flatMap(fr => be32(fr.length.toLong))
+      val stsc = be32(28) ++ cc("stsc") ++ be32(0) ++ be32(1) ++
+        be32(1) ++ be32(n.toLong) ++ be32(1)
+      val stco = be32(20) ++ cc("stco") ++ be32(0) ++ be32(1) ++
+        be32(mdatPayloadOff)
+      val stbl = be32(8L + stsd.length + stts.length + stsz.length +
+        stsc.length + stco.length) ++ cc("stbl") ++
+        stsd ++ stts ++ stsz ++ stsc ++ stco
+      val minf = be32(8L + stbl.length) ++ cc("minf") ++ stbl
+      val mdia = be32(8L + mdhd.length + minf.length) ++ cc("mdia") ++
+        mdhd ++ minf
+      val trak = be32(8L + tkhd.length + mdia.length) ++ cc("trak") ++
+        tkhd ++ mdia
+      val moov = be32(8L + mvhd.length + trak.length) ++ cc("moov") ++
+        mvhd ++ trak
+      val payload = frames.toArray.flatten
+      val mdat = be32(8L + payload.length) ++ cc("mdat") ++ payload
+      ftyp ++ moov ++ mdat
+    }
+    // pass 1 with offset 0 fixes every box length; pass 2 writes the
+    // real first-payload offset (header sizes are offset-independent)
+    val probe = assemble(0L)
+    val payloadLen = frames.map(_.length).sum
+    assemble(probe.length.toLong - payloadLen)
+  }
+
+  /** The per-clip MJPEG fixture: [[MjpegFrames]] exact-basis JPEG frames
+    * keyed by [[mjpegJid]] in a full [[mjpegClip]] container. */
+  def mjpegFixture(docId: Long): Array[Byte] = {
+    val q8 = Array.fill(64)(8)
+    val q16 = Array.fill(64)(16)
+    mjpegClip((0 until MjpegFrames).map(f =>
+      JpegCodec.encode(16, 16, mode420 = false, q8, q16,
+        jpegFixtureBlock(mjpegJid(docId, f)))))
+  }
+
+  def mjpegFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(mjpegFixture)
+
+  /** REALLY-decoded MP4 frames: locate each sample through the parsed
+    * chunk tables ([[Mp4.Samples.sampleOffsets]]), route 'jpeg'-codec
+    * samples through the full T.81 decode, and emit exact per-frame
+    * channel sums + the stts-derived timestamp. Non-MP4 / non-MJPEG /
+    * corrupt-sample payloads drop (route-elsewhere), shuffle-free. */
+  def mjpegFrameStats(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      Mp4.parseSamples(r.media).toSeq.flatMap { t =>
+        if (t.codec != "jpeg") Seq.empty
+        else t.sampleOffsets.zipWithIndex.flatMap { case ((off, len), i) =>
+          if (off < 0 || len <= 0 || off + len > r.media.length) None
+          else JpegCodec.decode(java.util.Arrays.copyOfRange(
+              r.media, off.toInt, (off + len).toInt)).map { img =>
+            val sums = new Array[Long](3)
+            var j = 0
+            while (j < img.pixels.length) {
+              sums(j % 3) += img.pixels(j) & 0xff
+              j += 1
+            }
+            (r.doc_id, i.toLong, t.dtsOf(i.toLong) * 1000L / t.mediaTimescale,
+              img.width.toLong, img.height.toLong, sums(0), sums(1), sums(2))
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "t_ms", "width", "height",
+      "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Mixed-container video near-dup fixtures: group members share three
+    * frames (member m ≠ 0 bumps the DC of luma block (0,1) in frame m%3
+    * by 1 + m%2 — a small uniform Y shift on one block, the dHash-near
+    * edit); EVEN members ship as MJPEG MP4 clips, ODD members as
+    * animated GIFs encoding the SAME decoded RGB (GIF is lossless and
+    * the exact-basis JPEG decode is integer-exact, so cross-container
+    * twin frames are pixel-identical). A video dedup must cluster them
+    * together — the capability a byte-level or single-container dedup
+    * can never have.
+    *
+    * Geometry is the PROVEN 72×16 nine-block-column design of
+    * [[jpegNearFixture]] with per-(group, frame, block) mix2
+    * coefficients and ZERO chroma (RGB = Y exactly, so the oracle works
+    * in luma alone): a first 16×16 four-block cut concentrated the hash
+    * into a handful of sign patterns and cross-group hamming≤3 pairs
+    * grew 98× across a 10× data step — the exact quadratic blowup the
+    * mix discipline exists to prevent (measured before this rewrite). */
+  def mixedVideoNearFixture(docId: Long): Array[Byte] = {
+    val base = docId - docId % 8
+    val m = (docId % 8).toInt
+    val q8 = Array.fill(64)(8)
+    val q16 = Array.fill(64)(16)
+    // SQL twin: dMix2(base*3 + f, by*37 + bx*11 + slot*29 + 1) % range
+    // - range/2 (a = base*3+f is distinct per (group, frame); b stays
+    // far under mix2's 1.8e8 operand bound)
+    def coef(f: Int, by: Int, bx: Int, slot: Int, range: Int): Int =
+      (mix2(base * 3 + f, by * 37 + bx * 11 + slot * 29 + 1L) % range -
+        range / 2).toInt
+    val frames = (0 until MjpegFrames).map { f =>
+      val block: (Int, Int, Int) => Array[Int] = (c, by, bx) => {
+        val blk = new Array[Int](64)
+        if (c == 0) {
+          blk(0) = coef(f, by, bx, 0, 48) +
+            (if (by == 0 && bx == 1 && m != 0 && f == m % MjpegFrames)
+              1 + m % 2 else 0)
+          blk(4) = coef(f, by, bx, 1, 24)
+          blk(32) = coef(f, by, bx, 2, 24)
+          blk(36) = coef(f, by, bx, 3, 16)
+        }
+        blk
+      }
+      JpegCodec.encode(72, 16, mode420 = false, q8, q16, block)
+    }
+    if (m % 2 == 0) mjpegClip(frames)
+    else {
+      // GIF twin: decode each JPEG frame (integer-exact) and re-encode
+      // losslessly on one global palette (grayscale — ≤4 distinct Y per
+      // block × 18 blocks × 3 frames ≤ 216 ≤ 256 colors)
+      val rgbs = frames.map(fb => JpegCodec.decode(fb).getOrElse(
+        throw new IllegalStateException(s"mjpeg frame of $docId failed to decode")))
+      val distinct = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      rgbs.foreach { img =>
+        var i = 0
+        while (i < img.pixels.length) {
+          val c = ((img.pixels(i) & 0xff) << 16) |
+            ((img.pixels(i + 1) & 0xff) << 8) | (img.pixels(i + 2) & 0xff)
+          if (!distinct.contains(c)) distinct(c) = distinct.size
+          i += 3
+        }
+      }
+      require(distinct.size <= 256,
+        s"mixed fixture $docId needs ${distinct.size} colors (> 256)")
+      val pal = new Array[Byte](256 * 3)
+      distinct.foreach { case (c, j) =>
+        pal(j * 3) = ((c >> 16) & 0xff).toByte
+        pal(j * 3 + 1) = ((c >> 8) & 0xff).toByte
+        pal(j * 3 + 2) = (c & 0xff).toByte
+      }
+      val gifFrames = rgbs.map { img =>
+        val idx = new Array[Byte](img.width * img.height)
+        var i = 0
+        while (i < idx.length) {
+          val c = ((img.pixels(3 * i) & 0xff) << 16) |
+            ((img.pixels(3 * i + 1) & 0xff) << 8) | (img.pixels(3 * i + 2) & 0xff)
+          idx(i) = distinct(c).toByte
+          i += 1
+        }
+        (10, idx)
+      }
+      GifCodec.encodeAnimated(72, 16, pal, gifFrames, minCode = 8)
+    }
+  }
+
+  def mixedVideoNearFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs.where(col(idCol) % 3 === 0), idCol)(mixedVideoNearFixture)
+
   /** Shared 16-color GIF fixture palette: entry j, channel c =
     * (docId·17 + j·29 + c·13) mod 256 — exact in 64-bit, SQL-rebuildable. */
   private def gifPalette(docId: Long): Array[Byte] =
@@ -978,18 +1183,33 @@ object Multimodal {
   /** Frames per video the near-dup fid packing reserves. */
   val MaxVideoFrames = 1024L
 
-  /** Per-frame perceptual hashes of an animated clip: one row per
-    * really-decoded frame with its 9×8 dHash — the shot-level signature
-    * video dedup works from. Non-animated/undecodable payloads drop. */
+  /** Per-frame perceptual hashes of an animated clip — one row per
+    * really-decoded frame with its 9×8 dHash, the shot-level signature
+    * video dedup works from. Routed by CONTAINER: animated GIFs through
+    * the LZW frame walk, MP4s whose stsd names the 'jpeg' codec (Motion
+    * JPEG) through chunk-offset sample location + the full T.81 decode —
+    * so the same clip stored in either container hashes identically.
+    * Other/undecodable payloads drop. */
   def videoFrameHashes(ds: Dataset[MediaRecord]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.flatMap { r =>
-      GifCodec.decodeFrames(r.media).toSeq.flatMap(_.zipWithIndex
+      val gif = GifCodec.decodeFrames(r.media).toSeq.flatMap(_.zipWithIndex
         .take(MaxVideoFrames.toInt).map { case (f, i) =>
           (r.doc_id, i.toLong,
             dhashOf(PngCodec.Image(f.width, f.height, 3, f.pixels)))
         })
+      if (gif.nonEmpty) gif
+      else Mp4.parseSamples(r.media).toSeq.flatMap { t =>
+        if (t.codec != "jpeg") Seq.empty
+        else t.sampleOffsets.take(MaxVideoFrames.toInt).zipWithIndex
+          .flatMap { case ((off, len), i) =>
+            if (off < 0 || len <= 0 || off + len > r.media.length) None
+            else JpegCodec.decode(java.util.Arrays.copyOfRange(
+                r.media, off.toInt, (off + len).toInt))
+              .map(img => (r.doc_id, i.toLong, dhashOf(img)))
+          }
+      }
     }.toDF("doc_id", "frame", "dhash")
   }
 

@@ -358,6 +358,96 @@ object Extensions extends QueryModule {
        |  FROM gm)
        |$finalSelect""".stripMargin
 
+  /** DuckDB spelling of [[graft.multimodal.Multimodal.mjpegJid]]: the
+    * mix2-decorrelated, always-even per-(group, frame) JPEG fixture id. */
+  private def dMjpegJid(base: String, f: String): String =
+    s"2 * (${dMix2(s"($base * 131)", s"($f + 1)")} % 500000)"
+
+  /** First-principles oracle for [[graft.multimodal.Multimodal
+    * .mjpegFrameStats]] over the mjpeg fixtures: the jpegPixelsOracle
+    * closed form evaluated at jid = mjpegJid(doc_id, f) for each of the
+    * 3 frames (jid is even → always the 4:4:4 per-block-chroma layout),
+    * plus the stts-derived timestamp (uniform 100 ticks at timescale
+    * 1000 → f·100 ms). Any slip in chunk-offset sample location, the
+    * T.81 decode, or the stts arithmetic mismatches. */
+  private[queries] val mjpegFramesOracle: String =
+    s"""WITH fr AS (SELECT doc_id, ff.f::BIGINT AS f,
+      |    ${dMjpegJid("doc_id", "ff.f")} AS jid
+      |  FROM documents CROSS JOIN (SELECT unnest(range(3)) AS f) ff),
+      |pix AS (SELECT doc_id, f,
+      |  flatten(list_transform(range(16), y ->
+      |    list_transform(range(16), x -> [
+      |      128 + (jid*7 + (y//8)*5 + (x//8)*3) % 48 - 24
+      |      + (CASE WHEN list_contains([0,3,4,7], x%8)
+      |              THEN 1 ELSE -1 END)
+      |        * ((jid*11 + (y//8)*7 + (x//8)*5) % 24 - 12)
+      |      + (CASE WHEN list_contains([0,3,4,7], y%8)
+      |              THEN 1 ELSE -1 END)
+      |        * ((jid*13 + (y//8)*3 + (x//8)*7) % 24 - 12)
+      |      + (CASE WHEN list_contains([0,3,4,7], x%8)
+      |              THEN 1 ELSE -1 END)
+      |        * (CASE WHEN list_contains([0,3,4,7], y%8)
+      |                THEN 1 ELSE -1 END)
+      |        * ((jid*5 + (y//8)*11 + (x//8)*13) % 16 - 8),
+      |      2 * ((jid*3 + (y//8)*2 + (x//8)) % 20 - 10),
+      |      2 * ((jid*9 + (y//8) + (x//8)*2) % 20 - 10)
+      |    ]))) AS p
+      |  FROM fr),
+      |rgb AS (SELECT doc_id, f,
+      |    list_transform(p, v ->
+      |      v[1] + (91881*v[3] + 32768 + 1073741824) // 65536 - 16384)
+      |      AS rs,
+      |    list_transform(p, v ->
+      |      v[1] - ((22554*v[2] + 46802*v[3] + 32768 + 1073741824)
+      |              // 65536 - 16384)) AS gs,
+      |    list_transform(p, v ->
+      |      v[1] + (116130*v[2] + 32768 + 1073741824) // 65536 - 16384)
+      |      AS bs
+      |  FROM pix)
+      |SELECT doc_id, f AS frame_idx, f * 100 AS t_ms,
+      |  16::BIGINT AS width, 16::BIGINT AS height,
+      |  list_sum(rs)::BIGINT AS sum_r,
+      |  list_sum(gs)::BIGINT AS sum_g,
+      |  list_sum(bs)::BIGINT AS sum_b
+      |FROM rgb""".stripMargin
+
+  /** Brute-force oracle for the MIXED-container video near-dup: rebuild
+    * each group's frame LUMA from the per-(group, frame, block) mix2
+    * closed form (chroma is zero, so RGB = Y exactly and gray-weighting
+    * drops out of the comparisons; member m's edit is a DC bump of
+    * +1+m%2 on block (0,1) of frame m%3), sample the 9×8 dHash grid
+    * (72-wide → every sample column x = 8·bi starts its OWN block, and
+    * x%8 = 0 makes the horizontal basis sign +1 at every sample), build
+    * the gradient bytes, and go brute over all frame pairs —
+    * container-independent by construction, which is exactly the
+    * property under test (the Spark side decodes HALF the members from
+    * MP4/MJPEG and half from animated GIF). */
+  private[queries] def mixedVideoDhashOracle(finalSelect: String): String = {
+    def coef(slot: Int, range: Int): String =
+      s"(${dMix2("(base*3 + f)", s"((j//4)*37 + bi*11 + ${slot * 29 + 1})")}" +
+        s" % $range - ${range / 2})"
+    s"""WITH g AS (SELECT doc_id, doc_id - doc_id % 8 AS base,
+      |    doc_id % 8 AS m FROM documents WHERE doc_id % 3 = 0),
+      |jj AS (SELECT g.*, ff.f::BIGINT AS f FROM g
+      |  CROSS JOIN (SELECT unnest(range(3)) AS f) ff),
+      |lm AS (SELECT doc_id, f,
+      |  list_transform(range(8), j ->
+      |    list_transform(range(9), bi ->
+      |      128 + ${coef(0, 48)} + ${coef(1, 24)}
+      |      + (CASE WHEN (j % 4) IN (0, 2) THEN 1 ELSE -1 END)
+      |        * (${coef(2, 24)} + ${coef(3, 16)})
+      |      + CASE WHEN m <> 0 AND f = m % 3 AND bi = 1 AND j < 4
+      |             THEN 1 + m % 2 ELSE 0 END)) AS lum
+      |  FROM jj),
+      |bh AS (SELECT doc_id, f,
+      |  list_transform(range(8), j ->
+      |    (list_sum(list_transform(range(8), i ->
+      |      CASE WHEN lum[j+1][i+2] > lum[j+1][i+1] THEN 1 << i ELSE 0 END))
+      |      )::BIGINT) AS b
+      |  FROM lm)
+      |$finalSelect""".stripMargin
+  }
+
   /** First-principles oracle for the sequential AND progressive JPEG
     * pixel fixtures (Multimodal.jpegFixture / jpegProgressiveFixture —
     * same quantized coefficients, two transmission layouts, identical
@@ -1648,6 +1738,45 @@ object Extensions extends QueryModule {
       },
       Some(Extensions.videoDhashOracle(
         """, fp AS (SELECT a.doc_id AS va, b2.doc_id AS vb,
+          |    list_sum(list_transform(range(8), k ->
+          |      bit_count(xor(a.b[k+1], b2.b[k+1])))) AS ham
+          |  FROM bh a JOIN bh b2 ON a.doc_id < b2.doc_id
+          |  WHERE list_sum(list_transform(range(8), k ->
+          |      bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3)
+          |SELECT va AS doc_a, vb AS doc_b,
+          |  count(*)::BIGINT AS n_near_frames,
+          |  min(ham)::BIGINT AS min_hamming
+          |FROM fp GROUP BY va, vb"""
+          .stripMargin))),
+
+    // REALLY-decoded MP4 frames (r9 verdict #3): the mjpeg fixtures are
+    // full containers — sample tables incl. stsc/stco chunk offsets —
+    // whose mdat samples are complete baseline JPEGs, and the query must
+    // locate each sample through the chunk-offset resolution and run the
+    // full T.81 decode to reach the channel sums. The oracle rebuilds
+    // every frame from the exact-IDCT closed form at the mix2-derived
+    // frame id plus the stts timestamp arithmetic.
+    GraftQuery("q_mjpeg_frames",
+      (s, dir) => graft.multimodal.Multimodal.mjpegFrameStats(
+        Multimodal.mjpegFixtures(t(s, dir, "documents"), "doc_id")),
+      Some(Extensions.mjpegFramesOracle)),
+
+    // MIXED-container shot-level near-dup: group members share frames,
+    // EVEN members ship as MJPEG MP4s, ODD as animated GIFs of the SAME
+    // decoded RGB — a re-encode of the same footage into a different
+    // container, which byte-level or single-container dedup can never
+    // match. The routed videoFrameHashes must hash both containers to
+    // identical frame dHashes for the cluster to form; the brute-force
+    // oracle is container-blind by construction.
+    GraftQuery("q_mixed_video_neardup",
+      (s, dir) => {
+        val (cached, pairs) = Multimodal.videoNearDupPairs(
+          Multimodal.mixedVideoNearFixtures(t(s, dir, "documents"), "doc_id"))
+        drained(s, cached, pairs)
+      },
+      Some(Extensions.mixedVideoDhashOracle(
+        """, fp AS (SELECT a.doc_id AS va, b2.doc_id AS vb,
+          |    a.f AS fa, b2.f AS fb,
           |    list_sum(list_transform(range(8), k ->
           |      bit_count(xor(a.b[k+1], b2.b[k+1])))) AS ham
           |  FROM bh a JOIN bh b2 ON a.doc_id < b2.doc_id

@@ -1,9 +1,7 @@
 package graft.multimodal
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Mp4 box walk: all three size encodings, v0/v1 mvhd, rejection. */
-class Mp4Spec extends AnyFunSuite {
+class Mp4Spec extends graft.SparkSpec {
 
   private def be32(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
@@ -124,5 +122,60 @@ class Mp4Spec extends AnyFunSuite {
     // direct function check without a Spark job: the Dataset op is a thin
     // mapPartitions over Mp4.parse, exercised end-to-end by q_mp4_meta
     assert(Mp4.parse(Multimodal.MediaFixtures.payload(0L)).isEmpty) // a PNG
+  }
+
+  test("mjpeg clips: chunk-offset sample location + full T.81 frame decode") {
+    for (id <- 0L until 12L) {
+      val clip = Multimodal.mjpegFixture(id)
+      val t = Mp4.parseSamples(clip)
+        .getOrElse(fail(s"mjpeg clip $id did not parse"))
+      assert(t.codec === "jpeg")
+      assert(t.sampleCount === Multimodal.MjpegFrames.toLong)
+      val offs = t.sampleOffsets
+      assert(offs.length === Multimodal.MjpegFrames)
+      // every located sample is a complete JPEG that decodes to the
+      // exact closed-form pixels of its mjpegJid fixture id
+      offs.zipWithIndex.foreach { case ((off, len), f) =>
+        val payload = java.util.Arrays.copyOfRange(clip, off.toInt,
+          (off + len).toInt)
+        assert((payload(0) & 0xff) === 0xff && (payload(1) & 0xff) === 0xd8,
+          s"sample $f of clip $id is not a JPEG stream")
+        val img = JpegCodec.decode(payload)
+          .getOrElse(fail(s"sample $f of clip $id did not decode"))
+        assert(img.width === 16 && img.height === 16)
+        // timestamps: uniform 100-tick run at timescale 1000
+        assert(t.dtsOf(f.toLong) * 1000L / t.mediaTimescale === f * 100L)
+      }
+    }
+  }
+
+  test("sampleOffsets rejects inconsistent chunk tables instead of throwing") {
+    val clip = Multimodal.mjpegFixture(3L)
+    val t = Mp4.parseSamples(clip).get
+    // samples_per_chunk = 0 is structural lying
+    assert(t.copy(stsc = Vector((1L, 0L))).sampleOffsets === Vector.empty)
+    // missing chunk table
+    assert(t.copy(chunkOffsets = Vector.empty).sampleOffsets === Vector.empty)
+    // too few chunks to cover the sample count
+    assert(t.copy(stsc = Vector((1L, 1L))).sampleOffsets === Vector.empty)
+  }
+
+  test("mixed-container twins hash frame-identical across MP4 and GIF") {
+    // member 0 (MJPEG) and member 1 (GIF) of one group differ only by
+    // member 1's DC bump on one block of one frame: their OTHER frames
+    // must produce byte-identical dHashes through two different codecs
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(8L, Multimodal.mixedVideoNearFixture(8L)),   // MJPEG
+      MediaRecord(9L, Multimodal.mixedVideoNearFixture(9L))))  // GIF
+    val rows = Multimodal.videoFrameHashes(ds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(byDoc(8L).length === 3 && byDoc(9L).length === 3)
+    // member 1 edits frame 1 % 3 = 1; frames 0 and 2 are pixel-identical
+    assert(byDoc(8L)(0) === byDoc(9L)(0))
+    assert(byDoc(8L)(2) === byDoc(9L)(2))
+    val editedHamming = java.lang.Long.bitCount(byDoc(8L)(1) ^ byDoc(9L)(1))
+    assert(editedHamming <= 3, s"edited-frame hamming $editedHamming > 3")
   }
 }
