@@ -130,6 +130,38 @@ object Scratch {
       }
     }
 
+    if (args.contains("watchprof")) {
+      // File-watcher ladder (r9 verdict #7): the directory-watching
+      // .warc.zst capstone's per-fold cost must track the BATCH (the
+      // newly-landed files), not the directory. Three ladder points
+      // pre-populate+fold 20 / 200 / 600 archives (1x/10x/30x), then
+      // land the SAME 20-archive wave (ids 605-624, disjoint from every
+      // prefill) and time just that wave's fold.
+      import org.apache.spark.sql.functions.col
+      val arcs = graft.multimodal.Archives.warcZstFixtures(
+          Tables.t(spark, dir, "documents"), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"WATCHPROF total archives: ${arcs.count()}")
+      for ((pre, tag) <- Seq((20, "x1"), (200, "x10"), (600, "x30"))) {
+        val root = s"/tmp/graft_watchprof/$tag"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val inDir = s"$root/in"
+        graft.multimodal.ArchiveFiles.writeDir(
+          arcs.where(col("archive_id") < pre), inDir, ".warc.zst")
+        val q = graft.streaming.StreamingCorpusClean.attachWarcZstFiles(
+          spark, inDir, s"$root/state", s"$root/ckpt")
+        try {
+          time(s"watchprof $tag prefill($pre)")(q.processAllAvailable())
+          graft.multimodal.ArchiveFiles.writeDir(
+            arcs.where(col("archive_id") >= 605), inDir, ".warc.zst")
+          time(s"watchprof $tag wave(20)")(q.processAllAvailable())
+        } finally q.stop()
+      }
+      arcs.unpersist()
+    }
+
     if (args.contains("erprof")) {
       // Fold-cost isolation for the streaming-ER storage designs (r8
       // verdict #4): seed a SYNTHETIC large assignment (N members, all
