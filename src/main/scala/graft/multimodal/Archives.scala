@@ -713,6 +713,13 @@ object Archives {
   def tgzFixtures(docs: DataFrame, idCol: String, textCol: String): Dataset[ArchiveRecord] =
     grouped(docs, idCol, textCol)(ms => Gzip.gzipStored(tarFixture(ms)))
 
+  /** `.tar.gz` of the LONG-NAME tar fixture: GNU/PAX meta chains through
+    * the gzip layer — the decompressed-stream offsets now count the meta
+    * blocks, which the oracle pins (member = 512 meta header + 512 meta
+    * payload + 512 real header + padded payload). */
+  def tgzLongFixtures(docs: DataFrame, idCol: String, textCol: String): Dataset[ArchiveRecord] =
+    grouped(docs, idCol, textCol)(ms => Gzip.gzipStored(tarLongFixture(ms)))
+
   /** `.tar.gz` explode: the real gzip decode (CRC/ISIZE-verified, bombs
     * rejected — [[Gzip.gunzip]]) composed with the checksum-verified tar
     * walk. Offsets are within the DECOMPRESSED stream — the coordinate

@@ -127,6 +127,7 @@ object Mp4 {
     def sampleOffsets: Vector[(Long, Long)] = {
       if (stsc.isEmpty || chunkOffsets.isEmpty || sampleCount <= 0 ||
           sampleCount > (1 << 22)) return Vector.empty
+      if (stsc.head._1 != 1) return Vector.empty // §8.7.4: runs start at chunk 1
       if (uniformSize <= 0 && sizes.length < sampleCount) return Vector.empty
       val out = Vector.newBuilder[(Long, Long)]
       var sample = 0

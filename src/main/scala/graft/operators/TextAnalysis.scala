@@ -371,6 +371,25 @@ object TextAnalysis {
       rounds: Int): DataFrame =
     bpeTrain(docs, idCol, textCol, rounds)._1
 
+  /** BYTE-level BPE trainer (the GPT-2 family's shape): the base
+    * alphabet is the word's UTF-8 BYTES, each carried as its 2-hex-char
+    * symbol, so a multibyte character starts life as several symbols and
+    * frequent sequences — including whole multibyte characters — are
+    * re-joined by merges. This is what makes the tokenizer
+    * vocabulary-complete over ANY text with no unknown-token escape,
+    * which is why multilingual tokenizers train at byte level. Same
+    * declarative loop as [[bpeMerges]]; only the initial segmentation
+    * differs. */
+  def bpeMergesBytes(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame =
+    bpeTrain(docs, idCol, textCol, rounds, byteLevel = true)._1
+
+  /** Byte-level train→apply twin of [[bpeEncode]]. */
+  def bpeEncodeBytes(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame =
+    bpeEncodeFrom(docs, idCol, textCol,
+      bpeTrain(docs, idCol, textCol, rounds, byteLevel = true)._2)
+
   /** BPE ENCODE: apply the `rounds`-merge tokenizer trained on this very
     * corpus to every document — the train→apply round trip. Output is
     * (doc_id, n_words, n_bpe_tokens): token counts under the learned
@@ -379,9 +398,13 @@ object TextAnalysis {
     * per-document re-segmentation — the reason real BPE encoders
     * precompute a word→pieces table. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    bpeEncodeFrom(docs, idCol, textCol,
+      bpeTrain(docs, idCol, textCol, rounds)._2)
+
+  private def bpeEncodeFrom(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
     val sep = "\u0001"
-    val vocab = bpeTrain(docs, idCol, textCol, rounds)._2
     val pieces = vocab.select(col("word"),
       size(split(expr("substring(wstr, 2, length(wstr) - 2)"), sep + sep))
         .cast("long").as("n_pieces"))
@@ -397,15 +420,22 @@ object TextAnalysis {
     * with ALL `rounds` merges applied). The final application stays LAZY:
     * bpeMerges never pays for it, bpeEncode consumes it once. */
   private def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
-      rounds: Int): (DataFrame, DataFrame) = {
+      rounds: Int, byteLevel: Boolean = false): (DataFrame, DataFrame) = {
     val sep = "\u0001"
+    // char level: one symbol per CODE POINT ('.': one rune in both
+    // engines); byte level: one symbol per UTF-8 BYTE, carried as its
+    // 2-hex-char pair (hex(encode(word)) — uppercase in Spark and
+    // DuckDB alike), so merges can re-join multibyte characters
+    val segCol =
+      if (byteLevel)
+        regexp_replace(expr("hex(encode(word, 'UTF-8'))"), "(..)",
+          s"$sep$$1$sep")
+      else regexp_replace(col("word"), "(.)", s"$sep$$1$sep")
     var vocab = docs
       .select(explode(expr(Dedup.wordsExpr(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .where(!col("word").contains(sep)) // vacuous on the ASCII corpus
-      .select(col("word"),
-        regexp_replace(col("word"), "(.)", s"$sep$$1$sep").as("wstr"),
-        col("freq"))
+      .select(col("word"), segCol.as("wstr"), col("freq"))
       .localCheckpoint(true)
     val mergeExpr = expr(
       """replace(wstr,

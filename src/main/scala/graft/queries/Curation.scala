@@ -27,8 +27,9 @@ object Curation extends QueryModule {
     * chr(1)-delimited segmentations, overlapping pair COUNTS, greedy
     * non-overlapping `replace` application, (cnt DESC, left, right)
     * argmax tiebreak. */
-  private[queries] def bpeMergesOracle(rounds: Int): String =
-    bpeChain(rounds, applyLast = false) + "\n" +
+  private[queries] def bpeMergesOracle(rounds: Int,
+      byteLevel: Boolean = false): String =
+    bpeChain(rounds, applyLast = false, byteLevel = byteLevel) + "\n" +
       (1 to rounds).map(r =>
         s"SELECT $r::BIGINT AS round, left_sym, right_sym, cnt FROM b$r")
         .mkString("\nUNION ALL\n")
@@ -38,8 +39,9 @@ object Curation extends QueryModule {
     * mirrors [[graft.operators.TextAnalysis.bpeEncode]]. `src`/`prelude`
     * retarget the chain at a derived corpus CTE (the UTF-8 variant). */
   private[queries] def bpeEncodeOracle(rounds: Int,
-      src: String = "documents", prelude: String = ""): String =
-    bpeChain(rounds, applyLast = true, src, prelude) + s""",
+      src: String = "documents", prelude: String = "",
+      byteLevel: Boolean = false): String =
+    bpeChain(rounds, applyLast = true, src, prelude, byteLevel) + s""",
       |enc AS (SELECT word,
       |    len(string_split(substr(wstr, 2, length(wstr) - 2),
       |        chr(1) || chr(1)))::BIGINT AS n
@@ -54,7 +56,16 @@ object Curation extends QueryModule {
     * (yielding v_{rounds+1}, the vocabulary encode uses). `prelude` (a
     * complete `name AS (...),` fragment) injects the CTE `src` reads. */
   private def bpeChain(rounds: Int, applyLast: Boolean,
-      src: String = "documents", prelude: String = ""): String = {
+      src: String = "documents", prelude: String = "",
+      byteLevel: Boolean = false): String = {
+    // char level: one symbol per code point; byte level: one symbol per
+    // UTF-8 byte as its 2-hex-char pair (hex(encode(word)) — uppercase
+    // in DuckDB and Spark alike)
+    val seg =
+      if (byteLevel)
+        "regexp_replace(hex(encode(word)), '(..)', chr(1) || '\\1' || chr(1), 'g')"
+      else
+        "regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g')"
     val sb = new StringBuilder
     sb.append(
       s"""WITH ${prelude}u AS (
@@ -64,7 +75,7 @@ object Curation extends QueryModule {
         |wf AS (SELECT word, count(*)::BIGINT AS freq FROM u GROUP BY 1),
         |v1 AS MATERIALIZED (
         |  SELECT word,
-        |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g')
+        |    $seg
         |    AS wstr, freq FROM wf)""".stripMargin)
     for (r <- 1 to rounds) {
       sb.append(s""",
@@ -544,6 +555,36 @@ object Curation extends QueryModule {
         "doc_id", "text", rounds = 6),
       Some(Curation.bpeEncodeOracle(6, src = "docs8",
         prelude = s"docs8 AS (${graft.operators.Utf8Corpus.oracleCte}),\n"))),
+
+    // ---- BYTE-level BPE (the GPT-2 family's base alphabet): symbols
+    //      are UTF-8 bytes carried as 2-hex-char pairs, so the trained
+    //      vocabulary is complete over ANY text with no unknown-token
+    //      escape — the reason multilingual tokenizers train at byte
+    //      level. Same declarative loop, same generated oracle chain,
+    //      different initial segmentation. ----
+    GraftQuery("q_bpe_bytes_merges_n",
+      (s, dir) => graft.operators.TextAnalysis.bpeMergesBytes(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 6),
+      Some(Curation.bpeMergesOracle(6, byteLevel = true))),
+
+    GraftQuery("q_bpe_bytes_encode",
+      (s, dir) => graft.operators.TextAnalysis.bpeEncodeBytes(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 6),
+      Some(Curation.bpeEncodeOracle(6, byteLevel = true))),
+
+    // ---- byte-level BPE over the MULTIBYTE corpus — where byte level
+    //      actually differs from char level: a CJK char or emoji starts
+    //      life as 3-4 byte symbols and merges must re-join it; both
+    //      engines segment on hex(encode(word)) so a byte-order or
+    //      splitting slip diverges by round 2 ----
+    GraftQuery("q_utf8_bpe_bytes_encode",
+      (s, dir) => graft.operators.TextAnalysis.bpeEncodeBytes(
+        graft.operators.Utf8Corpus.decorate(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "text", rounds = 6),
+      Some(Curation.bpeEncodeOracle(6, src = "docs8",
+        prelude = s"docs8 AS (${graft.operators.Utf8Corpus.oracleCte}),\n",
+        byteLevel = true))),
 
     // ---- KMV rollup: per-nation distinct-customer sketches UNION-merged
     //      up to region level — the OLAP point of a mergeable sketch:

@@ -1898,6 +1898,26 @@ object Extensions extends QueryModule {
              |  octet_length(encode(text))::BIGINT AS uncomp_size
              |FROM documents""".stripMargin)),
 
+    // The SAME metadata scan over ZIP64 archives: every 32-bit CD field
+    // is an 0xFFFFFFFF placeholder on the wire, so this query passes
+    // ONLY if the parser resolves sizes/offsets through the 0x0001
+    // extended-info extra fields and the ZIP64 EOCD record — the oracle
+    // is q_zip_meta's, verbatim: placeholder resolution must be
+    // metadata-invisible.
+    GraftQuery("q_zip64_meta",
+      (s, dir) => graft.multimodal.Archives.zipMeta(
+        graft.multimodal.Archives.zip64Fixtures(
+          t(s, dir, "documents"), "doc_id", "text")),
+      Some("""SELECT doc_id // 8 AS archive_id,
+             |  'doc-' || doc_id || '.txt' AS name,
+             |  (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8 END)::BIGINT AS method,
+             |  (CASE WHEN doc_id % 2 = 0 THEN octet_length(encode(text))
+             |        ELSE octet_length(encode(text))
+             |          + 5 * greatest(1, (octet_length(encode(text)) + 65534) // 65535)
+             |   END)::BIGINT AS comp_size,
+             |  octet_length(encode(text))::BIGINT AS uncomp_size
+             |FROM documents""".stripMargin)),
+
     // ZIP member explode: central-directory-driven local-header reads,
     // STORED copy or raw Inflater DEFLATE, CRC-32 verified per member —
     // the archive → documents ingestion step. Byte-identity oracle: the
@@ -1930,6 +1950,25 @@ object Extensions extends QueryModule {
         graft.multimodal.Archives.tgzFixtures(
           t(s, dir, "documents"), "doc_id", "text")),
       Some(Extensions.tarMembersOracle)),
+
+    // Long-name members through the gzip layer: the decompressed-stream
+    // offsets now count the GNU/PAX meta blocks (512 meta header + 512
+    // meta payload before every real header), and the oracle's prefix
+    // sum pins exactly that arithmetic — a walk that skipped or
+    // mis-sized a meta member shifts every subsequent offset.
+    GraftQuery("q_tgz_longname_members",
+      (s, dir) => graft.multimodal.Archives.tgzExplode(
+        graft.multimodal.Archives.tgzLongFixtures(
+          t(s, dir, "documents"), "doc_id", "text")),
+      Some("""WITH m AS (SELECT doc_id, doc_id // 8 AS aid,
+             |    octet_length(encode(text))::BIGINT AS n, text FROM documents)
+             |SELECT doc_id,
+             |  COALESCE(sum(1536 + 512 * ((n + 511) // 512))
+             |    OVER (PARTITION BY aid ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0)::BIGINT AS member_offset,
+             |  text
+             |FROM m""".stripMargin)),
 
     // .warc.gz record split — the Common Crawl shape: one gzip member per
     // WARC record, members concatenated. The splitter must recover MEMBER

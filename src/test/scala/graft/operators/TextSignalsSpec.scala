@@ -120,4 +120,30 @@ class TextSignalsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(enc2 === Seq((1L, 2L, 2L)))
   }
+
+  test("bpeMergesBytes: byte-level symbols re-join a multibyte character") {
+    import spark.implicits._
+    // word "é" (U+00E9) is UTF-8 bytes C3 A9 — at byte level it starts
+    // as TWO hex-pair symbols; with "éé" x2 the top pair is (C3, A9)
+    // (count 2 words x 2 occurrences... per word "éé": symbols
+    // C3 A9 C3 A9 → pairs (C3,A9)x2, (A9,C3)x1; freq 2 → counts 4, 2)
+    val docs = Seq((1L, "\u00e9\u00e9 \u00e9\u00e9")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bpeMergesBytes(docs, "doc_id", "text", rounds = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "C3", "A9", 4L),      // the multibyte char re-joined
+      (2L, "C3A9", "C3A9", 2L))) // then the full 2-char word
+    // encode: after 2 rounds "éé" is ONE piece per word
+    val enc = graft.operators.TextAnalysis
+      .bpeEncodeBytes(docs, "doc_id", "text", rounds = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(enc === Seq((1L, 2L, 2L)))
+    // at CHAR level round 1 already merges the two-codepoint word —
+    // byte level needs the extra round, which is exactly the difference
+    val charEnc = graft.operators.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", rounds = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(charEnc === Seq((1L, 2L, 2L)))
+  }
 }
