@@ -114,6 +114,61 @@ object Curation extends QueryModule {
     * native `shingle_hashes` kernel and the q_ngram_jaccard oracle). */
   private def dH60raw(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** Generated batch-perceptron oracle chain (mirrors
+    * [[graft.operators.Perceptron.train]] construct for construct):
+    * hashed-bag features + bias row, stopword-ratio weak labels, then
+    * per round r: margins under w_{r-1}, integer weight deltas over the
+    * `y*m <= 0` set, w_r. Every w_r is referenced twice (m_{r+1} and
+    * w_{r+1}) — MATERIALIZED, or DuckDB's per-reference inlining goes
+    * exponential. Returns the chain up to `w{rounds}`; callers append
+    * the final SELECT. */
+  private def perceptronChain(d: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH u AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    w -> w <> '')) AS word FROM documents),
+         |lab AS MATERIALIZED (SELECT doc_id,
+         |    (CASE WHEN 10 * sum(CASE WHEN word IN
+         |        ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END)
+         |      >= count(*) THEN 1 ELSE -1 END)::BIGINT AS y
+         |  FROM u GROUP BY 1),
+         |feat AS MATERIALIZED (
+         |  SELECT b.doc_id, b.j, b.x, l.y
+         |  FROM (SELECT doc_id, ${dH60raw("word")} % $d AS j,
+         |          count(*)::BIGINT AS x
+         |        FROM u GROUP BY 1, 2) b JOIN lab l USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, $d::BIGINT, 1::BIGINT, y FROM lab),
+         |w0 AS MATERIALIZED (
+         |  SELECT range::BIGINT AS j, 0::BIGINT AS w FROM range(${d + 1}))"""
+        .stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+         |m$r AS MATERIALIZED (SELECT f.doc_id, f.y, sum(f.x * w.w)::BIGINT AS m
+         |  FROM feat f JOIN w${r - 1} w USING (j) GROUP BY 1, 2),
+         |u$r AS MATERIALIZED (SELECT f.j, sum(f.y * f.x)::BIGINT AS dw
+         |  FROM feat f JOIN m$r m ON f.doc_id = m.doc_id
+         |  WHERE m.y * m.m <= 0 GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT w.j, (w.w + COALESCE(u.dw, 0))::BIGINT AS w
+         |  FROM w${r - 1} w LEFT JOIN u$r u USING (j))""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Full weight trajectory `(round, j, w)`. */
+  private[queries] def perceptronTrajOracle(d: Int, rounds: Int): String =
+    perceptronChain(d, rounds) + "\n" +
+      (1 to rounds).map(r =>
+        s"SELECT $r::BIGINT AS round, j, w FROM w$r").mkString("\nUNION ALL\n")
+
+  /** Per-document predictions under the final weights. */
+  private[queries] def perceptronPredictOracle(d: Int, rounds: Int): String =
+    perceptronChain(d, rounds) + s"""
+      |SELECT f.doc_id, f.y AS y, sum(f.x * w.w)::BIGINT AS margin,
+      |  (CASE WHEN sum(f.x * w.w) > 0 THEN 1 ELSE -1 END)::BIGINT AS pred
+      |FROM feat f JOIN w$rounds w USING (j) GROUP BY 1, 2""".stripMargin
+
   /** Shared DuckDB CTE prefix: per-(lang, doc) distinct shingle hashes,
     * exploded — the input relation for the KMV sketches. */
   private def duckShingleHashes(where: String) =
@@ -788,5 +843,22 @@ object Curation extends QueryModule {
              |SELECT contained_id, container_id,
              |  round(cnt / CAST(sa.n AS DOUBLE), 4) AS containment
              |FROM c JOIN sz sa ON sa.doc_id = contained_id
-             |WHERE round(cnt / CAST(sa.n AS DOUBLE), 4) >= 0.5""".stripMargin)))
+             |WHERE round(cnt / CAST(sa.n AS DOUBLE), 4) >= 0.5""".stripMargin)),
+
+    // ---- TRAINED quality classifier: batch perceptron over hashed
+    //      bag-of-words + bias, weak-labeled by the stopword-density
+    //      rule — the CCNet/GPT-3 "train a cheap linear filter, score
+    //      the crawl" step, integer-exact so the full weight TRAJECTORY
+    //      hash-matches an unrolled 4-round CTE chain ----
+    GraftQuery("q_perceptron_train",
+      (s, dir) => graft.operators.Perceptron.train(
+        t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)._1,
+      Some(Curation.perceptronTrajOracle(32, 4))),
+
+    //      ... and every document scored under the final weights — the
+    //      model is 33 longs broadcast by value; the data never moves
+    GraftQuery("q_perceptron_predict",
+      (s, dir) => graft.operators.Perceptron.train(
+        t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)._2,
+      Some(Curation.perceptronPredictOracle(32, 4))))
 }
