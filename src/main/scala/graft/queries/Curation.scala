@@ -860,5 +860,58 @@ object Curation extends QueryModule {
     GraftQuery("q_perceptron_predict",
       (s, dir) => graft.operators.Perceptron.train(
         t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)._2,
-      Some(Curation.perceptronPredictOracle(32, 4))))
+      Some(Curation.perceptronPredictOracle(32, 4))),
+
+    // ---- CCNet-style perplexity filter: stupid-backoff bigram LM
+    //      trained on the even-doc_id half, scoring the held-out odd
+    //      half in integer micro-nats (floor(1e6*ln S) per position, so
+    //      per-doc sums are order-independent BIGINTs — the one ln() is
+    //      fed a single correctly-rounded integer division) ----
+    GraftQuery("q_lm_perplexity",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.LanguageModel.perplexity(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      },
+      Some("""WITH tr AS (SELECT list_filter(string_split(text,' '), w -> w <> '') AS words
+             |            FROM documents WHERE doc_id % 2 = 0),
+             |trt AS (SELECT unnest(list_transform(range(len(words)),
+             |          i -> struct_pack(word := words[i+1],
+             |                           prev := CASE WHEN i >= 1 THEN words[i] END))) AS s
+             |        FROM tr),
+             |trtok AS (SELECT s.word AS word, s.prev AS prev FROM trt),
+             |uni AS MATERIALIZED (SELECT word, count(*)::BIGINT AS c1 FROM trtok GROUP BY 1),
+             |big AS MATERIALIZED (SELECT prev, word, count(*)::BIGINT AS c12
+             |       FROM trtok WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |st AS (SELECT sum(c1)::BIGINT AS n_total, count(*)::BIGINT AS v FROM uni),
+             |sc AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS words
+             |       FROM documents WHERE doc_id % 2 = 1),
+             |sct AS (SELECT doc_id, unnest(list_transform(range(len(words)),
+             |          i -> struct_pack(word := words[i+1],
+             |                           prev := CASE WHEN i >= 1 THEN words[i] END))) AS s
+             |        FROM sc),
+             |sctok AS (SELECT doc_id, s.word AS word, s.prev AS prev FROM sct),
+             |j AS (SELECT t.doc_id, t.prev, u.c1, up.c1 AS c1prev, b.c12,
+             |             st.n_total, st.v
+             |      FROM sctok t
+             |      LEFT JOIN uni u ON t.word = u.word
+             |      LEFT JOIN uni up ON t.prev = up.word
+             |      LEFT JOIN big b ON t.prev = b.prev AND t.word = b.word
+             |      CROSS JOIN st),
+             |p AS (SELECT doc_id,
+             |        (prev IS NOT NULL AND c12 IS NULL)::BIGINT AS is_backoff,
+             |        floor(1e6 * ln(
+             |          CASE WHEN prev IS NULL
+             |               THEN (COALESCE(c1,0)+1)::DOUBLE / (n_total + v + 1)::DOUBLE
+             |               WHEN c12 IS NOT NULL THEN c12::DOUBLE / c1prev::DOUBLE
+             |               ELSE (2*(COALESCE(c1,0)+1))::DOUBLE
+             |                 / (5*(n_total + v + 1))::DOUBLE
+             |          END))::BIGINT AS score_micro
+             |      FROM j)
+             |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             |  sum(is_backoff)::BIGINT AS n_backoff,
+             |  (-sum(score_micro))::BIGINT AS nll_micro,
+             |  ((-sum(score_micro)) // count(*))::BIGINT AS ppl_micro
+             |FROM p GROUP BY 1""".stripMargin)))
 }
