@@ -70,4 +70,52 @@ object Spans {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_spans"), min(col("gram")).as("first_span"))
   }
+
+  /** Repeated-span REMOVAL — the rewrite step of Lee et al.'s
+    * ExactSubstr dedup, word-level: every word position covered by a
+    * `w`-gram whose corpus occurrence count (same-doc repeats included)
+    * reaches `minCount` is dropped; survivors are reassembled in
+    * position order. Output `(doc_id, n_words, n_removed, clean_text)`
+    * — every doc appears, fully-scrubbed ones with `clean_text = ''`.
+    *
+    * Unlike [[sharedSpans]] this never PAIRS occurrences, so there is no
+    * df² blowup and no hot-gram cap: the duplicated-hash set is one row
+    * per gram, coverage is `w ×` occurrences (linear), and the
+    * position-level anti join is a shuffled equi-join on (doc, pos).
+    * Reassembly is the order-preserving collect_list(struct(pos, word))
+    * → sort_array → array_join idiom — per-document state only, bounded
+    * by the row-size cap like every text column here. Join key is the
+    * 60-bit md5 gram hash (8-byte shuffle rows; a collision would alter
+    * both engines identically).
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, minCount: Long = 2L): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), expr(Dedup.wordsExpr(textCol)).as("words"))
+    val occ = base.where(expr(s"size(words) >= $w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(words) - $w),
+           |  i -> named_struct('i', i,
+           |    'h', ${Dedup.h60raw(s"array_join(slice(words, i + 1, $w), ' ')")}))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select(col("h"))
+    val covered = occ.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("p", "word")))
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(p, word))), x -> x.word)"),
+          " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("words")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

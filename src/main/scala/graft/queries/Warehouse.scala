@@ -294,6 +294,41 @@ object Warehouse extends QueryModule {
              |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
              |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- repeated-span REMOVAL (Lee et al. ExactSubstr, word-level):
+    // drop every position covered by an 8-gram occurring >= 2 times
+    // corpus-wide, reassemble survivors in order — the rewrite step
+    // that detection-only q_span_dedup stops short of; linear (never
+    // pairs occurrences), so no hot-gram cap needed ----
+    GraftQuery("q_span_removal",
+      (s, dir) => graft.operators.Spans.removeRepeatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", w = 8),
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), w -> w <> '') AS words
+             |  FROM documents),
+             |occ0 AS (SELECT doc_id, unnest(list_transform(range(len(words)-7),
+             |    i -> struct_pack(i := i,
+             |      h := ('0x'||substr(md5(
+             |        list_aggregate(words[i+1:i+8],'string_agg',' ')),1,15))::BIGINT)))
+             |    AS g
+             |  FROM d WHERE len(words) >= 8),
+             |occ AS (SELECT doc_id, g.i AS i, g.h AS h FROM occ0),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT doc_id, p FROM
+             |    (SELECT doc_id, unnest(range(i, i+8)) AS p FROM occ
+             |     WHERE h IN (SELECT h FROM dup))),
+             |tok0 AS (SELECT doc_id, unnest(list_transform(range(len(words)),
+             |    j -> struct_pack(p := j, word := words[j+1]))) AS t FROM d),
+             |tok AS (SELECT doc_id, t.p AS p, t.word AS word FROM tok0),
+             |kept AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             |    string_agg(word, ' ' ORDER BY p) AS clean_text
+             |  FROM tok WHERE NOT EXISTS
+             |    (SELECT 1 FROM cov WHERE cov.doc_id = tok.doc_id AND cov.p = tok.p)
+             |  GROUP BY 1)
+             |SELECT d.doc_id, len(words)::BIGINT AS n_words,
+             |  (len(words) - COALESCE(n_kept, 0))::BIGINT AS n_removed,
+             |  COALESCE(clean_text, '') AS clean_text
+             |FROM d LEFT JOIN kept USING (doc_id)""".stripMargin)),
+
     // ---- column profiling: one-pass stats over orders ----
     GraftQuery("q_profile",
       (s, dir) => graft.operators.Profiler.profile(t(s, dir, "orders"),
