@@ -210,7 +210,8 @@ object ArchiveFiles {
         if (ByteIo.le32u(loc, 4) != 0 || ByteIo.le32u(loc, 16) != 1)
           return None
         val z64 = ByteIo.le64(loc, 8)
-        if (z64 < 0 || z64 + 56 > eocdAbs - 20) return None
+        // subtraction form: z64 + 56 overflows for hostile offsets
+        if (z64 < 0 || z64 > eocdAbs - 76) return None
         val rec = new Array[Byte](56)
         in.readFully(z64, rec, 0, 56)
         if (ByteIo.le32u(rec, 0) != 0x06064b50L) return None
@@ -220,11 +221,11 @@ object ArchiveFiles {
         if (entries != ByteIo.le64(rec, 32)) return None
         cdSize = ByteIo.le64(rec, 40)
         cdOff = ByteIo.le64(rec, 48)
-        if (entries < 0 || cdSize < 0 || cdOff < 0 || cdOff + cdSize > z64)
-          return None
+        if (entries < 0 || cdSize < 0 || cdOff < 0 || cdSize > z64 ||
+            cdOff > z64 - cdSize) return None // overflow-safe sum guard
       }
     }
-    if (cdSize > (64 << 20) || cdOff + cdSize > eocdAbs) return None
+    if (cdSize > (64 << 20) || cdOff > eocdAbs - cdSize) return None
     val cd =
       if (cdOff >= tailStart && cdOff + cdSize <= fileLen) // inside the tail
         java.util.Arrays.copyOfRange(tail, (cdOff - tailStart).toInt,
@@ -299,7 +300,7 @@ object ArchiveFiles {
               if (off + 512 > fileLen) { done = true; chain = false }
               else {
                 val (b, i) = win.view(off, 512)
-                tarHeader(b, i) match {
+                Archives.tarRawHeader(b, i) match {
                   // same member-size cap as the row-based
                   // Archives.tarMembers walk, so no indexed boundary can
                   // exceed what the serve pass will materialize — the
@@ -308,9 +309,14 @@ object ArchiveFiles {
                       if size <= Gzip.MaxDecodedBytes.toLong =>
                     val mlen = 512L + ((size + 511) / 512) * 512
                     if (off + mlen > fileLen) { done = true; chain = false }
-                    else if ((tf == 'L' || tf == 'x' || tf == 'g') &&
-                        metas < 8) {
-                      off += mlen; metas += 1
+                    else if (tf == 'L' || tf == 'x' || tf == 'g') {
+                      // >8-meta chain = structural violation, same rule
+                      // as the row-based tarLogicalMember (metas <= 8
+                      // loop guard): STOP the walk — emitting the 9th
+                      // meta as a bogus terminal boundary would make
+                      // the twins diverge on the same input
+                      if (metas < 8) { off += mlen; metas += 1 }
+                      else { done = true; chain = false }
                     } else {
                       out += MemberBoundary(path, start, off + mlen - start)
                       off += mlen
@@ -383,48 +389,6 @@ object ArchiveFiles {
     } catch { case scala.util.control.NonFatal(_) => () }
     finally in.close()
     out.result()
-  }
-
-  /** ustar header parse at `b(i)`: Some((name, size, typeflag)) for a
-    * checksummed header, None otherwise. Mirrors [[Archives.tarMembers]]
-    * field arithmetic; the typeflag is what lets the boundary walk keep
-    * GNU/PAX meta members inside their logical member's extent. */
-  private def tarHeader(b: Array[Byte], i: Int): Option[(String, Long, Byte)] = {
-    var allZero = true
-    var k = 0
-    while (allZero && k < 512) { if (b(i + k) != 0) allZero = false; k += 1 }
-    if (allZero) return None
-    val magicOk = b(i + 257) == 'u' && b(i + 258) == 's' &&
-      b(i + 259) == 't' && b(i + 260) == 'a' && b(i + 261) == 'r'
-    if (!magicOk) return None
-    var sum = 0L
-    k = 0
-    while (k < 512) {
-      sum += (if (k >= 148 && k < 156) ' '.toLong else (b(i + k) & 0xff).toLong)
-      k += 1
-    }
-    val stored = octalAt(b, i + 148, 8)
-    val size = octalAt(b, i + 124, 12)
-    if (!stored.contains(sum) || size.isEmpty) return None
-    var end = i
-    while (end < i + 100 && b(end) != 0) end += 1
-    Some((new String(b, i, end - i, java.nio.charset.StandardCharsets.UTF_8),
-      size.get, b(i + 156)))
-  }
-
-  private def octalAt(b: Array[Byte], off: Int, len: Int): Option[Long] = {
-    var v = 0L
-    var seen = false
-    var i = off
-    while (i < off + len) {
-      val c = b(i) & 0xff
-      if (c >= '0' && c <= '7') {
-        v = v * 8 + (c - '0'); seen = true
-        if (v > (1L << 40)) return None
-      } else if (c != ' ' && c != 0) return None
-      i += 1
-    }
-    if (seen) Some(v) else None
   }
 
   /** Index pass: one streaming task per file; returns `(path,

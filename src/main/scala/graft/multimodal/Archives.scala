@@ -274,7 +274,9 @@ object Archives {
       if (ByteIo.le32u(b, loc + 4) != 0 || ByteIo.le32u(b, loc + 16) != 1)
         return None
       val z64 = ByteIo.le64(b, loc + 8)
-      if (z64 < 0 || z64 + 56 > loc) return None
+      // subtraction form: z64 + 56 overflows for hostile near-MaxValue
+      // offsets and would wrap past the guard into a throwing toInt
+      if (z64 < 0 || z64 > loc - 56) return None
       val zo = z64.toInt
       if (ByteIo.le32u(b, zo) != 0x06064b50L) return None
       if (ByteIo.le32u(b, zo + 16) != 0 || ByteIo.le32u(b, zo + 20) != 0)
@@ -283,8 +285,8 @@ object Archives {
       if (entries != ByteIo.le64(b, zo + 32)) return None
       cdSize = ByteIo.le64(b, zo + 40)
       cdOff = ByteIo.le64(b, zo + 48)
-      if (entries < 0 || cdSize < 0 || cdOff < 0 || cdOff + cdSize > zo)
-        return None
+      if (entries < 0 || cdSize < 0 || cdOff < 0 || cdSize > zo ||
+          cdOff > zo - cdSize) return None // overflow-safe cdOff+cdSize>zo
     } else if (cdOff + cdSize > eocd) return None
     if (cdOff + cdSize > b.length) return None
     val cd = java.util.Arrays.copyOfRange(b, cdOff.toInt,
@@ -554,8 +556,11 @@ object Archives {
 
   /** One raw checksum-verified header at `b(o)`: (name from the header's
     * own fields incl. the ustar `prefix`, payload size, typeflag), or
-    * None for the end-of-archive zero block / any structural violation. */
-  private def tarRawHeader(b: Array[Byte], o: Int): Option[(String, Long, Byte)] = {
+    * None for the end-of-archive zero block / any structural violation.
+    * Shared with [[ArchiveFiles]]'s boundary walk — like
+    * [[parseCentralDirectory]], ONE parser for both twins so tar-format
+    * fixes cannot drift between the row-based and file-backed paths. */
+  private[multimodal] def tarRawHeader(b: Array[Byte], o: Int): Option[(String, Long, Byte)] = {
     var allZero = true
     var i = 0
     while (allZero && i < 512) { if (b(o + i) != 0) allZero = false; i += 1 }

@@ -970,6 +970,24 @@ object Multimodal {
   def mjpegFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
     fixtureDs(docs, idCol)(mjpegFixture)
 
+  /** The locate-guard-decode step shared by [[mjpegFrameStats]] and
+    * [[videoFrameHashes]]: 'jpeg'-codec samples resolved through the
+    * chunk tables, range-checked in OVERFLOW-SAFE subtraction form (a
+    * hostile co64 offset near Long.MaxValue must drop — an `off + len`
+    * sum wraps negative, slips past the guard, and turns the contract's
+    * route-elsewhere into a throwing copyOfRange), then decoded through
+    * the full T.81 path. One fix site for both callers. */
+  private[multimodal] def mjpegSampleFrames(media: Array[Byte],
+      t: Mp4.Samples, maxFrames: Int): Seq[(Int, PngCodec.Image)] =
+    if (t.codec != "jpeg") Seq.empty
+    else t.sampleOffsets.take(maxFrames).zipWithIndex.flatMap {
+      case ((off, len), i) =>
+        if (off < 0 || len <= 0 || len > media.length ||
+            off > media.length - len) None
+        else JpegCodec.decode(java.util.Arrays.copyOfRange(
+          media, off.toInt, (off + len).toInt)).map(img => (i, img))
+    }
+
   /** REALLY-decoded MP4 frames: locate each sample through the parsed
     * chunk tables ([[Mp4.Samples.sampleOffsets]]), route 'jpeg'-codec
     * samples through the full T.81 decode, and emit exact per-frame
@@ -980,20 +998,15 @@ object Multimodal {
     import spark.implicits._
     ds.flatMap { r =>
       Mp4.parseSamples(r.media).toSeq.flatMap { t =>
-        if (t.codec != "jpeg") Seq.empty
-        else t.sampleOffsets.zipWithIndex.flatMap { case ((off, len), i) =>
-          if (off < 0 || len <= 0 || off + len > r.media.length) None
-          else JpegCodec.decode(java.util.Arrays.copyOfRange(
-              r.media, off.toInt, (off + len).toInt)).map { img =>
-            val sums = new Array[Long](3)
-            var j = 0
-            while (j < img.pixels.length) {
-              sums(j % 3) += img.pixels(j) & 0xff
-              j += 1
-            }
-            (r.doc_id, i.toLong, t.dtsOf(i.toLong) * 1000L / t.mediaTimescale,
-              img.width.toLong, img.height.toLong, sums(0), sums(1), sums(2))
+        mjpegSampleFrames(r.media, t, Int.MaxValue).map { case (i, img) =>
+          val sums = new Array[Long](3)
+          var j = 0
+          while (j < img.pixels.length) {
+            sums(j % 3) += img.pixels(j) & 0xff
+            j += 1
           }
+          (r.doc_id, i.toLong, t.dtsOf(i.toLong) * 1000L / t.mediaTimescale,
+            img.width.toLong, img.height.toLong, sums(0), sums(1), sums(2))
         }
       }
     }.toDF("doc_id", "frame_idx", "t_ms", "width", "height",
@@ -1201,14 +1214,8 @@ object Multimodal {
         })
       if (gif.nonEmpty) gif
       else Mp4.parseSamples(r.media).toSeq.flatMap { t =>
-        if (t.codec != "jpeg") Seq.empty
-        else t.sampleOffsets.take(MaxVideoFrames.toInt).zipWithIndex
-          .flatMap { case ((off, len), i) =>
-            if (off < 0 || len <= 0 || off + len > r.media.length) None
-            else JpegCodec.decode(java.util.Arrays.copyOfRange(
-                r.media, off.toInt, (off + len).toInt))
-              .map(img => (r.doc_id, i.toLong, dhashOf(img)))
-          }
+        mjpegSampleFrames(r.media, t, MaxVideoFrames.toInt)
+          .map { case (i, img) => (r.doc_id, i.toLong, dhashOf(img)) }
       }
     }.toDF("doc_id", "frame", "dhash")
   }

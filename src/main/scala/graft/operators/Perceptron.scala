@@ -38,9 +38,10 @@ import org.apache.spark.sql.types._
   */
 object Perceptron {
 
-  /** Gopher-gate stopword list ([[TextAnalysis.gopherRules]]'s). */
-  val StopWords: Seq[String] =
-    Seq("the", "a", "of", "and", "is", "to", "in")
+  /** Gopher-gate stopword list — THE shared English list
+    * ([[TextAnalysis.stopwords]]), referenced rather than copied so the
+    * weak labels can never drift from the gate they complement. */
+  val StopWords: Seq[String] = TextAnalysis.stopwords.toMap.apply("en")
 
   /** Trains `rounds` batch-perceptron rounds over hashed bag-of-words
     * features and returns `(trajectory, predictions)`:

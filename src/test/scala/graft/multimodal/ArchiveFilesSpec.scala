@@ -231,6 +231,12 @@ class ArchiveFilesSpec extends SparkSpec {
     System.arraycopy(ByteIo.le64b(one.length.toLong), 0, bad, locOff + 8, 8)
     Files.write(Paths.get(dir, "archive-000000.zip"), bad)
     assert(ArchiveFiles.buildIndex(spark, dir, "zip").count() === 0)
+    // OVERFLOW-hostile twin of the row-based case: a record offset near
+    // Long.MaxValue wraps a sum-form bounds check; must drop, not throw
+    val huge = one.clone()
+    System.arraycopy(ByteIo.le64b(Long.MaxValue - 16), 0, huge, locOff + 8, 8)
+    Files.write(Paths.get(dir, "archive-000000.zip"), huge)
+    assert(ArchiveFiles.buildIndex(spark, dir, "zip").count() === 0)
   }
 
   test("long-name tar extents include their meta headers and serve full paths") {

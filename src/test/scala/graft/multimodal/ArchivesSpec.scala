@@ -120,6 +120,18 @@ class ArchivesSpec extends SparkSpec {
     val badExtra = good.clone()
     badExtra(cdOff + 46 + nameLen) = 0x42 // 0x0001 -> 0x0142
     assert(Archives.zipDirectory(badExtra) === None)
+    // OVERFLOW-hostile: record offset near Long.MaxValue — a sum-form
+    // bounds check (z64 + 56 > loc) wraps negative and slips through
+    // into a throwing toInt; the subtraction form must return None
+    val hugeOff = good.clone()
+    System.arraycopy(ByteIo.le64b(Long.MaxValue - 16), 0, hugeOff,
+      locOff + 8, 8)
+    assert(Archives.zipDirectory(hugeOff) === None)
+    // OVERFLOW-hostile: cdOff + cdSize each ~2^62 wraps the sum guard
+    val hugeCd = good.clone()
+    System.arraycopy(ByteIo.le64b(1L << 62), 0, hugeCd, z64 + 40, 8)
+    System.arraycopy(ByteIo.le64b(1L << 62), 0, hugeCd, z64 + 48, 8)
+    assert(Archives.zipDirectory(hugeCd) === None)
   }
 
   // ======================= long-name tar =======================

@@ -160,6 +160,20 @@ class Mp4Spec extends graft.SparkSpec {
     assert(t.copy(stsc = Vector((1L, 1L))).sampleOffsets === Vector.empty)
   }
 
+  test("hostile near-MaxValue sample offsets drop, never throw") {
+    // a co64 offset near Long.MaxValue: off + len wraps negative, so a
+    // sum-form guard passes and copyOfRange throws — the subtraction
+    // form in mjpegSampleFrames must route it to drop instead
+    val clip = Multimodal.mjpegFixture(3L)
+    val t = Mp4.parseSamples(clip).get
+    val huge = t.copy(chunkOffsets = t.chunkOffsets.map(_ =>
+      Long.MaxValue - 8))
+    assert(Multimodal.mjpegSampleFrames(clip, huge, Int.MaxValue) === Seq.empty)
+    // negative offset (wrapped upstream) drops too
+    val neg = t.copy(chunkOffsets = t.chunkOffsets.map(_ => -512L))
+    assert(Multimodal.mjpegSampleFrames(clip, neg, Int.MaxValue) === Seq.empty)
+  }
+
   test("mixed-container twins hash frame-identical across MP4 and GIF") {
     // member 0 (MJPEG) and member 1 (GIF) of one group differ only by
     // member 1's DC bump on one block of one frame: their OTHER frames
