@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MaxMatch (WordPiece-style) tokenizer: greedy longest-match
+  * segmentation — the WordPiece INFERENCE rule (pick the longest vocab
+  * piece at the cursor, advance, repeat) — trained by a
+  * vocabulary-budget prune loop, the shape of SentencePiece's shrink
+  * step under hard segmentation:
+  *
+  *  - seed vocabulary: every substring of every word TYPE up to
+  *    [[MaxPieceLen]] code points;
+  *  - round r: segment each word type by greedy longest-match under the
+  *    current vocabulary, count piece usage weighted by word frequency,
+  *    then keep all single-character pieces (coverage: segmentation can
+  *    never strand) plus the top-[[VocabBudget]] multi-character pieces
+  *    by (usage DESC, piece) — a deterministic total order, so the kept
+  *    SET is engine-independent;
+  *  - after `rounds` prune rounds, encode = one more segmentation under
+  *    the final vocabulary, surfaced as a word → piece-count table
+  *    (encode is a JOIN against word types, never per-document work —
+  *    same discipline as [[TextAnalysis.bpeEncode]]).
+  *
+  * This is deliberately NOT likelihood training (real WordPiece ranks
+  * merges by LM likelihood gain, SentencePiece runs EM): hard-count
+  * budget pruning keeps every quantity an exact integer, which is what
+  * lets the whole trajectory hash-match a DuckDB oracle cell-for-cell.
+  * All string indexing is CODE POINTS in both engines (verified for the
+  * multibyte corpus variant), so the tokenizer is UTF-8-clean including
+  * surrogate-pair emoji.
+  *
+  * Distribution shape (the 100 TB contract): every per-round relation is
+  * word-TYPE-sized, not corpus-sized — the corpus is scanned once for
+  * word frequencies and once (as a join) at encode. Segmentation steps
+  * are shuffled equi-joins of ≤[[MaxPieceLen]] candidate substrings per
+  * live cursor against the vocabulary (never broadcast by assumption —
+  * web-scale vocabularies are large; AQE may choose to), followed by a
+  * (word, pos) max — map-side combinable. The step count is the max
+  * word length (capped at [[MaxWordChars]]; longer "words" are
+  * boilerplate/URLs, dropped identically in both engines), and each
+  * step's state shrinks as words complete. Per-step results are
+  * persisted (each is read twice: next step + usage union) and released
+  * at round end; the vocabulary is localCheckpoint'ed per round since
+  * every step of the next round re-reads it.
+  */
+object MaxMatch {
+
+  /** Longest piece considered (code points). */
+  val MaxPieceLen = 4
+
+  /** Multi-character vocabulary budget kept per prune round. */
+  val VocabBudget = 24
+
+  /** Words longer than this are dropped (both engines, both outputs). */
+  val MaxWordChars = 16
+
+  /** Final vocabulary after `rounds` prune rounds:
+    * `(piece, piece_len, cnt)` where cnt is the piece's last-round
+    * usage (0 for never-chosen single-char pieces). */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 2): DataFrame =
+    core(docs, idCol, textCol, rounds)._1
+
+  /** Per-document token counts under the trained vocabulary:
+    * `(doc_id, n_words, n_tokens)` — the train→apply round trip. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 2): DataFrame =
+    core(docs, idCol, textCol, rounds)._2
+
+  private def core(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    val words = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(expr(Dedup.wordsExpr(textCol))).as("word"))
+    val wf = words.where(length(col("word")) <= MaxWordChars)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .localCheckpoint(true)
+    // loop bound only (plan shape, not data): the longest word type
+    val maxRow = wf.agg(max(length(col("word")))).head
+    val maxSteps = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
+
+    // seed: every substring of every word type, 1..MaxPieceLen cps
+    // (sequence(1, n) runs DESCENDING when n < 1 — hence the if guard)
+    var vocab = wf.select(explode(expr(
+        s"""flatten(transform(sequence(1, $MaxPieceLen),
+           |  l -> if(length(word) < l, array(),
+           |    transform(sequence(1, length(word) - l + 1),
+           |      p -> substring(word, p, l)))))""".stripMargin)).as("piece"))
+      .distinct().localCheckpoint(true)
+
+    /** One greedy longest-match pass of every word type under `v`:
+      * rows (word, piece, freq), one per consumed piece. */
+    def segment(v: DataFrame): DataFrame = {
+      val lens = expr(
+        s"filter(sequence(1, $MaxPieceLen), l -> pos + l <= length(word))")
+      var state = wf.select(col("word"), lit(0).as("pos"), col("freq"))
+      var used: DataFrame = null
+      val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to maxSteps) {
+        val adv = state.where(col("pos") < length(col("word")))
+          .select(col("word"), col("pos"), col("freq"),
+            explode(lens).as("len"))
+          .withColumn("piece", expr("substring(word, pos + 1, len)"))
+          .join(v, Seq("piece"))
+          .groupBy(col("word"), col("pos"), col("freq"))
+          .agg(max(col("len")).as("bl"))
+          .withColumn("piece", expr("substring(word, pos + 1, bl)"))
+          .persist() // read twice: next step's state + the usage union
+        persisted += adv
+        val u = adv.select(col("word"), col("piece"), col("freq"))
+        used = if (used == null) u else used.unionByName(u)
+        state = adv.select(col("word"),
+          (col("pos") + col("bl")).as("pos"), col("freq"))
+      }
+      val out =
+        if (used == null) // empty corpus: no steps ran
+          wf.select(col("word"), col("word").as("piece"), col("freq"))
+            .where(lit(false))
+        else used.localCheckpoint(true)
+      persisted.foreach(_.unpersist())
+      out
+    }
+
+    var usage: DataFrame = null
+    for (_ <- 1 to rounds) {
+      usage = segment(vocab)
+        .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
+        .localCheckpoint(true)
+      // coverage singles + the usage-ranked budget; (cnt DESC, piece)
+      // is a total order, so limit() selects an engine-independent set
+      vocab = vocab.where(length(col("piece")) === 1)
+        .unionByName(usage.where(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece")).limit(VocabBudget)
+          .select("piece"))
+        .localCheckpoint(true)
+    }
+
+    val trainOut = vocab
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+
+    val enc = segment(vocab)
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("n"))
+    val encodeOut = words.join(enc, Seq("word"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("long").as("n_words"),
+        sum(col("n")).cast("long").as("n_tokens"))
+    (trainOut, encodeOut)
+  }
+}

@@ -50,6 +50,93 @@ object Curation extends QueryModule {
       |  sum(n)::BIGINT AS n_bpe_tokens
       |FROM u JOIN enc USING (word) GROUP BY doc_id""".stripMargin
 
+  /** Generated MaxMatch (WordPiece-style) oracle — mirrors
+    * [[graft.operators.MaxMatch]] construct for construct: substring
+    * seed vocabulary, then per round [[graft.operators.MaxMatch
+    * .MaxWordChars]] greedy longest-match step CTEs (steps past the
+    * longest live cursor are empty no-ops; the CAP is the operator's
+    * documented word-length cap, applied identically in `wf`), usage
+    * counts over the step union, and the singles ∪ top-budget prune
+    * ((cnt DESC, piece) total order). Every step CTE is referenced
+    * twice (next step's state + the usage union) — MATERIALIZED
+    * throughout, like every generated recurrence here. */
+  private[queries] def maxMatchTrainOracle(rounds: Int): String =
+    maxMatchChain(rounds, applyLast = false) + s"""
+      |SELECT v.piece, length(v.piece)::BIGINT AS piece_len,
+      |  coalesce(u.cnt, 0)::BIGINT AS cnt
+      |FROM v${rounds + 1} v
+      |LEFT JOIN use$rounds u ON u.piece = v.piece""".stripMargin
+
+  /** Encode twin: one more segmentation under the final vocabulary,
+    * then per-document counts through the word → piece-count join.
+    * `src`/`prelude` retarget the corpus CTE (the UTF-8 variant). */
+  private[queries] def maxMatchEncodeOracle(rounds: Int,
+      src: String = "documents", prelude: String = ""): String =
+    maxMatchChain(rounds, applyLast = true, src, prelude) + s"""
+      |SELECT u.doc_id, count(*)::BIGINT AS n_words,
+      |  sum(enc.n)::BIGINT AS n_tokens
+      |FROM u JOIN enc USING (word) GROUP BY 1""".stripMargin
+
+  private def maxMatchChain(rounds: Int, applyLast: Boolean,
+      src: String = "documents", prelude: String = ""): String = {
+    val L = graft.operators.MaxMatch.MaxPieceLen
+    val W = graft.operators.MaxMatch.MaxWordChars
+    val K = graft.operators.MaxMatch.VocabBudget
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ${prelude}u AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    w -> w <> '')) AS word FROM $src),
+         |wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq
+         |  FROM u WHERE length(word) <= $W GROUP BY 1),
+         |v1 AS MATERIALIZED (
+         |  SELECT DISTINCT substr(word, p, l) AS piece
+         |  FROM wf
+         |  CROSS JOIN (SELECT unnest(range(1, ${L + 1})) AS l) ls
+         |  CROSS JOIN (SELECT unnest(range(1, ${W + 1})) AS p) ps
+         |  WHERE p + l - 1 <= length(word))""".stripMargin)
+    // one greedy longest-match pass under v$vi: step CTEs a{tag}_1..W
+    def segSteps(tag: String, vi: Int): Unit =
+      for (s <- 1 to W) {
+        val state =
+          if (s == 1) "(SELECT word, 0 AS pos, freq FROM wf)"
+          else s"(SELECT word, pos + bl AS pos, freq FROM a${tag}_${s - 1})"
+        sb.append(s""",
+          |a${tag}_$s AS MATERIALIZED (
+          |  SELECT c.word, c.pos, c.freq, max(c.l) AS bl
+          |  FROM (SELECT s.word, s.pos, s.freq, ls.l
+          |        FROM $state s
+          |        CROSS JOIN (SELECT unnest(range(1, ${L + 1})) AS l) ls
+          |        WHERE s.pos + ls.l <= length(s.word)) c
+          |  JOIN v$vi ON v$vi.piece = substr(c.word, c.pos + 1, c.l)
+          |  GROUP BY 1, 2, 3)""".stripMargin)
+      }
+    def stepUnion(tag: String): String =
+      (1 to W).map(s => s"SELECT * FROM a${tag}_$s").mkString(" UNION ALL ")
+    for (r <- 1 to rounds) {
+      segSteps(r.toString, r)
+      sb.append(s""",
+        |use$r AS MATERIALIZED (
+        |  SELECT substr(word, pos + 1, bl) AS piece,
+        |    sum(freq)::BIGINT AS cnt
+        |  FROM (${stepUnion(r.toString)}) t$r
+        |  GROUP BY 1),
+        |v${r + 1} AS MATERIALIZED (
+        |  SELECT piece FROM v$r WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece FROM (
+        |    SELECT piece FROM use$r WHERE length(piece) > 1
+        |    ORDER BY cnt DESC, piece LIMIT $K) q$r)""".stripMargin)
+    }
+    if (applyLast) {
+      segSteps("e", rounds + 1)
+      sb.append(s""",
+        |enc AS (SELECT word, count(*)::BIGINT AS n
+        |  FROM (${stepUnion("e")}) te GROUP BY 1)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** The shared trained-vocabulary CTE chain: word frequencies, chr(1)-
     * delimited segmentations, `rounds` iterations of pair-count → argmax
     * → greedy re-segment. `applyLast` also applies round `rounds`' merge
@@ -640,6 +727,35 @@ object Curation extends QueryModule {
       Some(Curation.bpeEncodeOracle(6, src = "docs8",
         prelude = s"docs8 AS (${graft.operators.Utf8Corpus.oracleCte}),\n",
         byteLevel = true))),
+
+    // ---- MaxMatch (WordPiece-style) tokenizer: greedy longest-match
+    //      segmentation (the WordPiece inference rule) trained by a
+    //      vocabulary-budget prune loop. All-integer trajectory, so the
+    //      trained vocabulary AND the encode counts hash-match the
+    //      step-unrolled CTE oracle; any slip in the longest-match
+    //      tiebreak, the prune ordering, or code-point indexing
+    //      diverges by round 2. ----
+    GraftQuery("q_maxmatch_train",
+      (s, dir) => graft.operators.MaxMatch.train(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 2),
+      Some(Curation.maxMatchTrainOracle(2))),
+
+    GraftQuery("q_maxmatch_encode",
+      (s, dir) => graft.operators.MaxMatch.encode(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 2),
+      Some(Curation.maxMatchEncodeOracle(2))),
+
+    // ---- MaxMatch over the MULTIBYTE corpus: substr/length are CODE
+    //      POINTS in both engines, so surrogate-pair emoji segment as
+    //      one piece and CJK words join the prune race — byte-indexed
+    //      slips shear mid-character and diverge immediately ----
+    GraftQuery("q_utf8_maxmatch_encode",
+      (s, dir) => graft.operators.MaxMatch.encode(
+        graft.operators.Utf8Corpus.decorate(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "text", rounds = 2),
+      Some(Curation.maxMatchEncodeOracle(2, src = "docs8",
+        prelude = s"docs8 AS (${graft.operators.Utf8Corpus.oracleCte}),\n"))),
 
     // ---- KMV rollup: per-nation distinct-customer sketches UNION-merged
     //      up to region level — the OLAP point of a mergeable sketch:
