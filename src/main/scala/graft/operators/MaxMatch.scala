@@ -66,10 +66,17 @@ object MaxMatch {
     * `(doc_id, n_words, n_tokens)` — the train→apply round trip. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int = 2): DataFrame =
-    core(docs, idCol, textCol, rounds)._2
+    core(docs, idCol, textCol, rounds)._2()
 
+  /** The encode-side final segmentation is a THUNK so `train` never
+    * pays for it (the same pay-only-when-applied discipline as
+    * [[TextAnalysis.bpeMerges]] vs `bpeEncode` — `segment` materializes
+    * itself eagerly, so building the encode plan inline would run a
+    * whole discarded pass inside `train`). */
   private def core(docs: DataFrame, idCol: String, textCol: String,
-      rounds: Int): (DataFrame, DataFrame) = {
+      rounds: Int): (DataFrame, () => DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds): round 1's " +
+      "usage counts are what the trained vocabulary and encode join read")
     val words = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(expr(Dedup.wordsExpr(textCol))).as("word"))
     val wf = words.where(length(col("word")) <= MaxWordChars)
@@ -140,12 +147,14 @@ object MaxMatch {
       .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
 
-    val enc = segment(vocab)
-      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("n"))
-    val encodeOut = words.join(enc, Seq("word"))
-      .groupBy(col("doc_id")).agg(
-        count(lit(1)).cast("long").as("n_words"),
-        sum(col("n")).cast("long").as("n_tokens"))
+    val encodeOut = () => {
+      val enc = segment(vocab)
+        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("n"))
+      words.join(enc, Seq("word"))
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).cast("long").as("n_words"),
+          sum(col("n")).cast("long").as("n_tokens"))
+    }
     (trainOut, encodeOut)
   }
 }

@@ -52,8 +52,9 @@ object Curation extends QueryModule {
 
   /** Generated MaxMatch (WordPiece-style) oracle — mirrors
     * [[graft.operators.MaxMatch]] construct for construct: substring
-    * seed vocabulary, then per round [[graft.operators.MaxMatch
-    * .MaxWordChars]] greedy longest-match step CTEs (steps past the
+    * seed vocabulary, then per round
+    * [[graft.operators.MaxMatch.MaxWordChars]] greedy longest-match
+    * step CTEs (steps past the
     * longest live cursor are empty no-ops; the CAP is the operator's
     * documented word-length cap, applied identically in `wf`), usage
     * counts over the step union, and the singles ∪ top-budget prune
@@ -79,6 +80,8 @@ object Curation extends QueryModule {
 
   private def maxMatchChain(rounds: Int, applyLast: Boolean,
       src: String = "documents", prelude: String = ""): String = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds) — mirrors " +
+      "MaxMatch.core's guard; use0 is never generated")
     val L = graft.operators.MaxMatch.MaxPieceLen
     val W = graft.operators.MaxMatch.MaxWordChars
     val K = graft.operators.MaxMatch.VocabBudget

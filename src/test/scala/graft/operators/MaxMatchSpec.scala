@@ -64,6 +64,48 @@ class MaxMatchSpec extends SparkSpec {
     assert(enc.toSeq === Seq((1L, 3L, 3L)))
   }
 
+  test("rounds < 1 rejects up front (oracle generator shares the guard)") {
+    import spark.implicits._
+    val docs = Seq(1L -> "ab").toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      MaxMatch.train(docs, "doc_id", "text", rounds = 0)
+    }
+  }
+
+  test("train runs exactly `rounds` segmentation passes (encode is lazy)") {
+    import spark.implicits._
+    // each segmentation pass issues one eager localCheckpoint of its
+    // step union — count Spark jobs via a listener: train(rounds = 2)
+    // must NOT run the third (encode-side) pass eagerly
+    val docs = Seq(1L -> "abcd ab cd").toDF("doc_id", "text")
+    val before = countSegmentJobs { MaxMatch.train(docs, "doc_id", "text", rounds = 2) }
+    val after = countSegmentJobs { MaxMatch.encode(docs, "doc_id", "text", rounds = 2) }
+    // encode pays strictly more jobs than train: the extra final pass
+    // plus the consuming action; train's plan-construction cost is flat
+    assert(after > before)
+  }
+
+  private def countSegmentJobs(body: => Any): Int = {
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // the bus is async: spin until the count stabilizes (actions have
+      // returned, so every jobStart is already posted — only delivery lags)
+      var last = -1
+      var spins = 0
+      while (jobs != last && spins < 50) {
+        last = jobs; spins += 1; Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    jobs
+  }
+
   test("words over MaxWordChars drop from both outputs identically") {
     import spark.implicits._
     val long = "z" * (MaxMatch.MaxWordChars + 1)
