@@ -55,6 +55,14 @@ object MaxMatch {
   /** Words longer than this are dropped (both engines, both outputs). */
   val MaxWordChars = 16
 
+  /** Per-token weight in the packed Viterbi objective: minimizing
+    * `tokens * TokWeight - sum(cnt)` is lexicographic (fewest tokens,
+    * then highest piece-usage sum) as long as every segmentation's
+    * cnt sum stays below 2^40 — cnt is bounded by corpus word
+    * occurrences (< 2^40 up to ~10^12 words) and a word has at most
+    * [[MaxWordChars]] pieces, so the packing never saturates. */
+  val TokWeight: Long = 1L << 40
+
   /** Final vocabulary after `rounds` prune rounds:
     * `(piece, piece_len, cnt)` where cnt is the piece's last-round
     * usage (0 for never-chosen single-char pieces). */
@@ -68,13 +76,28 @@ object MaxMatch {
       rounds: Int = 2): DataFrame =
     core(docs, idCol, textCol, rounds)._2()
 
-  /** The encode-side final segmentation is a THUNK so `train` never
-    * pays for it (the same pay-only-when-applied discipline as
-    * [[TextAnalysis.bpeMerges]] vs `bpeEncode` — `segment` materializes
-    * itself eagerly, so building the encode plan inline would run a
-    * whole discarded pass inside `train`). */
+  /** OPTIMAL (Viterbi) per-document token counts under the same trained
+    * vocabulary: `(doc_id, n_words, n_tokens, piece_cnt_sum)`. Where
+    * [[encode]] is WordPiece's greedy longest-match inference, this is
+    * the unigram-LM decode (SentencePiece's inference rule) with the
+    * trained usage counts as integer scores: per word, the segmentation
+    * with the FEWEST pieces, ties broken by the highest total piece
+    * usage — both packed into one integer key (see [[TokWeight]]), so
+    * the whole decode is exact and engine-independent. Greedy can beat
+    * itself into a corner (take a long piece whose remainder only
+    * segments as singles); the DP never does, so per word
+    * `n_tokens(viterbi) <= n_tokens(greedy)` — asserted in the spec. */
+  def viterbiEncode(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 2): DataFrame =
+    core(docs, idCol, textCol, rounds)._3()
+
+  /** The apply-side outputs are THUNKS so `train` never pays for them
+    * (the same pay-only-when-applied discipline as
+    * [[TextAnalysis.bpeMerges]] vs `bpeEncode` — `segment` and the DP
+    * materialize themselves eagerly, so building either apply plan
+    * inline would run a whole discarded pass inside `train`). */
   private def core(docs: DataFrame, idCol: String, textCol: String,
-      rounds: Int): (DataFrame, () => DataFrame) = {
+      rounds: Int): (DataFrame, () => DataFrame, () => DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds): round 1's " +
       "usage counts are what the trained vocabulary and encode join read")
     val words = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -155,6 +178,58 @@ object MaxMatch {
           count(lit(1)).cast("long").as("n_words"),
           sum(col("n")).cast("long").as("n_tokens"))
     }
-    (trainOut, encodeOut)
+    val viterbiOut = () => {
+      val scored = trainOut.select(col("piece"), col("cnt"))
+        .localCheckpoint(true) // read by every DP step
+      val pw = viterbiTokens(wf, scored, maxSteps)
+      words.join(pw, Seq("word"))
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).cast("long").as("n_words"),
+          sum(col("n")).cast("long").as("n_tokens"),
+          sum(col("s")).cast("long").as("piece_cnt_sum"))
+    }
+    (trainOut, encodeOut, viterbiOut)
+  }
+
+  /** Viterbi DP over word types: per word, `(word, n, s)` — the token
+    * count and total piece usage of the optimal segmentation under
+    * `scored` `(piece, cnt)`. `scored` MUST cover every single
+    * character of every `wf` word (the trained vocabulary does by
+    * construction; a hand-built one that doesn't silently drops the
+    * word, inner-join semantics).
+    *
+    * Shape: `b(p)` holds the best packed key for every word with a
+    * cursor reachable at code point p; step p is at most
+    * [[MaxPieceLen]] equi-joins of the prior frontiers against the
+    * vocabulary plus a per-word min — all word-TYPE-sized, shrinking as
+    * p outruns shorter words. Each `b(p)` is read by up to
+    * [[MaxPieceLen]] later steps and the final union, so it is
+    * materialized per step (also bounding the O(maxSteps·MaxPieceLen)
+    * lineage fan-in). */
+  private[operators] def viterbiTokens(wf: DataFrame, scored: DataFrame,
+      maxSteps: Int): DataFrame = {
+    val b0 = wf.select(col("word"), lit(0L).as("key"))
+    val bs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (p <- 1 to maxSteps) {
+      val cands = (1 to math.min(MaxPieceLen, p)).map { l =>
+        val prev = if (p - l == 0) b0 else bs(p - l - 1)
+        prev.where(length(col("word")) >= p)
+          .withColumn("piece", expr(s"substring(word, ${p - l + 1}, $l)"))
+          .join(scored, Seq("piece"))
+          .select(col("word"),
+            (col("key") + lit(TokWeight) - col("cnt")).as("key"))
+      }.reduce(_ unionByName _)
+      bs += cands.groupBy(col("word")).agg(min(col("key")).as("key"))
+        .localCheckpoint(true)
+    }
+    val best =
+      if (bs.isEmpty) b0.where(lit(false)) // empty corpus
+      else bs.zipWithIndex.map { case (b, i) =>
+        b.where(length(col("word")) === i + 1)
+      }.reduce(_ unionByName _)
+    best
+      .withColumn("n", expr(s"(key + ${TokWeight - 1}) div $TokWeight"))
+      .select(col("word"), col("n"),
+        (col("n") * lit(TokWeight) - col("key")).as("s"))
   }
 }

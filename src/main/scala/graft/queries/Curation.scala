@@ -78,6 +78,52 @@ object Curation extends QueryModule {
       |  sum(enc.n)::BIGINT AS n_tokens
       |FROM u JOIN enc USING (word) GROUP BY 1""".stripMargin
 
+  /** Viterbi-decode twin of [[maxMatchEncodeOracle]]: the same trained
+    * vocabulary joined back to its last-round usage as integer scores
+    * (`sv`), then [[graft.operators.MaxMatch.MaxWordChars]] DP CTEs —
+    * `b{p}` = per word the minimal packed key over the ≤
+    * [[graft.operators.MaxMatch.MaxPieceLen]] predecessor frontiers —
+    * and the per-document rollup off `b{length(word)}`. Every `b{p}`
+    * is referenced by up to MaxPieceLen later steps plus the final
+    * union: MATERIALIZED, like every generated recurrence here. */
+  private[queries] def viterbiEncodeOracle(rounds: Int,
+      src: String = "documents", prelude: String = ""): String = {
+    val L = graft.operators.MaxMatch.MaxPieceLen
+    val W = graft.operators.MaxMatch.MaxWordChars
+    val T = graft.operators.MaxMatch.TokWeight
+    val sb = new StringBuilder(
+      maxMatchChain(rounds, applyLast = false, src, prelude))
+    sb.append(s""",
+      |sv AS MATERIALIZED (
+      |  SELECT v.piece, coalesce(u2.cnt, 0)::BIGINT AS cnt
+      |  FROM v${rounds + 1} v
+      |  LEFT JOIN use$rounds u2 ON u2.piece = v.piece)""".stripMargin)
+    for (p <- 1 to W) {
+      val branches = (1 to math.min(L, p)).map { l =>
+        val prev = if (p - l == 0) "(SELECT word, 0::BIGINT AS key FROM wf)"
+                   else s"b${p - l}"
+        s"""SELECT s.word, s.key + $T - sv.cnt AS key
+           |    FROM $prev s JOIN sv ON sv.piece = substr(s.word, ${p - l + 1}, $l)
+           |    WHERE length(s.word) >= $p""".stripMargin
+      }.mkString("\n    UNION ALL ")
+      sb.append(s""",
+        |b$p AS MATERIALIZED (
+        |  SELECT word, min(key) AS key FROM (
+        |    $branches) c$p GROUP BY 1)""".stripMargin)
+    }
+    val bestUnion = (1 to W).map(p =>
+      s"SELECT word, key FROM b$p WHERE length(word) = $p")
+      .mkString(" UNION ALL ")
+    sb.append(s""",
+      |pw AS (SELECT word, (key + ${T - 1}) // $T AS n, key
+      |  FROM ($bestUnion) bu)
+      |SELECT u.doc_id, count(*)::BIGINT AS n_words,
+      |  sum(pw.n)::BIGINT AS n_tokens,
+      |  sum(pw.n * $T - pw.key)::BIGINT AS piece_cnt_sum
+      |FROM u JOIN pw USING (word) GROUP BY 1""".stripMargin)
+    sb.toString
+  }
+
   private def maxMatchChain(rounds: Int, applyLast: Boolean,
       src: String = "documents", prelude: String = ""): String = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds) — mirrors " +
@@ -747,6 +793,17 @@ object Curation extends QueryModule {
       (s, dir) => graft.operators.MaxMatch.encode(
         t(s, dir, "documents"), "doc_id", "text", rounds = 2),
       Some(Curation.maxMatchEncodeOracle(2))),
+
+    // ---- Viterbi decode under the SAME trained vocabulary: fewest
+    //      pieces, piece-usage tie-break, both packed into one integer
+    //      key — the unigram-LM inference rule next to q_maxmatch_encode's
+    //      greedy one. n_tokens here is <= greedy's for every word (the
+    //      spec asserts it); the oracle unrolls the DP as one CTE per
+    //      cursor position. ----
+    GraftQuery("q_viterbi_encode",
+      (s, dir) => graft.operators.MaxMatch.viterbiEncode(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 2),
+      Some(Curation.viterbiEncodeOracle(2))),
 
     // ---- MaxMatch over the MULTIBYTE corpus: substr/length are CODE
     //      POINTS in both engines, so surrogate-pair emoji segment as

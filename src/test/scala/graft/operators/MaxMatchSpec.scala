@@ -106,6 +106,49 @@ class MaxMatchSpec extends SparkSpec {
     jobs
   }
 
+  test("viterbi beats greedy where longest-match corners itself") {
+    import spark.implicits._
+    // vocab {abcd, abc, def} + singles: greedy on "abcdef" takes abcd,
+    // leaving "ef" to segment as 2 singles (3 tokens); the DP finds
+    // abc + def (2 tokens, usage 9 + 7 = 16)
+    val wf = Seq(("abcdef", 1L)).toDF("word", "freq")
+    val scored = (Seq("abcd" -> 5L, "abc" -> 9L, "def" -> 7L) ++
+      "abcdef".map(c => c.toString -> 0L)).toDF("piece", "cnt")
+    val pw = MaxMatch.viterbiTokens(wf, scored, maxSteps = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(pw.toSeq === Seq(("abcdef", 2L, 16L)))
+  }
+
+  test("viterbi tie-break prefers the higher-usage equal-length split") {
+    import spark.implicits._
+    // two 2-token splits of "abcd": ab|cd (usage 3+3=6) vs a?|... only
+    // via abc|d (9+0=9) — the packed key picks 9
+    val wf = Seq(("abcd", 1L)).toDF("word", "freq")
+    val scored = (Seq("ab" -> 3L, "cd" -> 3L, "abc" -> 9L) ++
+      "abcd".map(c => c.toString -> 0L)).toDF("piece", "cnt")
+    val pw = MaxMatch.viterbiTokens(wf, scored, maxSteps = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(pw.toSeq === Seq((2L, 9L)))
+  }
+
+  test("per word, viterbi token count never exceeds greedy's") {
+    import spark.implicits._
+    // one word per doc over a skewed corpus: doc-level n_tokens then IS
+    // the per-word count under the SAME trained vocabulary for both
+    // decoders, so the optimality invariant is directly comparable
+    val letters = "abcde"
+    val ws = for { x <- letters; y <- letters; z <- Seq("", "a", "ab") }
+      yield s"$x$y$z"
+    val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val greedy = MaxMatch.encode(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val vit = MaxMatch.viterbiEncode(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(vit.keySet === greedy.keySet)
+    assert(vit.forall { case (d, n) => n <= greedy(d) })
+  }
+
   test("words over MaxWordChars drop from both outputs identically") {
     import spark.implicits._
     val long = "z" * (MaxMatch.MaxWordChars + 1)
