@@ -514,4 +514,63 @@ object TextAnalysis {
       }
       .toDF("doc_id", "n_bytes", "n_deflate_bytes", "deflate_ratio")
   }
+
+  /** Sampling-rate granularity for [[tokenBudgetMix]]: rates are
+    * multiples of 1/65536 (~0.0015%), and the integer cross-multiplied
+    * keep rule `bucket * total < budget * 65536` stays below 2^63 for
+    * per-domain token totals up to ~1.4e14 (≈ a 100 TB text corpus in
+    * one domain) — the float-free ceiling, documented rather than
+    * silently wrapped. */
+  val MixBuckets = 65536L
+
+  /** Token-budget data mixing: downsample over-represented domains so
+    * each lands at (at most) an equal share of the global token count —
+    * the rebalance step of an LLM training-data mix, with the rate
+    * COMPUTED from the corpus rather than given (the given-rates half is
+    * `q_stratified_sample`). Per domain d: budget B = totalTokens /
+    * nDomains; a doc is kept iff its 16-bit hash bucket satisfies
+    * `bucket * T_d < B * MixBuckets` — the exact integer form of
+    * keep-rate min(1, B/T_d), no floats anywhere, so the kept SET (not
+    * just its size) is deterministic and engine-independent.
+    *
+    * Shape at scale: one corpus scan for per-doc token counts, a
+    * domain-sized aggregate, a 1-row global broadcast, and an equi-join
+    * of the corpus against the domain totals (AQE broadcasts it when
+    * domains are few; web-domain-keyed mixes stay a shuffled join) — no
+    * windows, no driver-side loops. Returns the per-domain audit
+    * `(domain, n_docs, total_tokens, budget_tokens, kept_docs,
+    * kept_tokens)`; pipelines that need the rows themselves reuse the
+    * same keep predicate. */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String): DataFrame = {
+    val w = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(domainCol).as("domain"),
+      expr(s"cardinality(${Dedup.wordsExpr(textCol)})").cast("long")
+        .as("toks"),
+      expr(s"${Dedup.h60(s"concat($idCol, ':', $domainCol)")} % $MixBuckets")
+        .as("bucket"))
+    val totals = w.groupBy(col("domain")).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("toks")).cast("long").as("total_tokens"))
+    val global = totals.agg(
+      sum(col("total_tokens")).cast("long").as("gt"),
+      count(lit(1)).cast("long").as("nd"))
+    val budgeted = totals.crossJoin(broadcast(global))
+      .withColumn("budget_tokens", expr("gt div nd"))
+      .localCheckpoint(true) // domain-sized; read by both joins below —
+      // without it the corpus-wide totals aggregate would run twice
+    val kept = w
+      .join(budgeted.select(col("domain"), col("total_tokens"),
+        col("budget_tokens")), Seq("domain"))
+      .where(col("bucket") * col("total_tokens") <
+        col("budget_tokens") * lit(MixBuckets))
+      .groupBy(col("domain")).agg(
+        count(lit(1)).cast("long").as("kept_docs"),
+        sum(col("toks")).cast("long").as("kept_tokens"))
+    budgeted.join(kept, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("total_tokens"),
+        col("budget_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
 }

@@ -626,6 +626,34 @@ object Pipeline extends QueryModule {
              |      CASE WHEN lang = 'en' THEN 10
              |           WHEN lang = 'de' THEN 30 ELSE 50 END""".stripMargin)),
 
+    // ---- token-budget mixing: the COMPUTED-rate half of data mixing
+    //      (q_stratified_sample is the given-rates half). Equal-share
+    //      rebalance: budget = global tokens / nDomains; keep iff
+    //      bucket * T_domain < budget * 65536 — integer cross-multiply,
+    //      so the kept SET hash-matches, not just its size. ----
+    GraftQuery("q_token_budget_mix",
+      (s, dir) => graft.operators.TextAnalysis.tokenBudgetMix(
+        t(s, dir, "documents"), "doc_id", "text", "lang"),
+      Some("""WITH w AS (SELECT doc_id, lang AS domain,
+             |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks,
+             |  ('0x' || substr(md5(doc_id || ':' || lang), 1, 15))::BIGINT
+             |    % 1000000007 % 65536 AS bucket
+             |  FROM documents),
+             |t AS MATERIALIZED (SELECT domain, count(*)::BIGINT AS n_docs,
+             |  sum(toks)::BIGINT AS total_tokens FROM w GROUP BY 1),
+             |g AS (SELECT sum(total_tokens)::BIGINT AS gt,
+             |  count(*)::BIGINT AS nd FROM t),
+             |k AS (SELECT w.domain, count(*)::BIGINT AS kept_docs,
+             |  sum(w.toks)::BIGINT AS kept_tokens
+             |  FROM w JOIN t USING (domain) CROSS JOIN g
+             |  WHERE w.bucket * t.total_tokens < (g.gt // g.nd) * 65536
+             |  GROUP BY 1)
+             |SELECT t.domain, t.n_docs, t.total_tokens,
+             |  g.gt // g.nd AS budget_tokens,
+             |  coalesce(k.kept_docs, 0)::BIGINT AS kept_docs,
+             |  coalesce(k.kept_tokens, 0)::BIGINT AS kept_tokens
+             |FROM t CROSS JOIN g LEFT JOIN k USING (domain)""".stripMargin)),
+
     // ---- PII-style redaction: mask digit runs, count the hits ----
     GraftQuery("q_text_redact",
       (s, dir) => {

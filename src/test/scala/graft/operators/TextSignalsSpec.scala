@@ -146,4 +146,31 @@ class TextSignalsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(charEnc === Seq((1L, 2L, 2L)))
   }
+
+  test("tokenBudgetMix: equal-share budget, under-budget domains intact") {
+    import spark.implicits._
+    // domain "big": 60 docs x 10 tokens = 600; "small": 10 docs x 2 = 20
+    // global = 620, budget = 620 div 2 = 310: small is under budget
+    // (20 <= 310) so EVERY small doc must survive the keep rule; big is
+    // ~2x over budget so some docs must fall (md5 buckets are fixed, so
+    // the exact kept set is stable — we assert the provable invariants)
+    val docs = ((1 to 60).map(i =>
+        (i.toLong, ("w" * 3 + " ") * 9 + "www", "big")) ++
+      (61 to 70).map(i => (i.toLong, "a b", "small")))
+      .toDF("doc_id", "text", "dom")
+    val out = graft.operators.TextAnalysis
+      .tokenBudgetMix(docs, "doc_id", "text", "dom")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val big = out("big"); val small = out("small")
+    assert(big._2 === 60L && big._3 === 600L)
+    assert(small._2 === 10L && small._3 === 20L)
+    assert(big._4 === 310L && small._4 === 310L) // 620 div 2
+    // under budget: all docs and tokens kept, exactly
+    assert(small._5 === 10L && small._6 === 20L)
+    // over budget: strictly fewer kept; the keep rate targets
+    // budget/total ~ 52% — allow a wide deterministic band
+    assert(big._5 < 60L && big._5 > 10L)
+    assert(big._6 === big._5 * 10L) // every big doc is 10 tokens
+  }
 }
