@@ -515,6 +515,48 @@ object TextAnalysis {
       .toDF("doc_id", "n_bytes", "n_deflate_bytes", "deflate_ratio")
   }
 
+  /** Dictionary phrase tagging — the Aho-Corasick / FlashText use case
+    * (taxonomy tagging, blocklist matching), done declaratively: explode
+    * each document's word n-grams ONLY for the word lengths the
+    * dictionary actually contains, then equi-join the dictionary.
+    * Per-corpus work is one scan × (#distinct phrase lengths) — no
+    * per-row automaton, no K regex passes — and the join is an ordinary
+    * shuffled equi-join AQE broadcasts when the dictionary is small.
+    * Overlapping and nested matches all count, exactly like an
+    * automaton reporting every dictionary hit.
+    *
+    * `dict` is one `phrase` column of space-separated words; it is the
+    * SMALL side by contract — its distinct word lengths (a handful of
+    * ints) are collected to drive plan construction, never its rows.
+    * Returns `(doc_id, phrase, n_hits, first_pos)` with 1-based word
+    * positions; phrase words are matched exactly ([[Dedup.wordsExpr]]
+    * tokens both sides). */
+  def phraseTag(docs: DataFrame, idCol: String, textCol: String,
+      dict: DataFrame): DataFrame = {
+    val lens = dict
+      .select(expr(s"cardinality(${Dedup.wordsExpr("phrase")})")
+        .cast("int").as("n"))
+      .where(col("n") >= 1).distinct().collect().map(_.getInt(0)).sorted
+    require(lens.nonEmpty, "phrase dictionary is empty")
+    val words = docs.select(col(idCol).cast("long").as("doc_id"),
+      expr(Dedup.wordsExpr(textCol)).as("w"))
+    val grams = lens.map { n =>
+      // sequence() runs DESCENDING when the bound is < 1 — guard short docs
+      words.select(col("doc_id"), explode(expr(
+        s"""if(size(w) < $n, array(),
+           |  transform(sequence(1, size(w) - $n + 1),
+           |    p -> named_struct('pos', p,
+           |      'phrase', concat_ws(' ', slice(w, p, $n)))))"""
+          .stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"),
+          col("g.phrase").as("phrase"))
+    }.reduce(_ unionByName _)
+    grams.join(dict.select(col("phrase")).distinct(), Seq("phrase"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
+
   /** Sampling-rate granularity for [[tokenBudgetMix]]: rates are
     * multiples of 1/65536 (~0.0015%), and the integer cross-multiplied
     * keep rule `bucket * total < budget * 65536` stays below 2^63 for

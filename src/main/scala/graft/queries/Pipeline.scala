@@ -39,6 +39,14 @@ object Pipeline extends QueryModule {
   private val ChunkLen = 120
   private val ChunkStride = 90
 
+  /** q_phrase_tag's dictionary — 2- and 3-word phrases over the corpus
+    * vocabulary, with a nested pair ("big table" ⊂ "the big table") to
+    * pin all-matches semantics. Shared verbatim by the Spark dict and
+    * the oracle VALUES list. */
+  private[queries] val TagPhrases = Seq("hash join", "sort merge",
+    "table scan", "window agg", "big table", "the big table",
+    "stream batch window")
+
   override val queries: Seq[GraftQuery] = Seq(
 
     // ---- TF-IDF: top-3 terms per document, integer-scaled idf ----
@@ -625,6 +633,34 @@ object Pipeline extends QueryModule {
              |      % 1000000007 % 100 <
              |      CASE WHEN lang = 'en' THEN 10
              |           WHEN lang = 'de' THEN 30 ELSE 50 END""".stripMargin)),
+
+    // ---- dictionary phrase tagging (the Aho-Corasick use case):
+    //      n-gram explode per DISTINCT dictionary length + equi-join;
+    //      overlapping and nested phrases ("big table" inside "the big
+    //      table") each count, like an automaton's hit stream ----
+    GraftQuery("q_phrase_tag",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.phraseTag(
+          t(s, dir, "documents"), "doc_id", "text",
+          Pipeline.TagPhrases.toDF("phrase"))
+      },
+      Some(s"""WITH dict(phrase) AS (VALUES ${
+               Pipeline.TagPhrases.map(p => s"('$p')").mkString(", ")}),
+             |u AS (SELECT doc_id,
+             |  list_filter(string_split(text, ' '), x -> x <> '') AS w
+             |  FROM documents),
+             |dl AS (SELECT DISTINCT
+             |  len(list_filter(string_split(phrase, ' '), x -> x <> ''))::INT AS n
+             |  FROM dict),
+             |g AS (SELECT doc_id, unnest(list_transform(
+             |    range(1, len(w) - n + 2),
+             |    p -> {'pos': p, 'ph': array_to_string(w[p:p+n-1], ' ')})) AS e
+             |  FROM u CROSS JOIN dl WHERE len(w) >= n)
+             |SELECT g.doc_id, d.phrase, count(*)::BIGINT AS n_hits,
+             |  min(g.e.pos)::BIGINT AS first_pos
+             |FROM g JOIN dict d ON d.phrase = g.e.ph
+             |GROUP BY 1, 2""".stripMargin)),
 
     // ---- token-budget mixing: the COMPUTED-rate half of data mixing
     //      (q_stratified_sample is the given-rates half). Equal-share

@@ -147,6 +147,25 @@ class TextSignalsSpec extends SparkSpec {
     assert(charEnc === Seq((1L, 2L, 2L)))
   }
 
+  test("phraseTag: overlapping and nested dictionary hits all count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),    // "a b" at 1 and 4 (overlap "b c a" at 2)
+      (2L, "x b c a y"),    // "b c a" at 2 only
+      (3L, "")).toDF("doc_id", "text")
+    val dict = Seq("a b", "b c a").toDF("phrase")
+    val got = graft.operators.TextAnalysis
+      .phraseTag(docs, "doc_id", "text", dict)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (1L, "a b", 2L, 1L), (1L, "b c a", 1L, 2L),
+      (2L, "b c a", 1L, 2L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.phraseTag(docs, "doc_id", "text",
+        Seq.empty[String].toDF("phrase"))
+    }
+  }
+
   test("tokenBudgetMix: equal-share budget, under-budget domains intact") {
     import spark.implicits._
     // domain "big": 60 docs x 10 tokens = 600; "small": 10 docs x 2 = 20
