@@ -91,4 +91,55 @@ object LanguageModel {
       .withColumn("ppl_micro", expr("nll_micro div n_tokens"))
     out
   }
+
+  /** Perplexity-bin width for [[ccnetBuckets]] thresholds: 1000
+    * micro-nats/token = 0.001 nats/token. Binning is what keeps the
+    * threshold histogram BOUNDED BY THE VALUE RANGE (a few thousand
+    * bins for any real corpus), not by document count — raw ppl_micro
+    * is near-continuous, and a per-language cumulative window over
+    * per-document values would be a corpus-sized skewed partition at
+    * 100 TB. */
+  val PplBinMicro = 1000L
+
+  /** CCNet-style head/middle/tail bucketing: score `score` docs under
+    * the `train`-side LM ([[perplexity]]), then split each language into
+    * perplexity terciles — `head` = best (lowest-ppl) third, CCNet's
+    * keep-or-prioritize slice. Thresholds are exact order statistics
+    * over BINNED ppl (see [[PplBinMicro]]): t1 = smallest bin with
+    * cumulative count ≥ ⌈n/3⌉ via the integer form `cum*3 >= tot`
+    * (1/3 is not binary-exact — never multiply by a float fraction),
+    * t2 likewise at 2/3; ties land in the earlier bucket. Returns
+    * `(doc_id, lang, ppl_micro, ppl_bin, bucket)`.
+    *
+    * Shape: doc-level scores (the [[perplexity]] joins), one
+    * (lang, bin)-sized histogram, a cumulative window over that SMALL
+    * histogram, and a lang-sized broadcast of the two thresholds back
+    * onto the scored docs — no corpus-sized windows. */
+  def ccnetBuckets(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    val ppl = perplexity(train, score, idCol, textCol)
+      .select(col("doc_id"), col("ppl_micro"),
+        expr(s"ppl_micro div $PplBinMicro").as("ppl_bin"))
+    val pl = score.select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang"))
+      .join(ppl, Seq("doc_id"))
+      .localCheckpoint(true) // read twice: histogram + final bucketing
+    val hist = pl.groupBy(col("lang"), col("ppl_bin"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("ppl_bin"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .groupBy(col("lang")).agg(
+        min(when(col("cum") * 3 >= col("tot"), col("ppl_bin"))).as("b1"),
+        min(when(col("cum") * 3 >= col("tot") * 2, col("ppl_bin"))).as("b2"))
+    pl.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ppl_micro"), col("ppl_bin"),
+        when(col("ppl_bin") <= col("b1"), lit("head"))
+          .when(col("ppl_bin") <= col("b2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

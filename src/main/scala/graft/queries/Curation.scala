@@ -1050,7 +1050,45 @@ object Curation extends QueryModule {
           docs.where(col("doc_id") % 2 === 0),
           docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
       },
-      Some("""WITH tr AS (SELECT list_filter(string_split(text,' '), w -> w <> '') AS words
+      Some(s"WITH $lmPerplexityCtes\n$lmPerplexityFinal")),
+
+    // ---- CCNet head/middle/tail: the scored half split into
+    //      per-language perplexity terciles over 1000-micro-nat bins
+    //      (integer cum*3 >= tot order statistics; ties go to the
+    //      earlier bucket). head = the keep-or-prioritize slice. ----
+    GraftQuery("q_ccnet_buckets",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.LanguageModel.ccnetBuckets(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", "lang")
+      },
+      Some(s"""WITH $lmPerplexityCtes,
+             |ppl AS ($lmPerplexityFinal),
+             |pl AS (SELECT p2.doc_id, d.lang, p2.ppl_micro,
+             |         p2.ppl_micro // ${
+               graft.operators.LanguageModel.PplBinMicro} AS ppl_bin
+             |       FROM ppl p2 JOIN documents d USING (doc_id)),
+             |h AS (SELECT lang, ppl_bin, count(*)::BIGINT AS c
+             |      FROM pl GROUP BY 1, 2),
+             |cw AS (SELECT lang, ppl_bin,
+             |         sum(c) OVER (PARTITION BY lang ORDER BY ppl_bin)::BIGINT AS cum,
+             |         sum(c) OVER (PARTITION BY lang)::BIGINT AS tot
+             |       FROM h),
+             |thr AS (SELECT lang,
+             |          min(CASE WHEN cum * 3 >= tot THEN ppl_bin END)::BIGINT AS b1,
+             |          min(CASE WHEN cum * 3 >= tot * 2 THEN ppl_bin END)::BIGINT AS b2
+             |        FROM cw GROUP BY 1)
+             |SELECT pl.doc_id, pl.lang, pl.ppl_micro, pl.ppl_bin,
+             |  CASE WHEN pl.ppl_bin <= thr.b1 THEN 'head'
+             |       WHEN pl.ppl_bin <= thr.b2 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM pl JOIN thr USING (lang)""".stripMargin)))
+
+  /** The stupid-backoff bigram scoring chain, shared by q_lm_perplexity
+    * and q_ccnet_buckets: the CTE list (no WITH, ends at the
+    * per-position score relation `p`) + the doc-level rollup SELECT. */
+  private[queries] def lmPerplexityCtes: String = ("""tr AS (SELECT list_filter(string_split(text,' '), w -> w <> '') AS words
              |            FROM documents WHERE doc_id % 2 = 0),
              |trt AS (SELECT unnest(list_transform(range(len(words)),
              |          i -> struct_pack(word := words[i+1],
@@ -1084,10 +1122,12 @@ object Curation extends QueryModule {
              |               ELSE (2*(COALESCE(c1,0)+1))::DOUBLE
              |                 / (5*(n_total + v + 1))::DOUBLE
              |          END))::BIGINT AS score_micro
-             |      FROM j)
-             |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-             |  sum(is_backoff)::BIGINT AS n_backoff,
-             |  (-sum(score_micro))::BIGINT AS nll_micro,
-             |  ((-sum(score_micro)) // count(*))::BIGINT AS ppl_micro
-             |FROM p GROUP BY 1""".stripMargin)))
+             |      FROM j)""").stripMargin
+
+  private[queries] def lmPerplexityFinal: String =
+    """SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |  sum(is_backoff)::BIGINT AS n_backoff,
+      |  (-sum(score_micro))::BIGINT AS nll_micro,
+      |  ((-sum(score_micro)) // count(*))::BIGINT AS ppl_micro
+      |FROM p GROUP BY 1""".stripMargin
 }

@@ -49,4 +49,35 @@ class LanguageModelSpec extends SparkSpec {
     assert(exp.find(_._1 == 3L).get._3 === 1L) // (c,b) backs off
     assert(exp.find(_._1 == 5L).get._3 === 2L) // OOV path taken
   }
+
+  test("ccnetBuckets: per-language terciles ordered by binned ppl") {
+    import spark.implicits._
+    val train = Seq(10L -> "a b a b c a b c", 12L -> "b c a a b")
+      .toDF("doc_id", "text")
+    // 9 scored docs in one language, increasingly OOV (higher ppl),
+    // plus a 2-doc language to exercise a tiny stratum
+    val score = ((1 to 9).map(i =>
+        (i.toLong, ("a b c " * (10 - i)) + ("zz" * i + " ") * i, "en")) ++
+      Seq((100L, "a b c", "de"), (101L, "zzz zzz", "de")))
+      .toDF("doc_id", "text", "lang")
+    val got = LanguageModel.ccnetBuckets(
+        train, score, "doc_id", "text", "lang")
+      .as[(Long, String, Long, Long, String)].collect()
+    assert(got.length === 11)
+    val byLang = got.groupBy(_._2)
+    // buckets are ordered: every head bin <= every middle bin <= tail
+    for ((_, rows) <- byLang) {
+      def bins(b: String) = rows.filter(_._5 == b).map(_._4)
+      for (h <- bins("head"); m <- bins("middle")) assert(h <= m)
+      for (m <- bins("middle"); t <- bins("tail")) assert(m <= t)
+      for (h <- bins("head"); t <- bins("tail")) assert(h <= t)
+      // head reaches at least ceil(n/3) docs (ties can push it higher)
+      val n = rows.length
+      assert(bins("head").length >= (n + 2) / 3)
+    }
+    // the 2-doc language: cum*3 >= tot at the first doc -> both
+    // thresholds land such that the lower doc is head
+    val de = byLang("de").sortBy(_._3)
+    assert(de.head._5 === "head")
+  }
 }
