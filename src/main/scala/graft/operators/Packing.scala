@@ -149,4 +149,85 @@ object Packing {
         expr(s"(base + local_off) DIV $packSize").as("first_pack"),
         expr(s"(base + local_off + n_tokens - 1) DIV $packSize").as("last_pack"))
   }
+
+  /** Per-group global 1-based row rank WITHOUT per-group windows — the
+    * grouped sibling of [[prefixSumInclusive]]. `Window.partitionBy(g)
+    * .orderBy(k)` sorts every group in ONE task (a million-doc language
+    * is one straggler at 100 TB); this range-partitions by `(group,
+    * order)` instead, ranks within each physical partition (windows
+    * bounded by partition size), and composes per-(partition, group)
+    * counts — a relation of at most P + G rows, since range partitioning
+    * makes each group span contiguous partitions — through a cumulative
+    * window over that SMALL relation into per-partition base offsets.
+    * Boundary-invariant like the prefix sum: a rank is exact wherever
+    * the range partitioner cuts.
+    *
+    * `orderCol` MUST be unique within each group (pack quality and a
+    * unique id into one key, [[curriculumOrder]]-style) — with ties the
+    * local window's tie order would be partition-placement-dependent. */
+  def rankWithinGroups(df: DataFrame, groupCol: String, orderCol: String,
+      rankCol: String = "rnk", numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val local = df
+      .repartitionByRange(parts, col(groupCol), col(orderCol))
+      .sortWithinPartitions(groupCol, orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cnt = local.withColumn("__lr", count(lit(1)).over(w))
+    val totals = local.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__c"))
+    val wb = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = totals
+      .withColumn("__base", coalesce(sum(col("__c")).over(wb), lit(0L)))
+      .select(col("__pid"), col(groupCol), col("__base"))
+    cnt.join(bases, Seq("__pid", groupCol)) // small side; AQE broadcasts
+      .withColumn(rankCol, col("__base") + col("__lr"))
+      .drop("__pid", "__lr", "__base")
+  }
+
+  /** Composite-quality ceiling for [[curriculumOrder]]'s packed order
+    * key: each quality ratio is ≤ 10000 and the weights sum to 10, so
+    * quality < 100001. */
+  private val QualityCeil = 100001L
+
+  /** Curriculum ordering for training: within each language, docs rank
+    * by quality DESCENDING (doc_id tiebreak); across languages, ranks
+    * round-robin interleave — `curriculum_pos = (lang_rank - 1) *
+    * nLangs + langIdx` — so a loader reading in curriculum_pos order
+    * sees every language early and quality degrading monotonically
+    * within each. The per-language rank is [[rankWithinGroups]] on the
+    * single packed key `(QualityCeil - quality) * 2^40 + doc_id`
+    * (doc_id < 2^40 — ~10^12 docs — keeps the key exact in a BIGINT);
+    * the language index is a window over the DISTINCT-language relation
+    * only (domain-count-sized: round-robin across millions of domains
+    * would be meaningless, so that cardinality stays small by
+    * construction). Returns `(doc_id, lang, quality, lang_rank,
+    * curriculum_pos)`; empty docs drop like [[TextAnalysis
+    * .qualityScore]] does. */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val scored = TextAnalysis
+      .qualityScore(docs, idCol, textCol, keep = Seq(langCol))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col(langCol).as("lang"), col("quality"))
+      .withColumn("key",
+        (lit(QualityCeil) - col("quality")) * lit(1L << 40) + col("doc_id"))
+    val ranked = rankWithinGroups(scored, "lang", "key", "lang_rank")
+    val langs = scored.select(col("lang")).distinct()
+    val li = langs
+      .withColumn("li", row_number().over(
+        Window.orderBy(col("lang"))).cast("long") - 1)
+      .crossJoin(broadcast(langs.agg(count(lit(1)).as("nl"))))
+    ranked.join(broadcast(li), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("lang_rank"),
+        ((col("lang_rank") - 1) * col("nl") + col("li"))
+          .as("curriculum_pos"))
+  }
 }

@@ -634,6 +634,42 @@ object Pipeline extends QueryModule {
              |      CASE WHEN lang = 'en' THEN 10
              |           WHEN lang = 'de' THEN 30 ELSE 50 END""".stripMargin)),
 
+    // ---- curriculum ordering: per-language quality-descending rank
+    //      (rankWithinGroups — no per-language giant window) round-robin
+    //      interleaved across languages into one global training order.
+    //      The oracle IS the one-task-per-language row_number the
+    //      operator avoids. ----
+    GraftQuery("q_curriculum_order",
+      (s, dir) => graft.operators.Packing.curriculumOrder(
+        t(s, dir, "documents"), "doc_id", "text", "lang"),
+      Some {
+        val en = graft.operators.TextAnalysis.stopwords.toMap.apply("en")
+          .map(x => s"'$x'").mkString("[", ", ", "]")
+        s"""WITH d AS (SELECT doc_id, lang, text,
+           |  list_filter(string_split(text, ' '), x -> x <> '') AS words
+           |  FROM documents),
+           |f AS (SELECT doc_id, lang,
+           |  CAST(round(round(len(list_distinct(words))
+           |        / CAST(len(words) AS DOUBLE), 4) * 10000) * 3
+           |    + round(round(len(list_filter(words, w -> list_contains($en, w)))
+           |        / CAST(len(words) AS DOUBLE), 4) * 10000) * 3
+           |    + round(round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           |        / CAST(length(text) AS DOUBLE), 4) * 10000) * 4
+           |    AS BIGINT) AS quality
+           |  FROM d WHERE len(words) >= 1),
+           |r AS (SELECT doc_id, lang, quality,
+           |  row_number() OVER (PARTITION BY lang
+           |    ORDER BY quality DESC, doc_id)::BIGINT AS lang_rank
+           |  FROM f),
+           |l AS (SELECT lang,
+           |  (row_number() OVER (ORDER BY lang) - 1)::BIGINT AS li
+           |  FROM (SELECT DISTINCT lang FROM f) dl),
+           |n AS (SELECT count(*)::BIGINT AS nl FROM l)
+           |SELECT r.doc_id, r.lang, r.quality, r.lang_rank,
+           |  ((r.lang_rank - 1) * n.nl + l.li)::BIGINT AS curriculum_pos
+           |FROM r JOIN l USING (lang) CROSS JOIN n""".stripMargin
+      }),
+
     // ---- dictionary phrase tagging (the Aho-Corasick use case):
     //      n-gram explode per DISTINCT dictionary length + equi-join;
     //      overlapping and nested phrases ("big table" inside "the big

@@ -130,6 +130,50 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("property: rankWithinGroups equals a serial per-group sort rank") {
+    import spark.implicits._
+    val rows = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 10000L)))
+    for (data0 <- samples(rows, 6)) {
+      // unique order key per group (the operator's documented contract)
+      val data = data0.map { case (g, k) => (s"g$g", k) }
+        .groupBy(identity).keys.toSeq
+      if (data.nonEmpty) {
+        val df = data.toDF("grp", "k")
+        val got = operators.Packing
+          .rankWithinGroups(df, "grp", "k", "rnk", numParts = 5)
+          .as[(String, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        val want = data.groupBy(_._1).flatMap { case (g, rs) =>
+          rs.map(_._2).sorted.zipWithIndex
+            .map { case (k, i) => (g, k) -> (i + 1L) }
+        }
+        assert(got === want, s"for ${data.take(5)}...")
+      }
+    }
+  }
+
+  test("curriculumOrder round-robin interleaves languages by quality rank") {
+    import spark.implicits._
+    // quality is driven by distinct-token ratio: more repetition =
+    // lower quality; two languages, three docs each
+    val docs = Seq(
+      (1L, "aa bb cc dd", "en"),  // high ttr
+      (2L, "aa aa bb bb", "en"),
+      (3L, "aa aa aa aa", "en"),  // lowest
+      (4L, "x y z w", "de"),
+      (5L, "x x y y", "de"),
+      (6L, "x x x x", "de")).toDF("doc_id", "text", "lang")
+    val got = operators.Packing
+      .curriculumOrder(docs, "doc_id", "text", "lang")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._4, r._5)).toMap
+    // de is lang index 0, en is 1; ranks follow quality descending
+    assert(got(4L) === ((1L, 0L)) && got(1L) === ((1L, 1L)))
+    assert(got(5L) === ((2L, 2L)) && got(2L) === ((2L, 3L)))
+    assert(got(6L) === ((3L, 4L)) && got(3L) === ((3L, 5L)))
+  }
+
   test("property: binned range join equals the theta join for any intervals") {
     import spark.implicits._
     val points = Gen.listOfN(60, Gen.choose(-100.0, 100.0))
