@@ -230,4 +230,31 @@ object Packing {
         ((col("lang_rank") - 1) * col("nl") + col("li"))
           .as("curriculum_pos"))
   }
+
+  /** Deterministic multi-epoch shuffle: for each epoch e, a REPRODUCIBLE
+    * pseudo-random permutation of the corpus — `pos` = the doc's 1-based
+    * rank within epoch e under the md5-derived key
+    * `h60(doc_id:epoch) * 2^33 + doc_id` (the doc_id tiebreak makes the
+    * key unique when two docs collide in h60; h60 < 2^30 keeps the
+    * packing exact, doc_id < 2^33 — ~8×10^9 docs — documented rather
+    * than silently wrapped). Training runs need exactly this: a
+    * different data order every epoch, but one any worker — or a rerun
+    * months later — derives from (doc_id, epoch) alone, no RNG state to
+    * ship. Ranks come from [[rankWithinGroups]], whose whole point is
+    * groups of corpus size: each epoch IS the corpus, precisely the
+    * shape `Window.partitionBy(epoch)` would funnel through one task.
+    * Returns `(doc_id, epoch, pos)`. */
+  def epochShuffle(docs: DataFrame, idCol: String,
+      epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1 (got $epochs)")
+    val keyed = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(expr(s"sequence(0, ${epochs - 1})")).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("k", expr(
+        s"${Dedup.h60("concat(doc_id, ':', epoch)")} * ${1L << 33}"
+          + " + doc_id"))
+    rankWithinGroups(keyed, "epoch", "k", "pos")
+      .select(col("doc_id"), col("epoch"), col("pos"))
+  }
 }

@@ -634,6 +634,24 @@ object Pipeline extends QueryModule {
              |      CASE WHEN lang = 'en' THEN 10
              |           WHEN lang = 'de' THEN 30 ELSE 50 END""".stripMargin)),
 
+    // ---- deterministic epoch shuffle: per epoch a reproducible
+    //      pseudo-random permutation, derived from (doc_id, epoch)
+    //      alone — rankWithinGroups on corpus-sized groups (each epoch
+    //      IS the corpus; the oracle's PARTITION BY epoch window is the
+    //      one-task funnel the operator avoids) ----
+    GraftQuery("q_epoch_shuffle",
+      (s, dir) => graft.operators.Packing.epochShuffle(
+        t(s, dir, "documents"), "doc_id", epochs = 3),
+      Some("""WITH e AS (SELECT doc_id, unnest(range(0, 3))::BIGINT AS epoch
+             |  FROM documents),
+             |k AS (SELECT doc_id, epoch,
+             |  (('0x' || substr(md5(doc_id || ':' || epoch), 1, 15))::BIGINT
+             |    % 1000000007) * 8589934592 + doc_id AS kk
+             |  FROM e)
+             |SELECT doc_id, epoch,
+             |  row_number() OVER (PARTITION BY epoch ORDER BY kk)::BIGINT AS pos
+             |FROM k""".stripMargin)),
+
     // ---- curriculum ordering: per-language quality-descending rank
     //      (rankWithinGroups — no per-language giant window) round-robin
     //      interleaved across languages into one global training order.

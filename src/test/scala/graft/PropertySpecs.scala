@@ -174,6 +174,21 @@ class PropertySpecs extends SparkSpec {
     assert(got(6L) === ((3L, 4L)) && got(3L) === ((3L, 5L)))
   }
 
+  test("epochShuffle: each epoch a full permutation, epochs disagree") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = operators.Packing.epochShuffle(docs, "doc_id", epochs = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 120)
+    val byEpoch = got.groupBy(_._2).view
+      .mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    // every epoch is a permutation of all 40 docs (pos = 1..40)
+    for ((_, order) <- byEpoch) assert(order.sorted === (1L to 40L))
+    // the permutations differ across epochs (md5 keys decorrelate them)
+    assert(byEpoch(0L) !== byEpoch(1L))
+    assert(byEpoch(1L) !== byEpoch(2L))
+  }
+
   test("property: binned range join equals the theta join for any intervals") {
     import spark.implicits._
     val points = Gen.listOfN(60, Gen.choose(-100.0, 100.0))
