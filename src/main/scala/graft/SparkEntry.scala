@@ -15,7 +15,9 @@ object SparkEntry {
     graft.queries.SqlSurface,
     graft.queries.Pipeline,
     graft.queries.Warehouse,
-    graft.queries.Curation)
+    graft.queries.Curation,
+    graft.queries.Preference,
+    graft.queries.WebClean)
 
   private lazy val registry: Seq[GraftQuery] = modules.flatMap(_.queries)
 

@@ -27,15 +27,20 @@ object Graphs {
     * Fixed-iteration runs (`truncate = false`) persist WITH lineage:
     * plan depth is bounded by the iteration budget, and an evicted block
     * recomputes instead of failing. Convergence (`tol`) runs are
-    * open-ended, so the plan MUST be truncated each round — a linearly
-    * growing plan costs O(rounds²) analysis time and overflows tree-walk
-    * stacks near ~100 rounds, long before memory is a problem. Those
-    * cuts cache the node-sized Row RDD and rebuild a depth-1 DataFrame
-    * over it; recompute-on-eviction still works through the RDD lineage,
-    * whose recursion is bounded by the per-round shuffle boundaries. */
+    * open-ended, so BOTH lineages must be truncated each round — the
+    * depth-1 DataFrame over the cut RDD bounds plan analysis, and the
+    * RDD is locally CHECKPOINTED because a plain persist does not cut
+    * serialization lineage: a ShuffleDependency serializes its parent
+    * RDD transitively, so each round's task binary grows ~tens of KB
+    * and a ~100-round run overflows the task-serialization stack
+    * (observed as a StackOverflowError in invokeWriteReplace mid-run).
+    * localCheckpoint trades recompute-on-eviction for that bound —
+    * acceptable here since MEMORY_AND_DISK spills rather than evicts
+    * and each cut lives exactly one round. */
   private def cut(df: DataFrame, truncate: Boolean): (DataFrame, () => Unit) =
     if (truncate) {
       val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.localCheckpoint()
       rdd.count()
       (df.sparkSession.createDataFrame(rdd, df.schema), () => { rdd.unpersist(); () })
     } else {

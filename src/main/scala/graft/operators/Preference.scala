@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Preference-data operators — the RLHF-side curation verbs: pairwise
+  * comparisons mined from an interaction stream, win-rate matrices,
+  * Bradley–Terry strength fitting, and inter-judge agreement. A
+  * training-data pipeline that collects human (or model-judge)
+  * feedback needs exactly these to turn raw comparison logs into
+  * rankings and reliability stats.
+  *
+  * Comparisons derive from the `events` stream: within each user's
+  * timeline, every consecutive pair of DIFFERENT event types is one
+  * head-to-head trial whose higher `value` wins (equal values are
+  * ties and drop). That mirrors how implicit-feedback pipelines mint
+  * preference pairs from session logs.
+  *
+  * Determinism contract (the engine-wide one): every published number
+  * is an exact integer — ppm shares, micro-unit strengths, floored
+  * single divisions of exact integers — so the whole Bradley–Terry
+  * trajectory hash-matches a DuckDB oracle cell for cell.
+  *
+  * Distribution shape (the 100 TB contract): pair extraction is ONE
+  * per-user window (a single hash exchange on user_id, the same
+  * discipline as the sessionize/funnel family); everything after is
+  * aggregated to the |types|² comparison matrix, so the MM iterations
+  * run on a relation whose size is independent of the corpus. The
+  * matrix shares are pre-normalized to ppm of the total comparison
+  * count, which is what keeps every intermediate bounded (≤ 1e18)
+  * at ANY corpus size — see [[bradleyTerry]].
+  *
+  * Reference scope: the reference aggregates per-key traffic counts
+  * from an event stream (/root/reference/src/main/java/org/test/
+  * pcap4j/MainApp.java:38-64); head-to-head extraction + strength
+  * fitting is that same grouped-aggregation surface pointed at
+  * comparison data.
+  */
+object Preference {
+
+  /** Directed win counts `(winner, loser, cnt)` from consecutive
+    * same-user event pairs (different types, unequal values). */
+  private[operators] def wins(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .where(col("prev_type").isNotNull &&
+        col("prev_type") =!= col("event_type") &&
+        col("prev_value") =!= col("value"))
+      .select(
+        when(col("value") > col("prev_value"), col("event_type"))
+          .otherwise(col("prev_type")).as("winner"),
+        when(col("value") > col("prev_value"), col("prev_type"))
+          .otherwise(col("event_type")).as("loser"))
+      .groupBy("winner", "loser")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Canonical win-rate matrix: one row per unordered type pair
+    * `(type_a < type_b)` with both directed win counts, the trial
+    * total, and a's win share in ppm (floored — exact integers
+    * only). */
+  def winRate(events: DataFrame): DataFrame = {
+    val d = wins(events)
+    d.select(
+        when(col("winner") < col("loser"), col("winner"))
+          .otherwise(col("loser")).as("type_a"),
+        when(col("winner") < col("loser"), col("loser"))
+          .otherwise(col("winner")).as("type_b"),
+        when(col("winner") < col("loser"), col("cnt")).otherwise(lit(0L))
+          .as("wa"),
+        when(col("winner") < col("loser"), lit(0L)).otherwise(col("cnt"))
+          .as("wb"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(col("wa")).cast("long").as("wins_a"),
+        sum(col("wb")).cast("long").as("wins_b"))
+      .withColumn("n", col("wins_a") + col("wins_b"))
+      .withColumn("winrate_a_ppm", expr("wins_a * 1000000L div n"))
+  }
+
+  /** Bradley–Terry strength fit by `rounds` MM iterations (the
+    * classic minorization–maximization update: p_i ← W_i / Σ_j
+    * N_ij/(p_i+p_j), renormalized each round), published as the full
+    * trajectory `(round, event_type, strength_micro)` with strengths
+    * summing to ≈ |types| × 1e6.
+    *
+    * Exact-integer schedule, overflow-safe at any corpus size:
+    *  - the comparison matrix is pre-normalized ONCE to ppm of the
+    *    total trial count (`m_ij = N_ij*1e6 div C`, `w_i = W_i*1e6
+    *    div C`) — every later quantity is bounded by the ppm scale,
+    *    not the corpus (pairs below 1 ppm of all trials floor out,
+    *    which is the right behavior at 100 TB);
+    *  - per round: `d_i = Σ_j (m_ij*1e6 div (p_i+p_j))`, raw
+    *    strength `praw_i = w_i*1e12 div max(d_i,1)` (≤ 1e18 since
+    *    `w_i ≤ 1e6`) capped at 1e14 — the natural scale is ~2e12 ×
+    *    win-rate, so the cap only binds when a type's strength
+    *    diverges (some type never loses: the BT MLE doesn't exist and
+    *    the cap is what makes the fit total) and it keeps `Σpraw`
+    *    inside a BIGINT for up to ~90k types;
+    *  - renormalize by DIVISION only (`p_i = praw_i div max(Σpraw
+    *    div (k*1e6), 1)` — a praw×1e6 multiply could overflow), so
+    *    strengths sum to ≈ k×1e6 each round.
+    * All divisions are floored divisions of non-negative integers,
+    * identical in Spark (`div`) and DuckDB (`//`). */
+  def bradleyTerry(events: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val spark = events.sparkSession
+    val d = wins(events).localCheckpoint(true) // read by W, N, and C
+    // symmetric trial matrix + per-type win totals, both in ppm of C
+    val c = d.agg(sum(col("cnt")).as("c")) // 1 row
+    val m = d.select(col("winner").as("i"), col("loser").as("j"), col("cnt"))
+      .unionByName(
+        d.select(col("loser").as("i"), col("winner").as("j"), col("cnt")))
+      .groupBy("i", "j").agg(sum(col("cnt")).as("nij"))
+      .crossJoin(c)
+      .select(col("i"), col("j"), expr("nij * 1000000L div c").as("mij"))
+      .localCheckpoint(true)
+    val w = d.groupBy(col("winner").as("i"))
+      .agg(sum(col("cnt")).as("wi"))
+      .crossJoin(c)
+      .select(col("i"), expr("wi * 1000000L div c").as("wppm"))
+    val types = m.select(col("i")).distinct()
+    val k = types.count() // |types|: tiny, loop/scale constant
+    var p = types.select(col("i"), lit(1000000L).as("p"))
+      .localCheckpoint(true)
+    var traj: DataFrame = null
+    for (r <- 1 to rounds) {
+      val dsum = m
+        .join(p.select(col("i"), col("p").as("pi")), Seq("i"))
+        .join(p.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
+        .groupBy("i")
+        .agg(sum(expr("mij * 1000000L div (pi + pj)")).as("di"))
+      val praw = w.join(dsum, Seq("i"), "left")
+        .select(col("i"), least(
+          expr("wppm * 1000000000000L div greatest(coalesce(di, 0L), 1L)"),
+          lit(100000000000000L)).as("praw"))
+      val s = praw.agg(sum(col("praw")).as("s"))
+      p = types
+        .join(praw, Seq("i"), "left")
+        .crossJoin(s)
+        .select(col("i"), expr(
+          s"coalesce(praw, 0L) div greatest(s div ${k * 1000000L}L, 1L)")
+          .as("p"))
+        .localCheckpoint(true) // read twice next round (pi + pj) + traj
+      val step = p.select(lit(r.toLong).as("round"),
+        col("i").as("event_type"), col("p").as("strength_micro"))
+      traj = if (traj == null) step else traj.unionByName(step)
+    }
+    if (traj == null) spark.emptyDataFrame else traj
+  }
+
+  /** Cohen's kappa between two judges over the same trials: judge A =
+    * `value >= athr`, judge B = `props.k >= bthr` (the model-judge vs
+    * heuristic-judge agreement check every eval pipeline runs).
+    * Published as exact integers — the agreement table plus kappa's
+    * numerator `agree·n − a1·b1 − a0·b0` and denominator `n² − a1·b1
+    * − a0·b0` (kappa can be negative, and floored division of signed
+    * integers differs between engines, so the ratio itself is the
+    * consumer's one division). */
+  def judgeAgreement(events: DataFrame, athr: Double = 35.0,
+      bthr: Long = 50L): DataFrame = {
+    events
+      .select(
+        (col("value") >= lit(athr)).cast("long").as("ja"),
+        (get_json_object(col("props"), "$.k").cast("long") >= lit(bthr))
+          .cast("long").as("jb"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("ja")).cast("long").as("a1"),
+        sum(col("jb")).cast("long").as("b1"),
+        sum((col("ja") === col("jb")).cast("long")).cast("long").as("agree"))
+      .select(col("n"), col("a1"), col("b1"), col("agree"),
+        (col("agree") * col("n") - col("a1") * col("b1") -
+          (col("n") - col("a1")) * (col("n") - col("b1"))).as("kappa_num"),
+        (col("n") * col("n") - col("a1") * col("b1") -
+          (col("n") - col("a1")) * (col("n") - col("b1"))).as("kappa_den"))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Preference / evaluation-data surface: head-to-head comparisons
+  * mined from the events stream, win-rate matrices, Bradley–Terry
+  * strength fitting (the full MM trajectory), and inter-judge
+  * agreement — the RLHF-side curation verbs. Implementations in
+  * [[graft.operators.Preference]]; every query here hash-matches a
+  * DuckDB oracle cell for cell (exact-integer contract throughout).
+  */
+object Preference extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** Shared oracle prefix: consecutive same-user event pairs → directed
+    * win counts `d(winner, loser, cnt)` — mirrors
+    * [[graft.operators.Preference.wins]] construct for construct. */
+  private val winsCtes: String =
+    """pr AS (
+      |  SELECT user_id, event_type, value,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type,
+      |    lag(value) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_value
+      |  FROM events),
+      |d AS MATERIALIZED (
+      |  SELECT CASE WHEN value > prev_value THEN event_type
+      |              ELSE prev_type END AS winner,
+      |         CASE WHEN value > prev_value THEN prev_type
+      |              ELSE event_type END AS loser,
+      |         count(*)::BIGINT AS cnt
+      |  FROM pr
+      |  WHERE prev_type IS NOT NULL AND prev_type <> event_type
+      |    AND prev_value <> value
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Generated N-round Bradley–Terry MM oracle: the ppm-normalized
+    * comparison matrix, then one `(d_r, praw_r, s_r, p_r)` CTE block
+    * per round — every arithmetic step (per-term floored divisions,
+    * the 1e12 strength cap, the Σpraw/k renormalization) mirrors
+    * [[graft.operators.Preference.bradleyTerry]] exactly. `p_r` is
+    * MATERIALIZED (read by round r+1 twice and by the trajectory
+    * union). */
+  private[queries] def bradleyTerryOracle(rounds: Int): String = {
+    val sb = new StringBuilder("WITH " + winsCtes)
+    sb.append("""
+      |, c AS (SELECT sum(cnt)::BIGINT AS c FROM d),
+      |m AS MATERIALIZED (
+      |  SELECT i, j, (sum(cnt)::BIGINT * 1000000 // greatest(c.c, 1))::BIGINT AS mij
+      |  FROM (SELECT winner AS i, loser AS j, cnt FROM d
+      |        UNION ALL
+      |        SELECT loser AS i, winner AS j, cnt FROM d) u
+      |  CROSS JOIN c GROUP BY i, j, c.c),
+      |w AS (SELECT winner AS i,
+      |        (sum(cnt)::BIGINT * 1000000 // greatest(c.c, 1))::BIGINT AS wppm
+      |      FROM d CROSS JOIN c GROUP BY 1, c.c),
+      |ty AS MATERIALIZED (SELECT DISTINCT i FROM m),
+      |tk AS (SELECT count(*)::BIGINT AS k FROM ty),
+      |p0 AS MATERIALIZED (SELECT i, 1000000::BIGINT AS p FROM ty)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s"""
+        |, d$r AS (
+        |  SELECT m.i, sum(m.mij * 1000000 // (pi.p + pj.p))::BIGINT AS di
+        |  FROM m
+        |  JOIN p${r - 1} pi ON pi.i = m.i
+        |  JOIN p${r - 1} pj ON pj.i = m.j
+        |  GROUP BY 1),
+        |praw$r AS MATERIALIZED (
+        |  SELECT w.i, least(w.wppm * 1000000000000 //
+        |    greatest(coalesce(dd.di, 0), 1), 100000000000000)::BIGINT AS praw
+        |  FROM w LEFT JOIN d$r dd ON dd.i = w.i),
+        |s$r AS (SELECT sum(praw)::BIGINT AS s FROM praw$r),
+        |p$r AS MATERIALIZED (
+        |  SELECT ty.i, (coalesce(pr.praw, 0) //
+        |    greatest(s$r.s // (tk.k * 1000000), 1))::BIGINT AS p
+        |  FROM ty LEFT JOIN praw$r pr ON pr.i = ty.i
+        |  CROSS JOIN s$r CROSS JOIN tk)""".stripMargin)
+    }
+    sb.append("\n" + (1 to rounds).map(r =>
+      s"SELECT $r::BIGINT AS round, i AS event_type, p AS strength_micro " +
+        s"FROM p$r").mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
+  override val queries: Seq[GraftQuery] = Seq(
+
+    // ---- head-to-head win-rate matrix: one row per unordered type
+    //      pair, directed win counts + a's share in ppm (floored) ----
+    GraftQuery("q_winrate",
+      (s, dir) => graft.operators.Preference.winRate(t(s, dir, "events")),
+      Some(s"""WITH $winsCtes,
+             |g AS (SELECT
+             |    CASE WHEN winner < loser THEN winner ELSE loser END AS type_a,
+             |    CASE WHEN winner < loser THEN loser ELSE winner END AS type_b,
+             |    CASE WHEN winner < loser THEN cnt ELSE 0 END AS wa,
+             |    CASE WHEN winner < loser THEN 0 ELSE cnt END AS wb
+             |  FROM d),
+             |a AS (SELECT type_a, type_b, sum(wa)::BIGINT AS wins_a,
+             |        sum(wb)::BIGINT AS wins_b
+             |      FROM g GROUP BY 1, 2)
+             |SELECT type_a, type_b, wins_a, wins_b,
+             |  (wins_a + wins_b)::BIGINT AS n,
+             |  (wins_a * 1000000 // (wins_a + wins_b))::BIGINT AS winrate_a_ppm
+             |FROM a""".stripMargin)),
+
+    // ---- Bradley–Terry MM fit, 5 rounds, full trajectory ----
+    GraftQuery("q_bradley_terry",
+      (s, dir) => graft.operators.Preference.bradleyTerry(
+        t(s, dir, "events"), rounds = 5),
+      Some(bradleyTerryOracle(5))),
+
+    // ---- Cohen's kappa between the value-judge and the props-judge,
+    //      published as the exact agreement table + kappa's integer
+    //      numerator/denominator (kappa can be negative; signed floor
+    //      division differs between engines, so the one division is
+    //      left to the consumer) ----
+    GraftQuery("q_judge_agreement",
+      (s, dir) => graft.operators.Preference.judgeAgreement(
+        t(s, dir, "events"), athr = 35.0, bthr = 50L),
+      Some("""WITH j AS (
+             |  SELECT (value >= 35.0)::BIGINT AS ja,
+             |    (CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50)
+             |      ::BIGINT AS jb
+             |  FROM events),
+             |a AS (SELECT count(*)::BIGINT AS n, sum(ja)::BIGINT AS a1,
+             |        sum(jb)::BIGINT AS b1,
+             |        sum((ja = jb)::BIGINT)::BIGINT AS agree
+             |      FROM j)
+             |SELECT n, a1, b1, agree,
+             |  (agree * n - a1 * b1 - (n - a1) * (n - b1))::BIGINT AS kappa_num,
+             |  (n * n - a1 * b1 - (n - a1) * (n - b1))::BIGINT AS kappa_den
+             |FROM a""".stripMargin)))
+}

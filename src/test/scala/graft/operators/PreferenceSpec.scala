@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Preference family (SURVEY.md §2.11 — RLHF-side curation verbs). */
+class PreferenceSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  /** user 1 timeline: a(10) b(20) a(5) c(5)  → pairs: b>a, a<b, c tie-drop
+    * user 2 timeline: b(1) c(2)              → pairs: c>b */
+  private def events = {
+    import spark.implicits._
+    Seq(
+      (1L, ts(10), 1L, "a", 10.0, """{"k": 60}"""),
+      (2L, ts(20), 1L, "b", 20.0, """{"k": 10}"""),
+      (3L, ts(30), 1L, "a", 5.0, """{"k": 70}"""),
+      (4L, ts(40), 1L, "c", 5.0, """{"k": 40}"""),
+      (5L, ts(10), 2L, "b", 1.0, """{"k": 80}"""),
+      (6L, ts(20), 2L, "c", 2.0, """{"k": 90}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("winRate mines consecutive same-user pairs, drops ties and same-type") {
+    import spark.implicits._
+    val got = Preference.winRate(events)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // trials: (b beats a) ts10→20, (b beats a) ts20→30, (c tie a) DROPPED,
+    // (c beats b) user 2.
+    assert(got === Set(
+      ("a", "b", 0L, 2L, 2L, 0L),       // a never beats b
+      ("b", "c", 0L, 1L, 1L, 0L)))      // c beats b once
+  }
+
+  test("bradleyTerry trajectory is deterministic and ranks by dominance") {
+    import spark.implicits._
+    val traj = Preference.bradleyTerry(events, rounds = 3)
+      .as[(Long, String, Long)].collect()
+    assert(traj.length === 9) // 3 rounds x 3 types
+    val last = traj.filter(_._1 == 3L).map(t => t._2 -> t._3).toMap
+    // dominance: c beat b, b beat a twice, a never won
+    assert(last("a") === 0L) // zero wins → zero strength (BT degenerate case)
+    assert(last("c") > last("b"), s"c must outrank b: $last")
+    assert(last("b") > last("a"), s"b must outrank a: $last")
+    // strengths renormalize to ~ |types| * 1e6 each round
+    assert(last.values.sum <= 3200000L && last.values.sum >= 2800000L)
+    // rerun is bit-identical (pure integer arithmetic, no seeds)
+    val again = Preference.bradleyTerry(events, rounds = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again === traj.toSet)
+  }
+
+  test("bradleyTerry MM converges toward the analytic 2-type win share") {
+    import spark.implicits._
+    // 3 wins for x over y, 1 win for y over x — one trial per USER so
+    // pairs never chain. BT closed form for two types: p_x/(p_x+p_y) = 3/4.
+    val rows = (0 until 4).flatMap { i =>
+      val (w, l) = if (i < 3) ("x", "y") else ("y", "x")
+      Seq((i * 2 + 1L, ts(100), 100L + i, l, 1.0, "{}"),
+        (i * 2 + 2L, ts(110), 100L + i, w, 2.0, "{}"))
+    }
+    val df = spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val last = Preference.bradleyTerry(df, rounds = 8)
+      .where("round = 8").as[(Long, String, Long)].collect()
+      .map(t => t._2 -> t._3).toMap
+    val share = last("x").toDouble / (last("x") + last("y"))
+    assert(math.abs(share - 0.75) < 0.1,
+      s"x's fitted share $share should approach 3/4: $last")
+  }
+
+  test("judgeAgreement publishes the exact agreement table and kappa parts") {
+    import spark.implicits._
+    val got = Preference.judgeAgreement(events, athr = 35.0, bthr = 50L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // ja (value>=35): none (max 20) → a1=0. jb (k>=50): 60,70,80,90 → b1=4.
+    // agree (ja=jb): rows where jb=0 → k=10,40 → 2.
+    val (n, a1, b1, agree, num, den) = got
+    assert((n, a1, b1, agree) === (6L, 0L, 4L, 2L))
+    assert(num === agree * n - a1 * b1 - (n - a1) * (n - b1))
+    assert(den === n * n - a1 * b1 - (n - a1) * (n - b1))
+    // kappa here: po=1/3, pe=(0*4 + 6*2)/36=1/3 → kappa = 0 exactly
+    assert(num === 0L)
+  }
+}
