@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Warehouse,
     graft.queries.Curation,
     graft.queries.Preference,
-    graft.queries.WebClean)
+    graft.queries.WebClean,
+    graft.queries.Unigram)
 
   private lazy val registry: Seq[GraftQuery] = modules.flatMap(_.queries)
 

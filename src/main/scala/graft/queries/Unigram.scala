@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Unigram-LM (SentencePiece-style) tokenizer surface —
+  * [[graft.operators.UnigramLM]]: hard-EM training (Viterbi E-step
+  * under integer micro-nat scores, usage-count M-step, budget prune)
+  * and the train→apply encode. The generated oracles mirror the
+  * operator construct for construct: the packed `(score·2^26 + path)`
+  * Viterbi keys, the sentinel-led base-4 path decode, the
+  * add-1-smoothed `floor(1e6·ln((tot+|V|)/(cnt+1)))` scores — every
+  * CTE of the unrolled recurrence MATERIALIZED, like every generated
+  * chain in [[Curation]].
+  */
+object Unigram extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  private val L = graft.operators.UnigramLM.MaxPieceLen
+  private val W = graft.operators.UnigramLM.WordCap
+  private val K = graft.operators.UnigramLM.VocabBudget
+  private val Shift = graft.operators.UnigramLM.PathShift
+
+  /** Seed CTEs: word frequencies and substring-occurrence counts
+    * (multiplicity-weighted — SentencePiece's frequency seeding). */
+  private def seed(src: String, prelude: String): String =
+    s"""WITH ${prelude}u AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |    w -> w <> '')) AS word FROM $src),
+       |wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq
+       |  FROM u WHERE length(word) <= $W GROUP BY 1),
+       |c0 AS MATERIALIZED (
+       |  SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+       |    SELECT wf.freq, substr(wf.word, p, l) AS piece
+       |    FROM wf
+       |    CROSS JOIN (SELECT unnest(range(1, ${L + 1})) AS l) ls
+       |    CROSS JOIN (SELECT unnest(range(1, ${W + 1})) AS p) ps
+       |    WHERE p + l - 1 <= length(wf.word)) t0
+       |  GROUP BY 1)""".stripMargin
+
+  /** One scores + Viterbi-DP + best-key block under vocabulary
+    * `c{r-1}`, producing `s$r` and `bb$r`. */
+  private def dpBlock(sb: StringBuilder, r: Int): Unit = {
+    sb.append(s""",
+      |t$r AS (SELECT sum(cnt)::BIGINT AS tot, count(*)::BIGINT AS vsz
+      |        FROM c${r - 1}),
+      |s$r AS MATERIALIZED (
+      |  SELECT piece, CAST(floor(1000000.0 * ln(
+      |    CAST(t.tot + t.vsz AS DOUBLE) / CAST(cnt + 1 AS DOUBLE)))
+      |    AS BIGINT) AS s
+      |  FROM c${r - 1} CROSS JOIN t$r t)""".stripMargin)
+    for (p <- 1 to W) {
+      val branches = (1 to math.min(L, p)).map { l =>
+        val prev = if (p - l == 0) "(SELECT word, 1::BIGINT AS key FROM wf)"
+                   else s"b${r}_${p - l}"
+        s"""SELECT st.word, (st.key // $Shift + sv.s) * $Shift +
+           |      ((st.key % $Shift) * 4 + ${l - 1}) AS key
+           |    FROM $prev st
+           |    JOIN s$r sv ON sv.piece = substr(st.word, ${p - l + 1}, $l)
+           |    WHERE length(st.word) >= $p""".stripMargin
+      }.mkString("\n    UNION ALL ")
+      sb.append(s""",
+        |b${r}_$p AS MATERIALIZED (
+        |  SELECT word, min(key) AS key FROM (
+        |    $branches) cc GROUP BY 1)""".stripMargin)
+    }
+    val bestUnion = (1 to W).map(p =>
+      s"SELECT word, key FROM b${r}_$p WHERE length(word) = $p")
+      .mkString(" UNION ALL ")
+    sb.append(s""",
+      |bb$r AS MATERIALIZED (SELECT word, key FROM ($bestUnion) bu$r)"""
+      .stripMargin)
+  }
+
+  /** Path-decode block off `bb$r`: chained pop-one-digit states `d`,
+    * and the emitted `(word, piece)` union `em$r`. */
+  private def decodeBlock(sb: StringBuilder, r: Int): Unit = {
+    sb.append(s""",
+      |d${r}_0 AS MATERIALIZED (
+      |  SELECT word, length(word)::BIGINT AS pend, key % $Shift AS path
+      |  FROM bb$r)""".stripMargin)
+    for (k <- 1 to W)
+      sb.append(s""",
+        |d${r}_$k AS MATERIALIZED (
+        |  SELECT word, pend - (path % 4 + 1) AS pend, path // 4 AS path
+        |  FROM d${r}_${k - 1} WHERE path > 1)""".stripMargin)
+    val emits = (1 to W).map(k =>
+      s"""SELECT word, substr(word, CAST(pend - (path % 4 + 1) + 1 AS INT),
+         |      CAST(path % 4 + 1 AS INT)) AS piece
+         |    FROM d${r}_${k - 1} WHERE path > 1""".stripMargin)
+      .mkString("\n    UNION ALL ")
+    sb.append(s""",
+      |em$r AS MATERIALIZED (
+      |    $emits)""".stripMargin)
+  }
+
+  /** The shared trained chain: `rounds` EM rounds ending at vocabulary
+    * `c{rounds}`; `applyLast` adds the encode pass (block rounds+1). */
+  private def chain(rounds: Int, applyLast: Boolean,
+      src: String = "documents", prelude: String = ""): String = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val sb = new StringBuilder(seed(src, prelude))
+    for (r <- 1 to rounds) {
+      dpBlock(sb, r)
+      decodeBlock(sb, r)
+      sb.append(s""",
+        |use$r AS MATERIALIZED (
+        |  SELECT em.piece, sum(wf.freq)::BIGINT AS cnt
+        |  FROM em$r em JOIN wf ON wf.word = em.word
+        |  GROUP BY 1),
+        |c$r AS MATERIALIZED (
+        |  SELECT v.piece, coalesce(u2.cnt, 0)::BIGINT AS cnt
+        |  FROM (
+        |    SELECT piece FROM c${r - 1} WHERE length(piece) = 1
+        |    UNION ALL
+        |    SELECT piece FROM (
+        |      SELECT piece FROM use$r WHERE length(piece) > 1
+        |      ORDER BY cnt DESC, piece LIMIT $K) q$r
+        |  ) v LEFT JOIN use$r u2 ON u2.piece = v.piece)""".stripMargin)
+    }
+    if (applyLast) {
+      val e = rounds + 1
+      dpBlock(sb, e)
+      decodeBlock(sb, e)
+      sb.append(s""",
+        |enc AS (SELECT word, count(*)::BIGINT AS n FROM em$e GROUP BY 1)"""
+        .stripMargin)
+    }
+    sb.toString
+  }
+
+  private[queries] def trainOracle(rounds: Int): String =
+    chain(rounds, applyLast = false) + s"""
+      |SELECT piece, length(piece)::BIGINT AS piece_len, cnt
+      |FROM c$rounds""".stripMargin
+
+  private[queries] def encodeOracle(rounds: Int,
+      src: String = "documents", prelude: String = ""): String =
+    chain(rounds, applyLast = true, src, prelude) + s"""
+      |SELECT u.doc_id, count(*)::BIGINT AS n_words,
+      |  sum(enc.n)::BIGINT AS n_tokens,
+      |  sum(bb.key // $Shift)::BIGINT AS nll_micro
+      |FROM u
+      |JOIN enc USING (word)
+      |JOIN bb${rounds + 1} bb USING (word)
+      |GROUP BY 1""".stripMargin
+
+  override val queries: Seq[GraftQuery] = Seq(
+
+    // ---- unigram-LM hard-EM training: 2 rounds of Viterbi-segment →
+    //      count → prune, published as the final (piece, len, cnt) ----
+    GraftQuery("q_unigram_train",
+      (s, dir) => graft.operators.UnigramLM.train(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 2),
+      Some(trainOracle(2))),
+
+    // ---- train→apply: per-document token counts + total segmentation
+    //      cost in micro-nats under the trained model ----
+    GraftQuery("q_unigram_encode",
+      (s, dir) => graft.operators.UnigramLM.encode(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 2),
+      Some(encodeOracle(2))))
+}

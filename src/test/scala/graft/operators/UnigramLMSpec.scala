@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Unigram-LM hard-EM trainer (SURVEY.md §2.11 tokenizer family). */
+class UnigramLMSpec extends SparkSpec {
+
+  // floor(1e6·ln(x)) constants used by the hand traces below
+  private val Ln3 = 1098612L   // ln(12/4)
+  private val Ln1_5 = 405465L  // ln(6/4)
+  private val Ln4 = 1386294L   // ln(8/2)
+
+  test("train on a one-word corpus keeps singles and promotes the word") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val got = UnigramLM.train(docs, "doc_id", "text", rounds = 2)
+      .as[(String, Long, Long)].collect().toSet
+    // seed: a:3 b:3 ab:3 → round 1 scores all ln(12/4): [ab] (1 piece)
+    // beats [a,b]; prune keeps singles (unused → 0) + ab (3)
+    assert(got === Set(("a", 1L, 0L), ("b", 1L, 0L), ("ab", 2L, 3L)))
+  }
+
+  test("encode publishes exact micro-nat segmentation costs") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val got = UnigramLM.encode(docs, "doc_id", "text", rounds = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    // final scores: tot=3, |V|=3 → s(ab)=floor(1e6·ln(6/4)); each word
+    // segments as [ab]: 3 words, 3 tokens, 3·405465 micro-nats
+    assert(got === ((1L, 3L, 3L, 3L * Ln1_5)))
+  }
+
+  test("equal-score ties break by path code: shortest FIRST piece wins") {
+    import spark.implicits._
+    val docs = Seq((7L, "abcde")).toDF("doc_id", "text")
+    // seed: all 14 substrings have cnt 1 → equal scores → any 2-piece
+    // split of 5 chars ties on score; the packed path code is minimal
+    // for [a, bcde] (first digit 0), so usage must be exactly {a, bcde}
+    val got = UnigramLM.train(docs, "doc_id", "text", rounds = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 1L, 1L), ("b", 1L, 0L), ("c", 1L, 0L),
+      ("d", 1L, 0L), ("e", 1L, 0L), ("bcde", 4L, 1L)))
+    val enc = UnigramLM.encode(docs, "doc_id", "text", rounds = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    // round-3 scores: tot=2, |V|=6 → s(a)=s(bcde)=floor(1e6·ln(8/2))
+    assert(enc === ((7L, 1L, 2L, 2L * Ln4)))
+  }
+
+  test("training is deterministic and words over WordCap are dropped") {
+    import spark.implicits._
+    val long = "x" * (UnigramLM.WordCap + 1)
+    val docs = Seq((1L, s"ab $long"), (2L, "ab cd")).toDF("doc_id", "text")
+    val a = UnigramLM.train(docs, "doc_id", "text", rounds = 2)
+      .as[(String, Long, Long)].collect().toSet
+    val b = UnigramLM.train(docs, "doc_id", "text", rounds = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(!a.exists(_._1.contains("x")), "over-cap word must not seed vocab")
+    val enc = UnigramLM.encode(docs, "doc_id", "text", rounds = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(enc === Map(1L -> 1L, 2L -> 2L)) // the long word drops from n_words
+  }
+}
