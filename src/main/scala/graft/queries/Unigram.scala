@@ -161,5 +161,16 @@ object Unigram extends QueryModule {
     GraftQuery("q_unigram_encode",
       (s, dir) => graft.operators.UnigramLM.encode(
         t(s, dir, "documents"), "doc_id", "text", rounds = 2),
-      Some(encodeOracle(2))))
+      Some(encodeOracle(2))),
+
+    // ---- the MULTIBYTE corpus variant: substr/length are CODE POINTS
+    //      in both engines (same contract as q_utf8_maxmatch_encode),
+    //      so the packed path code counts characters, not bytes ----
+    GraftQuery("q_utf8_unigram_encode",
+      (s, dir) => graft.operators.UnigramLM.encode(
+        graft.operators.Utf8Corpus.decorate(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "text", rounds = 2),
+      Some(encodeOracle(2, src = "docs8",
+        prelude = s"docs8 AS (${graft.operators.Utf8Corpus.oracleCte}),\n"))))
 }
