@@ -490,3 +490,51 @@ case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFal
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** unicode_norm(text, form): Unicode normalization (NFC/NFD/NFKC/NFKD)
+  * as a native kernel — the canonicalization step every dedup/hash
+  * pipeline runs before comparing text, since canonically-equivalent
+  * strings (precomposed é vs e + combining acute) are byte-DIFFERENT
+  * and byte-exact dedup misses them. The form argument must be a
+  * string LITERAL so the java.text.Normalizer.Form resolves once per
+  * plan, not per row. CodegenFallback like the file's other kernels:
+  * the work is the normalizer's own scan, not dispatch overhead.
+  * DuckDB twin: `nfc_normalize` (the oracles pin the NFC path; the
+  * other forms are spec-covered). */
+case class UnicodeNorm(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def prettyName: String = "unicode_norm"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if right.foldable =>
+        if (formOpt.isDefined) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName form must be one of NFC, NFD, NFKC, NFKD")
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string literal), got " +
+          s"${a.simpleString}, ${b.simpleString}")
+    }
+
+  private lazy val formOpt: Option[java.text.Normalizer.Form] = {
+    val v = right.eval(null)
+    if (v == null) None
+    else scala.util.Try(java.text.Normalizer.Form.valueOf(
+      v.asInstanceOf[UTF8String].toString.toUpperCase)).toOption
+  }
+
+  override def nullSafeEval(input: Any, form: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // fast path: Normalizer.isNormalized is a cheap scan that skips the
+    // rebuild for the (dominant, in real corpora) already-normal case
+    val f = formOpt.get
+    if (java.text.Normalizer.isNormalized(s, f)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -122,6 +122,8 @@ object VectorFunctions {
       "minhash_from_hashes(hv) - 16-wide MinHash signature from hashed shingles"),
     ("norm_ws", (e: Seq[Expression]) => NormWs(e(0)),
       "norm_ws(text) - collapse whitespace, trim, lowercase (one pass)"),
+    ("unicode_norm", (e: Seq[Expression]) => UnicodeNorm(e(0), e(1)),
+      "unicode_norm(text, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),
     ("clean_gate", (e: Seq[Expression]) => CleanGate(e(0), e(1), e(2)),
       "clean_gate(text, lang, minq) - corpus-clean language+quality keep decision"),
     ("trigram_hits", (e: Seq[Expression]) => TrigramHits(e(0), e(1)),

@@ -96,5 +96,64 @@ object WebClean extends QueryModule {
              |  sum((f.df <= 2)::BIGINT)::BIGINT AS n_kept,
              |  coalesce(string_agg(CASE WHEN f.df <= 2 THEN l.line END,
              |    ' ' ORDER BY l.pos), '') AS clean_text
-             |FROM l JOIN f USING (line) GROUP BY 1""".stripMargin)))
+             |FROM l JOIN f USING (line) GROUP BY 1""".stripMargin)),
+
+    // ---- Unicode NFC normalization (native unicode_norm kernel vs
+    //      DuckDB nfc_normalize) over the multibyte corpus: the
+    //      combining-mark decoration (doc_id%5=3) composes to a single
+    //      code point; every other width class is NFC-stable ----
+    GraftQuery("q_unicode_nfc",
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        graft.operators.Utf8Corpus.decorate(
+            t(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_cp_raw"),
+            length(call_function("unicode_norm", col("text"), lit("NFC")))
+              .cast("long").as("n_cp_nfc"))
+          .withColumn("changed", (col("n_cp_raw") =!= col("n_cp_nfc"))
+            .cast("long"))
+      },
+      Some(s"""WITH d8 AS (${graft.operators.Utf8Corpus.oracleCte})
+             |SELECT doc_id, length(text)::BIGINT AS n_cp_raw,
+             |  length(nfc_normalize(text))::BIGINT AS n_cp_nfc,
+             |  (length(text) <> length(nfc_normalize(text)))::BIGINT
+             |    AS changed
+             |FROM d8""".stripMargin)),
+
+    // ---- dedup AFTER normalization: canonically-equivalent variants
+    //      (precomposed é vs e + combining acute) are byte-different —
+    //      byte-exact dedup misses the pair, NFC-keyed dedup collapses
+    //      it. Each doc spawns both variants; every group must close
+    //      at exactly 2 copies keeping the even id ----
+    GraftQuery("q_nfc_dedup",
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        val pre = new String(Character.toChars(0xE9)) // é precomposed
+        val cmb = "e" + new String(Character.toChars(0x301)) // e + U+0301
+        val variants = docs.select((col("doc_id") * 2).as("id"),
+            concat(lit("caf" + pre + " "), col("text")).as("text"))
+          .unionByName(docs.select((col("doc_id") * 2 + 1).as("id"),
+            concat(lit("caf" + cmb + " "), col("text")).as("text")))
+        variants
+          .select(col("id"),
+            call_function("unicode_norm", col("text"), lit("NFC")).as("norm"))
+          .groupBy("norm")
+          .agg(min(col("id")).as("keep_id"),
+            count(lit(1)).cast("long").as("n_copies"))
+          .select(col("keep_id"), col("n_copies"),
+            length(col("norm")).cast("long").as("n_cp"))
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id * 2 AS id,
+             |    'caf' || chr(233) || ' ' || text AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id * 2 + 1 AS id,
+             |    'caf' || 'e' || chr(769) || ' ' || text AS text
+             |  FROM documents)
+             |SELECT min(id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies,
+             |  length(norm)::BIGINT AS n_cp
+             |FROM (SELECT id, nfc_normalize(text) AS norm FROM v) n
+             |GROUP BY norm""".stripMargin)))
 }
