@@ -32,6 +32,25 @@ object Warehouse extends QueryModule {
 
   override val queries: Seq[GraftQuery] = Seq(
 
+    // ---- k-anonymity release gate: rows whose (segment, nation) group
+    //      has fewer than 10 members get ALL quasi columns suppressed
+    //      (masking only the rare column would leak the rest) ----
+    GraftQuery("q_k_anonymity",
+      (s, dir) => graft.operators.Privacy.kAnonymize(
+        t(s, dir, "customer"), "c_custkey",
+        Seq("c_mktsegment", "c_nationkey"), k = 10L),
+      Some("""WITH g AS (
+             |  SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS group_n
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT c_custkey,
+             |  CASE WHEN group_n >= 10 THEN c_mktsegment ELSE '*' END
+             |    AS c_mktsegment,
+             |  CASE WHEN group_n >= 10 THEN c_nationkey::VARCHAR ELSE '*' END
+             |    AS c_nationkey,
+             |  group_n, (group_n >= 10)::BIGINT AS kept
+             |FROM customer JOIN g USING (c_mktsegment, c_nationkey)"""
+        .stripMargin)),
+
     // ---- snapshot diff: old = orders minus %13 keys; new = orders minus
     // %11 keys with %7 keys repriced → inserted/deleted/updated delta ----
     GraftQuery("q_snapshot_diff",
