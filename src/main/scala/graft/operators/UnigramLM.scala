@@ -39,7 +39,9 @@ import org.apache.spark.sql.functions._
   * encode; DP steps are ≤[[MaxMatch.MaxPieceLen]] equi-joins per
   * cursor against the vocabulary; per-step results localCheckpoint
   * (each is read by up to MaxPieceLen later steps, and lineage must
-  * not compound across rounds).
+  * not compound across rounds). Production shape: [[train]] once,
+  * persist the (piece, cnt) vocabulary as an artifact, then
+  * [[encodeWith]] serves every later corpus WITHOUT retraining.
   */
 object UnigramLM {
 
@@ -72,16 +74,115 @@ object UnigramLM {
       rounds: Int = 2): DataFrame =
     core(docs, idCol, textCol, rounds)._2()
 
-  private def core(docs: DataFrame, idCol: String, textCol: String,
-      rounds: Int): (DataFrame, () => DataFrame) = {
-    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+  /** Encode under an ALREADY-TRAINED vocabulary `(piece, cnt)` — the
+    * artifact-served path: no seeding, no EM rounds, just the one
+    * Viterbi pass + the per-document join. The vocabulary must cover
+    * every single character of the corpus (a trained one covers its
+    * own training corpus by construction; unseen characters drop the
+    * word, inner-join semantics — same contract as
+    * [[MaxMatch.viterbiTokens]]). */
+  def encodeWith(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val (words, wf, maxSteps) = prep(docs, idCol, textCol)
+    encodeFrom(words, wf, maxSteps,
+      vocab.select(col("piece"), col("cnt")))
+  }
+
+  private def prep(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, Int) = {
     val words = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(expr(Dedup.wordsExpr(textCol))).as("word"))
     val wf = words.where(length(col("word")) <= WordCap)
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
       .localCheckpoint(true)
     val maxRow = wf.agg(max(length(col("word")))).head
-    val maxSteps = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
+    (words, wf, if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0))
+  }
+
+  /** Add-1-smoothed micro-nat scores for a (piece, cnt) vocabulary:
+    * floor(1e6 · ln((total + |V|)/(cnt + 1))). */
+  private def scores(v: DataFrame): DataFrame = {
+    val tot = v.agg(sum(col("cnt")).cast("long").as("tot"),
+      count(lit(1)).cast("long").as("vsz"))
+    v.crossJoin(tot).select(col("piece"), expr(
+      """cast(floor(1000000.0 * ln(
+        |  cast(tot + vsz as double) / cast(cnt + 1 as double))) as long)"""
+        .stripMargin).as("s"))
+      .localCheckpoint(true) // read by every DP step
+  }
+
+  /** One Viterbi pass of every word type under scored pieces:
+    * per word the best packed key (score·2^26 + sentinel-led path). */
+  private def best(wf: DataFrame, maxSteps: Int, sc: DataFrame): DataFrame = {
+    val b0 = wf.select(col("word"), lit(1L).as("key")) // score 0, path 1
+    val bs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (p <- 1 to maxSteps) {
+      val cands = (1 to math.min(MaxPieceLen, p)).map { l =>
+        val prev = if (p - l == 0) b0 else bs(p - l - 1)
+        prev.where(length(col("word")) >= p)
+          .withColumn("piece", expr(s"substring(word, ${p - l + 1}, $l)"))
+          .join(sc, Seq("piece"))
+          // split the packed key, extend both fields, repack
+          .select(col("word"), expr(
+            s"""(key div $PathShift + s) * $PathShift +
+               |((key % $PathShift) * 4 + ${l - 1})""".stripMargin)
+            .as("key"))
+      }.reduce(_ unionByName _)
+      bs += cands.groupBy(col("word")).agg(min(col("key")).as("key"))
+        .localCheckpoint(true)
+    }
+    if (bs.isEmpty) b0.where(lit(false))
+    else bs.zipWithIndex.map { case (b, i) =>
+      b.where(length(col("word")) === i + 1)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Decode winning segmentations: `(word, piece)` rows with
+    * multiplicity, by popping base-4 length digits off the path —
+    * WordCap tiny expression steps, no joins. */
+  private def decode(bestKeys: DataFrame, maxSteps: Int): DataFrame = {
+    var state = bestKeys.select(col("word"),
+      length(col("word")).cast("long").as("pend"),
+      (col("key") % PathShift).as("path"))
+    var used: DataFrame = null
+    for (_ <- 1 to maxSteps) {
+      val step = state.where(col("path") > 1L)
+        .withColumn("l", expr("path % 4 + 1"))
+        .localCheckpoint(true) // read twice: emit + next state
+      val u = step.select(col("word"),
+        expr("substring(word, cast(pend - l + 1 as int), cast(l as int))")
+          .as("piece"))
+      used = if (used == null) u else used.unionByName(u)
+      state = step.select(col("word"), (col("pend") - col("l")).as("pend"),
+        expr("path div 4").as("path"))
+    }
+    if (used == null) bestKeys.select(col("word"),
+      col("word").as("piece")).where(lit(false))
+    else used
+  }
+
+  /** The apply side: one Viterbi pass under `vocab` (piece, cnt) +
+    * the per-document rollup. */
+  private def encodeFrom(words: DataFrame, wf: DataFrame, maxSteps: Int,
+      vocab: DataFrame): DataFrame = {
+    val keys = best(wf, maxSteps, scores(vocab))
+      .localCheckpoint(true) // read twice: decode + nll join
+    val perWord = keys
+      .join(decode(keys, maxSteps).groupBy("word")
+        .agg(count(lit(1)).cast("long").as("n")), Seq("word"))
+      .select(col("word"), col("n"),
+        expr(s"key div $PathShift").as("nll"))
+    words.join(perWord, Seq("word"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("long").as("n_words"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        sum(col("nll")).cast("long").as("nll_micro"))
+  }
+
+  private def core(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): (DataFrame, () => DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val (words, wf, maxSteps) = prep(docs, idCol, textCol)
 
     // seed: every substring occurrence (with multiplicity) weighted by
     // word frequency — SentencePiece seeds probabilities from substring
@@ -94,72 +195,9 @@ object UnigramLM {
       .groupBy("piece").agg(sum(col("freq")).cast("long").as("cnt"))
       .localCheckpoint(true)
 
-    /** Add-1-smoothed micro-nat scores for the current (piece, cnt)
-      * vocabulary: floor(1e6 · ln((total + |V|)/(cnt + 1))). */
-    def scores(v: DataFrame): DataFrame = {
-      val tot = v.agg(sum(col("cnt")).cast("long").as("tot"),
-        count(lit(1)).cast("long").as("vsz"))
-      v.crossJoin(tot).select(col("piece"), expr(
-        """cast(floor(1000000.0 * ln(
-          |  cast(tot + vsz as double) / cast(cnt + 1 as double))) as long)"""
-          .stripMargin).as("s"))
-        .localCheckpoint(true) // read by every DP step
-    }
-
-    /** One Viterbi pass of every word type under scored pieces:
-      * per word the best packed key (score·2^26 + sentinel-led path). */
-    def best(sc: DataFrame): DataFrame = {
-      val b0 = wf.select(col("word"), lit(1L).as("key")) // score 0, path sentinel 1
-      val bs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      for (p <- 1 to maxSteps) {
-        val cands = (1 to math.min(MaxPieceLen, p)).map { l =>
-          val prev = if (p - l == 0) b0 else bs(p - l - 1)
-          prev.where(length(col("word")) >= p)
-            .withColumn("piece", expr(s"substring(word, ${p - l + 1}, $l)"))
-            .join(sc, Seq("piece"))
-            // split the packed key, extend both fields, repack
-            .select(col("word"), expr(
-              s"""(key div $PathShift + s) * $PathShift +
-                 |((key % $PathShift) * 4 + ${l - 1})""".stripMargin)
-              .as("key"))
-        }.reduce(_ unionByName _)
-        bs += cands.groupBy(col("word")).agg(min(col("key")).as("key"))
-          .localCheckpoint(true)
-      }
-      if (bs.isEmpty) b0.where(lit(false))
-      else bs.zipWithIndex.map { case (b, i) =>
-        b.where(length(col("word")) === i + 1)
-      }.reduce(_ unionByName _)
-    }
-
-    /** Decode winning segmentations: `(word, piece)` rows with
-      * multiplicity, by popping base-4 length digits off the path —
-      * WordCap tiny expression steps, no joins. */
-    def decode(bestKeys: DataFrame): DataFrame = {
-      var state = bestKeys.select(col("word"),
-        length(col("word")).cast("long").as("pend"),
-        (col("key") % PathShift).as("path"))
-      var used: DataFrame = null
-      for (_ <- 1 to maxSteps) {
-        val step = state.where(col("path") > 1L)
-          .withColumn("l", expr("path % 4 + 1"))
-          .localCheckpoint(true) // read twice: emit + next state
-        val u = step.select(col("word"),
-          expr("substring(word, cast(pend - l + 1 as int), cast(l as int))")
-            .as("piece"))
-        used = if (used == null) u else used.unionByName(u)
-        state = step.select(col("word"), (col("pend") - col("l")).as("pend"),
-          expr("path div 4").as("path"))
-      }
-      if (used == null) bestKeys.select(col("word"),
-        col("word").as("piece")).where(lit(false))
-      else used
-    }
-
     var usage: DataFrame = null
     for (_ <- 1 to rounds) {
-      val sc = scores(cnt)
-      usage = decode(best(sc))
+      usage = decode(best(wf, maxSteps, scores(cnt)), maxSteps)
         .join(wf, Seq("word"))
         .groupBy("piece").agg(sum(col("freq")).cast("long").as("cnt"))
         .localCheckpoint(true)
@@ -177,19 +215,7 @@ object UnigramLM {
     val trainOut = cnt.select(col("piece"),
       length(col("piece")).cast("long").as("piece_len"), col("cnt"))
 
-    val encodeOut = () => {
-      val keys = best(scores(cnt)).localCheckpoint(true) // read twice
-      val perWord = keys
-        .join(decode(keys).groupBy("word")
-          .agg(count(lit(1)).cast("long").as("n")), Seq("word"))
-        .select(col("word"), col("n"),
-          expr(s"key div $PathShift").as("nll"))
-      words.join(perWord, Seq("word"))
-        .groupBy(col("doc_id")).agg(
-          count(lit(1)).cast("long").as("n_words"),
-          sum(col("n")).cast("long").as("n_tokens"),
-          sum(col("nll")).cast("long").as("nll_micro"))
-    }
+    val encodeOut = () => encodeFrom(words, wf, maxSteps, cnt)
     (trainOut, encodeOut)
   }
 }

@@ -49,6 +49,24 @@ object Pipeline extends QueryModule {
 
   override val queries: Seq[GraftQuery] = Seq(
 
+    // ---- purged temporal split: train before the 4/5 time cut, val
+    //      from 6 h after it, the embargo gap belongs to neither (the
+    //      leakage channel trailing-window features open across a bare
+    //      time cut). Exact epoch-micros arithmetic in both engines ----
+    GraftQuery("q_time_split",
+      (s, dir) => graft.operators.Splits.timeEmbargoSplit(
+        t(s, dir, "events"), "event_id", "ts"),
+      Some("""WITH b AS (
+             |  SELECT min(epoch_us(ts))::BIGINT AS tmin,
+             |         max(epoch_us(ts))::BIGINT AS tmax
+             |  FROM events),
+             |c AS (SELECT tmin + (tmax - tmin) * 4 // 5 AS cut FROM b)
+             |SELECT event_id, epoch_us(ts)::BIGINT AS ts_us,
+             |  CASE WHEN epoch_us(ts) < cut THEN 'train'
+             |       WHEN epoch_us(ts) >= cut + 21600000000 THEN 'val'
+             |       ELSE 'embargo' END AS role
+             |FROM events CROSS JOIN c""".stripMargin)),
+
     // ---- TF-IDF: top-3 terms per document, integer-scaled idf ----
     GraftQuery("q_tfidf",
       (s, dir) => {

@@ -163,6 +163,22 @@ object Unigram extends QueryModule {
         t(s, dir, "documents"), "doc_id", "text", rounds = 2),
       Some(encodeOracle(2))),
 
+    // ---- the artifact-served production shape: train once, persist
+    //      the (piece, cnt) vocabulary as parquet, encode every later
+    //      corpus from the stored artifact (no EM rounds at serve
+    //      time) — must hash-match the inline train→encode exactly ----
+    GraftQuery("q_unigram_encode_artifact",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val path = s"/tmp/graft_artifacts/$tag/unigram_vocab"
+        graft.operators.UnigramLM.train(
+            t(s, dir, "documents"), "doc_id", "text", rounds = 2)
+          .write.mode("overwrite").parquet(path)
+        graft.operators.UnigramLM.encodeWith(
+          t(s, dir, "documents"), "doc_id", "text", s.read.parquet(path))
+      },
+      Some(encodeOracle(2))),
+
     // ---- the MULTIBYTE corpus variant: substr/length are CODE POINTS
     //      in both engines (same contract as q_utf8_maxmatch_encode),
     //      so the packed path code counts characters, not bytes ----

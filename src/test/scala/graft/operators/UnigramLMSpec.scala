@@ -46,6 +46,20 @@ class UnigramLMSpec extends SparkSpec {
     assert(enc === ((7L, 1L, 2L, 2L * Ln4)))
   }
 
+  test("encodeWith a persisted vocabulary equals the inline train→encode") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab abcde"), (2L, "cd ab")).toDF("doc_id", "text")
+    val inline = UnigramLM.encode(docs, "doc_id", "text", rounds = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("uni_vocab").toString
+    UnigramLM.train(docs, "doc_id", "text", rounds = 2)
+      .write.mode("overwrite").parquet(dir)
+    val served = UnigramLM.encodeWith(docs, "doc_id", "text",
+      spark.read.parquet(dir))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served === inline)
+  }
+
   test("training is deterministic and words over WordCap are dropped") {
     import spark.implicits._
     val long = "x" * (UnigramLM.WordCap + 1)
