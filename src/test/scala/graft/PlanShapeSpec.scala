@@ -507,6 +507,36 @@ class PlanShapeSpec extends SparkSpec {
         s"repartition), got ${exchanges.length}:\n$plan")
   }
 
+  test("preference pair mining is ONE per-user window (never single-partition)") {
+    // q_winrate carries the shared wins() sub-plan un-checkpointed
+    // (q_bradley_terry's trajectory plan is ExistingRDD scans — its
+    // rounds materialize eagerly, so the window is invisible there)
+    val plan = executed("q_winrate")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length == 1,
+      s"expected exactly the pair-mining lag window, got ${windows.length}:\n$plan")
+    assert(windows.head.partitionSpec.nonEmpty,
+      s"pair mining must partition by user_id, not run single-partition:\n$plan")
+  }
+
+  test("line dedup plans no windows: df-count join + per-doc regroup only") {
+    val plan = executed("q_line_dedup")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"line dedup must not window (order is carried by pos structs):\n$plan")
+  }
+
+  test("k-anonymity broadcasts the combinations-sized group relation") {
+    val plan = executed("q_k_anonymity")
+    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty,
+      s"group-size join should broadcast the tiny group relation:\n$plan")
+  }
+
   test("kmv sketches partial-aggregate map-side (ObjectHashAggregate)") {
     val plan = executed("q_kmv_distinct")
     // the TypedImperativeAggregate must run as a real two-phase
