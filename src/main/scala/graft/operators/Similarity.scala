@@ -694,6 +694,52 @@ object Similarity {
         col("vec_id"), round(col("pq_dist"), 6).as("pq_dist"))
   }
 
+  /** k-center GREEDY coreset selection — the diversity-sampling verb
+    * (herding/active-learning style): pick the vector with the smallest
+    * id as the seed, then k−1 times add the candidate FARTHEST from the
+    * current selection (argmin over the corpus of its max cosine to any
+    * selected center, ties to the smaller id). The classic 2-approx of
+    * the k-center objective, fully deterministic: similarities are
+    * rounded to 6 dp before the argmin (the embed-neardup discipline),
+    * so the selection order is engine-exact.
+    *
+    * Output: `(rank, vec_id, max_sim6)` — the selection order with each
+    * pick's covering similarity at selection time (NULL for the seed).
+    *
+    * Scale shape: round r is one scan of the corpus against ≤ r−1
+    * BROADCAST centers (k vectors, never the corpus) + a global top-1 —
+    * k corpus scans total, the known cost of greedy k-center; the
+    * corpus is persisted once and released at the end. The selected
+    * relation is k-sized and localCheckpoints per round (it seeds the
+    * next round's anti-join + broadcast). */
+  def kCenterGreedy(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    ensureRegistered(vecs.sparkSession)
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var selected = v.orderBy(col("vec_id")).limit(1)
+      .select(lit(1L).as("rank"), col("vec_id"), col("v"),
+        lit(null).cast("double").as("max_sim6"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val next = v
+        .join(selected.select("vec_id"), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(selected.select(col("v").as("c"))))
+        .select(col("vec_id"), col("v"),
+          round(cos(col("v"), col("c")), 6).as("s"))
+        .groupBy(col("vec_id"), col("v"))
+        .agg(max(col("s")).as("max_sim6"))
+        .orderBy(col("max_sim6").asc, col("vec_id").asc).limit(1)
+        .select(lit(r.toLong).as("rank"), col("vec_id"), col("v"),
+          col("max_sim6"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    v.unpersist()
+    selected.select(col("rank"), col("vec_id"), col("max_sim6"))
+  }
+
   /** Ensure native vector functions exist in this session. */
   def ensureRegistered(spark: SparkSession): Unit =
     graft.functions.VectorFunctions.register(spark)

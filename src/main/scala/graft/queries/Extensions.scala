@@ -50,6 +50,43 @@ object Extensions extends QueryModule {
   private def dCos(a: String, b: String) =
     s"${dCosFold(a, b)} / (sqrt(${dCosFold(a, a)}) * sqrt(${dCosFold(b, b)}))"
 
+  /** Generated k-center greedy oracle: the seed (min vec_id), then one
+    * `(m_r, n_r, sel_r)` block per pick — candidates × selected max
+    * 6-dp cosine, argmin with id tiebreak, selection union — mirroring
+    * [[graft.operators.Similarity.kCenterGreedy]] round for round.
+    * Every sel CTE is referenced three times (cross, NOT IN, next
+    * union): MATERIALIZED like every generated recurrence here. */
+  private[queries] def kCenterOracle(k: Int): String = {
+    require(k >= 1)
+    val sb = new StringBuilder(
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |sel1 AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)"""
+        .stripMargin)
+    for (r <- 2 to k) {
+      sb.append(s""",
+        |m$r AS (
+        |  SELECT e.vec_id,
+        |    max(round(${dCos("e.embedding", "s.embedding")}, 6)) AS ms
+        |  FROM e CROSS JOIN sel${r - 1} s
+        |  WHERE e.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+        |  GROUP BY 1),
+        |n$r AS MATERIALIZED (
+        |  SELECT vec_id, ms FROM m$r ORDER BY ms ASC, vec_id ASC LIMIT 1),
+        |sel$r AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM sel${r - 1}
+        |  UNION ALL
+        |  SELECT e.vec_id, e.embedding FROM n$r JOIN e USING (vec_id))"""
+        .stripMargin)
+    }
+    sb.append(
+      "\nSELECT 1::BIGINT AS rank, vec_id, CAST(NULL AS DOUBLE) AS max_sim6" +
+        " FROM sel1")
+    for (r <- 2 to k)
+      sb.append(s"\nUNION ALL SELECT $r::BIGINT, vec_id, ms FROM n$r")
+    sb.toString
+  }
+
   /** Shared MinHash CTE prefix: documents → words → shingles → hashed
     * shingles → 16-wide signature. */
   private val duckMinhashCtes =
@@ -954,6 +991,18 @@ object Extensions extends QueryModule {
           emb.where(col("vec_id") < 8), "vec_id", "embedding", groups, 5)
       },
       Some(Extensions.hardNegativesOracle)),
+
+    // k-center greedy coreset: the diversity-sampling verb — 6 picks,
+    // each the candidate FARTHEST from the current selection (argmin of
+    // max 6-dp cosine, id tiebreak). The oracle unrolls the greedy
+    // recurrence round for round.
+    GraftQuery("q_kcenter_coreset",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        Similarity.kCenterGreedy(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
+      },
+      Some(Extensions.kCenterOracle(6))),
 
     GraftQuery("q_sim_topk",
       (s, dir) => {

@@ -338,6 +338,19 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.4, s"IVF recall $recall too low") // probed-cell ANN
   }
+
+  test("kCenterGreedy picks the farthest-first diversity order") {
+    import spark.implicits._
+    // seed = min id ([1,0]); then the -1-cosine opposite, then the
+    // orthogonal, then the near-duplicate of the seed — farthest-first.
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(vecs, "vec_id", "embedding", 4)
+      .select("rank", "vec_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L), (2L, 4L), (3L, 3L), (4L, 2L)))
+  }
 }
 
 /** Text analysis (SURVEY.md §2.11). */
