@@ -104,10 +104,21 @@ object Preference {
     *    strengths sum to ≈ k×1e6 each round.
     * All divisions are floored divisions of non-negative integers,
     * identical in Spark (`div`) and DuckDB (`//`). */
-  def bradleyTerry(events: DataFrame, rounds: Int = 5): DataFrame = {
+  def bradleyTerry(events: DataFrame, rounds: Int = 5): DataFrame =
+    fitWins(wins(events), rounds)
+
+  /** The MM fit from an already-aggregated directed win-count matrix
+    * `(winner, loser, cnt)` — the entry point for STORED matrices (a
+    * streaming fold maintains the counts incrementally, the fit reruns
+    * on the tiny matrix; see
+    * [[graft.streaming.StreamingPreference]]). */
+  def fitWins(winCounts: DataFrame, rounds: Int = 5): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
-    val spark = events.sparkSession
-    val d = wins(events).localCheckpoint(true) // read by W, N, and C
+    val spark = winCounts.sparkSession
+    val d = winCounts
+      .groupBy("winner", "loser") // idempotent re-aggregation of folds
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .localCheckpoint(true) // read by W, N, and C
     // symmetric trial matrix + per-type win totals, both in ppm of C
     val c = d.agg(sum(col("cnt")).as("c")) // 1 row
     val m = d.select(col("winner").as("i"), col("loser").as("j"), col("cnt"))

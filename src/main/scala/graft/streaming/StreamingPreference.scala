@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming preference-pair mining — the incremental half of
+  * [[graft.operators.Preference]]: head-to-head trials minted from a
+  * LIVE event stream. The batch operator pairs consecutive same-user
+  * events with one lag() window; across micro-batches that consecutive
+  * pair can STRADDLE a batch boundary (user's last event of batch n,
+  * first of batch n+1), so the streaming version keeps exactly one
+  * stored event per user — the most recent — and mints the boundary
+  * trial on arrival. Fed in per-user arrival order (session/crawl
+  * logs — the batch window's (ts, event_id) order), the streamed trial
+  * multiset equals the batch [[graft.operators.Preference.wins]] on
+  * everything seen; the Bradley–Terry fit then reruns on the folded
+  * |types|²-sized matrix via
+  * [[graft.operators.Preference.fitWins]] — the stream maintains
+  * COUNTS (cheap, mergeable), never model state.
+  *
+  * State is ONE event per user. For ephemeral-key deployments,
+  * [[trialsTtl]] is the event-time-TTL twin (same anchor discipline as
+  * [[TrafficMonitor.edgeTriggerTtl]]): a user idle past the TTL is
+  * evicted and their next event mints no boundary trial — bounded
+  * state traded against one lost trial per resurrection.
+  */
+object StreamingPreference {
+
+  final case class PrefEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class Trial(winner: String, loser: String)
+
+  private def mint(rows: Iterator[PrefEvent],
+      stored: Option[PrefEvent]): (Seq[Trial], Option[PrefEvent]) = {
+    // batch-window order within the micro-batch: (ts, event_id)
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var prev = stored
+    val out = Seq.newBuilder[Trial]
+    for (e <- sorted) {
+      prev match {
+        case Some(p) if p.event_type != e.event_type && p.value != e.value =>
+          out += (if (e.value > p.value) Trial(e.event_type, p.event_type)
+                  else Trial(p.event_type, e.event_type))
+        case _ => ()
+      }
+      prev = Some(e)
+    }
+    (out.result(), prev)
+  }
+
+  /** Trials from a (possibly streaming) event dataset with cross-batch
+    * per-user state. Aggregate downstream with a plain
+    * `groupBy(winner, loser).count()` fold. */
+  def trials(events: Dataset[PrefEvent]): Dataset[Trial] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[PrefEvent], Trial](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[PrefEvent],
+            state: GroupState[Option[PrefEvent]]) =>
+          val (out, last) = mint(rows, state.getOption.flatten)
+          state.update(last)
+          out.iterator
+      }
+  }
+
+  /** [[trials]] with BOUNDED state under user churn (event-time TTL,
+    * watermark-clamped anchor — the [[TrafficMonitor.edgeTriggerTtl]]
+    * discipline). Requires a watermark on the input's `ts`. */
+  def trialsTtl(events: Dataset[PrefEvent],
+      ttl: String = "30 minutes"): Dataset[Trial] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    require(iv.months == 0,
+      s"ttl '$ttl': calendar months have no fixed millisecond length")
+    val ttlMillis = iv.days * 86400000L + iv.microseconds / 1000L
+    require(ttlMillis > 0, s"ttl '$ttl' must be a positive duration")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[PrefEvent], Trial](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[PrefEvent],
+            state: GroupState[Option[PrefEvent]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val (out, last) = mint(batch.iterator, state.getOption.flatten)
+            state.update(last)
+            val lastSeen = batch.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastSeen, state.getCurrentWatermarkMs()) + ttlMillis)
+            out.iterator
+          }
+      }
+  }
+}
