@@ -615,4 +615,32 @@ object TextAnalysis {
         coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
+
+  /** Corpus-level distinct-n DIVERSITY per group (the generated-corpus
+    * diversity eval): for each n in 1..maxN, the group's total and
+    * distinct word n-grams and the distinct share in ppm (floored —
+    * exact integers). Complements [[repetitionSignals]], which is the
+    * same statistic WITHIN one document; diversity is about what the
+    * whole group keeps repeating. One explode per n (unioned), one
+    * two-phase aggregation — the distinct runs map-side partial, the
+    * result is |groups|·maxN rows. No windows, no collect. */
+  def ngramDiversity(docs: DataFrame, textCol: String, groupCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1 (got $maxN)")
+    val words = docs.select(col(groupCol).as(groupCol),
+      expr(Dedup.wordsExpr(textCol)).as("words"))
+    val grams = (1 to maxN).map { n =>
+      words.where(size(col("words")) >= n)
+        .select(col(groupCol), lit(n.toLong).as("n"),
+          explode(expr(
+            s"""transform(sequence(0, size(words) - $n),
+               |  i -> array_join(slice(words, i + 1, $n), ' '))"""
+              .stripMargin)).as("gram"))
+    }.reduce(_ unionByName _)
+    grams.groupBy(col(groupCol), col("n"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        countDistinct(col("gram")).as("distinct_grams"))
+      .withColumn("distinct_ppm",
+        expr("distinct_grams * 1000000L div n_grams"))
+  }
 }

@@ -348,6 +348,29 @@ object Curation extends QueryModule {
              |   AND n_stop >= 2 AND 5 * max_tf <= n_words)::INT AS keep
              |FROM p""".stripMargin)),
 
+    // ---- corpus-level distinct-n diversity per language: total vs
+    //      distinct word n-grams (n = 1..3) and the distinct share in
+    //      ppm — what the whole group keeps repeating, vs
+    //      q_text_repetition's within-document statistic ----
+    GraftQuery("q_ngram_diversity",
+      (s, dir) => graft.operators.TextAnalysis.ngramDiversity(
+        t(s, dir, "documents"), "text", "lang", maxN = 3),
+      Some("""WITH d AS (
+             |  SELECT lang, list_filter(string_split(text, ' '),
+             |    w -> w <> '') AS words
+             |  FROM documents),
+             |g AS (
+             |  SELECT lang, n, unnest(list_transform(range(len(words) - n + 1),
+             |    i -> array_to_string(list_slice(words, i + 1, i + n), ' ')))
+             |    AS gram
+             |  FROM d CROSS JOIN (SELECT unnest(range(1, 4)) AS n) ns
+             |  WHERE len(words) >= n)
+             |SELECT lang, n::BIGINT AS n, count(*)::BIGINT AS n_grams,
+             |  count(DISTINCT gram)::BIGINT AS distinct_grams,
+             |  (count(DISTINCT gram) * 1000000 // count(*))::BIGINT
+             |    AS distinct_ppm
+             |FROM g GROUP BY 1, 2""".stripMargin)),
+
     // ---- BM25 top-10: disjunctive query = the 3 rarest corpus terms
     //      (df asc, word asc — deterministic), integer-exact scores
     //      (see operators/Retrieval.scala for the arithmetic contract) ----
