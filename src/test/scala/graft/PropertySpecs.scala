@@ -208,4 +208,48 @@ class PropertySpecs extends SparkSpec {
       assert(got === want)
     }
   }
+
+  test("property: packed-key Viterbi equals brute-force segmentation enumeration") {
+    import spark.implicits._
+    val L = operators.UnigramLM.MaxPieceLen
+    val Shift = operators.UnigramLM.PathShift
+    val wordGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (trial <- 0 until 6) {
+      val words = samples(Gen.listOfN(5, wordGen), 1).head.distinct
+      val rng = new scala.util.Random(1234 + trial)
+      // vocab: every substring ≤ L of every word, random counts —
+      // guarantees single-char coverage, like a trained vocabulary
+      val vocab = words.flatMap(w =>
+        for (i <- w.indices; l <- 1 to math.min(L, w.length - i))
+          yield w.substring(i, i + l)).distinct
+        .map(p => (p, rng.nextInt(100).toLong))
+      val tot = vocab.map(_._2).sum
+      val score = vocab.map { case (p, c) =>
+        p -> math.floor(1e6 * math.log(
+          (tot + vocab.size).toDouble / (c + 1).toDouble)).toLong
+      }.toMap
+      // brute force: enumerate every segmentation, min packed key
+      def brute(w: String): (Long, Long) = { // (nTokens, nll)
+        def go(pos: Int, key: Long): Seq[(Long, Int)] =
+          if (pos == w.length) Seq((key, 0))
+          else (1 to math.min(L, w.length - pos)).flatMap { l =>
+            val s = score(w.substring(pos, pos + l))
+            go(pos + l, (key / Shift + s) * Shift +
+              ((key % Shift) * 4 + (l - 1))).map { case (k, n) => (k, n + 1) }
+          }
+        val (k, n) = go(0, 1L).minBy(_._1)
+        (n.toLong, k / Shift)
+      }
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val got = operators.UnigramLM.encodeWith(docs, "doc_id", "text",
+          vocab.toDF("piece", "cnt"))
+        .select($"doc_id", $"n_tokens", $"nll_micro")
+        .as[(Long, Long, Long)].collect()
+        .map(r => words(r._1.toInt) -> ((r._2, r._3))).toMap
+      for (w <- words)
+        assert(got(w) === brute(w), s"trial $trial word '$w'")
+    }
+  }
 }
