@@ -694,6 +694,47 @@ object Similarity {
         col("vec_id"), round(col("pq_dist"), 6).as("pq_dist"))
   }
 
+  /** Blocking-quality metrics for the SRP-LSH blocker — the eval every
+    * record-linkage/dedup paper reports: REDUCTION RATIO (share of the
+    * all-pairs universe the blocker avoids comparing) and PAIR
+    * COMPLETENESS (recall: share of true pairs the blocker's candidates
+    * contain). One row: `(n_vecs, n_pairs_universe, n_cand, n_true,
+    * n_hit, recall_ppm, reduction_ppm)`, exact integers (ppm floored).
+    * Candidates = [[lshPairs]] with threshold −2 (every band collision
+    * survives the trivially-true verify); hits = [[lshPairs]] at the
+    * real threshold (candidates ∩ truth by construction); truth = the
+    * brute all-pairs cosine test — which is why callers pass a bounded
+    * SUBSET: truth is inherently O(n²) and exists only to grade the
+    * blocker, never to run at corpus scale. */
+  def blockingMetrics(vectors: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    ensureRegistered(vectors.sparkSession)
+    val v = vectors.select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVec = v.agg(count(lit(1)).cast("long").as("n_vecs"))
+    val nCand = lshPairs(v, "vec_id", "emb", threshold = -2.0)
+      .agg(count(lit(1)).cast("long").as("n_cand"))
+    val nHit = lshPairs(v, "vec_id", "emb", threshold)
+      .agg(count(lit(1)).cast("long").as("n_hit"))
+    val nTrue = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(cos(col("a.emb"), col("b.emb")) >= threshold)
+      .agg(count(lit(1)).cast("long").as("n_true"))
+    val out = nVec.crossJoin(nCand).crossJoin(nTrue).crossJoin(nHit)
+      .withColumn("n_pairs_universe",
+        expr("n_vecs * (n_vecs - 1) div 2"))
+      .select(col("n_vecs"), col("n_pairs_universe"), col("n_cand"),
+        col("n_true"), col("n_hit"),
+        expr("n_hit * 1000000L div greatest(n_true, 1L)").as("recall_ppm"),
+        expr("""(n_pairs_universe - n_cand) * 1000000L
+               |div greatest(n_pairs_universe, 1L)""".stripMargin)
+          .as("reduction_ppm"))
+    val rows = out.collect() // 1 row; lets the corpus cache release now
+    v.unpersist()
+    vectors.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** k-center GREEDY coreset selection — the diversity-sampling verb
     * (herding/active-learning style): pick the vector with the smallest
     * id as the seed, then k−1 times add the candidate FARTHEST from the

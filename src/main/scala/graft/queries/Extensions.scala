@@ -122,7 +122,7 @@ object Extensions extends QueryModule {
 
   /** Shared SRP-LSH CTE prefix: md5-seeded hyperplanes → 16-bit signature
     * (mirrors Similarity.hyperplanes/srpSignature exactly). */
-  private val duckSrpCtes =
+  private def duckSrpCtesWhere(where: String) =
     s"""WITH planes AS (
        |  SELECT list(p ORDER BY j) AS pl FROM (
        |    SELECT j, list_transform(range(64), d ->
@@ -136,7 +136,9 @@ object Extensions extends QueryModule {
        |             embedding[d+1]::DOUBLE * pl[j+1][d+1]), (a,b) -> a+b) > 0
        |           THEN 1::BIGINT ELSE 0::BIGINT END),
        |      (acc, b) -> acc*2 + b) AS s
-       |  FROM embeddings, planes)""".stripMargin
+       |  FROM embeddings, planes$where)""".stripMargin
+
+  private val duckSrpCtes = duckSrpCtesWhere("")
 
   /** Full near-dup cluster + group-aware split oracle (MinHash bands →
     * verified pairs → recursive-CTE connected components → md5 split),
@@ -991,6 +993,47 @@ object Extensions extends QueryModule {
           emb.where(col("vec_id") < 8), "vec_id", "embedding", groups, 5)
       },
       Some(Extensions.hardNegativesOracle)),
+
+    // blocking-quality metrics: reduction ratio + pair completeness of
+    // the SRP blocker vs brute-force truth over a BOUNDED subset (truth
+    // is inherently O(n²) — it exists to grade the blocker, never to
+    // run at corpus scale)
+    GraftQuery("q_blocking_metrics",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        Similarity.blockingMetrics(
+          t(s, dir, "embeddings").where(col("vec_id") < 500),
+          "vec_id", "embedding", threshold = 0.4)
+      },
+      Some(s"""${duckSrpCtesWhere(" WHERE vec_id < 500")},
+              |bands AS (
+              |  SELECT vec_id, j, (s >> (4*j)) % 16 AS bval FROM sig, range(4) t(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM bands a JOIN bands b
+              |    ON a.j = b.j AND a.bval = b.bval AND a.vec_id < b.vec_id),
+              |cosd AS (
+              |  SELECT vec_a, vec_b, ${dCos("ea.embedding", "eb.embedding")} AS c
+              |  FROM cand
+              |  JOIN sig ea ON ea.vec_id = vec_a
+              |  JOIN sig eb ON eb.vec_id = vec_b),
+              |truth AS (
+              |  SELECT a.vec_id AS va, b.vec_id AS vb
+              |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+              |  WHERE ${dCos("a.embedding", "b.embedding")} >= 0.4),
+              |m AS (SELECT
+              |  (SELECT count(*) FROM sig)::BIGINT AS n_vecs,
+              |  (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+              |  (SELECT count(*) FROM truth)::BIGINT AS n_true,
+              |  (SELECT count(*) FROM cosd WHERE c >= 0.4)::BIGINT AS n_hit)
+              |SELECT n_vecs,
+              |  (n_vecs * (n_vecs - 1) // 2)::BIGINT AS n_pairs_universe,
+              |  n_cand, n_true, n_hit,
+              |  (n_hit * 1000000 // greatest(n_true, 1))::BIGINT AS recall_ppm,
+              |  ((n_vecs * (n_vecs - 1) // 2 - n_cand) * 1000000
+              |    // greatest(n_vecs * (n_vecs - 1) // 2, 1))::BIGINT
+              |    AS reduction_ppm
+              |FROM m""".stripMargin)),
 
     // k-center greedy coreset: the diversity-sampling verb — 6 picks,
     // each the candidate FARTHEST from the current selection (argmin of
