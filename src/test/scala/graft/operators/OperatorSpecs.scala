@@ -339,6 +339,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall too low") // probed-cell ANN
   }
 
+  test("blockingMetrics counts candidates, truth and hits exactly") {
+    import spark.implicits._
+    // 64-dim so the native srp_sig16 path runs; 4 vectors in 2 exact
+    // duplicate pairs along different axes → truth = 2 pairs, both
+    // guaranteed candidates (identical vectors share every band).
+    def axis(d: Int) = Array.tabulate(64)(i => if (i == d) 1f else 0f)
+    val vecs = Seq(
+      (1L, axis(0)), (2L, axis(0)), (3L, axis(7)), (4L, axis(7)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.blockingMetrics(vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val (n, universe, cand, truth, hit, recall, reduction) = got
+    assert((n, universe, truth) === ((4L, 6L, 2L)))
+    assert(hit === 2L, "identical vectors must collide in every band")
+    assert(recall === 1000000L)
+    assert(cand >= 2L && cand <= 6L)
+    assert(reduction === (universe - cand) * 1000000L / universe)
+  }
+
   test("kCenterGreedy picks the farthest-first diversity order") {
     import spark.implicits._
     // seed = min id ([1,0]); then the -1-cosine opposite, then the
