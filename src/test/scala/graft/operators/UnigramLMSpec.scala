@@ -46,6 +46,26 @@ class UnigramLMSpec extends SparkSpec {
     assert(enc === ((7L, 1L, 2L, 2L * Ln4)))
   }
 
+  test("a WordCap-length word segments at the path code's maximum width") {
+    import spark.implicits._
+    // 12 distinct chars → every multi-char substring is unique (cnt 1,
+    // same smoothed score as singles), so the 1-piece... no: pieces are
+    // capped at 4 chars, so the best segmentation is 3 pieces of 4; the
+    // worst-case PATH (12 single-char digits, the packing's full width)
+    // is still representable — pin both ends via a singles-only vocab.
+    val w = "abcdefghijkl" // exactly WordCap chars
+    val docs = Seq((1L, w)).toDF("doc_id", "text")
+    val full = UnigramLM.encode(docs, "doc_id", "text", rounds = 1)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(full._3 === 3L, s"4+4+4 pieces expected: $full")
+    // singles-only vocabulary forces the 12-digit path — the boundary
+    // the 2^26 field width was sized for
+    val singles = w.map(c => (c.toString, 1L)).toDF("piece", "cnt")
+    val served = UnigramLM.encodeWith(docs, "doc_id", "text", singles)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(served._3 === 12L, s"12 single-char pieces expected: $served")
+  }
+
   test("encodeWith a persisted vocabulary equals the inline train→encode") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab abcde"), (2L, "cd ab")).toDF("doc_id", "text")
