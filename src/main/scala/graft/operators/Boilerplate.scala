@@ -25,11 +25,14 @@ import org.apache.spark.sql.functions._
   * handling owns the hot keys), one per-document regroup. No
   * windows, no driver state, no collect.
   *
-  * Reference scope: the reference's packet pipeline regex-splits a
-  * raw capture line into typed fields before aggregation
-  * (/root/reference/src/main/java/org/test/pcap4j/
-  * CaptureNetworkReceiver.java:86-114); markup-to-lines is that same
-  * unstructured-to-structured step pointed at crawled HTML.
+  * Reference scope: the reference ingests raw unstructured bytes per
+  * packet (/root/reference/src/main/java/org/test/pcap4j/
+  * CaptureNetworkReceiver.java:99-101 stores `packet.getRawData()`)
+  * and only ever derives one structured field from them — the length
+  * (/root/reference/src/main/java/org/test/pcap4j/MainApp.java:42);
+  * markup-to-lines is the richer unstructured-to-structured step the
+  * same pipeline shape needs when the payload is crawled HTML rather
+  * than packets.
   */
 object Boilerplate {
 

@@ -31,11 +31,11 @@ import org.apache.spark.sql.functions._
   * count, which is what keeps every intermediate bounded (≤ 1e18)
   * at ANY corpus size — see [[bradleyTerry]].
   *
-  * Reference scope: the reference aggregates per-key traffic counts
-  * from an event stream (/root/reference/src/main/java/org/test/
-  * pcap4j/MainApp.java:38-64); head-to-head extraction + strength
-  * fitting is that same grouped-aggregation surface pointed at
-  * comparison data.
+  * Reference scope: the reference aggregates per-key traffic totals
+  * from an event stream with one `reduceByKey`
+  * (/root/reference/src/main/java/org/test/pcap4j/MainApp.java:51-55);
+  * head-to-head extraction + strength fitting is that same
+  * grouped-aggregation surface pointed at comparison data.
   */
 object Preference {
 
@@ -142,7 +142,7 @@ object Preference {
         .join(p.select(col("i"), col("p").as("pi")), Seq("i"))
         .join(p.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
         .groupBy("i")
-        .agg(sum(expr("mij * 1000000L div (pi + pj)")).as("di"))
+        .agg(sum(expr("mij * 1000000L div greatest(pi + pj, 1L)")).as("di"))
       val praw = w.join(dsum, Seq("i"), "left")
         .select(col("i"), least(
           expr("wppm * 1000000000000L div greatest(coalesce(di, 0L), 1L)"),

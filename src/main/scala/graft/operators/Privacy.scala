@@ -25,17 +25,21 @@ object Privacy {
 
   /** Suppression-based k-anonymity: `(idCol, <quasi cols as strings,
     * masked with '*' when the row's group is smaller than k>, group_n,
-    * kept)`. */
+    * kept)`. The size join is null-safe (`<=>`), so rows whose quasi
+    * value is NULL form their own group like any other value — every
+    * input row appears in the release output exactly once. */
   def kAnonymize(df: DataFrame, idCol: String, quasi: Seq[String],
       k: Long): DataFrame = {
     require(quasi.nonEmpty, "need at least one quasi-identifier column")
     val sizes = df.groupBy(quasi.map(col): _*)
       .agg(count(lit(1)).cast("long").as("group_n"))
+      .select(quasi.map(q => col(q).as(s"__g_$q")) :+ col("group_n"): _*)
+    val cond = quasi.map(q => col(q) <=> col(s"__g_$q")).reduce(_ && _)
     val masked = quasi.map { q =>
       when(col("group_n") >= k, col(q).cast("string"))
         .otherwise(lit("*")).as(q)
     }
-    df.join(sizes, quasi)
+    df.join(sizes, cond)
       .select(col(idCol) +: masked :+ col("group_n") :+
         (col("group_n") >= k).cast("long").as("kept"): _*)
   }

@@ -705,7 +705,11 @@ object Similarity {
     * real threshold (candidates ∩ truth by construction); truth = the
     * brute all-pairs cosine test — which is why callers pass a bounded
     * SUBSET: truth is inherently O(n²) and exists only to grade the
-    * blocker, never to run at corpus scale. */
+    * blocker, never to run at corpus scale. Because the metrics grade
+    * the PLAIN collision model, the [[lshPairs]] calls here disable the
+    * hot-bucket cap (`maxBucket = Int.MaxValue`) — the production
+    * blocker's cap+rescue is a deliberate recall trade the grader must
+    * see uncapped, and the graded slice is bounded anyway. */
   def blockingMetrics(vectors: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
     ensureRegistered(vectors.sparkSession)
@@ -713,9 +717,11 @@ object Similarity {
         col(embCol).as("emb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nVec = v.agg(count(lit(1)).cast("long").as("n_vecs"))
-    val nCand = lshPairs(v, "vec_id", "emb", threshold = -2.0)
+    val nCand = lshPairs(v, "vec_id", "emb", threshold = -2.0,
+        maxBucket = Int.MaxValue)
       .agg(count(lit(1)).cast("long").as("n_cand"))
-    val nHit = lshPairs(v, "vec_id", "emb", threshold)
+    val nHit = lshPairs(v, "vec_id", "emb", threshold,
+        maxBucket = Int.MaxValue)
       .agg(count(lit(1)).cast("long").as("n_hit"))
     val nTrue = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .where(cos(col("a.emb"), col("b.emb")) >= threshold)

@@ -40,7 +40,7 @@ object Preference extends QueryModule {
   /** Generated N-round Bradley–Terry MM oracle: the ppm-normalized
     * comparison matrix, then one `(d_r, praw_r, s_r, p_r)` CTE block
     * per round — every arithmetic step (per-term floored divisions,
-    * the 1e12 strength cap, the Σpraw/k renormalization) mirrors
+    * the 1e14 strength cap, the Σpraw/k renormalization) mirrors
     * [[graft.operators.Preference.bradleyTerry]] exactly. `p_r` is
     * MATERIALIZED (read by round r+1 twice and by the trajectory
     * union). */
@@ -63,7 +63,7 @@ object Preference extends QueryModule {
     for (r <- 1 to rounds) {
       sb.append(s"""
         |, d$r AS (
-        |  SELECT m.i, sum(m.mij * 1000000 // (pi.p + pj.p))::BIGINT AS di
+        |  SELECT m.i, sum(m.mij * 1000000 // greatest(pi.p + pj.p, 1))::BIGINT AS di
         |  FROM m
         |  JOIN p${r - 1} pi ON pi.i = m.i
         |  JOIN p${r - 1} pj ON pj.i = m.j

@@ -43,12 +43,14 @@ object Warehouse extends QueryModule {
              |  SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS group_n
              |  FROM customer GROUP BY 1, 2)
              |SELECT c_custkey,
-             |  CASE WHEN group_n >= 10 THEN c_mktsegment ELSE '*' END
+             |  CASE WHEN group_n >= 10 THEN customer.c_mktsegment ELSE '*' END
              |    AS c_mktsegment,
-             |  CASE WHEN group_n >= 10 THEN c_nationkey::VARCHAR ELSE '*' END
-             |    AS c_nationkey,
+             |  CASE WHEN group_n >= 10 THEN customer.c_nationkey::VARCHAR
+             |    ELSE '*' END AS c_nationkey,
              |  group_n, (group_n >= 10)::BIGINT AS kept
-             |FROM customer JOIN g USING (c_mktsegment, c_nationkey)"""
+             |FROM customer JOIN g
+             |  ON customer.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+             | AND customer.c_nationkey IS NOT DISTINCT FROM g.c_nationkey"""
         .stripMargin)),
 
     // ---- snapshot diff: old = orders minus %13 keys; new = orders minus

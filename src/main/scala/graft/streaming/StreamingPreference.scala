@@ -32,8 +32,13 @@ object StreamingPreference {
 
   private def mint(rows: Iterator[PrefEvent],
       stored: Option[PrefEvent]): (Seq[Trial], Option[PrefEvent]) = {
-    // batch-window order within the micro-batch: (ts, event_id)
-    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    // batch-window order within the micro-batch: (ts, event_id). The ts
+    // key must carry the FULL timestamp precision (the batch window
+    // orders by the microsecond-precision column): getTime alone is
+    // millisecond-truncated, so (getTime, getNanos) — nanos carries the
+    // whole fractional second — reproduces Timestamp.compareTo exactly.
+    val sorted =
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
     var prev = stored
     val out = Seq.newBuilder[Trial]
     for (e <- sorted) {
