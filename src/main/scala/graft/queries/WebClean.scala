@@ -7,30 +7,47 @@ import org.apache.spark.sql.functions._
 /** Web-extraction surface: HTML boilerplate stripping and CCNet/
   * RefinedWeb-style line-level dedup ([[graft.operators.Boilerplate]]).
   *
-  * The fixture corpus is plain text, so both queries run over a
-  * DERIVED HTML wrapping built by the same expression in Spark and in
-  * the oracle (title from doc_id, per-source nav/footer boilerplate,
-  * the text re-chunked into 12-word `<p>` paragraphs) — the same
-  * derived-corpus discipline as the UTF-8 variant queries. What is
-  * under test is the extraction itself: tag stripping, line order,
-  * and the document-frequency boilerplate rule (nav/footer lines
-  * repeat across every doc of a source; content lines don't).
+  * The fixture corpus is plain text, wrapped (Spark-side only) into
+  * HOSTILE real-world markup: a `<style>` block and a multi-line
+  * `<script>` whose bodies are full of `<`/`>`/quotes/`<!--`, an HTML
+  * comment containing a tag-shaped string, an anchor whose attribute
+  * value contains a bare `>`, and text lines carrying `&amp;`-family
+  * entities — every construct the naive `<[^>]*>`-only model gets
+  * wrong. The ORACLE never parses that HTML: it states the expected
+  * clean lines CONSTRUCTIVELY from the same (doc_id, source, words)
+  * ground truth the fixture injected, so extraction bugs cannot
+  * cancel out between the two engines. What is under test: script/
+  * style/comment removal, quote-aware tag stripping, entity decoding,
+  * line order, and the document-frequency boilerplate rule (nav/
+  * footer/entity lines repeat across docs; content lines don't).
   */
 object WebClean extends QueryModule {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
 
-  /** Spark-side derived HTML, mirrored construct for construct by
-    * [[htmlCte]]. The greatest() guard keeps sequence() ascending on a
-    * hypothetical zero-word doc (Spark's sequence runs DESCENDING when
-    * end < start — the MaxMatch seed's documented trap). */
+  /** Spark-side hostile HTML wrapping. The greatest() guard keeps
+    * sequence() ascending on a hypothetical zero-word doc (Spark's
+    * sequence runs DESCENDING when end < start — the MaxMatch seed's
+    * documented trap). The script body spans real newlines and closes
+    * with a `//<!--` line-comment trailer (the legacy script-hiding
+    * idiom); the anchor's `title="a>b"` hides a `>` inside a quoted
+    * attribute value. */
   private val htmlSparkExpr: String =
     """concat('<html><head><title>Doc ', cast(doc_id as string),
-      |  '</title></head><body><nav>Home | About | ', source, '</nav><p>',
+      |  '</title><style type="text/css">',
+      |  'body { color:#fff } /* junk <div> */</style>',
+      |  '<script type="text/javascript">', chr(10),
+      |  'var t = "</p>"; if (a<b && c>d) { alert("x<y"); } //<!--',
+      |  chr(10), '</script></head><body>',
+      |  '<!-- comment with a <fake> tag & loose text -->',
+      |  '<nav>Home | About | ', source, '</nav>',
+      |  '<a href="/p?x=1&amp;y=2" title="a>b">Jump &gt; page ',
+      |  cast(doc_id as string), '</a><p>',
       |  array_join(transform(
       |    sequence(0, greatest(size(words) - 1, 0) div 12),
       |    g -> array_join(slice(words, g * 12 + 1, 12), ' ')), '</p><p>'),
+      |  '</p><p>Tom &amp; Jerry &lt;3 &quot;quotes&quot; &#39;s&nbsp;end',
       |  '</p><footer>(c) ', source, ' crawl</footer></body></html>')"""
       .stripMargin
 
@@ -39,36 +56,35 @@ object WebClean extends QueryModule {
       .withColumn("words", expr(graft.operators.Dedup.wordsExpr("text")))
       .select(col("doc_id"), expr(htmlSparkExpr).as("html"))
 
-  /** Oracle CTEs: the identical derived HTML, then tag-stripped
-    * trimmed lines with their raw positions (`l(doc_id, pos, line)`).
-    * DuckDB regexp_replace needs the explicit 'g' flag (first-match
-    * default); list slices are 1-based inclusive like Spark's. */
+  /** Oracle CTEs: the expected clean lines `l(doc_id, pos, line)`
+    * stated from first principles — the title, nav, decoded anchor
+    * text, the 12-word paragraph chunks, the decoded entity line, the
+    * footer, in that order. No regex, no HTML: the oracle and the
+    * extraction share only the injected ground truth. List slices are
+    * 1-based inclusive like Spark's. */
   private val htmlCte: String =
     """w0 AS (
       |  SELECT doc_id, source,
       |    list_filter(string_split(text, ' '), w -> w <> '') AS words
       |  FROM documents),
-      |h AS (
+      |exp AS (
       |  SELECT doc_id,
-      |    '<html><head><title>Doc ' || doc_id ||
-      |    '</title></head><body><nav>Home | About | ' || source ||
-      |    '</nav><p>' ||
-      |    array_to_string(list_transform(
-      |      range(0, greatest(len(words) - 1, 0) // 12 + 1),
-      |      g -> array_to_string(words[g * 12 + 1 : g * 12 + 12], ' ')),
-      |      '</p><p>') ||
-      |    '</p><footer>(c) ' || source || ' crawl</footer></body></html>'
-      |      AS html
+      |    list_concat(list_concat(
+      |      ['Doc ' || doc_id::VARCHAR,
+      |       'Home | About | ' || source,
+      |       'Jump > page ' || doc_id::VARCHAR],
+      |      list_transform(
+      |        range(0, greatest(len(words) - 1, 0) // 12 + 1),
+      |        g -> array_to_string(words[g * 12 + 1 : g * 12 + 12], ' '))),
+      |      ['Tom & Jerry <3 "quotes" ''s end',
+      |       '(c) ' || source || ' crawl']) AS lines
       |  FROM w0),
       |l0 AS (
-      |  SELECT doc_id, unnest(list_transform(range(len(raw)),
-      |    i -> struct_pack(pos := i, line := trim(raw[i + 1])))) AS s
-      |  FROM (SELECT doc_id,
-      |          string_split(regexp_replace(html, '<[^>]*>', chr(10), 'g'),
-      |            chr(10)) AS raw
-      |        FROM h) r),
-      |l AS (SELECT doc_id, s.pos AS pos, s.line AS line
-      |      FROM l0 WHERE s.line <> '')""".stripMargin
+      |  SELECT doc_id, unnest(list_transform(range(len(lines)),
+      |    i -> struct_pack(pos := i, line := lines[i + 1]))) AS s
+      |  FROM exp),
+      |l AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM l0)"""
+      .stripMargin
 
   override val queries: Seq[GraftQuery] = Seq(
 

@@ -51,6 +51,45 @@ class BoilerplateSpec extends SparkSpec {
     assert(got(3L) === ((5L, 3L, "Three unique gamma text unique alpha text")))
   }
 
+  test("script/style/comment/CDATA bodies are dropped, not leaked as text") {
+    import spark.implicits._
+    val hostile = Seq((7L,
+      "<html><head><title>T</title>" +
+        "<style media=\"all\">h1 { font: 12px } /* <p>fake</p> */</style>" +
+        "<script>\nvar s = \"</p>\"; if (a<b && c>d) alert(\"x<y\");\n" +
+        "//<!--\n</script></head><body>" +
+        "<!-- a comment with <tags> and text -->" +
+        "<![CDATA[ raw < cdata > payload ]]>" +
+        "<p>real content</p></body></html>")).toDF("doc_id", "html")
+    val got = Boilerplate.htmlLines(hostile, "doc_id", "html")
+      .orderBy($"pos").select($"line").as[String].collect().toSeq
+    assert(got === Seq("T", "real content"))
+  }
+
+  test("a > inside a quoted attribute value does not end the tag") {
+    import spark.implicits._
+    val page = Seq((8L,
+      "<body><a href=\"/p?x=1\" title=\"a>b\">link text</a>" +
+        "<img alt='w > h' src='i.png'><p>after</p></body>"))
+      .toDF("doc_id", "html")
+    val got = Boilerplate.htmlLines(page, "doc_id", "html")
+      .orderBy($"pos").select($"line").as[String].collect().toSeq
+    assert(got === Seq("link text", "after"))
+  }
+
+  test("common entities decode, &amp; last so &amp;lt; stays literal &lt;") {
+    import spark.implicits._
+    val page = Seq((9L,
+      "<body><p>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s &#x27;t</p>" +
+        "<p>literal &amp;lt; stays</p><p>&nbsp;</p><p>pad&nbsp;ding</p>" +
+        "</body>")).toDF("doc_id", "html")
+    val got = Boilerplate.htmlLines(page, "doc_id", "html")
+      .orderBy($"pos").select($"line").as[String].collect().toSeq
+    // the &nbsp;-only paragraph decodes to a space and trims away
+    assert(got === Seq("Tom & Jerry <3 \"q\" 's 't",
+      "literal &lt; stays", "pad ding"))
+  }
+
   test("a doc whose every line is boilerplate cleans to the empty string") {
     import spark.implicits._
     val clones = (1L to 4L).map(i =>
