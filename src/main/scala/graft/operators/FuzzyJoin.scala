@@ -39,11 +39,14 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** All unordered pairs `(id_a, id_b, dist)` with
-    * `levenshtein(str_a, str_b) = dist ≤ k` and `id_a < id_b`.
-    * `idCol` must be numeric/comparable; dedup + ordering key.
-    */
-  def selfJoin(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
+  /** PassJoin candidate pairs BEFORE the Levenshtein verify:
+    * distinct `(id_a < id_b)` sharing a shifted segment (long path)
+    * or within the bounded-length residual band (short path). This is
+    * the blocker's whole candidate surface — [[selfJoin]] is exactly
+    * these pairs filtered by the exact distance, and
+    * [[blockingMetrics]] grades exactly this set. */
+  private[operators] def segmentCandidates(df: DataFrame, idCol: String,
+      strCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 4, s"k=$k out of the small-k range PassJoin targets")
     val p = k + 1
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"),
@@ -109,9 +112,24 @@ object FuzzyJoin {
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
 
+    candidates.unionByName(shortPairs).distinct()
+  }
+
+  /** All unordered pairs `(id_a, id_b, dist)` with
+    * `levenshtein(str_a, str_b) = dist ≤ k` and `id_a < id_b`.
+    * `idCol` must be numeric/comparable; dedup + ordering key.
+    */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame =
+    verify(df, idCol, strCol, k, segmentCandidates(df, idCol, strCol, k))
+
+  /** Exact Levenshtein verify over a candidate pair set (threshold
+    * form — the DP exits early on distant pairs). */
+  private def verify(df: DataFrame, idCol: String, strCol: String, k: Int,
+      candidates: DataFrame): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
     val la = base.select(col("id").as("id_a"), col("s").as("s_a"))
     val lb = base.select(col("id").as("id_b"), col("s").as("s_b"))
-    candidates.unionByName(shortPairs).distinct()
+    candidates
       .join(la, "id_a").join(lb, "id_b")
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
       .where(col("dist") >= 0 && col("dist") <= k)
@@ -175,21 +193,80 @@ object FuzzyJoin {
       s"transform($variantsExpr, v -> xxhash64(v))")).as("h"))
   }
 
-  def selfJoinDeletion(df: DataFrame, idCol: String, strCol: String,
-      k: Int): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+  /** FastSS candidate pairs BEFORE the verify: distinct `(id_a <
+    * id_b)` sharing a deletion-variant hash key. */
+  private[operators] def deletionCandidates(df: DataFrame, idCol: String,
+      strCol: String, k: Int): DataFrame = {
     val keyed = deletionVariantKeys(df, idCol, strCol, k)
-    val candidates = keyed
+    keyed
       .join(keyed.select(col("id").as("id_b"), col("h")), Seq("h"))
       .where(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .distinct()
-    val la = base.select(col("id").as("id_a"), col("s").as("s_a"))
-    val lb = base.select(col("id").as("id_b"), col("s").as("s_b"))
-    candidates
-      .join(la, "id_a").join(lb, "id_b")
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
-      .where(col("dist") >= 0 && col("dist") <= k)
-      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  def selfJoinDeletion(df: DataFrame, idCol: String, strCol: String,
+      k: Int): DataFrame =
+    verify(df, idCol, strCol, k, deletionCandidates(df, idCol, strCol, k))
+
+  /** Blocking-quality metrics for BOTH edit-distance blockers — the
+    * record-linkage literature's standard grading (reduction ratio +
+    * pair completeness), the same scorecard [[Similarity.blockingMetrics]]
+    * gives the SRP-LSH blocker. Two rows, one per blocker:
+    * `(method ∈ {passjoin, fastss}, n_rows, n_pairs_universe, n_cand,
+    * n_true, n_hit, recall_ppm, reduction_ppm)`, exact integers (ppm
+    * floored).
+    *
+    * Both blockers are LOSSLESS by pigeonhole, so `recall_ppm` must be
+    * 1e6 on every input — the metric PROVES that on real data rather
+    * than assuming it, and `reduction_ppm` is the discriminating
+    * number (deletion blocking should dominate on template-shaped
+    * corpora, segment blocking on long diverse strings). Truth = the
+    * brute all-pairs Levenshtein test, inherently O(n²): callers pass
+    * a bounded SUBSET — this grades blockers, it never runs at corpus
+    * scale. The FastSS candidate set is keyed on `xxhash64(variant)`
+    * exactly as production; a hash collision would only ADD a
+    * candidate, and at metrics scale none occur (an oracle comparing
+    * against string-keyed variants verifies that too). */
+  def blockingMetrics(df: DataFrame, idCol: String, strCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 2,
+      s"k=$k: metrics grade both blockers, and deletion blocking needs k <= 2")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = base.agg(count(lit(1)).cast("long").as("n_rows"))
+    val truth = base.as("a")
+      .join(base.as("b"), col("a.id") < col("b.id"))
+      .where(levenshtein(col("a.s"), col("b.s"), k) >= 0)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrue = truth.agg(count(lit(1)).cast("long").as("n_true"))
+    def gradeOne(method: String, cand: DataFrame): DataFrame = {
+      val c = cand
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = c.agg(count(lit(1)).cast("long").as("n_cand"))
+      val nHit = c.join(truth, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_hit"))
+      val row = nRows.crossJoin(nCand).crossJoin(nTrue).crossJoin(nHit)
+        .withColumn("n_pairs_universe", expr("n_rows * (n_rows - 1) div 2"))
+        .select(lit(method).as("method"), col("n_rows"),
+          col("n_pairs_universe"), col("n_cand"), col("n_true"),
+          col("n_hit"),
+          expr("n_hit * 1000000L div greatest(n_true, 1L)")
+            .as("recall_ppm"),
+          expr("""(n_pairs_universe - n_cand) * 1000000L
+                 |div greatest(n_pairs_universe, 1L)""".stripMargin)
+            .as("reduction_ppm"))
+      val out = row.collect() // 1 row; releases the candidate cache now
+      c.unpersist()
+      spark.createDataFrame(java.util.Arrays.asList(out: _*), row.schema)
+    }
+    val graded =
+      gradeOne("passjoin", segmentCandidates(base, "id", "s", k))
+        .unionByName(gradeOne("fastss", deletionCandidates(base, "id", "s", k)))
+    truth.unpersist()
+    base.unpersist()
+    graded
   }
 }

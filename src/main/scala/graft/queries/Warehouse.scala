@@ -142,6 +142,100 @@ object Warehouse extends QueryModule {
              |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin)),
 
+    // ---- blocking-quality metrics for BOTH edit-distance blockers:
+    // reduction ratio + pair completeness over the same bounded slice
+    // the fuzzy join runs on. Both blockers are lossless by pigeonhole,
+    // so recall_ppm must be exactly 1e6 — proven against the brute
+    // all-pairs truth, not assumed. The oracle reconstructs each
+    // blocker's candidate model independently in SQL: PassJoin segment
+    // geometry (3 segments, ±2 shifted starts) and FastSS deletion
+    // variants AS STRINGS (production keys on xxhash64(variant); a
+    // collision could only add a candidate, so a hash-match here also
+    // certifies zero collisions on this slice) ----
+    GraftQuery("q_fuzzy_blocking_metrics",
+      (s, dir) => graft.operators.FuzzyJoin.blockingMetrics(
+        t(s, dir, "customer").where(col("c_custkey") % 7 === 0),
+        "c_custkey", "c_name", k = 2),
+      Some("""WITH c AS MATERIALIZED (
+             |  SELECT c_custkey AS id, c_name AS s, length(c_name) AS len
+             |  FROM customer WHERE c_custkey % 7 = 0),
+             |n AS (SELECT count(*)::BIGINT AS n_rows FROM c),
+             |truth AS MATERIALIZED (
+             |  SELECT a.id AS id_a, b.id AS id_b
+             |  FROM c a JOIN c b ON a.id < b.id
+             |  WHERE levenshtein(a.s, b.s) <= 2),
+             |idx AS (
+             |  SELECT id AS r_id, len AS L, ii.i AS i,
+             |    substr(s, ii.i*(len//3) + greatest(0, ii.i-(3-(len%3))) + 1,
+             |      (len//3) + CASE WHEN ii.i >= 3-(len%3) THEN 1 ELSE 0 END)
+             |      AS seg
+             |  FROM c CROSS JOIN (SELECT unnest(range(3)) AS i) ii
+             |  WHERE len >= 3),
+             |p0 AS (SELECT id AS t_id, s, len,
+             |         unnest(range(greatest(3, len-2), len+1)) AS L
+             |       FROM c WHERE len >= 3),
+             |p1 AS (SELECT t_id, s, len, L, unnest(range(3)) AS i FROM p0),
+             |p2 AS (SELECT t_id, s, len, L, i,
+             |         (L//3) + CASE WHEN i >= 3-(L%3) THEN 1 ELSE 0 END AS sl,
+             |         i*(L//3) + greatest(0, i-(3-(L%3))) AS st0
+             |       FROM p1),
+             |p3 AS (SELECT t_id, s, L, i, sl,
+             |         unnest(range(greatest(0, st0-2),
+             |           least(len-sl, st0+2)+1)) AS st
+             |       FROM p2),
+             |probe AS (SELECT t_id, L, i, substr(s, st+1, sl) AS seg FROM p3),
+             |longcand AS (
+             |  SELECT DISTINCT least(r_id, t_id) AS id_a,
+             |    greatest(r_id, t_id) AS id_b
+             |  FROM idx JOIN probe USING (L, i, seg) WHERE r_id <> t_id),
+             |shortc AS (
+             |  SELECT DISTINCT least(x.id, y.id) AS id_a,
+             |    greatest(x.id, y.id) AS id_b
+             |  FROM (SELECT id, unnest(range(greatest(0, len-2), len+3))
+             |          AS plen
+             |        FROM c WHERE len < 3) x
+             |  JOIN c y ON y.len = x.plen AND x.id <> y.id),
+             |pj AS MATERIALIZED (
+             |  SELECT id_a, id_b FROM longcand
+             |  UNION SELECT id_a, id_b FROM shortc),
+             |v1 AS (SELECT id, unnest(list_concat(list_concat([s],
+             |         CASE WHEN length(s) >= 1 THEN
+             |           list_transform(range(length(s)),
+             |             i -> substr(s, 1, i::INT) || substr(s, i::INT + 2))
+             |         ELSE []::VARCHAR[] END),
+             |         CASE WHEN length(s) >= 2 THEN
+             |           flatten(list_transform(range(length(s) - 1), i ->
+             |             list_transform(range(i + 1, length(s)), j ->
+             |               substr(s, 1, i::INT) ||
+             |               substr(s, i::INT + 2, (j - i - 1)::INT) ||
+             |               substr(s, j::INT + 2))))
+             |         ELSE []::VARCHAR[] END)) AS v
+             |       FROM c),
+             |vv AS MATERIALIZED (SELECT DISTINCT id, v FROM v1),
+             |fs AS MATERIALIZED (
+             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             |  FROM vv a JOIN vv b ON a.v = b.v AND a.id < b.id),
+             |tt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+             |sel AS (
+             |  SELECT 'passjoin' AS method,
+             |    (SELECT count(*)::BIGINT FROM pj) AS n_cand,
+             |    (SELECT count(*)::BIGINT FROM pj
+             |     JOIN truth USING (id_a, id_b)) AS n_hit
+             |  UNION ALL
+             |  SELECT 'fastss',
+             |    (SELECT count(*)::BIGINT FROM fs),
+             |    (SELECT count(*)::BIGINT FROM fs
+             |     JOIN truth USING (id_a, id_b)))
+             |SELECT method, n.n_rows,
+             |  (n.n_rows * (n.n_rows - 1) // 2)::BIGINT AS n_pairs_universe,
+             |  n_cand, tt.n_true, n_hit,
+             |  (n_hit * 1000000 // greatest(tt.n_true, 1))::BIGINT
+             |    AS recall_ppm,
+             |  ((n.n_rows * (n.n_rows - 1) // 2 - n_cand) * 1000000 //
+             |    greatest(n.n_rows * (n.n_rows - 1) // 2, 1))::BIGINT
+             |    AS reduction_ppm
+             |FROM sel CROSS JOIN n CROSS JOIN tt""".stripMargin)),
+
     // ---- SCHEMA EVOLUTION read: two write epochs (the second adds a
     //      column) merged into one scan via mergeSchema + partition
     //      discovery — the add-a-column migration every long-lived

@@ -106,4 +106,22 @@ class FuzzyJoinSpec extends SparkSpec {
     val rows = Seq((1L, "aaaaaaaa"), (2L, "bbbbbbbb"), (3L, "cccccccc"))
     assert(FuzzyJoin.selfJoin(rows.toDF("id", "s"), "id", "s", 2).count() === 0L)
   }
+
+  test("blockingMetrics: lossless recall, hand-computed universe and truth") {
+    import spark.implicits._
+    // 4 strings, universe = 6 pairs; true pairs at k=1:
+    //   (1,2) dist 1; (3,4) dist 1; everything else distant
+    val rows = Seq((1L, "kitten"), (2L, "mitten"),
+      (3L, "flag"), (4L, "flags")).toDF("id", "s")
+    val got = FuzzyJoin.blockingMetrics(rows, "id", "s", k = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    for (m <- Seq("passjoin", "fastss")) {
+      val (nRows, universe, nTrue, nHit, recall) = got(m)
+      assert(nRows === 4L && universe === 6L, m)
+      assert(nTrue === 2L && nHit === 2L, m)
+      assert(recall === 1000000L, s"$m must be lossless")
+    }
+  }
 }
