@@ -179,6 +179,202 @@ object UnigramLM {
         sum(col("nll")).cast("long").as("nll_micro"))
   }
 
+  // ------------------------------------------------------------------
+  // Soft-EM (SentencePiece proper): expected counts by forward–backward
+  // ------------------------------------------------------------------
+
+  /** Fixed-point scale for lattice probabilities: 1e9 (nano units). */
+  val Scale: Long = 1000000000L
+
+  /** Soft-EM unigram-LM trainer — the published SentencePiece E-step:
+    * EXPECTED piece counts from the full segmentation lattice
+    * (forward–backward), not just the Viterbi path. Where [[train]]
+    * counts only each word's single best segmentation, this weights
+    * every occurrence `(i, l)` of a piece by its posterior
+    * `α(i)·p(piece)·β(i+l) / Z` — ambiguity mass is SHARED between
+    * competing pieces instead of winner-take-all, which is what lets
+    * a genuinely frequent piece survive rounds where Viterbi
+    * tie-breaking starves it.
+    *
+    * Exact-integer schedule — NO transcendentals anywhere (the hard
+    * trainer needs one `ln` per score; this one doesn't):
+    *  - counts live in ppm of their own total, renormalized by
+    *    DIVISION only (`cnt div greatest(tot div 1e6, 1)` — the
+    *    Bradley–Terry discipline), so every magnitude below is
+    *    corpus-size-independent;
+    *  - piece probabilities are nano-unit fixed point:
+    *    `p = (cnt+1) · 1e9 div (tot + |V|)` (add-1-per-piece
+    *    smoothing on the ppm scale; `(cnt+1)·1e9 ≤ ~1e15`);
+    *  - lattice: `α̃(0) = 1e9`, `α̃(j) = Σ_l (α̃(j−l)·p) div 1e9`
+    *    (flooring per TERM, documented and mirrored by the oracle);
+    *    `β̃` symmetric from the word's end; every product ≤ 1e18;
+    *  - posterior in nano units:
+    *    `((α̃(i)·p div 1e9)·β̃ div 1e9)·1e9 div max(α̃(L),1)`;
+    *  - M-step mass: `Σ freq_ppm · post` with `freq_ppm` the word
+    *    type's ppm share of the corpus (div-only) — the full sum is
+    *    ≤ 1e6·48·1e9 ≈ 5e16 at ANY corpus size.
+    * All divisions are floored divisions of non-negative integers,
+    * identical in Spark (`div`) and DuckDB (`//`), so the trajectory
+    * hash-matches cell for cell.
+    *
+    * Words below 1 ppm of the corpus floor to `freq_ppm = 0` and stop
+    * contributing expected mass — the documented at-scale behavior
+    * (identical to Bradley–Terry's sub-ppm pair floor); at test SFs
+    * `tot div 1e6 = 0` and the guard keeps every word.
+    *
+    * Distribution shape: identical to [[train]] — every per-step
+    * relation is word-TYPE-sized; forward/backward are ≤[[WordCap]]
+    * rounds of ≤[[MaxPieceLen]] equi-joins against the nano-prob
+    * vocabulary with per-step localCheckpoint (the measured winner
+    * for these relation sizes).
+    *
+    * Output after `rounds` rounds: `(piece, piece_len, cnt_ppm)`. */
+  def trainSoft(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val (_, wf, maxSteps) = prep(docs, idCol, textCol)
+
+    val tf = wf.agg(sum(col("freq")).cast("long").as("tf"))
+    val wfp = wf.crossJoin(tf)
+      .select(col("word"),
+        expr("freq div greatest(tf div 1000000L, 1L)").as("freq_ppm"))
+      .localCheckpoint(true)
+
+    // seed: substring-occurrence counts (the hard trainer's seed),
+    // renormalized to ppm by division only
+    val seed = wf.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, $MaxPieceLen),
+           |  l -> if(length(word) < l, array(),
+           |    transform(sequence(1, length(word) - l + 1),
+           |      p -> substring(word, p, l)))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).cast("long").as("cnt"))
+    val seedTot = seed.agg(sum(col("cnt")).cast("long").as("tr"))
+    var cnt = seed.crossJoin(seedTot)
+      .select(col("piece"),
+        expr("cnt div greatest(tr div 1000000L, 1L)").as("cnt"))
+      .localCheckpoint(true)
+
+    for (_ <- 1 to rounds) {
+      val pfx = pFixed(cnt)
+      val raw = expectedCounts(wf, wfp, maxSteps, pfx)
+        .localCheckpoint(true) // read by prune (top-k) + the left join
+      val totRaw = raw.agg(sum(col("cnt")).cast("long").as("tr"))
+      cnt = cnt.select(col("piece")).where(length(col("piece")) === 1)
+        .unionByName(raw.where(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece")).limit(VocabBudget)
+          .select("piece"))
+        .join(raw, Seq("piece"), "left")
+        .crossJoin(totRaw)
+        .select(col("piece"), expr(
+          "coalesce(cnt, 0L) div greatest(tr div 1000000L, 1L)").as("cnt"))
+        .localCheckpoint(true)
+    }
+    cnt.select(col("piece"),
+      length(col("piece")).cast("long").as("piece_len"),
+      col("cnt").as("cnt_ppm"))
+  }
+
+  /** Nano-unit fixed-point piece probabilities for a (piece, cnt)
+    * vocabulary: `(cnt+1) · 1e9 div (tot + |V|)`. */
+  private def pFixed(v: DataFrame): DataFrame = {
+    val tot = v.agg(sum(col("cnt")).cast("long").as("tot"),
+      count(lit(1)).cast("long").as("vsz"))
+    v.crossJoin(tot).select(col("piece"), expr(
+        s"(cnt + 1L) * ${Scale}L div greatest(tot + vsz, 1L)").as("p"))
+      .localCheckpoint(true) // read by every lattice step
+  }
+
+  /** Forward lattice per word type: `buf(j) = (word, a)` with
+    * `a = α̃(j)` in nano units; `buf(0)` is the 1e9 base. */
+  private[operators] def forwardFixed(wf: DataFrame, maxSteps: Int,
+      pfx: DataFrame): IndexedSeq[DataFrame] = {
+    val b0 = wf.select(col("word"), lit(Scale).as("a"))
+    val buf = scala.collection.mutable.ArrayBuffer(b0)
+    for (j <- 1 to maxSteps) {
+      val terms = (1 to math.min(MaxPieceLen, j)).map { l =>
+        buf(j - l).where(length(col("word")) >= j)
+          .withColumn("piece", expr(s"substring(word, ${j - l + 1}, $l)"))
+          .join(pfx, Seq("piece"))
+          .select(col("word"), expr(s"a * p div ${Scale}L").as("t"))
+      }.reduce(_ unionByName _)
+      buf += terms.groupBy("word").agg(sum(col("t")).cast("long").as("a"))
+        .localCheckpoint(true)
+    }
+    buf.toIndexedSeq
+  }
+
+  /** Backward lattice, indexed by REMAINING characters `m` (so words
+    * of different lengths share steps): `buf(m) = (word, b)`. */
+  private[operators] def backwardFixed(wf: DataFrame, maxSteps: Int,
+      pfx: DataFrame): IndexedSeq[DataFrame] = {
+    val b0 = wf.select(col("word"), lit(Scale).as("b"))
+    val buf = scala.collection.mutable.ArrayBuffer(b0)
+    for (m <- 1 to maxSteps) {
+      val terms = (1 to math.min(MaxPieceLen, m)).map { l =>
+        buf(m - l).where(length(col("word")) >= m)
+          .withColumn("piece",
+            expr(s"substring(word, length(word) - $m + 1, $l)"))
+          .join(pfx, Seq("piece"))
+          .select(col("word"), expr(s"p * b div ${Scale}L").as("t"))
+      }.reduce(_ unionByName _)
+      buf += terms.groupBy("word").agg(sum(col("t")).cast("long").as("b"))
+        .localCheckpoint(true)
+    }
+    buf.toIndexedSeq
+  }
+
+  /** Marginal word likelihood under a (piece, cnt) vocabulary:
+    * `(word, z)` with `z = α̃(length)` in nano units — `z/1e9` is the
+    * word's total probability mass over ALL segmentations (what the
+    * soft objective maximizes; the spec compares trainers on it). */
+  private[operators] def marginalFixed(wf: DataFrame, maxSteps: Int,
+      vocab: DataFrame): DataFrame = {
+    val fw = forwardFixed(wf, maxSteps, pFixed(vocab))
+    (1 to maxSteps).map { j =>
+      fw(j).where(length(col("word")) === j)
+        .select(col("word"), col("a").as("z"))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(wf.select(col("word"), lit(0L).as("z")).where(lit(false)))
+  }
+
+  /** E-step: expected piece counts `(piece, cnt)` in
+    * freq_ppm·nano-posterior units. */
+  private def expectedCounts(wf: DataFrame, wfp: DataFrame, maxSteps: Int,
+      pfx: DataFrame): DataFrame = {
+    val fw = forwardFixed(wf, maxSteps, pfx)
+    val bw = backwardFixed(wf, maxSteps, pfx)
+    val af = fw.zipWithIndex.map { case (d, j) =>
+      d.select(col("word"), lit(j).as("i"), col("a"))
+    }.reduce(_ unionByName _)
+    val bt = bw.zipWithIndex.map { case (d, m) =>
+      d.select(col("word"), lit(m).as("m"), col("b"))
+    }.reduce(_ unionByName _)
+    val z = (1 to maxSteps).map { j =>
+      fw(j).where(length(col("word")) === j)
+        .select(col("word"), col("a").as("z"))
+    }.reduce(_ unionByName _)
+    val occ = wf.select(col("word"), explode(expr(
+        s"""flatten(transform(sequence(1, $MaxPieceLen),
+           |  l -> if(length(word) < l, array(),
+           |    transform(sequence(0, length(word) - l),
+           |      i -> named_struct('i', i, 'l', l)))))""".stripMargin))
+        .as("x"))
+      .select(col("word"), col("x.i").as("i"), col("x.l").as("l"))
+      .withColumn("piece", expr(
+        "substring(word, cast(i + 1 as int), cast(l as int))"))
+    occ.join(pfx, Seq("piece"))
+      .join(af, Seq("word", "i"))
+      .withColumn("m", length(col("word")) - col("i") - col("l"))
+      .join(bt, Seq("word", "m"))
+      .join(z, Seq("word"))
+      .select(col("word"), col("piece"), expr(
+        s"""((a * p div ${Scale}L) * b div ${Scale}L) * ${Scale}L
+           |div greatest(z, 1L)""".stripMargin).as("post"))
+      .join(wfp, Seq("word"))
+      .groupBy("piece")
+      .agg(sum(expr("freq_ppm * post")).cast("long").as("cnt"))
+  }
+
   private def core(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): (DataFrame, () => DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")

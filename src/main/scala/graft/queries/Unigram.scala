@@ -136,6 +136,109 @@ object Unigram extends QueryModule {
       |SELECT piece, length(piece)::BIGINT AS piece_len, cnt
       |FROM c$rounds""".stripMargin
 
+  /** Soft-EM (forward–backward) oracle — mirrors
+    * [[graft.operators.UnigramLM.trainSoft]] construct for construct:
+    * div-only ppm renormalization, nano-unit fixed-point piece probs
+    * `(cnt+1)·1e9 // (tot+|V|)`, per-TERM-floored lattice recursions,
+    * nano posteriors, freq_ppm-weighted expected counts, singles ∪
+    * top-budget prune. Every multiply-referenced CTE MATERIALIZED. */
+  private[queries] def softTrainOracle(rounds: Int): String = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val S = graft.operators.UnigramLM.Scale
+    val sb = new StringBuilder(seed("documents", ""))
+    sb.append(s""",
+      |tfq AS (SELECT sum(freq)::BIGINT AS tf FROM wf),
+      |wfp AS MATERIALIZED (
+      |  SELECT word, freq // greatest(tf // 1000000, 1) AS freq_ppm
+      |  FROM wf CROSS JOIN tfq),
+      |str0 AS (SELECT sum(cnt)::BIGINT AS tr FROM c0),
+      |v0 AS MATERIALIZED (
+      |  SELECT piece, cnt // greatest(tr // 1000000, 1) AS cnt
+      |  FROM c0 CROSS JOIN str0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |tv$r AS (SELECT sum(cnt)::BIGINT AS tot, count(*)::BIGINT AS vsz
+        |         FROM v${r - 1}),
+        |p$r AS MATERIALIZED (
+        |  SELECT piece, (cnt + 1) * $S // greatest(tot + vsz, 1) AS p
+        |  FROM v${r - 1} CROSS JOIN tv$r),
+        |f${r}_0 AS MATERIALIZED (SELECT word, $S::BIGINT AS a FROM wf),
+        |g${r}_0 AS MATERIALIZED (SELECT word, $S::BIGINT AS b FROM wf)"""
+        .stripMargin)
+      for (j <- 1 to W) {
+        val fTerms = (1 to math.min(L, j)).map { l =>
+          s"""SELECT fa.word, fa.a * pv.p // $S AS t
+             |    FROM f${r}_${j - l} fa JOIN p$r pv
+             |      ON pv.piece = substr(fa.word, ${j - l + 1}, $l)
+             |    WHERE length(fa.word) >= $j""".stripMargin
+        }.mkString("\n    UNION ALL ")
+        sb.append(s""",
+          |f${r}_$j AS MATERIALIZED (
+          |  SELECT word, sum(t)::BIGINT AS a FROM (
+          |    $fTerms) ft${r}_$j GROUP BY 1)""".stripMargin)
+      }
+      for (m <- 1 to W) {
+        val gTerms = (1 to math.min(L, m)).map { l =>
+          s"""SELECT gb.word, pv.p * gb.b // $S AS t
+             |    FROM g${r}_${m - l} gb JOIN p$r pv
+             |      ON pv.piece = substr(gb.word, length(gb.word) - $m + 1, $l)
+             |    WHERE length(gb.word) >= $m""".stripMargin
+        }.mkString("\n    UNION ALL ")
+        sb.append(s""",
+          |g${r}_$m AS MATERIALIZED (
+          |  SELECT word, sum(t)::BIGINT AS b FROM (
+          |    $gTerms) gt${r}_$m GROUP BY 1)""".stripMargin)
+      }
+      val afU = (0 to W).map(j =>
+        s"SELECT word, $j AS i, a FROM f${r}_$j").mkString(" UNION ALL ")
+      val btU = (0 to W).map(m =>
+        s"SELECT word, $m AS m, b FROM g${r}_$m").mkString(" UNION ALL ")
+      val zU = (1 to W).map(j =>
+        s"SELECT word, a AS z FROM f${r}_$j WHERE length(word) = $j")
+        .mkString(" UNION ALL ")
+      sb.append(s""",
+        |af$r AS MATERIALIZED ($afU),
+        |bt$r AS MATERIALIZED ($btU),
+        |z$r AS MATERIALIZED ($zU),
+        |o$r AS (
+        |  SELECT wf.word, ii.i, ll.l,
+        |    substr(wf.word, (ii.i + 1)::INT, ll.l::INT) AS piece
+        |  FROM wf
+        |  CROSS JOIN (SELECT unnest(range(1, ${L + 1})) AS l) ll
+        |  CROSS JOIN (SELECT unnest(range(0, $W)) AS i) ii
+        |  WHERE ii.i + ll.l <= length(wf.word)),
+        |ps$r AS MATERIALIZED (
+        |  SELECT o.word, o.piece,
+        |    ((af.a * pv.p // $S) * bt.b // $S) * $S
+        |      // greatest(z.z, 1) AS post
+        |  FROM o$r o
+        |  JOIN p$r pv ON pv.piece = o.piece
+        |  JOIN af$r af ON af.word = o.word AND af.i = o.i
+        |  JOIN bt$r bt ON bt.word = o.word
+        |    AND bt.m = length(o.word) - o.i - o.l
+        |  JOIN z$r z ON z.word = o.word),
+        |raw$r AS MATERIALIZED (
+        |  SELECT ps.piece, sum(wfp.freq_ppm * ps.post)::BIGINT AS cnt
+        |  FROM ps$r ps JOIN wfp ON wfp.word = ps.word GROUP BY 1),
+        |trw$r AS (SELECT sum(cnt)::BIGINT AS tr FROM raw$r),
+        |v$r AS MATERIALIZED (
+        |  SELECT vv.piece,
+        |    coalesce(r2.cnt, 0) // greatest(tw.tr // 1000000, 1) AS cnt
+        |  FROM (
+        |    SELECT piece FROM v${r - 1} WHERE length(piece) = 1
+        |    UNION ALL
+        |    SELECT piece FROM (SELECT piece FROM raw$r
+        |      WHERE length(piece) > 1
+        |      ORDER BY cnt DESC, piece LIMIT $K) q$r
+        |  ) vv LEFT JOIN raw$r r2 ON r2.piece = vv.piece
+        |  CROSS JOIN trw$r tw)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT piece, length(piece)::BIGINT AS piece_len, cnt AS cnt_ppm
+      |FROM v$rounds""".stripMargin)
+    sb.toString
+  }
+
   private[queries] def encodeOracle(rounds: Int,
       src: String = "documents", prelude: String = ""): String =
     chain(rounds, applyLast = true, src, prelude) + s"""
@@ -155,6 +258,16 @@ object Unigram extends QueryModule {
       (s, dir) => graft.operators.UnigramLM.train(
         t(s, dir, "documents"), "doc_id", "text", rounds = 2),
       Some(trainOracle(2))),
+
+    // ---- unigram-LM SOFT-EM training (SentencePiece proper): the
+    //      E-step is forward–backward EXPECTED counts over the full
+    //      segmentation lattice in nano-unit fixed point — ambiguity
+    //      mass shared between competing pieces, fully integer (no
+    //      transcendentals), div-only ppm renormalization ----
+    GraftQuery("q_unigram_soft_train",
+      (s, dir) => graft.operators.UnigramLM.trainSoft(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 2),
+      Some(softTrainOracle(2))),
 
     // ---- train→apply: per-document token counts + total segmentation
     //      cost in micro-nats under the trained model ----

@@ -95,4 +95,115 @@ class UnigramLMSpec extends SparkSpec {
       .map(r => r._1 -> r._2).toMap
     assert(enc === Map(1L -> 1L, 2L -> 2L)) // the long word drops from n_words
   }
+
+  // ------------------------------------------------------------------
+  // soft-EM (forward–backward expected counts)
+  // ------------------------------------------------------------------
+
+  /** Independent pure-Scala mirror of trainSoft's arithmetic: Long
+    * floored divisions throughout (non-negative everywhere, so / is
+    * floor), the same seed/ppm/prune schedule. */
+  private def softRef(words: Seq[String], rounds: Int): Map[String, Long] = {
+    val S = UnigramLM.Scale
+    val wf = words.filter(_.length <= UnigramLM.WordCap)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tf = wf.values.sum
+    val freqPpm = wf.map { case (w, f) => w -> f / math.max(tf / 1000000L, 1L) }
+    val seed0 = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, f) <- wf; l <- 1 to UnigramLM.MaxPieceLen;
+         p <- 0 to w.length - l)
+      seed0(w.substring(p, p + l)) += f
+    val str = seed0.values.sum
+    var cnt: Map[String, Long] =
+      seed0.map { case (p, c) => p -> c / math.max(str / 1000000L, 1L) }.toMap
+    for (_ <- 1 to rounds) {
+      val tot = cnt.values.sum; val vsz = cnt.size.toLong
+      val pfx = cnt.map { case (pc, c) =>
+        pc -> (c + 1L) * S / math.max(tot + vsz, 1L) }
+      val raw = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, _) <- wf) {
+        val L = w.length
+        val a = Array.fill(L + 1)(0L); a(0) = S
+        for (j <- 1 to L; l <- 1 to math.min(UnigramLM.MaxPieceLen, j))
+          pfx.get(w.substring(j - l, j)).foreach(p => a(j) += a(j - l) * p / S)
+        val b = Array.fill(L + 1)(0L); b(0) = S
+        for (m <- 1 to L; l <- 1 to math.min(UnigramLM.MaxPieceLen, m))
+          pfx.get(w.substring(L - m, L - m + l))
+            .foreach(p => b(m) += p * b(m - l) / S)
+        val z = math.max(a(L), 1L)
+        for (i <- 0 until L;
+             l <- 1 to math.min(UnigramLM.MaxPieceLen, L - i)) {
+          val piece = w.substring(i, i + l)
+          pfx.get(piece).foreach { p =>
+            val post = ((a(i) * p / S) * b(L - i - l) / S) * S / z
+            raw(piece) += freqPpm(w) * post
+          }
+        }
+      }
+      val tr = raw.values.sum
+      val singles = cnt.keySet.filter(_.length == 1)
+      val top = raw.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(UnigramLM.VocabBudget).map(_._1)
+      cnt = (singles ++ top).map(p =>
+        p -> raw.getOrElse(p, 0L) / math.max(tr / 1000000L, 1L)).toMap
+    }
+    cnt
+  }
+
+  test("trainSoft matches an independent pure-Scala mirror exactly") {
+    import spark.implicits._
+    for (corpus <- Seq(
+        Seq("ab", "ab"),
+        Seq("abc", "abc", "ab", "bc", "abcd"),
+        Seq("aaa", "aa", "a", "baobab", "zq"))) {
+      val docs = Seq((1L, corpus.mkString(" "))).toDF("doc_id", "text")
+      val got = UnigramLM.trainSoft(docs, "doc_id", "text", rounds = 2)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(got === softRef(corpus, 2), s"corpus $corpus")
+    }
+  }
+
+  test("soft posterior shares ambiguity mass: 'ab' splits 3:1 over " +
+      "[ab] vs [a,b] under equal seed counts") {
+    import spark.implicits._
+    // seed a:2 b:2 ab:2, p = 3/9 each: path [ab] mass 1/3, path [a][b]
+    // mass 1/9 → posterior(ab) = 3/4 of the word mass; the single-round
+    // expected counts must reflect exactly that (nano floored)
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val got = UnigramLM.trainSoft(docs, "doc_id", "text", rounds = 1)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val ref = softRef(Seq("ab", "ab"), 1)
+    assert(got === ref)
+    // the ratio pins the 3:1 split (a and b each get the 1/4 share)
+    assert(math.abs(got("ab").toDouble / got("a") - 3.0) < 1e-3, got)
+  }
+
+  test("soft-EM dominates hard-EM marginal likelihood on an ambiguous " +
+      "designed corpus") {
+    import spark.implicits._
+    // every 'abc' is segmentable as [ab,c] or [a,bc] (and [abc]);
+    // Viterbi commits winner-take-all, soft shares mass — the soft
+    // model must assign the corpus at least as much total probability
+    val corpus = Seq.fill(8)("abc") ++ Seq.fill(4)("ab") ++
+      Seq.fill(4)("bc") ++ Seq.fill(2)("abcabc")
+    val docs = Seq((1L, corpus.mkString(" "))).toDF("doc_id", "text")
+    val wf = corpus.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (w, f) => (w, f) }.toDF("word", "freq")
+    val maxSteps = corpus.map(_.length).max
+    def ll(vocab: org.apache.spark.sql.DataFrame): Double = {
+      val z = UnigramLM.marginalFixed(wf, maxSteps,
+          vocab.select($"piece", $"cnt"))
+        .as[(String, Long)].collect().toMap
+      corpus.map(w => math.log(math.max(z(w), 1L).toDouble / 1e9)).sum
+    }
+    val hard = UnigramLM.train(docs, "doc_id", "text", rounds = 2)
+      .select($"piece", $"cnt")
+    val soft = UnigramLM.trainSoft(docs, "doc_id", "text", rounds = 2)
+      .select($"piece", $"cnt_ppm".as("cnt"))
+    val (lh, ls) = (ll(hard), ll(soft))
+    assert(ls > lh,
+      f"soft LL $ls%.4f must beat hard LL $lh%.4f on the ambiguous corpus")
+  }
 }
