@@ -99,8 +99,23 @@ object Packing {
   }
 
   def packOffsets(docs: DataFrame, idCol: String, textCol: String,
-      packSize: Int, numParts: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
+      packSize: Int, numParts: Int = 0): DataFrame =
+    packCounted(docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        size(expr(Dedup.wordsExpr(textCol))).cast("long").as("n_tokens")),
+      packSize, numParts)
+
+  /** [[packOffsets]] for ALREADY-COUNTED documents `(doc_id,
+    * n_tokens)` — the entry point when token counts come from a
+    * trained tokenizer ([[UnigramLM.encodeWith]]) rather than the
+    * whitespace rule, and the per-fold core of the streamed
+    * clean→tokenize→pack composition
+    * ([[graft.streaming.StreamingCleanPack]]). Same two-phase
+    * distributed prefix sum; `baseOffset` shifts the whole stream
+    * (the streamed fold passes its stored cursor). */
+  def packCounted(counted: DataFrame, packSize: Int, numParts: Int = 0,
+      baseOffset: Long = 0L): DataFrame = {
+    val spark = counted.sparkSession
     val parts =
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
@@ -111,9 +126,9 @@ object Packing {
     // q_clean_pack) would otherwise run twice — once to pick boundaries,
     // once to shuffle. Cutting the lineage at this narrow relation makes
     // the sample + exchange read cached (doc_id, n_tokens) pairs instead.
-    val toks = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      size(expr(Dedup.wordsExpr(textCol))).cast("long").as("n_tokens"))
+    val toks = counted.select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("n_tokens").cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -145,9 +160,11 @@ object Packing {
     cum.join(baseDf, "pid")
       .select(
         col("doc_id"), col("n_tokens"),
-        (col("base") + col("local_off")).as("offset"),
-        expr(s"(base + local_off) DIV $packSize").as("first_pack"),
-        expr(s"(base + local_off + n_tokens - 1) DIV $packSize").as("last_pack"))
+        (lit(baseOffset) + col("base") + col("local_off")).as("offset"),
+        expr(s"($baseOffset + base + local_off) DIV $packSize")
+          .as("first_pack"),
+        expr(s"($baseOffset + base + local_off + n_tokens - 1) DIV $packSize")
+          .as("last_pack"))
   }
 
   /** Per-group global 1-based row rank WITHOUT per-group windows — the

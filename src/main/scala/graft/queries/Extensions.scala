@@ -697,6 +697,50 @@ object Extensions extends QueryModule {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
   }
 
+  /** clean → whitespace-count → pack oracle, shared VERBATIM by
+    * q_clean_pack and its streamed twin q_clean_pack_stream. */
+  private[queries] val cleanPackOracle: String =
+    s"""WITH cleaned AS (SELECT * FROM ($corpusCleanOracle) c),
+       |tk AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(norm_text, ' '), w -> w <> ''))::BIGINT
+       |      AS n_tokens
+       |  FROM cleaned),
+       |t2 AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS "offset"
+       |  FROM tk WHERE n_tokens > 0)
+       |SELECT doc_id, n_tokens, "offset",
+       |  "offset" // 256 AS first_pack,
+       |  ("offset" + n_tokens - 1) // 256 AS last_pack
+       |FROM t2""".stripMargin
+
+  /** clean → unigram-LM-tokenizer-count → pack oracle, shared VERBATIM
+    * by q_clean_tokenize_pack and its streamed twin: the clean oracle
+    * nests as the unigram chain's source corpus (vocabulary trained on
+    * it, 2 EM rounds, encode pass), per-doc token counts come from the
+    * encode emissions, and the prefix sum packs in doc_id order. */
+  private[queries] val cleanTokenizePackOracle: String =
+    Unigram.chain(2, applyLast = true, src = "cl",
+      prelude = s"cl AS (SELECT doc_id, norm_text AS text " +
+        s"FROM ($corpusCleanOracle) c0c),\n") +
+    s""",
+       |dtk AS (
+       |  SELECT u.doc_id, sum(enc.n)::BIGINT AS n_tokens
+       |  FROM u JOIN enc USING (word) GROUP BY 1),
+       |pk2 AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS "offset"
+       |  FROM dtk WHERE n_tokens > 0)
+       |SELECT doc_id, n_tokens, "offset",
+       |  "offset" // 256 AS first_pack,
+       |  ("offset" + n_tokens - 1) // 256 AS last_pack
+       |FROM pk2""".stripMargin
+
   override val queries: Seq[GraftQuery] = Seq(
 
     // ======================= dedup family =======================
@@ -2259,22 +2303,85 @@ object Extensions extends QueryModule {
           t(s, dir, "documents"), "doc_id", "text",
           lang = "en", minQuality = 3000L, jaccard = 0.8),
         "doc_id", "norm_text", packSize = 256),
-      Some(s"""WITH cleaned AS (SELECT * FROM (${Extensions.corpusCleanOracle}) c),
-              |tk AS (
-              |  SELECT doc_id,
-              |    len(list_filter(string_split(norm_text, ' '), w -> w <> ''))::BIGINT
-              |      AS n_tokens
-              |  FROM cleaned),
-              |t2 AS (
-              |  SELECT doc_id, n_tokens,
-              |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-              |      AS "offset"
-              |  FROM tk WHERE n_tokens > 0)
-              |SELECT doc_id, n_tokens, "offset",
-              |  "offset" // 256 AS first_pack,
-              |  ("offset" + n_tokens - 1) // 256 AS last_pack
-              |FROM t2""".stripMargin)),
+      Some(Extensions.cleanPackOracle)),
+
+    // the SAME capstone, streamed end to end: .warc.zst archives arrive
+    // as three ascending micro-batches; each fold runs the clean stages
+    // against the artifact state, counts tokens over the fold's NEWLY
+    // surviving docs, and appends packed rows with offsets continuing
+    // the stored cursor (graft.streaming.StreamingCleanPack). The
+    // packed artifact must hash-match the batch q_clean_pack oracle
+    // VERBATIM — incremental arrival may change nothing
+    GraftQuery("q_clean_pack_stream",
+      (s, dir) => {
+        val base = s"/tmp/graft_cp_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingCleanPack.init(s, base)
+        val arcs = graft.multimodal.Archives.warcZstFixtures(
+          t(s, dir, "documents"), "doc_id", "text")
+        val maxId = arcs.agg(max(col("archive_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingCleanPack.foldWarcZst(s, base,
+            arcs.where(col("archive_id") >= i * maxId / 3 &&
+              col("archive_id") < (i + 1) * maxId / 3),
+            packSize = 256)
+        }
+        graft.streaming.StreamingCleanPack.packed(s, base)
+      },
+      Some(Extensions.cleanPackOracle)),
+
+    // clean → TRAINED-TOKENIZER count → pack, batch: the cleaned corpus
+    // trains a unigram-LM vocabulary (2 EM rounds), every cleaned doc
+    // is encoded under it, and the token stream packs by the two-phase
+    // prefix sum. The oracle nests the clean oracle inside the
+    // generated unigram chain and adds the prefix sum
+    GraftQuery("q_clean_tokenize_pack",
+      (s, dir) => {
+        val cleaned = graft.operators.CorpusClean.clean(
+            t(s, dir, "documents"), "doc_id", "text",
+            lang = "en", minQuality = 3000L, jaccard = 0.8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val vocab = graft.operators.UnigramLM.train(
+          cleaned, "doc_id", "norm_text", rounds = 2)
+        val counted = graft.operators.UnigramLM.encodeWith(
+            cleaned, "doc_id", "norm_text", vocab)
+          .select(col("doc_id"), col("n_tokens"))
+        Drain.drained(s, cleaned,
+          graft.operators.Packing.packCounted(counted, packSize = 256))
+      },
+      Some(Extensions.cleanTokenizePackOracle)),
+
+    // the tokenizer-in-the-loop composition, streamed: the vocabulary
+    // is an ARTIFACT (trained once on the cleaned corpus — the prior
+    // production run — and persisted as parquet); each archive fold
+    // cleans, encodes its new survivors under the stored vocabulary,
+    // and appends packed rows. Shares the batch oracle verbatim
+    GraftQuery("q_clean_tokenize_pack_stream",
+      (s, dir) => {
+        val tag = graft.GraftCatalog.dbFor(dir)
+        val vocabPath = s"/tmp/graft_artifacts/$tag/clean_unigram_vocab"
+        val cleaned = graft.operators.CorpusClean.clean(
+            t(s, dir, "documents"), "doc_id", "text",
+            lang = "en", minQuality = 3000L, jaccard = 0.8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.UnigramLM.train(
+            cleaned, "doc_id", "norm_text", rounds = 2)
+          .write.mode("overwrite").parquet(vocabPath)
+        cleaned.unpersist()
+        val base = s"/tmp/graft_ctp_stream/$tag"
+        graft.streaming.StreamingCleanPack.init(s, base)
+        val arcs = graft.multimodal.Archives.warcZstFixtures(
+          t(s, dir, "documents"), "doc_id", "text")
+        val maxId = arcs.agg(max(col("archive_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingCleanPack.foldWarcZst(s, base,
+            arcs.where(col("archive_id") >= i * maxId / 3 &&
+              col("archive_id") < (i + 1) * maxId / 3),
+            packSize = 256,
+            vocab = Some(s.read.parquet(vocabPath)))
+        }
+        graft.streaming.StreamingCleanPack.packed(s, base)
+      },
+      Some(Extensions.cleanTokenizePackOracle)),
 
     // ======================= SCD2 history =======================
 

@@ -98,7 +98,7 @@ object Unigram extends QueryModule {
 
   /** The shared trained chain: `rounds` EM rounds ending at vocabulary
     * `c{rounds}`; `applyLast` adds the encode pass (block rounds+1). */
-  private def chain(rounds: Int, applyLast: Boolean,
+  private[queries] def chain(rounds: Int, applyLast: Boolean,
       src: String = "documents", prelude: String = ""): String = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
     val sb = new StringBuilder(seed(src, prelude))

@@ -31,6 +31,83 @@ final case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
   */
 object StreamingPacking {
 
+  /** Artifact-backed packing fold — the micro-batch twin of
+    * [[packStream]] for foreachBatch pipelines
+    * ([[StreamingCleanPack]]): fold one batch of ALREADY-COUNTED
+    * documents `(doc_id, n_tokens)` into the packed artifact under
+    * `base`, offsets continuing from the stored cursor. The batch is
+    * packed by the batch operator's own two-phase prefix sum
+    * ([[graft.operators.Packing.packCounted]] with the cursor as
+    * baseOffset — no single-partition window even on a huge fold),
+    * appended, and the 1-row cursor is advanced. Offsets are final on
+    * append: the composition contract is ASCENDING doc_id across
+    * folds (crawl order — the same total order the batch prefix sum
+    * uses), under which streamed packing equals the batch pack of
+    * everything seen. */
+  def foldCounted(spark: org.apache.spark.sql.SparkSession, base: String,
+      counted: DataFrame, packSize: Int): Unit = {
+    val packedPath = s"$base/packed"
+    val cursorPath = s"$base/cursor"
+    val cur = readCursor(spark, cursorPath)
+    val batchPacked = graft.operators.Packing
+      .packCounted(counted, packSize, baseOffset = cur)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Advance the cursor BEFORE the append. The append to packedPath
+    // triggers Spark's recache-by-path on every cached plan that reads
+    // that path — which includes this very batch (the caller's counted
+    // lineage anti-joins the packed artifact). A post-append aggregate
+    // would therefore RECOMPUTE against the just-extended artifact,
+    // see an empty fresh set, and silently coalesce to the stale
+    // cursor (observed: every fold re-wrote fold 1's cursor).
+    val next = batchPacked
+      .agg(coalesce(max(col("offset") + col("n_tokens")), lit(cur)))
+      .head.getLong(0)
+    batchPacked.write.mode("append").parquet(packedPath)
+    batchPacked.unpersist()
+    // APPEND-ONLY cursor log, max-wins: an overwritten single-row file
+    // can be served stale by the session's file-listing cache (observed:
+    // a third fold reading the first fold's cursor), while appended
+    // files are always discovered — the same reason every other
+    // artifact here is append-only. One tiny row per fold.
+    spark.createDataFrame(Seq(Tuple1(next))).toDF("next_off")
+      .coalesce(1).write.mode("append").parquet(cursorPath)
+  }
+
+  /** The packed artifact view:
+    * `(doc_id, n_tokens, offset, first_pack, last_pack)`. */
+  def packed(spark: org.apache.spark.sql.SparkSession,
+      base: String): DataFrame = {
+    val path = s"$base/packed"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("offset",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("first_pack",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("last_pack",
+        org.apache.spark.sql.types.LongType)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def readCursor(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      val rows = spark.read.parquet(path)
+        .agg(max(col("next_off"))).collect()
+      if (rows.isEmpty || rows.head.isNullAt(0)) 0L else rows.head.getLong(0)
+    } else 0L
+  }
+
   /** docs: streaming DataFrame with (source STRING, doc_id LONG,
     * text STRING). */
   def packStream(docs: DataFrame, packSize: Int): Dataset[PackedDoc] = {
