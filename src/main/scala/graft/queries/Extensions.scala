@@ -88,10 +88,11 @@ object Extensions extends QueryModule {
   }
 
   /** Shared MinHash CTE prefix: documents → words → shingles → hashed
-    * shingles → 16-wide signature. */
-  private val duckMinhashCtes =
+    * shingles → 16-wide signature. `src` lets the multibyte variants
+    * swap in the decorated corpus. */
+  private def duckMinhashCtesFrom(src: String): String =
     s"""WITH d AS (
-       |  SELECT doc_id, ${dWords("text")} AS words FROM documents),
+       |  SELECT doc_id, ${dWords("text")} AS words FROM $src),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(len(words)-2),
        |    i -> words[i+1]||' '||words[i+2]||' '||words[i+3])) AS sh
@@ -102,6 +103,14 @@ object Extensions extends QueryModule {
        |  SELECT doc_id, sh, list_transform(range(16),
        |    i -> list_min(list_transform(hv, h -> ((2*i+1)*h + 12345*i + 678) % $P))) AS sig
        |  FROM hv)""".stripMargin
+
+  private val duckMinhashCtes = duckMinhashCtesFrom("documents")
+
+  /** The multibyte twin: the same chain over the script-decorated
+    * corpus (shingle hashing runs over UTF-8 bytes in both engines). */
+  private val duckMinhashCtesU8 =
+    s"""WITH d8 AS (${graft.operators.Utf8Corpus.oracleCte}),
+       |${duckMinhashCtesFrom("d8").stripPrefix("WITH ")}""".stripMargin
 
   /** Shared SimHash CTE prefix: documents → words → 60-bit fingerprint
     * (raw md5-derived token hashes — mirrors Dedup.simhashExpr). */
@@ -762,6 +771,47 @@ object Extensions extends QueryModule {
     GraftQuery("q_dedup_minhash",
       (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", 0.5),
       Some(s"""$duckMinhashCtes,
+              |bands AS (
+              |  SELECT doc_id, j,
+              |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash
+              |  FROM mh, range(4) t(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b
+              |    ON a.j = b.j AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+              |p AS (
+              |  SELECT doc_a, doc_b, ma.sh AS sh_a, mb.sh AS sh_b,
+              |         ma.sig AS sig_a, mb.sig AS sig_b
+              |  FROM cand
+              |  JOIN mh ma ON ma.doc_id = doc_a
+              |  JOIN mh mb ON mb.doc_id = doc_b)
+              |SELECT doc_a, doc_b,
+              |  round(len(list_intersect(sh_a, sh_b))
+              |        / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) AS jaccard,
+              |  round(list_sum(list_transform(range(16),
+              |    i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) / 16.0, 4)
+              |    AS est_jaccard
+              |FROM p
+              |WHERE round(len(list_intersect(sh_a, sh_b))
+              |      / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) >= 0.5""".stripMargin)),
+
+    // the dedup family over the MULTIBYTE corpus: exact dedup keys on
+    // full decorated text (the combining-mark and precomposed variants
+    // remain byte-distinct here — NFC-keyed dedup is q_nfc_dedup's
+    // job), and near-dup shingle hashing runs over multibyte UTF-8
+    // words (CJK runs, RTL, mixed-script) identically in both engines
+    GraftQuery("q_utf8_dedup_exact",
+      (s, dir) => Dedup.exactDedup(graft.operators.Utf8Corpus.decorate(
+        t(s, dir, "documents"), "doc_id", "text"), "doc_id", "text"),
+      Some(s"""WITH d8 AS (${graft.operators.Utf8Corpus.oracleCte})
+              |SELECT text_h, min(doc_id) AS keep_id, count(*) AS n_copies
+              |FROM (SELECT doc_id, text, ${dH60("text")} AS text_h FROM d8)
+              |GROUP BY text_h, text""".stripMargin)),
+
+    GraftQuery("q_utf8_dedup_minhash",
+      (s, dir) => Dedup.minhashPairs(graft.operators.Utf8Corpus.decorate(
+        t(s, dir, "documents"), "doc_id", "text"), "doc_id", "text", 0.5),
+      Some(s"""$duckMinhashCtesU8,
               |bands AS (
               |  SELECT doc_id, j,
               |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash

@@ -51,10 +51,15 @@ object WebClean extends QueryModule {
       |  '</p><footer>(c) ', source, ' crawl</footer></body></html>')"""
       .stripMargin
 
-  private def htmlDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("words", expr(graft.operators.Dedup.wordsExpr("text")))
+  private def htmlDocs(s: SparkSession, dir: String,
+      utf8: Boolean = false): DataFrame = {
+    val base = t(s, dir, "documents")
+    val src = if (utf8)
+      graft.operators.Utf8Corpus.decorate(base, "doc_id", "text")
+    else base
+    src.withColumn("words", expr(graft.operators.Dedup.wordsExpr("text")))
       .select(col("doc_id"), expr(htmlSparkExpr).as("html"))
+  }
 
   /** Oracle CTEs: the expected clean lines `l(doc_id, pos, line)`
     * stated from first principles — the title, nav, decoded anchor
@@ -62,11 +67,11 @@ object WebClean extends QueryModule {
     * footer, in that order. No regex, no HTML: the oracle and the
     * extraction share only the injected ground truth. List slices are
     * 1-based inclusive like Spark's. */
-  private val htmlCte: String =
-    """w0 AS (
+  private def htmlCteFrom(src: String): String =
+    s"""w0 AS (
       |  SELECT doc_id, source,
       |    list_filter(string_split(text, ' '), w -> w <> '') AS words
-      |  FROM documents),
+      |  FROM $src),
       |exp AS (
       |  SELECT doc_id,
       |    list_concat(list_concat(
@@ -93,7 +98,21 @@ object WebClean extends QueryModule {
     GraftQuery("q_html_extract",
       (s, dir) => graft.operators.Boilerplate.htmlExtract(
         htmlDocs(s, dir), "doc_id", "html"),
-      Some(s"""WITH $htmlCte
+      Some(s"""WITH ${htmlCteFrom("documents")}
+             |SELECT doc_id, min_by(line, pos) AS title,
+             |  count(*)::BIGINT AS n_lines,
+             |  string_agg(line, ' ' ORDER BY pos) AS body
+             |FROM l GROUP BY doc_id""".stripMargin)),
+
+    // ---- the same extraction over the MULTIBYTE corpus: CJK runs,
+    //      RTL words, mixed-script tokens and the ideographic space
+    //      flow through tag-stripping, entity decode and line order
+    //      untouched (byte-transparent extraction, proven cell-exact) ----
+    GraftQuery("q_utf8_html_extract",
+      (s, dir) => graft.operators.Boilerplate.htmlExtract(
+        htmlDocs(s, dir, utf8 = true), "doc_id", "html"),
+      Some(s"""WITH d8 AS (${graft.operators.Utf8Corpus.oracleCte}),
+             |${htmlCteFrom("d8")}
              |SELECT doc_id, min_by(line, pos) AS title,
              |  count(*)::BIGINT AS n_lines,
              |  string_agg(line, ' ' ORDER BY pos) AS body
@@ -105,7 +124,23 @@ object WebClean extends QueryModule {
     GraftQuery("q_line_dedup",
       (s, dir) => graft.operators.Boilerplate.lineDedup(
         htmlDocs(s, dir), "doc_id", "html", dfCap = 2L),
-      Some(s"""WITH $htmlCte,
+      Some(s"""WITH ${htmlCteFrom("documents")},
+             |f AS (SELECT line, count(DISTINCT doc_id)::BIGINT AS df
+             |      FROM l GROUP BY 1)
+             |SELECT l.doc_id, count(*)::BIGINT AS n_lines,
+             |  sum((f.df <= 2)::BIGINT)::BIGINT AS n_kept,
+             |  coalesce(string_agg(CASE WHEN f.df <= 2 THEN l.line END,
+             |    ' ' ORDER BY l.pos), '') AS clean_text
+             |FROM l JOIN f USING (line) GROUP BY 1""".stripMargin)),
+
+    // ---- line dedup over the MULTIBYTE corpus: document frequency is
+    //      computed on decoded multibyte LINES (a CJK paragraph chunk
+    //      repeating across docs is boilerplate like any other) ----
+    GraftQuery("q_utf8_line_dedup",
+      (s, dir) => graft.operators.Boilerplate.lineDedup(
+        htmlDocs(s, dir, utf8 = true), "doc_id", "html", dfCap = 2L),
+      Some(s"""WITH d8 AS (${graft.operators.Utf8Corpus.oracleCte}),
+             |${htmlCteFrom("d8")},
              |f AS (SELECT line, count(DISTINCT doc_id)::BIGINT AS df
              |      FROM l GROUP BY 1)
              |SELECT l.doc_id, count(*)::BIGINT AS n_lines,
@@ -116,7 +151,7 @@ object WebClean extends QueryModule {
 
     // ---- Unicode NFC normalization (native unicode_norm kernel vs
     //      DuckDB nfc_normalize) over the multibyte corpus: the
-    //      combining-mark decoration (doc_id%5=3) composes to a single
+    //      combining-mark decoration (doc_id%10=3) composes to a single
     //      code point; every other width class is NFC-stable ----
     GraftQuery("q_unicode_nfc",
       (s, dir) => {
