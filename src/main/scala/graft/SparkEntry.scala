@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Curation,
     graft.queries.Preference,
     graft.queries.WebClean,
-    graft.queries.Unigram)
+    graft.queries.Unigram,
+    graft.queries.UrlCuration)
 
   private lazy val registry: Seq[GraftQuery] = modules.flatMap(_.queries)
 

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL/domain curation surface ([[graft.operators.UrlCuration]]) —
+  * the stage-zero web-pipeline verbs: canonicalization, registrable
+  * domain, per-domain caps, blocklists.
+  *
+  * The fixture derives a deliberately MESSY deterministic URL per
+  * document (uppercase schemes/hosts, userinfo, default and
+  * non-default ports, trailing slashes, tracking params in shuffled
+  * order, fragments) from doc_id with the same expression in both
+  * engines; the ORACLE then parses it with the mirrored four-regex
+  * grammar — what is under test is the parse + canonical rules, the
+  * suffix-table join, and the no-window domain cap. */
+object UrlCuration extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** Shared Spark/DuckDB fixture expression (valid in both dialects):
+    * builds `url` from doc_id. */
+  private val urlExpr: String =
+    """concat(
+      |  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, '://',
+      |  CASE CAST(doc_id % 6 AS INTEGER)
+      |    WHEN 0 THEN 'WWW.Example.co.uk'
+      |    WHEN 1 THEN 'news.example.com:80'
+      |    WHEN 2 THEN 'u:p@blog.example.com.au'
+      |    WHEN 3 THEN 'example.github.io:8080'
+      |    WHEN 4 THEN 'CDN.Example.org'
+      |    ELSE 'localhost' END,
+      |  '/Articles/', CAST(doc_id % 20 AS STRING),
+      |  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      |  CASE WHEN doc_id % 3 = 0 THEN '?b=2&utm_source=feed&a=1&gclid=x'
+      |       WHEN doc_id % 3 = 1
+      |         THEN concat('?id=', CAST(doc_id % 5 AS STRING),
+      |                     '&utm_campaign=z')
+      |       ELSE '' END,
+      |  CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"""
+      .stripMargin
+
+  private def urlDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), expr(urlExpr).as("url"))
+
+  /** Oracle CTEs mirroring the operator's four-regex grammar +
+    * canonical rules + suffix fallback: yields
+    * `pu(doc_id, scheme, host, port, path, query, canon_url,
+    * registrable)`. */
+  private val parseCte: String = {
+    val suffixes = graft.operators.UrlCuration.MultiPartSuffixes
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""u AS (SELECT doc_id, $urlExpr AS url FROM documents),
+       |p0 AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+       |      AS scheme,
+       |    lower(regexp_extract(
+       |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+       |      '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+       |    regexp_extract(
+       |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+       |      ':([0-9]+)$$', 1) AS port,
+       |    regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+       |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+       |  FROM u),
+       |p1 AS (
+       |  SELECT *,
+       |    CASE WHEN (scheme = 'http' AND port = '80')
+       |           OR (scheme = 'https' AND port = '443')
+       |           OR port = '' THEN ''
+       |         ELSE ':' || port END AS keep_port,
+       |    coalesce(array_to_string(list_sort(list_filter(
+       |      string_split(query, '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p,
+       |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)(=|$$)'))), '&'), '')
+       |      AS canon_q,
+       |    CASE WHEN path = '' THEN '/'
+       |         ELSE regexp_replace(path, '(.)/$$', '\\1') END AS canon_p,
+       |    string_split(host, '.') AS labels
+       |  FROM p0),
+       |pu AS (
+       |  SELECT doc_id, url, scheme, host, port, path, query,
+       |    scheme || '://' || host || keep_port || canon_p ||
+       |      CASE WHEN canon_q = '' THEN '' ELSE '?' || canon_q END
+       |      AS canon_url,
+       |    CASE
+       |      WHEN len(labels) >= 2 AND list_contains($suffixes,
+       |        array_to_string(labels[len(labels)-1:len(labels)], '.'))
+       |      THEN array_to_string(
+       |        labels[greatest(len(labels)-2, 1):len(labels)], '.')
+       |      WHEN len(labels) >= 2
+       |      THEN array_to_string(labels[len(labels)-1:len(labels)], '.')
+       |      ELSE host END AS registrable
+       |  FROM p1)""".stripMargin
+  }
+
+  override val queries: Seq[GraftQuery] = Seq(
+
+    // ---- parse + canonicalize + registrable domain: pure codegen'd
+    //      per-row expressions + one broadcast suffix join ----
+    GraftQuery("q_url_canonical",
+      (s, dir) => graft.operators.UrlCuration.registrableDomain(
+          graft.operators.UrlCuration.canonicalize(
+            urlDocs(s, dir), "url"),
+          "host")
+        .select(col("doc_id"), col("scheme"), col("host"), col("port"),
+          col("path"), col("query"), col("canon_url"), col("registrable")),
+      Some(s"""WITH $parseCte
+             |SELECT doc_id, scheme, host, port, path, query, canon_url,
+             |  registrable
+             |FROM pu""".stripMargin)),
+
+    // ---- per-domain cap: rank within registrable domain WITHOUT a
+    //      per-group window (range-partition + offset composition);
+    //      oracle is exactly the window the operator avoids ----
+    GraftQuery("q_domain_cap",
+      (s, dir) => graft.operators.UrlCuration.domainCap(
+          urlDocs(s, dir), "url", "doc_id", maxPerDomain = 40L)
+        .select(col("doc_id"), col("registrable"),
+          col("rnk").cast("long").as("rnk"), col("kept")),
+      Some(s"""WITH $parseCte
+             |SELECT doc_id, registrable,
+             |  row_number() OVER (PARTITION BY registrable
+             |    ORDER BY doc_id)::BIGINT AS rnk,
+             |  (row_number() OVER (PARTITION BY registrable
+             |    ORDER BY doc_id) <= 40)::BIGINT AS kept
+             |FROM pu""".stripMargin)),
+
+    // ---- blocklist gate: broadcast anti-join on registrable domain ----
+    GraftQuery("q_domain_blocklist",
+      (s, dir) => {
+        val blocked = s.createDataFrame(Seq(
+            Tuple1("example.co.uk"), Tuple1("example.github.io")))
+          .toDF("domain")
+        graft.operators.UrlCuration.blocklistFilter(
+            urlDocs(s, dir), "url", blocked)
+          .groupBy(col("registrable"))
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+      },
+      Some(s"""WITH $parseCte
+             |SELECT registrable, count(*)::BIGINT AS n_docs
+             |FROM pu
+             |WHERE registrable NOT IN ('example.co.uk', 'example.github.io')
+             |GROUP BY 1""".stripMargin)))
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** URL canonicalization + registrable-domain rules, hand-computed. */
+class UrlCurationSpec extends SparkSpec {
+
+  private def canon(urls: (Long, String)*): Map[Long, String] = {
+    import spark.implicits._
+    UrlCuration.canonicalize(urls.toDF("doc_id", "url"), "url")
+      .select($"doc_id", $"canon_url").as[(Long, String)]
+      .collect().toMap
+  }
+
+  test("canonicalize: case, userinfo, ports, fragment, tracking, sort") {
+    val got = canon(
+      (1L, "HTTPS://User:Pw@WWW.Example.COM:443/A/B/?z=1&utm_source=x&a=2#f"),
+      (2L, "http://h.org:8080/p"),
+      (3L, "http://h.org:80/p/"),
+      (4L, "https://h.org"),
+      (5L, "http://h.org/p?utm_campaign=c&gclid=g&fbclid=f&ref=r"))
+    assert(got(1L) === "https://www.example.com/A/B?a=2&z=1")
+    assert(got(2L) === "http://h.org:8080/p") // non-default port kept
+    assert(got(3L) === "http://h.org/p") // default port + trailing slash
+    assert(got(4L) === "https://h.org/") // empty path becomes /
+    assert(got(5L) === "http://h.org/p") // all tracking params dropped
+  }
+
+  test("registrable domain: multi-part suffix, fallback, single label") {
+    import spark.implicits._
+    val got = UrlCuration.registrableDomain(
+        Seq("www.example.co.uk", "a.b.example.com", "example.github.io",
+          "github.io", "localhost").toDF("host"),
+        "host")
+      .select($"host", $"registrable").as[(String, String)]
+      .collect().toMap
+    assert(got("www.example.co.uk") === "example.co.uk")
+    assert(got("a.b.example.com") === "example.com")
+    assert(got("example.github.io") === "example.github.io")
+    assert(got("github.io") === "github.io") // the suffix itself
+    assert(got("localhost") === "localhost")
+  }
+
+  test("domainCap keeps exactly maxPerDomain docs per registrable domain") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, s"https://${if (i % 2 == 0) "a" else "b"}.example.org/p/$i"))
+      .toDF("doc_id", "url")
+    val got = UrlCuration.domainCap(docs, "url", "doc_id", maxPerDomain = 5L)
+    // a.example.org and b.example.org share registrable example.org:
+    // ONE domain of 30 docs, 5 kept (the smallest doc_ids)
+    assert(got.where($"kept" === 1L).select($"doc_id").as[Long]
+      .collect().sorted.toSeq === (0L until 5L).toSeq)
+  }
+
+  test("blocklistFilter drops the blocked registrable domain entirely") {
+    import spark.implicits._
+    val docs = Seq((1L, "https://www.bad.co.uk/x"),
+      (2L, "https://good.org/y")).toDF("doc_id", "url")
+    val blocked = Seq(Tuple1("bad.co.uk")).toDF("domain")
+    val kept = UrlCuration.blocklistFilter(docs, "url", blocked)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(2L))
+  }
+}
