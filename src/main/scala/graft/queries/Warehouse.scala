@@ -154,11 +154,11 @@ object Warehouse extends QueryModule {
     // certifies zero collisions on this slice) ----
     GraftQuery("q_fuzzy_blocking_metrics",
       (s, dir) => graft.operators.FuzzyJoin.blockingMetrics(
-        t(s, dir, "customer").where(col("c_custkey") % 7 === 0),
+        t(s, dir, "customer").where(col("c_custkey") % 23 === 0),
         "c_custkey", "c_name", k = 2),
       Some("""WITH c AS MATERIALIZED (
              |  SELECT c_custkey AS id, c_name AS s, length(c_name) AS len
-             |  FROM customer WHERE c_custkey % 7 = 0),
+             |  FROM customer WHERE c_custkey % 23 = 0),
              |n AS (SELECT count(*)::BIGINT AS n_rows FROM c),
              |truth AS MATERIALIZED (
              |  SELECT a.id AS id_a, b.id AS id_b
