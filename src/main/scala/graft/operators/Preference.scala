@@ -162,6 +162,50 @@ object Preference {
     if (traj == null) spark.emptyDataFrame else traj
   }
 
+  /** Fleiss' kappa for MORE than two judges: each event is one item
+    * rated by three derived judges into two categories (positive /
+    * negative) — judge A = `value >= athr`, judge B = `props.k >=
+    * bthr`, judge C = `length(props) >= cthr` — the multi-rater agreement
+    * stat an eval pipeline reports when a panel of model judges
+    * scores the same items (Fleiss 1971).
+    *
+    * Exact-integer publication (the [[judgeAgreement]] discipline,
+    * extended). With m = 3 judges, n items, `n_pos` positive votes per
+    * item, `q = tot_pos = Σ n_pos`, `N = n·m`, and
+    * `sum_sq = Σ_i (n_pos² + (m−n_pos)²)`:
+    * `P̄ = (sum_sq − N) / (N·(m−1))` and
+    * `P̄e = (q² + (N−q)²) / N²`. Clearing κ = (P̄ − P̄e)/(1 − P̄e)
+    * to the common denominator `N²·(m−1)` gives the published exact
+    * integers
+    * `kappa_num = N·(sum_sq − N) − (m−1)·(q² + (N−q)²)` and
+    * `kappa_den = N²·(m−1) − (m−1)·(q² + (N−q)²)`.
+    * One division left to the consumer (kappa can be negative and
+    * signed floored division differs between engines). */
+  def fleissKappa(events: DataFrame, athr: Double = 35.0,
+      bthr: Long = 50L, cthr: Long = 9L): DataFrame = {
+    val m = lit(3L)
+    val votes = events.select(
+      ((col("value") >= lit(athr)).cast("long") +
+        (get_json_object(col("props"), "$.k").cast("long") >= lit(bthr))
+          .cast("long") +
+        (length(col("props")) >= lit(cthr)).cast("long")).as("n_pos"))
+    votes
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("n_pos")).cast("long").as("tot_pos"),
+        sum(col("n_pos") * col("n_pos") +
+          (m - col("n_pos")) * (m - col("n_pos"))).cast("long").as("sum_sq"))
+      .select(col("n"), lit(3L).as("m"), col("tot_pos"), col("sum_sq"),
+        expr("""n * 3 * (sum_sq - n * 3) -
+               |2 * (tot_pos * tot_pos +
+               |     (n * 3 - tot_pos) * (n * 3 - tot_pos))"""
+          .stripMargin).as("kappa_num"),
+        expr("""n * n * 9 * 2 -
+               |2 * (tot_pos * tot_pos +
+               |     (n * 3 - tot_pos) * (n * 3 - tot_pos))"""
+          .stripMargin).as("kappa_den"))
+  }
+
   /** Cohen's kappa between two judges over the same trials: judge A =
     * `value >= athr`, judge B = `props.k >= bthr` (the model-judge vs
     * heuristic-judge agreement check every eval pipeline runs).

@@ -112,6 +112,34 @@ object Preference extends QueryModule {
         t(s, dir, "events"), rounds = 5),
       Some(bradleyTerryOracle(5))),
 
+    // ---- Fleiss' kappa across THREE derived judges (two categories):
+    //      multi-rater agreement with both kappa sides cleared to the
+    //      common denominator N^2(m-1), published as exact integers ----
+    GraftQuery("q_fleiss_kappa",
+      (s, dir) => graft.operators.Preference.fleissKappa(
+        t(s, dir, "events"), athr = 35.0, bthr = 50L, cthr = 9L),
+      Some("""WITH v AS (
+             |  SELECT (value >= 35.0)::BIGINT
+             |    + (CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50)
+             |      ::BIGINT
+             |    + (length(props) >= 9)::BIGINT AS n_pos
+             |  FROM events),
+             |a AS (SELECT count(*)::BIGINT AS n,
+             |        sum(n_pos)::BIGINT AS tot_pos,
+             |        sum(n_pos * n_pos
+             |            + (3 - n_pos) * (3 - n_pos))::BIGINT AS sum_sq
+             |      FROM v)
+             |SELECT n, 3::BIGINT AS m, tot_pos, sum_sq,
+             |  (n * 3 * (sum_sq - n * 3)
+             |   - 2 * (tot_pos * tot_pos
+             |          + (n * 3 - tot_pos) * (n * 3 - tot_pos)))::BIGINT
+             |    AS kappa_num,
+             |  (n * n * 9 * 2
+             |   - 2 * (tot_pos * tot_pos
+             |          + (n * 3 - tot_pos) * (n * 3 - tot_pos)))::BIGINT
+             |    AS kappa_den
+             |FROM a""".stripMargin)),
+
     // ---- Cohen's kappa between the value-judge and the props-judge,
     //      published as the exact agreement table + kappa's integer
     //      numerator/denominator (kappa can be negative; signed floor

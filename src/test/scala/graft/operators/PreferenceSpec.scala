@@ -83,4 +83,49 @@ class PreferenceSpec extends SparkSpec {
     // kappa here: po=1/3, pe=(0*4 + 6*2)/36=1/3 → kappa = 0 exactly
     assert(num === 0L)
   }
+
+  private def fkEvents(rows: (Double, String)*) = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((v, p), i) =>
+      (i.toLong, new java.sql.Timestamp(i * 1000L), 1L, "t", v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("fleissKappa: perfect agreement gives kappa exactly 1 (num == den)") {
+    import spark.implicits._
+    // item 1: all three judges positive (value>=35, k>=50, len>=9);
+    // item 2: all three negative
+    val got = Preference.fleissKappa(fkEvents(
+        (100.0, """{"k": 99}"""), (1.0, """{"k": 1}""")))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val (n, m, q, sumSq, num, den) = got
+    assert((n, m, q, sumSq) === (2L, 3L, 3L, 18L))
+    assert(num === den && den > 0L, s"perfect agreement must be kappa=1: $got")
+  }
+
+  test("fleissKappa matches the hand-cleared Fleiss formula on a mixed panel") {
+    import spark.implicits._
+    // n_pos per item: 3, 0, 1 (only value>=35 fires), 2 (k>=50 + len 9)
+    val got = Preference.fleissKappa(fkEvents(
+        (100.0, """{"k": 99}"""), (1.0, """{"k": 1}"""),
+        (100.0, """{"k": 1}"""), (1.0, """{"k": 99}""")))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val (n, m, q, sumSq, num, den) = got
+    assert((n, m) === (4L, 3L))
+    val nPos = Seq(3L, 0L, 1L, 2L)
+    assert(q === nPos.sum)
+    assert(sumSq === nPos.map(p => p * p + (3 - p) * (3 - p)).sum)
+    val bigN = n * m
+    assert(num === bigN * (sumSq - bigN) -
+      (m - 1) * (q * q + (bigN - q) * (bigN - q)))
+    assert(den === bigN * bigN * (m - 1) -
+      (m - 1) * (q * q + (bigN - q) * (bigN - q)))
+    // and the value is the textbook kappa: pbar/pe cross-check in doubles
+    val pbar = nPos.map(p => (p * p + (3 - p) * (3 - p) - 3).toDouble / 6)
+      .sum / n
+    val pe = {
+      val p1 = q.toDouble / bigN; p1 * p1 + (1 - p1) * (1 - p1)
+    }
+    assert(math.abs(num.toDouble / den - (pbar - pe) / (1 - pe)) < 1e-12)
+  }
 }

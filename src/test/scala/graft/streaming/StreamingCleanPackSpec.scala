@@ -86,4 +86,59 @@ class StreamingCleanPackSpec extends SparkSpec {
       next = off + n
     }
   }
+
+  test("artifact refresh mid-stream: packed rows are immutable, later " +
+      "folds count under the new vocabulary, offsets stay contiguous") {
+    import spark.implicits._
+    val cleaned = graft.operators.CorpusClean.clean(docs, "doc_id", "text")
+      .persist()
+    val vocabDir =
+      java.nio.file.Files.createTempDirectory("graft_scp_rv").toString
+    // vocab A: trained on the corpus; vocab B: singles only (every word
+    // then costs length-many pieces — token counts provably differ)
+    graft.operators.UnigramLM.train(cleaned, "doc_id", "norm_text", 2)
+      .write.mode("overwrite").parquet(s"$vocabDir/a")
+    graft.operators.UnigramLM.train(cleaned, "doc_id", "norm_text", 2)
+      .where(col("piece_len") === 1L)
+      .write.mode("overwrite").parquet(s"$vocabDir/b")
+    cleaned.unpersist()
+
+    val base = freshBase()
+    StreamingCleanPack.init(spark, base)
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val half = ids.length / 2
+    StreamingCleanPack.foldDocs(spark, base,
+      docs.where(col("doc_id").isin(ids.take(half): _*)), "doc_id", "text",
+      packSize = 256, vocab = Some(spark.read.parquet(s"$vocabDir/a")))
+    val afterFold1 = StreamingCleanPack.packed(spark, base)
+      .as[PackRow].collect().sortBy(_._1).toSeq
+    // REFRESH: fold 2 serves vocab B
+    StreamingCleanPack.foldDocs(spark, base,
+      docs.where(col("doc_id").isin(ids.drop(half): _*)), "doc_id", "text",
+      packSize = 256, vocab = Some(spark.read.parquet(s"$vocabDir/b")))
+    val all = StreamingCleanPack.packed(spark, base)
+      .as[PackRow].collect().sortBy(_._1).toSeq
+    // rows packed before the refresh are byte-identical (immutable)
+    assert(all.take(afterFold1.length) === afterFold1)
+    // later docs are counted under B: singles-only vocab makes
+    // n_tokens equal the word's character count summed — strictly more
+    // tokens than vocab A would give on at least one doc
+    val fold2 = all.drop(afterFold1.length)
+    assert(fold2.nonEmpty)
+    val underA = graft.operators.UnigramLM.encodeWith(
+        graft.operators.CorpusClean.clean(
+          docs.where(col("doc_id").isin(ids.drop(half): _*)),
+          "doc_id", "text"),
+        "doc_id", "norm_text", spark.read.parquet(s"$vocabDir/a"))
+      .select(col("doc_id"), col("n_tokens")).as[(Long, Long)]
+      .collect().toMap
+    assert(fold2.exists { case (id, n, _, _, _) => underA.get(id).exists(_ < n) },
+      "vocab B (singles only) must inflate token counts vs vocab A")
+    // offsets still an exact prefix sum across the refresh boundary
+    var next = 0L
+    for ((_, n, off, _, _) <- all) {
+      assert(off === next, s"offset hole at $off (expected $next)")
+      next = off + n
+    }
+  }
 }
