@@ -294,7 +294,7 @@ object UnigramLM {
       val terms = (1 to math.min(MaxPieceLen, j)).map { l =>
         buf(j - l).where(length(col("word")) >= j)
           .withColumn("piece", expr(s"substring(word, ${j - l + 1}, $l)"))
-          .join(pfx, Seq("piece"))
+          .join(broadcast(pfx), Seq("piece"))
           .select(col("word"), expr(s"a * p div ${Scale}L").as("t"))
       }.reduce(_ unionByName _)
       buf += terms.groupBy("word").agg(sum(col("t")).cast("long").as("a"))
@@ -314,7 +314,7 @@ object UnigramLM {
         buf(m - l).where(length(col("word")) >= m)
           .withColumn("piece",
             expr(s"substring(word, length(word) - $m + 1, $l)"))
-          .join(pfx, Seq("piece"))
+          .join(broadcast(pfx), Seq("piece"))
           .select(col("word"), expr(s"p * b div ${Scale}L").as("t"))
       }.reduce(_ unionByName _)
       buf += terms.groupBy("word").agg(sum(col("t")).cast("long").as("b"))
@@ -362,7 +362,7 @@ object UnigramLM {
       .select(col("word"), col("x.i").as("i"), col("x.l").as("l"))
       .withColumn("piece", expr(
         "substring(word, cast(i + 1 as int), cast(l as int))"))
-    occ.join(pfx, Seq("piece"))
+    occ.join(broadcast(pfx), Seq("piece"))
       .join(af, Seq("word", "i"))
       .withColumn("m", length(col("word")) - col("i") - col("l"))
       .join(bt, Seq("word", "m"))

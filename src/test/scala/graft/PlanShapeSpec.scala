@@ -548,4 +548,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(oha.length >= 2,
       s"expected partial+final ObjectHashAggregate, got ${oha.length}:\n$plan")
   }
+
+  test("URL canonicalize + registrable domain: one broadcast suffix " +
+      "join, zero shuffles") {
+    val plan = executed("q_url_canonical")
+    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty,
+      s"suffix dimension must broadcast:\n$plan")
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"parse+canonicalize is per-row codegen work — no exchange:\n$plan")
+  }
+
+  test("domain cap never plans a per-group window (hot domains must " +
+      "not funnel one task)") {
+    val plan = executed("q_domain_cap")
+    // two windows are legal: the CORPUS-sized rank bounded by
+    // (__pid, registrable), and the base-offset cumsum over the
+    // P+G-sized totals relation (partitionBy(registrable) ORDER BY
+    // __pid). The scale bug this pins against is the one the operator
+    // exists to avoid: partitionBy(registrable) ORDER BY doc_id over
+    // the corpus — a hot domain sorted in one task.
+    val grouped = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.exists(
+            _.references.exists(_.name == "registrable")) &&
+            !w.partitionSpec.exists(
+              _.references.exists(_.name == "__pid")) &&
+            w.orderSpec.exists(
+              _.references.exists(_.name == "doc_id")) => w
+    }
+    assert(grouped.isEmpty,
+      s"rankWithinGroups must avoid Window.partitionBy(registrable):\n$plan")
+  }
+
+  test("soft-EM trainer publishes from a checkpoint-truncated plan " +
+      "(the per-step eager-cut cadence is in effect)") {
+    // the lattice joins broadcast the vocab-sized probability relation
+    // by an EXPLICIT hint in the operator (UnigramLM.forwardFixed /
+    // backwardFixed / expectedCounts), so they cannot silently degrade;
+    // what CAN silently regress is the per-step localCheckpoint cadence
+    // (the measured winner for word-type-sized DP relations — removing
+    // it chains 2 rounds of ~50 joins into one exponential plan). The
+    // final plan must therefore be a tiny projection over a
+    // checkpointed RDD with no joins left in it.
+    val plan = executed("q_unigram_soft_train")
+    val rddScans = collectAll(plan) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.nonEmpty,
+      s"expected a localCheckpoint-backed scan at the root:\n$plan")
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"a join above the final checkpoint means the cadence regressed:\n$plan")
+  }
 }
