@@ -354,7 +354,35 @@ object Scratch {
       }
     }
 
-    val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen", "scalegen30", "erprof")
+    if (args.contains("semladder")) {
+      // SemDeDup's documented scale contract is k ∝ n (the paper's
+      // regime: cluster count grows with the corpus so cluster SIZES
+      // stay bounded) — a fixed-k ladder would measure the quadratic
+      // within-cluster blowup the contract explicitly excludes. Ladder
+      // the k∝n instantiation on the x3/x10 embedding replicas (keys
+      // shifted, per-replica ±1 diagonal rotation ⇒ cross-replica
+      // cosines collapse) plus power iteration / common-direction
+      // removal (fixed-k-free, expected flat-to-linear).
+      import graft.operators.Similarity
+      for ((d, k, tag) <- Seq((dir, 6, "1x"),
+          ("/tmp/graft_scale/x3", 18, "3x"),
+          ("/tmp/graft_scale/x10", 60, "10x"))) {
+        val emb = Tables.t(spark, d, "embeddings")
+        for (rep <- 1 to 2) {
+          time(s"semdedup_k${k}_$tag r$rep")(
+            Similarity.semDedup(emb, "vec_id", "embedding", k, 0.4)
+              .write.format("noop").mode("overwrite").save())
+          time(s"power_iter_$tag r$rep")(
+            Similarity.topSpectralDirection(emb, "vec_id", "embedding", 8)
+              .write.format("noop").mode("overwrite").save())
+          time(s"common_dir_$tag r$rep")(
+            Similarity.removeCommonDirection(emb, "vec_id", "embedding", 8)
+              .write.format("noop").mode("overwrite").save())
+        }
+      }
+    }
+
+    val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen", "scalegen30", "erprof", "semladder")
     val toTime =
       if (args.isEmpty) defaults
       else args.toSeq.filterNot(a => a.startsWith("explain:") || modes(a))

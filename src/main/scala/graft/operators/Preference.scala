@@ -206,6 +206,71 @@ object Preference {
           .stripMargin).as("kappa_den"))
   }
 
+  /** Krippendorff's alpha (nominal, two categories) — the agreement
+    * stat that, unlike [[fleissKappa]], tolerates MISSING ratings:
+    * every unit is rated by however many judges actually covered it,
+    * and units with fewer than two ratings simply drop out as
+    * unpairable. That is the realistic eval-panel shape — judges
+    * abstain, coverage is partial — and exactly the case Fleiss'
+    * design (fixed m raters per item) cannot represent.
+    *
+    * Derived panel over the `events` stream: judge A (`value >= athr`)
+    * rates every event; judge B (`props.k >= bthr`) abstains on
+    * `view` events (a judge scoped to interaction events); judge C
+    * (`length(props) >= cthr`) abstains on every 7th event id (a
+    * judge with coverage gaps). So m_u ∈ {1,2,3} and the m_u = 1
+    * units are dropped, per Krippendorff (2004) §11.
+    *
+    * Exact-integer publication. Per pairable unit u with m_u ratings
+    * and p_u positive: within-unit disagreement pairs
+    * `d_u = 2·p_u·(m_u − p_u)`; the coincidence-matrix weight is
+    * `d_u/(m_u − 1)`, and with a panel of at most 3 judges
+    * `(m_u − 1) ∈ {1, 2}` divides 2, so
+    * `s2 = Σ_u d_u · (2/(m_u − 1))` is EXACT (the lcm(1,2) clearing;
+    * a larger panel would clear by lcm(1..J−1) the same way). With
+    * n = Σ m_u total pairable ratings and n_pos = Σ p_u:
+    * `D_e`-side integer `de = n² − n_pos² − (n − n_pos)²`, and
+    * `alpha = 1 − (n−1)·s2 / (2·de)` clears to
+    * `alpha_num = 2·de − (n−1)·s2`, `alpha_den = 2·de`.
+    * One signed division left to the consumer (the [[fleissKappa]]
+    * rule). Exactness bound: n² must fit a BIGINT, i.e. the rated
+    * panel slice ≤ ~3e9 ratings — eval panels are sampled slices, not
+    * the corpus, and the same bound already governs the kappa family.
+    *
+    * Distribution shape: one groupBy on the unit id (a single hash
+    * exchange, map-side combinable), then a global fold to six
+    * integers — corpus-size-independent output. */
+  def krippendorffAlpha(events: DataFrame, athr: Double = 35.0,
+      bthr: Long = 50L, cthr: Long = 9L): DataFrame = {
+    val ja = (col("value") >= lit(athr)).cast("long")
+    val jb = when(col("event_type") === lit("view"), lit(null).cast("long"))
+      .otherwise((get_json_object(col("props"), "$.k").cast("long") >=
+        lit(bthr)).cast("long"))
+    val jc = when(col("event_id") % lit(7L) === lit(0L),
+        lit(null).cast("long"))
+      .otherwise((length(col("props")) >= lit(cthr)).cast("long"))
+    val perUnit = events.select(
+        (lit(1L) + jb.isNotNull.cast("long") + jc.isNotNull.cast("long"))
+          .as("m_u"),
+        (ja + coalesce(jb, lit(0L)) + coalesce(jc, lit(0L))).as("p_u"))
+      .where(col("m_u") >= lit(2L))
+    perUnit
+      .agg(
+        count(lit(1)).cast("long").as("n_units"),
+        sum(col("m_u")).cast("long").as("n"),
+        sum(col("p_u")).cast("long").as("n_pos"),
+        sum(lit(2L) * col("p_u") * (col("m_u") - col("p_u")) *
+          when(col("m_u") === lit(2L), lit(2L)).otherwise(lit(1L)))
+          .cast("long").as("s2"))
+      .select(col("n_units"), col("n"), col("n_pos"), col("s2"),
+        (lit(2L) * (col("n") * col("n") - col("n_pos") * col("n_pos") -
+          (col("n") - col("n_pos")) * (col("n") - col("n_pos"))) -
+          (col("n") - lit(1L)) * col("s2")).as("alpha_num"),
+        (lit(2L) * (col("n") * col("n") - col("n_pos") * col("n_pos") -
+          (col("n") - col("n_pos")) * (col("n") - col("n_pos"))))
+          .as("alpha_den"))
+  }
+
   /** Cohen's kappa between two judges over the same trials: judge A =
     * `value >= athr`, judge B = `props.k >= bthr` (the model-judge vs
     * heuristic-judge agreement check every eval pipeline runs).

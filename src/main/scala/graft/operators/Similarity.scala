@@ -787,6 +787,181 @@ object Similarity {
     selected.select(col("rank"), col("vec_id"), col("max_sim6"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings and dropping within-cluster
+    * near-duplicates — pairwise similarity is only ever computed INSIDE
+    * a cluster, never across the corpus, which is the whole point of
+    * the algorithm at scale.
+    *
+    * Deterministic instantiation (so the verdict hash-matches a SQL
+    * oracle, unlike the seeded-k-means paths): the coarse clustering is
+    * [[kCenterGreedy]] (min-id seed, argmin-of-max-6dp-cosine picks),
+    * assignment is argmax 6-dp cosine with center-RANK tiebreak, and
+    * the drop rule is the engine-wide min-id convention — a vector is
+    * dropped iff some SAME-CLUSTER vector with a smaller id matches at
+    * `round(cos, 6) >= threshold` (the paper keeps one exemplar per
+    * duplicate group; min-id is our deterministic choice of exemplar).
+    * Output: one row per input vector `(vec_id, cluster, kept)`.
+    *
+    * Distribution shape (the 100 TB contract): the k centers broadcast
+    * (k rows) so assignment is map-side; the duplicate scan is ONE
+    * self-join hash-partitioned on `cluster`; the verdict is a
+    * broadcast-sized left join on the dropped ids. Cluster sizes stay
+    * bounded because k scales with the corpus in the paper's regime
+    * (they use ~n/1e4 clusters); the greedy k-center quantizer is the
+    * toy-scale stand-in — production swaps in the deterministic
+    * k-means coarse quantizer ([[ivfKMeansTopK]]'s) without touching
+    * the dedup stages, which are the shape that matters. */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    ensureRegistered(vecs.sparkSession)
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"))
+    val centers = kCenterGreedy(vecs, idCol, vecCol, k)
+      .select(col("rank"), col("vec_id"))
+      .join(v, Seq("vec_id"))
+      .select(col("rank"), col("v").as("c"))
+    val assigned = v.crossJoin(broadcast(centers))
+      .select(col("vec_id"), col("v"),
+        round(cos(col("v"), col("c")), 6).as("s"),
+        (col("rank") * lit(-1L)).as("nr"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max(struct(col("s"), col("nr"))).as("m"))
+      .select(col("vec_id"), col("v"),
+        (col("m.nr") * lit(-1L)).as("cluster"))
+    val dup = assigned.as("x").join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .where(round(cos(col("x.v"), col("y.v")), 6) >= lit(threshold))
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dup.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+  }
+
+  /** Top spectral direction of the corpus embedding matrix by POWER
+    * ITERATION over the (uncentered) Gram matrix — the
+    * dominant-direction verb an embedding pipeline runs for
+    * anisotropy diagnosis and common-direction removal (the
+    * all-but-the-top postprocessing of Mu & Viswanath 2018,
+    * arXiv:1702.01417). Centering first would make it PCA proper;
+    * uncentered is the documented choice here (the common direction
+    * IS the mean direction for anisotropic embedding spaces).
+    *
+    * Fully deterministic fixed-point arithmetic so the whole
+    * trajectory hash-matches an unrolled SQL oracle:
+    * coordinates quantize to `q = round(v·1000)`; the Gram entry is
+    * the corpus sum of `q_i·q_j` divided SIGN-SAFELY by the corpus
+    * count (truncation toward zero — floored division of signed
+    * integers differs between engines, so every signed division here
+    * is `sign(s)·(|s| div d)`), making every Gram entry bounded by
+    * the squared quantization scale REGARDLESS of corpus size; each
+    * round multiplies the 1e6-scaled iterate by the Gram (64-term
+    * integer dot products, ≤ ~2.2e13 per term sum — no overflow),
+    * then renormalizes DIVISION-ONLY by `d = max(max|y| div 1e6, 1)`
+    * (dividing by d instead of multiplying by 1e6/max|y| keeps every
+    * intermediate in range; the iterate stays ~1e6-scaled).
+    *
+    * Published as the full trajectory `(round, dim, component, gain)`
+    * — `gain` is the pre-renorm max|y|, the fixed-point Rayleigh
+    * growth factor whose convergence the consumer watches.
+    *
+    * Distribution shape: the Gram accumulates in ONE map-side-combined
+    * groupBy over (i, j) — dim² = 4096 keys, corpus-sized scan, no
+    * joins; the 4096-entry Gram is dim²-sized (NOT corpus-sized) and
+    * is collected like the codebook/partition-total precedents; the
+    * iteration is then pure integer arithmetic on 64 numbers. */
+  def topSpectralDirection(vecs: DataFrame, idCol: String, vecCol: String,
+      rounds: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val traj = Vector.newBuilder[(Long, Long, Long, Long)]
+    spectralIterate(vecs, vecCol, rounds) { (t, x, ma) =>
+      for (i <- x.indices) traj += ((t.toLong, i.toLong, x(i), ma))
+    }
+    spark.createDataset(traj.result())
+      .toDF("round", "dim", "component", "gain")
+  }
+
+  /** Shared fixed-point power iteration: builds the sign-safe /n Gram
+    * (dim²-sized collect — the codebook precedent; Java's long
+    * division truncates toward zero, which IS the documented
+    * sign-safe semantics), iterates `rounds` times, calls `onRound`
+    * with each round's renormalized iterate and pre-renorm max|y|,
+    * and returns the final iterate. */
+  private def spectralIterate(vecs: DataFrame, vecCol: String,
+      rounds: Int)(onRound: (Int, Array[Long], Long) => Unit)
+      : Array[Long] = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val qarr = vecs.select(transform(col(vecCol),
+      v => round(v.cast("double") * lit(1000)).cast("long")).as("q"))
+    val gram = qarr
+      .select(posexplode(col("q")).as(Seq("gi", "qi")), col("q"))
+      .select(col("gi"), col("qi"),
+        posexplode(col("q")).as(Seq("gj", "qj")))
+      .groupBy(col("gi"), col("gj"))
+      .agg(sum(col("qi") * col("qj")).as("s"))
+    val nv = vecs.count()
+    require(nv > 0, "spectral iteration needs a non-empty corpus")
+    val dim = vecs.select(size(col(vecCol))).head.getInt(0)
+    val g = Array.ofDim[Long](dim, dim)
+    gram.collect().foreach { r =>
+      g(r.getInt(0))(r.getInt(1)) = r.getLong(2) / nv
+    }
+    var x = Array.fill(dim)(1000000L)
+    for (t <- 1 to rounds) {
+      val y = Array.tabulate(dim) { i =>
+        var s = 0L
+        var j = 0
+        while (j < dim) { s += g(i)(j) * x(j); j += 1 }
+        s
+      }
+      val ma = y.map(math.abs).max
+      val d = math.max(ma / 1000000L, 1L)
+      x = y.map(_ / d) // truncation toward zero = sign-safe
+      onRound(t, x, ma)
+    }
+    x
+  }
+
+  /** Common-direction removal (the all-but-the-top step of Mu &
+    * Viswanath 2018): project [[topSpectralDirection]]'s direction out
+    * of every vector and report the per-vector energy removed —
+    * `(vec_id, norm2_before, norm2_after, reduction_ppm)` in the same
+    * fixed point (`q = round(v·1000)`, direction 1e6-scaled).
+    *
+    * The projection `q − (⟨q,u⟩·u_i) div ⟨u,u⟩` is exact integer
+    * arithmetic: `⟨q,u⟩ ≤ 64·600·1e6 ≈ 3.7e10`, times `u_i ≤ 1e6`
+    * stays ≤ 3.7e16 — in range at ANY corpus size because the Gram is
+    * pre-divided by n. Every signed division is truncation toward
+    * zero (Spark `div`), mirrored by `sign·(abs // d)` in the oracle.
+    *
+    * Distribution shape: the direction is a 64-long SQL literal
+    * (broadcast-by-constant), so removal is ONE codegen'd map-side
+    * pass — no joins, no shuffle, no per-row UDF. */
+  def removeCommonDirection(vecs: DataFrame, idCol: String,
+      vecCol: String, rounds: Int): DataFrame = {
+    val u = spectralIterate(vecs, vecCol, rounds)((_, _, _) => ())
+    val uu = u.map(x => x * x).sum
+    val uArr = u.mkString("array(", "L, ", "L)")
+    vecs
+      .select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol),
+          v => round(v.cast("double") * lit(1000)).cast("long")).as("q"))
+      .withColumn("u", expr(uArr))
+      .withColumn("dvu", expr(
+        "aggregate(zip_with(q, u, (a, b) -> a * b), 0L, (s, x) -> s + x)"))
+      .withColumn("vp", expr(
+        s"zip_with(q, u, (a, b) -> a - (dvu * b) div ${uu}L)"))
+      .select(col("vec_id"),
+        expr("aggregate(q, 0L, (s, x) -> s + x * x)").as("norm2_before"),
+        expr("aggregate(vp, 0L, (s, x) -> s + x * x)").as("norm2_after"))
+      .select(col("vec_id"), col("norm2_before"), col("norm2_after"),
+        expr("((norm2_before - norm2_after) * 1000000L)" +
+          " div greatest(norm2_before, 1L)").as("reduction_ppm"))
+  }
+
   /** Ensure native vector functions exist in this session. */
   def ensureRegistered(spark: SparkSession): Unit =
     graft.functions.VectorFunctions.register(spark)

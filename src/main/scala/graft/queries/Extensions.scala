@@ -56,7 +56,10 @@ object Extensions extends QueryModule {
     * [[graft.operators.Similarity.kCenterGreedy]] round for round.
     * Every sel CTE is referenced three times (cross, NOT IN, next
     * union): MATERIALIZED like every generated recurrence here. */
-  private[queries] def kCenterOracle(k: Int): String = {
+  /** Shared k-center greedy chain (`e`, `sel1`, then `(m_r, n_r, sel_r)`
+    * per pick) — the WITH-prefix both [[kCenterOracle]] and
+    * [[semDedupOracle]] build on. */
+  private def kCenterChain(k: Int): String = {
     require(k >= 1)
     val sb = new StringBuilder(
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -79,12 +82,123 @@ object Extensions extends QueryModule {
         |  SELECT e.vec_id, e.embedding FROM n$r JOIN e USING (vec_id))"""
         .stripMargin)
     }
+    sb.toString
+  }
+
+  private[queries] def kCenterOracle(k: Int): String = {
+    val sb = new StringBuilder(kCenterChain(k))
     sb.append(
       "\nSELECT 1::BIGINT AS rank, vec_id, CAST(NULL AS DOUBLE) AS max_sim6" +
         " FROM sel1")
     for (r <- 2 to k)
       sb.append(s"\nUNION ALL SELECT $r::BIGINT, vec_id, ms FROM n$r")
     sb.toString
+  }
+
+  /** Power-iteration oracle: quantized coordinates → corpus Gram
+    * (sign-safe /n) → `rounds` unrolled multiply-renormalize blocks —
+    * mirrors [[graft.operators.Similarity.topSpectralDirection]]
+    * round for round. Every signed division is written
+    * `sign·(abs // d)` (truncation toward zero) because DuckDB's `//`
+    * floors where the operator truncates. */
+  /** Shared power-iteration chain: quantized coords `eq`, sign-safe /n
+    * Gram `gr`, then `rounds` unrolled `(y_r, m_r, x_r)` blocks —
+    * mirrors [[graft.operators.Similarity]]'s `spectralIterate` round
+    * for round. Every signed division is `sign·(abs // d)` (truncation
+    * toward zero) because DuckDB's `//` floors where Spark's `div`
+    * truncates. */
+  private def powerIterationChain(rounds: Int): String = {
+    require(rounds >= 1)
+    val sb = new StringBuilder(
+      """WITH eq AS MATERIALIZED (
+        |  SELECT vec_id, i,
+        |    CAST(round(embedding[i+1]::DOUBLE * 1000) AS BIGINT) AS q
+        |  FROM embeddings, range(64) t(i)),
+        |gs AS (
+        |  SELECT a.i AS gi, b.i AS gj, sum(a.q * b.q)::BIGINT AS s
+        |  FROM eq a JOIN eq b ON a.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |gr AS MATERIALIZED (
+        |  SELECT gi, gj,
+        |    ((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+        |     * (abs(s) // (SELECT count(*) FROM embeddings)))::BIGINT AS g
+        |  FROM gs),
+        |x0 AS (SELECT i, 1000000::BIGINT AS x FROM range(64) t(i))"""
+        .stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |y$r AS MATERIALIZED (
+        |  SELECT gi AS i, sum(g * x.x)::BIGINT AS y
+        |  FROM gr JOIN x${r - 1} x ON x.i = gj GROUP BY 1),
+        |m$r AS MATERIALIZED (
+        |  SELECT greatest(max(abs(y)) // 1000000, 1)::BIGINT AS d,
+        |    max(abs(y))::BIGINT AS ma FROM y$r),
+        |x$r AS MATERIALIZED (
+        |  SELECT i, ((CASE WHEN y < 0 THEN -1 ELSE 1 END)
+        |    * (abs(y) // (SELECT d FROM m$r)))::BIGINT AS x
+        |  FROM y$r)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private[queries] def powerIterationOracle(rounds: Int): String =
+    powerIterationChain(rounds) + (1 to rounds).map(r =>
+      s"""SELECT $r::BIGINT AS round, i::BIGINT AS dim,
+         |  x::BIGINT AS component, (SELECT ma FROM m$r) AS gain
+         |FROM x$r""".stripMargin).mkString("\n", "\nUNION ALL\n", "")
+
+  /** Common-direction removal oracle: the full power-iteration chain,
+    * then the fixed-point projection with every signed division in
+    * the truncation-toward-zero form — mirrors
+    * [[graft.operators.Similarity.removeCommonDirection]]. */
+  private[queries] def commonDirectionOracle(rounds: Int): String =
+    powerIterationChain(rounds) + s""",
+      |uu AS (SELECT sum(x * x)::BIGINT AS uu FROM x$rounds),
+      |dv AS MATERIALIZED (
+      |  SELECT e.vec_id, sum(e.q * u.x)::BIGINT AS dvu,
+      |    sum(e.q * e.q)::BIGINT AS nb
+      |  FROM eq e JOIN x$rounds u ON u.i = e.i GROUP BY 1),
+      |pr AS (
+      |  SELECT e.vec_id,
+      |    e.q - (CASE WHEN d.dvu * u.x < 0 THEN -1 ELSE 1 END)
+      |      * (abs(d.dvu * u.x) // (SELECT uu FROM uu)) AS vp
+      |  FROM eq e JOIN x$rounds u ON u.i = e.i
+      |  JOIN dv d ON d.vec_id = e.vec_id),
+      |na AS (SELECT vec_id, sum(vp * vp)::BIGINT AS na FROM pr GROUP BY 1)
+      |SELECT d.vec_id, d.nb AS norm2_before, na.na AS norm2_after,
+      |  ((CASE WHEN d.nb - na.na < 0 THEN -1 ELSE 1 END)
+      |   * ((abs(d.nb - na.na) * 1000000) // greatest(d.nb, 1)))::BIGINT
+      |    AS reduction_ppm
+      |FROM dv d JOIN na USING (vec_id)""".stripMargin
+
+  /** SemDeDup oracle: the k-center chain, then the rank-labelled center
+    * set, argmax-cosine assignment (rank tiebreak), and the min-id
+    * within-cluster drop rule — mirroring
+    * [[graft.operators.Similarity.semDedup]] stage for stage. */
+  private[queries] def semDedupOracle(k: Int, th: Double): String = {
+    val cen = (2 to k).map(r =>
+      s"  UNION ALL SELECT $r::BIGINT, e.vec_id, e.embedding" +
+        s" FROM n$r JOIN e USING (vec_id)").mkString("\n")
+    s"""${kCenterChain(k)},
+       |cen AS MATERIALIZED (
+       |  SELECT 1::BIGINT AS rank, vec_id, embedding FROM sel1
+       |$cen),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cluster, embedding FROM (
+       |    SELECT e.vec_id, c.rank AS cluster, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dCos("e.embedding", "c.embedding")}, 6) DESC,
+       |                 c.rank ASC) AS rn
+       |    FROM e CROSS JOIN cen c)
+       |  WHERE rn = 1),
+       |dup AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM asg x JOIN asg y
+       |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE round(${dCos("x.embedding", "y.embedding")}, 6) >= $th)
+       |SELECT vec_id, cluster,
+       |  (vec_id NOT IN (SELECT vec_id FROM dup)) AS kept
+       |FROM asg""".stripMargin
   }
 
   /** Shared MinHash CTE prefix: documents → words → shingles → hashed
@@ -1140,6 +1254,58 @@ object Extensions extends QueryModule {
           t(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
       },
       Some(Extensions.kCenterOracle(6))),
+
+    // Power-iteration top spectral direction (full 8-round trajectory,
+    // fixed-point, sign-safe divisions) — the anisotropy/common-direction
+    // diagnostic over the embedding corpus; Gram is dim²-sized and the
+    // oracle unrolls the multiply-renormalize recurrence round for round.
+    GraftQuery("q_power_iteration",
+      (s, dir) => Similarity.topSpectralDirection(
+        t(s, dir, "embeddings"), "vec_id", "embedding", rounds = 8),
+      Some(Extensions.powerIterationOracle(8))),
+
+    // Common-direction removal (all-but-the-top): one codegen'd
+    // map-side projection pass with the direction as a SQL literal;
+    // per-vector energy-removed report, oracled end to end through the
+    // nested power-iteration chain.
+    GraftQuery("q_common_direction",
+      (s, dir) => Similarity.removeCommonDirection(
+        t(s, dir, "embeddings"), "vec_id", "embedding", rounds = 8),
+      Some(Extensions.commonDirectionOracle(8))),
+
+    // SemDeDup (Abbas et al. 2023): deterministic instantiation —
+    // k-center coarse clusters, argmax-cosine assignment, min-id drop
+    // within cluster at round(cos,6) >= 0.4. One verdict row per input
+    // vector, hash-matched against the stage-for-stage unrolled oracle.
+    GraftQuery("q_semdedup",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        Similarity.semDedup(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 6, threshold = 0.4)
+      },
+      Some(Extensions.semDedupOracle(6, 0.4))),
+
+    // streamed SemDeDup: same verdicts built incrementally — quantizer
+    // served as an artifact (trained on the full corpus here for oracle
+    // parity, the artifact-served-encode convention), three id-range
+    // folds, merge-on-read verdicts. Shares the batch oracle VERBATIM.
+    GraftQuery("q_semdedup_stream",
+      (s, dir) => {
+        val base = s"/tmp/graft_semdedup_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingSemDedup.init(s, base)
+        val emb = t(s, dir, "embeddings")
+        graft.streaming.StreamingSemDedup.serveCenters(
+          s, base, emb, "vec_id", "embedding", 6)
+        val maxId = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L)
+          graft.streaming.StreamingSemDedup.fold(s, base,
+            emb.where(col("vec_id") >= i * maxId / 3 &&
+              col("vec_id") < (i + 1) * maxId / 3),
+            "vec_id", "embedding", threshold = 0.4)
+        graft.streaming.StreamingSemDedup.verdicts(s, base)
+      },
+      Some(Extensions.semDedupOracle(6, 0.4))),
 
     GraftQuery("q_sim_topk",
       (s, dir) => {

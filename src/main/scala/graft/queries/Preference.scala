@@ -140,6 +140,111 @@ object Preference extends QueryModule {
              |    AS kappa_den
              |FROM a""".stripMargin)),
 
+    // ---- SFT chat-template assembly: per-turn loss-mask spans. The
+    //      oracle recomputes the template, the per-conversation prefix
+    //      sum and the content offsets independently; floor() is
+    //      explicit on both sides (BIGINT casts round in DuckDB and
+    //      truncate in Spark) ----
+    GraftQuery("q_sft_spans",
+      (s, dir) => graft.operators.SftAssembly.renderTurns(
+        t(s, dir, "events")),
+      Some("""WITH tt AS (
+             |  SELECT user_id AS conv_id, event_type, value, props,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id)::BIGINT AS turn_idx
+             |  FROM events),
+             |r AS (
+             |  SELECT conv_id, turn_idx,
+             |    CASE WHEN turn_idx % 2 = 1 THEN 'user'
+             |         ELSE 'assistant' END AS role,
+             |    event_type || ' k=' || json_extract_string(props, '$.k')
+             |      || ' v=' || CAST(floor(value * 100) AS BIGINT) AS content
+             |  FROM tt),
+             |x AS (
+             |  SELECT conv_id, turn_idx, role, content,
+             |    '<|' || role || '|>' || content || chr(10) AS rendered
+             |  FROM r),
+             |p AS (
+             |  SELECT conv_id, turn_idx, role, content,
+             |    length('<|system|>conversation ' || conv_id || chr(10))
+             |    + coalesce(sum(length(rendered)) OVER (
+             |        PARTITION BY conv_id ORDER BY turn_idx
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + length(role) + 4 AS start_off
+             |  FROM x)
+             |SELECT conv_id, turn_idx, role, content,
+             |  start_off::BIGINT AS start_off,
+             |  (start_off + length(content))::BIGINT AS end_off
+             |FROM p""".stripMargin)),
+
+    // ---- SFT assembled conversations: full chat-templated text +
+    //      supervised-character totals, one row per conversation ----
+    GraftQuery("q_sft_render",
+      (s, dir) => graft.operators.SftAssembly.renderConversations(
+        t(s, dir, "events")),
+      Some("""WITH tt AS (
+             |  SELECT user_id AS conv_id, event_type, value, props,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id)::BIGINT AS turn_idx
+             |  FROM events),
+             |r AS (
+             |  SELECT conv_id, turn_idx,
+             |    CASE WHEN turn_idx % 2 = 1 THEN 'user'
+             |         ELSE 'assistant' END AS role,
+             |    event_type || ' k=' || json_extract_string(props, '$.k')
+             |      || ' v=' || CAST(floor(value * 100) AS BIGINT) AS content
+             |  FROM tt),
+             |x AS (
+             |  SELECT conv_id, turn_idx, role, content,
+             |    '<|' || role || '|>' || content || chr(10) AS rendered
+             |  FROM r),
+             |g AS (
+             |  SELECT conv_id, count(*)::BIGINT AS n_turns,
+             |    sum(CASE WHEN role = 'assistant' THEN length(content)
+             |             ELSE 0 END)::BIGINT AS n_mask_chars,
+             |    string_agg(rendered, '' ORDER BY turn_idx) AS body
+             |  FROM x GROUP BY conv_id)
+             |SELECT conv_id, n_turns, n_mask_chars,
+             |  '<|system|>conversation ' || conv_id || chr(10) || body
+             |    AS text
+             |FROM g""".stripMargin)),
+
+    // ---- Krippendorff's alpha (nominal) with MISSING ratings: judge B
+    //      abstains on view events, judge C on every 7th event id, so
+    //      units carry 1-3 ratings and the single-rating ones drop as
+    //      unpairable -- the varying-panel case Fleiss cannot express.
+    //      The lcm(1,2) clearing keeps s2 exact; both alpha sides are
+    //      published as BIGINTs (signed division left to the consumer).
+    GraftQuery("q_krippendorff_alpha",
+      (s, dir) => graft.operators.Preference.krippendorffAlpha(
+        t(s, dir, "events"), athr = 35.0, bthr = 50L, cthr = 9L),
+      Some("""WITH v AS (
+             |  SELECT (value >= 35.0)::BIGINT AS ja,
+             |    CASE WHEN event_type = 'view' THEN NULL
+             |      ELSE (CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |            >= 50)::BIGINT END AS jb,
+             |    CASE WHEN event_id % 7 = 0 THEN NULL
+             |      ELSE (length(props) >= 9)::BIGINT END AS jc
+             |  FROM events),
+             |u AS (
+             |  SELECT 1 + (jb IS NOT NULL)::BIGINT + (jc IS NOT NULL)::BIGINT
+             |      AS m_u,
+             |    ja + coalesce(jb, 0) + coalesce(jc, 0) AS p_u
+             |  FROM v),
+             |p AS (SELECT * FROM u WHERE m_u >= 2),
+             |a AS (SELECT count(*)::BIGINT AS n_units,
+             |        sum(m_u)::BIGINT AS n,
+             |        sum(p_u)::BIGINT AS n_pos,
+             |        sum(2 * p_u * (m_u - p_u)
+             |            * CASE WHEN m_u = 2 THEN 2 ELSE 1 END)::BIGINT AS s2
+             |      FROM p)
+             |SELECT n_units, n, n_pos, s2,
+             |  (2 * (n * n - n_pos * n_pos - (n - n_pos) * (n - n_pos))
+             |   - (n - 1) * s2)::BIGINT AS alpha_num,
+             |  (2 * (n * n - n_pos * n_pos
+             |        - (n - n_pos) * (n - n_pos)))::BIGINT AS alpha_den
+             |FROM a""".stripMargin)),
+
     // ---- Cohen's kappa between the value-judge and the props-judge,
     //      published as the exact agreement table + kappa's integer
     //      numerator/denominator (kappa can be negative; signed floor

@@ -604,4 +604,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(joins.isEmpty,
       s"a join above the final checkpoint means the cadence regressed:\n$plan")
   }
+
+  test("semDedup: duplicate scan is a cluster equi-join, never cartesian") {
+    // the paper's point at scale: pairwise similarity only INSIDE a
+    // cluster. The assignment crossJoin against the k-row center set is
+    // broadcast by construction; the pair scan must be an equi-join on
+    // the cluster key — a cartesian here is the all-pairs failure mode
+    // SemDeDup exists to avoid.
+    val plan = executed("q_semdedup")
+    val cartesian = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cartesian.isEmpty, s"cartesian product in semDedup:\n$plan")
+    val equiJoins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(equiJoins.nonEmpty, "the duplicate scan must be an equi-join")
+  }
+
+  test("common-direction removal is one map-side pass: no exchange, " +
+      "no join in the published plan") {
+    // the direction enters as a SQL array literal, so the projection
+    // pass must plan as scan+project only; an exchange or join here
+    // means the broadcast-by-constant design silently degraded.
+    val plan = executed("q_common_direction")
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, s"removal pass must not shuffle:\n$plan")
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"removal pass must not join:\n$plan")
+  }
+
+  test("SFT assembly shuffles once: both windows and the conversation " +
+      "fold share the user_id partitioning") {
+    for (q <- Seq("q_sft_spans", "q_sft_render")) {
+      val plan = executed(q)
+      val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+      assert(shuffles.length === 1,
+        s"$q must reuse ONE user_id exchange, got ${shuffles.length}:\n$plan")
+    }
+  }
 }

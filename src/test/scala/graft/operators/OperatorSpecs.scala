@@ -370,6 +370,61 @@ class SimilaritySpec extends SparkSpec {
       .select("rank", "vec_id").as[(Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq === Seq((1L, 1L), (2L, 4L), (3L, 3L), (4L, 2L)))
   }
+
+  test("semDedup drops the larger id of each within-cluster near-dup pair") {
+    import spark.implicits._
+    // k-center picks centers 1 → 4 → 3 (ranks 1,2,3); assignment puts
+    // {1,2} in cluster 1, {4} in cluster 2, {3,5} in cluster 3; the
+    // near-dups (cos ≈ 0.9939 ≥ 0.9) drop the larger id of each pair.
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f)),
+      (5L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(vecs, "vec_id", "embedding", 3, 0.9)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 3L, true),
+      (4L, 2L, true), (5L, 3L, false)))
+  }
+
+  test("topSpectralDirection converges on the dominant axis, hand trace") {
+    import spark.implicits._
+    // two rows on e0, one on e1: Gram diag = (2e6, 1e6), /3 sign-safe →
+    // (666666, 333333). Round 1: y=(6.66666e11, 3.33333e11),
+    // ma=666666000000, d=666666 → x=(1000000, 500000); round 2 halves
+    // the off-axis again → (1000000, 250000).
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.topSpectralDirection(vecs, "vec_id", "embedding", 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got(1L).map(r => (r._3, r._4)).toSeq ===
+      Seq((1000000L, 666666000000L), (500000L, 666666000000L)))
+    assert(got(2L).map(_._3).toSeq === Seq(1000000L, 250000L))
+    // monotone convergence toward the dominant axis
+    val offAxis = (1L to 4L).map(r => got(r)(1)._3)
+    assert(offAxis === offAxis.sorted.reverse, s"off-axis must shrink: $offAxis")
+    assert(got(4L).head._3 === 1000000L)
+  }
+
+  test("removeCommonDirection strips the dominant axis energy, hand trace") {
+    import spark.implicits._
+    // same corpus: u after 4 rounds = (1000000, 62500),
+    // uu = 1e12 + 62500² = 1003906250000. For q=(1000,0): dvu=1e9,
+    // vp=(1000-996, -62) → na=3860 → reduction (1e6-3860)·1e6 div 1e6.
+    // For q=(0,1000): dvu=6.25e7, vp=(-62, 997) → na=997853.
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.removeCommonDirection(vecs, "vec_id", "embedding", 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1000000L, 3860L, 996140L),
+      (2L, 1000000L, 3860L, 996140L),
+      (3L, 1000000L, 997853L, 2147L)))
+  }
 }
 
 /** Text analysis (SURVEY.md §2.11). */

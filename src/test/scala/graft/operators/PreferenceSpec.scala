@@ -84,6 +84,49 @@ class PreferenceSpec extends SparkSpec {
     assert(num === 0L)
   }
 
+  /** (event_id, event_type, value, props) — id and type drive the
+    * abstention rules (jb skips 'view', jc skips id % 7 == 0). */
+  private def kaEvents(rows: (Long, String, Double, String)*) = {
+    import spark.implicits._
+    rows.map { case (id, tpe, v, p) =>
+      (id, new java.sql.Timestamp(id * 1000L), 1L, tpe, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("krippendorffAlpha drops unpairable units and matches the hand trace") {
+    import spark.implicits._
+    // u1 id=1 click 100 {"k": 99}(len9): m=3 p=3      d=0
+    // u2 id=7 click   1 {"k": 1}(len8): jc abstains → m=2 p=0  d=0
+    // u3 id=2 view  100 {"k": 99}:      jb abstains → m=2 p=2  d=0
+    // u4 id=14 view 100 {"k": 9}(len8): both abstain → m=1 DROPPED
+    // u5 id=3 click 100 {"k": 1}(len8): m=3 p=1      d=4 (factor 1)
+    val got = Preference.krippendorffAlpha(kaEvents(
+        (1L, "click", 100.0, """{"k": 99}"""),
+        (7L, "click", 1.0, """{"k": 1}"""),
+        (2L, "view", 100.0, """{"k": 99}"""),
+        (14L, "view", 100.0, """{"k": 9}"""),
+        (3L, "click", 100.0, """{"k": 1}""")))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val (nUnits, n, nPos, s2, num, den) = got
+    assert((nUnits, n, nPos, s2) === (4L, 10L, 6L, 4L))
+    // de = 100 - 36 - 16 = 48; alpha = 1 - (9*4)/(2*48) = 0.625
+    assert((num, den) === (60L, 96L))
+    // textbook double cross-check: Do = (1/10)(4/2); De = 48/90
+    val alpha = 1.0 - (0.2 / (48.0 / 90.0))
+    assert(math.abs(num.toDouble / den - alpha) < 1e-12)
+  }
+
+  test("krippendorffAlpha: unanimous panels give alpha exactly 1") {
+    import spark.implicits._
+    val got = Preference.krippendorffAlpha(kaEvents(
+        (1L, "click", 100.0, """{"k": 99}"""),
+        (2L, "view", 1.0, """{"k": 1}""")))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val (_, _, _, s2, num, den) = got
+    assert(s2 === 0L)
+    assert(num === den && den > 0L)
+  }
+
   private def fkEvents(rows: (Double, String)*) = {
     import spark.implicits._
     rows.zipWithIndex.map { case ((v, p), i) =>
