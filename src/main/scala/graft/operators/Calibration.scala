@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-score calibration — the step between "the quality model
+  * emits a margin" and "the pipeline treats it as a keep PROBABILITY":
+  * isotonic regression (the standard non-parametric calibrator) fitted
+  * over score bins, so a monotone score→P(label) map comes out with no
+  * distributional assumption.
+  *
+  * Algorithm: pool-adjacent-violators, computed NOT as the sequential
+  * pooling loop but by its textbook closed form (Robertson, Wright &
+  * Dykstra 1988): `iso(i) = max_{j≤i} min_{k≥i} avg(y[j..k])` — which
+  * is a relational construction: prefix sums over the ordered bins,
+  * the j≤k pair relation, a per-j suffix-min window, a per-k max. The
+  * closed form is what makes the operator ORACLE-ABLE: DuckDB
+  * reproduces the same B² relation cell for cell, no data-dependent
+  * iteration count anywhere.
+  *
+  * Determinism: bin averages are floored ppb (`pos·1e9 div tot`, all
+  * non-negative so floor == truncation in both engines); the fit is
+  * PAV over those rounded values, and the max-of-suffix-min form stays
+  * monotone under ANY per-cell rounding (suffix-mins over nested sets
+  * are ordered), so the published `iso_ppb` is non-decreasing by
+  * construction — asserted in CalibrationSpec.
+  *
+  * Distribution shape (the 100 TB contract): ONE corpus-sized groupBy
+  * (score bin → counts); everything after runs on the bin relation,
+  * whose size is CLAMPED (≤ 2·clamp rows) — value-range-sized, not
+  * corpus-sized, the ccnet-tercile precedent — so the B² pair relation
+  * and its per-j windows are corpus-independent (≤ ~8k rows at the
+  * default 128 bins).
+  *
+  * Binning: `bin = sign(score)·(|score| div binWidth)` clamped to
+  * `[-clamp, clamp-1]` — sign-safe division (DuckDB `//` floors where
+  * Spark `div` truncates), monotone in the score.
+  */
+object Calibration {
+
+  /** Isotonic calibration over binned integer scores:
+    * `(bin, n, pos, praw_ppb, iso_ppb)`, one row per non-empty bin,
+    * `iso_ppb` non-decreasing in `bin`. `scoreCol` must be integral,
+    * `posCol` 0/1. */
+  def isotonicBins(scored: DataFrame, scoreCol: String, posCol: String,
+      binWidth: Long = 16L, clamp: Long = 64L): DataFrame = {
+    require(binWidth >= 1 && clamp >= 1,
+      s"binWidth/clamp must be positive (got $binWidth, $clamp)")
+    val bn = scored
+      .select(col(scoreCol).cast("long").as("s"),
+        col(posCol).cast("long").as("p"))
+      .select(expr(
+        s"""greatest(least((CASE WHEN s < 0 THEN -1L ELSE 1L END)
+           | * (abs(s) div ${binWidth}L), ${clamp - 1}L), ${-clamp}L)"""
+          .stripMargin).as("bin"), col("p"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("tot"),
+        sum(col("p")).cast("long").as("pos"))
+    // bin relation from here: ≤ 2·clamp rows by construction — the
+    // unpartitioned windows below are value-range-sized, never
+    // corpus-sized (the ccnet-tercile precedent)
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = bn.select(col("bin"), col("tot"), col("pos"),
+      row_number().over(Window.orderBy(col("bin"))).cast("long").as("i"),
+      sum(col("tot")).over(w).as("ct"),
+      sum(col("pos")).over(w).as("cp"))
+    val pairs = ord.as("j").join(ord.as("k"), col("j.i") <= col("k.i"))
+      .selectExpr("j.i AS j", "k.i AS k",
+        "(k.cp - j.cp + j.pos) * 1000000000L" +
+          " div (k.ct - j.ct + j.tot) AS a")
+    val sm = pairs.withColumn("sm", min(col("a")).over(
+      Window.partitionBy(col("j")).orderBy(col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val iso = sm.groupBy(col("k")).agg(max(col("sm")).as("iso_ppb"))
+    ord.join(iso, col("i") === col("k"))
+      .selectExpr("bin", "tot AS n", "pos",
+        "pos * 1000000000L div tot AS praw_ppb", "iso_ppb")
+  }
+
+  /** Calibrate the [[Perceptron]] quality classifier against its weak
+    * labels: margins binned, per-bin empirical positive rate, isotonic
+    * fit — the "margin → keep probability" map a production gate
+    * thresholds on. */
+  def calibratePerceptron(docs: DataFrame, idCol: String,
+      textCol: String, d: Int = 32, rounds: Int = 4,
+      binWidth: Long = 16L, clamp: Long = 64L): DataFrame = {
+    val (_, pred) = Perceptron.train(docs, idCol, textCol, d, rounds)
+    isotonicBins(
+      pred.select(col("margin"),
+        when(col("y") === 1L, 1L).otherwise(0L).as("is_pos")),
+      "margin", "is_pos", binWidth, clamp)
+  }
+}

@@ -206,6 +206,45 @@ object Preference {
           .stripMargin).as("kappa_den"))
   }
 
+  /** Best-of-n selection — the rejection-sampling verb: per context
+    * (user), pick the highest-scored candidate and publish it with its
+    * margin over the runner-up (the margin is what reward-gap filters
+    * threshold on before a pair enters DPO/RLHF training).
+    *
+    * Deterministic contract: scores are exact cents
+    * (`floor(value·100)`, explicit floor — the engine-wide cast rule),
+    * ties break to the SMALLER event_id; single-candidate contexts
+    * publish NULL runner-up/margin. Output: `(user_id,
+    * chosen_event_id, chosen_cents, runner_up_cents, margin_cents,
+    * n_candidates)`.
+    *
+    * Distribution shape: one groupBy on the context key with a
+    * per-context top-2 kept via sort_array over the collected
+    * candidate list — candidate lists are CONTEXT-sized (a session's
+    * samples, bounded upstream by the generator), never corpus-sized;
+    * no per-group window over the corpus. */
+  def bestOfN(events: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    events
+      .select(col("user_id"), col("event_id"), cents.as("cents"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_candidates"),
+        slice(sort_array(collect_list(
+          struct(col("cents"), (col("event_id") * -1).as("nid"))),
+          asc = false), 1, 2).as("top2"))
+      .select(col("user_id"),
+        (element_at(col("top2"), 1).getField("nid") * -1)
+          .as("chosen_event_id"),
+        element_at(col("top2"), 1).getField("cents").as("chosen_cents"),
+        try_element_at(col("top2"), lit(2)).getField("cents")
+          .as("runner_up_cents"),
+        (element_at(col("top2"), 1).getField("cents") -
+          try_element_at(col("top2"), lit(2)).getField("cents"))
+          .as("margin_cents"),
+        col("n_candidates"))
+  }
+
   /** Krippendorff's alpha (nominal, two categories) — the agreement
     * stat that, unlike [[fleissKappa]], tolerates MISSING ratings:
     * every unit is rated by however many judges actually covered it,

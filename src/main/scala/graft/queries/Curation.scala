@@ -305,6 +305,48 @@ object Curation extends QueryModule {
       |  (CASE WHEN sum(f.x * w.w) > 0 THEN 1 ELSE -1 END)::BIGINT AS pred
       |FROM feat f JOIN w$rounds w USING (j) GROUP BY 1, 2""".stripMargin
 
+  /** Isotonic-calibration oracle: the perceptron chain, final-weight
+    * margins, sign-safe binning, then the PAV max-min closed form
+    * (prefix sums → j≤k pairs → per-j suffix-min → per-k max) —
+    * mirrors [[graft.operators.Calibration.isotonicBins]] stage for
+    * stage. */
+  private[queries] def isotonicOracle(d: Int, rounds: Int,
+      binWidth: Long, clamp: Long): String =
+    perceptronChain(d, rounds) + s""",
+      |pred AS MATERIALIZED (
+      |  SELECT f.doc_id, f.y, sum(f.x * w.w)::BIGINT AS margin
+      |  FROM feat f JOIN w$rounds w USING (j) GROUP BY 1, 2),
+      |bn AS MATERIALIZED (
+      |  SELECT greatest(least(
+      |      (CASE WHEN margin < 0 THEN -1 ELSE 1 END)
+      |        * (abs(margin) // $binWidth), ${clamp - 1}), ${-clamp})
+      |      ::BIGINT AS bin,
+      |    count(*)::BIGINT AS tot,
+      |    sum((y = 1)::BIGINT)::BIGINT AS pos
+      |  FROM pred GROUP BY 1),
+      |ord AS MATERIALIZED (
+      |  SELECT bin, tot, pos,
+      |    row_number() OVER (ORDER BY bin)::BIGINT AS i,
+      |    (sum(tot) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS ct,
+      |    (sum(pos) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cp
+      |  FROM bn),
+      |pairs AS MATERIALIZED (
+      |  SELECT j.i AS j, k.i AS k,
+      |    ((k.cp - j.cp + j.pos) * 1000000000
+      |     // (k.ct - j.ct + j.tot))::BIGINT AS a
+      |  FROM ord j JOIN ord k ON j.i <= k.i),
+      |sm AS MATERIALIZED (
+      |  SELECT j, k, min(a) OVER (PARTITION BY j ORDER BY k DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+      |  FROM pairs),
+      |iso AS (SELECT k, max(sm)::BIGINT AS iso_ppb FROM sm GROUP BY k)
+      |SELECT o.bin, o.tot AS n, o.pos,
+      |  (o.pos * 1000000000 // o.tot)::BIGINT AS praw_ppb,
+      |  iso.iso_ppb
+      |FROM ord o JOIN iso ON iso.k = o.i""".stripMargin
+
   /** Shared DuckDB CTE prefix: per-(lang, doc) distinct shingle hashes,
     * exploded — the input relation for the KMV sketches. */
   private def duckShingleHashes(where: String) =
@@ -1060,6 +1102,19 @@ object Curation extends QueryModule {
       (s, dir) => graft.operators.Perceptron.train(
         t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)._2,
       Some(Curation.perceptronPredictOracle(32, 4))),
+
+    // ---- isotonic calibration of the perceptron margin against its
+    //      labels: PAV via the relational max-min closed form over
+    //      clamped score bins (value-range-sized from the first groupBy
+    //      on), published as exact floored-ppb integers ----
+    GraftQuery("q_isotonic_calibration",
+      // binWidth 1024: perceptron margins over these features are in the
+      // tens of thousands, so unit-scale bins would all clamp — 1024
+      // spreads the corpus across ~60 populated bins at sf0.01
+      (s, dir) => graft.operators.Calibration.calibratePerceptron(
+        t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4,
+        binWidth = 1024L, clamp = 64L),
+      Some(Curation.isotonicOracle(32, 4, binWidth = 1024L, clamp = 64L))),
 
     // ---- CCNet-style perplexity filter: stupid-backoff bigram LM
     //      trained on the even-doc_id half, scoring the held-out odd

@@ -140,6 +140,29 @@ object Preference extends QueryModule {
              |    AS kappa_den
              |FROM a""".stripMargin)),
 
+    // ---- best-of-n selection: per-context top candidate + margin over
+    //      the runner-up (exact cents, smaller-id tiebreak, NULL margin
+    //      on single-candidate contexts) ----
+    GraftQuery("q_best_of_n",
+      (s, dir) => graft.operators.Preference.bestOfN(t(s, dir, "events")),
+      Some("""WITH c AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(floor(value * 100) AS BIGINT) DESC,
+             |               event_id ASC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id)::BIGINT
+             |      AS n_candidates
+             |  FROM events)
+             |SELECT a.user_id, a.event_id AS chosen_event_id,
+             |  a.cents AS chosen_cents,
+             |  b.cents AS runner_up_cents,
+             |  (a.cents - b.cents)::BIGINT AS margin_cents,
+             |  a.n_candidates
+             |FROM c a LEFT JOIN c b
+             |  ON b.user_id = a.user_id AND b.rn = 2
+             |WHERE a.rn = 1""".stripMargin)),
+
     // ---- SFT chat-template assembly: per-turn loss-mask spans. The
     //      oracle recomputes the template, the per-conversation prefix
     //      sum and the content offsets independently; floor() is

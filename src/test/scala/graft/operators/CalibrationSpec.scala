@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Isotonic calibration (PAV via the max-min closed form). */
+class CalibrationSpec extends SparkSpec {
+
+  test("isotonicBins pools the adjacent violator, hand trace") {
+    import spark.implicits._
+    // bins: 0 → (2 rows, 1 pos, praw .5), 1 → (1, 0), 2 → (1, 1).
+    // PAV pools bins 0..1 to 1/3; bin 2 stays 1.0.
+    val scored = Seq((0L, 1L), (5L, 0L), (16L, 0L), (32L, 1L))
+      .toDF("s", "p")
+    val got = Calibration.isotonicBins(scored, "s", "p")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 2L, 1L, 500000000L, 333333333L),
+      (1L, 1L, 0L, 0L, 333333333L),
+      (2L, 1L, 1L, 1000000000L, 1000000000L)))
+  }
+
+  test("binning is sign-safe truncation toward zero and clamps") {
+    import spark.implicits._
+    val scored = Seq((-17L, 0L), (-5L, 1L), (5L, 0L), (100000L, 1L))
+      .toDF("s", "p")
+    val bins = Calibration.isotonicBins(scored, "s", "p")
+      .select("bin").as[Long].collect().sorted
+    // -17 → -1; -5 and 5 → 0 (truncation, not floor); 100000 clamps to 63
+    assert(bins.toSeq === Seq(-1L, 0L, 63L))
+  }
+
+  test("already-isotone inputs come back unchanged") {
+    import spark.implicits._
+    val scored = Seq((0L, 0L), (16L, 0L), (16L, 1L), (32L, 1L))
+      .toDF("s", "p")
+    val got = Calibration.isotonicBins(scored, "s", "p")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => r._4) === got.map(r => r._5),
+      s"isotone praw must equal iso: ${got.toSeq}")
+  }
+
+  test("calibratePerceptron output is monotone non-decreasing") {
+    val got = Calibration.calibratePerceptron(
+        graft.Tables.t(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy("bin").select("iso_ppb")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty)
+    assert(got === got.sorted, s"iso must be monotone: $got")
+  }
+}

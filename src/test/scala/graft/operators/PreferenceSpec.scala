@@ -84,6 +84,22 @@ class PreferenceSpec extends SparkSpec {
     assert(num === 0L)
   }
 
+  test("bestOfN picks the min-id top candidate with exact-cents margin") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(10), 1L, "a", 10.0, "{}"),
+      (2L, ts(20), 1L, "b", 10.0, "{}"),   // tie → id 1 wins
+      (3L, ts(30), 1L, "c", 5.0, "{}"),
+      (4L, ts(10), 2L, "a", 2.345, "{}"))  // single candidate
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Preference.bestOfN(ev)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1000L, Some(1000L), Some(0L), 3L),
+      (2L, 4L, 234L, None, None, 1L)))
+  }
+
   /** (event_id, event_type, value, props) — id and type drive the
     * abstention rules (jb skips 'view', jc skips id % 7 == 0). */
   private def kaEvents(rows: (Long, String, Double, String)*) = {
