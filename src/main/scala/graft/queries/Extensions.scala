@@ -56,6 +56,49 @@ object Extensions extends QueryModule {
     * [[graft.operators.Similarity.kCenterGreedy]] round for round.
     * Every sel CTE is referenced three times (cross, NOT IN, next
     * union): MATERIALIZED like every generated recurrence here. */
+  /** CDC chunk-instance CTEs — mirrors
+    * [[graft.operators.Cdc.chunkInstances]] construct for construct:
+    * word positions, two lags, rolling-3-gram boundary mask, boundary
+    * prefix sum, per-chunk hash of the space-joined words, packed-min
+    * first occurrence. */
+  private val cdcInstCtes: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '),
+       |    w -> w <> '') AS words
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(words)),
+       |    i -> {'pos': i, 'word': words[i+1]})) AS pw
+       |  FROM d),
+       |r AS (
+       |  SELECT doc_id, pw.pos AS pos, pw.word AS word,
+       |    lag(pw.word, 1) OVER (PARTITION BY doc_id ORDER BY pw.pos)
+       |      AS w1,
+       |    lag(pw.word, 2) OVER (PARTITION BY doc_id ORDER BY pw.pos)
+       |      AS w2
+       |  FROM w0),
+       |cix AS (
+       |  SELECT doc_id, pos, word,
+       |    coalesce(sum(CASE WHEN w2 IS NOT NULL
+       |        AND ${dH60raw("w2 || ' ' || w1 || ' ' || word")} % 16 = 0
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      ::BIGINT AS chunk_idx
+       |  FROM r),
+       |ch AS MATERIALIZED (
+       |  SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_words,
+       |    ${dH60raw("string_agg(word, ' ' ORDER BY pos)")} AS chunk_hash
+       |  FROM cix GROUP BY 1, 2),
+       |f AS (
+       |  SELECT chunk_hash,
+       |    min(doc_id * 1048576 + chunk_idx)::BIGINT AS fpack
+       |  FROM ch GROUP BY 1),
+       |inst AS MATERIALIZED (
+       |  SELECT ch.doc_id, ch.chunk_idx, ch.chunk_hash, ch.n_words,
+       |    (ch.doc_id * 1048576 + ch.chunk_idx <> f.fpack)::BIGINT
+       |      AS is_dup
+       |  FROM ch JOIN f USING (chunk_hash))""".stripMargin
+
   /** Shared k-center greedy chain (`e`, `sel1`, then `(m_r, n_r, sel_r)`
     * per pick) — the WITH-prefix both [[kCenterOracle]] and
     * [[semDedupOracle]] build on. */
@@ -1074,6 +1117,28 @@ object Extensions extends QueryModule {
       (s, dir) => Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text"),
       Some(s"""$duckSimhashCtes
               |SELECT doc_id, simhash FROM fp""".stripMargin)),
+
+    // ---- content-defined chunking (FastCDC-shaped): sub-document dedup
+    //      via rolling-3-gram boundaries; identical spans chunk
+    //      identically wherever they appear ----
+    GraftQuery("q_cdc_chunks",
+      (s, dir) => graft.operators.Cdc.chunkInstances(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""$cdcInstCtes
+              |SELECT doc_id, chunk_idx, chunk_hash, n_words, is_dup
+              |FROM inst""".stripMargin)),
+
+    GraftQuery("q_cdc_dedup",
+      (s, dir) => graft.operators.Cdc.dedupReport(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""$cdcInstCtes
+              |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+              |  sum(n_words)::BIGINT AS n_words,
+              |  sum(is_dup)::BIGINT AS dup_chunks,
+              |  sum(is_dup * n_words)::BIGINT AS dup_words,
+              |  ((sum(is_dup * n_words) * 1000000)
+              |   // sum(n_words))::BIGINT AS dup_ppm
+              |FROM inst GROUP BY doc_id""".stripMargin)),
 
     GraftQuery("q_dedup_simhash",
       // banded plan in Spark; plain O(n²) oracle — provably equal for hd<=3
