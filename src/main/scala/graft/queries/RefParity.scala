@@ -415,6 +415,50 @@ object RefParity extends QueryModule {
              |ON p_retailprice >= lo AND p_retailprice < hi
              |GROUP BY band""".stripMargin)),
 
+    // ---- interval OVERLAP join (big-big, binned, exactly-once via the
+    //      canonical overlap-start bin): same-(supplier, part) shipments
+    //      whose synthetic transit windows [ship, ship + qty%14 + 1)
+    //      intersect. The oracle is the brute theta join — proving the
+    //      bin dedup loses and invents nothing. l_quantity is integral,
+    //      so the BIGINT cast agrees between engines. ----
+    GraftQuery("q_overlap_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        def side(tag: String) = li.select(
+          col("l_suppkey").as("s"), col("l_partkey").as("p"),
+          col("l_orderkey").cast("long").as(s"ok_$tag"),
+          col("l_linenumber").cast("long").as(s"ln_$tag"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+            .as(s"lo_$tag"),
+          (datediff(col("l_shipdate"), lit("1970-01-01")).cast("long") +
+            col("l_quantity").cast("long") % 14 + 1).as(s"hi_$tag"))
+        graft.operators.RangeJoin.overlapBinned(
+            side("a"), "lo_a", "hi_a", side("b"), "lo_b", "hi_b",
+            binWidth = 16.0, equiKeys = Seq("s", "p"))
+          .where(col("ok_a") * 8 + col("ln_a") <
+            col("ok_b") * 8 + col("ln_b"))
+          .select(col("s"), col("p"), col("ok_a"), col("ln_a"),
+            col("ok_b"), col("ln_b"),
+            (least(col("hi_a"), col("hi_b")) -
+              greatest(col("lo_a"), col("lo_b"))).as("overlap_days"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_suppkey AS s, l_partkey AS p,
+             |    l_orderkey::BIGINT AS ok, l_linenumber::BIGINT AS ln,
+             |    datediff('day', DATE '1970-01-01', l_shipdate)::BIGINT
+             |      AS lo,
+             |    (datediff('day', DATE '1970-01-01', l_shipdate)
+             |     + l_quantity::BIGINT % 14 + 1)::BIGINT AS hi
+             |  FROM lineitem)
+             |SELECT a.s, a.p, a.ok AS ok_a, a.ln AS ln_a,
+             |  b.ok AS ok_b, b.ln AS ln_b,
+             |  (least(a.hi, b.hi) - greatest(a.lo, b.lo))::BIGINT
+             |    AS overlap_days
+             |FROM li a JOIN li b
+             |  ON a.s = b.s AND a.p = b.p
+             |  AND a.lo < b.hi AND b.lo < a.hi
+             |  AND a.ok * 8 + a.ln < b.ok * 8 + b.ln""".stripMargin)),
+
     // ---- as-of join (custom operator, graft.operators.AsOfJoin) ----
     GraftQuery("q_asof_join",
       (s, dir) => {

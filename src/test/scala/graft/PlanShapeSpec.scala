@@ -605,6 +605,23 @@ class PlanShapeSpec extends SparkSpec {
       s"a join above the final checkpoint means the cadence regressed:\n$plan")
   }
 
+  test("overlap join plans a hash/merge equi-join on (bin, keys) — " +
+      "no nested loop, no cartesian") {
+    val plan = executed("q_overlap_join")
+    val bad = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case n: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => n
+    }
+    assert(bad.isEmpty, s"theta-shaped join leaked into the plan:\n$plan")
+    val equiJoins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(equiJoins.nonEmpty, "bin restore must produce an equi-join")
+  }
+
   test("semDedup: duplicate scan is a cluster equi-join, never cartesian") {
     // the paper's point at scale: pairwise similarity only INSIDE a
     // cluster. The assignment crossJoin against the k-row center set is

@@ -28,6 +28,42 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+/** Interval overlap join: binned equi-plan, exactly-once semantics. */
+class OverlapJoinSpec extends SparkSpec {
+
+  test("overlapBinned equals brute overlap; multi-bin pairs count once") {
+    import spark.implicits._
+    // [0, 100) spans bins 0..12 at width 8 and overlaps [40, 60) in
+    // several shared bins — the canonical-bin rule must keep ONE match.
+    // [0, 5) vs [5, 10): touching half-open intervals do NOT overlap.
+    val left = Seq((1L, 0L, 100L), (2L, 0L, 5L), (3L, 90L, 95L))
+      .toDF("lid", "lo_l", "hi_l")
+    val right = Seq((10L, 40L, 60L), (11L, 5L, 10L), (12L, 94L, 99L))
+      .toDF("rid", "lo_r", "hi_r")
+    val got = RangeJoin.overlapBinned(
+        left, "lo_l", "hi_l", right, "lo_r", "hi_r", binWidth = 8.0)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, s"duplicated pairs: ${got.toSeq}")
+    assert(got.toSet === Set(
+      (1L, 10L),   // [0,100) x [40,60): multi-bin overlap, once
+      (1L, 11L),   // [0,100) x [5,10)
+      (1L, 12L),   // [0,100) x [94,99)
+      (3L, 12L)))  // [90,95) x [94,99): 1-day overlap
+    // and (2,11) is absent: [0,5) touches [5,10) but does not overlap
+  }
+
+  test("equiKeys restrict matches to the same entity") {
+    import spark.implicits._
+    val left = Seq((1L, "x", 0L, 10L), (2L, "y", 0L, 10L))
+      .toDF("lid", "k", "lo_l", "hi_l")
+    val right = Seq((10L, "x", 5L, 15L)).toDF("rid", "k", "lo_r", "hi_r")
+    val got = RangeJoin.overlapBinned(left, "lo_l", "hi_l",
+        right, "lo_r", "hi_r", binWidth = 8.0, equiKeys = Seq("k"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L)))
+  }
+}
+
 /** Dedup family (SURVEY.md §2.11). */
 class DedupSpec extends SparkSpec {
 
