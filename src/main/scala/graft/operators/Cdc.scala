@@ -37,11 +37,12 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
-  /** Chunk instances with first-occurrence marking:
-    * `(doc_id, chunk_idx, chunk_hash, n_words, is_dup)` — `is_dup` for
-    * every instance that is not its hash's global minimum
-    * `(doc_id, chunk_idx)`. */
-  def chunkInstances(docs: DataFrame, idCol: String, textCol: String,
+  /** The chunking stage alone:
+    * `(doc_id, chunk_idx, chunk_hash, n_words)` — content-defined, so
+    * a document's chunks are identical whatever corpus slice it
+    * arrives in (what lets [[graft.streaming.StreamingCdc]] chunk each
+    * micro-batch in isolation). */
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
       mask: Long = 16L): DataFrame = {
     require(mask >= 1, s"mask must be >= 1 (got $mask)")
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -58,7 +59,7 @@ object Cdc {
       .withColumn("chunk_idx",
         coalesce(sum(col("boundary")).over(
           byPos.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val chunks = words
+    words
       .groupBy(col("doc_id"), col("chunk_idx"))
       .agg(count(lit(1)).cast("long").as("n_words"),
         concat_ws(" ", transform(
@@ -67,15 +68,23 @@ object Cdc {
       .select(col("doc_id"), col("chunk_idx"),
         expr(s"${Dedup.h60raw("chunk_text")}").as("chunk_hash"),
         col("n_words"))
-    // first occurrence via a PACKED (doc_id, chunk_idx) min — one
-    // BIGINT aggregate both engines compute identically; valid while
-    // chunk_idx < 2^20 (a million boundaries per document — far above
-    // any real document; positions are word-level)
-    val first = chunks
+  }
+
+  /** Chunk instances with first-occurrence marking:
+    * `(doc_id, chunk_idx, chunk_hash, n_words, is_dup)` — `is_dup` for
+    * every instance that is not its hash's global minimum
+    * `(doc_id, chunk_idx)`, computed as a PACKED
+    * `(doc_id·2^20 + chunk_idx)` min — one BIGINT aggregate both
+    * engines compute identically; valid while chunk_idx < 2^20 (a
+    * million boundaries per document — far above any real document). */
+  def chunkInstances(docs: DataFrame, idCol: String, textCol: String,
+      mask: Long = 16L): DataFrame = {
+    val ch = chunks(docs, idCol, textCol, mask)
+    val first = ch
       .groupBy(col("chunk_hash"))
       .agg(min(col("doc_id") * lit(1L << 20) + col("chunk_idx"))
         .as("fpack"))
-    chunks.join(first, Seq("chunk_hash"))
+    ch.join(first, Seq("chunk_hash"))
       .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
         col("n_words"),
         (col("doc_id") * lit(1L << 20) + col("chunk_idx") =!=

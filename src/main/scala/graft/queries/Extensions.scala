@@ -1140,6 +1140,32 @@ object Extensions extends QueryModule {
               |   // sum(n_words))::BIGINT AS dup_ppm
               |FROM inst GROUP BY doc_id""".stripMargin)),
 
+    // streamed CDC: three id-range folds, merge-on-read verdicts — the
+    // read-side min over appended per-batch minima IS the global
+    // first-occurrence whatever the arrival order. Shares q_cdc_dedup's
+    // oracle verbatim.
+    GraftQuery("q_cdc_dedup_stream",
+      (s, dir) => {
+        val base = s"/tmp/graft_cdc_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingCdc.init(s, base)
+        val docs = t(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L)
+          graft.streaming.StreamingCdc.fold(s, base,
+            docs.where(col("doc_id") >= i * maxId / 3 &&
+              col("doc_id") < (i + 1) * maxId / 3),
+            "doc_id", "text")
+        graft.streaming.StreamingCdc.dedupReport(s, base)
+      },
+      Some(s"""$cdcInstCtes
+              |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+              |  sum(n_words)::BIGINT AS n_words,
+              |  sum(is_dup)::BIGINT AS dup_chunks,
+              |  sum(is_dup * n_words)::BIGINT AS dup_words,
+              |  ((sum(is_dup * n_words) * 1000000)
+              |   // sum(n_words))::BIGINT AS dup_ppm
+              |FROM inst GROUP BY doc_id""".stripMargin)),
+
     GraftQuery("q_dedup_simhash",
       // banded plan in Spark; plain O(n²) oracle — provably equal for hd<=3
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3),

@@ -1,87 +1,62 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.operators.TableDiff
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions._
+import graft.operators.Cdc
+import org.apache.spark.sql.functions.col
 
-/** Streaming CDC maintenance: a change-log stream applied per micro-batch
-  * through [[TableDiff.applyChanges]] onto the keyed upsert sink — the
-  * batch CDC verb composing with the streaming table-maintenance story.
-  *
-  * The change version rides BOTH as the log-collapse key (`log_seq`, so
-  * within-batch conflicts resolve exactly like the batch operator) and as
-  * row payload; an explicit fence drops changes at or below the stored
-  * version BEFORE the apply (the sink replaces whatever key the batch
-  * carries, so staleness must be rejected upstream) — a late
-  * lower-version update loses to the stored row, and a tombstone's
-  * version blocks resurrection. Only rows the batch touched are written:
-  * the untouched table is never rewritten.
-  */
+/** Streamed CDC: merge-on-read first occurrence is order-independent. */
 class StreamingCdcSpec extends SparkSpec {
 
-  test("change-log stream maintains the table across micro-batches") {
+  private def doc(n: Int, tag: String) =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  /** doc 2 copies doc 1; doc 3 shares doc 1's suffix behind a junk
+    * prefix — cross-doc chunk duplication in both directions. */
+  private def docs = {
     import spark.implicits._
-    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val path = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
+    val s = doc(80, "s")
+    Seq((1L, s), (2L, s), (3L, "j1 j2 j3 " + s)).toDF("doc_id", "text")
+  }
 
-    UpsertSink.upsertBatch(
-      Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L))
-        .toDF("k", "v", "version"),
-      path, "k", "version", numBuckets = 4)
+  private def batchTruth: Set[(Long, Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Cdc.dedupReport(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+  }
 
-    val input = MemoryStream[(Long, String, Long, String)]
-    val q = input.toDF().toDF("k", "v", "version", "op")
-      .withColumn("log_seq", $"version")
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val stored = UpsertSink.read(batch.sparkSession, path)
-        // fence: drop changes at or below the stored version (tombstones
-        // included — that is what blocks resurrection)
-        val fresh = batch.join(
-            stored.select(col("k"), col("version").as("__cur")),
-            Seq("k"), "left")
-          .where(col("__cur").isNull || col("version") > col("__cur"))
-          .drop("__cur")
-        val live = stored.where(col("v").isNotNull)
-        val applied = TableDiff.applyChanges(live, fresh,
-          Seq("k"), "op", "log_seq") // (k, v, version)
-        // deletes that won their key: tombstone at the delete's version
-        val wonDeletes = fresh.where(col("op") === "D")
-          .groupBy(col("k")).agg(max(col("version")).as("version"))
-          .join(applied, Seq("k"), "left_anti")
-          .select(col("k"), lit(null: String).as("v"), col("version"))
-        // bounded write: only keys the batch touched
-        val touched = applied.join(
-          fresh.select(col("k")).distinct(), Seq("k"), "left_semi")
-        UpsertSink.upsertBatch(touched.unionByName(wonDeletes),
-          path, "k", "version", numBuckets = 4)
-      }
-      .start()
+  private def streamed(base: String,
+      slices: Seq[Seq[Long]]): Set[(Long, Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    StreamingCdc.init(spark, base)
+    for (ids <- slices)
+      StreamingCdc.fold(spark, base,
+        docs.where(col("doc_id").isin(ids: _*)), "doc_id", "text")
+    StreamingCdc.dedupReport(spark, base)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+  }
 
-    def state(): Set[(Long, String)] = UpsertSink.read(spark, path)
-      .where(col("v").isNotNull).select("k", "v")
-      .as[(Long, String)].collect().toSet
+  test("ascending folds equal the batch report") {
+    assert(streamed("/tmp/graft_scdc/asc",
+      Seq(Seq(1L), Seq(2L), Seq(3L))) === batchTruth)
+  }
 
-    // batch 1: update k=2, insert k=9
-    input.addData((2L, "B", 1L, "U"), (9L, "z", 1L, "U"))
-    q.processAllAvailable()
-    assert(state() === Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "z")))
+  test("descending arrival converges: the read-side min re-elects the " +
+      "global first occurrence") {
+    // doc 2 (the copy) arrives FIRST and its chunks are provisionally
+    // original; when doc 1 lands, the merged min flips doc 2 to fully
+    // duplicated without any demotion writes
+    assert(streamed("/tmp/graft_scdc/desc",
+      Seq(Seq(3L), Seq(2L), Seq(1L))) === batchTruth)
+  }
 
-    // batch 2: delete k=1; same-version U/D tie on k=3 breaks to delete;
-    // a STALE lower-version update on k=2 must lose to the stored row
-    input.addData((1L, "x", 2L, "D"), (3L, "c2", 2L, "U"),
-      (3L, "c3", 2L, "D"), (2L, "late", 0L, "U"))
-    q.processAllAvailable()
-    assert(state() === Set((2L, "B"), (9L, "z")),
-      "deletes applied, tie broke to delete, stale update fenced")
-
-    // batch 3: resurrection guard — an update BELOW the tombstone's
-    // version stays dead, one above it revives the key
-    input.addData((1L, "ghost", 1L, "U"), (3L, "c4", 3L, "U"))
-    q.processAllAvailable()
-    q.stop()
-    assert(state() === Set((2L, "B"), (9L, "z"), (3L, "c4")),
-      "tombstone version blocks the stale revive, admits the newer one")
+  test("replayed batches are no-ops") {
+    val base = "/tmp/graft_scdc/replay"
+    val got = streamed(base, Seq(Seq(1L), Seq(2L), Seq(3L)))
+    StreamingCdc.fold(spark, base,
+      docs.where(col("doc_id").isin(1L, 2L)), "doc_id", "text")
+    import spark.implicits._
+    val after = StreamingCdc.dedupReport(spark, base)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(after === got && got === batchTruth)
   }
 }
