@@ -15,6 +15,10 @@ object ImageCodecs {
     else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N') "png"
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else if (b.length >= 4 && b(0) == 'I' && b(1) == 'I' &&
+      b(2) == 42 && b(3) == 0) "tiff"
+    else if (b.length >= 4 && b(0) == 'M' && b(1) == 'M' &&
+      b(2) == 0 && b(3) == 42) "tiff"
     else "unknown"
 
   /** Decode any supported image container to packed RGB(A) pixels. */
@@ -23,6 +27,7 @@ object ImageCodecs {
       case "png" => PngCodec.decode(b, inf)
       case "jpeg" => JpegCodec.decode(b)
       case "gif" => GifCodec.decode(b)
+      case "tiff" => TiffCodec.decode(b)
       case _ => None
     }
 }

@@ -180,6 +180,89 @@ object Multimodal {
   def pngFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
     fixtureDs(docs, idCol)(pngFixture)
 
+  /** doc_id → a complete REAL baseline TIFF whose pixels follow a fixed
+    * arithmetic fill — so the SQL oracle reconstructs the decoded
+    * values from first principles while the Spark side must run the
+    * actual IFD walk + strip assembly. The fixture sweeps the format's
+    * structural axes: BYTE ORDER alternates per id ("II" even, "MM"
+    * odd — every field flips), photometric alternates (RGB when
+    * id % 3 == 0, grayscale otherwise), and RowsPerStrip = 2 forces
+    * MULTI-strip assembly for h > 2 (offset/count arrays external when
+    * strips > 1, inline when 1 — both spec paths exercised). Geometry
+    * w = id%7+1, h = id%5+1; pixel(x, y, c) =
+    * (id·29 + y·11 + x·5 + c·3) mod 256. */
+  def tiffFixture(docId: Long): Array[Byte] = {
+    val le = docId % 2 == 0
+    val rgb = docId % 3 == 0
+    val spp = if (rgb) 3 else 1
+    val w = (docId % 7 + 1).toInt
+    val h = (docId % 5 + 1).toInt
+    val rps = 2
+    val strips = (h + rps - 1) / rps
+    def w16(v: Int): Array[Byte] =
+      if (le) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      else Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def w32(v: Long): Array[Byte] =
+      if (le) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      else Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val px = new Array[Byte](w * h * spp)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < spp) {
+          px((y * w + x) * spp + c) =
+            ((docId * 29 + y * 11 + x * 5 + c * 3) % 256).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val stripLens = (0 until strips)
+      .map(s => (math.min(rps * (s + 1), h) - rps * s) * w * spp)
+    val stripOffs = stripLens.scanLeft(8L)(_ + _).dropRight(1)
+    val dataEnd = 8 + px.length
+    var ext = dataEnd.toLong
+    val bitsOff = if (rgb) { val r = ext; ext += 6; r } else -1L
+    val offsOff = if (strips > 1) { val r = ext; ext += 4L * strips; r }
+      else -1L
+    val cntsOff = if (strips > 1) { val r = ext; ext += 4L * strips; r }
+      else -1L
+    val ifdOff = ext
+    def entry(tag: Int, tpe: Int, count: Long,
+        value: Array[Byte]): Array[Byte] =
+      w16(tag) ++ w16(tpe) ++ w32(count) ++ value
+    val shortInline = (v: Int) => w16(v) ++ w16(0) // left-justified
+    val ifd = w16(9) ++
+      entry(256, 3, 1, shortInline(w)) ++
+      entry(257, 3, 1, shortInline(h)) ++
+      (if (rgb) entry(258, 3, 3, w32(bitsOff))
+       else entry(258, 3, 1, shortInline(8))) ++
+      entry(259, 3, 1, shortInline(1)) ++
+      entry(262, 3, 1, shortInline(if (rgb) 2 else 1)) ++
+      (if (strips > 1) entry(273, 4, strips, w32(offsOff))
+       else entry(273, 4, 1, w32(8L))) ++
+      entry(277, 3, 1, shortInline(spp)) ++
+      entry(278, 3, 1, shortInline(rps)) ++
+      (if (strips > 1) entry(279, 4, strips, w32(cntsOff))
+       else entry(279, 4, 1, w32(px.length.toLong))) ++
+      w32(0L)
+    (if (le) "II".getBytes("US-ASCII") else "MM".getBytes("US-ASCII")) ++
+      w16(42) ++ w32(ifdOff) ++ px ++
+      (if (rgb) w16(8) ++ w16(8) ++ w16(8) else Array.empty[Byte]) ++
+      (if (strips > 1) stripOffs.toArray.flatMap(w32) ++
+        stripLens.toArray.flatMap(l => w32(l.toLong))
+       else Array.empty[Byte]) ++
+      ifd
+  }
+
+  def tiffFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(tiffFixture)
+
   /** Real pixel decode + per-image stats in one per-partition pass (one
     * reused Inflater per partition — the "per-partition decoder setup"
     * the mapPartitions shape exists for), routed by container magic

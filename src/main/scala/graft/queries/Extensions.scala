@@ -1850,6 +1850,43 @@ object Extensions extends QueryModule {
              |    (doc_id*31 + 1) % 256, (doc_id*31 + 2) % 256) AS px0_hex
              |FROM d""".stripMargin)),
 
+    // TIFF pixels through the REAL IFD walk + strip assembly: fixtures
+    // sweep byte order (II/MM per id), photometric (gray/RGB), and
+    // multi-strip layout (RowsPerStrip=2, external offset/count arrays
+    // when strips>1, inline when 1). The oracle rebuilds the decoded
+    // channel sums and first bytes from the arithmetic fill: a wrong
+    // endian read, strip order, or inline-vs-offset decision lands in
+    // the sums or px0_hex and hash-mismatches.
+    GraftQuery("q_tiff_pixels",
+      (s, dir) => Multimodal.decodeImageStats(
+        Multimodal.tiffFixtures(t(s, dir, "documents"), "doc_id")),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 7 + 1 AS w,
+             |    doc_id % 5 + 1 AS h,
+             |    CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS spp
+             |  FROM documents),
+             |p AS (SELECT doc_id, w, h, spp,
+             |  flatten(flatten(list_transform(range(h), y ->
+             |    list_transform(range(w), x ->
+             |      list_transform(range(spp), c ->
+             |        (doc_id*29 + y*11 + x*5 + c*3) % 256))))) AS pxl
+             |  FROM d)
+             |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+             |  spp::BIGINT AS channels,
+             |  list_sum(list_transform(range(len(pxl)), i ->
+             |    CASE WHEN i % spp = 0 THEN pxl[i+1] ELSE 0 END))::BIGINT
+             |    AS sum_r,
+             |  list_sum(list_transform(range(len(pxl)), i ->
+             |    CASE WHEN i % spp = 1 THEN pxl[i+1] ELSE 0 END))::BIGINT
+             |    AS sum_g,
+             |  list_sum(list_transform(range(len(pxl)), i ->
+             |    CASE WHEN i % spp = 2 THEN pxl[i+1] ELSE 0 END))::BIGINT
+             |    AS sum_b,
+             |  CASE WHEN len(pxl) >= 3
+             |    THEN printf('%02x%02x%02x', pxl[1], pxl[2], pxl[3])
+             |    WHEN len(pxl) = 2 THEN printf('%02x%02x', pxl[1], pxl[2])
+             |    ELSE printf('%02x', pxl[1]) END AS px0_hex
+             |FROM p""".stripMargin)),
+
     // GIF pixels through the REAL LZW decoder: every fixture is a legal
     // GIF89a stream (variable-width codes, clear/EOI); docId%5==0 frames
     // are additionally INTERLACED, so the oracle — which rebuilds channel
