@@ -1276,6 +1276,26 @@ object Multimodal {
     })
   }
 
+  /** Three-format container-blind variant: every document's footage as
+    * a GIF (3id), a PNG re-encode (3id+1) and a TIFF re-encode (3id+2)
+    * — the near-dup core must cluster all three at hamming 0 because
+    * the dHash works on DECODED pixels, not container bytes. */
+  def crossFormat3NearFixtures(docs: DataFrame,
+      idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val gif = gifNearFixture(id)
+        val img = GifCodec.decode(gif).getOrElse(
+          throw new IllegalStateException(
+            s"gif fixture $id failed to decode"))
+        Seq(MediaRecord(3 * id, gif),
+          MediaRecord(3 * id + 1, PngCodec.encode(img)),
+          MediaRecord(3 * id + 2, TiffCodec.encode(img)))
+      })
+  }
+
   /** Frames per video the near-dup fid packing reserves. */
   val MaxVideoFrames = 1024L
 

@@ -139,6 +139,42 @@ object TiffCodec {
     Some(PngCodec.Image(width.toInt, height.toInt, spp.toInt, px))
   }
 
+  /** Encode 8-bit gray (1 channel) or RGB (3 channels) pixels as a
+    * minimal little-endian baseline TIFF: single strip at offset 8,
+    * IFD after the pixel data — readable by this decoder and by any
+    * spec-conforming reader (TiffCodecSpec cross-checks ImageIO). */
+  def encode(img: PngCodec.Image): Array[Byte] = {
+    require(img.channels == 1 || img.channels == 3,
+      s"TIFF encode supports 1 or 3 channels (got ${img.channels})")
+    require(img.pixels.length == img.width * img.height * img.channels,
+      "pixel buffer does not match geometry")
+    val rgb = img.channels == 3
+    def w16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def w32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val dataEnd = 8L + img.pixels.length
+    val bitsOff = dataEnd
+    val ifdOff = if (rgb) dataEnd + 6 else dataEnd
+    def entry(tag: Int, tpe: Int, count: Long, value: Array[Byte]) =
+      w16(tag) ++ w16(tpe) ++ w32(count) ++ value
+    val shortInline = (v: Int) => w16(v) ++ w16(0)
+    val ifd = w16(9) ++
+      entry(256, 3, 1, shortInline(img.width)) ++
+      entry(257, 3, 1, shortInline(img.height)) ++
+      (if (rgb) entry(258, 3, 3, w32(bitsOff))
+       else entry(258, 3, 1, shortInline(8))) ++
+      entry(259, 3, 1, shortInline(1)) ++
+      entry(262, 3, 1, shortInline(if (rgb) 2 else 1)) ++
+      entry(273, 4, 1, w32(8L)) ++
+      entry(277, 3, 1, shortInline(img.channels)) ++
+      entry(278, 3, 1, shortInline(img.height)) ++
+      entry(279, 4, 1, w32(img.pixels.length.toLong)) ++
+      w32(0L)
+    "II".getBytes("US-ASCII") ++ w16(42) ++ w32(ifdOff) ++ img.pixels ++
+      (if (rgb) w16(8) ++ w16(8) ++ w16(8) else Array.empty[Byte]) ++
+      ifd
+  }
+
   /** Scalar SHORT-or-LONG field (width/height/etc accept both types). */
   private def u32OrU16Scalar(b: Array[Byte], entry: Int,
       le: Boolean): Long = {

@@ -2202,6 +2202,30 @@ object Extensions extends QueryModule {
           |    bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3"""
           .stripMargin))),
 
+    // three-format container-blind near-dup: GIF + PNG + TIFF encodings
+    // of the same footage must cluster at hamming 0 (the dHash works on
+    // DECODED pixels) — the TIFF leg rides the round-11 codec through
+    // the same magic routing with zero changes to the near-dup core.
+    GraftQuery("q_tiff_crossformat_neardup",
+      (s, dir) => {
+        val (cached, pairs) = Multimodal.imageNearDupPairs(
+          Multimodal.crossFormat3NearFixtures(
+            t(s, dir, "documents"), "doc_id"))
+        drained(s, cached, pairs)
+      },
+      Some(Extensions.gifDhashOracle(
+        """, ids AS (SELECT doc_id * 3 AS mid, doc_id FROM documents
+          |  UNION ALL SELECT doc_id * 3 + 1, doc_id FROM documents
+          |  UNION ALL SELECT doc_id * 3 + 2, doc_id FROM documents),
+          |hh AS (SELECT ids.mid, bh.b FROM ids JOIN bh USING (doc_id))
+          |SELECT a.mid AS doc_a, b2.mid AS doc_b,
+          |  list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1]))))::BIGINT AS hamming
+          |FROM hh a JOIN hh b2 ON a.mid < b2.mid
+          |WHERE list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3"""
+          .stripMargin))),
+
     // shot-level video near-dup: two clips match when ANY frame pair is
     // perceptually near (no temporal alignment assumed — a re-edit
     // reorders the timeline but reuses footage). Per-frame dHash over

@@ -51,6 +51,18 @@ class TiffCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("encode → decode round-trips gray and RGB, and ImageIO reads it") {
+    for (spp <- Seq(1, 3)) {
+      val img = PngCodec.Image(5, 4, spp, fillPx(9L, 5, 4, spp))
+      val bytes = TiffCodec.encode(img)
+      val back = TiffCodec.decode(bytes).get
+      assert((back.width, back.height, back.channels) === ((5, 4, spp)))
+      assert(back.pixels.toSeq === img.pixels.toSeq)
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null && ref.getWidth === 5 && ref.getHeight === 4)
+    }
+  }
+
   test("structural violations return None, never throw") {
     val good = Multimodal.tiffFixture(7L)
     assert(TiffCodec.decode(null).isEmpty)
