@@ -62,4 +62,117 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(outCols: _*)
   }
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` for the same key — the other direction of
+    * pandas `merge_asof`. Same single-shuffle union plan as
+    * [[asofBackward]], mirrored: left rows sort BEFORE right rows at
+    * equal ts (so an equal-ts right row is inside the left row's
+    * following frame — ties are visible, matching the backward
+    * contract), and the match is a running `first(ignoreNulls)` over
+    * the FOLLOWING frame. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[(String, String)]): DataFrame = {
+    val leftRow = struct(left.columns.map(left(_)): _*)
+    val rightVal = struct(valueCols.map { case (c, a) => right(c).as(a) }: _*)
+
+    val lTagged = left.select(
+      left(key).as("__k"), left(leftTs).as("__t"), lit(0).as("__side"),
+      leftRow.as("__lrow"))
+    val lrowType = lTagged.schema("__lrow").dataType
+    val rTagged0 = right.select(
+      right(key).as("__k"), right(rightTs).as("__t"), lit(1).as("__side"),
+      rightVal.as("__rval"))
+    val rvalType = rTagged0.schema("__rval").dataType
+
+    val l = lTagged.withColumn("__rval", lit(null).cast(rvalType))
+    val r = rTagged0.withColumn("__lrow", lit(null).cast(lrowType))
+      .select("__k", "__t", "__side", "__lrow", "__rval")
+    val u = l.select("__k", "__t", "__side", "__lrow", "__rval").union(r)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val outCols: Seq[Column] =
+      left.columns.map(c => col(s"__lrow.$c").as(c)).toSeq ++
+        valueCols.map { case (_, a) => col(s"__asof.$a").as(a) }
+
+    u.withColumn("__asof", first(col("__rval"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(outCols: _*)
+  }
+
+  /** Nearest as-of join: the CLOSER of the backward and forward
+    * matches, equidistant ties resolving BACKWARD (the earlier right
+    * row) — pandas `merge_asof(direction='nearest')`. Distances are
+    * exact epoch-microsecond differences for timestamp columns (a
+    * LONG cast would truncate to seconds and flip sub-second
+    * decisions), plain long casts otherwise.
+    *
+    * Plan: the same single union shuffle; the two directional matches
+    * are two window passes over the SAME key partitioning (the second
+    * ordering — ts asc, side desc — re-sorts within partitions but
+    * adds no exchange), then a row-local choose. */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    def tsKey(c: Column, isTs: Boolean): Column =
+      if (isTs) unix_micros(c) else c.cast("long")
+    val rightIsTs = right.schema(rightTs).dataType == TimestampType
+    val leftIsTs = left.schema(leftTs).dataType == TimestampType
+
+    val leftRow = struct(left.columns.map(left(_)): _*)
+    val rightVal = struct(
+      (valueCols.map { case (c, a) => right(c).as(a) } :+
+        tsKey(right(rightTs), rightIsTs).as("__rtk")): _*)
+
+    // right = 0 so it sorts FIRST at equal ts for the backward pass
+    val lTagged = left.select(
+      left(key).as("__k"), left(leftTs).as("__t"), lit(1).as("__side"),
+      leftRow.as("__lrow"))
+    val lrowType = lTagged.schema("__lrow").dataType
+    val rTagged0 = right.select(
+      right(key).as("__k"), right(rightTs).as("__t"), lit(0).as("__side"),
+      rightVal.as("__rval"))
+    val rvalType = rTagged0.schema("__rval").dataType
+
+    val l = lTagged.withColumn("__rval", lit(null).cast(rvalType))
+    val r = rTagged0.withColumn("__lrow", lit(null).cast(lrowType))
+      .select("__k", "__t", "__side", "__lrow", "__rval")
+    val u = l.select("__k", "__t", "__side", "__lrow", "__rval").union(r)
+
+    val wb = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val ltk = tsKey(col("__t"), leftIsTs)
+    val chosen = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(ltk - col("__b.__rtk") <= col("__f.__rtk") - ltk, col("__b"))
+      .otherwise(col("__f"))
+
+    val outCols: Seq[Column] =
+      left.columns.map(c => col(s"__lrow.$c").as(c)).toSeq ++
+        valueCols.map { case (_, a) => col(s"__asof.$a").as(a) }
+
+    u.withColumn("__b", last(col("__rval"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__rval"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("__asof", chosen)
+      .select(outCols: _*)
+  }
 }

@@ -478,6 +478,58 @@ object RefParity extends QueryModule {
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)),
 
+    // ---- forward as-of: earliest click AT or after each purchase
+    //      (DuckDB's native ASOF with the inequality flipped) ----
+    GraftQuery("q_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purchases = ev.where($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts".as("purchase_ts"))
+        val clicks = ev.where($"event_type" === "click")
+          .select($"user_id", $"ts")
+        AsOfJoin.asofForward(
+          purchases, clicks, key = "user_id",
+          leftTs = "purchase_ts", rightTs = "ts",
+          valueCols = Seq(("ts", "click_ts")))
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin)),
+
+    // ---- nearest as-of: the closer of the two directions, equidistant
+    //      ties resolving backward; the oracle goes brute with the same
+    //      tie rule. The pulled value IS the matched ts, so duplicate
+    //      right timestamps cannot make the output ambiguous. ----
+    GraftQuery("q_asof_nearest",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purchases = ev.where($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts".as("purchase_ts"))
+        val clicks = ev.where($"event_type" === "click")
+          .select($"user_id", $"ts")
+        AsOfJoin.asofNearest(
+          purchases, clicks, key = "user_id",
+          leftTs = "purchase_ts", rightTs = "ts",
+          valueCols = Seq(("ts", "click_ts")))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts FROM events
+             |  WHERE event_type = 'click'),
+             |j AS (
+             |  SELECT p.event_id, c.ts AS click_ts,
+             |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+             |      CASE WHEN c.ts <= p.ts THEN p.ts - c.ts
+             |           ELSE c.ts - p.ts END ASC,
+             |      (c.ts <= p.ts) DESC, c.ts ASC) AS rn
+             |  FROM p JOIN c ON p.user_id = c.user_id)
+             |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, j2.click_ts
+             |FROM p LEFT JOIN (SELECT event_id, click_ts FROM j
+             |  WHERE rn = 1) j2 USING (event_id)""".stripMargin)),
+
     // ---- pivot (conditional aggregation) ----
     GraftQuery("q_pivot",
       (s, dir) => {

@@ -26,6 +26,48 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 14L, None),
       ("C", 50L, None)))       // key with no right rows survives (left join)
   }
+
+  test("forward as-of picks the earliest right row at-or-after each ts") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "ts", "px")
+    val trades = Seq(
+      ("A", 5L), ("A", 20L), ("A", 25L), ("A", 99L),
+      ("B", 14L), ("C", 50L)).toDF("sym", "trade_ts")
+    val got = AsOfJoin.asofForward(
+      trades, quotes, key = "sym", leftTs = "trade_ts", rightTs = "ts",
+      valueCols = Seq(("px", "next_px")))
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(got === Set(
+      ("A", 5L, Some(1.0)),    // earliest at-or-after 5 is 10
+      ("A", 20L, Some(2.0)),   // tie: right row at 20 IS visible
+      ("A", 25L, Some(3.0)),
+      ("A", 99L, None),        // nothing after 99
+      ("B", 14L, Some(9.0)),
+      ("C", 50L, None)))
+  }
+
+  test("nearest as-of picks the closer side, equidistant ties backward") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "ts", "px")
+    val trades = Seq(
+      ("A", 5L), ("A", 20L), ("A", 25L), ("A", 99L),
+      ("B", 14L), ("C", 50L)).toDF("sym", "trade_ts")
+    val got = AsOfJoin.asofNearest(
+      trades, quotes, key = "sym", leftTs = "trade_ts", rightTs = "ts",
+      valueCols = Seq(("px", "near_px")))
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(got === Set(
+      ("A", 5L, Some(1.0)),    // only forward exists
+      ("A", 20L, Some(2.0)),   // exact hit
+      ("A", 25L, Some(2.0)),   // 20 and 30 equidistant → backward
+      ("A", 99L, Some(3.0)),   // only backward exists
+      ("B", 14L, Some(9.0)),
+      ("C", 50L, None)))
+  }
 }
 
 /** Interval overlap join: binned equi-plan, exactly-once semantics. */
