@@ -44,11 +44,7 @@ object CorpusClean {
     // (measured: 69 copies of the norm regex in that plan). A single
     // boolean kernel evaluates once per row; the generic operators keep
     // their own oracled queries (q_lang_id, q_quality).
-    val filtered = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        call_function("norm_ws", col(textCol)).as("norm_text"))
-      .where(call_function("clean_gate",
-        col("norm_text"), lit(lang), lit(minQuality)))
+    val filtered = gateFiltered(docs, idCol, textCol, lang, minQuality)
 
     // exact dedup: smallest doc_id per identical normalized text;
     // read again by the near-dup pass and the final anti-join
@@ -61,5 +57,54 @@ object CorpusClean {
       .select(col("doc_b").as("doc_id")).distinct()
     exactKeep.join(dropIds, Seq("doc_id"), "left_anti")
       .select("doc_id", "norm_text")
+  }
+
+  /** The fused normalize + language/quality gate stage (shared by
+    * [[clean]] and [[funnel]]). */
+  private def gateFiltered(docs: DataFrame, idCol: String,
+      textCol: String, lang: String, minQuality: Long): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        call_function("norm_ws", col(textCol)).as("norm_text"))
+      .where(call_function("clean_gate",
+        col("norm_text"), lit(lang), lit(minQuality)))
+
+  /** Curation funnel report — the observability surface every
+    * production corpus pipeline publishes: per-stage survivor counts
+    * and drop rates through input → gate (normalize + language +
+    * quality, fused) → exact dedup → near dedup, the exact stages of
+    * [[clean]]. Output: `(stage, stage_name, n_docs, drop_ppm)` with
+    * `drop_ppm` relative to the PREVIOUS stage (floored ppm, 0 at
+    * stage 0).
+    *
+    * The four counts are scalars (corpus-independent output), so they
+    * are materialized eagerly — which also lets the shared exact-keep
+    * relation be persisted for exactly the two passes that need it and
+    * unpersisted deterministically before returning (no caller-releases
+    * contract needed for a report of four numbers). */
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+      lang: String = "en", minQuality: Long = 3000L,
+      jaccard: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val n0 = docs.count()
+    val filtered = gateFiltered(docs, idCol, textCol, lang, minQuality)
+    val n1 = filtered.count()
+    val exactKeep = Dedup.dropExactDuplicates(filtered, "doc_id", "norm_text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n2 = exactKeep.count()
+    val dropIds = Dedup.minhashPairs(exactKeep, "doc_id", "norm_text", jaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val n3 = exactKeep.join(dropIds, Seq("doc_id"), "left_anti").count()
+    exactKeep.unpersist()
+    def ppm(prev: Long, n: Long): Long =
+      if (prev <= 0) 0L else (prev - n) * 1000000L / prev
+    spark.createDataset(Seq(
+        (0L, "input", n0, 0L),
+        (1L, "gate", n1, ppm(n0, n1)),
+        (2L, "exact_dedup", n2, ppm(n1, n2)),
+        (3L, "near_dedup", n3, ppm(n2, n3))))
+      .toDF("stage", "stage_name", "n_docs", "drop_ppm")
   }
 }

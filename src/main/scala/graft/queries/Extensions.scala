@@ -863,6 +863,29 @@ object Extensions extends QueryModule {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
   }
 
+  /** Funnel oracle: the same clean CTE chain, counted at each stage —
+    * mirrors [[graft.operators.CorpusClean.funnel]]. */
+  private[queries] val corpusCleanFunnelOracle: String = {
+    val ctes = corpusCleanOracle.substring(0,
+      corpusCleanOracle.lastIndexOf("SELECT doc_id, nt AS norm_text"))
+      .trim
+    s"""$ctes,
+       |st AS (
+       |  SELECT 0 AS stage, 'input' AS stage_name,
+       |    (SELECT count(*) FROM nd)::BIGINT AS n_docs
+       |  UNION ALL SELECT 1, 'gate', (SELECT count(*) FROM f)
+       |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM ek)
+       |  UNION ALL SELECT 3, 'near_dedup',
+       |    (SELECT count(*) FROM ek WHERE doc_id NOT IN
+       |      (SELECT doc_id FROM drops)))
+       |SELECT stage::BIGINT AS stage, stage_name, n_docs,
+       |  (CASE WHEN stage = 0 THEN 0
+       |    ELSE (lag(n_docs) OVER (ORDER BY stage) - n_docs) * 1000000
+       |         // greatest(lag(n_docs) OVER (ORDER BY stage), 1)
+       |  END)::BIGINT AS drop_ppm
+       |FROM st""".stripMargin
+  }
+
   /** clean → whitespace-count → pack oracle, shared VERBATIM by
     * q_clean_pack and its streamed twin q_clean_pack_stream. */
   private[queries] val cleanPackOracle: String =
@@ -1139,6 +1162,14 @@ object Extensions extends QueryModule {
               |  ((sum(is_dup * n_words) * 1000000)
               |   // sum(n_words))::BIGINT AS dup_ppm
               |FROM inst GROUP BY doc_id""".stripMargin)),
+
+    // curation funnel: per-stage survivor counts + drop rates through
+    // the exact clean stages (input → fused gate → exact dedup → near
+    // dedup) — the observability report every corpus pipeline publishes
+    GraftQuery("q_curation_funnel",
+      (s, dir) => graft.operators.CorpusClean.funnel(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(Extensions.corpusCleanFunnelOracle)),
 
     // streamed CDC: three id-range folds, merge-on-read verdicts — the
     // read-side min over appended per-batch minima IS the global

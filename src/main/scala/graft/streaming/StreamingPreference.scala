@@ -102,4 +102,63 @@ object StreamingPreference {
           }
       }
   }
+
+  // ---- streaming best-of-n: the incremental champion log ----
+
+  final case class Candidate(event_id: Long, user_id: Long, value: Double)
+
+  /** Per-context top-2 state: the champion and runner-up under the
+    * batch ordering (cents desc, event_id asc), plus the cumulative
+    * candidate count. `has2 = false` while only one candidate exists. */
+  final case class Top2(n: Long, c1: Long, i1: Long,
+      c2: Long, i2: Long, has2: Boolean)
+
+  final case class ChampionRow(user_id: Long, chosen_event_id: Long,
+      chosen_cents: Long, runner_up_cents: Option[Long],
+      margin_cents: Option[Long], n_candidates: Long)
+
+  /** Streaming [[graft.operators.Preference.bestOfN]]: candidates
+    * arrive continuously and each micro-batch with arrivals for a
+    * context emits that context's CURRENT champion row — a champion
+    * LOG whose latest row per context always equals the batch operator
+    * over everything seen (StreamingPreferenceSpec pins it for
+    * ascending and reversed arrival). State is the top-2 pair + one
+    * count per context — the smallest state that can keep the margin
+    * exact, and 32 bytes however many candidates stream through. */
+  def bestOfNStream(cands: Dataset[Candidate]): Dataset[ChampionRow] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    // (cents, id) ordering: higher cents first, then smaller id — the
+    // batch operator's sort_array(desc) on struct(cents, -id)
+    def beats(c: Long, i: Long, c2: Long, i2: Long): Boolean =
+      c > c2 || (c == c2 && i < i2)
+    cands.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Top2, ChampionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Candidate], state: GroupState[Top2]) =>
+          var st = state.getOption.orNull
+          var any = false
+          rows.toSeq
+            .sortBy(r => (-math.floor(r.value * 100).toLong, r.event_id))
+            .foreach { r =>
+              any = true
+              val c = math.floor(r.value * 100).toLong
+              val i = r.event_id
+              st =
+                if (st == null) Top2(1L, c, i, 0L, 0L, has2 = false)
+                else if (beats(c, i, st.c1, st.i1))
+                  Top2(st.n + 1, c, i, st.c1, st.i1, has2 = true)
+                else if (!st.has2 || beats(c, i, st.c2, st.i2))
+                  Top2(st.n + 1, st.c1, st.i1, c, i, has2 = true)
+                else st.copy(n = st.n + 1)
+            }
+          if (!any) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(ChampionRow(uid, st.i1, st.c1,
+              if (st.has2) Some(st.c2) else None,
+              if (st.has2) Some(st.c1 - st.c2) else None, st.n))
+          }
+      }
+  }
 }

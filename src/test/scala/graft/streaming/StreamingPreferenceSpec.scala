@@ -54,6 +54,41 @@ class StreamingPreferenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bestOfNStream: latest champion row per user equals the batch " +
+      "operator, any arrival order") {
+    import spark.implicits._
+    import StreamingPreference.{Candidate, ChampionRow}
+    val cands = Seq(
+      Candidate(1, 1, 10.0), Candidate(2, 1, 10.0), // tie → id 1
+      Candidate(3, 1, 5.0), Candidate(4, 2, 2.345))
+    for ((order, name) <- Seq((cands, "bofa"), (cands.reverse, "bofb"))) {
+      implicit val sql = spark.sqlContext
+      val in = MemoryStream[Candidate]
+      val q = StreamingPreference.bestOfNStream(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try {
+        in.addData(order.take(2)); q.processAllAvailable()
+        in.addData(order.drop(2)); q.processAllAvailable()
+        // the log's LAST row per user (max n_candidates) is the verdict
+        val last = spark.table(name).as[ChampionRow].collect()
+          .groupBy(_.user_id).view
+          .mapValues(_.maxBy(_.n_candidates)).toMap
+        assert(last(1L) ===
+          ChampionRow(1L, 1L, 1000L, Some(1000L), Some(0L), 3L))
+        assert(last(2L) === ChampionRow(2L, 4L, 234L, None, None, 1L))
+        // and it equals the batch operator on the full input
+        val batch = graft.operators.Preference.bestOfN(
+            spark.createDataset(cands).toDF()
+              .selectExpr("event_id", "user_id", "value"))
+          .as[(Long, Long, Long, Option[Long], Option[Long], Long)]
+          .collect().map(r => r._1 -> r).toMap
+        assert(batch(1L) === ((1L, 1L, 1000L, Some(1000L), Some(0L), 3L)))
+        assert(batch(2L) === ((2L, 4L, 234L, None, None, 1L)))
+      } finally q.stop()
+    }
+  }
+
   test("TTL evicts idle users: the boundary trial after eviction is lost") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
