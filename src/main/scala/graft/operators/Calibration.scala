@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   * Binning: `bin = sign(score)·(|score| div binWidth)` clamped to
   * `[-clamp, clamp-1]` — sign-safe division (DuckDB `//` floors where
   * Spark `div` truncates), monotone in the score.
+  *
+  * Reference scope: the reference publishes raw per-key totals with no
+  * scoring or model surface
+  * (/root/reference/src/main/java/org/test/pcap4j/MainApp.java:54-55);
+  * calibration belongs to the declared extension surface (SURVEY.md
+  * §2.11).
   */
 object Calibration {
 

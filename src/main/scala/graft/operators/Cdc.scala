@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   * not text), a first-occurrence broadcast-unfriendly join back on the
   * hash (same partitioning, no extra exchange), and a per-doc rollup.
   * Everything is linear in the corpus; nothing is all-pairs.
+  *
+  * Reference scope: the reference engine has no text processing at all
+  * — its payload bytes are consumed only via `.length`
+  * (/root/reference/src/main/java/org/test/pcap4j/MainApp.java:42);
+  * sub-document dedup is part of the declared extension surface
+  * (SURVEY.md §2.11).
   */
 object Cdc {
 
