@@ -1103,6 +1103,32 @@ object Curation extends QueryModule {
         t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)._2,
       Some(Curation.perceptronPredictOracle(32, 4))),
 
+    // ---- Poisson bootstrap: B one-pass replicates of the corpus
+    //      word-count statistic, Poisson(1) weights from the md5
+    //      uniform through the published fixed-point CDF constants ----
+    GraftQuery("q_poisson_bootstrap",
+      (s, dir) => graft.operators.Bootstrap.poissonBootstrap(
+        t(s, dir, "documents"), "doc_id", "text", replicates = 16),
+      Some {
+        val cases = graft.operators.Bootstrap.CdfPpm.zipWithIndex
+          .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+        s"""WITH d AS (
+           |  SELECT doc_id, len(list_filter(string_split(text, ' '),
+           |    w -> w <> ''))::BIGINT AS n_words
+           |  FROM documents),
+           |r AS (SELECT doc_id, n_words, b FROM d, range(16) t(b)),
+           |u AS (SELECT n_words, b,
+           |  ${dH60raw("CAST(doc_id AS VARCHAR) || ':' " +
+              "|| CAST(b AS VARCHAR)")} % 1000000 AS u
+           |  FROM r),
+           |k AS (SELECT b, n_words, CASE $cases ELSE 6 END AS k FROM u)
+           |SELECT b::BIGINT AS replicate, sum(k)::BIGINT AS n_eff,
+           |  sum(k * n_words)::BIGINT AS sum_words,
+           |  ((sum(k * n_words) * 1000) // greatest(sum(k), 1))::BIGINT
+           |    AS mean_words_milli
+           |FROM k GROUP BY 1""".stripMargin
+      }),
+
     // ---- isotonic calibration of the perceptron margin against its
     //      labels: PAV via the relational max-min closed form over
     //      clamped score bins (value-range-sized from the first groupBy

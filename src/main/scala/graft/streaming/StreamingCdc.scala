@@ -83,6 +83,27 @@ object StreamingCdc {
     } finally inst.unpersist()
   }
 
+  /** Compact the `firsts` artifact to its merge-on-read result (one
+    * row per chunk hash): the read-side `min GROUP BY chunk_hash` IS
+    * the artifact's semantics, so rewriting it to that aggregate
+    * changes nothing observable while collapsing one row per
+    * (hash, batch) down to one per hash — the ER compaction
+    * discipline. Single-writer contract (folds are sequential); the
+    * rewrite stages to a sibling directory and swaps, so a crash
+    * leaves either the old or the new artifact, never a torn one. */
+  def compactFirsts(spark: SparkSession, base: String): Unit = {
+    val fs = hadoopFs(spark, base)
+    val cur = new org.apache.hadoop.fs.Path(firstsPath(base))
+    if (!fs.exists(cur)) return
+    val tmp = new org.apache.hadoop.fs.Path(firstsPath(base) + "_c")
+    readOr(spark, firstsPath(base), firstSchema)
+      .groupBy(col("chunk_hash")).agg(min(col("fpack")).as("fpack"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(cur, true)
+    fs.rename(tmp, cur)
+    ()
+  }
+
   /** Merge-on-read chunk instances with global first-occurrence
     * verdicts — the batch [[graft.operators.Cdc.chunkInstances]] output
     * over everything seen so far. */

@@ -138,11 +138,15 @@ object StreamingSemDedup {
 
       // drops first, members second: members must not change until the
       // fold's probe joins have materialized (the batch never probes
-      // its own stored rows)
+      // its own stored rows). Members are PARTITIONED BY cluster so a
+      // fold's probe join can dynamic-partition-prune the store down to
+      // the clusters its batch actually touches (at production k the
+      // batch hits a small fraction of clusters; at toy k it reads all)
       candOld.unionByName(candNew).distinct()
         .write.mode("append").parquet(dropsPath(base))
-      assigned.select(col("vec_id"), col("cluster"), col("v"))
-        .write.mode("append").parquet(membersPath(base))
+      assigned.select(col("vec_id"), col("v"), col("cluster"))
+        .write.mode("append").partitionBy("cluster")
+        .parquet(membersPath(base))
     } finally assigned.unpersist()
   }
 

@@ -49,6 +49,27 @@ class StreamingCdcSpec extends SparkSpec {
       Seq(Seq(3L), Seq(2L), Seq(1L))) === batchTruth)
   }
 
+  test("compactFirsts collapses the artifact without changing verdicts") {
+    import spark.implicits._
+    val base = "/tmp/graft_scdc/compact"
+    val before = streamed(base, Seq(Seq(1L), Seq(2L), Seq(3L)))
+    val rowsBefore = spark.read.parquet(s"$base/firsts").count()
+    StreamingCdc.compactFirsts(spark, base)
+    val rowsAfter = spark.read.parquet(s"$base/firsts").count()
+    val hashes = spark.read.parquet(s"$base/firsts")
+      .select("chunk_hash").distinct().count()
+    assert(rowsAfter === hashes, "compacted artifact must be one row per hash")
+    assert(rowsAfter <= rowsBefore)
+    val after = StreamingCdc.dedupReport(spark, base)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(after === before && after === batchTruth)
+    // and folds keep working after a compaction
+    StreamingCdc.fold(spark, base,
+      docs.where(col("doc_id") === 1L), "doc_id", "text")
+    assert(StreamingCdc.dedupReport(spark, base)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet === before)
+  }
+
   test("replayed batches are no-ops") {
     val base = "/tmp/graft_scdc/replay"
     val got = streamed(base, Seq(Seq(1L), Seq(2L), Seq(3L)))
