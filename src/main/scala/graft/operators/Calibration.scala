@@ -37,6 +37,11 @@ import org.apache.spark.sql.functions._
   * `[-clamp, clamp-1]` — sign-safe division (DuckDB `//` floors where
   * Spark `div` truncates), monotone in the score.
   *
+  * Exactness bound: the pair averages multiply prefix counts by 1e9,
+  * so the fit is exact while the scored slice holds ≤ ~9.2e9 rows —
+  * and calibration sets ARE sampled slices (a labeled holdout), not
+  * the corpus; the same bound already governs the kappa family.
+  *
   * Reference scope: the reference publishes raw per-key totals with no
   * scoring or model surface
   * (/root/reference/src/main/java/org/test/pcap4j/MainApp.java:54-55);
