@@ -453,6 +453,30 @@ object Dedup {
     * @param newPairs    near-dup pairs (doc_a, doc_b) with at least one
     *                    endpoint outside the old artifact's corpus
     */
+  /** Best-exemplar selection over duplicate clusters: instead of
+    * [[dupClusters]]' min-id keeper, keep the LONGEST member (word
+    * count, tie → smaller id) — the representative choice production
+    * dedup actually makes (the longest variant of a boilerplate family
+    * usually carries the most content). Same output shape as the
+    * cluster assignment (`doc_id, cluster_id, keep`), so it drops into
+    * the same downstream anti-joins; one groupBy on the cluster id
+    * (cluster-count-sized argmax via a packed struct max) plus the
+    * word-count scan. */
+  def keepBestExemplar(docs: DataFrame, idCol: String, textCol: String,
+      clusters: DataFrame): DataFrame = {
+    val nw = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(expr(wordsExpr(textCol))).cast("long").as("n_words"))
+    val c = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(nw, Seq("doc_id"))
+    val best = c.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_words"),
+        (col("doc_id") * lit(-1L)).as("nid"))).as("m"))
+      .select(col("cluster_id"), (col("m.nid") * lit(-1L)).as("best_id"))
+    c.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("best_id")).as("keep"))
+  }
+
   def updateClusters(oldClusters: DataFrame, newPairs: DataFrame): DataFrame = {
     val (relabel, newDocRows) = contractBatch(oldClusters, newPairs)
     // one pass over the stored artifact: members of merged clusters take

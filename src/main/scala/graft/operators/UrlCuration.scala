@@ -133,6 +133,35 @@ object UrlCuration {
       .withColumn("kept", (col("rnk") <= maxPerDomain).cast("long"))
   }
 
+  /** Domain-level quality gate — the RefinedWeb/FineWeb-style curation
+    * step ABOVE the document level: aggregate a per-document quality
+    * proxy (word count here; any integer score slots in) to the
+    * registrable domain and keep domains with enough coverage AND
+    * average quality — low-quality DOMAINS are dropped wholesale
+    * before their documents ever reach per-doc filters. Output one row
+    * per domain: `(registrable, n_docs, sum_words, mean_words_milli,
+    * kept)` with the floored-milli mean (exact integers).
+    *
+    * Distribution shape: URL parse + eTLD+1 map-side (broadcast suffix
+    * dim), ONE groupBy on the domain — map-side combinable; output is
+    * domain-count-sized. */
+  def domainQualityGate(docs: DataFrame, urlCol: String,
+      textCol: String, minDocs: Long = 3L,
+      minMeanWordsMilli: Long = 40000L): DataFrame = {
+    val withDomain = registrableDomain(canonicalize(docs, urlCol), "host")
+    withDomain
+      .select(col("registrable"),
+        size(expr(Dedup.wordsExpr(textCol))).cast("long").as("n_words"))
+      .groupBy("registrable")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("sum_words"))
+      .withColumn("mean_words_milli",
+        expr("sum_words * 1000L div n_docs"))
+      .withColumn("kept",
+        col("n_docs") >= minDocs &&
+          col("mean_words_milli") >= minMeanWordsMilli)
+  }
+
   /** Blocklist gate: drop documents whose registrable domain appears
     * in `blocked` (one `domain` column; broadcast anti-join). */
   def blocklistFilter(docs: DataFrame, urlCol: String,

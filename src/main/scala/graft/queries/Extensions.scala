@@ -1052,6 +1052,51 @@ object Extensions extends QueryModule {
               |       (id = min(lab)) AS keep
               |FROM walk GROUP BY id""".stripMargin)),
 
+    // best-exemplar dedup: same clusters, but the keeper is the LONGEST
+    // member (tie → smaller id) — the representative choice production
+    // dedup makes; oracle re-derives the closure and the argmax
+    GraftQuery("q_dedup_keep_best",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.keepBestExemplar(docs, "doc_id", "text",
+          Dedup.dupClusters(
+            Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+              .select("doc_a", "doc_b")))
+      },
+      Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |bands AS (
+              |  SELECT doc_id, j,
+              |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash
+              |  FROM mh, range(4) t(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b
+              |    ON a.j = b.j AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+              |pp AS (
+              |  SELECT doc_a, doc_b, ma.sh AS sh_a, mb.sh AS sh_b
+              |  FROM cand
+              |  JOIN mh ma ON ma.doc_id = doc_a
+              |  JOIN mh mb ON mb.doc_id = doc_b),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM pp
+              |  WHERE round(len(list_intersect(sh_a, sh_b))
+              |        / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) >= 0.5),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |walk(id, lab) AS (
+              |  SELECT a, a FROM e
+              |  UNION
+              |  SELECT e.a, walk.lab FROM e JOIN walk ON walk.id = e.b),
+              |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+              |       FROM walk GROUP BY id),
+              |nw AS (SELECT doc_id, len(words)::BIGINT AS n_words FROM d),
+              |rr AS (SELECT cl.doc_id, cl.cluster_id,
+              |    row_number() OVER (PARTITION BY cl.cluster_id
+              |      ORDER BY nw.n_words DESC, cl.doc_id ASC) AS rn
+              |  FROM cl JOIN nw USING (doc_id))
+              |SELECT doc_id, cluster_id, (rn = 1) AS keep FROM rr"""
+        .stripMargin)),
+
     // Incremental cluster maintenance — the r5-verdict "maintained
     // artifact" design: clusters are computed once and each new crawl
     // batch folds in by contracting its pairs through the stored

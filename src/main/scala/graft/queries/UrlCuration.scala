@@ -130,6 +130,26 @@ object UrlCuration extends QueryModule {
              |    ORDER BY doc_id) <= 40)::BIGINT AS kept
              |FROM pu""".stripMargin)),
 
+    // ---- domain-level quality gate: aggregate word counts to the
+    //      registrable domain, keep domains with coverage AND average
+    //      quality (the RefinedWeb-style domain curation step) ----
+    GraftQuery("q_domain_quality_gate",
+      (s, dir) => graft.operators.UrlCuration.domainQualityGate(
+        t(s, dir, "documents")
+          .select(col("doc_id"), expr(urlExpr).as("url"), col("text")),
+        "url", "text", minDocs = 3L, minMeanWordsMilli = 54000L),
+      Some(s"""WITH $parseCte,
+             |nw AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
+             |  w -> w <> ''))::BIGINT AS n_words FROM documents),
+             |g AS (SELECT pu.registrable, count(*)::BIGINT AS n_docs,
+             |        sum(nw.n_words)::BIGINT AS sum_words
+             |      FROM pu JOIN nw USING (doc_id) GROUP BY 1)
+             |SELECT registrable, n_docs, sum_words,
+             |  (sum_words * 1000 // n_docs)::BIGINT AS mean_words_milli,
+             |  (n_docs >= 3 AND (sum_words * 1000 // n_docs) >= 54000)
+             |    AS kept
+             |FROM g""".stripMargin)),
+
     // ---- blocklist gate: broadcast anti-join on registrable domain ----
     GraftQuery("q_domain_blocklist",
       (s, dir) => {
