@@ -70,6 +70,26 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+/** Best-exemplar keeper selection over duplicate clusters. */
+class KeepBestSpec extends SparkSpec {
+
+  test("keeps the longest member per cluster, ties to the smaller id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b c d"), (3L, "x y z"), (4L, "p q r"))
+      .toDF("doc_id", "text")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L),  // doc 2 longer → keeper despite larger id
+      (3L, 3L), (4L, 3L))  // equal length → smaller id 3 keeps
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.keepBestExemplar(docs, "doc_id", "text", clusters)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, false), (2L, 1L, true),
+      (3L, 3L, true), (4L, 3L, false)))
+  }
+}
+
 /** Interval overlap join: binned equi-plan, exactly-once semantics. */
 class OverlapJoinSpec extends SparkSpec {
 
