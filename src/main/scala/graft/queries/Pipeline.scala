@@ -409,6 +409,40 @@ object Pipeline extends QueryModule {
              |SELECT event_id, user_id, event_type, ts
              |FROM g WHERE gap_us IS NULL OR gap_us > 3600000000""".stripMargin)),
 
+    // ---- TWAP resampling: duration-weighted bucket averages of held
+    //      values (what the count-weighted OHLC/mean bars get wrong for
+    //      irregular observations): one per-key lead window, map-side
+    //      bucket explode, exact cents x milliseconds integers ----
+    GraftQuery("q_twap",
+      (s, dir) => graft.operators.Resample.twap(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        bucketMillis = 86400000L),
+      Some("""WITH e AS (
+             |  SELECT user_id AS k, epoch_ms(ts)::BIGINT AS lo,
+             |    event_id AS tie,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |iv AS (
+             |  SELECT k, lo, cents,
+             |    lead(lo) OVER (PARTITION BY k ORDER BY lo, tie) AS hi
+             |  FROM e),
+             |bk AS (
+             |  SELECT k, cents, lo, hi,
+             |    unnest(range(lo // 86400000, (hi - 1) // 86400000 + 1))
+             |      AS b
+             |  FROM iv WHERE hi IS NOT NULL AND hi > lo),
+             |wg AS (
+             |  SELECT k, b, cents,
+             |    least(hi, (b + 1) * 86400000)
+             |      - greatest(lo, b * 86400000) AS wgt
+             |  FROM bk)
+             |SELECT k AS user_id, b::BIGINT AS bucket,
+             |  sum(wgt)::BIGINT AS held_millis,
+             |  sum(cents * wgt)::BIGINT AS vw,
+             |  (sum(cents * wgt) // greatest(sum(wgt), 1))::BIGINT
+             |    AS twap_cents
+             |FROM wg GROUP BY 1, 2""".stripMargin)),
+
     // ---- OHLC resampling bars: per (event type, hour) the first /
     //      max / min / last value — time-series downsampling as one
     //      grouped aggregate; open/close are min_by/max_by over the
