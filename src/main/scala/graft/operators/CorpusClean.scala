@@ -69,6 +69,47 @@ object CorpusClean {
       .where(call_function("clean_gate",
         col("norm_text"), lit(lang), lit(minQuality)))
 
+  /** Per-document drop-reason attribution — the funnel at document
+    * granularity, the "why was my document dropped?" surface a
+    * production pipeline exposes for debugging and appeals: one row
+    * per input document with its FATE, the first stage that dropped
+    * it (`gate` → `exact_dup` → `near_dup`) or `kept`. Stages are the
+    * exact [[clean]] stages (shared code, not a re-derivation).
+    *
+    * Distribution shape: three id-keyed membership left-joins (gate
+    * survivors, exact keepers, final survivors) over one shared
+    * persisted pass — corpus-linear, no windows, no pairs. */
+  def dropReasons(docs: DataFrame, idCol: String, textCol: String,
+      lang: String = "en", minQuality: Long = 3000L,
+      jaccard: Double = 0.8): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val all = docs.select(col(idCol).cast("long").as("doc_id"))
+    val filtered = gateFiltered(docs, idCol, textCol, lang, minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactKeep = Dedup.dropExactDuplicates(filtered, "doc_id", "norm_text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropIds = Dedup.minhashPairs(exactKeep, "doc_id", "norm_text", jaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = exactKeep.join(dropIds, Seq("doc_id"), "left_anti")
+    val out = all
+      .join(filtered.select(col("doc_id"), lit(1L).as("__g")),
+        Seq("doc_id"), "left")
+      .join(exactKeep.select(col("doc_id"), lit(1L).as("__e")),
+        Seq("doc_id"), "left")
+      .join(kept.select(col("doc_id"), lit(1L).as("__k")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__g").isNull, "gate")
+          .when(col("__e").isNull, "exact_dup")
+          .when(col("__k").isNull, "near_dup")
+          .otherwise("kept").as("fate"))
+    // materialization is the caller's (the registry drains eagerly);
+    // the two persists cover exactly the multi-consumer relations and
+    // are released when the session's cache clears (Verify/Bench both
+    // clearCache between queries)
+    out
+  }
+
   /** Curation funnel report — the observability surface every
     * production corpus pipeline publishes: per-stage survivor counts
     * and drop rates through input → gate (normalize + language +

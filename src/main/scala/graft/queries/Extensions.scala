@@ -863,12 +863,17 @@ object Extensions extends QueryModule {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
   }
 
+  /** The clean chain's CTE prefix (everything up to the final select)
+    * — shared by the funnel and drop-reason oracles. */
+  private[queries] val corpusCleanCtes: String =
+    corpusCleanOracle.substring(0,
+      corpusCleanOracle.lastIndexOf("SELECT doc_id, nt AS norm_text"))
+      .trim
+
   /** Funnel oracle: the same clean CTE chain, counted at each stage —
     * mirrors [[graft.operators.CorpusClean.funnel]]. */
   private[queries] val corpusCleanFunnelOracle: String = {
-    val ctes = corpusCleanOracle.substring(0,
-      corpusCleanOracle.lastIndexOf("SELECT doc_id, nt AS norm_text"))
-      .trim
+    val ctes = corpusCleanCtes
     s"""$ctes,
        |st AS (
        |  SELECT 0 AS stage, 'input' AS stage_name,
@@ -1215,6 +1220,29 @@ object Extensions extends QueryModule {
       (s, dir) => graft.operators.CorpusClean.funnel(
         t(s, dir, "documents"), "doc_id", "text"),
       Some(Extensions.corpusCleanFunnelOracle)),
+
+    // per-document drop-reason attribution: the funnel at doc
+    // granularity — every input doc labeled with its first dropping
+    // stage or 'kept'; oracle derives fates from membership in the
+    // nested clean chain's stage CTEs
+    GraftQuery("q_drop_reasons",
+      (s, dir) => graft.operators.CorpusClean.dropReasons(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val ctes = Extensions.corpusCleanCtes
+        s"""$ctes,
+           |fk AS (SELECT doc_id FROM ek WHERE doc_id NOT IN
+           |  (SELECT doc_id FROM drops))
+           |SELECT nd.doc_id,
+           |  CASE WHEN nd.doc_id NOT IN (SELECT doc_id FROM f)
+           |         THEN 'gate'
+           |       WHEN nd.doc_id NOT IN (SELECT doc_id FROM ek)
+           |         THEN 'exact_dup'
+           |       WHEN nd.doc_id NOT IN (SELECT doc_id FROM fk)
+           |         THEN 'near_dup'
+           |       ELSE 'kept' END AS fate
+           |FROM nd""".stripMargin
+      }),
 
     // streamed CDC: three id-range folds, merge-on-read verdicts — the
     // read-side min over appended per-batch minima IS the global
