@@ -23,8 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Tiebreak column for right rows sharing a timestamp: with
+    * `rightTie = Some(c)` (a unique right column, cast to long) the
+    * matched row among equal right timestamps is the SMALLEST-tie row
+    * in every direction — deterministic regardless of partition sort
+    * order. With None (default) equal right timestamps are matched in
+    * partition-sort order, which is only deterministic when right
+    * timestamps are unique per key or the pulled valueCols are
+    * functions of the timestamp itself. */
+  private def rtieCol(right: DataFrame, rightTie: Option[String]): Column =
+    rightTie.map(right(_).cast("long")).getOrElse(lit(0L))
+
   /** @param valueCols (rightColumn, outputAlias) pairs pulled from the
     *                  matched right row; null when no right row precedes.
+    * @param rightTie  optional unique right column breaking equal-ts
+    *                  right rows (smallest wins); see [[rtieCol]].
     */
   def asofBackward(
       left: DataFrame,
@@ -32,26 +45,30 @@ object AsOfJoin {
       key: String,
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[(String, String)]): DataFrame = {
+      valueCols: Seq[(String, String)],
+      rightTie: Option[String] = None): DataFrame = {
     val leftRow = struct(left.columns.map(left(_)): _*)
     val rightVal = struct(valueCols.map { case (c, a) => right(c).as(a) }: _*)
 
     val lTagged = left.select(
       left(key).as("__k"), left(leftTs).as("__t"), lit(1).as("__side"),
-      leftRow.as("__lrow"))
+      lit(null).cast("long").as("__rtie"), leftRow.as("__lrow"))
     val lrowType = lTagged.schema("__lrow").dataType
     val rTagged0 = right.select(
       right(key).as("__k"), right(rightTs).as("__t"), lit(0).as("__side"),
-      rightVal.as("__rval"))
+      rtieCol(right, rightTie).as("__rtie"), rightVal.as("__rval"))
     val rvalType = rTagged0.schema("__rval").dataType
 
     val l = lTagged.withColumn("__rval", lit(null).cast(rvalType))
     val r = rTagged0.withColumn("__lrow", lit(null).cast(lrowType))
-      .select("__k", "__t", "__side", "__lrow", "__rval")
-    val u = l.select("__k", "__t", "__side", "__lrow", "__rval").union(r)
+      .select("__k", "__t", "__side", "__rtie", "__lrow", "__rval")
+    val u = l.select("__k", "__t", "__side", "__rtie", "__lrow", "__rval")
+      .union(r)
 
+    // __rtie DESC: among equal-(ts) right rows the smallest tie sorts
+    // LAST, so the running last() picks it — the documented contract
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__rtie").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val outCols: Seq[Column] =
@@ -77,26 +94,30 @@ object AsOfJoin {
       key: String,
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[(String, String)]): DataFrame = {
+      valueCols: Seq[(String, String)],
+      rightTie: Option[String] = None): DataFrame = {
     val leftRow = struct(left.columns.map(left(_)): _*)
     val rightVal = struct(valueCols.map { case (c, a) => right(c).as(a) }: _*)
 
     val lTagged = left.select(
       left(key).as("__k"), left(leftTs).as("__t"), lit(0).as("__side"),
-      leftRow.as("__lrow"))
+      lit(null).cast("long").as("__rtie"), leftRow.as("__lrow"))
     val lrowType = lTagged.schema("__lrow").dataType
     val rTagged0 = right.select(
       right(key).as("__k"), right(rightTs).as("__t"), lit(1).as("__side"),
-      rightVal.as("__rval"))
+      rtieCol(right, rightTie).as("__rtie"), rightVal.as("__rval"))
     val rvalType = rTagged0.schema("__rval").dataType
 
     val l = lTagged.withColumn("__rval", lit(null).cast(rvalType))
     val r = rTagged0.withColumn("__lrow", lit(null).cast(lrowType))
-      .select("__k", "__t", "__side", "__lrow", "__rval")
-    val u = l.select("__k", "__t", "__side", "__lrow", "__rval").union(r)
+      .select("__k", "__t", "__side", "__rtie", "__lrow", "__rval")
+    val u = l.select("__k", "__t", "__side", "__rtie", "__lrow", "__rval")
+      .union(r)
 
+    // __rtie ASC: among equal-(ts) right rows the smallest tie sorts
+    // FIRST, so the running first() picks it — same contract as backward
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__rtie"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val outCols: Seq[Column] =
@@ -125,7 +146,8 @@ object AsOfJoin {
       key: String,
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[(String, String)]): DataFrame = {
+      valueCols: Seq[(String, String)],
+      rightTie: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.TimestampType
     def tsKey(c: Column, isTs: Boolean): Column =
       if (isTs) unix_micros(c) else c.cast("long")
@@ -140,23 +162,26 @@ object AsOfJoin {
     // right = 0 so it sorts FIRST at equal ts for the backward pass
     val lTagged = left.select(
       left(key).as("__k"), left(leftTs).as("__t"), lit(1).as("__side"),
-      leftRow.as("__lrow"))
+      lit(null).cast("long").as("__rtie"), leftRow.as("__lrow"))
     val lrowType = lTagged.schema("__lrow").dataType
     val rTagged0 = right.select(
       right(key).as("__k"), right(rightTs).as("__t"), lit(0).as("__side"),
-      rightVal.as("__rval"))
+      rtieCol(right, rightTie).as("__rtie"), rightVal.as("__rval"))
     val rvalType = rTagged0.schema("__rval").dataType
 
     val l = lTagged.withColumn("__rval", lit(null).cast(rvalType))
     val r = rTagged0.withColumn("__lrow", lit(null).cast(lrowType))
-      .select("__k", "__t", "__side", "__lrow", "__rval")
-    val u = l.select("__k", "__t", "__side", "__lrow", "__rval").union(r)
+      .select("__k", "__t", "__side", "__rtie", "__lrow", "__rval")
+    val u = l.select("__k", "__t", "__side", "__rtie", "__lrow", "__rval")
+      .union(r)
 
+    // both directional passes break equal-ts right rows to the SMALLEST
+    // tie ([[rtieCol]]): desc before a running last(), asc before first()
     val wb = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__rtie").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side").desc)
+      .orderBy(col("__t"), col("__side").desc, col("__rtie"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val ltk = tsKey(col("__t"), leftIsTs)

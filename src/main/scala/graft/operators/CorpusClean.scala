@@ -47,7 +47,12 @@ object CorpusClean {
     val filtered = gateFiltered(docs, idCol, textCol, lang, minQuality)
 
     // exact dedup: smallest doc_id per identical normalized text;
-    // read again by the near-dup pass and the final anti-join
+    // read again by the near-dup pass and the final anti-join. This
+    // persist is corpus-sized (it carries norm_text) and follows
+    // [[Dedup]]'s cache contract: it serves the returned lazy plan's
+    // multiple subtrees and is released by the session's cache clear
+    // between pipelines (callers running many pipelines in one session
+    // should clearCache, as Verify/Bench do)
     val exactKeep = Dedup.dropExactDuplicates(filtered, "doc_id", "norm_text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -74,40 +79,44 @@ object CorpusClean {
     * production pipeline exposes for debugging and appeals: one row
     * per input document with its FATE, the first stage that dropped
     * it (`gate` → `exact_dup` → `near_dup`) or `kept`. Stages are the
-    * exact [[clean]] stages (shared code, not a re-derivation).
+    * exact [[clean]] stages: the gate is the same fused kernel
+    * evaluated as a per-row BIT (no membership join needed), and exact
+    * dedup is the same keeper window via [[Dedup.exactDupRank]] with
+    * the rank kept (`__rn > 1` ⇒ exact duplicate).
     *
-    * Distribution shape: three id-keyed membership left-joins (gate
-    * survivors, exact keepers, final survivors) over one shared
-    * persisted pass — corpus-linear, no windows, no pairs. */
+    * Distribution shape: one per-row gate scan, the shared exact-dedup
+    * exchange, the near-dup drop-id set, and two id-keyed left joins —
+    * corpus-linear, no pairs. Deliberately NO corpus-sized persists
+    * (the relations here carry full text): the returned lazy plan
+    * recomputes the document scan and the exact-dedup exchange once
+    * more than [[clean]] would, which a debug/observability surface
+    * trades gladly for zero retained cache in a long-lived session
+    * (the pair generator's internal persists stay id/hash-sized per
+    * [[Dedup]]'s cache contract). */
   def dropReasons(docs: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minQuality: Long = 3000L,
       jaccard: Double = 0.8): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
-    val all = docs.select(col(idCol).cast("long").as("doc_id"))
-    val filtered = gateFiltered(docs, idCol, textCol, lang, minQuality)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exactKeep = Dedup.dropExactDuplicates(filtered, "doc_id", "norm_text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dropIds = Dedup.minhashPairs(exactKeep, "doc_id", "norm_text", jaccard)
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        call_function("norm_ws", col(textCol)).as("norm_text"))
+      .withColumn("__g", call_function("clean_gate",
+        col("norm_text"), lit(lang), lit(minQuality)))
+    val ranked = Dedup.exactDupRank(
+      base.where(col("__g")), "doc_id", "norm_text")
+    val exactKeep = ranked.where(col("__rn") === 1)
+      .select("doc_id", "norm_text")
+    val nearDrop = Dedup.minhashPairs(exactKeep, "doc_id", "norm_text", jaccard)
       .select(col("doc_b").as("doc_id")).distinct()
-    val kept = exactKeep.join(dropIds, Seq("doc_id"), "left_anti")
-    val out = all
-      .join(filtered.select(col("doc_id"), lit(1L).as("__g")),
-        Seq("doc_id"), "left")
-      .join(exactKeep.select(col("doc_id"), lit(1L).as("__e")),
-        Seq("doc_id"), "left")
-      .join(kept.select(col("doc_id"), lit(1L).as("__k")),
-        Seq("doc_id"), "left")
+      .withColumn("__n", lit(1L))
+    base.select(col("doc_id"), col("__g"))
+      .join(ranked.select(col("doc_id"), col("__rn")), Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("__g").isNull, "gate")
-          .when(col("__e").isNull, "exact_dup")
-          .when(col("__k").isNull, "near_dup")
+        when(!col("__g"), "gate")
+          .when(col("__rn") > 1, "exact_dup")
+          .when(col("__n").isNotNull, "near_dup")
           .otherwise("kept").as("fate"))
-    // materialization is the caller's (the registry drains eagerly);
-    // the two persists cover exactly the multi-consumer relations and
-    // are released when the session's cache clears (Verify/Bench both
-    // clearCache between queries)
-    out
   }
 
   /** Curation funnel report — the observability surface every

@@ -574,11 +574,18 @@ object Dedup {
     * identical to partitioning by text alone, but the in-partition sort
     * compares the hash long first and touches the string only on true
     * duplicates, instead of string-comparing every neighboring pair. */
-  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDupRank(docs, idCol, textCol).where(col("__rn") === 1).drop("__rn")
+
+  /** The exact-dedup ranking underlying [[dropExactDuplicates]], with the
+    * rank kept: `__rn = 1` is the group's keeper (smallest id per
+    * identical text), `__rn > 1` an exact duplicate. Exposed so
+    * attribution surfaces ([[CorpusClean.dropReasons]]) share the same
+    * window instead of re-deriving keeper semantics. */
+  def exactDupRank(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(xxhash64(col(textCol)), col(textCol)).orderBy(col(idCol))
     docs.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
   }
 
   /** Default document-frequency cap for [[ngramJaccard]]'s inverted index.

@@ -37,7 +37,14 @@ import org.apache.spark.sql.functions._
 object Resample {
 
   /** `(key, bucket, held_millis, vw, twap_cents)` per (key, bucket):
-    * `bucket = floor(epoch_millis / bucketMillis)`, `vw = Σ cents·ms`. */
+    * `bucket = floor(epoch_millis / bucketMillis)` — FLOORED division
+    * (Spark's `div` truncates toward zero, which for pre-1970 negative
+    * millis would shift bucket bounds off the grid and even produce
+    * negative weights; `x - pmod(x, m)` is the exact multiple of `m`
+    * at or below `x`, so the follow-up `div` is exact for any sign,
+    * matching DuckDB's floored `//`). `vw = Σ cents·ms`;
+    * `twap_cents = floor(vw / held_millis)` with the same idiom (cents
+    * may be negative). */
   def twap(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valueCol: String,
       bucketMillis: Long = 86400000L): DataFrame = {
@@ -50,10 +57,10 @@ object Resample {
     val iv = ev.withColumn("hi", lead(col("lo"), 1).over(w))
       .where(col("hi").isNotNull && col("hi") > col("lo"))
     val bw = lit(bucketMillis)
+    val fdiv = (x: String) =>
+      expr(s"(($x) - pmod($x, ${bucketMillis}L)) div ${bucketMillis}L")
     iv
-      .withColumn("b", explode(sequence(
-        expr(s"lo div ${bucketMillis}L"),
-        expr(s"(hi - 1) div ${bucketMillis}L"))))
+      .withColumn("b", explode(sequence(fdiv("lo"), fdiv("hi - 1"))))
       .withColumn("wgt",
         least(col("hi"), (col("b") + 1) * bw) -
           greatest(col("lo"), col("b") * bw))
@@ -61,6 +68,7 @@ object Resample {
       .agg(sum(col("wgt")).cast("long").as("held_millis"),
         sum(col("cents") * col("wgt")).cast("long").as("vw"))
       .select(col(keyCol), col("bucket"), col("held_millis"), col("vw"),
-        expr("vw div greatest(held_millis, 1L)").as("twap_cents"))
+        expr("(vw - pmod(vw, greatest(held_millis, 1L)))" +
+          " div greatest(held_millis, 1L)").as("twap_cents"))
   }
 }

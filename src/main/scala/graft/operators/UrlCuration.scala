@@ -75,7 +75,7 @@ object UrlCuration {
       .as("port"),
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
       .as("path"),
-    regexp_extract(url, "\\?([^#]*)", 1).as("query"))
+    regexp_extract(url, "^[^#?]*\\?([^#]*)", 1).as("query"))
 
   /** Parse + canonicalize: input columns plus `(scheme, host, port,
     * path, query, canon_url)`. */

@@ -467,11 +467,11 @@ object RefParity extends QueryModule {
         val purchases = ev.where($"event_type" === "purchase")
           .select($"event_id", $"user_id", $"ts".as("purchase_ts"))
         val clicks = ev.where($"event_type" === "click")
-          .select($"user_id", $"ts")
+          .select($"user_id", $"ts", $"event_id")
         AsOfJoin.asofBackward(
           purchases, clicks, key = "user_id",
           leftTs = "purchase_ts", rightTs = "ts",
-          valueCols = Seq(("ts", "click_ts")))
+          valueCols = Seq(("ts", "click_ts")), rightTie = Some("event_id"))
       },
       Some("""SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -487,11 +487,11 @@ object RefParity extends QueryModule {
         val purchases = ev.where($"event_type" === "purchase")
           .select($"event_id", $"user_id", $"ts".as("purchase_ts"))
         val clicks = ev.where($"event_type" === "click")
-          .select($"user_id", $"ts")
+          .select($"user_id", $"ts", $"event_id")
         AsOfJoin.asofForward(
           purchases, clicks, key = "user_id",
           leftTs = "purchase_ts", rightTs = "ts",
-          valueCols = Seq(("ts", "click_ts")))
+          valueCols = Seq(("ts", "click_ts")), rightTie = Some("event_id"))
       },
       Some("""SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -509,11 +509,11 @@ object RefParity extends QueryModule {
         val purchases = ev.where($"event_type" === "purchase")
           .select($"event_id", $"user_id", $"ts".as("purchase_ts"))
         val clicks = ev.where($"event_type" === "click")
-          .select($"user_id", $"ts")
+          .select($"user_id", $"ts", $"event_id")
         AsOfJoin.asofNearest(
           purchases, clicks, key = "user_id",
           leftTs = "purchase_ts", rightTs = "ts",
-          valueCols = Seq(("ts", "click_ts")))
+          valueCols = Seq(("ts", "click_ts")), rightTie = Some("event_id"))
       },
       Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
              |  WHERE event_type = 'purchase'),

@@ -65,7 +65,7 @@ object UrlCuration extends QueryModule {
        |      ':([0-9]+)$$', 1) AS port,
        |    regexp_extract(url,
        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-       |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+       |    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query
        |  FROM u),
        |p1 AS (
        |  SELECT *,

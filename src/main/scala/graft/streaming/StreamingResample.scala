@@ -50,9 +50,11 @@ object StreamingResample {
               val lo = r.ts.getTime
               val cents = math.floor(r.value * 100).toLong
               if (st != null && lo > st.lo) {
-                // close [st.lo, lo): one slice per covered bucket
-                var b = st.lo / bucketMillis
-                val bHi = (lo - 1) / bucketMillis
+                // close [st.lo, lo): one slice per covered bucket.
+                // floorDiv, not /: pre-1970 negative millis must land
+                // on the same floored bucket grid as the batch twin
+                var b = java.lang.Math.floorDiv(st.lo, bucketMillis)
+                val bHi = java.lang.Math.floorDiv(lo - 1, bucketMillis)
                 while (b <= bHi) {
                   val w = math.min(lo, (b + 1) * bucketMillis) -
                     math.max(st.lo, b * bucketMillis)

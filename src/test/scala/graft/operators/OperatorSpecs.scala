@@ -68,6 +68,32 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 14L, Some(9.0)),
       ("C", 50L, None)))
   }
+
+  test("duplicate right timestamps: rightTie makes the match deterministic" +
+      " (smallest tie wins in every direction)") {
+    import spark.implicits._
+    // three quotes share ts=20; rid 4 has the smallest tie and must win
+    // regardless of partition sort order, in all three directions
+    val quotes = Seq( // (sym, ts, rid, px)
+      ("A", 10L, 9L, 1.0),
+      ("A", 20L, 6L, 2.0), ("A", 20L, 4L, 7.0), ("A", 20L, 5L, 8.0),
+      ("A", 30L, 1L, 3.0)).toDF("sym", "ts", "rid", "px")
+    val trades = Seq(("A", 22L), ("A", 18L), ("A", 25L))
+      .toDF("sym", "trade_ts")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.as[(String, Long, Option[Double])].collect().toSet
+    assert(run(AsOfJoin.asofBackward(trades, quotes, "sym", "trade_ts",
+      "ts", Seq(("px", "px")), rightTie = Some("rid"))) === Set(
+      ("A", 18L, Some(1.0)), ("A", 22L, Some(7.0)), ("A", 25L, Some(7.0))))
+    assert(run(AsOfJoin.asofForward(trades, quotes, "sym", "trade_ts",
+      "ts", Seq(("px", "px")), rightTie = Some("rid"))) === Set(
+      ("A", 18L, Some(7.0)), ("A", 22L, Some(3.0)), ("A", 25L, Some(3.0))))
+    assert(run(AsOfJoin.asofNearest(trades, quotes, "sym", "trade_ts",
+      "ts", Seq(("px", "px")), rightTie = Some("rid"))) === Set(
+      ("A", 18L, Some(7.0)),   // 20 closer than 10; smallest rid at 20
+      ("A", 22L, Some(7.0)),   // backward 20 closer than forward 30
+      ("A", 25L, Some(7.0))))  // equidistant 20/30 → backward, rid 4
+  }
 }
 
 /** Best-exemplar keeper selection over duplicate clusters. */

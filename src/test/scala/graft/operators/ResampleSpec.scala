@@ -47,4 +47,25 @@ class ResampleSpec extends SparkSpec {
       (1L, 0L, 100L, 10000L, 100L),
       (1L, 1L, 100L, 30000L, 300L)))
   }
+
+  test("pre-1970 timestamps land on the floored bucket grid") {
+    import spark.implicits._
+    // v=1.00 held [-150,-50): floored buckets b=-2 [-200,-100) gets
+    // 50ms, b=-1 [-100,0) gets 50ms — truncating division would have
+    // produced buckets -1 and 0 with a NEGATIVE 50ms weight on b=0.
+    // v=-3.00 held [-50, 100): b=-1 gets 50ms of -300c, b=0 gets 100ms
+    // of -300c; twap_cents floors (-15000/50 = -300 exactly, and the
+    // mixed b=-1 bucket: (50·100 + 50·-300)/100 = -100).
+    val ev = Seq(
+      (1L, ms(-150L), 1L, 1.0), (2L, ms(-50L), 1L, -3.0),
+      (3L, ms(100L), 1L, 9.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = Resample.twap(ev, "user_id", "ts", "event_id", "value",
+        bucketMillis = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq === Seq(
+      (1L, -2L, 50L, 5000L, 100L),
+      (1L, -1L, 100L, -10000L, -100L),
+      (1L, 0L, 100L, -30000L, -300L)))
+  }
 }

@@ -27,6 +27,19 @@ class UrlCurationSpec extends SparkSpec {
     assert(got(5L) === "http://h.org/p") // all tracking params dropped
   }
 
+  test("canonicalize: '?' inside the fragment is NOT a query") {
+    // RFC 3986: the fragment starts at the FIRST '#'; a '?' after it is
+    // fragment text, not a query delimiter. The query regex anchors on
+    // the pre-fragment prefix, so 'b' must not survive into canon_url.
+    val got = canon(
+      (1L, "http://h.org/p#a?b"),
+      (2L, "http://h.org/p?x=1#a?b"),
+      (3L, "http://h.org/p?x=1&y=2?z#f"))
+    assert(got(1L) === "http://h.org/p") // fragment-only: no query
+    assert(got(2L) === "http://h.org/p?x=1") // real query kept, frag dropped
+    assert(got(3L) === "http://h.org/p?x=1&y=2?z") // later '?' is data
+  }
+
   test("registrable domain: multi-part suffix, fallback, single label") {
     import spark.implicits._
     val got = UrlCuration.registrableDomain(

@@ -12,12 +12,15 @@ class StreamingResampleSpec extends SparkSpec {
   private def ob(id: Long, millis: Long, uid: Long, v: Double) =
     Obs(id, new Timestamp(millis), uid, v)
 
-  /** Two keys; user 1 has a same-timestamp pair and a bucket-straddling
-    * interval; user 2 a single (terminal, never-emitting) observation. */
+  /** Three keys; user 1 has a same-timestamp pair and a
+    * bucket-straddling interval; user 2 a single (terminal,
+    * never-emitting) observation; user 3 straddles the epoch with
+    * pre-1970 millis (floored bucket grid, negative cents). */
   private val all = Seq(
     ob(1, 0L, 1, 1.0), ob(2, 100L, 1, 5.0), ob(3, 100L, 1, 3.0),
     ob(4, 250L, 1, 2.0), ob(5, 400L, 1, 9.0),
-    ob(6, 50L, 2, 7.0))
+    ob(6, 50L, 2, 7.0),
+    ob(7, -150L, 3, 1.0), ob(8, -50L, 3, -3.0), ob(9, 100L, 3, 9.0))
 
   test("folded streamed slices equal the batch TWAP across batches") {
     import spark.implicits._
@@ -34,7 +37,8 @@ class StreamingResampleSpec extends SparkSpec {
         .groupBy(s => (s.user_id, s.bucket)).view
         .mapValues(ss => (ss.map(_.held_millis).sum, ss.map(_.vw).sum))
         .toMap
-        .map { case (k, (h, vw)) => (k._1, k._2, h, vw, vw / math.max(h, 1L)) }
+        .map { case (k, (h, vw)) =>
+          (k._1, k._2, h, vw, Math.floorDiv(vw, math.max(h, 1L))) }
         .toSet
       val batch = graft.operators.Resample.twap(
           spark.createDataset(all).toDF()
