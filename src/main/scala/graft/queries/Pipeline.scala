@@ -47,6 +47,35 @@ object Pipeline extends QueryModule {
     "table scan", "window agg", "big table", "the big table",
     "stream batch window")
 
+  /** Shared by q_twap and q_twap_stream (the streamed slices fold to
+    * exactly the batch relation, so the oracle is identical). */
+  private val twapOracle: String =
+    """WITH e AS (
+      |  SELECT user_id AS k, epoch_ms(ts)::BIGINT AS lo,
+      |    event_id AS tie,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |iv AS (
+      |  SELECT k, lo, cents,
+      |    lead(lo) OVER (PARTITION BY k ORDER BY lo, tie) AS hi
+      |  FROM e),
+      |bk AS (
+      |  SELECT k, cents, lo, hi,
+      |    unnest(range(lo // 86400000, (hi - 1) // 86400000 + 1))
+      |      AS b
+      |  FROM iv WHERE hi IS NOT NULL AND hi > lo),
+      |wg AS (
+      |  SELECT k, b, cents,
+      |    least(hi, (b + 1) * 86400000)
+      |      - greatest(lo, b * 86400000) AS wgt
+      |  FROM bk)
+      |SELECT k AS user_id, b::BIGINT AS bucket,
+      |  sum(wgt)::BIGINT AS held_millis,
+      |  sum(cents * wgt)::BIGINT AS vw,
+      |  (sum(cents * wgt) // greatest(sum(wgt), 1))::BIGINT
+      |    AS twap_cents
+      |FROM wg GROUP BY 1, 2""".stripMargin
+
   override val queries: Seq[GraftQuery] = Seq(
 
     // ---- purged temporal split: train before the 4/5 time cut, val
@@ -417,31 +446,47 @@ object Pipeline extends QueryModule {
       (s, dir) => graft.operators.Resample.twap(
         t(s, dir, "events"), "user_id", "ts", "event_id", "value",
         bucketMillis = 86400000L),
-      Some("""WITH e AS (
-             |  SELECT user_id AS k, epoch_ms(ts)::BIGINT AS lo,
-             |    event_id AS tie,
-             |    CAST(floor(value * 100) AS BIGINT) AS cents
-             |  FROM events),
-             |iv AS (
-             |  SELECT k, lo, cents,
-             |    lead(lo) OVER (PARTITION BY k ORDER BY lo, tie) AS hi
-             |  FROM e),
-             |bk AS (
-             |  SELECT k, cents, lo, hi,
-             |    unnest(range(lo // 86400000, (hi - 1) // 86400000 + 1))
-             |      AS b
-             |  FROM iv WHERE hi IS NOT NULL AND hi > lo),
-             |wg AS (
-             |  SELECT k, b, cents,
-             |    least(hi, (b + 1) * 86400000)
-             |      - greatest(lo, b * 86400000) AS wgt
-             |  FROM bk)
-             |SELECT k AS user_id, b::BIGINT AS bucket,
-             |  sum(wgt)::BIGINT AS held_millis,
-             |  sum(cents * wgt)::BIGINT AS vw,
-             |  (sum(cents * wgt) // greatest(sum(wgt), 1))::BIGINT
-             |    AS twap_cents
-             |FROM wg GROUP BY 1, 2""".stripMargin)),
+      Some(twapOracle)),
+
+    // ---- streamed TWAP: the same relation built incrementally —
+    //      observations arrive in (ts, tie) order over three
+    //      micro-batches, each interval's bucket slices emit when the
+    //      next observation closes it, and the ADDITIVE slices fold
+    //      with a plain sum to exactly the batch rows (shares q_twap's
+    //      oracle verbatim). The MemoryStream transport is the test
+    //      harness (the registry has no broker); at sf scale its
+    //      driver-side staging is events-table-sized — production
+    //      swaps in a Kafka/file source, the operator is unchanged ----
+    GraftQuery("q_twap_stream",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+        import graft.streaming.StreamingResample
+        import graft.streaming.StreamingResample.{BucketSlice, Obs}
+        val obs = t(s, dir, "events")
+          .select($"event_id", $"ts", $"user_id", $"value").as[Obs]
+          .collect().sortBy(r => (r.ts.getTime, r.event_id)).toSeq
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[Obs]
+        val nm = "graft_twap_stream_sink"
+        s.catalog.dropTempView(nm)
+        val q = StreamingResample.twapStream(in.toDS(), 86400000L)
+          .writeStream.format("memory").queryName(nm)
+          .outputMode("append").start()
+        try {
+          val third = (obs.size + 2) / 3
+          obs.grouped(math.max(third, 1)).foreach { batch =>
+            in.addData(batch); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(nm).as[BucketSlice].groupBy($"user_id", $"bucket")
+          .agg(sum($"held_millis").cast("long").as("held_millis"),
+            sum($"vw").cast("long").as("vw"))
+          .select($"user_id", $"bucket", $"held_millis", $"vw",
+            expr("(vw - pmod(vw, greatest(held_millis, 1L)))" +
+              " div greatest(held_millis, 1L)").as("twap_cents"))
+      },
+      Some(twapOracle)),
 
     // ---- OHLC resampling bars: per (event type, hour) the first /
     //      max / min / last value — time-series downsampling as one
