@@ -301,6 +301,77 @@ case class NormWs(child: Expression) extends UnaryExpression with CodegenFallbac
     copy(child = newChild)
 }
 
+/** decode_numrefs(text): decode HTML numeric character references —
+  * `&#D;` (1–8 decimal digits) and `&#xH;`/`&#XH;` (1–6 hex digits) —
+  * to their Unicode scalar values in ONE left-to-right pass. A
+  * reference whose code point is 0, beyond U+10FFFF, or a UTF-16
+  * surrogate (U+D800–U+DFFF) stays literal text, as does anything
+  * malformed (no terminating `;`, too many digits, `&#` with no
+  * digits). Decoded output is FINAL text, never rescanned — so a
+  * double-escaped `&amp;#65;` (whose `&amp;` is decoded LAST by
+  * [[graft.operators.Boilerplate.decodeEntities]]) correctly yields
+  * the literal text `&#65;`, the HTML single-pass semantics. */
+case class DecodeNumRefs(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "decode_numrefs"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (!s.contains("&#")) return u
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var decoded = false
+      if (c == '&' && i + 2 < n && s.charAt(i + 1) == '#') {
+        var code = -1L
+        var end = -1
+        val j = i + 2
+        if (s.charAt(j) == 'x' || s.charAt(j) == 'X') {
+          var k = j + 1
+          var v = 0L
+          while (k < n && k - j - 1 < 6 && hexVal(s.charAt(k)) >= 0) {
+            v = v * 16 + hexVal(s.charAt(k)); k += 1
+          }
+          // at least one digit, and the NEXT char (even a 7th hex
+          // digit, which makes the ref malformed) must be ';'
+          if (k > j + 1 && k < n && s.charAt(k) == ';') { code = v; end = k }
+        } else if (s.charAt(j) >= '0' && s.charAt(j) <= '9') {
+          var k = j
+          var v = 0L
+          while (k < n && k - j < 8 && s.charAt(k) >= '0' && s.charAt(k) <= '9') {
+            v = v * 10 + (s.charAt(k) - '0'); k += 1
+          }
+          if (k < n && s.charAt(k) == ';') { code = v; end = k }
+        }
+        if (end >= 0 && code >= 1 && code <= 0x10FFFFL &&
+            !(code >= 0xD800L && code <= 0xDFFFL)) {
+          sb.appendCodePoint(code.toInt)
+          i = end + 1
+          decoded = true
+        }
+      }
+      if (!decoded) { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** clean_gate(text, lang, minQuality): the corpus-clean keep/drop decision
   * as ONE boolean kernel — language-ID argmax + integer quality score in a
   * single tokenization pass, replacing six interpreted filter/contains

@@ -122,6 +122,8 @@ object VectorFunctions {
       "minhash_from_hashes(hv) - 16-wide MinHash signature from hashed shingles"),
     ("norm_ws", (e: Seq[Expression]) => NormWs(e(0)),
       "norm_ws(text) - collapse whitespace, trim, lowercase (one pass)"),
+    ("decode_numrefs", (e: Seq[Expression]) => DecodeNumRefs(e(0)),
+      "decode_numrefs(text) - decode HTML numeric character references"),
     ("unicode_norm", (e: Seq[Expression]) => UnicodeNorm(e(0), e(1)),
       "unicode_norm(text, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),
     ("clean_gate", (e: Seq[Expression]) => CleanGate(e(0), e(1), e(2)),

@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   *     the tag (the naive `<[^>]*>` truncates mid-attribute and
   *     leaks `b">` into the text);
   *  4. every removed construct becomes a line break, lines then
-  *     decode the common HTML entities (`&lt; &gt; &quot; &apos;
-  *     &#39; &#x27; &nbsp;`, and `&amp;` strictly LAST so
-  *     `&amp;lt;` correctly yields the literal text `&lt;`), and
-  *     are trimmed, with empties dropped.
+  *     decode the common named entities (`&lt; &gt; &quot; &apos;
+  *     &nbsp;`) plus GENERAL numeric character references
+  *     (`&#8217;`, `&#xE9;`, any Unicode scalar — malformed or
+  *     invalid code points stay literal), with `&amp;` strictly
+  *     LAST so `&amp;lt;` correctly yields the literal text
+  *     `&lt;` and `&amp;#65;` the literal `&#65;`, and are
+  *     trimmed, with empties dropped.
   * Each line keeps its ORIGINAL position so the cleaned document
   * preserves reading order.
   *
@@ -68,25 +71,33 @@ object Boilerplate {
     regexp_replace(noCdata, "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>", "\n")
   }
 
-  /** Decode the common named/numeric entities; `&amp;` LAST, so a
-    * double-escaped `&amp;lt;` yields literal `&lt;` text (HTML
-    * semantics), never `<`. Literal `replace`, not regex — every
-    * pattern is a fixed string. */
+  /** Decode the common named entities plus GENERAL numeric character
+    * references — `&#8217;`, `&#xE9;` and friends, any Unicode scalar
+    * value, via the `decode_numrefs` kernel
+    * ([[graft.functions.DecodeNumRefs]]: 1–8 decimal / 1–6 hex digits,
+    * code 0, surrogates and > U+10FFFF stay literal) — with `&amp;`
+    * strictly LAST, so a double-escaped `&amp;lt;` yields literal
+    * `&lt;` and `&amp;#65;` yields literal `&#65;` (HTML single-pass
+    * semantics, since decoded numeric output is never rescanned).
+    * Named entities are literal `replace`, not regex — every pattern
+    * is a fixed string. */
   private[operators] def decodeEntities(line: Column): Column = {
     val named = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
-      "&#39;" -> "'", "&#x27;" -> "'", "&nbsp;" -> " ")
+      "&nbsp;" -> " ")
     val decoded = named.foldLeft(line) { case (acc, (k, v)) =>
       replace(acc, lit(k), lit(v))
     }
-    replace(decoded, lit("&amp;"), lit("&"))
+    replace(call_function("decode_numrefs", decoded),
+      lit("&amp;"), lit("&"))
   }
 
   /** Markup-stripped, entity-decoded text lines with their original
     * order: `(doc_id, pos, line)` — pos indexes the RAW line list
     * (gaps where empties were dropped), so downstream reassembly
     * never needs a second window. */
-  def htmlLines(docs: DataFrame, idCol: String, htmlCol: String): DataFrame =
+  def htmlLines(docs: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         split(stripMarkup(col(htmlCol)), "\n").as("raw"))
@@ -94,6 +105,7 @@ object Boilerplate {
       .withColumn("pos", col("pos").cast("long"))
       .withColumn("line", trim(decodeEntities(col("line"))))
       .where(col("line") =!= "")
+  }
 
   /** Main-text extraction: `(doc_id, title, n_lines, body)` — the
     * first line is the title (document order, not DOM knowledge),

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * HOSTILE real-world markup: a `<style>` block and a multi-line
   * `<script>` whose bodies are full of `<`/`>`/quotes/`<!--`, an HTML
   * comment containing a tag-shaped string, an anchor whose attribute
-  * value contains a bare `>`, and text lines carrying `&amp;`-family
-  * entities — every construct the naive `<[^>]*>`-only model gets
-  * wrong. The ORACLE never parses that HTML: it states the expected
+  * value contains a bare `>`, text lines carrying `&amp;`-family
+  * entities, and a numeric-reference gauntlet (hex and decimal forms
+  * of é, curly quotes, an em dash; a surrogate `&#xD800;`, an
+  * overlong `&#999999999;` and `&#0;` which must stay literal; a
+  * double-escaped `&amp;#65;` which must yield literal `&#65;`) —
+  * every construct the naive `<[^>]*>`-only model gets wrong. The ORACLE never parses that HTML: it states the expected
   * clean lines CONSTRUCTIVELY from the same (doc_id, source, words)
   * ground truth the fixture injected, so extraction bugs cannot
   * cancel out between the two engines. What is under test: script/
@@ -48,6 +51,8 @@ object WebClean extends QueryModule {
       |    sequence(0, greatest(size(words) - 1, 0) div 12),
       |    g -> array_join(slice(words, g * 12 + 1, 12), ' ')), '</p><p>'),
       |  '</p><p>Tom &amp; Jerry &lt;3 &quot;quotes&quot; &#39;s&nbsp;end',
+      |  '</p><p>Caf&#xE9; caf&#233; said &#8217;hi&#8217; &#x2014; gap',
+      |  ' &#xD800; &#999999999; &#0; &amp;#65; fin',
       |  '</p><footer>(c) ', source, ' crawl</footer></body></html>')"""
       .stripMargin
 
@@ -82,6 +87,9 @@ object WebClean extends QueryModule {
       |        range(0, greatest(len(words) - 1, 0) // 12 + 1),
       |        g -> array_to_string(words[g * 12 + 1 : g * 12 + 12], ' '))),
       |      ['Tom & Jerry <3 "quotes" ''s end',
+      |       'Caf' || chr(233) || ' caf' || chr(233) || ' said ' ||
+      |         chr(8217) || 'hi' || chr(8217) || ' ' || chr(8212) ||
+      |         ' gap &#xD800; &#999999999; &#0; &#65; fin',
       |       '(c) ' || source || ' crawl']) AS lines
       |  FROM w0),
       |l0 AS (

@@ -90,6 +90,26 @@ class BoilerplateSpec extends SparkSpec {
       "literal &lt; stays", "pad ding"))
   }
 
+  test("general numeric character references decode; malformed and " +
+      "invalid code points stay literal; &amp;#65; yields literal &#65;") {
+    import spark.implicits._
+    val page = Seq((9L,
+      "<body><p>caf&#233; Caf&#xE9; q&#8217;s &#x2014; &#x1F600;</p>" +
+        "<p>bad &#xD800; &#999999999; &#0; &#12a; &#x; &#; &#65</p>" +
+        "<p>esc &amp;#65; and &amp;#x41;</p></body>"))
+      .toDF("doc_id", "html")
+    val got = Boilerplate.htmlLines(page, "doc_id", "html")
+      .orderBy($"pos").select($"line").as[String].collect().toSeq
+    assert(got === Seq(
+      // decimal, hex, curly quote, em dash, astral (emoji) all decode
+      "café Café q’s — " +
+        new String(Character.toChars(0x1F600)),
+      // surrogate, 9 digits, NUL, trailing junk, empty, unterminated
+      "bad &#xD800; &#999999999; &#0; &#12a; &#x; &#; &#65",
+      // double-escape: numeric decode never rescans, &amp; is last
+      "esc &#65; and &#x41;"))
+  }
+
   test("a doc whose every line is boilerplate cleans to the empty string") {
     import spark.implicits._
     val clones = (1L to 4L).map(i =>
