@@ -71,6 +71,52 @@ object Scratch {
       val out = exactKeep.join(dropIds, Seq("doc_id"), "left_anti")
       time("antijoin")(out.write.format("noop").mode("overwrite").save())
     }
+    if (args.contains("cpackprof")) {
+      // Per-fold pack-stage INPUT BYTES, delta design vs the old
+      // full-anti-join design (round-12 VERDICT task 1). The old
+      // design's pack stage read texts + drops + packed in full every
+      // fold (corpus-linear); the delta design reads pending +
+      // (normally empty) at-risk watermark dirs + two 1-row logs.
+      // Bytes, not NVMe wall time, are the decisive metric (the ER
+      // profiler precedent).
+      import org.apache.spark.sql.functions._
+      import graft.streaming.{StreamingCleanPack, StreamingCorpusClean}
+      val fsRoot = "/tmp/graft_cpackprof/state"
+      def bytes(path: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }
+      StreamingCleanPack.init(spark, fsRoot)
+      val docs = Tables.t(spark, dir, "documents")
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val folds = 6
+      val cb = StreamingCleanPack.cleanBase(fsRoot)
+      val pb = StreamingCleanPack.packBase(fsRoot)
+      val pp = StreamingCleanPack.pendingPath(fsRoot)
+      for (i <- 0L until folds.toLong) {
+        val batch = docs.where(col("doc_id") >= i * maxId / folds &&
+          col("doc_id") < (i + 1) * maxId / folds)
+        val t0 = System.nanoTime()
+        StreamingCorpusClean.foldDocs(spark, cb, batch, "doc_id", "text",
+          onNewlyKept =
+            Some(d => StreamingCleanPack.stagePending(spark, fsRoot, d)))
+        val tClean = (System.nanoTime() - t0) / 1e9
+        // what the pack stage is ABOUT to read (delta design: pending +
+        // zero-byte markers; at-risk dirs are empty in a crash-free
+        // run) vs what the old design's anti-join lineage read at this
+        // fold (full texts + drops + packed)
+        val newRead = bytes(pp) + bytes(s"$pb/wlog")
+        val oldRead = bytes(s"$cb/texts") + bytes(s"$cb/drops") +
+          bytes(s"$pb/packed")
+        val t1 = System.nanoTime()
+        StreamingCleanPack.packPending(spark, fsRoot, 256, None)
+        val tPack = (System.nanoTime() - t1) / 1e9
+        println(f"CPACK fold=$i%d clean=$tClean%6.2fs pack=$tPack%6.2fs " +
+          f"pack_read_delta=${newRead / 1024}%8d KB " +
+          f"pack_read_old=${oldRead / 1024}%8d KB")
+      }
+    }
     if (args.contains("ngramprof")) {
       import org.apache.spark.sql.functions._
       val sh = Tables.t(spark, dir, "documents")
@@ -382,7 +428,8 @@ object Scratch {
       }
     }
 
-    val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen", "scalegen30", "erprof", "semladder")
+    val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen",
+      "scalegen30", "erprof", "semladder", "cpackprof")
     val toTime =
       if (args.isEmpty) defaults
       else args.toSeq.filterNot(a => a.startsWith("explain:") || modes(a))

@@ -78,10 +78,20 @@ object StreamingCorpusClean {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Fold one micro-batch of raw documents `(idCol, textCol)`. */
+  /** Fold one micro-batch of raw documents `(idCol, textCol)`.
+    *
+    * @param onNewlyKept composition hook (round 12): invoked with the
+    *   fold's NEWLY-KEPT delta — this batch's exact-dedup winners minus
+    *   its own verified near-dup losers, `(doc_id, norm_text)`,
+    *   batch-sized — BEFORE the texts append (the fold's commit point),
+    *   so a crash-replayed fold recomputes and re-stages the identical
+    *   delta. This is what lets [[StreamingCleanPack]] pack each fold
+    *   from delta-sized reads instead of re-scanning the accumulated
+    *   artifacts. */
   def foldDocs(spark: SparkSession, base: String, batch: DataFrame,
       idCol: String, textCol: String, lang: String = "en",
-      minQuality: Long = 3000L, jaccard: Double = 0.8): Unit = {
+      minQuality: Long = 3000L, jaccard: Double = 0.8,
+      onNewlyKept: Option[DataFrame => Unit] = None): Unit = {
     graft.functions.VectorFunctions.register(spark)
     val storedT = readOr(spark, textsPath(base), textSchema)
     val storedB = readOr(spark, bandsPath(base), bandSchema)
@@ -166,6 +176,18 @@ object StreamingCorpusClean {
       // probes its own stored rows
       verified.write.mode("append").parquet(dropsPath(base))
       newBands.write.mode("append").parquet(bandsPath(base))
+      // the newly-kept delta is surfaced BEFORE the texts append: texts
+      // is the commit point (a replayed batch no-ops only once texts
+      // landed), so every crash window either re-runs the hook with the
+      // identical recomputed delta or already staged it. If the bands
+      // append above invalidated the cands cache (recache-by-path), the
+      // recompute sees the fold's OWN bands in storedB — the extra
+      // candidates are exactly candNew's same-batch pairs again, so the
+      // distinct()'d pair set (hence verified, hence the delta) is
+      // unchanged; texts is still unappended, so sh and the exact stage
+      // are untouched.
+      onNewlyKept.foreach(f =>
+        f(newExact.join(verified, Seq("doc_id"), "left_anti")))
       newExact.write.mode("append").parquet(textsPath(base))
       cands.unpersist()
       newBands.unpersist()
@@ -179,10 +201,11 @@ object StreamingCorpusClean {
     * the real zstd frame walk, then the document fold above. */
   def foldWarcZst(spark: SparkSession, base: String,
       archives: Dataset[ArchiveRecord], lang: String = "en",
-      minQuality: Long = 3000L, jaccard: Double = 0.8): Unit =
+      minQuality: Long = 3000L, jaccard: Double = 0.8,
+      onNewlyKept: Option[DataFrame => Unit] = None): Unit =
     foldDocs(spark, base,
       Archives.warcZstSplit(archives).select(col("doc_id"), col("text")),
-      "doc_id", "text", lang, minQuality, jaccard)
+      "doc_id", "text", lang, minQuality, jaccard, onNewlyKept)
 
   /** The always-current cleaned corpus: exact survivors minus near-dup
     * losers — the batch [[graft.operators.CorpusClean.clean]] output

@@ -31,49 +31,159 @@ final case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
   */
 object StreamingPacking {
 
-  /** Artifact-backed packing fold — the micro-batch twin of
-    * [[packStream]] for foreachBatch pipelines
-    * ([[StreamingCleanPack]]): fold one batch of ALREADY-COUNTED
-    * documents `(doc_id, n_tokens)` into the packed artifact under
-    * `base`, offsets continuing from the stored cursor. The batch is
-    * packed by the batch operator's own two-phase prefix sum
-    * ([[graft.operators.Packing.packCounted]] with the cursor as
-    * baseOffset — no single-partition window even on a huge fold),
-    * appended, and the 1-row cursor is advanced. Offsets are final on
-    * append: the composition contract is ASCENDING doc_id across
-    * folds (crawl order — the same total order the batch prefix sum
-    * uses), under which streamed packing equals the batch pack of
-    * everything seen. */
-  def foldCounted(spark: org.apache.spark.sql.SparkSession, base: String,
-      counted: DataFrame, packSize: Int): Unit = {
-    val packedPath = s"$base/packed"
-    val cursorPath = s"$base/cursor"
-    val cur = readCursor(spark, cursorPath)
+  /** Artifact-backed DELTA packing fold (round 12, replacing the
+    * full-anti-join `foldCounted`) — the micro-batch twin of
+    * [[packStream]] for foreachBatch pipelines ([[StreamingCleanPack]]).
+    *
+    * Inputs are the PENDING delta directories a producer staged under
+    * `pendingRoot` (each one fold's newly-surviving docs, written with
+    * a content-derived name + overwrite, so a crash-replayed producer
+    * fold re-stages the identical directory). The fold:
+    *  1. reads every committed pending dir (delta-sized — never the
+    *     accumulated corpus);
+    *  2. anti-joins ONLY the at-risk packed watermark dirs — those
+    *     with `w >` the consumed-watermark marker — which is the
+    *     crash window between a packed write and its marker, normally
+    *     EMPTY (exactly-once without a corpus-sized read);
+    *  3. counts tokens over the fresh docs via `countFn`;
+    *  4. packs with [[graft.operators.Packing.packCounted]] (two-phase
+    *     prefix sum, no single-partition window even on a huge fold)
+    *     and writes to `packed/w_<W+1>` (overwrite: an uncommitted
+    *     crash leaves only `_temporary`, which reads as zero rows).
+    *     The base offset is DERIVED from the newest committed
+    *     watermark dir — offsets strictly increase across dirs, so its
+    *     `max(offset + n_tokens)` is the global cursor; there is no
+    *     cursor artifact to append, desync, or compact;
+    *  5. consumes: deletes the pending dirs, then marks the watermark
+    *     with a zero-byte `c_<W>` marker file (atomic create, value in
+    *     the NAME — never read as data, so no listing-staleness
+    *     hazard), and drops all but the max marker once more than
+    *     [[MarkerCompactAt]] accumulate — the cursor-file compaction
+    *     hook, trivial because markers are names. A crash between
+    *     delete and marker only widens the at-risk window by one fold
+    *     until the next marker covers it.
+    *
+    * Per-fold IO is therefore pending + (usually empty) at-risk dirs +
+    * one newest-watermark-dir aggregate + a directory listing —
+    * delta-sized, not corpus-linear; the [[StreamingEntityResolution]]
+    * merge-on-read discipline applied to packing. Offsets are final on
+    * append: the composition contract is ASCENDING doc_id across folds
+    * (crawl order — the same total order the batch prefix sum uses),
+    * under which streamed packing equals the batch pack of everything
+    * seen.
+    *
+    * @param countFn maps the fresh delta to `(doc_id, n_tokens)` —
+    *                the whitespace rule or an artifact-served tokenizer
+    */
+  def foldPending(spark: org.apache.spark.sql.SparkSession, base: String,
+      pendingRoot: String, countFn: DataFrame => DataFrame,
+      packSize: Int): Unit = {
+    val fs = hadoopFs(spark, base)
+    val pendDirs = committedSubdirs(fs, pendingRoot)
+    if (pendDirs.isEmpty) return
+    val packedRoot = s"$base/packed"
+
+    val wDirs = committedSubdirs(fs, packedRoot)
+      .flatMap(p => parseW(p.getName).map(w => (w, p)))
+    val consumed = maxMarker(fs, s"$base/wlog")
+    val atRiskDirs = wDirs.filter(_._1 > consumed)
+
+    val pending = pendDirs.map(p => spark.read.parquet(p.toString))
+      .reduce(_.unionByName(_))
+    val fresh = atRiskDirs match {
+      case Seq() => pending
+      case dirs =>
+        val atRiskIds = dirs.map(d =>
+            spark.read.parquet(d._2.toString).select("doc_id"))
+          .reduce(_.unionByName(_))
+        pending.join(atRiskIds, Seq("doc_id"), "left_anti")
+    }
+
+    // the global cursor lives in the NEWEST committed watermark dir
+    // (offsets strictly increase across dirs); empty artifact → 0
+    val cur = wDirs.sortBy(_._1).lastOption.map { case (_, p) =>
+      val r = spark.read.parquet(p.toString)
+        .agg(max(col("offset") + col("n_tokens"))).collect()
+      if (r.isEmpty || r.head.isNullAt(0)) 0L else r.head.getLong(0)
+    }.getOrElse(0L)
+
+    val newW = ((wDirs.map(_._1) :+ consumed).max) + 1
     val batchPacked = graft.operators.Packing
-      .packCounted(counted, packSize, baseOffset = cur)
+      .packCounted(countFn(fresh), packSize, baseOffset = cur)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Advance the cursor BEFORE the append. The append to packedPath
-    // triggers Spark's recache-by-path on every cached plan that reads
-    // that path — which includes this very batch (the caller's counted
-    // lineage anti-joins the packed artifact). A post-append aggregate
-    // would therefore RECOMPUTE against the just-extended artifact,
-    // see an empty fresh set, and silently coalesce to the stale
-    // cursor (observed: every fold re-wrote fold 1's cursor).
-    val next = batchPacked
-      .agg(coalesce(max(col("offset") + col("n_tokens")), lit(cur)))
-      .head.getLong(0)
-    batchPacked.write.mode("append").parquet(packedPath)
+    // never write an EMPTY watermark dir: the cursor derivation reads
+    // the newest dir, which must therefore always carry rows
+    val wrote =
+      if (batchPacked.isEmpty) false
+      else {
+        batchPacked.write.mode("overwrite")
+          .parquet(s"$packedRoot/${wName(newW)}")
+        true
+      }
     batchPacked.unpersist()
-    // APPEND-ONLY cursor log, max-wins: an overwritten single-row file
-    // can be served stale by the session's file-listing cache (observed:
-    // a third fold reading the first fold's cursor), while appended
-    // files are always discovered — the same reason every other
-    // artifact here is append-only. One tiny row per fold.
-    spark.createDataFrame(Seq(Tuple1(next))).toDF("next_off")
-      .coalesce(1).write.mode("append").parquet(cursorPath)
+    // consume: pending dirs first, watermark marker last — see scaladoc
+    pendDirs.foreach(p => fs.delete(p, true))
+    val committedMax =
+      if (wrote) newW else (wDirs.map(_._1) :+ consumed).max
+    writeMarker(fs, s"$base/wlog", committedMax)
   }
 
-  /** The packed artifact view:
+  /** Compact the zero-byte watermark markers once more than this many
+    * accumulate (all but the max are dropped — max-wins semantics). */
+  val MarkerCompactAt = 8
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Child directories carrying a `_SUCCESS` marker — committed writes
+    * only (a crashed overwrite leaves `_temporary`, never the marker). */
+  private def committedSubdirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      .toSeq
+  }
+
+  private def wName(w: Long): String = f"w_$w%012d"
+  private def parseW(name: String): Option[Long] =
+    if (name.startsWith("w_")) name.stripPrefix("w_").toLongOption
+    else None
+
+  /** Max consumed watermark from the zero-byte `c_<W>` marker files
+    * (value encoded in the NAME — a listing, never a data read). */
+  private def maxMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(_.getPath.getName).toSeq
+      .flatMap(n =>
+        if (n.startsWith("c_")) n.stripPrefix("c_").toLongOption else None)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Atomic zero-byte marker create + compaction: once more than
+    * [[MarkerCompactAt]] markers accumulate, every marker below the
+    * max is deleted (max-wins — the max is never deleted, so any
+    * concurrent listing still resolves correctly). */
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, w: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(p, s"c_$w"))
+    val markers = fs.listStatus(p).map(_.getPath).toSeq
+      .flatMap(q => q.getName.stripPrefix("c_").toLongOption.map((_, q)))
+    if (markers.size > MarkerCompactAt) {
+      val keep = markers.map(_._1).max
+      markers.filter(_._1 < keep).foreach(m => fs.delete(m._2, false))
+    }
+    ()
+  }
+
+  /** The packed artifact view over the committed watermark dirs:
     * `(doc_id, n_tokens, offset, first_pack, last_pack)`. */
   def packed(spark: org.apache.spark.sql.SparkSession,
       base: String): DataFrame = {
@@ -89,23 +199,12 @@ object StreamingPacking {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("last_pack",
         org.apache.spark.sql.types.LongType)))
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-      spark.read.schema(schema).parquet(path)
+    val dirs = committedSubdirs(hadoopFs(spark, path), path)
+      .filter(p => parseW(p.getName).isDefined)
+    if (dirs.nonEmpty)
+      spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
-
-  private def readCursor(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
-      val rows = spark.read.parquet(path)
-        .agg(max(col("next_off"))).collect()
-      if (rows.isEmpty || rows.head.isNullAt(0)) 0L else rows.head.getLong(0)
-    } else 0L
   }
 
   /** docs: streaming DataFrame with (source STRING, doc_id LONG,

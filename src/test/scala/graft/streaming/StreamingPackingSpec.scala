@@ -45,3 +45,130 @@ class StreamingPackingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** The watermark protocol of the artifact-backed delta pack fold
+  * (StreamingPacking.foldPending): delta-sized consumption,
+  * exactly-once across every crash window, cursor recovery. */
+class FoldPendingSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions.col
+
+  private def freshBase(): String =
+    java.nio.file.Files.createTempDirectory("graft_fp").toString
+
+  private val wsCount: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame = fresh =>
+    fresh.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.expr(
+            graft.operators.Dedup.wordsExpr("norm_text")))
+        .cast("long").as("n_tokens"))
+
+  private def stage(base: String, tag: String, docs: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    docs.toDF("doc_id", "norm_text")
+      .write.mode("overwrite").parquet(s"$base/pending/$tag")
+  }
+
+  private def packedRows(base: String): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    StreamingPacking.packed(spark, s"$base/pack")
+      .select("doc_id", "n_tokens", "offset").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+  }
+
+  private def ls(base: String, sub: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/$sub")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSeq.sorted
+  }
+
+  test("pending dirs are consumed exactly once; offsets continue " +
+      "across folds; packed equals the batch prefix sum of the union") {
+    val base = freshBase()
+    stage(base, "d_1", Seq((1L, "a b c"), (2L, "d e")))
+    StreamingPacking.foldPending(spark, s"$base/pack", s"$base/pending",
+      wsCount, packSize = 4)
+    assert(ls(base, "pending").isEmpty) // consumed
+    assert(packedRows(base) === Seq((1L, 3L, 0L), (2L, 2L, 3L)))
+
+    stage(base, "d_2", Seq((3L, "f g h i")))
+    StreamingPacking.foldPending(spark, s"$base/pack", s"$base/pending",
+      wsCount, packSize = 4)
+    assert(packedRows(base) ===
+      Seq((1L, 3L, 0L), (2L, 2L, 3L), (3L, 4L, 5L)))
+    // two watermark dirs, both committed
+    assert(ls(s"$base/pack", "packed").size === 2)
+  }
+
+  test("crash window: a committed-but-unlogged watermark dir is " +
+      "deduped, and its offsets back the cursor recovery") {
+    val base = freshBase()
+    stage(base, "d_1", Seq((1L, "a b c"), (2L, "d e")))
+    StreamingPacking.foldPending(spark, s"$base/pack", s"$base/pending",
+      wsCount, packSize = 4)
+    val afterFirst = packedRows(base)
+
+    // simulate "crashed right after the packed write": the producer
+    // re-staged the identical pending dir and the watermark marker
+    // never landed (delete the marker dir)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/pack/wlog"), true)
+    stage(base, "d_1", Seq((1L, "a b c"), (2L, "d e")))
+
+    StreamingPacking.foldPending(spark, s"$base/pack", s"$base/pending",
+      wsCount, packSize = 4)
+    // no duplicates: the at-risk anti-join emptied the replayed delta
+    assert(packedRows(base) === afterFirst)
+    assert(ls(base, "pending").isEmpty)
+
+    // the NEXT fold's offsets must continue after the recovered rows —
+    // the cursor is DERIVED from the newest committed watermark dir,
+    // so there is no cursor artifact to have lost
+    stage(base, "d_2", Seq((3L, "f g")))
+    StreamingPacking.foldPending(spark, s"$base/pack", s"$base/pending",
+      wsCount, packSize = 4)
+    assert(packedRows(base) === afterFirst :+ ((3L, 2L, 5L)))
+  }
+
+  test("watermark markers compact to the max once they accumulate") {
+    val base = freshBase()
+    for (i <- 1 to StreamingPacking.MarkerCompactAt + 3) {
+      stage(base, s"d_$i", Seq((i.toLong, "a b")))
+      StreamingPacking.foldPending(spark, s"$base/pack", s"$base/pending",
+        wsCount, packSize = 4)
+    }
+    val markers = ls(s"$base/pack", "wlog").filter(_.startsWith("c_"))
+    assert(markers.size <= StreamingPacking.MarkerCompactAt + 1)
+    // max-wins: the surviving max marker equals the newest watermark
+    val maxMarker = markers.map(_.stripPrefix("c_").toLong).max
+    val maxDir = ls(s"$base/pack", "packed")
+      .filter(_.startsWith("w_")).map(_.stripPrefix("w_").toLong).max
+    assert(maxMarker === maxDir)
+    // and the packed stream is still one contiguous prefix sum
+    val rows = packedRows(base)
+    var next = 0L
+    for ((_, n, off) <- rows) { assert(off === next); next = off + n }
+  }
+
+  test("a crash-lost watermark append only widens the at-risk window " +
+      "until the next fold heals it") {
+    val base = freshBase()
+    stage(base, "d_1", Seq((1L, "a b")))
+    StreamingPacking.foldPending(spark, s"$base/pack", s"$base/pending",
+      wsCount, packSize = 4)
+    // simulate "crash between pending delete and wlog append"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/pack/wlog"), true)
+
+    stage(base, "d_2", Seq((2L, "c d e")))
+    StreamingPacking.foldPending(spark, s"$base/pack", s"$base/pending",
+      wsCount, packSize = 4)
+    // fold 2 saw w_1 as at-risk (anti-join no-ops: disjoint ids) and
+    // packed after it; offsets still contiguous, no dupes
+    assert(packedRows(base) === Seq((1L, 2L, 0L), (2L, 3L, 2L)))
+  }
+}
