@@ -418,6 +418,12 @@ object Scratch {
           time(s"semdedup_k${k}_$tag r$rep")(
             Similarity.semDedup(emb, "vec_id", "embedding", k, 0.4)
               .write.format("noop").mode("overwrite").save())
+          // the production quantizer at the same k ∝ n: Lloyd scan
+          // count independent of k, so the k=60 point must stop being
+          // ~60 sequential seeding jobs (round-11 ladder note)
+          time(s"semdedup_kmeans_k${k}_$tag r$rep")(
+            Similarity.semDedupKMeans(emb, "vec_id", "embedding", k, 0.4)
+              .write.format("noop").mode("overwrite").save())
           time(s"power_iter_$tag r$rep")(
             Similarity.topSpectralDirection(emb, "vec_id", "embedding", 8)
               .write.format("noop").mode("overwrite").save())

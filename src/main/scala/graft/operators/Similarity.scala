@@ -330,12 +330,36 @@ object Similarity {
     * is one corpus scan (assignment in a per-partition loop — argmin over
     * a C×dim matrix is genuine imperative inner-loop work) plus one
     * groupBy(cell) mean; search scans only probed cells. */
-  def ivfKMeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
-      iters: Int = 2): DataFrame = {
+  /** Nearest-centroid assignment (squared L2 argmin, first-index
+    * tiebreak) — the inner loop shared by the learned-quantizer IVF
+    * and [[semDedupKMeans]]. */
+  private def nearestCell(e: Array[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      var d = 0.0; var i = 0
+      val n = math.min(e.length, ctr.length)
+      while (i < n) { val x = e(i) - ctr(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic k-means coarse quantizer (fixed hash-picked seeds,
+    * fixed Lloyd iteration count) — the PRODUCTION quantizer behind
+    * [[ivfKMeansTopK]] and [[semDedupKMeans]]. Each Lloyd round is ONE
+    * corpus scan (per-partition argmin loops) + one map-side-combined
+    * (cell, dim) mean; centroids are C × dim doubles, driver-held and
+    * closure-broadcast like the codebook precedents. Unlike the greedy
+    * k-center seeding (k SEQUENTIAL corpus scans), the scan count here
+    * is `iters`, independent of k — which is what makes k ∝ n
+    * affordable. */
+  private[graft] def kMeansCentroids(corpus: DataFrame, idCol: String,
+      embCol: String, nCells: Int, iters: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-
     val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),
       col(embCol).as("emb")).as[(Long, Array[Float])]
 
@@ -345,23 +369,9 @@ object Similarity {
       .orderBy("h").limit(nCells).select("emb").as[Array[Float]]
       .collect().map(_.map(_.toDouble))
 
-    def nearestCell(e: Array[Float], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        val ctr = cs(c)
-        var d = 0.0; var i = 0
-        val n = math.min(e.length, ctr.length)
-        while (i < n) { val x = e(i) - ctr(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
     for (_ <- 1 to iters) {
       val cs = centroids
-      val assigned = vecs.mapPartitions(_.map { case (id, e) =>
+      val assigned = vecs.mapPartitions(_.map { case (_, e) =>
         (nearestCell(e, cs), e)
       }).toDF("cell", "emb")
       // per-cell mean vector; a cell that lost all members keeps its centroid
@@ -375,8 +385,19 @@ object Similarity {
         means.get(c).map(m => Array.tabulate(old.length)(m(_))).getOrElse(old)
       }
     }
+    centroids
+  }
 
-    val cs = centroids
+  def ivfKMeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(embCol).as("emb")).as[(Long, Array[Float])]
+
+    val cs = kMeansCentroids(corpus, idCol, embCol, nCells, iters)
     val assigned = vecs.mapPartitions(_.map { case (id, e) =>
       (nearestCell(e, cs), id, e)
     }).toDF("cell", "vec_id", "emb")
@@ -808,10 +829,11 @@ object Similarity {
     * self-join hash-partitioned on `cluster`; the verdict is a
     * broadcast-sized left join on the dropped ids. Cluster sizes stay
     * bounded because k scales with the corpus in the paper's regime
-    * (they use ~n/1e4 clusters); the greedy k-center quantizer is the
-    * toy-scale stand-in — production swaps in the deterministic
-    * k-means coarse quantizer ([[ivfKMeansTopK]]'s) without touching
-    * the dedup stages, which are the shape that matters. */
+    * (they use ~n/1e4 clusters); the greedy k-center quantizer exists
+    * for the hash-matched oracle — the production quantizer is
+    * [[semDedupKMeans]], which runs the SAME [[semDedupStages]] under
+    * the deterministic k-means of [[kMeansCentroids]] (scan count
+    * independent of k, so k ∝ n stays affordable). */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double): DataFrame = {
     ensureRegistered(vecs.sparkSession)
@@ -829,6 +851,19 @@ object Similarity {
       .agg(max(struct(col("s"), col("nr"))).as("m"))
       .select(col("vec_id"), col("v"),
         (col("m.nr") * lit(-1L)).as("cluster"))
+    semDedupStages(assigned, threshold)
+  }
+
+  /** The quantizer-independent SemDeDup dedup stages: given the
+    * assignment `(vec_id, v, cluster)`, the within-cluster duplicate
+    * scan (ONE self-join hash-partitioned on `cluster`, never
+    * cross-cluster), the min-id drop rule at `round(cos, 6) >=
+    * threshold`, and the verdict join. [[semDedup]] (hash-matched
+    * k-center instantiation) and [[semDedupKMeans]] (production
+    * quantizer) both route through this — the spec pins that identical
+    * assignments yield identical verdicts. */
+  private[graft] def semDedupStages(assigned: DataFrame,
+      threshold: Double): DataFrame = {
     val dup = assigned.as("x").join(assigned.as("y"),
         col("x.cluster") === col("y.cluster") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -838,6 +873,33 @@ object Similarity {
       .join(dup.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(!col("dropped"), lit(true)).as("kept"))
+  }
+
+  /** SemDeDup under the PRODUCTION coarse quantizer: the same
+    * deterministic parallel-round k-means as [[ivfKMeansTopK]]
+    * ([[kMeansCentroids]] — `iters` corpus scans total, independent of
+    * k, vs greedy k-center's k sequential scans), assignment as one
+    * map-side per-partition argmin against the closure-broadcast
+    * centroids, then the EXACT [[semDedupStages]]. Cluster ids are
+    * cell indices (0-based), so verdicts are rows-only registry-wise
+    * (seeded k-means is not DuckDB-reproducible — the IVF/PQ
+    * precedent); the dedup semantics are pinned by the shared-stages
+    * spec plus the quantizer-invariant exact-duplicate guarantee
+    * (identical vectors land in the same cell under ANY quantizer, so
+    * the larger id always drops at threshold <= 1). */
+  def semDedupKMeans(vecs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double, iters: Int = 2): DataFrame = {
+    ensureRegistered(vecs.sparkSession)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cs = kMeansCentroids(vecs, idCol, vecCol, nCells, iters)
+    val assigned = vecs
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, e) =>
+        (id, e, nearestCell(e, cs).toLong)
+      }).toDF("vec_id", "v", "cluster")
+    semDedupStages(assigned, threshold)
   }
 
   /** Top spectral direction of the corpus embedding matrix by POWER

@@ -1485,6 +1485,21 @@ object Extensions extends QueryModule {
     // served as an artifact (trained on the full corpus here for oracle
     // parity, the artifact-served-encode convention), three id-range
     // folds, merge-on-read verdicts. Shares the batch oracle VERBATIM.
+    // SemDeDup under the PRODUCTION quantizer: the deterministic
+    // parallel-round k-means (ivfKMeansTopK's — scan count independent
+    // of k), same dedup stages (semDedupStages, shared code, spec-
+    // pinned identical verdicts for identical assignments). Rows-only:
+    // seeded k-means cells aren't DuckDB-reproducible (the IVF/PQ
+    // precedent); the SemDedupKMeansSpec carries the semantics.
+    GraftQuery("q_semdedup_kmeans",
+      (s, dir) => {
+        Similarity.ensureRegistered(s)
+        Similarity.semDedupKMeans(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 6, threshold = 0.4)
+      },
+      None),
+
     GraftQuery("q_semdedup_stream",
       (s, dir) => {
         val base = s"/tmp/graft_semdedup_stream/${graft.GraftCatalog.dbFor(dir)}"

@@ -512,6 +512,54 @@ class SimilaritySpec extends SparkSpec {
       (4L, 2L, true), (5L, 3L, false)))
   }
 
+  test("semDedupKMeans: the dedup stages are the SAME code as semDedup " +
+      "(identical assignments yield identical verdicts), and exact " +
+      "duplicates drop under the production quantizer too") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)),      // exact dup pair
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f)),
+      (5L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+
+    // wiring: semDedup == its assignment routed through semDedupStages
+    // (shared code, not a re-derivation) — rebuild the k-center
+    // assignment exactly as semDedup does and compare verdicts
+    val v = vecs.select($"vec_id", $"embedding".as("v"))
+    val centers = Similarity.kCenterGreedy(vecs, "vec_id", "embedding", 3)
+      .select($"rank", $"vec_id").join(v, Seq("vec_id"))
+      .select($"rank", $"v".as("c"))
+    val assigned = v.crossJoin(org.apache.spark.sql.functions.broadcast(centers))
+      .select($"vec_id", $"v",
+        org.apache.spark.sql.functions.round(
+          Similarity.cos($"v", $"c"), 6).as("s"),
+        ($"rank" * -1L).as("nr"))
+      .groupBy($"vec_id", $"v")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"s", $"nr")).as("m"))
+      .select($"vec_id", $"v", ($"m.nr" * -1L).as("cluster"))
+    val viaStages = Similarity.semDedupStages(assigned, 0.9)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val direct = Similarity.semDedup(vecs, "vec_id", "embedding", 3, 0.9)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(viaStages === direct)
+
+    // quantizer-invariant guarantee: identical vectors share a cell
+    // under ANY quantizer, so the exact-dup pair drops its larger id
+    // under k-means exactly as under k-center
+    val km = Similarity.semDedupKMeans(vecs, "vec_id", "embedding",
+        nCells = 3, threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(km.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L)) // verdict per input
+    val byId = km.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 === true && byId(2L)._3 === false) // min-id exemplar
+    assert(byId(1L)._2 === byId(2L)._2) // same cell
+    // every cluster keeps at least its min-id member
+    km.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.minBy(_._1)._3 === true)
+    }
+  }
+
   test("topSpectralDirection converges on the dominant axis, hand trace") {
     import spark.implicits._
     // two rows on e0, one on e1: Gram diag = (2e6, 1e6), /3 sign-safe →
