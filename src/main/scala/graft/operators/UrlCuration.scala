@@ -30,12 +30,15 @@ import org.apache.spark.sql.functions._
   *     stripped.
   *
   * Registrable domain: label before the public suffix, plus the
-  * suffix. The suffix table here is a bounded built-in of common
-  * multi-part suffixes ([[MultiPartSuffixes]]) with last-two-labels
-  * fallback — production swaps in the full public-suffix list as the
-  * same BROADCAST dimension (the list is ~10k rows; the join shape,
-  * a broadcast equi-join on the host's last-two-label key, is the
-  * 100 TB design and does not change with the list).
+  * suffix, resolved by the published PSL algorithm (longest matching
+  * rule, exceptions beat wildcards, implicit `*` fallback) over a
+  * broadcast rule dimension — the bounded built-in
+  * ([[MultiPartSuffixes]]) by default, or any full-scale list
+  * (round 12: [[SyntheticPslRules]], ~5k rules in the real list's
+  * shape with wildcard and exception cases, is what the registry's
+  * cap/quality-gate queries resolve against). The resolution is a
+  * CONSTANT number of broadcast equi-joins on last-k-label keys —
+  * zero exchanges at any list size.
   *
   * Distribution shape: parse/canonicalize are pure per-row codegen'd
   * expressions (one corpus scan, zero shuffles); the suffix join
@@ -97,28 +100,118 @@ object UrlCuration {
         .otherwise(concat(lit("?"), canonQuery))))
   }
 
-  /** Registrable domain (eTLD+1) for a host column, via the broadcast
-    * suffix dimension: if the host's last TWO labels are a known
-    * multi-part suffix, the registrable domain is the last THREE
-    * labels; otherwise the last two (single-label hosts are their own
-    * domain). Adds `registrable`. */
-  def registrableDomain(df: DataFrame, hostCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val suffixDf = broadcast(
-      spark.createDataFrame(MultiPartSuffixes.map(Tuple1(_)))
-        .toDF("__suffix"))
+  /** Max rule label count the resolver handles (the real PSL's rules
+    * are almost all <= 4 labels; longer rules would need one more
+    * broadcast join per extra label). */
+  val MaxRuleLabels = 4
+
+  /** A deterministic PSL-SCALE rule dimension (~5k rules, the real
+    * list's shape): the bounded built-ins plus real multi-label,
+    * wildcard and exception cases (`blogspot.co.uk`, `*.ck`/`!www.ck`,
+    * `*.kawasaki.jp`/`!city.kawasaki.jp`) plus generated exact/
+    * wildcard/exception rules. Exercises the resolver at the size the
+    * real public-suffix list has, where longest-match changes eTLD+1
+    * answers (`kid.blogspot.co.uk` under `blogspot.co.uk` vs
+    * `blogspot.co.uk` under `co.uk`). Shared verbatim by the Spark dim
+    * and the oracle's VALUES list. */
+  val SyntheticPslRules: Seq[String] = {
+    val real = MultiPartSuffixes ++ Seq(
+      "blogspot.co.uk", "blogspot.com",
+      "uk", "com", "org", "io", "app", "ck", "jp",
+      "*.ck", "*.kawasaki.jp", "*.kitakyushu.jp",
+      "!www.ck", "!city.kawasaki.jp", "!city.kitakyushu.jp")
+    val genTlds = (0 until 200).map(i => s"tld$i")
+    val gen2 = (0 until 4000).map(i => s"co$i.tld${i % 200}")
+    val gen3 = (0 until 600).map(i => s"reg$i.co${i % 100}.tld${i % 200}")
+    val genWild = (0 until 100).map(i => s"*.w$i.tld${i % 200}")
+    val genExc = (0 until 100).map(i => s"!ok$i.w$i.tld${i % 200}")
+    (real ++ genTlds ++ gen2 ++ gen3 ++ genWild ++ genExc).distinct
+  }
+
+  /** The PSL-scale dim as a one-column (`rule`) DataFrame. */
+  def syntheticPsl(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(SyntheticPslRules.map(Tuple1(_))).toDF("rule")
+
+  /** Registrable domain (eTLD+1) with the bounded built-in dimension
+    * ([[MultiPartSuffixes]] as exact rules — same answers as the
+    * historical two-label lookup, now through the full resolver). */
+  def registrableDomain(df: DataFrame, hostCol: String): DataFrame =
+    registrableDomain(df, hostCol,
+      df.sparkSession.createDataFrame(MultiPartSuffixes.map(Tuple1(_)))
+        .toDF("rule"))
+
+  /** Registrable domain (eTLD+1) under a full public-suffix-list rule
+    * dimension (`rule` column in PSL text form: exact `co.uk`,
+    * wildcard `*.ck`, exception `!www.ck`), resolving with the
+    * published PSL algorithm: among matching rules the exception wins,
+    * else the one with most labels; an exception's public suffix drops
+    * its leftmost label; no match falls back to the implicit `*` (the
+    * last label); registrable = suffix + one label, and a host equal
+    * to (or shorter than) its suffix is its own domain (fail-open).
+    *
+    * Distribution shape (the 100 TB contract): the dim is broadcast
+    * and pre-split by (label count, kind) into at most
+    * 2·[[MaxRuleLabels]] tiny sides — the resolution is a CONSTANT
+    * number of broadcast left joins on the host's last-k-label keys
+    * plus one CASE, zero exchanges, zero per-group work (plan-pinned).
+    * Adds `registrable`. */
+  def registrableDomain(df: DataFrame, hostCol: String,
+      rules: DataFrame): DataFrame = {
+    val parsed = rules
+      .select(when(col("rule").startsWith("!"),
+          expr("substring(rule, 2)")).otherwise(col("rule")).as("body"),
+        col("rule").startsWith("!").as("is_exc"))
+      .withColumn("is_wild", col("body").startsWith("*."))
+      .select(
+        when(col("is_wild"), expr("substring(body, 3)"))
+          .otherwise(col("body")).as("key"),
+        col("is_exc"), col("is_wild"),
+        size(split(col("body"), "\\.")).as("nlab"))
+    // contract: `rules` is a well-formed PSL — each rule listed once,
+    // never both plain and as an exception (the real list's own
+    // invariant). A duplicate (key, kind) row would fan out host rows;
+    // deduping here would cost a dim-side exchange that breaks the
+    // zero-shuffle plan pin for no real-list scenario.
+
     val labels = split(col(hostCol), "\\.")
     val n = size(labels)
     val lastK = (k: Int) =>
       array_join(slice(labels, greatest(n - (k - 1), lit(1)), lit(k)), ".")
-    df.withColumn("__last2", when(n >= 2, lastK(2)).otherwise(col(hostCol)))
-      .withColumn("__last3", when(n >= 3, lastK(3))
-        .otherwise(col(hostCol)))
-      .join(suffixDf, col("__last2") === col("__suffix"), "left")
-      .withColumn("registrable",
-        when(col("__suffix").isNotNull, col("__last3"))
-          .otherwise(col("__last2")))
-      .drop("__last2", "__last3", "__suffix")
+
+    var out = df
+    // exact + exception rules: join on the host's last-nlab labels
+    for (l <- 1 to MaxRuleLabels) {
+      val eL = broadcast(parsed.where(!col("is_wild") && col("nlab") === l)
+        .select(col("key").as(s"__k$l"), col("is_exc").as(s"__x$l")))
+      out = out.join(eL, col(s"__k$l") === lastK(l) && n >= l, "left")
+    }
+    // wildcard rules (nlab >= 2): '*' consumes one REAL label, so a
+    // rule with nlab labels matches hosts with >= nlab labels whose
+    // last nlab-1 labels equal the rule's concrete tail
+    for (l <- 2 to MaxRuleLabels) {
+      val wL = broadcast(parsed.where(col("is_wild") && col("nlab") === l)
+        .select(col("key").as(s"__wk$l")))
+      out = out.join(wL, col(s"__wk$l") === lastK(l - 1) && n >= l, "left")
+    }
+
+    val exc = (l: Int) => col(s"__x$l") === true
+    val hit = (l: Int) => col(s"__x$l") === false || col(s"__wk$l").isNotNull
+    // exception first (its suffix = rule minus leftmost label), then
+    // the longest exact-or-wildcard match, then the implicit '*'
+    val snlab =
+      when(exc(4), 3).when(exc(3), 2).when(exc(2), 1)
+        .when(hit(4), 4).when(hit(3), 3).when(hit(2), 2)
+        .when(col("__x1") === false, 1)
+        .otherwise(1)
+    val dropCols =
+      (1 to MaxRuleLabels).flatMap(l => Seq(s"__k$l", s"__x$l")) ++
+        (2 to MaxRuleLabels).map(l => s"__wk$l")
+    out
+      .withColumn("__sn", snlab)
+      .withColumn("registrable", array_join(
+        slice(labels, greatest(n - col("__sn"), lit(1)),
+          col("__sn") + 1), "."))
+      .drop(dropCols :+ "__sn": _*)
   }
 
   /** Per-domain document cap: every doc ranked within its registrable
@@ -126,9 +219,12 @@ object UrlCuration {
     * maxPerDomain`. No per-group windows (one hot domain never
     * funnels one task): [[Packing.rankWithinGroups]]. */
   def domainCap(docs: DataFrame, urlCol: String, orderCol: String,
-      maxPerDomain: Long): DataFrame = {
-    val withDomain = registrableDomain(
-      canonicalize(docs, urlCol), "host")
+      maxPerDomain: Long, rules: Option[DataFrame] = None): DataFrame = {
+    val canon = canonicalize(docs, urlCol)
+    val withDomain = rules match {
+      case Some(r) => registrableDomain(canon, "host", r)
+      case None => registrableDomain(canon, "host")
+    }
     Packing.rankWithinGroups(withDomain, "registrable", orderCol)
       .withColumn("kept", (col("rnk") <= maxPerDomain).cast("long"))
   }
@@ -147,8 +243,13 @@ object UrlCuration {
     * domain-count-sized. */
   def domainQualityGate(docs: DataFrame, urlCol: String,
       textCol: String, minDocs: Long = 3L,
-      minMeanWordsMilli: Long = 40000L): DataFrame = {
-    val withDomain = registrableDomain(canonicalize(docs, urlCol), "host")
+      minMeanWordsMilli: Long = 40000L,
+      rules: Option[DataFrame] = None): DataFrame = {
+    val canon = canonicalize(docs, urlCol)
+    val withDomain = rules match {
+      case Some(r) => registrableDomain(canon, "host", r)
+      case None => registrableDomain(canon, "host")
+    }
     withDomain
       .select(col("registrable"),
         size(expr(Dedup.wordsExpr(textCol))).cast("long").as("n_words"))

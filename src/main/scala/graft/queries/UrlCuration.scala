@@ -25,12 +25,15 @@ object UrlCuration extends QueryModule {
   private val urlExpr: String =
     """concat(
       |  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, '://',
-      |  CASE CAST(doc_id % 6 AS INTEGER)
+      |  CASE CAST(doc_id % 9 AS INTEGER)
       |    WHEN 0 THEN 'WWW.Example.co.uk'
       |    WHEN 1 THEN 'news.example.com:80'
       |    WHEN 2 THEN 'u:p@blog.example.com.au'
       |    WHEN 3 THEN 'example.github.io:8080'
       |    WHEN 4 THEN 'CDN.Example.org'
+      |    WHEN 5 THEN 'Kid.BlogSpot.co.uk'
+      |    WHEN 6 THEN 'shop.foo.CK:443'
+      |    WHEN 7 THEN 'WWW.CK'
       |    ELSE 'localhost' END,
       |  '/Articles/', CAST(doc_id % 20 AS STRING),
       |  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
@@ -46,12 +49,12 @@ object UrlCuration extends QueryModule {
     t(s, dir, "documents").select(col("doc_id"), expr(urlExpr).as("url"))
 
   /** Oracle CTEs mirroring the operator's four-regex grammar +
-    * canonical rules + suffix fallback: yields
-    * `pu(doc_id, scheme, host, port, path, query, canon_url,
-    * registrable)`. */
-  private val parseCte: String = {
-    val suffixes = graft.operators.UrlCuration.MultiPartSuffixes
-      .map(s => s"'$s'").mkString("[", ", ", "]")
+    * canonical rules: the shared prefix yields `p1(doc_id, url,
+    * scheme, host, port, path, query, keep_port, canon_q, canon_p,
+    * labels)`; [[parseCte]] finishes with the bounded built-in
+    * suffix rule, [[parsePslCte]] with the full PSL resolution over
+    * [[graft.operators.UrlCuration.SyntheticPslRules]]. */
+  private val parsePrefixCte: String =
     s"""u AS (SELECT doc_id, $urlExpr AS url FROM documents),
        |p0 AS (
        |  SELECT doc_id, url,
@@ -81,7 +84,12 @@ object UrlCuration extends QueryModule {
        |    CASE WHEN path = '' THEN '/'
        |         ELSE regexp_replace(path, '(.)/$$', '\\1') END AS canon_p,
        |    string_split(host, '.') AS labels
-       |  FROM p0),
+       |  FROM p0)""".stripMargin
+
+  private val parseCte: String = {
+    val suffixes = graft.operators.UrlCuration.MultiPartSuffixes
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""$parsePrefixCte,
        |pu AS (
        |  SELECT doc_id, url, scheme, host, port, path, query,
        |    scheme || '://' || host || keep_port || canon_p ||
@@ -96,6 +104,55 @@ object UrlCuration extends QueryModule {
        |      THEN array_to_string(labels[len(labels)-1:len(labels)], '.')
        |      ELSE host END AS registrable
        |  FROM p1)""".stripMargin
+  }
+
+  /** The PSL oracle finisher: brute longest-match resolution (rule
+    * explode over k=1..4 host-suffix candidates, exception-first
+    * priority, implicit `*` fallback) over the SAME generated rule
+    * list the Spark dim broadcasts — yields the identical
+    * `pu(..., registrable)` shape. */
+  private val parsePslCte: String = {
+    val rules = graft.operators.UrlCuration.SyntheticPslRules
+      .map(r => s"'$r'").mkString("[", ", ", "]")
+    s"""$parsePrefixCte,
+       |rl AS (SELECT unnest($rules) AS rule),
+       |rr AS (SELECT
+       |    CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+       |         ELSE rule END AS body,
+       |    (rule LIKE '!%') AS is_exc
+       |  FROM rl),
+       |r2 AS (SELECT
+       |    CASE WHEN body LIKE '*.%' THEN substr(body, 3)
+       |         ELSE body END AS key,
+       |    is_exc, (body LIKE '*.%') AS is_wild,
+       |    len(string_split(body, '.')) AS nlab
+       |  FROM rr),
+       |hc AS (SELECT doc_id, k,
+       |    array_to_string(
+       |      labels[greatest(len(labels)-k+1, 1):len(labels)], '.')
+       |      AS lastk,
+       |    array_to_string(
+       |      labels[greatest(len(labels)-k+2, 1):len(labels)], '.')
+       |      AS tailk
+       |  FROM p1, unnest([1, 2, 3, 4]) AS t(k)
+       |  WHERE len(labels) >= k),
+       |m AS (SELECT hc.doc_id,
+       |    CASE WHEN r2.is_exc THEN 1000 + (r2.nlab - 1)
+       |         ELSE r2.nlab END AS prio
+       |  FROM hc JOIN r2 ON r2.nlab = hc.k AND
+       |    ((NOT r2.is_wild AND r2.key = hc.lastk) OR
+       |     (r2.is_wild AND r2.key = hc.tailk))),
+       |b AS (SELECT p1.doc_id, coalesce(max(m.prio), 1) % 1000 AS snlab
+       |  FROM p1 LEFT JOIN m USING (doc_id) GROUP BY p1.doc_id),
+       |pu AS (
+       |  SELECT p1.doc_id, url, scheme, host, port, path, query,
+       |    scheme || '://' || host || keep_port || canon_p ||
+       |      CASE WHEN canon_q = '' THEN '' ELSE '?' || canon_q END
+       |      AS canon_url,
+       |    array_to_string(
+       |      labels[greatest(len(labels) - snlab, 1):len(labels)], '.')
+       |      AS registrable
+       |  FROM p1 JOIN b ON p1.doc_id = b.doc_id)""".stripMargin
   }
 
   override val queries: Seq[GraftQuery] = Seq(
@@ -115,14 +172,19 @@ object UrlCuration extends QueryModule {
              |FROM pu""".stripMargin)),
 
     // ---- per-domain cap: rank within registrable domain WITHOUT a
-    //      per-group window (range-partition + offset composition);
-    //      oracle is exactly the window the operator avoids ----
+    //      per-group window (range-partition + offset composition),
+    //      resolving eTLD+1 against the PSL-SCALE rule dim (~5k rules
+    //      incl. wildcard/exception cases — longest-match changes
+    //      answers vs the bounded dim, e.g. kid.blogspot.co.uk);
+    //      oracle is exactly the window the operator avoids, over the
+    //      brute PSL resolution ----
     GraftQuery("q_domain_cap",
       (s, dir) => graft.operators.UrlCuration.domainCap(
-          urlDocs(s, dir), "url", "doc_id", maxPerDomain = 40L)
+          urlDocs(s, dir), "url", "doc_id", maxPerDomain = 40L,
+          rules = Some(graft.operators.UrlCuration.syntheticPsl(s)))
         .select(col("doc_id"), col("registrable"),
           col("rnk").cast("long").as("rnk"), col("kept")),
-      Some(s"""WITH $parseCte
+      Some(s"""WITH $parsePslCte
              |SELECT doc_id, registrable,
              |  row_number() OVER (PARTITION BY registrable
              |    ORDER BY doc_id)::BIGINT AS rnk,
@@ -137,8 +199,9 @@ object UrlCuration extends QueryModule {
       (s, dir) => graft.operators.UrlCuration.domainQualityGate(
         t(s, dir, "documents")
           .select(col("doc_id"), expr(urlExpr).as("url"), col("text")),
-        "url", "text", minDocs = 3L, minMeanWordsMilli = 54000L),
-      Some(s"""WITH $parseCte,
+        "url", "text", minDocs = 3L, minMeanWordsMilli = 54000L,
+        rules = Some(graft.operators.UrlCuration.syntheticPsl(s))),
+      Some(s"""WITH $parsePslCte,
              |nw AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
              |  w -> w <> ''))::BIGINT AS n_words FROM documents),
              |g AS (SELECT pu.registrable, count(*)::BIGINT AS n_docs,

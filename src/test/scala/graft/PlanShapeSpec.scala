@@ -622,6 +622,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(equiJoins.nonEmpty, "bin restore must produce an equi-join")
   }
 
+  test("PSL registrable-domain resolution: every join broadcasts, zero " +
+      "exchanges at the full ~5k-rule dim size") {
+    // the 100 TB contract of UrlCuration.registrableDomain(rules): the
+    // rule dim is broadcast and pre-split by (label count, kind) — the
+    // whole resolution must stay a constant chain of broadcast left
+    // joins on last-k-label keys with NO shuffle of the corpus,
+    // whatever the list size.
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("concat('https://h', cast(doc_id % 97 as string), " +
+          "'.co', cast(doc_id % 50 as string), '.tld', " +
+          "cast(doc_id % 200 as string), '/p')").as("url"))
+    val df = graft.operators.UrlCuration.registrableDomain(
+      graft.operators.UrlCuration.canonicalize(docs, "url"),
+      "host", graft.operators.UrlCuration.syntheticPsl(spark))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"PSL resolution must not shuffle the corpus:\n$plan")
+    // the dim has populated (kind, label-count) slices for exact 1/2/3
+    // and wildcard 2/3; empty slices (e.g. 4-label rules) fold away via
+    // empty-relation propagation
+    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 5,
+      s"expected the per-(label count, kind) broadcast join chain:\n$plan")
+  }
+
   test("semDedup: duplicate scan is a cluster equi-join, never cartesian") {
     // the paper's point at scale: pairwise similarity only INSIDE a
     // cluster. The assignment crossJoin against the k-row center set is

@@ -55,6 +55,35 @@ class UrlCurationSpec extends SparkSpec {
     assert(got("localhost") === "localhost")
   }
 
+  test("PSL resolution: longest match, wildcard, exception, fallback") {
+    import spark.implicits._
+    val rules = Seq("uk", "co.uk", "blogspot.co.uk",
+      "ck", "*.ck", "!www.ck", "*.kawasaki.jp", "!city.kawasaki.jp")
+      .map(Tuple1(_)).toDF("rule")
+    val got = UrlCuration.registrableDomain(
+        Seq("kid.blogspot.co.uk",   // 3-label rule beats co.uk
+          "www.example.co.uk",      // co.uk beats uk
+          "shop.foo.ck",            // wildcard *.ck → suffix foo.ck
+          "foo.ck",                 // host == wildcard suffix → itself
+          "www.ck",                 // exception cancels the wildcard
+          "a.b.city.kawasaki.jp",   // exception → suffix kawasaki.jp
+          "x.y.kawasaki.jp",        // wildcard → suffix y.kawasaki.jp
+          "plain.example.com",      // no rule → implicit '*' fallback
+          "localhost").toDF("host"),
+        "host", rules)
+      .select($"host", $"registrable").as[(String, String)]
+      .collect().toMap
+    assert(got("kid.blogspot.co.uk") === "kid.blogspot.co.uk")
+    assert(got("www.example.co.uk") === "example.co.uk")
+    assert(got("shop.foo.ck") === "shop.foo.ck")
+    assert(got("foo.ck") === "foo.ck")
+    assert(got("www.ck") === "www.ck")
+    assert(got("a.b.city.kawasaki.jp") === "city.kawasaki.jp")
+    assert(got("x.y.kawasaki.jp") === "x.y.kawasaki.jp")
+    assert(got("plain.example.com") === "example.com")
+    assert(got("localhost") === "localhost")
+  }
+
   test("domainCap keeps exactly maxPerDomain docs per registrable domain") {
     import spark.implicits._
     val docs = (0L until 30L).map(i =>
