@@ -245,6 +245,63 @@ object Preference {
         col("n_candidates"))
   }
 
+  /** DPO pair assembly — the RLHF last mile: per context the
+    * [[bestOfN]] chosen candidate and its runner-up become the
+    * (chosen, rejected) training pair, each rendered with the SFT chat
+    * template ([[SftAssembly.contentExpr]] — identical payload
+    * rendering to the SFT surfaces) plus the loss-mask span that
+    * covers exactly the assistant content.
+    *
+    * Deterministic contract (the [[bestOfN]] rules): scores are exact
+    * cents (`floor(value·100)`), ties break to the SMALLER event_id;
+    * contexts with fewer than two candidates have no pair and drop.
+    * Both texts share the prompt
+    * `<|system|>conversation <id>\n<|user|>best_of n=<n>\n`; each
+    * response block is `<|assistant|><content>\n`, so
+    * `text.substring(loss_start, *_loss_end)` is precisely the
+    * supervised characters — the [[SftAssembly]] span convention.
+    *
+    * Distribution shape: candidate content renders MAP-SIDE before
+    * the fold, and the ONE exchange on the context key carries the
+    * top-2 selection AND both payloads (no join back on event ids);
+    * everything downstream is per-row string assembly. Candidate
+    * lists are context-sized, never corpus-sized. */
+  def dpoPairs(events: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    val cand = struct(cents.as("cents"), (col("event_id") * -1).as("nid"),
+      SftAssembly.contentExpr.as("content"))
+    val top2 = events
+      .select(col("user_id"), cand.as("cand"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_candidates"),
+        slice(sort_array(collect_list(col("cand")), asc = false), 1, 2)
+          .as("top2"))
+      .where(col("n_candidates") >= 2)
+    val ch = element_at(col("top2"), 1)
+    val rj = element_at(col("top2"), 2)
+    val prompt = concat(lit("<|system|>conversation "),
+      col("user_id").cast("string"), lit("\n<|user|>best_of n="),
+      col("n_candidates").cast("string"), lit("\n"))
+    val lossStart = (length(prompt) + lit(13)).cast("long") // <|assistant|>
+    top2.select(
+      col("user_id").as("conv_id"),
+      (ch.getField("nid") * -1).as("chosen_event_id"),
+      (rj.getField("nid") * -1).as("rejected_event_id"),
+      ch.getField("cents").as("chosen_cents"),
+      rj.getField("cents").as("rejected_cents"),
+      (ch.getField("cents") - rj.getField("cents")).as("margin_cents"),
+      col("n_candidates"),
+      concat(prompt, lit("<|assistant|>"), ch.getField("content"),
+        lit("\n")).as("text_chosen"),
+      concat(prompt, lit("<|assistant|>"), rj.getField("content"),
+        lit("\n")).as("text_rejected"),
+      lossStart.as("loss_start"),
+      (lossStart + length(ch.getField("content"))).cast("long")
+        .as("chosen_loss_end"),
+      (lossStart + length(rj.getField("content"))).cast("long")
+        .as("rejected_loss_end"))
+  }
+
   /** Krippendorff's alpha (nominal, two categories) — the agreement
     * stat that, unlike [[fleissKappa]], tolerates MISSING ratings:
     * every unit is rated by however many judges actually covered it,

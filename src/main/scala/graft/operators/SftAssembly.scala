@@ -43,6 +43,16 @@ object SftAssembly {
 
   private val SysTag = "<|system|>"
 
+  /** The deterministic turn/candidate content rendering
+    * (`event_type k=<k> v=<cents>`, explicit floor) — shared by both
+    * SFT surfaces here and the DPO pair assembly
+    * ([[Preference.dpoPairs]]), so pair texts and conversation texts
+    * render candidate payloads identically. */
+  private[operators] def contentExpr: org.apache.spark.sql.Column =
+    concat(col("event_type"), lit(" k="),
+      get_json_object(col("props"), "$.k"),
+      lit(" v="), floor(col("value") * 100).cast("long"))
+
   /** Per-turn rendering with loss-span offsets:
     * `(conv_id, turn_idx, role, content, start_off, end_off)` where
     * `[start_off, end_off)` bounds the turn's CONTENT inside the
@@ -56,10 +66,7 @@ object SftAssembly {
       .withColumn("role",
         when(col("turn_idx") % 2 === 1, lit("user"))
           .otherwise(lit("assistant")))
-      .withColumn("content",
-        concat(col("event_type"), lit(" k="),
-          get_json_object(col("props"), "$.k"),
-          lit(" v="), floor(col("value") * 100).cast("long")))
+      .withColumn("content", contentExpr)
       .withColumn("rendered",
         concat(lit("<|"), col("role"), lit("|>"), col("content"),
           lit("\n")))
@@ -92,10 +99,7 @@ object SftAssembly {
       .withColumn("role",
         when(col("turn_idx") % 2 === 1, lit("user"))
           .otherwise(lit("assistant")))
-      .withColumn("content",
-        concat(col("event_type"), lit(" k="),
-          get_json_object(col("props"), "$.k"),
-          lit(" v="), floor(col("value") * 100).cast("long")))
+      .withColumn("content", contentExpr)
       .withColumn("rendered",
         concat(lit("<|"), col("role"), lit("|>"), col("content"),
           lit("\n")))

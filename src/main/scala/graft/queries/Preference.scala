@@ -232,6 +232,53 @@ object Preference extends QueryModule {
              |    AS text
              |FROM g""".stripMargin)),
 
+    // ---- DPO pair assembly: bestOfN's chosen + runner-up composed
+    //      with the SFT chat template into (chosen, rejected) training
+    //      pairs with loss spans — the RLHF last mile. One exchange on
+    //      the context key (payloads ride the top-2 fold; no join back
+    //      on event ids); exact-cents margins, min-id ties; contexts
+    //      with one candidate drop ----
+    GraftQuery("q_dpo_pairs",
+      (s, dir) => graft.operators.Preference.dpoPairs(t(s, dir, "events")),
+      Some("""WITH c AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents,
+             |    event_type || ' k=' || json_extract_string(props, '$.k')
+             |      || ' v=' || CAST(floor(value * 100) AS BIGINT)
+             |      AS content,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(floor(value * 100) AS BIGINT) DESC,
+             |               event_id ASC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id)::BIGINT
+             |      AS n_candidates
+             |  FROM events),
+             |p AS (
+             |  SELECT a.user_id, a.n_candidates,
+             |    a.event_id AS chosen_event_id,
+             |    b.event_id AS rejected_event_id,
+             |    a.cents AS chosen_cents, b.cents AS rejected_cents,
+             |    a.content AS c_content, b.content AS r_content,
+             |    '<|system|>conversation ' || a.user_id || chr(10) ||
+             |      '<|user|>best_of n=' || a.n_candidates || chr(10)
+             |      AS prompt
+             |  FROM c a JOIN c b
+             |    ON b.user_id = a.user_id AND b.rn = 2
+             |  WHERE a.rn = 1)
+             |SELECT user_id AS conv_id, chosen_event_id,
+             |  rejected_event_id, chosen_cents, rejected_cents,
+             |  (chosen_cents - rejected_cents)::BIGINT AS margin_cents,
+             |  n_candidates,
+             |  prompt || '<|assistant|>' || c_content || chr(10)
+             |    AS text_chosen,
+             |  prompt || '<|assistant|>' || r_content || chr(10)
+             |    AS text_rejected,
+             |  (length(prompt) + 13)::BIGINT AS loss_start,
+             |  (length(prompt) + 13 + length(c_content))::BIGINT
+             |    AS chosen_loss_end,
+             |  (length(prompt) + 13 + length(r_content))::BIGINT
+             |    AS rejected_loss_end
+             |FROM p""".stripMargin)),
+
     // ---- Krippendorff's alpha (nominal) with MISSING ratings: judge B
     //      abstains on view events, judge C on every 7th event id, so
     //      units carry 1-3 ratings and the single-rating ones drop as

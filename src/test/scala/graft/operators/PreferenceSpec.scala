@@ -100,6 +100,40 @@ class PreferenceSpec extends SparkSpec {
       (2L, 4L, 234L, None, None, 1L)))
   }
 
+  test("dpoPairs renders chosen/rejected with exact loss spans; " +
+      "single-candidate contexts drop") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(10), 1L, "click", 10.0, """{"k":7}"""),
+      (2L, ts(20), 1L, "view", 10.0, """{"k":8}"""),  // tie → id 1 chosen
+      (3L, ts(30), 1L, "buy", 5.0, """{"k":9}"""),
+      (4L, ts(10), 2L, "a", 2.345, "{}"))             // no pair → drops
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Preference.dpoPairs(ev).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("conv_id") === 1L)
+    assert(r.getAs[Long]("chosen_event_id") === 1L)   // min-id tiebreak
+    assert(r.getAs[Long]("rejected_event_id") === 2L)
+    assert(r.getAs[Long]("chosen_cents") === 1000L)
+    assert(r.getAs[Long]("rejected_cents") === 1000L)
+    assert(r.getAs[Long]("margin_cents") === 0L)
+    assert(r.getAs[Long]("n_candidates") === 3L)
+    val prompt = "<|system|>conversation 1\n<|user|>best_of n=3\n"
+    assert(r.getAs[String]("text_chosen") ===
+      prompt + "<|assistant|>click k=7 v=1000\n")
+    assert(r.getAs[String]("text_rejected") ===
+      prompt + "<|assistant|>view k=8 v=1000\n")
+    // the span slices exactly the supervised characters in BOTH texts
+    val s = r.getAs[Long]("loss_start").toInt
+    assert(r.getAs[String]("text_chosen")
+      .substring(s, r.getAs[Long]("chosen_loss_end").toInt) ===
+      "click k=7 v=1000")
+    assert(r.getAs[String]("text_rejected")
+      .substring(s, r.getAs[Long]("rejected_loss_end").toInt) ===
+      "view k=8 v=1000")
+  }
+
   /** (event_id, event_type, value, props) — id and type drive the
     * abstention rules (jb skips 'view', jc skips id % 7 == 0). */
   private def kaEvents(rows: (Long, String, Double, String)*) = {
