@@ -32,17 +32,17 @@ import org.apache.spark.sql.functions._
   *
   * Distribution shape (the 100 TB contract): every per-round relation is
   * word-TYPE-sized, not corpus-sized — the corpus is scanned once for
-  * word frequencies and once (as a join) at encode. Segmentation steps
-  * are shuffled equi-joins of ≤[[MaxPieceLen]] candidate substrings per
-  * live cursor against the vocabulary (never broadcast by assumption —
-  * web-scale vocabularies are large; AQE may choose to), followed by a
-  * (word, pos) max — map-side combinable. The step count is the max
-  * word length (capped at [[MaxWordChars]]; longer "words" are
-  * boilerplate/URLs, dropped identically in both engines), and each
-  * step's state shrinks as words complete. Per-step results are
-  * persisted (each is read twice: next step + usage union) and released
-  * at round end; the vocabulary is localCheckpoint'ed per round since
-  * every step of the next round re-reads it.
+  * word frequencies and once (as a join) at encode. A segmentation pass
+  * is ONE shuffled equi-join of all ≤[[MaxPieceLen]]·len candidate
+  * substrings per word type against the vocabulary (never broadcast by
+  * assumption — web-scale vocabularies are large; AQE may choose to),
+  * one (word) collect of the packed hit keys, and one codegen'd fold
+  * replaying the greedy walk word-locally (round 12 — the former
+  * join-per-cursor-step loop paid up to [[MaxWordChars]] scheduler
+  * rounds per pass, the top cost on long-run CJK corpora). Words longer
+  * than [[MaxWordChars]] are boilerplate/URLs, dropped identically in
+  * both engines; the vocabulary is localCheckpoint'ed per round since
+  * the next round's join re-reads it.
   */
 object MaxMatch {
 
@@ -119,36 +119,55 @@ object MaxMatch {
       .distinct().localCheckpoint(true)
 
     /** One greedy longest-match pass of every word type under `v`:
-      * rows (word, piece, freq), one per consumed piece. */
+      * rows (word, piece, freq), one per consumed piece (with
+      * multiplicity — "abab" under {ab} emits TWO `ab` rows).
+      *
+      * Round 12 restructure: the greedy walk is WORD-LOCAL once the
+      * word's vocabulary hits are known — so instead of one
+      * join-and-advance Spark job per cursor step (up to
+      * [[MaxWordChars]] scheduler rounds per pass, the round-11 bench's
+      * top cost on the long-run CJK corpus), ALL (position, length)
+      * candidates join the vocabulary ONCE, collect per word as a
+      * packed hit array (≤ MaxPieceLen·len ints), and one codegen'd
+      * `aggregate` fold replays the exact greedy rule (longest hit at
+      * the cursor, advance, repeat; a cursor with no hit stops the
+      * walk — the old inner join's drop semantics). Identical output,
+      * maxSteps-fold fewer jobs; the candidates join carries ~2× the
+      * rows of the old path's greedy-visited positions, a trade that
+      * wins because every relation here is word-TYPE-sized. */
     def segment(v: DataFrame): DataFrame = {
-      val lens = expr(
-        s"filter(sequence(1, $MaxPieceLen), l -> pos + l <= length(word))")
-      var state = wf.select(col("word"), lit(0).as("pos"), col("freq"))
-      var used: DataFrame = null
-      val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      for (_ <- 1 to maxSteps) {
-        val adv = state.where(col("pos") < length(col("word")))
-          .select(col("word"), col("pos"), col("freq"),
-            explode(lens).as("len"))
-          .withColumn("piece", expr("substring(word, pos + 1, len)"))
-          .join(v, Seq("piece"))
-          .groupBy(col("word"), col("pos"), col("freq"))
-          .agg(max(col("len")).as("bl"))
-          .withColumn("piece", expr("substring(word, pos + 1, bl)"))
-          .persist() // read twice: next step's state + the usage union
-        persisted += adv
-        val u = adv.select(col("word"), col("piece"), col("freq"))
-        used = if (used == null) u else used.unionByName(u)
-        state = adv.select(col("word"),
-          (col("pos") + col("bl")).as("pos"), col("freq"))
+      val cands = wf.select(col("word"), col("freq"),
+          explode(expr(
+            s"""flatten(transform(sequence(1, length(word)),
+               |  p -> transform(filter(sequence(1, $MaxPieceLen),
+               |         l -> p + l - 1 <= length(word)),
+               |    l -> named_struct('k', (p - 1) * 8 + l,
+               |      'piece', substring(word, p, l)))))""".stripMargin))
+            .as("c"))
+        .select(col("word"), col("freq"),
+          col("c.k").as("k"), col("c.piece").as("piece"))
+      val hits = cands.join(v, Seq("piece"))
+        .groupBy(col("word"), col("freq"))
+        .agg(collect_list(col("k")).as("h"))
+      // nested longest-first probe at the cursor, generated from
+      // MaxPieceLen so the constant stays in one place
+      val noHit =
+        "named_struct('pos', length(word), 'pieces', acc.pieces)"
+      val probe = (MaxPieceLen to 1 by -1).foldRight(noHit) { (l, els) =>
+        s"""if(array_contains(h, acc.pos * 8 + $l),
+           |  named_struct('pos', acc.pos + $l,
+           |    'pieces', array_append(acc.pieces,
+           |      substring(word, acc.pos + 1, $l))),
+           |  $els)""".stripMargin
       }
-      val out =
-        if (used == null) // empty corpus: no steps ran
-          wf.select(col("word"), col("word").as("piece"), col("freq"))
-            .where(lit(false))
-        else used.localCheckpoint(true)
-      persisted.foreach(_.unpersist())
-      out
+      hits.select(col("word"), col("freq"),
+          explode(expr(
+            s"""aggregate(sequence(1, length(word)),
+               |  named_struct('pos', 0,
+               |    'pieces', cast(array() as array<string>)),
+               |  (acc, i) -> if(acc.pos >= length(word), acc, $probe),
+               |  acc -> acc.pieces)""".stripMargin)).as("piece"))
+        .select(col("word"), col("piece"), col("freq"))
     }
 
     var usage: DataFrame = null

@@ -74,15 +74,19 @@ class MaxMatchSpec extends SparkSpec {
 
   test("train runs exactly `rounds` segmentation passes (encode is lazy)") {
     import spark.implicits._
-    // each segmentation pass issues one eager localCheckpoint of its
-    // step union — count Spark jobs via a listener: train(rounds = 2)
-    // must NOT run the third (encode-side) pass eagerly
+    // count Spark jobs via a listener: train(rounds = 2) runs its two
+    // eager training passes; since round 12 the single-join segment has
+    // NO eager checkpoints of its own, so building the encode plan adds
+    // ZERO jobs over train — the final pass only runs when the consumer
+    // acts (the pay-only-when-applied discipline, now fully lazy)
     val docs = Seq(1L -> "abcd ab cd").toDF("doc_id", "text")
     val before = countSegmentJobs { MaxMatch.train(docs, "doc_id", "text", rounds = 2) }
-    val after = countSegmentJobs { MaxMatch.encode(docs, "doc_id", "text", rounds = 2) }
-    // encode pays strictly more jobs than train: the extra final pass
-    // plus the consuming action; train's plan-construction cost is flat
-    assert(after > before)
+    val planOnly = countSegmentJobs { MaxMatch.encode(docs, "doc_id", "text", rounds = 2) }
+    assert(planOnly === before)
+    val drained = countSegmentJobs {
+      MaxMatch.encode(docs, "doc_id", "text", rounds = 2).collect()
+    }
+    assert(drained > before)
   }
 
   private def countSegmentJobs(body: => Any): Int = {
