@@ -45,10 +45,12 @@ object SftAssembly {
 
   /** The deterministic turn/candidate content rendering
     * (`event_type k=<k> v=<cents>`, explicit floor) — shared by both
-    * SFT surfaces here and the DPO pair assembly
-    * ([[Preference.dpoPairs]]), so pair texts and conversation texts
-    * render candidate payloads identically. */
-  private[operators] def contentExpr: org.apache.spark.sql.Column =
+    * SFT surfaces here, the DPO pair assembly
+    * ([[Preference.dpoPairs]]) and its streamed twin
+    * ([[graft.streaming.StreamingPreference.dpoPairsStream]]), so pair
+    * texts and conversation texts render candidate payloads
+    * identically. */
+  private[graft] def contentExpr: org.apache.spark.sql.Column =
     concat(col("event_type"), lit(" k="),
       get_json_object(col("props"), "$.k"),
       lit(" v="), floor(col("value") * 100).cast("long"))

@@ -85,6 +85,49 @@ object Preference extends QueryModule {
     sb.toString
   }
 
+  /** Shared by q_dpo_pairs and q_dpo_pairs_stream (the pair log's
+    * latest row per context equals the batch pair, so the oracle is
+    * identical). */
+  private val dpoOracle: String =
+    """WITH c AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents,
+             |    event_type || ' k=' || json_extract_string(props, '$.k')
+             |      || ' v=' || CAST(floor(value * 100) AS BIGINT)
+             |      AS content,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(floor(value * 100) AS BIGINT) DESC,
+             |               event_id ASC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id)::BIGINT
+             |      AS n_candidates
+             |  FROM events),
+             |p AS (
+             |  SELECT a.user_id, a.n_candidates,
+             |    a.event_id AS chosen_event_id,
+             |    b.event_id AS rejected_event_id,
+             |    a.cents AS chosen_cents, b.cents AS rejected_cents,
+             |    a.content AS c_content, b.content AS r_content,
+             |    '<|system|>conversation ' || a.user_id || chr(10) ||
+             |      '<|user|>best_of n=' || a.n_candidates || chr(10)
+             |      AS prompt
+             |  FROM c a JOIN c b
+             |    ON b.user_id = a.user_id AND b.rn = 2
+             |  WHERE a.rn = 1)
+             |SELECT user_id AS conv_id, chosen_event_id,
+             |  rejected_event_id, chosen_cents, rejected_cents,
+             |  (chosen_cents - rejected_cents)::BIGINT AS margin_cents,
+             |  n_candidates,
+             |  prompt || '<|assistant|>' || c_content || chr(10)
+             |    AS text_chosen,
+             |  prompt || '<|assistant|>' || r_content || chr(10)
+             |    AS text_rejected,
+             |  (length(prompt) + 13)::BIGINT AS loss_start,
+             |  (length(prompt) + 13 + length(c_content))::BIGINT
+             |    AS chosen_loss_end,
+             |  (length(prompt) + 13 + length(r_content))::BIGINT
+             |    AS rejected_loss_end
+             |FROM p""".stripMargin
+
   override val queries: Seq[GraftQuery] = Seq(
 
     // ---- head-to-head win-rate matrix: one row per unordered type
@@ -240,44 +283,52 @@ object Preference extends QueryModule {
     //      with one candidate drop ----
     GraftQuery("q_dpo_pairs",
       (s, dir) => graft.operators.Preference.dpoPairs(t(s, dir, "events")),
-      Some("""WITH c AS (
-             |  SELECT user_id, event_id,
-             |    CAST(floor(value * 100) AS BIGINT) AS cents,
-             |    event_type || ' k=' || json_extract_string(props, '$.k')
-             |      || ' v=' || CAST(floor(value * 100) AS BIGINT)
-             |      AS content,
-             |    row_number() OVER (PARTITION BY user_id
-             |      ORDER BY CAST(floor(value * 100) AS BIGINT) DESC,
-             |               event_id ASC) AS rn,
-             |    count(*) OVER (PARTITION BY user_id)::BIGINT
-             |      AS n_candidates
-             |  FROM events),
-             |p AS (
-             |  SELECT a.user_id, a.n_candidates,
-             |    a.event_id AS chosen_event_id,
-             |    b.event_id AS rejected_event_id,
-             |    a.cents AS chosen_cents, b.cents AS rejected_cents,
-             |    a.content AS c_content, b.content AS r_content,
-             |    '<|system|>conversation ' || a.user_id || chr(10) ||
-             |      '<|user|>best_of n=' || a.n_candidates || chr(10)
-             |      AS prompt
-             |  FROM c a JOIN c b
-             |    ON b.user_id = a.user_id AND b.rn = 2
-             |  WHERE a.rn = 1)
-             |SELECT user_id AS conv_id, chosen_event_id,
-             |  rejected_event_id, chosen_cents, rejected_cents,
-             |  (chosen_cents - rejected_cents)::BIGINT AS margin_cents,
-             |  n_candidates,
-             |  prompt || '<|assistant|>' || c_content || chr(10)
-             |    AS text_chosen,
-             |  prompt || '<|assistant|>' || r_content || chr(10)
-             |    AS text_rejected,
-             |  (length(prompt) + 13)::BIGINT AS loss_start,
-             |  (length(prompt) + 13 + length(c_content))::BIGINT
-             |    AS chosen_loss_end,
-             |  (length(prompt) + 13 + length(r_content))::BIGINT
-             |    AS rejected_loss_end
-             |FROM p""".stripMargin)),
+      Some(dpoOracle)),
+
+    // ---- streamed DPO pairs: candidates over three micro-batches,
+    //      each batch emits its contexts' CURRENT rendered pair; the
+    //      latest row per context (max n_candidates) equals the batch
+    //      operator for ANY arrival order (exact top-2 maintenance),
+    //      so the fold shares q_dpo_pairs' oracle VERBATIM. The
+    //      MemoryStream transport is the harness (driver staging is
+    //      events-table-sized; production swaps in a real source) ----
+    GraftQuery("q_dpo_pairs_stream",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+        import graft.streaming.StreamingPreference.DpoPairRow
+        val ev = t(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value",
+            $"props")
+          .collect().sortBy(_.getLong(0))
+        // rows ride as a typed tuple stream re-assembled to a DataFrame
+        val tin = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, String, Double, String)]
+        val nm = "graft_dpo_pairs_sink"
+        s.catalog.dropTempView(nm)
+        val df = tin.toDS().toDF(
+          "event_id", "user_id", "event_type", "value", "props")
+        val q = graft.streaming.StreamingPreference.dpoPairsStream(df)
+          .writeStream.format("memory").queryName(nm)
+          .outputMode("append").start()
+        try {
+          val rows = ev.map(r => (r.getLong(0), r.getLong(1),
+            r.getString(2), r.getDouble(3), r.getString(4))).toSeq
+          val third = (rows.size + 2) / 3
+          rows.grouped(math.max(third, 1)).foreach { b =>
+            tin.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(nm).as[DpoPairRow]
+          .groupByKey(_.conv_id)
+          .mapGroups((_, rs) => rs.maxBy(_.n_candidates))
+          .where($"rejected_event_id".isNotNull)
+          .select($"conv_id", $"chosen_event_id", $"rejected_event_id",
+            $"chosen_cents", $"rejected_cents", $"margin_cents",
+            $"n_candidates", $"text_chosen", $"text_rejected",
+            $"loss_start", $"chosen_loss_end", $"rejected_loss_end")
+      },
+      Some(dpoOracle)),
 
     // ---- Krippendorff's alpha (nominal) with MISSING ratings: judge B
     //      abstains on view events, judge C on every 7th event id, so

@@ -117,6 +117,103 @@ object StreamingPreference {
       chosen_cents: Long, runner_up_cents: Option[Long],
       margin_cents: Option[Long], n_candidates: Long)
 
+  // ---- streaming DPO pairs: the incremental pair log ----
+
+  /** A candidate with its pre-rendered chat content (rendered MAP-SIDE
+    * by [[dpoPairsStream]] through the batch operator's
+    * `SftAssembly.contentExpr`, so streamed pair texts are
+    * byte-identical to [[graft.operators.Preference.dpoPairs]]). */
+  final case class DpoCand(event_id: Long, user_id: Long, cents: Long,
+      content: String)
+
+  /** Top-2 state WITH payloads: champion and runner-up content ride
+    * along (bounded — one rendered line each), everything else is the
+    * [[Top2]] discipline. */
+  final case class PairState(n: Long, c1: Long, i1: Long, t1: String,
+      c2: Long, i2: Long, t2: String, has2: Boolean)
+
+  final case class DpoPairRow(conv_id: Long, chosen_event_id: Long,
+      rejected_event_id: Option[Long], chosen_cents: Long,
+      rejected_cents: Option[Long], margin_cents: Option[Long],
+      n_candidates: Long, text_chosen: Option[String],
+      text_rejected: Option[String], loss_start: Long,
+      chosen_loss_end: Option[Long], rejected_loss_end: Option[Long])
+
+  /** Streaming [[graft.operators.Preference.dpoPairs]]: candidates
+    * arrive continuously and each micro-batch with arrivals for a
+    * context emits that context's CURRENT (chosen, rejected) pair,
+    * fully rendered with prompt, response blocks and loss spans — a
+    * pair LOG whose latest row per context (max `n_candidates`, which
+    * strictly increases on arrivals) equals the batch operator over
+    * everything seen, for ANY arrival order (exact top-2 maintenance:
+    * a candidate outside the top-2 can never re-enter it). Rows before
+    * a context's second candidate carry a null rejected side and are
+    * dropped by the fold, matching the batch single-candidate drop.
+    * State per context: the top-2 (ids, cents, rendered contents) +
+    * one count. Offsets are CODE-POINT counts, the batch `length()`
+    * semantics. */
+  def dpoPairsStream(events: org.apache.spark.sql.DataFrame)
+      : Dataset[DpoPairRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cands = events.select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      floor(col("value") * 100).cast("long").as("cents"),
+      graft.operators.SftAssembly.contentExpr.as("content"))
+      .as[DpoCand]
+    def cps(s: String): Long = s.codePointCount(0, s.length).toLong
+    def beats(c: Long, i: Long, c2: Long, i2: Long): Boolean =
+      c > c2 || (c == c2 && i < i2)
+    cands.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PairState, DpoPairRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[DpoCand], state: GroupState[PairState]) =>
+          var st = state.getOption.orNull
+          var any = false
+          rows.toSeq.sortBy(r => (-r.cents, r.event_id)).foreach { r =>
+            any = true
+            st =
+              if (st == null)
+                PairState(1L, r.cents, r.event_id, r.content,
+                  0L, 0L, "", has2 = false)
+              else if (beats(r.cents, r.event_id, st.c1, st.i1))
+                PairState(st.n + 1, r.cents, r.event_id, r.content,
+                  st.c1, st.i1, st.t1, has2 = true)
+              else if (!st.has2 || beats(r.cents, r.event_id, st.c2, st.i2))
+                PairState(st.n + 1, st.c1, st.i1, st.t1,
+                  r.cents, r.event_id, r.content, has2 = true)
+              else st.copy(n = st.n + 1)
+          }
+          if (!any) Iterator.empty
+          else {
+            state.update(st)
+            val prompt = s"<|system|>conversation $uid\n" +
+              s"<|user|>best_of n=${st.n}\n"
+            val lossStart = cps(prompt) + 13L // <|assistant|>
+            // a null rendered content (no props.k) nulls the text and
+            // its end offset — exactly the batch concat's null
+            // propagation
+            def text(t: String): Option[String] =
+              Option(t).map(prompt + "<|assistant|>" + _ + "\n")
+            def end(t: String): Option[Long] =
+              Option(t).map(lossStart + cps(_))
+            Iterator.single(DpoPairRow(uid, st.i1,
+              if (st.has2) Some(st.i2) else None,
+              st.c1,
+              if (st.has2) Some(st.c2) else None,
+              if (st.has2) Some(st.c1 - st.c2) else None,
+              st.n,
+              text(st.t1),
+              if (st.has2) text(st.t2) else None,
+              lossStart,
+              end(st.t1),
+              if (st.has2) end(st.t2) else None))
+          }
+      }
+  }
+
   /** Streaming [[graft.operators.Preference.bestOfN]]: candidates
     * arrive continuously and each micro-batch with arrivals for a
     * context emits that context's CURRENT champion row — a champion

@@ -89,6 +89,64 @@ class StreamingPreferenceSpec extends SparkSpec {
     }
   }
 
+  test("dpoPairsStream: latest pair row per context equals the batch " +
+      "dpoPairs, any arrival order; pre-pair rows drop") {
+    import spark.implicits._
+    import StreamingPreference.DpoPairRow
+    val rows = Seq( // (event_id, user_id, event_type, value, props)
+      (1L, 1L, "click", 10.0, """{"k":7}"""),
+      (2L, 1L, "view", 10.0, """{"k":8}"""),
+      (3L, 1L, "buy", 99.0, """{"k":9}"""), // late champion change
+      (4L, 2L, "a", 2.345, "{}"))           // single candidate
+    for ((order, name) <- Seq((rows, "dpoa"), (rows.reverse, "dpob"))) {
+      implicit val sql = spark.sqlContext
+      val in = MemoryStream[(Long, Long, String, Double, String)]
+      val q = StreamingPreference.dpoPairsStream(in.toDS().toDF(
+          "event_id", "user_id", "event_type", "value", "props"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try {
+        in.addData(order.take(2)); q.processAllAvailable()
+        in.addData(order.drop(2)); q.processAllAvailable()
+        val last = spark.table(name).as[DpoPairRow].collect()
+          .groupBy(_.conv_id).view
+          .mapValues(_.maxBy(_.n_candidates)).toMap
+        // user 1: event 3 (9900c) chosen, tie pair (1,2) → 1 rejected
+        val r1 = last(1L)
+        assert(r1.chosen_event_id === 3L)
+        assert(r1.rejected_event_id === Some(1L))
+        assert(r1.margin_cents === Some(8900L))
+        val prompt = "<|system|>conversation 1\n<|user|>best_of n=3\n"
+        assert(r1.text_chosen ===
+          Some(prompt + "<|assistant|>buy k=9 v=9900\n"))
+        assert(r1.text_rejected ===
+          Some(prompt + "<|assistant|>click k=7 v=1000\n"))
+        assert(r1.text_chosen.get.substring(r1.loss_start.toInt,
+          r1.chosen_loss_end.get.toInt) === "buy k=9 v=9900")
+        // user 2 never forms a pair: latest row carries null rejected
+        assert(last(2L).rejected_event_id === None)
+        // and the folded pair equals the batch operator verbatim
+        val batch = graft.operators.Preference.dpoPairs(
+            spark.createDataset(rows).toDF(
+              "event_id", "user_id", "event_type", "value", "props")
+              .withColumn("ts", org.apache.spark.sql.functions
+                .lit(new Timestamp(0L))))
+          .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+        assert(batch.keySet === Set(1L))
+        val b1 = batch(1L)
+        assert(b1.getAs[Long]("chosen_event_id") === r1.chosen_event_id)
+        assert(b1.getAs[Long]("rejected_event_id") ===
+          r1.rejected_event_id.get)
+        assert(b1.getAs[String]("text_chosen") === r1.text_chosen.get)
+        assert(b1.getAs[String]("text_rejected") === r1.text_rejected.get)
+        assert(b1.getAs[Long]("loss_start") === r1.loss_start)
+        assert(b1.getAs[Long]("chosen_loss_end") === r1.chosen_loss_end.get)
+        assert(b1.getAs[Long]("rejected_loss_end") ===
+          r1.rejected_loss_end.get)
+      } finally q.stop()
+    }
+  }
+
   test("TTL evicts idle users: the boundary trial after eviction is lost") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
