@@ -55,10 +55,19 @@ object Calibration {
     * `iso_ppb` non-decreasing in `bin`. `scoreCol` must be integral,
     * `posCol` 0/1. */
   def isotonicBins(scored: DataFrame, scoreCol: String, posCol: String,
+      binWidth: Long = 16L, clamp: Long = 64L): DataFrame =
+    isotonicFit(binCounts(scored, scoreCol, posCol, binWidth, clamp))
+
+  /** The corpus-facing half: clamped sign-safe binning + ONE
+    * map-side-combinable groupBy to `(bin, tot, pos)`. Counts are
+    * ADDITIVE across any partition of the scored slice — what lets the
+    * streamed twin ([[graft.streaming.StreamingCalibration]]) fold
+    * per-batch bin counts and refit read-side. */
+  def binCounts(scored: DataFrame, scoreCol: String, posCol: String,
       binWidth: Long = 16L, clamp: Long = 64L): DataFrame = {
     require(binWidth >= 1 && clamp >= 1,
       s"binWidth/clamp must be positive (got $binWidth, $clamp)")
-    val bn = scored
+    scored
       .select(col(scoreCol).cast("long").as("s"),
         col(posCol).cast("long").as("p"))
       .select(expr(
@@ -68,6 +77,12 @@ object Calibration {
       .groupBy("bin")
       .agg(count(lit(1)).cast("long").as("tot"),
         sum(col("p")).cast("long").as("pos"))
+  }
+
+  /** The bin-relation half: PAV via the relational max-min closed form
+    * over `(bin, tot, pos)` counts. Everything here is
+    * value-range-sized (≤ 2·clamp rows). */
+  def isotonicFit(bn: DataFrame): DataFrame = {
     // bin relation from here: ≤ 2·clamp rows by construction — the
     // unpartitioned windows below are value-range-sized, never
     // corpus-sized (the ccnet-tercile precedent)

@@ -1142,6 +1142,36 @@ object Curation extends QueryModule {
         binWidth = 1024L, clamp = 64L),
       Some(Curation.isotonicOracle(32, 4, binWidth = 1024L, clamp = 64L))),
 
+    // ---- streamed isotonic calibration: the perceptron scores arrive
+    //      in three id-range folds, each appending its ADDITIVE bin
+    //      counts (<= 2*clamp rows) to the artifact; the PAV fit reruns
+    //      read-side on the merged bin relation, so the calibrated map
+    //      equals the batch operator on everything seen VERBATIM
+    //      (shares the batch oracle; a mid-run compaction must not
+    //      change the answer) ----
+    GraftQuery("q_isotonic_stream",
+      (s, dir) => {
+        val base = s"/tmp/graft_iso_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingCalibration.init(s, base)
+        val (_, pred) = graft.operators.Perceptron.train(
+          t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)
+        val scored = pred.select(col("doc_id"), col("margin"),
+            when(col("y") === 1L, 1L).otherwise(0L).as("is_pos"))
+          .persist()
+        val maxId = scored.agg(max(col("doc_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingCalibration.fold(s, base,
+            scored.where(col("doc_id") >= i * maxId / 3 &&
+              col("doc_id") < (i + 1) * maxId / 3),
+            "margin", "is_pos", binWidth = 1024L, clamp = 64L)
+          if (i == 1L) // mid-run compaction is answer-preserving
+            graft.streaming.StreamingCalibration.compactBins(s, base)
+        }
+        scored.unpersist()
+        graft.streaming.StreamingCalibration.calibrated(s, base)
+      },
+      Some(Curation.isotonicOracle(32, 4, binWidth = 1024L, clamp = 64L))),
+
     // ---- CCNet-style perplexity filter: stupid-backoff bigram LM
     //      trained on the even-doc_id half, scoring the held-out odd
     //      half in integer micro-nats (floor(1e6*ln S) per position, so
