@@ -209,6 +209,54 @@ object Packing {
       .drop("__pid", "__lr", "__base")
   }
 
+  /** Padding-aware length-bucketed batch assembly — the SFT/eval
+    * batching trick: group sequences of SIMILAR length into fixed-size
+    * batches so each batch pads only to ITS OWN max, not the corpus
+    * max. Per batch of `batchSize` sequences the report publishes
+    * `(batch_id, n_seqs, sum_tokens, max_tokens, padded_tokens,
+    * pad_ppm)` with `padded_tokens = max·n` (what the accelerator
+    * actually processes) and `pad_ppm` the wasted share — exact
+    * integers.
+    *
+    * `byLength = true` (the operator's point) orders by
+    * `(n_tokens, doc_id)`; `false` is the naive arrival-order batching
+    * (by `doc_id`) — published so the padding SAVING is measurable as
+    * data (see the registry's gain query). Ties carry the unique id,
+    * so batch membership is deterministic in both modes. The last
+    * partial batch is reported like any other (its `n_seqs` < B).
+    *
+    * Distribution shape: one corpus scan for counts, the two-phase
+    * [[rankWithinGroups]] rank (range partition + offset composition —
+    * the global sort never funnels one task), one map-side-combinable
+    * groupBy on `batch_id`. Output is corpus/B-sized. */
+  def lengthBucketBatches(docs: DataFrame, idCol: String,
+      textCol: String, batchSize: Int,
+      byLength: Boolean = true): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
+    val counted = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(expr(graft.operators.Dedup.wordsExpr(textCol)))
+          .cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    val key =
+      if (byLength) struct(col("n_tokens"), col("doc_id"))
+      else struct(col("doc_id"))
+    val ranked = rankWithinGroups(
+      counted.withColumn("__g", lit(1)).withColumn("__k", key),
+      "__g", "__k")
+    ranked
+      .withColumn("batch_id",
+        expr(s"(rnk - 1) div ${batchSize.toLong}L").cast("long"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).cast("long").as("n_seqs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        max(col("n_tokens")).cast("long").as("max_tokens"))
+      .select(col("batch_id"), col("n_seqs"), col("sum_tokens"),
+        col("max_tokens"),
+        (col("max_tokens") * col("n_seqs")).as("padded_tokens"),
+        expr("""(max_tokens * n_seqs - sum_tokens) * 1000000L
+               | div (max_tokens * n_seqs)""".stripMargin).as("pad_ppm"))
+  }
+
   /** Composite-quality ceiling for [[curriculumOrder]]'s packed order
     * key: each quality ratio is ≤ 10000 and the weights sum to 10, so
     * quality < 100001. */

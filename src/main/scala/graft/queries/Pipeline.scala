@@ -76,6 +76,22 @@ object Pipeline extends QueryModule {
       |    AS twap_cents
       |FROM wg GROUP BY 1, 2""".stripMargin
 
+  /** Shared by q_length_buckets / q_length_bucket_gain: whitespace
+    * counts, the zero-token drop, and the (n_tokens, doc_id)-ranked
+    * batch ids — `bs(batch_id, n_tokens)` plus `nz` for the naive
+    * ordering. */
+  private val lengthBucketCtes: String =
+    """tk AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+      |      AS n_tokens
+      |  FROM documents),
+      |nz AS (SELECT * FROM tk WHERE n_tokens > 0),
+      |bs AS (SELECT n_tokens,
+      |    (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 16
+      |      AS batch_id
+      |  FROM nz)""".stripMargin
+
   override val queries: Seq[GraftQuery] = Seq(
 
     // ---- purged temporal split: train before the 4/5 time cut, val
@@ -625,6 +641,61 @@ object Pipeline extends QueryModule {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
              |  FROM g)
              |SELECT price, day FROM s WHERE pm IS NULL OR day > pm""".stripMargin)),
+
+    // ---- padding-aware length bucketing: batches of 16 similar-length
+    //      sequences, each padding only to its own max — per-batch
+    //      padded-token and pad-ppm report; rank via the two-phase
+    //      range-partitioned composition (the oracle's global window is
+    //      the one-reducer shape the operator avoids) ----
+    GraftQuery("q_length_buckets",
+      (s, dir) => graft.operators.Packing.lengthBucketBatches(
+        t(s, dir, "documents"), "doc_id", "text", batchSize = 16),
+      Some(s"""WITH $lengthBucketCtes
+             |SELECT batch_id::BIGINT AS batch_id, count(*)::BIGINT AS n_seqs,
+             |  sum(n_tokens)::BIGINT AS sum_tokens,
+             |  max(n_tokens)::BIGINT AS max_tokens,
+             |  (max(n_tokens) * count(*))::BIGINT AS padded_tokens,
+             |  ((max(n_tokens) * count(*) - sum(n_tokens)) * 1000000
+             |   // (max(n_tokens) * count(*)))::BIGINT AS pad_ppm
+             |FROM bs GROUP BY 1""".stripMargin)),
+
+    // ---- the measured padding SAVING of length bucketing vs naive
+    //      arrival-order batching, one row: what the trick buys ----
+    GraftQuery("q_length_bucket_gain",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val srt = graft.operators.Packing.lengthBucketBatches(
+            docs, "doc_id", "text", batchSize = 16)
+          .agg(count(lit(1)).cast("long").as("n_batches"),
+            sum($"sum_tokens").cast("long").as("real_tokens"),
+            sum($"padded_tokens").cast("long").as("padded_sorted"))
+        val naive = graft.operators.Packing.lengthBucketBatches(
+            docs, "doc_id", "text", batchSize = 16, byLength = false)
+          .agg(sum($"padded_tokens").cast("long").as("padded_naive"))
+        srt.crossJoin(naive)
+          .select($"n_batches", $"real_tokens", $"padded_sorted",
+            $"padded_naive",
+            expr("""(padded_naive - padded_sorted) * 1000000L
+                   | div padded_naive""".stripMargin).as("saving_ppm"))
+      },
+      Some(s"""WITH $lengthBucketCtes,
+             |srt AS (SELECT count(*)::BIGINT AS n_batches,
+             |    sum(st)::BIGINT AS real_tokens,
+             |    sum(mx * ns)::BIGINT AS padded_sorted
+             |  FROM (SELECT batch_id, sum(n_tokens) AS st,
+             |          max(n_tokens) AS mx, count(*) AS ns
+             |        FROM bs GROUP BY 1)),
+             |rn AS (SELECT n_tokens,
+             |    (row_number() OVER (ORDER BY doc_id) - 1) // 16 AS bid
+             |  FROM nz),
+             |nv AS (SELECT sum(mx * ns)::BIGINT AS padded_naive
+             |  FROM (SELECT bid, max(n_tokens) AS mx, count(*) AS ns
+             |        FROM rn GROUP BY 1))
+             |SELECT n_batches, real_tokens, padded_sorted, padded_naive,
+             |  ((padded_naive - padded_sorted) * 1000000
+             |   // padded_naive)::BIGINT AS saving_ppm
+             |FROM srt CROSS JOIN nv""".stripMargin)),
 
     // ---- sequence packing: global token offsets + pack ranges via a
     //      two-phase distributed prefix sum (per-partition cumsum + P

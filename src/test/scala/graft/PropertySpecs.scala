@@ -153,6 +153,37 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("lengthBucketBatches: hand-computed batches, padding report, " +
+      "and the bucketed padding never exceeds the naive ordering's") {
+    import spark.implicits._
+    // 7 docs with word counts 1,1,2,3,5,8,13; batchSize 3 on the
+    // length-sorted order → batches [1,1,2], [3,5,8], [13]
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c d"), (4L, "e f g"),
+      (5L, "h i j k l"), (6L, "m n o p q r s t"),
+      (7L, "u v w x y z a2 b2 c2 d2 e2 f2 g2"))
+      .toDF("doc_id", "text")
+    val got = operators.Packing
+      .lengthBucketBatches(docs, "doc_id", "text", batchSize = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 3L, 4L, 2L, 6L, (6L - 4L) * 1000000L / 6L),
+      (1L, 3L, 16L, 8L, 24L, (24L - 16L) * 1000000L / 24L),
+      (2L, 1L, 13L, 13L, 13L, 0L)))
+    // property: summed padded tokens under length bucketing never
+    // exceed the naive doc_id-order batching's (sorting minimizes
+    // within-batch spread)
+    val srt = operators.Packing
+      .lengthBucketBatches(docs, "doc_id", "text", 3)
+      .agg(org.apache.spark.sql.functions.sum($"padded_tokens"))
+      .head.getLong(0)
+    val naive = operators.Packing
+      .lengthBucketBatches(docs, "doc_id", "text", 3, byLength = false)
+      .agg(org.apache.spark.sql.functions.sum($"padded_tokens"))
+      .head.getLong(0)
+    assert(srt <= naive)
+  }
+
   test("curriculumOrder round-robin interleaves languages by quality rank") {
     import spark.implicits._
     // quality is driven by distinct-token ratio: more repetition =
