@@ -163,6 +163,11 @@ object StreamingCorpusClean {
         .join(candIds, col("doc_id") === col("cid"), "left_semi")
         .select(col("doc_id").as("id"),
           expr(shinglesExpr(wordsExpr("norm_text"))).as("sh"))
+      // persisted: the drops append, the onNewlyKept delta (which the
+      // hook consumes TWICE — content tag + write) and nothing else
+      // read this; without the persist each consumer re-runs the whole
+      // shingle verify pass (measured: the composed capstone's clean
+      // folds doubled)
       val verified = cands
         .join(sh.withColumnRenamed("sh", "sh_a"), col("doc_a") === col("id")).drop("id")
         .join(sh.withColumnRenamed("sh", "sh_b"), col("doc_b") === col("id")).drop("id")
@@ -171,6 +176,7 @@ object StreamingCorpusClean {
             |      CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 4)"""
             .stripMargin) >= jaccard)
         .select(col("doc_b").as("doc_id")).distinct()
+        .persist()
 
       // append AFTER the fold's joins materialized, so the batch never
       // probes its own stored rows
@@ -189,6 +195,7 @@ object StreamingCorpusClean {
       onNewlyKept.foreach(f =>
         f(newExact.join(verified, Seq("doc_id"), "left_anti")))
       newExact.write.mode("append").parquet(textsPath(base))
+      verified.unpersist()
       cands.unpersist()
       newBands.unpersist()
     } finally {
