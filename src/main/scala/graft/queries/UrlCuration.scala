@@ -213,6 +213,55 @@ object UrlCuration extends QueryModule {
              |    AS kept
              |FROM g""".stripMargin)),
 
+    // ---- streamed domain-quality gate: documents arrive over three
+    //      micro-batches, resolution + word count run map-side, state
+    //      is two longs per domain (additive — any arrival order), the
+    //      latest emitted row per domain equals the batch gate (shares
+    //      its PSL oracle verbatim). MemoryStream is the harness
+    //      transport, as elsewhere ----
+    GraftQuery("q_domain_quality_gate_stream",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+        import graft.streaming.StreamingUrlCuration.DomainGateRow
+        val rows = t(s, dir, "documents")
+          .select(col("doc_id"), expr(urlExpr).as("url"), col("text"))
+          .collect().sortBy(_.getLong(0))
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String)]
+        val nm = "graft_domain_gate_sink"
+        s.catalog.dropTempView(nm)
+        val q = graft.streaming.StreamingUrlCuration.domainQualityGateStream(
+            in.toDS().toDF("doc_id", "url", "text"), "url", "text",
+            graft.operators.UrlCuration.syntheticPsl(s),
+            minDocs = 3L, minMeanWordsMilli = 54000L)
+          .writeStream.format("memory").queryName(nm)
+          .outputMode("append").start()
+        try {
+          val third = (rows.size + 2) / 3
+          rows.grouped(math.max(third, 1)).foreach { b =>
+            in.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(nm).as[DomainGateRow]
+          .groupByKey(_.registrable)
+          .mapGroups((_, rs) => rs.maxBy(_.n_docs))
+          .select(col("registrable"), col("n_docs"), col("sum_words"),
+            col("mean_words_milli"), col("kept"))
+      },
+      Some(s"""WITH $parsePslCte,
+             |nw AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
+             |  w -> w <> ''))::BIGINT AS n_words FROM documents),
+             |g AS (SELECT pu.registrable, count(*)::BIGINT AS n_docs,
+             |        sum(nw.n_words)::BIGINT AS sum_words
+             |      FROM pu JOIN nw USING (doc_id) GROUP BY 1)
+             |SELECT registrable, n_docs, sum_words,
+             |  (sum_words * 1000 // n_docs)::BIGINT AS mean_words_milli,
+             |  (n_docs >= 3 AND (sum_words * 1000 // n_docs) >= 54000)
+             |    AS kept
+             |FROM g""".stripMargin)),
+
     // ---- blocklist gate: broadcast anti-join on registrable domain ----
     GraftQuery("q_domain_blocklist",
       (s, dir) => {

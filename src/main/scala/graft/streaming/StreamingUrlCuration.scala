@@ -34,6 +34,56 @@ object StreamingUrlCuration {
   final case class CapVerdict(doc_id: Long, registrable: String,
       rnk: Long, kept: Long)
 
+  final case class DomainDoc(registrable: String, n_words: Long)
+  final case class DomainGateRow(registrable: String, n_docs: Long,
+      sum_words: Long, mean_words_milli: Long, kept: Boolean)
+
+  /** Streaming [[graft.operators.UrlCuration.domainQualityGate]]: the
+    * domain-level curation verdict stays current as documents arrive.
+    * URL parse → canonicalize → eTLD+1 (the batch operators, verbatim
+    * — the PSL rule dim is a stream-static broadcast join) and the
+    * word count run MAP-SIDE; per-domain state is TWO longs
+    * `(n_docs, sum_words)` — additive, so the fold is correct under
+    * ANY arrival order — and each micro-batch with arrivals emits the
+    * domain's current gate row. The latest row per domain (max
+    * `n_docs`, strictly increasing on arrivals) equals the batch
+    * operator over everything seen
+    * (q_domain_quality_gate_stream shares the batch oracle verbatim).
+    * The floored-milli mean is non-negative, so `/` here equals the
+    * batch `div`. */
+  def domainQualityGateStream(docs: org.apache.spark.sql.DataFrame,
+      urlCol: String, textCol: String,
+      rules: org.apache.spark.sql.DataFrame,
+      minDocs: Long = 3L, minMeanWordsMilli: Long = 40000L)
+      : Dataset[DomainGateRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val resolved = graft.operators.UrlCuration.registrableDomain(
+        graft.operators.UrlCuration.canonicalize(docs, urlCol),
+        "host", rules)
+      .select(col("registrable"),
+        size(expr(graft.operators.Dedup.wordsExpr(textCol)))
+          .cast("long").as("n_words"))
+      .as[DomainDoc]
+    resolved.groupByKey(_.registrable)
+      .flatMapGroupsWithState[(Long, Long), DomainGateRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (domain: String, rows: Iterator[DomainDoc],
+            state: GroupState[(Long, Long)]) =>
+          var (n, sw) = state.getOption.getOrElse((0L, 0L))
+          var any = false
+          rows.foreach { r => any = true; n += 1L; sw += r.n_words }
+          if (!any) Iterator.empty
+          else {
+            state.update((n, sw))
+            val mean = sw * 1000L / n
+            Iterator.single(DomainGateRow(domain, n, sw, mean,
+              n >= minDocs && mean >= minMeanWordsMilli))
+          }
+      }
+  }
+
   /** Arrival-ranked cap verdicts with cross-batch per-domain counts. */
   def capVerdicts(docs: Dataset[CapDoc],
       maxPerDomain: Long): Dataset[CapVerdict] = {

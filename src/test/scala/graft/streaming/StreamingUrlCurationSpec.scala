@@ -40,6 +40,53 @@ class StreamingUrlCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("domainQualityGateStream: latest gate row per domain equals the " +
+      "batch gate, any arrival order") {
+    import spark.implicits._
+    import StreamingUrlCuration.DomainGateRow
+    // two domains under the same eTLD+1 rule; word counts chosen so
+    // one domain passes both thresholds and the other fails the mean
+    val rows = Seq( // (doc_id, url, text)
+      (1L, "https://a.good.org/1", "w1 w2 w3 w4 w5"),
+      (2L, "https://b.good.org/2", "w1 w2 w3 w4 w5 w6"),
+      (3L, "https://good.org/3", "w1 w2 w3 w4"),
+      (4L, "https://bad.org/1", "w1"),
+      (5L, "https://bad.org/2", "w1 w2"),
+      (6L, "https://bad.org/3", "w1"))
+    val rules = Seq(Tuple1("org")).toDF("rule")
+    for ((order, name) <- Seq((rows, "dqga"), (rows.reverse, "dqgb"))) {
+      implicit val sql = spark.sqlContext
+      val in = MemoryStream[(Long, String, String)]
+      val q = StreamingUrlCuration.domainQualityGateStream(
+          in.toDS().toDF("doc_id", "url", "text"), "url", "text",
+          rules, minDocs = 3L, minMeanWordsMilli = 2000L)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try {
+        in.addData(order.take(2)); q.processAllAvailable()
+        in.addData(order.drop(2)); q.processAllAvailable()
+        val last = spark.table(name).as[DomainGateRow].collect()
+          .groupBy(_.registrable).view
+          .mapValues(_.maxBy(_.n_docs)).toMap
+        // good.org: 3 docs, 15 words, mean 5000 milli >= 2000 → kept
+        assert(last("good.org") ===
+          DomainGateRow("good.org", 3L, 15L, 5000L, kept = true))
+        // bad.org: 3 docs, 4 words, mean 1333 milli < 2000 → dropped
+        assert(last("bad.org") ===
+          DomainGateRow("bad.org", 3L, 4L, 1333L, kept = false))
+        // equals the batch operator on the full input
+        val batch = graft.operators.UrlCuration.domainQualityGate(
+            spark.createDataset(rows).toDF("doc_id", "url", "text"),
+            "url", "text", minDocs = 3L, minMeanWordsMilli = 2000L,
+            rules = Some(rules))
+          .as[(String, Long, Long, Long, Boolean)].collect()
+          .map(r => r._1 -> DomainGateRow(r._1, r._2, r._3, r._4, r._5))
+          .toMap
+        assert(batch === last.toMap)
+      } finally q.stop()
+    }
+  }
+
   test("arbitrary arrival keeps exactly min(cap, n) per domain") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
