@@ -372,6 +372,76 @@ case class DecodeNumRefs(child: Expression) extends UnaryExpression with Codegen
     copy(child = newChild)
 }
 
+/** luhn_redact(text): checksum-VALIDATED payment-card redaction — the
+  * precision upgrade over blanket digit masking: a candidate is a
+  * maximal run of digits/spaces/dashes, trimmed to its first..last
+  * digit, carrying 13–19 digits total; it is replaced by `<CARD>` iff
+  * its digit sequence passes the Luhn check (ISO/IEC 7812: from the
+  * rightmost digit double every second, subtract 9 above 9, sum ≡ 0
+  * mod 10). Invalid checksums, short/long runs, and everything else
+  * pass through untouched — order numbers and timestamps survive,
+  * real PANs do not. One left-to-right pass, never throws. */
+case class LuhnRedact(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "luhn_redact"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isRun(c: Char): Boolean = isDigit(c) || c == ' ' || c == '-'
+
+  private def luhnValid(digits: Array[Int]): Boolean = {
+    var sum = 0
+    var i = digits.length - 1
+    var second = false
+    while (i >= 0) {
+      var d = digits(i)
+      if (second) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      second = !second
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      if (isDigit(s.charAt(i))) {
+        // maximal [0-9 -] run from here, then trim to the last digit
+        var j = i
+        var lastDigit = i
+        while (j < n && isRun(s.charAt(j))) {
+          if (isDigit(s.charAt(j))) lastDigit = j
+          j += 1
+        }
+        val run = s.substring(i, lastDigit + 1)
+        val digits = run.iterator.filter(isDigit).map(_ - '0').toArray
+        if (digits.length >= 13 && digits.length <= 19 &&
+            luhnValid(digits)) {
+          sb.append("<CARD>")
+          i = lastDigit + 1
+        } else {
+          sb.append(run)
+          i = lastDigit + 1
+        }
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** clean_gate(text, lang, minQuality): the corpus-clean keep/drop decision
   * as ONE boolean kernel — language-ID argmax + integer quality score in a
   * single tokenization pass, replacing six interpreted filter/contains

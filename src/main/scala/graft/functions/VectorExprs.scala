@@ -124,6 +124,8 @@ object VectorFunctions {
       "norm_ws(text) - collapse whitespace, trim, lowercase (one pass)"),
     ("decode_numrefs", (e: Seq[Expression]) => DecodeNumRefs(e(0)),
       "decode_numrefs(text) - decode HTML numeric character references"),
+    ("luhn_redact", (e: Seq[Expression]) => LuhnRedact(e(0)),
+      "luhn_redact(text) - redact Luhn-valid 13-19 digit card runs"),
     ("unicode_norm", (e: Seq[Expression]) => UnicodeNorm(e(0), e(1)),
       "unicode_norm(text, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),
     ("clean_gate", (e: Seq[Expression]) => CleanGate(e(0), e(1), e(2)),

@@ -76,6 +76,22 @@ object Pipeline extends QueryModule {
       |    AS twap_cents
       |FROM wg GROUP BY 1, 2""".stripMargin
 
+  /** q_luhn_redact's fixture: published TEST card numbers — valid
+    * (spaced 16-digit Visa, 15-digit Amex, 13-digit Visa, dashed
+    * Mastercard) and a checksum-broken variant — plus sub-length digit
+    * noise and a trailing numeric ref that must all survive. Valid in
+    * both dialects. */
+  private val luhnFixtureExpr: String =
+    """concat('pay ',
+      |  CASE CAST(doc_id % 6 AS INTEGER)
+      |    WHEN 0 THEN '4111 1111 1111 1111'
+      |    WHEN 1 THEN '4111 1111 1111 1112'
+      |    WHEN 2 THEN '378282246310005'
+      |    WHEN 3 THEN '4222222222222'
+      |    WHEN 4 THEN '1234 5678'
+      |    ELSE '4012-8888-8888-1881' END,
+      |  ' ref ', CAST(doc_id AS STRING), ' end')""".stripMargin
+
   /** Shared by q_length_buckets / q_length_bucket_gain: whitespace
     * counts, the zero-token drop, and the (n_tokens, doc_id)-ranked
     * batch ids — `bs(batch_id, n_tokens)` plus `nz` for the naive
@@ -926,6 +942,36 @@ object Pipeline extends QueryModule {
              |regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
              |len(regexp_extract_all(props, '[0-9]+'))::BIGINT AS n_hits
              |FROM events""".stripMargin)),
+
+    // ---- Luhn-VALIDATED card redaction: candidates are maximal
+    //      digit/space/dash runs trimmed to their digits, replaced by
+    //      <CARD> only when 13-19 digits pass the Luhn checksum — the
+    //      precision upgrade over q_text_redact's blanket digit mask
+    //      (order numbers and timestamps survive, PANs do not). The
+    //      fixture injects published TEST card numbers (valid and
+    //      checksum-broken variants, spaced and dashed); the oracle is
+    //      CONSTRUCTIVE (expected text stated from the injected ground
+    //      truth — the Luhn math itself is pinned by LuhnRedactSpec's
+    //      hand cases + single-digit-mutation property) ----
+    GraftQuery("q_luhn_redact",
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        import s.implicits._
+        t(s, dir, "documents").select($"doc_id",
+          call_function("luhn_redact", expr(luhnFixtureExpr))
+            .as("redacted"))
+      },
+      Some(s"""SELECT doc_id,
+             |  'pay ' ||
+             |  CASE CAST(doc_id % 6 AS INTEGER)
+             |    WHEN 0 THEN '<CARD>'
+             |    WHEN 1 THEN '4111 1111 1111 1112'
+             |    WHEN 2 THEN '<CARD>'
+             |    WHEN 3 THEN '<CARD>'
+             |    WHEN 4 THEN '1234 5678'
+             |    ELSE '<CARD>' END ||
+             |  ' ref ' || CAST(doc_id AS VARCHAR) || ' end' AS redacted
+             |FROM documents""".stripMargin)),
 
     // ---- per-class embedding centroids (label × dimension means) ----
     GraftQuery("q_vec_centroid",
