@@ -46,6 +46,49 @@ object Profiler {
         round(min(col("__v")), 2).as("min_value"),
         round(max(col("__v")), 2).as("max_value"))
 
+  /** Winsorization at EXACT rank thresholds — the robust-stats clip
+    * that survives what z-score trimming ([[graft.queries]]'s
+    * q_outliers) cannot: heavy tails move the mean/σ themselves, while
+    * order statistics do not. The lower/upper cut values are the exact
+    * `ceil(n·ppm/1e6)`-th smallest values (1-based, clamped to [1, n];
+    * ties broken by the unique id so the RANK is well-defined — the
+    * cut VALUE is unaffected by the tiebreak), and every value clamps
+    * into `[lo_cut, hi_cut]`. No arithmetic touches the doubles (pure
+    * least/greatest), so raw values hash-match bit-for-bit.
+    *
+    * Distribution shape: one two-phase global rank
+    * ([[Packing.rankWithinGroups]] under a constant group — range
+    * partition + offset composition, never a one-reducer sort), a
+    * 2-row threshold relation broadcast back, one map-side clamp.
+    * Output: `(id, value, lo_cut, hi_cut, winsorized, clipped)`. */
+  def winsorize(df: DataFrame, idCol: String, valueCol: String,
+      loPpm: Long = 10000L, hiPpm: Long = 990000L): DataFrame = {
+    require(loPpm >= 0 && hiPpm <= 1000000L && loPpm <= hiPpm,
+      s"need 0 <= loPpm <= hiPpm <= 1e6 (got $loPpm, $hiPpm)")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(valueCol).as("v")).where(col("v").isNotNull)
+    val ranked = Packing.rankWithinGroups(
+      base.withColumn("__g", lit(1))
+        .withColumn("__k", struct(col("v"), col("id"))),
+      "__g", "__k")
+    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+    val cuts = broadcast(ranked.crossJoin(n)
+      .withColumn("__klo", expr(
+        s"greatest(least((n * ${loPpm}L + 999999L) div 1000000L, n), 1L)"))
+      .withColumn("__khi", expr(
+        s"greatest(least((n * ${hiPpm}L + 999999L) div 1000000L, n), 1L)"))
+      .where(col("rnk") === col("__klo") || col("rnk") === col("__khi"))
+      .agg(min(when(col("rnk") === col("__klo"), col("v"))).as("lo_cut"),
+        max(when(col("rnk") === col("__khi"), col("v"))).as("hi_cut")))
+    ranked.crossJoin(cuts)
+      .select(col("id"), col("v").as("value"), col("lo_cut"),
+        col("hi_cut"),
+        least(greatest(col("v"), col("lo_cut")), col("hi_cut"))
+          .as("winsorized"),
+        (col("v") < col("lo_cut") || col("v") > col("hi_cut"))
+          .cast("long").as("clipped"))
+  }
+
   private def profileImpl(df: DataFrame, cols: Seq[String],
       exact: Boolean): DataFrame = {
     val aggs = cols.flatMap { c =>

@@ -442,6 +442,33 @@ object Pipeline extends QueryModule {
              |SELECT event_id, event_type, round((value - m) / sd, 2) AS z
              |FROM s WHERE abs(round((value - m) / sd, 2)) >= 2.5""".stripMargin)),
 
+    // ---- Winsorization at exact rank cuts (p1/p99): heavy tails move
+    //      the z-score's own mean/sigma, order statistics don't; the
+    //      cut values are exact ceil(n*ppm/1e6)-th order statistics via
+    //      the two-phase global rank (no one-reducer sort), clamping is
+    //      pure least/greatest so raw doubles hash bit-for-bit ----
+    GraftQuery("q_winsorize",
+      (s, dir) => graft.operators.Profiler.winsorize(
+        t(s, dir, "events"), "event_id", "value",
+        loPpm = 10000L, hiPpm = 990000L),
+      Some("""WITH r AS (
+             |  SELECT event_id AS id, value AS v,
+             |    row_number() OVER (ORDER BY value, event_id) AS rnk,
+             |    count(*) OVER ()::BIGINT AS n
+             |  FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT
+             |    min(CASE WHEN rnk = greatest(least(
+             |      (n * 10000 + 999999) // 1000000, n), 1)
+             |      THEN v END) AS lo_cut,
+             |    max(CASE WHEN rnk = greatest(least(
+             |      (n * 990000 + 999999) // 1000000, n), 1)
+             |      THEN v END) AS hi_cut
+             |  FROM r)
+             |SELECT r.id, r.v AS value, c.lo_cut, c.hi_cut,
+             |  least(greatest(r.v, c.lo_cut), c.hi_cut) AS winsorized,
+             |  (r.v < c.lo_cut OR r.v > c.hi_cut)::BIGINT AS clipped
+             |FROM r CROSS JOIN c""".stripMargin)),
+
     // ---- burst suppression: drop events repeating within 1 HOUR of
     //      the PREVIOUS raw event per (user, type) — retry/duplicate
     //      rate limiting (threshold sized to the fixture's gap

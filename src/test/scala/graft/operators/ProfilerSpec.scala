@@ -17,6 +17,33 @@ class ProfilerSpec extends SparkSpec {
     assert(got("str") === (("str", 4L, 1L, 2L, "a", "b")))
   }
 
+  test("winsorize clips at exact rank cuts; hand-computed percentiles") {
+    import spark.implicits._
+    // 10 values 1..10, loPpm=200000 (p20) -> k = ceil(10*0.2) = 2 ->
+    // lo_cut = 2.0; hiPpm=800000 -> k = 8 -> hi_cut = 8.0
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble))
+      .toDF("event_id", "value")
+    val got = Profiler.winsorize(df, "event_id", "value",
+        loPpm = 200000L, hiPpm = 800000L)
+      .as[(Long, Double, Double, Double, Double, Long)]
+      .collect().sortBy(_._1)
+    assert(got.forall(r => r._3 == 2.0 && r._4 == 8.0))
+    assert(got.map(_._5).toSeq ===
+      Seq(2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0, 8.0))
+    assert(got.map(_._6).toSeq ===
+      Seq(1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 1L))
+    // duplicate-heavy data: ties leave the cut VALUE well-defined
+    val dup = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 100.0))
+      .toDF("event_id", "value")
+    val g2 = Profiler.winsorize(dup, "event_id", "value",
+        loPpm = 0L, hiPpm = 750000L)
+      .as[(Long, Double, Double, Double, Double, Long)]
+      .collect().sortBy(_._1)
+    // k_hi = ceil(4*0.75) = 3 -> hi_cut = 5.0; the 100.0 outlier clips
+    assert(g2.map(_._5).toSeq === Seq(5.0, 5.0, 5.0, 5.0))
+    assert(g2.map(_._6).sum === 1L)
+  }
+
   test("profileApprox matches exact distincts on a low-cardinality column") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val exact = Profiler.profile(orders, Seq("o_orderstatus"))
