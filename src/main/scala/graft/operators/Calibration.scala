@@ -58,6 +58,15 @@ object Calibration {
       binWidth: Long = 16L, clamp: Long = 64L): DataFrame =
     isotonicFit(binCounts(scored, scoreCol, posCol, binWidth, clamp))
 
+  /** The clamped sign-safe bin id for a score expression — shared by
+    * [[binCounts]] (the fit side) and [[calibratedGate]] (the apply
+    * side), so a score always lands in the bin it was fitted under. */
+  private def binExpr(scoreExpr: String, binWidth: Long,
+      clamp: Long): String =
+    s"""greatest(least((CASE WHEN ($scoreExpr) < 0 THEN -1L ELSE 1L END)
+       | * (abs($scoreExpr) div ${binWidth}L), ${clamp - 1}L),
+       | ${-clamp}L)""".stripMargin
+
   /** The corpus-facing half: clamped sign-safe binning + ONE
     * map-side-combinable groupBy to `(bin, tot, pos)`. Counts are
     * ADDITIVE across any partition of the scored slice — what lets the
@@ -70,13 +79,36 @@ object Calibration {
     scored
       .select(col(scoreCol).cast("long").as("s"),
         col(posCol).cast("long").as("p"))
-      .select(expr(
-        s"""greatest(least((CASE WHEN s < 0 THEN -1L ELSE 1L END)
-           | * (abs(s) div ${binWidth}L), ${clamp - 1}L), ${-clamp}L)"""
-          .stripMargin).as("bin"), col("p"))
+      .select(expr(binExpr("s", binWidth, clamp)).as("bin"), col("p"))
       .groupBy("bin")
       .agg(count(lit(1)).cast("long").as("tot"),
         sum(col("p")).cast("long").as("pos"))
+  }
+
+  /** The APPLY side — the production gate a calibrated classifier
+    * actually runs: every scored row maps through its fitted bin to
+    * the monotone `iso_ppb` probability and keeps iff
+    * `iso_ppb >= minPpb`. Output:
+    * `(id, score, bin, iso_ppb, kept)`.
+    *
+    * Distribution shape: the fit is the usual one-groupBy +
+    * value-range-sized PAV; the apply is ONE broadcast join of the
+    * ≤ 2·clamp-row map back onto the scored rows (map-side). A score
+    * whose bin is empty in the fit slice cannot exist when fit and
+    * apply share the slice (every bin present came from some row),
+    * which is this function's contract — calibrate-on-holdout callers
+    * join the fit themselves. */
+  def calibratedGate(scored: DataFrame, idCol: String, scoreCol: String,
+      posCol: String, minPpb: Long, binWidth: Long = 16L,
+      clamp: Long = 64L): DataFrame = {
+    val fit = isotonicBins(scored, scoreCol, posCol, binWidth, clamp)
+    scored
+      .select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("long").as("score"))
+      .withColumn("bin", expr(binExpr("score", binWidth, clamp)))
+      .join(broadcast(fit.select(col("bin"), col("iso_ppb"))), Seq("bin"))
+      .select(col("id"), col("score"), col("bin"), col("iso_ppb"),
+        (col("iso_ppb") >= minPpb).as("kept"))
   }
 
   /** The bin-relation half: PAV via the relational max-min closed form

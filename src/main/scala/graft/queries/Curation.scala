@@ -312,6 +312,35 @@ object Curation extends QueryModule {
     * stage. */
   private[queries] def isotonicOracle(d: Int, rounds: Int,
       binWidth: Long, clamp: Long): String =
+    isotonicChain(d, rounds, binWidth, clamp) + """
+      |SELECT o.bin, o.tot AS n, o.pos,
+      |  (o.pos * 1000000000 // o.tot)::BIGINT AS praw_ppb,
+      |  iso.iso_ppb
+      |FROM ord o JOIN iso ON iso.k = o.i""".stripMargin
+
+  /** The calibrated-gate finisher: every scored doc mapped through its
+    * fitted bin to iso_ppb, kept iff >= minPpb — shares the whole
+    * perceptron + PAV chain with [[isotonicOracle]]. */
+  private[queries] def calibratedGateOracle(d: Int, rounds: Int,
+      binWidth: Long, clamp: Long, minPpb: Long): String =
+    isotonicChain(d, rounds, binWidth, clamp) + s""",
+      |pb AS (
+      |  SELECT doc_id, margin,
+      |    greatest(least(
+      |      (CASE WHEN margin < 0 THEN -1 ELSE 1 END)
+      |        * (abs(margin) // $binWidth), ${clamp - 1}), ${-clamp})
+      |      ::BIGINT AS bin
+      |  FROM pred)
+      |SELECT pb.doc_id AS id, pb.margin AS score, pb.bin, iso.iso_ppb,
+      |  (iso.iso_ppb >= $minPpb) AS kept
+      |FROM pb
+      |JOIN ord o ON o.bin = pb.bin
+      |JOIN iso ON iso.k = o.i""".stripMargin
+
+  /** The shared perceptron → binning → PAV chain (ends at the `iso`
+    * CTE; `pred`/`ord` remain addressable). */
+  private def isotonicChain(d: Int, rounds: Int,
+      binWidth: Long, clamp: Long): String =
     perceptronChain(d, rounds) + s""",
       |pred AS MATERIALIZED (
       |  SELECT f.doc_id, f.y, sum(f.x * w.w)::BIGINT AS margin
@@ -341,11 +370,7 @@ object Curation extends QueryModule {
       |  SELECT j, k, min(a) OVER (PARTITION BY j ORDER BY k DESC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
       |  FROM pairs),
-      |iso AS (SELECT k, max(sm)::BIGINT AS iso_ppb FROM sm GROUP BY k)
-      |SELECT o.bin, o.tot AS n, o.pos,
-      |  (o.pos * 1000000000 // o.tot)::BIGINT AS praw_ppb,
-      |  iso.iso_ppb
-      |FROM ord o JOIN iso ON iso.k = o.i""".stripMargin
+      |iso AS (SELECT k, max(sm)::BIGINT AS iso_ppb FROM sm GROUP BY k)""".stripMargin
 
   /** Shared DuckDB CTE prefix: per-(lang, doc) distinct shingle hashes,
     * exploded — the input relation for the KMV sketches. */
@@ -1141,6 +1166,24 @@ object Curation extends QueryModule {
         t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4,
         binWidth = 1024L, clamp = 64L),
       Some(Curation.isotonicOracle(32, 4, binWidth = 1024L, clamp = 64L))),
+
+    // ---- the calibrated GATE (the apply side): every scored doc maps
+    //      through its fitted bin to the monotone iso_ppb probability
+    //      and keeps iff >= 500000000 ppb (p >= 0.5) — classifier →
+    //      calibration → keep decision, the production last mile; the
+    //      apply is one broadcast join of the <=128-row map ----
+    GraftQuery("q_calibrated_gate",
+      (s, dir) => {
+        val (_, pred) = graft.operators.Perceptron.train(
+          t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)
+        graft.operators.Calibration.calibratedGate(
+          pred.select(col("doc_id"), col("margin"),
+            when(col("y") === 1L, 1L).otherwise(0L).as("is_pos")),
+          "doc_id", "margin", "is_pos", minPpb = 500000000L,
+          binWidth = 1024L, clamp = 64L)
+      },
+      Some(Curation.calibratedGateOracle(32, 4, binWidth = 1024L,
+        clamp = 64L, minPpb = 500000000L))),
 
     // ---- streamed isotonic calibration: the perceptron scores arrive
     //      in three id-range folds, each appending its ADDITIVE bin

@@ -39,6 +39,29 @@ class CalibrationSpec extends SparkSpec {
       s"isotone praw must equal iso: ${got.toSeq}")
   }
 
+  test("calibratedGate maps each score through its fitted bin and " +
+      "keeps iff iso_ppb crosses the threshold; gate is monotone") {
+    import spark.implicits._
+    // bins of width 16: scores 0/16/32; empirical rates 0, 1/2, 1 —
+    // already isotone, so iso == praw: 0, 5e8, 1e9
+    val scored = Seq(
+      (1L, 0L, 0L), (2L, 0L, 0L),
+      (3L, 16L, 0L), (4L, 16L, 1L),
+      (5L, 32L, 1L), (6L, 32L, 1L))
+      .toDF("id", "s", "p")
+    val got = Calibration.calibratedGate(scored, "id", "s", "p",
+        minPpb = 500000000L)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._4, r._5)).toSeq === Seq(
+      (1L, 0L, false), (2L, 0L, false),
+      (3L, 500000000L, true), (4L, 500000000L, true),
+      (5L, 1000000000L, true), (6L, 1000000000L, true)))
+    // monotone gate: kept ids have scores >= every dropped id's score
+    val keptMin = got.filter(_._5).map(_._2).min
+    val dropMax = got.filterNot(_._5).map(_._2).max
+    assert(dropMax < keptMin)
+  }
+
   test("calibratePerceptron output is monotone non-decreasing") {
     val got = Calibration.calibratePerceptron(
         graft.Tables.t(spark, sfDir, "documents"), "doc_id", "text")
