@@ -137,6 +137,69 @@ object Calibration {
         "pos * 1000000000L div tot AS praw_ppb", "iso_ppb")
   }
 
+  /** Split-conformal gate (Vovk et al., "Algorithmic Learning in a
+    * Random World") — the distribution-free sibling of
+    * [[calibratedGate]]: instead of mapping scores to probabilities it
+    * picks the EXACT order-statistic threshold
+    * `t = k-th smallest calibration nonconformity`,
+    * `k = ceil((n_cal+1)·(1−α))`, and keeps a row iff its
+    * nonconformity ≤ t. On exchangeable data this guarantees
+    * `P(good row kept) ≥ 1−α` with NO model or distribution
+    * assumption — the finite-sample keep-rate contract a curation
+    * pipeline can actually promise.
+    *
+    * When `k > n_cal` (calibration slice too small for the requested
+    * α), the conformal prescription is `t = +∞`: every row is kept —
+    * published as `Long.MaxValue` so the gate fails OPEN, never
+    * silently tightens.
+    *
+    * Determinism: nonconformity is integral; the threshold is the
+    * k-th smallest VALUE of the calibration multiset (rank tiebreaks
+    * by id cannot change it); `k` uses ceil-division on non-negative
+    * terms (floor == truncation in both engines).
+    *
+    * Distribution shape (the 100 TB contract): the exact rank runs on
+    * the CALIBRATION slice only — a labeled holdout, sampled-slice-
+    * sized by definition, ranked by the two-phase
+    * [[Packing.rankWithinGroups]] (range partition + offset, never a
+    * one-reducer sort — the Winsorize precedent); the threshold is a
+    * 1-row relation broadcast back; the gate itself is one map-side
+    * comparison over the corpus.
+    *
+    * Output: `(id, nonconf, is_cal, thr, n_cal, kept)`, one row per
+    * input row (calibration rows gate themselves too — their keep
+    * fraction is the empirical coverage). */
+  def conformalGate(rows: DataFrame, idCol: String, nonconfCol: String,
+      calCol: String, alphaPpm: Long = 100000L): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm < 1000000L,
+      s"alphaPpm must be in [0, 1e6) (got $alphaPpm)")
+    val base = rows.select(col(idCol).cast("long").as("id"),
+      col(nonconfCol).cast("long").as("nonconf"),
+      col(calCol).cast("boolean").as("is_cal"))
+    val ranked = Packing.rankWithinGroups(
+      base.where(col("is_cal"))
+        .withColumn("__g", lit(1))
+        .withColumn("__k", struct(col("nonconf"), col("id"))),
+      "__g", "__k")
+    val n = broadcast(ranked.agg(count(lit(1)).as("n_cal")))
+    val keepPpm = 1000000L - alphaPpm
+    val thr = broadcast(ranked.crossJoin(n)
+      .withColumn("__k_raw", expr(
+        s"((n_cal + 1L) * ${keepPpm}L + 999999L) div 1000000L"))
+      .where(col("rnk") === least(col("__k_raw"), col("n_cal")))
+      .agg(max(when(col("__k_raw") <= col("n_cal"), col("nonconf"))
+          .otherwise(lit(Long.MaxValue))).as("thr"),
+        max(col("n_cal")).as("n_cal")))
+    // empty calibration slice ⇒ the agg above yields a 1-row all-null
+    // relation; conformal says k=1 > n=0 ⇒ t=∞ — fail OPEN here too
+    base.crossJoin(thr)
+      .select(col("id"), col("nonconf"), col("is_cal"),
+        coalesce(col("thr"), lit(Long.MaxValue)).as("thr"),
+        coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+        (col("nonconf") <= coalesce(col("thr"), lit(Long.MaxValue)))
+          .as("kept"))
+  }
+
   /** Calibrate the [[Perceptron]] quality classifier against its weak
     * labels: margins binned, per-bin empirical positive rate, isotonic
     * fit — the "margin → keep probability" map a production gate

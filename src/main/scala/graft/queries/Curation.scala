@@ -337,6 +337,39 @@ object Curation extends QueryModule {
       |JOIN ord o ON o.bin = pb.bin
       |JOIN iso ON iso.k = o.i""".stripMargin
 
+  /** Split-conformal gate oracle: the perceptron chain, nonconformity
+    * = -margin, calibration = even-id positives, the exact
+    * `ceil((n+1)(1-α))`-th smallest calibration nonconformity as the
+    * threshold (`+∞` when the rank exceeds n — the fail-open branch),
+    * keep iff nonconf ≤ thr — mirrors
+    * [[graft.operators.Calibration.conformalGate]] stage for stage. */
+  private[queries] def conformalGateOracle(d: Int, rounds: Int,
+      alphaPpm: Long): String =
+    perceptronChain(d, rounds) + s""",
+      |pred AS MATERIALIZED (
+      |  SELECT f.doc_id, f.y, sum(f.x * w.w)::BIGINT AS margin
+      |  FROM feat f JOIN w$rounds w USING (j) GROUP BY 1, 2),
+      |cal AS (SELECT doc_id, -margin AS nonconf FROM pred
+      |        WHERE y = 1 AND doc_id % 2 = 0),
+      |rk AS (SELECT nonconf,
+      |         row_number() OVER (ORDER BY nonconf, doc_id) AS rnk
+      |       FROM cal),
+      |n_ AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+      |k_ AS (SELECT n_cal,
+      |         ((n_cal + 1) * ${1000000L - alphaPpm} + 999999)
+      |           // 1000000 AS k_raw
+      |       FROM n_),
+      |thr AS (SELECT k_.n_cal,
+      |          (CASE WHEN k_.k_raw > k_.n_cal OR k_.n_cal = 0
+      |            THEN 9223372036854775807
+      |            ELSE (SELECT rk.nonconf FROM rk
+      |                  WHERE rk.rnk = k_.k_raw) END)::BIGINT AS thr
+      |        FROM k_)
+      |SELECT p.doc_id AS id, -p.margin AS nonconf,
+      |  (p.y = 1 AND p.doc_id % 2 = 0) AS is_cal, t.thr, t.n_cal,
+      |  (-p.margin <= t.thr) AS kept
+      |FROM pred p CROSS JOIN thr t""".stripMargin
+
   /** The shared perceptron → binning → PAV chain (ends at the `iso`
     * CTE; `pred`/`ord` remain addressable). */
   private def isotonicChain(d: Int, rounds: Int,
@@ -1214,6 +1247,23 @@ object Curation extends QueryModule {
         graft.streaming.StreamingCalibration.calibrated(s, base)
       },
       Some(Curation.isotonicOracle(32, 4, binWidth = 1024L, clamp = 64L))),
+
+    // ---- split-conformal gate: the distribution-free twin of the
+    //      calibrated gate — nonconformity = -margin, calibration =
+    //      the even-id positives, threshold = the exact
+    //      ceil((n+1)(1-alpha))-th smallest calibration nonconformity
+    //      (alpha = 0.1), keep iff nonconf <= thr; the finite-sample
+    //      >= 1-alpha keep guarantee on exchangeable good docs ----
+    GraftQuery("q_conformal_gate",
+      (s, dir) => {
+        val (_, pred) = graft.operators.Perceptron.train(
+          t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)
+        graft.operators.Calibration.conformalGate(
+          pred.select(col("doc_id"), (-col("margin")).as("nonconf"),
+            (col("y") === 1L && col("doc_id") % 2 === 0).as("is_cal")),
+          "doc_id", "nonconf", "is_cal", alphaPpm = 100000L)
+      },
+      Some(Curation.conformalGateOracle(32, 4, alphaPpm = 100000L))),
 
     // ---- CCNet-style perplexity filter: stupid-backoff bigram LM
     //      trained on the even-doc_id half, scoring the held-out odd
