@@ -200,6 +200,53 @@ object Calibration {
           .as("kept"))
   }
 
+  /** ECDF quantile normalization within groups — the cross-domain
+    * score equalizer: a raw quality score is comparable WITHIN a
+    * source domain but not across domains (a "good" score on curated
+    * wiki text and on raw crawl live on different scales); mapping
+    * each score to its within-group ECDF in ppm
+    * (`#{score' ≤ score in group} · 1e6 div n_group`) puts every
+    * domain on the same [0, 1e6] quantile scale, so one global keep
+    * threshold or mixing ratio applies everywhere — the rank-based
+    * sibling of [[isotonicBins]].
+    *
+    * Distribution shape (the 100 TB contract): corpus work is ONE
+    * map-side-combinable groupBy to `(group, bin)` counts; the
+    * cumulative window runs on that aggregated relation (groups ×
+    * distinct bins — value-range-sized, never corpus-sized, the
+    * ccnet-tercile precedent), and the result is one equi-join of the
+    * small cum relation back onto the rows. NO per-row window over
+    * the corpus — a billion-doc domain never funnels one task.
+    *
+    * Determinism: scores integral; binning is the sign-safe
+    * truncation-toward-zero of the calibration family (monotone, so
+    * the ECDF order is preserved); the ppm is floored division of
+    * non-negative terms. Output:
+    * `(id, group, score, bin, n_grp, ecdf_ppm)`. */
+  def ecdfNormalize(rows: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, binWidth: Long = 1L): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be positive (got $binWidth)")
+    val base = rows.select(col(idCol).cast("long").as("id"),
+      col(groupCol).cast("string").as("group"),
+      col(scoreCol).cast("long").as("score"))
+      .withColumn("bin", expr(
+        s"""(CASE WHEN score < 0 THEN -1L ELSE 1L END)
+           | * (abs(score) div ${binWidth}L)""".stripMargin))
+    val counts = base.groupBy(col("group"), col("bin"))
+      .agg(count(lit(1)).as("__c"))
+    val wc = Window.partitionBy(col("group")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(wc))
+      .join(counts.groupBy(col("group"))
+        .agg(sum(col("__c")).as("n_grp")), Seq("group"))
+      .select(col("group"), col("bin"), col("n_grp"),
+        expr("__cum * 1000000L div n_grp").as("ecdf_ppm"))
+    base.join(cum, Seq("group", "bin"))
+      .select(col("id"), col("group"), col("score"), col("bin"),
+        col("n_grp"), col("ecdf_ppm"))
+  }
+
   /** Calibrate the [[Perceptron]] quality classifier against its weak
     * labels: margins binned, per-bin empirical positive rate, isotonic
     * fit — the "margin → keep probability" map a production gate

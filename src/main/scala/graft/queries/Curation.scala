@@ -1265,6 +1265,33 @@ object Curation extends QueryModule {
       },
       Some(Curation.conformalGateOracle(32, 4, alphaPpm = 100000L))),
 
+    // ---- ECDF quantile normalization: per-source length scores
+    //      mapped to their within-source quantile in ppm, so one
+    //      global threshold compares docs ACROSS domains; corpus work
+    //      is one (source, bin) groupBy, the cum window runs on the
+    //      aggregated value-range-sized relation ----
+    GraftQuery("q_quantile_norm",
+      (s, dir) => graft.operators.Calibration.ecdfNormalize(
+        t(s, dir, "documents"), "doc_id", "source", "n_chars",
+        binWidth = 8L),
+      Some("""WITH b AS (
+             |  SELECT doc_id, source, n_chars,
+             |    ((CASE WHEN n_chars < 0 THEN -1 ELSE 1 END)
+             |     * (abs(n_chars) // 8))::BIGINT AS bin
+             |  FROM documents),
+             |c AS (SELECT source, bin, count(*)::BIGINT AS c
+             |      FROM b GROUP BY 1, 2),
+             |cw AS (SELECT source, bin,
+             |    (sum(c) OVER (PARTITION BY source ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW))::BIGINT AS cum,
+             |    (sum(c) OVER (PARTITION BY source))::BIGINT AS n_grp
+             |  FROM c)
+             |SELECT b.doc_id AS id, b.source AS "group",
+             |  b.n_chars AS score, b.bin, cw.n_grp,
+             |  (cw.cum * 1000000 // cw.n_grp)::BIGINT AS ecdf_ppm
+             |FROM b JOIN cw USING (source, bin)""".stripMargin)),
+
     // ---- CCNet-style perplexity filter: stupid-backoff bigram LM
     //      trained on the even-doc_id half, scoring the held-out odd
     //      half in integer micro-nats (floor(1e6*ln S) per position, so

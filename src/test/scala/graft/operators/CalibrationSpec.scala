@@ -62,6 +62,35 @@ class CalibrationSpec extends SparkSpec {
     assert(dropMax < keptMin)
   }
 
+  test("ecdfNormalize hand trace: within-group ppm quantiles, " +
+      "cross-group comparability") {
+    import spark.implicits._
+    // group a scores [1,2,2,4] -> ecdf 25/75/75/100%; group b [10] -> 100%
+    val rows = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 2L),
+      (4L, "a", 4L), (5L, "b", 10L)).toDF("id", "g", "s")
+    val got = Calibration.ecdfNormalize(rows, "id", "g", "s")
+      .select("id", "n_grp", "ecdf_ppm")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 4L, 250000L), (2L, 4L, 750000L),
+      (3L, 4L, 750000L), (4L, 4L, 1000000L), (5L, 1L, 1000000L)))
+  }
+
+  test("ecdfNormalize is monotone within each group and binning " +
+      "preserves order for negative scores") {
+    import spark.implicits._
+    val rows = Seq((1L, "a", -17L), (2L, "a", -3L), (3L, "a", 0L),
+      (4L, "a", 5L), (5L, "a", 40L)).toDF("id", "g", "s")
+    val got = Calibration.ecdfNormalize(rows, "id", "g", "s",
+        binWidth = 8L)
+      .select("id", "score", "ecdf_ppm")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    val ppms = got.map(_._3).toSeq
+    assert(ppms === ppms.sorted, s"ECDF must be monotone in score: $got")
+    // -3 and 0 and 5 share bin 0 under width 8 -> equal ppm
+    val binned = got.filter(r => r._2 >= -3 && r._2 <= 5).map(_._3)
+    assert(binned.distinct.length === 1)
+  }
+
   test("calibratePerceptron output is monotone non-decreasing") {
     val got = Calibration.calibratePerceptron(
         graft.Tables.t(spark, sfDir, "documents"), "doc_id", "text")
