@@ -536,6 +536,66 @@ object Curation extends QueryModule {
              |SELECT doc_a, doc_b, round(c, 6) AS cosine
              |FROM c WHERE c >= 0.6""".stripMargin)),
 
+    // ---- ranked-retrieval scorecard: one query per source (its top-5
+    //      class terms), docs ranked by term coverage, cut to top-10 by
+    //      the histogram-threshold TopN; MRR@10 / P@10 / R@10 in exact
+    //      ppm against the "docs of the same source" qrels ----
+    GraftQuery("q_retrieval_metrics",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (_, run) = graft.operators.Retrieval.classCoverageRun(
+          docs, "doc_id", "source", "text", nTerms = 5, minTf = 5L,
+          k = 10)
+        graft.operators.Retrieval.rankingMetrics(
+          run,
+          docs.select(col("source").as("query"),
+            col("doc_id").as("doc")),
+          "query", "doc", "rank", k = 10)
+      },
+      Some("""WITH u AS (
+             |  SELECT source, unnest(list_filter(string_split(text, ' '),
+             |    w -> w <> '')) AS word
+             |  FROM documents),
+             |tfc AS (SELECT source AS class, word, count(*)::BIGINT AS tf
+             |        FROM u GROUP BY 1, 2),
+             |gtf AS (SELECT word, sum(tf)::BIGINT AS gtf FROM tfc GROUP BY 1),
+             |sc AS (SELECT class, tfc.word, tf,
+             |    ((tf * 1000000) // gtf)::BIGINT AS conc_ppm
+             |  FROM tfc JOIN gtf ON tfc.word = gtf.word WHERE tf >= 5),
+             |tr AS (SELECT class, word FROM (
+             |    SELECT class, word, row_number() OVER (PARTITION BY class
+             |      ORDER BY conc_ppm DESC, tf DESC, word) AS rk
+             |    FROM sc) WHERE rk <= 5),
+             |dwu AS (SELECT doc_id AS doc,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      w -> w <> '')) AS word
+             |  FROM documents),
+             |dw AS (SELECT DISTINCT doc, word FROM dwu),
+             |cov AS (SELECT tr.class AS query, dw.doc,
+             |    count(*)::BIGINT AS coverage
+             |  FROM dw JOIN tr ON dw.word = tr.word GROUP BY 1, 2),
+             |run AS (SELECT query, doc, rnk FROM (
+             |    SELECT query, doc, row_number() OVER (PARTITION BY query
+             |      ORDER BY coverage DESC, doc) AS rnk
+             |    FROM cov) WHERE rnk <= 10),
+             |qrels AS (SELECT source AS query, doc_id AS doc FROM documents),
+             |nrel AS (SELECT query, count(*)::BIGINT AS n_rel
+             |         FROM qrels GROUP BY 1),
+             |m AS (SELECT r.query, count(*)::BIGINT AS n_ret,
+             |    sum(CASE WHEN q.doc IS NOT NULL THEN 1 ELSE 0 END)
+             |      ::BIGINT AS hits,
+             |    min(CASE WHEN q.doc IS NOT NULL THEN r.rnk END) AS first_rel
+             |  FROM run r LEFT JOIN qrels q
+             |    ON q.query = r.query AND q.doc = r.doc
+             |  GROUP BY 1)
+             |SELECT m.query, COALESCE(n.n_rel, 0)::BIGINT AS n_rel,
+             |  m.n_ret, m.hits,
+             |  (m.hits * 1000000 // 10)::BIGINT AS p_at_k_ppm,
+             |  (m.hits * 1000000
+             |    // greatest(COALESCE(n.n_rel, 0), 1))::BIGINT AS r_at_k_ppm,
+             |  COALESCE(1000000 // m.first_rel, 0)::BIGINT AS mrr_ppm
+             |FROM m LEFT JOIN nrel n USING (query)""".stripMargin)),
+
     // ---- characteristic vocabulary per source (c-TF-IDF reduced to
     //      exact ppm concentration): top-5 terms per source that are
     //      frequent in AND specific to it ----

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Ranked-retrieval scorecard: MRR@k / P@k / R@k in exact ppm. */
+class RetrievalMetricsSpec extends SparkSpec {
+
+  private def metrics(runs: Seq[(String, Long, Long)],
+      qrels: Seq[(String, Long)], k: Int) = {
+    import spark.implicits._
+    Retrieval.rankingMetrics(
+      runs.toDF("q", "d", "r"), qrels.toDF("q", "d"), "q", "d", "r", k)
+      .selectExpr("query", "n_rel", "n_ret", "hits", "p_at_k_ppm",
+        "r_at_k_ppm", "mrr_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+  }
+
+  test("hand trace: one hit at rank 2 of 3, two relevant total") {
+    val got = metrics(
+      Seq(("A", 10L, 1L), ("A", 11L, 2L), ("A", 12L, 3L)),
+      Seq(("A", 11L), ("A", 99L)), k = 3)
+    assert(got.toSeq === Seq(("A", 2L, 3L, 1L, 333333L, 500000L, 500000L)))
+  }
+
+  test("no relevant retrieved: mrr and recall are 0, not null") {
+    val got = metrics(
+      Seq(("A", 10L, 1L), ("A", 11L, 2L)),
+      Seq(("A", 99L)), k = 5)
+    assert(got.toSeq === Seq(("A", 1L, 2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("query with no qrels scores 0 across the board instead of " +
+      "vanishing") {
+    val got = metrics(Seq(("B", 7L, 1L)), Seq(("A", 7L)), k = 2)
+    assert(got.find(_._1 == "B").get === (("B", 0L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("rows past rank k are ignored; perfect run scores 1e6 ppm") {
+    val got = metrics(
+      Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 3L, 3L)),
+      Seq(("A", 1L), ("A", 2L)), k = 2)
+    assert(got.toSeq === Seq(("A", 2L, 2L, 2L, 1000000L, 1000000L,
+      1000000L)))
+  }
+
+  test("classCoverageRun ranks 1..k per query with coverage " +
+      "non-increasing in rank") {
+    val (cached, run) = Retrieval.classCoverageRun(
+      graft.Tables.t(spark, sfDir, "documents"), "doc_id", "source",
+      "text", nTerms = 5, minTf = 2L, k = 10)
+    val rows = run.selectExpr("query", "coverage", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    cached.unpersist()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (1L to byRank.length).toSeq,
+        s"ranks must be dense 1..k for $q")
+      val cov = byRank.map(_._2)
+      assert(cov.zip(cov.tail).forall { case (a, b) => a >= b },
+        s"coverage must be non-increasing in rank for $q")
+    }
+  }
+}
