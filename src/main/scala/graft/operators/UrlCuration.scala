@@ -272,4 +272,79 @@ object UrlCuration {
       broadcast(blocked.select(col("domain").as("registrable"))),
       Seq("registrable"), "left_anti")
   }
+
+  /** robots.txt gate (RFC 9309) — the stage-ZERO fetch-permission
+    * decision a crawl-derived corpus must honor per URL: given the
+    * already-parsed rule dimension `(host, agent, allow, pattern)`
+    * (one row per Allow/Disallow line of each host's robots.txt), keep
+    * a URL iff the most specific matching rule of the applicable group
+    * allows it.
+    *
+    * RFC semantics implemented:
+    *   - group selection: if a host has any rule for `agent`, ONLY
+    *     that group applies; otherwise the `*` group (RFC 9309 §2.2.1
+    *     — groups are not merged);
+    *   - pattern match: literal path prefix, `*` matches any octet
+    *     run, trailing `$` anchors the end (§2.2.3);
+    *   - precedence: the matching rule with the MOST OCTETS in its
+    *     pattern wins; on a tie, allow beats disallow (§2.2.2);
+    *   - no matching rule, or no rules for the host at all → allowed
+    *     (robots is opt-out);
+    *   - empty-value rules (`Disallow:` with no path = allow all) are
+    *     no-ops and dropped up front.
+    *
+    * Patterns compile to SQL LIKE (`*`→`%`, `%`/`_`/`\` escaped, the
+    * `$` anchor drops the trailing `%`) — the same compilation the
+    * DuckDB oracle performs, so both engines evaluate the identical
+    * predicate; no regex dialect is involved.
+    *
+    * Distribution shape (the 100 TB contract): the rule dim is
+    * robots-file-sized and BROADCAST; URLs take one map-side parse +
+    * one broadcast join on host; the winner-per-URL is one
+    * map-side-combinable max of a `(len, allow, pattern)` struct —
+    * no window, no shuffle beyond the final groupBy on the URL id.
+    *
+    * Output: `(id, host, path, rule_pattern, allowed)` —
+    * `rule_pattern` is `''` for the default-allow case. */
+  def robotsGate(urls: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame, agent: String): DataFrame = {
+    val parsed = canonicalize(
+      urls.select(col(idCol).cast("long").as("id"),
+        col(urlCol).as("url")), "url")
+      .select(col("id"), col("host"), col("path"))
+    val rl = rules.select(lower(col("host")).as("host"),
+      lower(col("agent")).as("agent"),
+      col("allow").cast("boolean").as("allow"),
+      col("pattern"))
+    val a = agent.toLowerCase
+    val specific = rl.where(col("agent") === a)
+      .select(col("host")).distinct().withColumn("__has", lit(1))
+    val grp = rl.join(specific, Seq("host"), "left")
+      .where((col("agent") === lit(a) && col("__has") === 1) ||
+        (col("agent") === "*" && col("__has").isNull))
+      .drop("__has", "agent")
+    val compiled = grp
+      .withColumn("anchored", col("pattern").endsWith("$"))
+      .withColumn("body", when(col("anchored"),
+          expr("substring(pattern, 1, length(pattern) - 1)"))
+        .otherwise(col("pattern")))
+      .where(col("body") =!= "")
+      .withColumn("lk", concat(
+        expr("""replace(replace(replace(replace(body,
+               |  '\\', '\\\\'), '%', '\\%'), '_', '\\_'),
+               |  '*', '%')""".stripMargin),
+        when(col("anchored"), lit("")).otherwise(lit("%"))))
+    val winners = parsed
+      .join(broadcast(compiled), Seq("host"))
+      .where(expr("path LIKE lk ESCAPE '\\\\'"))
+      .groupBy(col("id"))
+      .agg(max(struct(length(col("pattern")).as("l"), col("allow"),
+        col("pattern"))).as("w"))
+      .select(col("id"), col("w.allow").as("__allow"),
+        col("w.pattern").as("__pattern"))
+    parsed.join(winners, Seq("id"), "left")
+      .select(col("id"), col("host"), col("path"),
+        coalesce(col("__pattern"), lit("")).as("rule_pattern"),
+        coalesce(col("__allow"), lit(true)).as("allowed"))
+  }
 }

@@ -48,6 +48,31 @@ object UrlCuration extends QueryModule {
   private def urlDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), expr(urlExpr).as("url"))
 
+  /** q_robots_gate's rule fixture `(host, agent, allow, pattern)` —
+    * shared verbatim between the Spark dim and the oracle VALUES.
+    * Exercises every RFC 9309 branch against the fixture URLs:
+    * specific-agent group override (news), `$` anchor vs trailing
+    * slash (news 12, cdn 19), exact-length tie → allow (news 13),
+    * longer literal beating a wildcard (co.uk 15), a present-but-empty
+    * specific group = allow all (blog), bare-`*` disallow (shop),
+    * longest-match disallow under a root allow (www.ck), and hosts
+    * with no rules at all (github.io, blogspot, localhost). */
+  private val robotsRules: Seq[(String, String, Boolean, String)] = Seq(
+    ("news.example.com", "*", false, "/Articles/1"),
+    ("news.example.com", "graftbot", false, "/Articles/12$"),
+    ("news.example.com", "graftbot", true, "/Articles/1*"),
+    ("news.example.com", "graftbot", false, "/Articles/13"),
+    ("news.example.com", "graftbot", true, "/Articles/13"),
+    ("www.example.co.uk", "*", false, "/Articles/*5"),
+    ("www.example.co.uk", "*", true, "/Articles/15"),
+    ("cdn.example.org", "*", false, "/"),
+    ("cdn.example.org", "*", true, "/Articles/19$"),
+    ("blog.example.com.au", "*", false, "*/7$"),
+    ("blog.example.com.au", "graftbot", true, ""),
+    ("shop.foo.ck", "graftbot", false, "*"),
+    ("www.ck", "*", true, "/"),
+    ("www.ck", "*", false, "/Articles/"))
+
   /** Oracle CTEs mirroring the operator's four-regex grammar +
     * canonical rules: the shared prefix yields `p1(doc_id, url,
     * scheme, host, port, path, query, keep_port, canon_q, canon_p,
@@ -261,6 +286,55 @@ object UrlCuration extends QueryModule {
              |  (n_docs >= 3 AND (sum_words * 1000 // n_docs) >= 54000)
              |    AS kept
              |FROM g""".stripMargin)),
+
+    // ---- robots.txt gate (RFC 9309): specific-agent group override,
+    //      longest-octet-match precedence with allow-on-tie, `*`
+    //      wildcards and `$` anchors compiled to the same LIKE in both
+    //      engines, default allow; rules shared verbatim between the
+    //      Spark dim and the oracle's VALUES list ----
+    GraftQuery("q_robots_gate",
+      (s, dir) => graft.operators.UrlCuration.robotsGate(
+        urlDocs(s, dir), "doc_id", "url",
+        s.createDataFrame(robotsRules)
+          .toDF("host", "agent", "allow", "pattern"),
+        agent = "GraftBot"),
+      Some {
+        val vals = robotsRules.map { case (h, a, al, p) =>
+          s"('$h', '$a', $al, '$p')"
+        }.mkString(",\n       ")
+        raw"""WITH $parsePrefixCte,
+           |rules AS (SELECT * FROM (VALUES
+           |       $vals) t(rhost, agent, allow, pattern)),
+           |hs AS (SELECT DISTINCT rhost FROM rules
+           |       WHERE agent = 'graftbot'),
+           |grp AS (SELECT r.rhost, r.allow, r.pattern
+           |  FROM rules r LEFT JOIN hs USING (rhost)
+           |  WHERE (r.agent = 'graftbot' AND hs.rhost IS NOT NULL)
+           |     OR (r.agent = '*' AND hs.rhost IS NULL)),
+           |cmp AS (SELECT rhost, allow, pattern,
+           |    (pattern LIKE '%$$') AS anchored,
+           |    CASE WHEN pattern LIKE '%$$'
+           |      THEN substr(pattern, 1, len(pattern) - 1)
+           |      ELSE pattern END AS body
+           |  FROM grp),
+           |cm2 AS (SELECT rhost, allow, pattern,
+           |    replace(replace(replace(replace(body,
+           |      '\', '\\'), '%', '\%'), '_', '\_'), '*', '%')
+           |      || CASE WHEN anchored THEN '' ELSE '%' END AS lk
+           |  FROM cmp WHERE body <> ''),
+           |m AS (SELECT p1.doc_id, c.allow, c.pattern,
+           |    row_number() OVER (PARTITION BY p1.doc_id
+           |      ORDER BY len(c.pattern) DESC, c.allow DESC,
+           |        c.pattern DESC) AS rn
+           |  FROM p1 JOIN cm2 c ON p1.host = c.rhost
+           |  WHERE p1.path LIKE c.lk ESCAPE '\')
+           |SELECT p1.doc_id AS id, p1.host, p1.path,
+           |  coalesce(w.pattern, '') AS rule_pattern,
+           |  coalesce(w.allow, true) AS allowed
+           |FROM p1 LEFT JOIN
+           |  (SELECT doc_id, allow, pattern FROM m WHERE rn = 1) w
+           |  USING (doc_id)""".stripMargin
+      }),
 
     // ---- blocklist gate: broadcast anti-join on registrable domain ----
     GraftQuery("q_domain_blocklist",

@@ -105,4 +105,79 @@ class UrlCurationSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSeq
     assert(kept === Seq(2L))
   }
+
+  private def robots(urls: Seq[(Long, String)],
+      rules: Seq[(String, String, Boolean, String)],
+      agent: String): Map[Long, (String, Boolean)] = {
+    import spark.implicits._
+    UrlCuration.robotsGate(urls.toDF("doc_id", "url"), "doc_id", "url",
+        rules.toDF("host", "agent", "allow", "pattern"), agent)
+      .select($"id", $"rule_pattern", $"allowed")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("robotsGate: longest octet match wins, allow beats disallow " +
+      "on ties, $ anchors, default allow") {
+    val rules = Seq(
+      ("h.com", "*", false, "/a"),
+      ("h.com", "*", true, "/a/b"),
+      ("h.com", "*", false, "/a/b$"),
+      ("h.com", "*", false, "/t"),
+      ("h.com", "*", true, "/t")) // same length: allow wins
+    val got = robots(Seq(
+      (1L, "https://h.com/a/x"), // /a only -> blocked
+      (2L, "https://h.com/a/b/c"), // /a/b (len 4) beats /a; $ no match
+      (3L, "https://h.com/a/b"), // /a/b$ (len 5) beats /a/b -> blocked
+      (4L, "https://h.com/t/z"), // tie -> allow
+      (5L, "https://h.com/zzz")), // no match -> default allow
+      rules, "anybot")
+    assert(got(1L) === (("/a", false)))
+    assert(got(2L) === (("/a/b", true)))
+    assert(got(3L) === (("/a/b$", false)))
+    assert(got(4L) === (("/t", true)))
+    assert(got(5L) === (("", true)))
+  }
+
+  test("robotsGate: a specific-agent group overrides * entirely " +
+      "(groups are not merged), case-insensitively") {
+    val rules = Seq(
+      ("h.com", "*", false, "/"),
+      ("h.com", "mybot", false, "/priv"))
+    val got = robots(Seq(
+      (1L, "https://h.com/pub"), // * group ignored for MyBot
+      (2L, "https://h.com/priv/x")),
+      rules, "MyBot")
+    assert(got(1L) === (("", true)))
+    assert(got(2L) === (("/priv", false)))
+  }
+
+  test("robotsGate: empty-value rules are no-ops, and a " +
+      "present-but-empty specific group allows everything") {
+    val rules = Seq(
+      ("h.com", "*", false, "/"),
+      ("h.com", "mybot", true, ""))
+    val got = robots(Seq((1L, "https://h.com/x")), rules, "mybot")
+    assert(got(1L) === (("", true)))
+  }
+
+  test("robotsGate: * wildcard spans path segments; LIKE " +
+      "metacharacters in patterns stay literal") {
+    val rules = Seq(
+      ("h.com", "*", false, "/a*c"),
+      ("h.com", "*", false, "/x_z"),
+      ("h.com", "*", false, "/p%q"))
+    val got = robots(Seq(
+      (1L, "https://h.com/a/b/c"), // * crosses segments -> blocked
+      (2L, "https://h.com/xYz"), // _ is literal -> no match
+      (3L, "https://h.com/x_z"), // literal _ matches
+      (4L, "https://h.com/pXq"), // % is literal -> no match
+      (5L, "https://h.com/p%qr")), // literal % matches as prefix
+      rules, "anybot")
+    assert(got(1L)._2 === false)
+    assert(got(2L) === (("", true)))
+    assert(got(3L) === (("/x_z", false)))
+    assert(got(4L) === (("", true)))
+    assert(got(5L) === (("/p%q", false)))
+  }
 }
