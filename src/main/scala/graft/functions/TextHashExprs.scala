@@ -442,6 +442,113 @@ case class LuhnRedact(child: Expression) extends UnaryExpression with CodegenFal
     copy(child = newChild)
 }
 
+/** iban_redact(text): checksum-VALIDATED bank-account redaction — the
+  * IBAN sibling of [[LuhnRedact]] (ISO 13616 / ECBS mod-97): a
+  * candidate starts at an uppercase letter on a non-alphanumeric
+  * boundary and spans a maximal run of `[A-Z0-9 ]`; the LONGEST
+  * space-stripped prefix ending on a group boundary that is 15–34
+  * chars shaped `[A-Z]{2}[0-9]{2}[A-Z0-9]+` (country + check digits +
+  * BBAN) AND passes mod-97 — move the first four chars to the end,
+  * map A→10..Z→35, resulting integer ≡ 1 (mod 97), computed as a
+  * running remainder so no big-integer materializes — becomes
+  * `<IBAN>`. Prefix-wise matching means neither a leading uppercase
+  * word ("IBAN DE89 …": the invalid head advances one group and the
+  * IBAN re-enters at its own boundary) nor trailing glued groups
+  * ("… 0130 00 EUR") can mask a valid IBAN. Everything else (checksum
+  * breaks, wrong shape, lowercase, bare uppercase words) passes
+  * through untouched. Country-specific LENGTH tables are out of scope
+  * (documented precision trade: a mod-97-valid string of a wrong
+  * per-country length still redacts — fail-closed for PII). Never
+  * throws; work per run is bounded by its group count × 34. */
+case class IbanRedact(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "iban_redact"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  private def isUpper(c: Char): Boolean = c >= 'A' && c <= 'Z'
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isAlnum(c: Char): Boolean =
+    isUpper(c) || isDigit(c) || (c >= 'a' && c <= 'z')
+  private def isRun(c: Char): Boolean = isUpper(c) || isDigit(c) || c == ' '
+
+  private def mod97Valid(s: String): Boolean = {
+    // shape: CC dd BBAN(>= 11)
+    if (s.length < 15 || s.length > 34) return false
+    if (!isUpper(s.charAt(0)) || !isUpper(s.charAt(1))) return false
+    if (!isDigit(s.charAt(2)) || !isDigit(s.charAt(3))) return false
+    var acc = 0L
+    var i = 4
+    // rearranged = s[4..) ++ s[0..4): one pass, wrapping the index
+    var seen = 0
+    val n = s.length
+    while (seen < n) {
+      val c = s.charAt(if (i < n) i else i - n)
+      if (isDigit(c)) acc = (acc * 10 + (c - '0')) % 97
+      else if (isUpper(c)) acc = (acc * 100 + (c - 'A' + 10)) % 97
+      else return false
+      i += 1
+      seen += 1
+    }
+    acc == 1L
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isUpper(c) && (i == 0 || !isAlnum(s.charAt(i - 1)))) {
+        // maximal [A-Z0-9 ] run, trimmed to the last alphanumeric;
+        // redact the LONGEST space-stripped prefix ending on a group
+        // boundary that mod-97-validates, so trailing glued groups
+        // ("DE89 … 00 EUR") can't mask the IBAN before them
+        var j = i
+        var last = i
+        while (j < n && isRun(s.charAt(j))) {
+          if (s.charAt(j) != ' ') last = j
+          j += 1
+        }
+        var bestEnd = -1
+        val packed = new java.lang.StringBuilder(34)
+        var p = i
+        while (p <= last && packed.length <= 34) {
+          val ch = s.charAt(p)
+          if (ch != ' ') {
+            packed.append(ch)
+            val groupEnd = p == last || s.charAt(p + 1) == ' '
+            if (groupEnd && mod97Valid(packed.toString)) bestEnd = p
+          }
+          p += 1
+        }
+        if (bestEnd >= 0) { sb.append("<IBAN>"); i = bestEnd + 1 }
+        else {
+          // advance past the FIRST space-delimited group only, so an
+          // uppercase word glued to the run ("IBAN DE89 …", "USD DE89
+          // …") cannot swallow the valid IBAN after it; later groups
+          // re-enter the scan at their own boundaries (re-scan work is
+          // bounded by the run's group count — runs are line-local)
+          var k = i
+          while (k < n && isRun(s.charAt(k)) && s.charAt(k) != ' ') k += 1
+          sb.append(s, i, k)
+          i = k
+        }
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** clean_gate(text, lang, minQuality): the corpus-clean keep/drop decision
   * as ONE boolean kernel — language-ID argmax + integer quality score in a
   * single tokenization pass, replacing six interpreted filter/contains

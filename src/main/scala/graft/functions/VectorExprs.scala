@@ -126,6 +126,8 @@ object VectorFunctions {
       "decode_numrefs(text) - decode HTML numeric character references"),
     ("luhn_redact", (e: Seq[Expression]) => LuhnRedact(e(0)),
       "luhn_redact(text) - redact Luhn-valid 13-19 digit card runs"),
+    ("iban_redact", (e: Seq[Expression]) => IbanRedact(e(0)),
+      "iban_redact(text) - redact mod-97-valid IBAN runs (ISO 13616)"),
     ("unicode_norm", (e: Seq[Expression]) => UnicodeNorm(e(0), e(1)),
       "unicode_norm(text, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),
     ("clean_gate", (e: Seq[Expression]) => CleanGate(e(0), e(1), e(2)),

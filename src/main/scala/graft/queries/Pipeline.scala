@@ -92,6 +92,24 @@ object Pipeline extends QueryModule {
       |    ELSE '4012-8888-8888-1881' END,
       |  ' ref ', CAST(doc_id AS STRING), ' end')""".stripMargin
 
+  /** q_iban_redact's fixture: published TEST IBANs — valid (DE, GB,
+    * FR with a BBAN letter, NO's 15-char minimum with a trailing
+    * glued currency word, GB with bank code), a checksum-broken
+    * variant, the classic `IBAN `-prefixed form, a lowercase copy and
+    * a too-short run that must all survive. Valid in both dialects. */
+  private val ibanFixtureExpr: String =
+    """concat('acct ',
+      |  CASE CAST(doc_id % 8 AS INTEGER)
+      |    WHEN 0 THEN 'DE89 3704 0044 0532 0130 00'
+      |    WHEN 1 THEN 'DE89 3704 0044 0532 0130 01'
+      |    WHEN 2 THEN 'IBAN GB29 NWBK 6016 1331 9268 19'
+      |    WHEN 3 THEN 'FR14 2004 1010 0505 0001 3M02 606'
+      |    WHEN 4 THEN 'NO93 8601 1117 947 EUR'
+      |    WHEN 5 THEN 'de89 3704 0044 0532 0130 00'
+      |    WHEN 6 THEN 'DE89 1234'
+      |    ELSE 'GB94 BARC 1020 1530 0934 59' END,
+      |  ' ref ', CAST(doc_id AS STRING), ' end')""".stripMargin
+
   /** Shared by q_length_buckets / q_length_bucket_gain: whitespace
     * counts, the zero-token drop, and the (n_tokens, doc_id)-ranked
     * batch ids — `bs(batch_id, n_tokens)` plus `nz` for the naive
@@ -997,6 +1015,32 @@ object Pipeline extends QueryModule {
              |    WHEN 3 THEN '<CARD>'
              |    WHEN 4 THEN '1234 5678'
              |    ELSE '<CARD>' END ||
+             |  ' ref ' || CAST(doc_id AS VARCHAR) || ' end' AS redacted
+             |FROM documents""".stripMargin)),
+
+    // ---- IBAN redaction (ISO 13616 mod-97, longest-valid-prefix at
+    //      group boundaries): CONSTRUCTIVE oracle (expected text stated
+    //      from the injected ground truth — the mod-97 math is pinned
+    //      by IbanRedactSpec's hand cases + mutation property) ----
+    GraftQuery("q_iban_redact",
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        import s.implicits._
+        t(s, dir, "documents").select($"doc_id",
+          call_function("iban_redact", expr(ibanFixtureExpr))
+            .as("redacted"))
+      },
+      Some(s"""SELECT doc_id,
+             |  'acct ' ||
+             |  CASE CAST(doc_id % 8 AS INTEGER)
+             |    WHEN 0 THEN '<IBAN>'
+             |    WHEN 1 THEN 'DE89 3704 0044 0532 0130 01'
+             |    WHEN 2 THEN 'IBAN <IBAN>'
+             |    WHEN 3 THEN '<IBAN>'
+             |    WHEN 4 THEN '<IBAN> EUR'
+             |    WHEN 5 THEN 'de89 3704 0044 0532 0130 00'
+             |    WHEN 6 THEN 'DE89 1234'
+             |    ELSE '<IBAN>' END ||
              |  ' ref ' || CAST(doc_id AS VARCHAR) || ' end' AS redacted
              |FROM documents""".stripMargin)),
 
