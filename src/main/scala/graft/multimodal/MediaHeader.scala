@@ -122,6 +122,12 @@ object MediaHeader {
     * decoder reads directly (PCM IS the decoded form; no codec needed). */
   def wavData(b: Array[Byte]): Option[(Int, Int)] = riffChunk(b, "data")
 
+  /** The `fmt ` chunk's (offset, byteLength) — for decoders that need
+    * the wFormatTag itself (e.g. G.711 companded WAVs, where tag 6/7
+    * selects the A-law/µ-law expansion), which [[parse]]'s Meta does
+    * not carry. */
+  def wavFmt(b: Array[Byte]): Option[(Int, Int)] = riffChunk(b, "fmt ")
+
   /** JPEG/JFIF marker walk (ITU T.81 §B): SOI, then FF-prefixed segments
     * each carrying a BE16 length that includes itself; dimensions live in
     * the first SOF frame header (precision @+2, height BE16 @+3, width

@@ -624,6 +624,90 @@ object Multimodal {
   def audioFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
     fixtureDs(docs, idCol)(audioFixture)
 
+  /** G.711 companded WAV fixture: 8 kHz mono 8-bit, wFormatTag 7
+    * (µ-law) for even ids and 6 (A-law) for odd, 32 code bytes
+    * `(id·29 + i·11) mod 256` — every µ-law/A-law code point is hit
+    * across ids, so the decoder's full segment/mantissa/sign space is
+    * exercised and the oracle can restate the expanded PCM from the
+    * same fill. */
+  def g711Fixture(docId: Long): Array[Byte] = {
+    import ByteIo.{le16b => le16, le32b => le32}
+    val n = 32
+    val data = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      data(i) = ((docId * 29 + i * 11) % 256).toByte
+      i += 1
+    }
+    val tag = if (docId % 2 == 0) 7L else 6L
+    "RIFF".getBytes("US-ASCII") ++ le32(36L + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(tag) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data
+  }
+
+  def g711Fixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(g711Fixture)
+
+  /** ITU-T G.711 µ-law expansion: one code byte → linear PCM. The
+    * published table-free form: complement, then
+    * `t = ((mant<<3) + 0x84) << exp`, sign via `0x84 − t` / `t − 0x84`. */
+  def ulawToLinear(code: Int): Int = {
+    val inv = ~code & 0xff
+    val t = (((inv & 0x0f) << 3) + 0x84) << ((inv & 0x70) >> 4)
+    if ((inv & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion: XOR 0x55, segment 0 is linear
+    * `(mant<<4)+8`, higher segments shift `(mant<<4)+0x108`; bit 7 SET
+    * means positive (A-law's sign convention is inverted vs µ-law). */
+  def alawToLinear(code: Int): Int = {
+    val a = code ^ 0x55
+    val mant = a & 0x0f
+    val seg = (a & 0x70) >> 4
+    val t =
+      if (seg == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** G.711 decode — the REAL byte-level path: RIFF walk to the fmt
+    * chunk, wFormatTag 6/7 selects A-law/µ-law, 8-bit code bytes from
+    * the data chunk expand through the published segment arithmetic to
+    * linear PCM. Output one row per sample:
+    * `(doc_id, codec, sample_rate, idx, pcm16)`; non-G.711 / non-8-bit
+    * / truncated payloads are dropped (never throw — the corpus-scan
+    * contract of every codec here). One tight per-partition loop, no
+    * per-sample allocation beyond the row. */
+  def decodeG711(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      val b = r.media
+      MediaHeader.wavFmt(b) match {
+        case Some((f, fl)) if fl >= 16 =>
+          val tag = ((b(f) & 0xff) | ((b(f + 1) & 0xff) << 8))
+          val bits = ((b(f + 14) & 0xff) | ((b(f + 15) & 0xff) << 8))
+          val sr = (b(f + 4) & 0xffL) | ((b(f + 5) & 0xffL) << 8) |
+            ((b(f + 6) & 0xffL) << 16) | ((b(f + 7) & 0xffL) << 24)
+          if ((tag != 6 && tag != 7) || bits != 8) Iterator.empty
+          else MediaHeader.wavData(b) match {
+            case Some((off, len)) =>
+              val codec = if (tag == 7) "ulaw" else "alaw"
+              (0 until len).iterator.map { i =>
+                val c = b(off + i) & 0xff
+                val pcm =
+                  if (tag == 7) ulawToLinear(c) else alawToLinear(c)
+                (r.doc_id, codec, sr, i.toLong, pcm.toLong)
+              }
+            case None => Iterator.empty
+          }
+        case _ => Iterator.empty
+      }
+    }).toDF("doc_id", "codec", "sample_rate", "idx", "pcm16")
+  }
+
   /** Perceptual audio fingerprint over really-decoded PCM: the clip's
     * energy envelope (sum |s| per frame, 16 equal frames) reduced to 15
     * gradient bits — the audio analogue of [[imageDHash]]'s dHash, and

@@ -1941,6 +1941,43 @@ object Extensions extends QueryModule {
              |  END)::BIGINT AS sum_sq
              |FROM s""".stripMargin)),
 
+    // G.711 companded audio through the REAL byte path: RIFF walk to
+    // fmt, wFormatTag 6/7 selects A-law/µ-law, each 8-bit code byte
+    // expands through the published segment arithmetic to linear PCM.
+    // The oracle restates every decoded sample from the fixture fill
+    // with the same integer formulas (complement / XOR 0x55, mantissa,
+    // segment shift, sign) — verified cell-for-cell over all 256 code
+    // points by the spec; a wrong shift, sign convention, or chunk
+    // offset lands in pcm16 and hash-mismatches.
+    GraftQuery("q_wav_g711",
+      (s, dir) => Multimodal.decodeG711(
+        Multimodal.g711Fixtures(t(s, dir, "documents"), "doc_id")),
+      Some("""WITH s AS (SELECT doc_id, unnest(range(32)) AS idx
+             |  FROM documents),
+             |c AS (SELECT doc_id, idx,
+             |    (doc_id*29 + idx*11) % 256 AS code,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END
+             |      AS codec
+             |  FROM s)
+             |SELECT doc_id, codec, 8000::BIGINT AS sample_rate,
+             |  idx::BIGINT AS idx,
+             |  (CASE WHEN codec = 'ulaw' THEN
+             |    CASE WHEN (255 - code) >= 128
+             |      THEN 132 - ((((255 - code) % 16) * 8 + 132)
+             |        * (1 << (((255 - code) // 16) % 8)))
+             |      ELSE ((((255 - code) % 16) * 8 + 132)
+             |        * (1 << (((255 - code) // 16) % 8))) - 132 END
+             |  ELSE
+             |    (CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END) *
+             |    (CASE WHEN ((xor(code, 85) // 16) % 8) = 0
+             |       THEN (xor(code, 85) % 16) * 16 + 8
+             |     WHEN ((xor(code, 85) // 16) % 8) = 1
+             |       THEN (xor(code, 85) % 16) * 16 + 264
+             |     ELSE ((xor(code, 85) % 16) * 16 + 264)
+             |       * (1 << ((((xor(code, 85) // 16) % 8)) - 1)) END)
+             |  END)::BIGINT AS pcm16
+             |FROM c""".stripMargin)),
+
     // real PNG PIXEL decode (beyond r6 verdict #2's header parse): the
     // fixtures are complete REAL PNGs — stored-mode zlib IDAT, real
     // Adler-32 and CRC32s — and the Spark side must run the actual
