@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spatial radius join — "all pairs of points within distance r" — the
+  * geo/layout primitive (store catchments, sensor co-location, UI
+  * element overlap) that a naive theta join turns into a cartesian
+  * product.
+  *
+  * Grid-cell plan: with square cells of side exactly `radius`, any two
+  * points within `radius` of each other lie in the same cell or one of
+  * its 8 neighbors. One side is replicated to its 3×3 neighborhood
+  * (map-side explode of a 9-element literal array), the other stays in
+  * its home cell; the join is a plain EQUI-join on the cell key, and
+  * the exact `dx² + dy² ≤ r²` predicate runs only on co-celled
+  * candidates. Each unordered pair surfaces EXACTLY once by
+  * construction: the `id_a < id_b` orientation fixes which point plays
+  * the replicated role, and that point covers the partner's single
+  * home cell exactly once in its 9-cell neighborhood — no DISTINCT
+  * pass (the canonical-bin idiom of [[RangeJoin]]'s overlap join).
+  *
+  * All arithmetic is integer-exact: coordinates are longs, the cell id
+  * uses floored division (`(x − pmod(x, r)) div r`, correct for
+  * negative coordinates in both engines), and the published distance
+  * is the exact squared integer — no sqrt, no doubles, so rows
+  * hash-match bit for bit.
+  *
+  * Distribution shape (the 100 TB contract): corpus work is one
+  * map-side cell assignment + one shuffle on the cell key; replication
+  * is a constant ×9 on one side only. NO cartesian anywhere (pinned in
+  * PlanShapeSpec). A pathological hot cell (≫ shuffle-partition-sized
+  * point pile within one radius) is the documented residual skew — the
+  * standard remedies (salt the hot cells and union, or halve `radius`
+  * per the quadtree ladder) compose with this plan unchanged.
+  *
+  * Output: `(id_a, id_b, dist_sq)` with `id_a < id_b`,
+  * `dist_sq ≤ radius²`.
+  */
+object SpatialJoin {
+
+  /** Floored-division cell id (sign-correct for negative coords). */
+  private def cellExpr(c: String, r: Long): String =
+    s"($c - pmod($c, ${r}L)) div ${r}L"
+
+  def radiusSelfJoin(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Long): DataFrame = {
+    require(radius >= 1, s"radius must be positive (got $radius)")
+    val base = points.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val home = base
+      .withColumn("cx", expr(cellExpr("x", radius)))
+      .withColumn("cy", expr(cellExpr("y", radius)))
+    // the replicated role: each point visits its 3×3 neighborhood
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val repl = home
+      .withColumn("o", explode(offsets))
+      .select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"),
+        (col("cx") + col("o.dx")).as("jx"),
+        (col("cy") + col("o.dy")).as("jy"))
+    repl.join(
+        home.select(col("id").as("id_b"), col("x").as("xb"),
+          col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy")),
+        Seq("jx", "jy"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist_sq",
+        expr("(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)"))
+      .where(col("dist_sq") <= radius * radius)
+      .select(col("id_a"), col("id_b"), col("dist_sq"))
+  }
+
+  /** Radius join of two DIFFERENT point sets (probe × build): every
+    * `(probe, build)` pair within `radius`. Same grid plan — the PROBE
+    * side replicates ×9, the (typically larger) build side stays in
+    * its home cell; no orientation filter is needed because the roles
+    * are distinct relations. Output: `(id_a, id_b, dist_sq)`. */
+  def radiusJoin(probe: DataFrame, build: DataFrame, idCol: String,
+      xCol: String, yCol: String, radius: Long): DataFrame = {
+    require(radius >= 1, s"radius must be positive (got $radius)")
+    def prep(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+        .withColumn("cx", expr(cellExpr("x", radius)))
+        .withColumn("cy", expr(cellExpr("y", radius)))
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val repl = prep(probe)
+      .withColumn("o", explode(offsets))
+      .select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"),
+        (col("cx") + col("o.dx")).as("jx"),
+        (col("cy") + col("o.dy")).as("jy"))
+    repl.join(
+        prep(build).select(col("id").as("id_b"), col("x").as("xb"),
+          col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy")),
+        Seq("jx", "jy"))
+      .withColumn("dist_sq",
+        expr("(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)"))
+      .where(col("dist_sq") <= radius * radius)
+      .select(col("id_a"), col("id_b"), col("dist_sq"))
+  }
+}

@@ -459,6 +459,71 @@ object RefParity extends QueryModule {
              |  AND a.lo < b.hi AND b.lo < a.hi
              |  AND a.ok * 8 + a.ln < b.ok * 8 + b.ln""".stripMargin)),
 
+    // ---- spatial radius SELF-join (graft.operators.SpatialJoin):
+    //      grid cells of side r, one side replicated to its 3x3
+    //      neighborhood, equi-join + exact integer dist^2 — each pair
+    //      exactly once via the id_a < id_b orientation. The oracle is
+    //      the BRUTE theta join over the same derived integer points —
+    //      proving the grid loses and invents nothing. ----
+    GraftQuery("q_spatial_self_join",
+      (s, dir) => {
+        import s.implicits._
+        val h = graft.operators.Dedup.h60raw(
+          "concat('x:', cast(event_id as string))")
+        val h2 = graft.operators.Dedup.h60raw(
+          "concat('y:', cast(event_id as string))")
+        val pts = t(s, dir, "events").where($"event_type" === "click")
+          .select($"event_id", expr(s"$h % 4000L").as("x"),
+            expr(s"$h2 % 4000L").as("y"))
+        graft.operators.SpatialJoin.radiusSelfJoin(
+          pts, "event_id", "x", "y", radius = 50L)
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id,
+             |    ('0x'||substr(md5('x:' || CAST(event_id AS VARCHAR)),
+             |      1, 15))::BIGINT % 4000 AS x,
+             |    ('0x'||substr(md5('y:' || CAST(event_id AS VARCHAR)),
+             |      1, 15))::BIGINT % 4000 AS y
+             |  FROM events WHERE event_type = 'click')
+             |SELECT a.event_id AS id_a, b.event_id AS id_b,
+             |  ((a.x - b.x) * (a.x - b.x)
+             |   + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist_sq
+             |FROM p a JOIN p b ON a.event_id < b.event_id
+             |  AND (a.x - b.x) * (a.x - b.x)
+             |    + (a.y - b.y) * (a.y - b.y) <= 2500""".stripMargin)),
+
+    // ---- spatial radius join of two point sets (probe clicks x build
+    //      views): same grid plan, probe side replicates x9, no
+    //      orientation filter. Brute theta oracle again. ----
+    GraftQuery("q_spatial_radius_join",
+      (s, dir) => {
+        import s.implicits._
+        val h = graft.operators.Dedup.h60raw(
+          "concat('x:', cast(event_id as string))")
+        val h2 = graft.operators.Dedup.h60raw(
+          "concat('y:', cast(event_id as string))")
+        def pts(kind: String) =
+          t(s, dir, "events").where($"event_type" === kind)
+            .select($"event_id", expr(s"$h % 4000L").as("x"),
+              expr(s"$h2 % 4000L").as("y"))
+        graft.operators.SpatialJoin.radiusJoin(
+          pts("click"), pts("view"), "event_id", "x", "y", radius = 40L)
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, event_type,
+             |    ('0x'||substr(md5('x:' || CAST(event_id AS VARCHAR)),
+             |      1, 15))::BIGINT % 4000 AS x,
+             |    ('0x'||substr(md5('y:' || CAST(event_id AS VARCHAR)),
+             |      1, 15))::BIGINT % 4000 AS y
+             |  FROM events WHERE event_type IN ('click', 'view'))
+             |SELECT a.event_id AS id_a, b.event_id AS id_b,
+             |  ((a.x - b.x) * (a.x - b.x)
+             |   + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist_sq
+             |FROM p a JOIN p b
+             |  ON a.event_type = 'click' AND b.event_type = 'view'
+             |  AND (a.x - b.x) * (a.x - b.x)
+             |    + (a.y - b.y) * (a.y - b.y) <= 1600""".stripMargin)),
+
     // ---- as-of join (custom operator, graft.operators.AsOfJoin) ----
     GraftQuery("q_asof_join",
       (s, dir) => {
