@@ -19,6 +19,8 @@ object ImageCodecs {
       b(2) == 42 && b(3) == 0) "tiff"
     else if (b.length >= 4 && b(0) == 'M' && b(1) == 'M' &&
       b(2) == 0 && b(3) == 42) "tiff"
+    else if (b.length >= 4 && b(0) == 'q' && b(1) == 'o' &&
+      b(2) == 'i' && b(3) == 'f') "qoi"
     else "unknown"
 
   /** Decode any supported image container to packed RGB(A) pixels. */
@@ -28,6 +30,7 @@ object ImageCodecs {
       case "jpeg" => JpegCodec.decode(b)
       case "gif" => GifCodec.decode(b)
       case "tiff" => TiffCodec.decode(b)
+      case "qoi" => QoiCodec.decode(b)
       case _ => None
     }
 }

@@ -1380,6 +1380,61 @@ object Multimodal {
       })
   }
 
+  /** Four-format container-blind variant: GIF (4id), PNG (4id+1),
+    * TIFF (4id+2) and QOI (4id+3) re-encodes of the same footage — the
+    * QOI path proves the newest codec joins the family: identical
+    * decoded pixels ⇒ hamming-0 clusters across all four containers. */
+  def crossFormat4NearFixtures(docs: DataFrame,
+      idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val gif = gifNearFixture(id)
+        val img = GifCodec.decode(gif).getOrElse(
+          throw new IllegalStateException(
+            s"gif fixture $id failed to decode"))
+        Seq(MediaRecord(4 * id, gif),
+          MediaRecord(4 * id + 1, PngCodec.encode(img)),
+          MediaRecord(4 * id + 2, TiffCodec.encode(img)),
+          MediaRecord(4 * id + 3, QoiCodec.encode(img)))
+      })
+  }
+
+  /** QOI fixture: w = id%8+1, h = id%6+1, channels 3|4 by id parity.
+    * Even rows alternate two colors in horizontal PAIRS
+    * (`((x div 2) mod 2)·29`) — the A A B B A A pattern forces RUN on
+    * the pair repeat and INDEX on each color's return; odd rows run
+    * the `(x div 2)·7` gradient — small steps force DIFF/LUMA; the
+    * row-to-row +13 and the 4-channel odd ids force RGB/RGBA. Every op
+    * kind is exercised across the corpus (asserted in QoiCodecSpec). */
+  def qoiFixture(docId: Long): Array[Byte] = {
+    val w = (docId % 8 + 1).toInt
+    val h = (docId % 6 + 1).toInt
+    val ch = (3 + docId % 2).toInt
+    val px = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          val xoff =
+            if (y % 2 == 0) ((x / 2) % 2) * 29L else (x / 2) * 7L
+          px((y * w + x) * ch + c) =
+            ((docId * 37 + y * 13 + xoff + c * 5) % 256).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    QoiCodec.encode(PngCodec.Image(w, h, ch, px))
+  }
+
+  def qoiFixtures(docs: DataFrame, idCol: String): Dataset[MediaRecord] =
+    fixtureDs(docs, idCol)(qoiFixture)
+
   /** Frames per video the near-dup fid packing reserves. */
   val MaxVideoFrames = 1024L
 

@@ -2382,6 +2382,61 @@ object Extensions extends QueryModule {
           |    bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3"""
           .stripMargin))),
 
+    // QOI pixels through the REAL op-stream decode: the fixtures are
+    // complete QOI files from our spec-canonical encoder (RUN/INDEX/
+    // DIFF/LUMA/RGB/RGBA all exercised — QoiCodecSpec asserts op
+    // coverage and pins hand-assembled byte streams both directions),
+    // and the Spark side must replay the running-pixel + 64-slot-index
+    // state machine to reach the pixels. The oracle restates the
+    // decoded channel sums from the arithmetic fill: any state-machine
+    // slip (wrap bias, index hash, run bound) lands in the sums or
+    // px0_hex and hash-mismatches.
+    GraftQuery("q_qoi_pixels",
+      (s, dir) => Multimodal.decodeImageStats(
+        Multimodal.qoiFixtures(t(s, dir, "documents"), "doc_id")),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 8 + 1 AS w,
+             |    doc_id % 6 + 1 AS h, 3 + doc_id % 2 AS ch
+             |  FROM documents),
+             |px AS (SELECT doc_id, w, h, ch, y, x,
+             |    doc_id*37 + y*13 + CASE WHEN y % 2 = 0
+             |      THEN ((x//2) % 2) * 29 ELSE (x//2) * 7 END AS base
+             |  FROM d, range(6) t(y), range(8) u(x)
+             |  WHERE y < h AND x < w)
+             |SELECT doc_id, max(w)::BIGINT AS width,
+             |  max(h)::BIGINT AS height, max(ch)::BIGINT AS channels,
+             |  sum((base + 0) % 256)::BIGINT AS sum_r,
+             |  sum((base + 5) % 256)::BIGINT AS sum_g,
+             |  sum((base + 10) % 256)::BIGINT AS sum_b,
+             |  printf('%02x%02x%02x', (max(doc_id)*37) % 256,
+             |    (max(doc_id)*37 + 5) % 256, (max(doc_id)*37 + 10) % 256)
+             |    AS px0_hex
+             |FROM px GROUP BY doc_id""".stripMargin)),
+
+    // four-format container-blind near-dup: the same footage as GIF,
+    // PNG, TIFF and QOI must cluster at hamming 0 because the dHash
+    // works on DECODED pixels, not container bytes — QOI's op-stream
+    // decode joining the established three-codec family.
+    GraftQuery("q_qoi_crossformat_neardup",
+      (s, dir) => {
+        val (cached, pairs) = Multimodal.imageNearDupPairs(
+          Multimodal.crossFormat4NearFixtures(
+            t(s, dir, "documents"), "doc_id"))
+        drained(s, cached, pairs)
+      },
+      Some(Extensions.gifDhashOracle(
+        """, ids AS (SELECT doc_id * 4 AS mid, doc_id FROM documents
+          |  UNION ALL SELECT doc_id * 4 + 1, doc_id FROM documents
+          |  UNION ALL SELECT doc_id * 4 + 2, doc_id FROM documents
+          |  UNION ALL SELECT doc_id * 4 + 3, doc_id FROM documents),
+          |hh AS (SELECT ids.mid, bh.b FROM ids JOIN bh USING (doc_id))
+          |SELECT a.mid AS doc_a, b2.mid AS doc_b,
+          |  list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1]))))::BIGINT AS hamming
+          |FROM hh a JOIN hh b2 ON a.mid < b2.mid
+          |WHERE list_sum(list_transform(range(8), k ->
+          |    bit_count(xor(a.b[k+1], b2.b[k+1])))) <= 3"""
+          .stripMargin))),
+
     // shot-level video near-dup: two clips match when ANY frame pair is
     // perceptually near (no temporal alignment assumed — a re-edit
     // reorders the timeline but reuses footage). Per-frame dHash over
