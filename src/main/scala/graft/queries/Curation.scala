@@ -1325,6 +1325,40 @@ object Curation extends QueryModule {
       },
       Some(Curation.conformalGateOracle(32, 4, alphaPpm = 100000L))),
 
+    // ---- streamed split-conformal gate: calibration rows arrive in
+    //      three id-range folds, each appending its ADDITIVE value
+    //      histogram; the read side recovers the exact
+    //      ceil((n+1)(1-alpha))-th smallest as the first histogram
+    //      value whose running count reaches k, so the gate equals the
+    //      batch operator on everything seen VERBATIM (shares the
+    //      batch oracle; a mid-run compaction must not change it) ----
+    GraftQuery("q_conformal_stream",
+      (s, dir) => {
+        val base =
+          s"/tmp/graft_conf_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingConformal.init(s, base)
+        val (_, pred) = graft.operators.Perceptron.train(
+          t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)
+        val rows = pred.select(col("doc_id"),
+            (-col("margin")).as("nonconf"),
+            (col("y") === 1L && col("doc_id") % 2 === 0).as("is_cal"))
+          .persist()
+        val maxId = rows.agg(max(col("doc_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingConformal.fold(s, base,
+            rows.where(col("doc_id") >= i * maxId / 3 &&
+              col("doc_id") < (i + 1) * maxId / 3),
+            "nonconf", "is_cal")
+          if (i == 1L) // mid-run compaction is answer-preserving
+            graft.streaming.StreamingConformal.compact(s, base)
+        }
+        val out = graft.streaming.StreamingConformal.gate(s, base,
+          rows, "doc_id", "nonconf", "is_cal", alphaPpm = 100000L)
+        rows.unpersist()
+        out
+      },
+      Some(Curation.conformalGateOracle(32, 4, alphaPpm = 100000L))),
+
     // ---- ECDF quantile normalization: per-source length scores
     //      mapped to their within-source quantile in ppm, so one
     //      global threshold compares docs ACROSS domains; corpus work

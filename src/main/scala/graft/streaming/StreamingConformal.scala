@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streamed split-conformal gate — the incremental half of
+  * [[graft.operators.Calibration.conformalGate]]: labeled calibration
+  * rows arrive continuously and the distribution-free keep threshold
+  * stays current.
+  *
+  * The decomposition: the exact order statistic needs the calibration
+  * MULTISET, but a value HISTOGRAM `(nonconf, cnt)` carries the same
+  * information and its counts are ADDITIVE — so each fold appends one
+  * batch-sized histogram delta, and the read side recovers the exact
+  * `k = ceil((n+1)(1−α))`-th smallest value as the first histogram
+  * value whose running count reaches `k` (a window over the
+  * value-range-sized histogram, never the corpus). The gate after any
+  * prefix of folds therefore equals the batch `conformalGate` over
+  * everything seen VERBATIM, for any batch split and arrival order
+  * (q_conformal_stream shares the batch oracle).
+  *
+  * Replay/crash contract: delta directory names derive from the
+  * batch's CONTENT and are written with overwrite — a crash-replayed
+  * fold rewrites the same directory instead of double-counting;
+  * [[compact]] merges the tiny dirs stage-and-swap (the
+  * [[StreamingCalibration]] idiom, single-writer folds). */
+object StreamingConformal {
+
+  private val histSchema = StructType(Seq(
+    StructField("nonconf", LongType), StructField("cnt", LongType)))
+
+  private def histRoot(base: String) = s"$base/hist"
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Wipe the artifact directory (fresh run). */
+  def init(spark: SparkSession, base: String): Unit = {
+    hadoopFs(spark, base).delete(new org.apache.hadoop.fs.Path(base), true)
+    ()
+  }
+
+  /** Fold one micro-batch: histogram its CALIBRATION rows and stage
+    * the additive delta under a content-derived directory. */
+  def fold(spark: SparkSession, base: String, rows: DataFrame,
+      nonconfCol: String, calCol: String): Unit = {
+    val delta = rows
+      .where(col(calCol).cast("boolean"))
+      .select(col(nonconfCol).cast("long").as("nonconf"))
+      .groupBy(col("nonconf"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val row = delta.agg(count(lit(1)), sum(col("cnt")),
+      min(col("nonconf")), max(col("nonconf")),
+      sum(expr("nonconf * cnt % 1000000007L"))).head
+    if (row.getLong(0) > 0L) {
+      val tag = s"d_${row.getLong(1)}_${row.getLong(2)}_" +
+        s"${row.getLong(3)}_${row.getLong(4)}"
+      delta.write.mode("overwrite")
+        .parquet(s"${histRoot(base)}/$tag")
+    }
+  }
+
+  /** Merge accumulated delta dirs into one (stage-and-swap). */
+  def compact(spark: SparkSession, base: String): Unit = {
+    val fs = hadoopFs(spark, base)
+    val root = new org.apache.hadoop.fs.Path(histRoot(base))
+    if (!fs.exists(root)) return
+    val tmp = new org.apache.hadoop.fs.Path(histRoot(base) + "_c")
+    merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(root, true)
+    fs.rename(tmp, root)
+    ()
+  }
+
+  private def merged(spark: SparkSession, base: String): DataFrame = {
+    val fs = hadoopFs(spark, base)
+    val root = new org.apache.hadoop.fs.Path(histRoot(base))
+    if (!fs.exists(root))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
+    spark.read.schema(histSchema)
+      .option("recursiveFileLookup", "true").parquet(root.toString)
+      .groupBy("nonconf")
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** The always-current `(thr, n_cal)` — exact order statistic over
+    * the merged histogram; `+∞` (fail-open) when
+    * `k = ceil((n+1)(1−α)) > n` or nothing has been seen. */
+  def threshold(spark: SparkSession, base: String,
+      alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm < 1000000L,
+      s"alphaPpm must be in [0, 1e6) (got $alphaPpm)")
+    val hist = merged(spark, base)
+    // value-range-sized relation: the unpartitioned window is bounded
+    // by distinct nonconformity values, never the corpus
+    val w = Window.orderBy(col("nonconf"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val n = cum.agg(coalesce(max(col("cum")), lit(0L)).as("n_cal"))
+    val keepPpm = 1000000L - alphaPpm
+    // one aggregate: thr = first value whose running count reaches k
+    // (null when k > n or the histogram is empty → fail OPEN)
+    cum.crossJoin(n)
+      .withColumn("__k", expr(
+        s"((n_cal + 1L) * ${keepPpm}L + 999999L) div 1000000L"))
+      .agg(min(when(col("cum") >= col("__k"), col("nonconf")))
+          .as("__thr"),
+        max(col("n_cal")).as("__n"))
+      .select(coalesce(col("__thr"), lit(Long.MaxValue)).as("thr"),
+        coalesce(col("__n"), lit(0L)).as("n_cal"))
+  }
+
+  /** Gate `rows` with the current threshold — the batch
+    * [[graft.operators.Calibration.conformalGate]] output shape
+    * `(id, nonconf, is_cal, thr, n_cal, kept)`. */
+  def gate(spark: SparkSession, base: String, rows: DataFrame,
+      idCol: String, nonconfCol: String, calCol: String,
+      alphaPpm: Long): DataFrame = {
+    val thr = broadcast(threshold(spark, base, alphaPpm))
+    rows.select(col(idCol).cast("long").as("id"),
+        col(nonconfCol).cast("long").as("nonconf"),
+        col(calCol).cast("boolean").as("is_cal"))
+      .crossJoin(thr)
+      .select(col("id"), col("nonconf"), col("is_cal"), col("thr"),
+        col("n_cal"), (col("nonconf") <= col("thr")).as("kept"))
+  }
+}
