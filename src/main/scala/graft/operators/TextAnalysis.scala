@@ -643,4 +643,31 @@ object TextAnalysis {
       .withColumn("distinct_ppm",
         expr("distinct_grams * 1000000L div n_grams"))
   }
+
+  /** Bounded confusables map (Unicode TR39's skeleton idea, reduced to
+    * the high-traffic Cyrillic/Greek → Latin lookalikes): source
+    * codepoints in [[ConfusablesFrom]] map 1:1 to the Latin letters at
+    * the same position of [[ConfusablesTo]]. Production swaps in the
+    * full published confusables table as the same two strings — the
+    * operator shape (one codegen'd `translate`) is what's under test,
+    * the PSL-dimension precedent. */
+  val ConfusablesFrom: String =
+    "аеорсухіѕј" + // а е о р с у х і ѕ ј
+      "АВЕКМНОРСТХ" + // А В Е К М Н О Р С Т Х
+      "αονϲρυικ" + // α ο ν ϲ ρ υ ι κ
+      "ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ" + // Α Β Ε Ζ Η Ι Κ Μ Ν Ο Ρ Τ Υ Χ
+      "ԁɡ" // ԁ ɡ
+  val ConfusablesTo: String =
+    "aeopcyxisj" + "ABEKMHOPCTX" + "aovcpuik" + "ABEZHIKMNOPTYX" + "dg"
+
+  /** Homoglyph SKELETON of a text column — the spoof-canonical key
+    * that collapses visually-identical variants an exact (or even
+    * NFC-keyed) dedup keeps apart: confusable codepoints translate to
+    * their Latin targets, then casefold. One codegen'd
+    * `lower(translate(...))` per row, no UDF; compose with the
+    * `unicode_norm` kernel upstream when combining marks are in play
+    * (the q_homoglyph_dedup query does). */
+  def homoglyphSkeleton(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    lower(translate(c, ConfusablesFrom, ConfusablesTo))
 }

@@ -214,5 +214,46 @@ object WebClean extends QueryModule {
              |SELECT min(id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies,
              |  length(norm)::BIGINT AS n_cp
              |FROM (SELECT id, nfc_normalize(text) AS norm FROM v) n
-             |GROUP BY norm""".stripMargin)))
+             |GROUP BY norm""".stripMargin)),
+
+    // ---- dedup on the homoglyph SKELETON: spoof variants written
+    //      with Cyrillic lookalikes (pаypаl: U+0430/U+043E/U+0435) are
+    //      byte-different AND NFC-stable — both exact and NFC-keyed
+    //      dedup keep them apart; the confusables translate + casefold
+    //      collapses each pair to the even id. The oracle runs the
+    //      same translate over the SAME shared from/to constants ----
+    GraftQuery("q_homoglyph_dedup",
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        val spoof = "pаypаl оffеr " // Cyrillic а о е
+        val variants = docs.select((col("doc_id") * 2).as("id"),
+            concat(lit("paypal offer "), col("text")).as("text"))
+          .unionByName(docs.select((col("doc_id") * 2 + 1).as("id"),
+            concat(lit(spoof), col("text")).as("text")))
+        variants
+          .select(col("id"), graft.operators.TextAnalysis
+            .homoglyphSkeleton(
+              call_function("unicode_norm", col("text"), lit("NFC")))
+            .as("sk"))
+          .groupBy("sk")
+          .agg(min(col("id")).as("keep_id"),
+            count(lit(1)).cast("long").as("n_copies"))
+          .select(col("keep_id"), col("n_copies"),
+            length(col("sk")).cast("long").as("n_cp"))
+      },
+      Some(s"""WITH v AS (
+             |  SELECT doc_id * 2 AS id,
+             |    'paypal offer ' || text AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id * 2 + 1 AS id,
+             |    'pаypаl оffеr ' || text AS text
+             |  FROM documents)
+             |SELECT min(id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies,
+             |  length(sk)::BIGINT AS n_cp
+             |FROM (SELECT id, lower(translate(nfc_normalize(text),
+             |  '${graft.operators.TextAnalysis.ConfusablesFrom}',
+             |  '${graft.operators.TextAnalysis.ConfusablesTo}')) AS sk
+             |  FROM v) n
+             |GROUP BY sk""".stripMargin)))
 }

@@ -192,4 +192,33 @@ class TextSignalsSpec extends SparkSpec {
     assert(big._5 < 60L && big._5 > 10L)
     assert(big._6 === big._5 * 10L) // every big doc is 10 tokens
   }
+
+  test("confusables map is 1:1 (translate silently drops on length " +
+      "mismatch) and every target is ASCII Latin") {
+    assert(TextAnalysis.ConfusablesFrom.codePointCount(0,
+      TextAnalysis.ConfusablesFrom.length) ===
+      TextAnalysis.ConfusablesTo.length)
+    assert(TextAnalysis.ConfusablesTo.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+    assert(TextAnalysis.ConfusablesFrom.forall(_ > 0x7f),
+      "sources must be non-ASCII lookalikes")
+  }
+
+  test("homoglyphSkeleton collapses Cyrillic/Greek spoofs onto the " +
+      "Latin key and keeps genuinely different texts apart") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "paypal offer"),
+      (2L, "pаypаl оffеr"), // Cyrillic а о е
+      (3L, "PΑYPΑL ΟFFΕR"), // Greek capitals Α Ο Ε
+      (4L, "paypal offers")) // different text stays distinct
+      .toDF("id", "t")
+    val got = rows.select($"id",
+        TextAnalysis.homoglyphSkeleton($"t").as("sk"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "paypal offer")
+    assert(got(2L) === got(1L))
+    assert(got(3L) === got(1L))
+    assert(got(4L) !== got(1L))
+  }
 }
