@@ -71,6 +71,32 @@ object SpatialJoin {
       .select(col("id_a"), col("id_b"), col("dist_sq"))
   }
 
+  /** k-nearest-within-radius: for every probe point, the `k` closest
+    * build points among those within `radius` — the bounded-kNN shape
+    * real geo lookups use (an UNbounded kNN cannot prune: a probe in
+    * an empty region must scan everything; production systems bound
+    * the search radius for exactly this reason, then widen on miss —
+    * the quadtree ladder, composable here by re-running at 2r for the
+    * probes that came back short).
+    *
+    * Plan: [[radiusJoin]]'s grid candidates, cut to k per probe by the
+    * histogram-threshold [[TopN.topNPerGroup]] (no per-probe full
+    * sort; ties at the k boundary break by smallest build id), with
+    * the explicit 1..k rank a window over the ≤ k survivors only.
+    * Output: `(id_a, id_b, dist_sq, rnk)`. */
+  def knnWithinRadius(probe: DataFrame, build: DataFrame, idCol: String,
+      xCol: String, yCol: String, radius: Long, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val cand = radiusJoin(probe, build, idCol, xCol, yCol, radius)
+      .withColumn("__neg", -col("dist_sq"))
+    val top = TopN.topNPerGroup(cand, "id_a", "__neg", "id_b", k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"))
+      .orderBy(col("dist_sq"), col("id_b"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("id_a"), col("id_b"), col("dist_sq"), col("rnk"))
+  }
+
   /** Radius join of two DIFFERENT point sets (probe × build): every
     * `(probe, build)` pair within `radius`. Same grid plan — the PROBE
     * side replicates ×9, the (typically larger) build side stays in

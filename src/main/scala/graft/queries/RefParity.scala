@@ -524,6 +524,47 @@ object RefParity extends QueryModule {
              |  AND (a.x - b.x) * (a.x - b.x)
              |    + (a.y - b.y) * (a.y - b.y) <= 1600""".stripMargin)),
 
+    // ---- k-nearest-within-radius: the grid candidates cut to the 3
+    //      closest build points per probe by the histogram-threshold
+    //      TopN (no per-probe sort); brute oracle with the same
+    //      (dist, id) ordering ----
+    GraftQuery("q_spatial_knn",
+      (s, dir) => {
+        import s.implicits._
+        val h = graft.operators.Dedup.h60raw(
+          "concat('x:', cast(event_id as string))")
+        val h2 = graft.operators.Dedup.h60raw(
+          "concat('y:', cast(event_id as string))")
+        def pts(kind: String) =
+          t(s, dir, "events").where($"event_type" === kind)
+            .select($"event_id", expr(s"$h % 4000L").as("x"),
+              expr(s"$h2 % 4000L").as("y"))
+        graft.operators.SpatialJoin.knnWithinRadius(
+          pts("purchase"), pts("view"), "event_id", "x", "y",
+          radius = 120L, k = 3)
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, event_type,
+             |    ('0x'||substr(md5('x:' || CAST(event_id AS VARCHAR)),
+             |      1, 15))::BIGINT % 4000 AS x,
+             |    ('0x'||substr(md5('y:' || CAST(event_id AS VARCHAR)),
+             |      1, 15))::BIGINT % 4000 AS y
+             |  FROM events WHERE event_type IN ('purchase', 'view')),
+             |c AS (SELECT a.event_id AS id_a, b.event_id AS id_b,
+             |    (a.x - b.x) * (a.x - b.x)
+             |      + (a.y - b.y) * (a.y - b.y) AS dist_sq
+             |  FROM p a JOIN p b
+             |    ON a.event_type = 'purchase' AND b.event_type = 'view'
+             |    AND (a.x - b.x) * (a.x - b.x)
+             |      + (a.y - b.y) * (a.y - b.y) <= 14400),
+             |r AS (SELECT id_a, id_b, dist_sq,
+             |    row_number() OVER (PARTITION BY id_a
+             |      ORDER BY dist_sq, id_b) AS rnk
+             |  FROM c)
+             |SELECT id_a, id_b, dist_sq::BIGINT AS dist_sq,
+             |  rnk::BIGINT AS rnk
+             |FROM r WHERE rnk <= 3""".stripMargin)),
+
     // ---- as-of join (custom operator, graft.operators.AsOfJoin) ----
     GraftQuery("q_asof_join",
       (s, dir) => {

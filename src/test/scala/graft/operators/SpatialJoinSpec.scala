@@ -70,6 +70,23 @@ class SpatialJoinSpec extends SparkSpec {
     assert(got2.toSeq === brute2)
   }
 
+  test("knnWithinRadius: k closest per probe, dense ranks, ties by " +
+      "build id, short probes keep what they found") {
+    import spark.implicits._
+    val probe = Seq((1L, 0L, 0L), (2L, 100L, 100L)).toDF("id", "x", "y")
+    // builds around probe 1: dists 1, 4, 4, 25, 10000 (out of r=20 for
+    // the last); probe 2 has exactly one neighbor in radius
+    val build = Seq((10L, 1L, 0L), (11L, 0L, 2L), (12L, 2L, 0L),
+      (13L, 3L, 4L), (14L, 100L, 0L), (15L, 101L, 100L))
+      .toDF("id", "x", "y")
+    val got = SpatialJoin.knnWithinRadius(probe, build, "id", "x", "y",
+        radius = 20L, k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(p => (p._1, p._4))
+    assert(got.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 10L, 1L, 1L), (1L, 11L, 4L, 2L), (1L, 12L, 4L, 3L)))
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 15L, 1L, 1L)))
+  }
+
   test("the grid join plans as an equi hash join — no cartesian, no " +
       "nested loop") {
     import spark.implicits._
