@@ -102,4 +102,40 @@ object Perceptron {
         when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
     (traj, predict)
   }
+
+  /** Classifier scorecard — per-class precision/recall/F1 in exact
+    * ppm, the evaluation every quality-filter change is judged by
+    * before it gates a corpus. One map-side-combinable groupBy over
+    * `(label, pred)` (the confusion matrix, classes²-sized), then
+    * pure arithmetic on that tiny relation; integer divisions floor
+    * identically in both engines
+    * (`f1 = 2·p·r div (p + r)` over ppm values, 0 when degenerate).
+    * Output: `(class, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm)`
+    * — one row per DISTINCT label or predicted class. */
+  def classifierEval(pred: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val cm = pred.select(col(labelCol).cast("long").as("y"),
+        col(predCol).cast("long").as("p"))
+      .groupBy(col("y"), col("p"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val classes = cm.select(col("y").as("class"))
+      .union(cm.select(col("p").as("class"))).distinct()
+    classes
+      .crossJoin(cm) // classes × classes² — tiny both sides
+      .groupBy(col("class"))
+      .agg(
+        sum(when(col("y") === col("class") && col("p") === col("class"),
+          col("n")).otherwise(0L)).as("tp"),
+        sum(when(col("y") =!= col("class") && col("p") === col("class"),
+          col("n")).otherwise(0L)).as("fp"),
+        sum(when(col("y") === col("class") && col("p") =!= col("class"),
+          col("n")).otherwise(0L)).as("fn"))
+      .withColumn("precision_ppm",
+        expr("tp * 1000000L div greatest(tp + fp, 1L)"))
+      .withColumn("recall_ppm",
+        expr("tp * 1000000L div greatest(tp + fn, 1L)"))
+      .withColumn("f1_ppm", expr(
+        "2L * precision_ppm * recall_ppm" +
+          " div greatest(precision_ppm + recall_ppm, 1L)"))
+  }
 }

@@ -1308,6 +1308,43 @@ object Curation extends QueryModule {
       },
       Some(Curation.isotonicOracle(32, 4, binWidth = 1024L, clamp = 64L))),
 
+    // ---- classifier scorecard: per-class precision/recall/F1 in
+    //      exact ppm over the perceptron's predictions vs its weak
+    //      labels — one classes²-sized confusion groupBy, then pure
+    //      integer arithmetic ----
+    GraftQuery("q_classifier_eval",
+      (s, dir) => {
+        val (_, pred) = graft.operators.Perceptron.train(
+          t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)
+        graft.operators.Perceptron.classifierEval(pred, "y", "pred")
+      },
+      Some(Curation.perceptronChain(32, 4) + """,
+        |pred AS MATERIALIZED (
+        |  SELECT f.doc_id, f.y,
+        |    (CASE WHEN sum(f.x * w.w) > 0 THEN 1 ELSE -1 END)::BIGINT
+        |      AS p
+        |  FROM feat f JOIN w4 w USING (j) GROUP BY 1, 2),
+        |cm AS (SELECT y, p, count(*)::BIGINT AS n FROM pred
+        |       GROUP BY 1, 2),
+        |cl AS (SELECT y AS class FROM cm UNION SELECT p FROM cm),
+        |ag AS (SELECT cl.class,
+        |    sum(CASE WHEN cm.y = cl.class AND cm.p = cl.class
+        |      THEN cm.n ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN cm.y <> cl.class AND cm.p = cl.class
+        |      THEN cm.n ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN cm.y = cl.class AND cm.p <> cl.class
+        |      THEN cm.n ELSE 0 END)::BIGINT AS fn
+        |  FROM cl CROSS JOIN cm GROUP BY 1),
+        |m AS (SELECT class, tp, fp, fn,
+        |    (tp * 1000000 // greatest(tp + fp, 1))::BIGINT
+        |      AS precision_ppm,
+        |    (tp * 1000000 // greatest(tp + fn, 1))::BIGINT AS recall_ppm
+        |  FROM ag)
+        |SELECT class, tp, fp, fn, precision_ppm, recall_ppm,
+        |  (2 * precision_ppm * recall_ppm
+        |   // greatest(precision_ppm + recall_ppm, 1))::BIGINT AS f1_ppm
+        |FROM m""".stripMargin)),
+
     // ---- split-conformal gate: the distribution-free twin of the
     //      calibrated gate — nonconformity = -margin, calibration =
     //      the even-id positives, threshold = the exact

@@ -60,4 +60,33 @@ class PerceptronSpec extends SparkSpec {
     val gotPred = predDf.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(gotPred === expPred.sortBy(_._1))
   }
+
+  test("classifierEval: hand-computed confusion, degenerate classes " +
+      "score 0 not null") {
+    import spark.implicits._
+    // labels/preds: (1,1)x3, (1,-1)x1, (-1,1)x2, (-1,-1)x4, and one
+    // label-only class 7 (never predicted)
+    val rows = Seq((1L, 1L), (1L, 1L), (1L, 1L), (1L, -1L),
+      (-1L, 1L), (-1L, 1L), (-1L, -1L), (-1L, -1L), (-1L, -1L),
+      (-1L, -1L), (7L, 1L)).toDF("y", "p")
+    val got = Perceptron.classifierEval(rows, "y", "p")
+      .selectExpr("class", "tp", "fp", "fn", "precision_ppm",
+        "recall_ppm", "f1_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toMap2
+    val m = got
+    // class 1: tp=3 fp=3 (two -1 + one 7 predicted 1) fn=1
+    assert(m(1L) === ((3L, 3L, 1L, 500000L, 750000L, 600000L)))
+    // class -1: tp=4 fp=1 fn=2
+    assert(m(-1L) === ((4L, 1L, 2L, 800000L, 666666L,
+      2L * 800000L * 666666L / (800000L + 666666L))))
+    // class 7: never predicted -> precision 0, recall 0, f1 0
+    assert(m(7L) === ((0L, 0L, 1L, 0L, 0L, 0L)))
+  }
+
+  private implicit class Tup7Ops(
+      rows: Array[(Long, Long, Long, Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long, Long, Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+  }
 }
