@@ -660,6 +660,38 @@ object TextAnalysis {
   val ConfusablesTo: String =
     "aeopcyxisj" + "ABEKMHOPCTX" + "aovcpuik" + "ABEZHIKMNOPTYX" + "dg"
 
+  /** Fenced code-block extraction — the markdown → code-corpus verb
+    * (a code-training pipeline's stage zero is "pull the ```-fenced
+    * blocks out of crawled markdown/READMEs, tagged by language").
+    * Splitting on the literal fence delimiter leaves code at the ODD
+    * segment indexes; each block's first line is its info string
+    * (CommonMark: the language tag; '' when untagged), the rest is the
+    * code body. An unclosed trailing fence runs to end-of-document
+    * (CommonMark's rule). Scope note: indented (4-space) code blocks
+    * and ~~~ fences are out of scope; the info string is taken verbatim
+    * (no trim).
+    *
+    * One map-side split + posexplode per document — no regex, no UDF,
+    * no shuffle. Output:
+    * `(doc_id, fence_idx, lang, code, n_code_chars)`. */
+  def codeFences(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "```")))
+      .where(col("pos") % 2 === 1)
+      .select(col("doc_id"),
+        expr("(pos - 1) div 2").as("fence_idx"),
+        expr("""CASE WHEN instr(col, chr(10)) = 0 THEN col
+               |  ELSE substring(col, 1,
+               |    CAST(instr(col, chr(10)) AS INT) - 1) END"""
+          .stripMargin).as("lang"),
+        expr("""CASE WHEN instr(col, chr(10)) = 0 THEN ''
+               |  ELSE substring(col,
+               |    CAST(instr(col, chr(10)) AS INT) + 1) END"""
+          .stripMargin).as("code"))
+      .withColumn("n_code_chars", length(col("code")).cast("long"))
+
   /** Homoglyph SKELETON of a text column — the spoof-canonical key
     * that collapses visually-identical variants an exact (or even
     * NFC-keyed) dedup keeps apart: confusable codepoints translate to

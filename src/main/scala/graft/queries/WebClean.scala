@@ -99,6 +99,16 @@ object WebClean extends QueryModule {
       |l AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM l0)"""
       .stripMargin
 
+  /** q_md_code_extract's markdown fixture — dialect-shared (chr(10)
+    * newlines, CASE tag by id%3, code sliced from the doc text). */
+  private[queries] val mdFixtureExpr: String =
+    """concat('Intro.', chr(10), '```',
+      |  CASE CAST(doc_id % 3 AS INTEGER)
+      |    WHEN 0 THEN 'scala' WHEN 1 THEN 'python' ELSE '' END,
+      |  chr(10), substr(text, 1, 40), chr(10), '```', chr(10),
+      |  'Mid.', chr(10), '```', chr(10), substr(text, 41, 30),
+      |  chr(10), '```', chr(10), 'End.')""".stripMargin
+
   override val queries: Seq[GraftQuery] = Seq(
 
     // ---- main-text extraction: tag-strip to ordered lines, title =
@@ -215,6 +225,36 @@ object WebClean extends QueryModule {
              |  length(norm)::BIGINT AS n_cp
              |FROM (SELECT id, nfc_normalize(text) AS norm FROM v) n
              |GROUP BY norm""".stripMargin)),
+
+    // ---- fenced code-block extraction from constructed markdown:
+    //      two fences per doc (one tagged scala/python/'' by id%3, one
+    //      untagged), code bodies sliced from the doc text; both
+    //      engines build the SAME markdown and split on the literal
+    //      delimiter, so lang/code/char counts hash-match ----
+    GraftQuery("q_md_code_extract",
+      (s, dir) => graft.operators.TextAnalysis.codeFences(
+        t(s, dir, "documents")
+          .select(col("doc_id"), expr(WebClean.mdFixtureExpr).as("md")),
+        "doc_id", "md"),
+      Some(s"""WITH m AS (SELECT doc_id, ${WebClean.mdFixtureExpr} AS md
+             |  FROM documents),
+             |p AS (SELECT doc_id, string_split(md, '${"```"}') AS parts
+             |      FROM m),
+             |e AS (SELECT doc_id, unnest(list_transform(
+             |        range(len(parts)),
+             |        i -> {'i': i, 'seg': parts[i+1]})) AS u
+             |      FROM p),
+             |f AS (SELECT doc_id, u.i AS i, u.seg AS seg
+             |      FROM e WHERE u.i % 2 = 1)
+             |SELECT doc_id, ((i - 1) // 2)::BIGINT AS fence_idx,
+             |  CASE WHEN instr(seg, chr(10)) = 0 THEN seg
+             |    ELSE substr(seg, 1, instr(seg, chr(10)) - 1) END AS lang,
+             |  CASE WHEN instr(seg, chr(10)) = 0 THEN ''
+             |    ELSE substr(seg, instr(seg, chr(10)) + 1) END AS code,
+             |  length(CASE WHEN instr(seg, chr(10)) = 0 THEN ''
+             |    ELSE substr(seg, instr(seg, chr(10)) + 1) END)::BIGINT
+             |    AS n_code_chars
+             |FROM f""".stripMargin)),
 
     // ---- dedup on the homoglyph SKELETON: spoof variants written
     //      with Cyrillic lookalikes (pаypаl: U+0430/U+043E/U+0435) are

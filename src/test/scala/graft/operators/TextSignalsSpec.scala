@@ -193,6 +193,23 @@ class TextSignalsSpec extends SparkSpec {
     assert(big._6 === big._5 * 10L) // every big doc is 10 tokens
   }
 
+  test("codeFences: tagged/untagged blocks, unclosed trailing fence " +
+      "runs to EOF, fence-free docs yield nothing") {
+    import spark.implicits._
+    val md1 = "Intro.\n```scala\nval x = 1\n```\nMid.\n```\nplain\n```\nEnd."
+    val md2 = "Open only:\n```py\nwhile True: pass" // unclosed
+    val md3 = "no fences at all"
+    val got = TextAnalysis.codeFences(
+        Seq((1L, md1), (2L, md2), (3L, md3)).toDF("id", "t"), "id", "t")
+      .selectExpr("doc_id", "fence_idx", "lang", "code")
+      .as[(Long, Long, String, String)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (1L, 0L, "scala", "val x = 1\n"),
+      (1L, 1L, "", "plain\n"),
+      (2L, 0L, "py", "while True: pass")))
+  }
+
   test("confusables map is 1:1 (translate silently drops on length " +
       "mismatch) and every target is ASCII Latin") {
     assert(TextAnalysis.ConfusablesFrom.codePointCount(0,
