@@ -400,6 +400,35 @@ object Scratch {
       }
     }
 
+    if (args.contains("spatialladder")) {
+      // Radius-join ladder at CONSTANT point density: the output of
+      // "all pairs within r" is inherently ∝ n · density, so a ladder
+      // that replicates points into a fixed space would measure the
+      // quadratic pair SEMANTICS, not the operator. Scaling the space
+      // side with sqrt(n) keeps points-per-cell (and pairs-per-point)
+      // constant — the ladder then isolates the grid plan's own
+      // overhead (cell assignment, x9 replication, shuffle).
+      import org.apache.spark.sql.functions._
+      val baseN = 20000L // ~the sf0.1 click-event count
+      for ((factor, tag) <- Seq((1, "1x"), (3, "3x"), (10, "10x"))) {
+        val n = baseN * factor
+        val side = math.round(4000.0 * math.sqrt(factor.toDouble))
+        val h = graft.operators.Dedup.h60raw(
+          "concat('x:', cast(id as string))")
+        val h2 = graft.operators.Dedup.h60raw(
+          "concat('y:', cast(id as string))")
+        val pts = spark.range(n)
+          .select(col("id"), expr(s"$h % ${side}L").as("x"),
+            expr(s"$h2 % ${side}L").as("y"))
+        for (rep <- 1 to 2) {
+          time(s"spatial_self_$tag r$rep")(
+            graft.operators.SpatialJoin.radiusSelfJoin(
+                pts, "id", "x", "y", radius = 50L)
+              .write.format("noop").mode("overwrite").save())
+        }
+      }
+    }
+
     if (args.contains("semladder")) {
       // SemDeDup's documented scale contract is k ∝ n (the paper's
       // regime: cluster count grows with the corpus so cluster SIZES
@@ -435,7 +464,7 @@ object Scratch {
     }
 
     val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen",
-      "scalegen30", "erprof", "semladder", "cpackprof")
+      "scalegen30", "erprof", "semladder", "cpackprof", "spatialladder")
     val toTime =
       if (args.isEmpty) defaults
       else args.toSeq.filterNot(a => a.startsWith("explain:") || modes(a))
