@@ -113,11 +113,23 @@ object Perceptron {
     * Output: `(class, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm)`
     * — one row per DISTINCT label or predicted class. */
   def classifierEval(pred: DataFrame, labelCol: String,
-      predCol: String): DataFrame = {
-    val cm = pred.select(col(labelCol).cast("long").as("y"),
+      predCol: String): DataFrame =
+    evalFromConfusion(confusion(pred, labelCol, predCol))
+
+  /** The corpus-facing half: ONE map-side-combinable groupBy to the
+    * classes²-sized confusion relation `(y, p, n)`. Counts are
+    * ADDITIVE across any partition of the predictions — what lets the
+    * streamed twin ([[graft.streaming.StreamingEval]]) fold per-batch
+    * confusion deltas and re-derive the scorecard read-side. */
+  def confusion(pred: DataFrame, labelCol: String,
+      predCol: String): DataFrame =
+    pred.select(col(labelCol).cast("long").as("y"),
         col(predCol).cast("long").as("p"))
       .groupBy(col("y"), col("p"))
       .agg(count(lit(1)).cast("long").as("n"))
+
+  /** The finisher: pure arithmetic on the tiny confusion relation. */
+  def evalFromConfusion(cm: DataFrame): DataFrame = {
     val classes = cm.select(col("y").as("class"))
       .union(cm.select(col("p").as("class"))).distinct()
     classes

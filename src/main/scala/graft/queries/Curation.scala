@@ -337,6 +337,38 @@ object Curation extends QueryModule {
       |JOIN ord o ON o.bin = pb.bin
       |JOIN iso ON iso.k = o.i""".stripMargin
 
+  /** Classifier-scorecard oracle: the perceptron chain, the classes²
+    * confusion relation, per-class P/R/F1 in floored ppm — mirrors
+    * [[graft.operators.Perceptron.classifierEval]] stage for stage
+    * (shared by the batch query and the streamed fold twin). */
+  private[queries] def classifierEvalOracle(d: Int, rounds: Int): String =
+    perceptronChain(d, rounds) + s""",
+      |pred AS MATERIALIZED (
+      |  SELECT f.doc_id, f.y,
+      |    (CASE WHEN sum(f.x * w.w) > 0 THEN 1 ELSE -1 END)::BIGINT
+      |      AS p
+      |  FROM feat f JOIN w$rounds w USING (j) GROUP BY 1, 2),
+      |cm AS (SELECT y, p, count(*)::BIGINT AS n FROM pred
+      |       GROUP BY 1, 2),
+      |cl AS (SELECT y AS class FROM cm UNION SELECT p FROM cm),
+      |ag AS (SELECT cl.class,
+      |    sum(CASE WHEN cm.y = cl.class AND cm.p = cl.class
+      |      THEN cm.n ELSE 0 END)::BIGINT AS tp,
+      |    sum(CASE WHEN cm.y <> cl.class AND cm.p = cl.class
+      |      THEN cm.n ELSE 0 END)::BIGINT AS fp,
+      |    sum(CASE WHEN cm.y = cl.class AND cm.p <> cl.class
+      |      THEN cm.n ELSE 0 END)::BIGINT AS fn
+      |  FROM cl CROSS JOIN cm GROUP BY 1),
+      |m AS (SELECT class, tp, fp, fn,
+      |    (tp * 1000000 // greatest(tp + fp, 1))::BIGINT
+      |      AS precision_ppm,
+      |    (tp * 1000000 // greatest(tp + fn, 1))::BIGINT AS recall_ppm
+      |  FROM ag)
+      |SELECT class, tp, fp, fn, precision_ppm, recall_ppm,
+      |  (2 * precision_ppm * recall_ppm
+      |   // greatest(precision_ppm + recall_ppm, 1))::BIGINT AS f1_ppm
+      |FROM m""".stripMargin
+
   /** Split-conformal gate oracle: the perceptron chain, nonconformity
     * = -margin, calibration = even-id positives, the exact
     * `ceil((n+1)(1-α))`-th smallest calibration nonconformity as the
@@ -369,6 +401,25 @@ object Curation extends QueryModule {
       |  (p.y = 1 AND p.doc_id % 2 = 0) AS is_cal, t.thr, t.n_cal,
       |  (-p.margin <= t.thr) AS kept
       |FROM pred p CROSS JOIN thr t""".stripMargin
+
+  /** Calibration-residual oracle: the shared perceptron → PAV chain,
+    * then the bin-weighted |praw − iso| mean, the worst gap, and the
+    * per-bin ppk Brier — mirrors
+    * [[graft.operators.Calibration.calibrationError]]. */
+  private[queries] def calibrationErrorOracle(d: Int, rounds: Int,
+      binWidth: Long, clamp: Long): String =
+    isotonicChain(d, rounds, binWidth, clamp) + """
+      |SELECT sum(o.tot)::BIGINT AS n,
+      |  (sum(o.tot * abs((o.pos * 1000000000 // o.tot) - iso.iso_ppb))
+      |   // sum(o.tot))::BIGINT AS ece_ppb,
+      |  max(abs((o.pos * 1000000000 // o.tot) - iso.iso_ppb))::BIGINT
+      |    AS max_gap_ppb,
+      |  (sum(o.pos * (1000 - iso.iso_ppb // 1000000)
+      |       * (1000 - iso.iso_ppb // 1000000)
+      |     + (o.tot - o.pos) * (iso.iso_ppb // 1000000)
+      |       * (iso.iso_ppb // 1000000))
+      |   // sum(o.tot))::BIGINT AS brier_micro
+      |FROM ord o JOIN iso ON iso.k = o.i""".stripMargin
 
   /** The shared perceptron → binning → PAV chain (ends at the `iso`
     * CTE; `pred`/`ord` remain addressable). */
@@ -1318,32 +1369,51 @@ object Curation extends QueryModule {
           t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)
         graft.operators.Perceptron.classifierEval(pred, "y", "pred")
       },
-      Some(Curation.perceptronChain(32, 4) + """,
-        |pred AS MATERIALIZED (
-        |  SELECT f.doc_id, f.y,
-        |    (CASE WHEN sum(f.x * w.w) > 0 THEN 1 ELSE -1 END)::BIGINT
-        |      AS p
-        |  FROM feat f JOIN w4 w USING (j) GROUP BY 1, 2),
-        |cm AS (SELECT y, p, count(*)::BIGINT AS n FROM pred
-        |       GROUP BY 1, 2),
-        |cl AS (SELECT y AS class FROM cm UNION SELECT p FROM cm),
-        |ag AS (SELECT cl.class,
-        |    sum(CASE WHEN cm.y = cl.class AND cm.p = cl.class
-        |      THEN cm.n ELSE 0 END)::BIGINT AS tp,
-        |    sum(CASE WHEN cm.y <> cl.class AND cm.p = cl.class
-        |      THEN cm.n ELSE 0 END)::BIGINT AS fp,
-        |    sum(CASE WHEN cm.y = cl.class AND cm.p <> cl.class
-        |      THEN cm.n ELSE 0 END)::BIGINT AS fn
-        |  FROM cl CROSS JOIN cm GROUP BY 1),
-        |m AS (SELECT class, tp, fp, fn,
-        |    (tp * 1000000 // greatest(tp + fp, 1))::BIGINT
-        |      AS precision_ppm,
-        |    (tp * 1000000 // greatest(tp + fn, 1))::BIGINT AS recall_ppm
-        |  FROM ag)
-        |SELECT class, tp, fp, fn, precision_ppm, recall_ppm,
-        |  (2 * precision_ppm * recall_ppm
-        |   // greatest(precision_ppm + recall_ppm, 1))::BIGINT AS f1_ppm
-        |FROM m""".stripMargin)),
+      Some(Curation.classifierEvalOracle(32, 4))),
+
+    // ---- streamed classifier scorecard: prediction batches arrive in
+    //      three id-range folds, each appending its ADDITIVE classes²
+    //      confusion delta; the P/R/F1 arithmetic reruns read-side on
+    //      the merged tiny relation, so the scorecard equals the batch
+    //      operator on everything seen VERBATIM (shares the batch
+    //      oracle; mid-run compaction must not change it) ----
+    GraftQuery("q_classifier_eval_stream",
+      (s, dir) => {
+        val base =
+          s"/tmp/graft_eval_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingEval.init(s, base)
+        val (_, pred) = graft.operators.Perceptron.train(
+          t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)
+        val rows = pred.persist()
+        val maxId = rows.agg(max(col("doc_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingEval.fold(s, base,
+            rows.where(col("doc_id") >= i * maxId / 3 &&
+              col("doc_id") < (i + 1) * maxId / 3), "y", "pred")
+          if (i == 1L) // mid-run compaction is answer-preserving
+            graft.streaming.StreamingEval.compact(s, base)
+        }
+        val out = graft.streaming.StreamingEval.scorecard(s, base)
+        rows.unpersist()
+        out
+      },
+      Some(Curation.classifierEvalOracle(32, 4))),
+
+    // ---- calibration residual diagnostics: ECE / worst bin gap /
+    //      Brier of the calibrated probabilities — pure arithmetic on
+    //      the fit's own <=128-row bin relation, zero extra corpus
+    //      passes ----
+    GraftQuery("q_calibration_error",
+      (s, dir) => {
+        val (_, pred) = graft.operators.Perceptron.train(
+          t(s, dir, "documents"), "doc_id", "text", d = 32, rounds = 4)
+        graft.operators.Calibration.calibrationError(
+          pred.select(col("margin"),
+            when(col("y") === 1L, 1L).otherwise(0L).as("is_pos")),
+          "margin", "is_pos", binWidth = 1024L, clamp = 64L)
+      },
+      Some(Curation.calibrationErrorOracle(32, 4, binWidth = 1024L,
+        clamp = 64L))),
 
     // ---- split-conformal gate: the distribution-free twin of the
     //      calibrated gate — nonconformity = -margin, calibration =
