@@ -200,6 +200,34 @@ object Calibration {
           .as("kept"))
   }
 
+  /** Calibration residual diagnostics — the numbers a calibration
+    * review reads before trusting the map: ECE (expected calibration
+    * error — the bin-weighted mean |empirical rate − calibrated
+    * probability|, in ppb), the worst single-bin gap, and the Brier
+    * score of the calibrated probabilities against the labels (in
+    * micro units, computed per-BIN as
+    * `pos·(1000−p)² + (n−pos)·p²` with `p` in ppk so every product
+    * stays far from Long overflow at any slice size the kappa-family
+    * 9.2e9-row bound already admits).
+    *
+    * Distribution shape: everything here runs on [[isotonicBins]]'s
+    * output — the ≤ 2·clamp-row bin relation — so the diagnostics add
+    * ZERO corpus passes beyond the fit's own groupBy. Output one row:
+    * `(n, ece_ppb, max_gap_ppb, brier_micro)`. */
+  def calibrationError(scored: DataFrame, scoreCol: String,
+      posCol: String, binWidth: Long = 16L,
+      clamp: Long = 64L): DataFrame =
+    isotonicBins(scored, scoreCol, posCol, binWidth, clamp)
+      .agg(sum(col("n")).as("n"),
+        expr("sum(n * abs(praw_ppb - iso_ppb)) div sum(n)")
+          .as("ece_ppb"),
+        max(abs(col("praw_ppb") - col("iso_ppb"))).as("max_gap_ppb"),
+        expr("""sum(pos * (1000L - iso_ppb div 1000000L)
+               |      * (1000L - iso_ppb div 1000000L)
+               |    + (n - pos) * (iso_ppb div 1000000L)
+               |      * (iso_ppb div 1000000L)) div sum(n)"""
+          .stripMargin).as("brier_micro"))
+
   /** ECDF quantile normalization within groups — the cross-domain
     * score equalizer: a raw quality score is comparable WITHIN a
     * source domain but not across domains (a "good" score on curated

@@ -91,6 +91,29 @@ class CalibrationSpec extends SparkSpec {
     assert(binned.distinct.length === 1)
   }
 
+  test("calibrationError hand trace: ECE, worst gap, ppk Brier on " +
+      "the PAV pooling example") {
+    import spark.implicits._
+    // same bins as the PAV hand trace: praw 5e8/0/1e9, iso 1/3,1/3,1
+    val scored = Seq((0L, 1L), (5L, 0L), (16L, 0L), (32L, 1L))
+      .toDF("s", "p")
+    val got = Calibration.calibrationError(scored, "s", "p")
+      .as[(Long, Long, Long, Long)].collect().head
+    // ece = (2*166666667 + 1*333333333 + 0) div 4 = 166666666
+    // brier(ppk): bins contribute 444889+110889, 110889, 0 -> 666667/4
+    assert(got === ((4L, 166666666L, 333333333L, 166666L)))
+  }
+
+  test("a perfectly calibrated (already isotone) slice scores zero " +
+      "ECE and zero max gap") {
+    import spark.implicits._
+    val scored = Seq((0L, 0L), (16L, 0L), (16L, 1L), (32L, 1L))
+      .toDF("s", "p")
+    val got = Calibration.calibrationError(scored, "s", "p")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got._2 === 0L && got._3 === 0L)
+  }
+
   test("calibratePerceptron output is monotone non-decreasing") {
     val got = Calibration.calibratePerceptron(
         graft.Tables.t(spark, sfDir, "documents"), "doc_id", "text")
