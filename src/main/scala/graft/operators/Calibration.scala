@@ -200,6 +200,54 @@ object Calibration {
           .as("kept"))
   }
 
+  /** Per-GROUP split-conformal gate — [[conformalGate]] with one
+    * threshold per group (per-language / per-domain keep guarantees:
+    * a global threshold calibrated mostly on English silently
+    * under-keeps every minority language; exchangeability only
+    * plausibly holds WITHIN a group). Same exact order statistic and
+    * fail-open `+∞` branch per group; a group with no calibration
+    * rows at all fails open too.
+    *
+    * Distribution shape: corpus work is ONE map-side-combinable
+    * groupBy to the (group, nonconf-value) histogram; the per-group
+    * cumulative window runs on that aggregated relation (groups ×
+    * distinct values — value-range-sized, the ecdfNormalize
+    * precedent); thresholds are a groups-sized relation joined back
+    * on the group key. Output:
+    * `(id, group, nonconf, is_cal, thr, n_cal, kept)`. */
+  def conformalGateByGroup(rows: DataFrame, idCol: String,
+      groupCol: String, nonconfCol: String, calCol: String,
+      alphaPpm: Long = 100000L): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm < 1000000L,
+      s"alphaPpm must be in [0, 1e6) (got $alphaPpm)")
+    val base = rows.select(col(idCol).cast("long").as("id"),
+      col(groupCol).cast("string").as("group"),
+      col(nonconfCol).cast("long").as("nonconf"),
+      col(calCol).cast("boolean").as("is_cal"))
+    val hist = base.where(col("is_cal"))
+      .groupBy(col("group"), col("nonconf"))
+      .agg(count(lit(1)).as("__c"))
+    val wc = Window.partitionBy(col("group")).orderBy(col("nonconf"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keepPpm = 1000000L - alphaPpm
+    val thr = hist
+      .withColumn("__cum", sum(col("__c")).over(wc))
+      .join(hist.groupBy(col("group"))
+        .agg(sum(col("__c")).as("n_cal")), Seq("group"))
+      .withColumn("__k", expr(
+        s"((n_cal + 1L) * ${keepPpm}L + 999999L) div 1000000L"))
+      .groupBy(col("group"))
+      .agg(coalesce(min(when(col("__cum") >= col("__k"),
+          col("nonconf"))), lit(Long.MaxValue)).as("thr"),
+        max(col("n_cal")).as("n_cal"))
+    base.join(thr, Seq("group"), "left")
+      .select(col("id"), col("group"), col("nonconf"), col("is_cal"),
+        coalesce(col("thr"), lit(Long.MaxValue)).as("thr"),
+        coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+        (col("nonconf") <=
+          coalesce(col("thr"), lit(Long.MaxValue))).as("kept"))
+  }
+
   /** Calibration residual diagnostics — the numbers a calibration
     * review reads before trusting the map: ECE (expected calibration
     * error — the bin-weighted mean |empirical rate − calibrated

@@ -647,6 +647,68 @@ object Curation extends QueryModule {
              |  COALESCE(1000000 // m.first_rel, 0)::BIGINT AS mrr_ppm
              |FROM m LEFT JOIN nrel n USING (query)""".stripMargin)),
 
+    // ---- rank-biased overlap between the 5-term and 3-term coverage
+    //      runs per source (query-truncation robustness of the
+    //      ranking), dyadic p = 1/2 so every term is exact integer ----
+    GraftQuery("q_rank_overlap",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (_, runA) = graft.operators.Retrieval.classCoverageRun(
+          docs, "doc_id", "source", "text", nTerms = 5, minTf = 5L,
+          k = 10)
+        val (_, runB) = graft.operators.Retrieval.classCoverageRun(
+          docs, "doc_id", "source", "text", nTerms = 3, minTf = 5L,
+          k = 10)
+        graft.operators.Retrieval.rankBiasedOverlap(
+          runA, runB, "query", "doc", "rank", k = 10)
+      },
+      Some("""WITH u AS (
+             |  SELECT source, unnest(list_filter(string_split(text, ' '),
+             |    w -> w <> '')) AS word
+             |  FROM documents),
+             |tfc AS (SELECT source AS class, word, count(*)::BIGINT AS tf
+             |        FROM u GROUP BY 1, 2),
+             |gtf AS (SELECT word, sum(tf)::BIGINT AS gtf FROM tfc GROUP BY 1),
+             |sc AS (SELECT class, tfc.word, tf,
+             |    ((tf * 1000000) // gtf)::BIGINT AS conc_ppm
+             |  FROM tfc JOIN gtf ON tfc.word = gtf.word WHERE tf >= 5),
+             |rkd AS (SELECT class, word, row_number() OVER (
+             |    PARTITION BY class
+             |    ORDER BY conc_ppm DESC, tf DESC, word) AS rk FROM sc),
+             |tra AS (SELECT class, word FROM rkd WHERE rk <= 5),
+             |trb AS (SELECT class, word FROM rkd WHERE rk <= 3),
+             |dwu AS (SELECT doc_id AS doc,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      w -> w <> '')) AS word
+             |  FROM documents),
+             |dw AS (SELECT DISTINCT doc, word FROM dwu),
+             |cova AS (SELECT tra.class AS query, dw.doc,
+             |    count(*)::BIGINT AS coverage
+             |  FROM dw JOIN tra ON dw.word = tra.word GROUP BY 1, 2),
+             |runa AS (SELECT query, doc, rnk FROM (
+             |    SELECT query, doc, row_number() OVER (PARTITION BY query
+             |      ORDER BY coverage DESC, doc) AS rnk
+             |    FROM cova) WHERE rnk <= 10),
+             |covb AS (SELECT trb.class AS query, dw.doc,
+             |    count(*)::BIGINT AS coverage
+             |  FROM dw JOIN trb ON dw.word = trb.word GROUP BY 1, 2),
+             |runb AS (SELECT query, doc, rnk FROM (
+             |    SELECT query, doc, row_number() OVER (PARTITION BY query
+             |      ORDER BY coverage DESC, doc) AS rnk
+             |    FROM covb) WHERE rnk <= 10),
+             |j AS (SELECT a.query, greatest(a.rnk, b.rnk) AS m
+             |      FROM runa a JOIN runb b USING (query, doc)),
+             |c AS (SELECT query, d, count(*)::BIGINT AS ov
+             |      FROM j, range(1, 11) t(d) WHERE d >= j.m
+             |      GROUP BY 1, 2),
+             |sm AS (SELECT query,
+             |    sum(ov * 1000000000 // (d * (1 << d)))::BIGINT
+             |      AS rbo_nano
+             |  FROM c GROUP BY 1)
+             |SELECT q.query, coalesce(sm.rbo_nano, 0)::BIGINT AS rbo_nano
+             |FROM (SELECT DISTINCT query FROM runa) q
+             |LEFT JOIN sm USING (query)""".stripMargin)),
+
     // ---- characteristic vocabulary per source (c-TF-IDF reduced to
     //      exact ppm concentration): top-5 terms per source that are
     //      frequent in AND specific to it ----
@@ -1465,6 +1527,50 @@ object Curation extends QueryModule {
         out
       },
       Some(Curation.conformalGateOracle(32, 4, alphaPpm = 100000L))),
+
+    // ---- per-GROUP conformal gate: one exact order-statistic
+    //      threshold per language (minority languages get their own
+    //      keep guarantee instead of inheriting the English one);
+    //      corpus work is one (group, value) histogram groupBy, the
+    //      cum window runs on the aggregated relation ----
+    GraftQuery("q_conformal_by_group",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (_, pred) = graft.operators.Perceptron.train(
+          docs, "doc_id", "text", d = 32, rounds = 4)
+        graft.operators.Calibration.conformalGateByGroup(
+          pred.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+            .select(col("doc_id"), col("lang"),
+              (-col("margin")).as("nonconf"),
+              (col("y") === 1L && col("doc_id") % 2 === 0).as("is_cal")),
+          "doc_id", "lang", "nonconf", "is_cal", alphaPpm = 100000L)
+      },
+      Some(Curation.perceptronChain(32, 4) + """,
+        |pred AS MATERIALIZED (
+        |  SELECT f.doc_id, f.y, sum(f.x * w.w)::BIGINT AS margin
+        |  FROM feat f JOIN w4 w USING (j) GROUP BY 1, 2),
+        |rws AS (SELECT p.doc_id AS id, d.lang AS grp,
+        |    -p.margin AS nonconf,
+        |    (p.y = 1 AND p.doc_id % 2 = 0) AS is_cal
+        |  FROM pred p JOIN documents d USING (doc_id)),
+        |h AS (SELECT grp, nonconf, count(*)::BIGINT AS c
+        |      FROM rws WHERE is_cal GROUP BY 1, 2),
+        |cw AS (SELECT grp, nonconf,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY nonconf
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n_cal
+        |  FROM h),
+        |th AS (SELECT grp,
+        |    coalesce(min(CASE WHEN cum >=
+        |        ((n_cal + 1) * 900000 + 999999) // 1000000
+        |      THEN nonconf END), 9223372036854775807)::BIGINT AS thr,
+        |    max(n_cal)::BIGINT AS n_cal
+        |  FROM cw GROUP BY 1)
+        |SELECT r.id, r.grp AS "group", r.nonconf, r.is_cal,
+        |  coalesce(t.thr, 9223372036854775807)::BIGINT AS thr,
+        |  coalesce(t.n_cal, 0)::BIGINT AS n_cal,
+        |  (r.nonconf <= coalesce(t.thr, 9223372036854775807)) AS kept
+        |FROM rws r LEFT JOIN th t USING (grp)""".stripMargin)),
 
     // ---- ECDF quantile normalization: per-source length scores
     //      mapped to their within-source quantile in ppm, so one

@@ -53,6 +53,28 @@ class ConformalSpec extends SparkSpec {
     assert(got.find(_._1 == 6L).get._5 === false)
   }
 
+  test("conformalGateByGroup: independent thresholds per group, a " +
+      "calibration-free group fails open") {
+    import spark.implicits._
+    // group a: cal 1..10 -> alpha 0.2 gives thr 9 (the global trace);
+    // group b: cal all at 100 -> thr 100; group c: no cal rows
+    val rows = ((1L to 10L).map(i => (i, "a", i, true)) ++
+      (11L to 20L).map(i => (i, "b", 100L, true)) ++
+      Seq((21L, "a", 10L, false), (22L, "b", 101L, false),
+        (23L, "c", 5L, false)))
+      .toDF("id", "g", "nc", "cal")
+    val got = Calibration.conformalGateByGroup(rows, "id", "g", "nc",
+        "cal", alphaPpm = 200000L)
+      .selectExpr("id", "group", "thr", "n_cal", "kept")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === (("a", 9L, 10L, true)))
+    assert(got(21L) === (("a", 9L, 10L, false))) // 10 > 9
+    assert(got(11L) === (("b", 100L, 10L, true)))
+    assert(got(22L) === (("b", 100L, 10L, false)))
+    assert(got(23L) === (("c", Long.MaxValue, 0L, true))) // fail open
+  }
+
   test("finite-sample coverage on the calibration slice itself: " +
       "kept fraction >= 1 - alpha") {
     for (alphaPpm <- Seq(100000L, 250000L, 500000L)) {
