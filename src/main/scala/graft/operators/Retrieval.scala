@@ -308,6 +308,49 @@ object Retrieval {
     (tfc, top.withColumn("rank", row_number().over(w).cast("long")))
   }
 
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    * two rankings, truncated at depth `k`, with the persistence
+    * parameter fixed at the DYADIC p = 1/2 so the whole score is
+    * exact integer arithmetic: depth d's weight
+    * `(1−p)·p^(d−1)/d = 1/(d·2^d)`, so
+    * `rbo_nano = Σ_{d=1..k} overlap_d · 1e9 div (d·2^d)` — both
+    * engines floor the same terms and sum. Identical runs score
+    * `Σ 1e9 div 2^d = 1e9 − ~1e9/2^k` (the truncated-RBO ceiling,
+    * pinned in the spec); disjoint runs score 0. The residual
+    * extrapolation term of the paper (unseen depths) is intentionally
+    * omitted — truncated RBO is the comparable, exact quantity.
+    *
+    * Distribution shape: runs are (queries × k)-sized by contract;
+    * one equi-join on (query, doc), a ≤ k-wide explode of agreement
+    * depths, two tiny groupBys. Queries with zero overlap surface
+    * with `rbo_nano = 0` (driven from run A's query set).
+    *
+    * Output: `(query, rbo_nano)`. */
+  def rankBiasedOverlap(runA: DataFrame, runB: DataFrame,
+      queryCol: String, docCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 32, s"need 1 <= k <= 32, got $k")
+    def prep(df: DataFrame, tag: String) =
+      df.select(col(queryCol).cast("string").as("query"),
+          col(docCol).cast("long").as("doc"),
+          col(rankCol).cast("long").as(s"r$tag"))
+        .where(col(s"r$tag") <= k)
+    val a = prep(runA, "a")
+    val b = prep(runB, "b")
+    val depths = a.join(b, Seq("query", "doc"))
+      .select(col("query"),
+        explode(expr(s"sequence(greatest(ra, rb), ${k}L)")).as("d"))
+    val sums = depths.groupBy(col("query"), col("d"))
+      .agg(count(lit(1)).as("ov"))
+      .groupBy(col("query"))
+      .agg(sum(expr("ov * 1000000000L div (d * shiftleft(1L, " +
+        "cast(d as int)))")).as("rbo_nano"))
+    a.select(col("query")).distinct()
+      .join(sums, Seq("query"), "left")
+      .select(col("query"),
+        coalesce(col("rbo_nano"), lit(0L)).as("rbo_nano"))
+  }
+
   /** Ranked-retrieval evaluation — MRR@k, precision@k, recall@k per
     * query, in exact ppm: the scorecard every retrieval change
     * (tokenizer, ranker, index) is judged by.

@@ -44,6 +44,28 @@ class RetrievalMetricsSpec extends SparkSpec {
       1000000L)))
   }
 
+  private def rbo(a: Seq[(String, Long, Long)],
+      b: Seq[(String, Long, Long)], k: Int) = {
+    import spark.implicits._
+    Retrieval.rankBiasedOverlap(a.toDF("q", "d", "r"),
+        b.toDF("q", "d", "r"), "q", "d", "r", k)
+      .as[(String, Long)].collect().toMap
+  }
+
+  test("rankBiasedOverlap: identical runs hit the truncated ceiling, " +
+      "disjoint runs score 0, hand partial case") {
+    val run = (1L to 5L).map(i => ("q", i, i))
+    // identical: sum of 1e9 div 2^d, d=1..5
+    assert(rbo(run, run, 5)("q") ===
+      500000000L + 250000000L + 125000000L + 62500000L + 31250000L)
+    val other = (1L to 5L).map(i => ("q", i + 100L, i))
+    assert(rbo(run, other, 5)("q") === 0L)
+    // A: docs 1,2 at ranks 1,2; B: docs 2,3 — doc 2 agrees at depth 2
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L))
+    val b = Seq(("q", 2L, 1L), ("q", 3L, 2L))
+    assert(rbo(a, b, 2)("q") === 125000000L)
+  }
+
   test("classCoverageRun ranks 1..k per query with coverage " +
       "non-increasing in rank") {
     val (cached, run) = Retrieval.classCoverageRun(
