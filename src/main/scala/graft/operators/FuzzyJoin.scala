@@ -269,4 +269,48 @@ object FuzzyJoin {
     base.unpersist()
     graded
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995) —
+    * the THIRD blocker family next to PassJoin segments and FastSS
+    * deletions: sort records by a blocking key and emit every pair
+    * within a sliding window of `w` positions. Catches what
+    * signature blockers structurally miss (records whose variants
+    * share a PREFIX but no common segment/deletion signature) and is
+    * the standard multi-pass ER building block (run once per key).
+    *
+    * Plan: the global sort rank comes from the two-phase
+    * [[Packing.rankWithinGroups]] (range partition + offset — never a
+    * one-reducer sort); window pairs fall out of the 1-D grid idiom
+    * ([[SpatialJoin]] in one dimension): bucket = (rnk−1) div w, the
+    * lower-rank role replicates to buckets {b, b+1}, the higher-rank
+    * role stays home, the join is EQUI on the bucket and the exact
+    * `0 < rb − ra ≤ w−1` predicate runs on co-bucketed candidates —
+    * each pair exactly once (one home bucket, visited once).
+    *
+    * Output: `(id_a, id_b, rank_gap, dist)` ordered by rank
+    * (`id_a` is the lower-ranked record), `dist` the verify-stage
+    * Levenshtein distance of the keys. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"need window w >= 2, got $w")
+    val ranked = Packing.rankWithinGroups(
+      df.select(col(idCol).cast("long").as("id"),
+          col(keyCol).cast("string").as("key"))
+        .withColumn("__g", lit(1))
+        .withColumn("__k", struct(col("key"), col("id"))),
+      "__g", "__k")
+      .withColumn("__b", expr(s"(rnk - 1L) div ${w}L"))
+    val lo = ranked
+      .withColumn("__jb", explode(array(col("__b"), col("__b") + 1)))
+      .select(col("id").as("id_a"), col("key").as("__ka"),
+        col("rnk").as("__ra"), col("__jb"))
+    val hi = ranked.select(col("id").as("id_b"), col("key").as("__kb"),
+      col("rnk").as("__rb"), col("__b").as("__jb"))
+    lo.join(hi, Seq("__jb"))
+      .where(col("__rb") > col("__ra") &&
+        col("__rb") - col("__ra") <= w - 1)
+      .select(col("id_a"), col("id_b"),
+        (col("__rb") - col("__ra")).as("rank_gap"),
+        levenshtein(col("__ka"), col("__kb")).cast("long").as("dist"))
+  }
 }

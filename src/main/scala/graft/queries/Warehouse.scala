@@ -142,6 +142,52 @@ object Warehouse extends QueryModule {
              |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin)),
 
+    // ---- sorted-neighborhood blocking (the third blocker family):
+    //      two-phase global rank, 1-D grid window pairs (bucket
+    //      equi-join, exactly-once), Levenshtein verify column;
+    //      oracle is the brute rank-window join ----
+    GraftQuery("q_sorted_neighborhood",
+      (s, dir) => graft.operators.FuzzyJoin.sortedNeighborhood(
+        t(s, dir, "customer").where(col("c_custkey") % 7 === 0),
+        "c_custkey", "c_name", w = 8),
+      Some("""WITH c AS (SELECT c_custkey, c_name FROM customer
+             |          WHERE c_custkey % 7 = 0),
+             |r AS (SELECT c_custkey, c_name,
+             |    row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+             |  FROM c)
+             |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |  (b.rnk - a.rnk)::BIGINT AS rank_gap,
+             |  levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+             |FROM r a JOIN r b
+             |  ON b.rnk > a.rnk AND b.rnk - a.rnk <= 7""".stripMargin)),
+
+    // ---- categorical drift between snapshots: per-category shares in
+    //      exact ppm + absolute gap (sum/2 = total-variation distance —
+    //      the log-free drift number that stays exact at any scale) ----
+    GraftQuery("q_category_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Profiler.categoryDrift(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "source")
+      },
+      Some("""WITH a AS (SELECT source AS category,
+             |    count(*)::BIGINT AS n_a
+             |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |b AS (SELECT source AS category, count(*)::BIGINT AS n_b
+             |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+             |j AS (SELECT category, coalesce(n_a, 0) AS n_a,
+             |    coalesce(n_b, 0) AS n_b
+             |  FROM a FULL OUTER JOIN b USING (category)),
+             |t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb
+             |      FROM j)
+             |SELECT category, n_a, n_b,
+             |  (n_a * 1000000 // greatest(ta, 1))::BIGINT AS share_a_ppm,
+             |  (n_b * 1000000 // greatest(tb, 1))::BIGINT AS share_b_ppm,
+             |  abs(n_a * 1000000 // greatest(ta, 1)
+             |    - n_b * 1000000 // greatest(tb, 1))::BIGINT AS gap_ppm
+             |FROM j CROSS JOIN t""".stripMargin)),
+
     // ---- blocking-quality metrics for BOTH edit-distance blockers:
     // reduction ratio + pair completeness over the same bounded slice
     // the fuzzy join runs on. Both blockers are lossless by pigeonhole,

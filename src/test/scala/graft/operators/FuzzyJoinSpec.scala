@@ -124,4 +124,22 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(recall === 1000000L, s"$m must be lossless")
     }
   }
+
+  test("sortedNeighborhood: brute window parity, each pair exactly " +
+      "once across bucket boundaries") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, f"name${(i * 13) % 40}%02d"))
+    val w = 5
+    val got = FuzzyJoin.sortedNeighborhood(
+        rows.toDF("id", "k"), "id", "k", w)
+      .selectExpr("id_a", "id_b", "rank_gap")
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2))
+    val ranked = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+    val brute = (for {
+      (a, ra) <- ranked; (b, rb) <- ranked
+      if rb > ra && rb - ra <= w - 1
+    } yield (a._1, b._1, (rb - ra).toLong)).sortBy(p => (p._1, p._2))
+    assert(got.toSeq === brute)
+    assert(got.distinct.length === got.length, "no duplicate pairs")
+  }
 }
