@@ -89,6 +89,42 @@ object Profiler {
           .cast("long").as("clipped"))
   }
 
+  /** Categorical drift between two snapshots — the data-quality
+    * monitor a pipeline runs between ingests ("did the source mix
+    * shift?"): each snapshot's category shares in exact ppm plus the
+    * per-category absolute gap. Σ gap_ppm / 2 is the total-variation
+    * distance — the standard distribution-shift number that, unlike
+    * PSI/KL, needs no logarithm and so stays EXACT integer at any
+    * scale (shares are floored ppm; no count×count product ever
+    * forms, so nothing approaches overflow at 100 TB totals).
+    *
+    * Distribution shape: two map-side-combinable groupBys + one
+    * full-outer join on the category key (categories-sized) + two
+    * 1-row total subqueries broadcast back. Categories missing from
+    * either side surface with a zero count rather than vanishing.
+    *
+    * Output: `(category, n_a, n_b, share_a_ppm, share_b_ppm,
+    * gap_ppm)`. */
+  def categoryDrift(a: DataFrame, b: DataFrame,
+      catCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String) =
+      df.groupBy(col(catCol).cast("string").as("category"))
+        .agg(count(lit(1)).cast("long").as(n))
+    val j = counts(a, "n_a")
+      .join(counts(b, "n_b"), Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val totals = broadcast(j.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb")))
+    j.crossJoin(totals)
+      .withColumn("share_a_ppm",
+        expr("n_a * 1000000L div greatest(__ta, 1L)"))
+      .withColumn("share_b_ppm",
+        expr("n_b * 1000000L div greatest(__tb, 1L)"))
+      .select(col("category"), col("n_a"), col("n_b"),
+        col("share_a_ppm"), col("share_b_ppm"),
+        abs(col("share_a_ppm") - col("share_b_ppm")).as("gap_ppm"))
+  }
+
   private def profileImpl(df: DataFrame, cols: Seq[String],
       exact: Boolean): DataFrame = {
     val aggs = cols.flatMap { c =>

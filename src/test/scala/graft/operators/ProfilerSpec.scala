@@ -52,4 +52,21 @@ class ProfilerSpec extends SparkSpec {
       .select("n_distinct").head().getLong(0)
     assert(exact === approx, "HLL is exact at tiny cardinality")
   }
+
+  test("categoryDrift: exact ppm shares, zero-filled one-sided " +
+      "categories, TV distance from the gaps") {
+    import spark.implicits._
+    val a = Seq("x", "x", "x", "y").map(Tuple1(_)).toDF("c")
+    val b = Seq("x", "y", "y", "z").map(Tuple1(_)).toDF("c")
+    val got = Profiler.categoryDrift(a, b, "c")
+      .selectExpr("category", "n_a", "n_b", "share_a_ppm",
+        "share_b_ppm", "gap_ppm")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("x", 3L, 1L, 750000L, 250000L, 500000L),
+      ("y", 1L, 2L, 250000L, 500000L, 250000L),
+      ("z", 0L, 1L, 0L, 250000L, 250000L)))
+    assert(got.map(_._6).sum / 2 === 500000L) // TV distance = 0.5
+  }
 }
