@@ -125,6 +125,24 @@ object Profiler {
         abs(col("share_a_ppm") - col("share_b_ppm")).as("gap_ppm"))
   }
 
+  /** Numeric drift between two snapshots — [[categoryDrift]] over
+    * VALUE BINS (sign-safe truncating division, the calibration
+    * family's binning), so a shifted length/score/latency
+    * distribution is caught with the same exact-ppm TV machinery and
+    * no logarithm. Output:
+    * `(bin, n_a, n_b, share_a_ppm, share_b_ppm, gap_ppm)`. */
+  def numericDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be positive (got $binWidth)")
+    def binned(df: DataFrame) = df.select(expr(
+      s"""(CASE WHEN CAST($valueCol AS BIGINT) < 0 THEN -1L ELSE 1L END)
+         | * (abs(CAST($valueCol AS BIGINT)) div ${binWidth}L)"""
+        .stripMargin).as("category"))
+    categoryDrift(binned(a), binned(b), "category")
+      .withColumnRenamed("category", "bin")
+      .withColumn("bin", col("bin").cast("long"))
+  }
+
   private def profileImpl(df: DataFrame, cols: Seq[String],
       exact: Boolean): DataFrame = {
     val aggs = cols.flatMap { c =>

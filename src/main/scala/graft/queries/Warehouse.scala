@@ -188,6 +188,37 @@ object Warehouse extends QueryModule {
              |    - n_b * 1000000 // greatest(tb, 1))::BIGINT AS gap_ppm
              |FROM j CROSS JOIN t""".stripMargin)),
 
+    // ---- numeric drift: the same TV machinery over sign-safe value
+    //      bins — a shifted length/score distribution caught without
+    //      logarithms, exact at any scale ----
+    GraftQuery("q_numeric_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Profiler.numericDrift(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "n_chars",
+          binWidth = 64L)
+      },
+      Some("""WITH a AS (SELECT ((CASE WHEN n_chars < 0 THEN -1 ELSE 1
+             |      END) * (abs(n_chars) // 64))::BIGINT AS bin,
+             |    count(*)::BIGINT AS n_a
+             |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |b AS (SELECT ((CASE WHEN n_chars < 0 THEN -1 ELSE 1
+             |      END) * (abs(n_chars) // 64))::BIGINT AS bin,
+             |    count(*)::BIGINT AS n_b
+             |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+             |j AS (SELECT bin, coalesce(n_a, 0) AS n_a,
+             |    coalesce(n_b, 0) AS n_b
+             |  FROM a FULL OUTER JOIN b USING (bin)),
+             |t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb
+             |      FROM j)
+             |SELECT bin, n_a, n_b,
+             |  (n_a * 1000000 // greatest(ta, 1))::BIGINT AS share_a_ppm,
+             |  (n_b * 1000000 // greatest(tb, 1))::BIGINT AS share_b_ppm,
+             |  abs(n_a * 1000000 // greatest(ta, 1)
+             |    - n_b * 1000000 // greatest(tb, 1))::BIGINT AS gap_ppm
+             |FROM j CROSS JOIN t""".stripMargin)),
+
     // ---- blocking-quality metrics for BOTH edit-distance blockers:
     // reduction ratio + pair completeness over the same bounded slice
     // the fuzzy join runs on. Both blockers are lossless by pigeonhole,

@@ -69,4 +69,19 @@ class ProfilerSpec extends SparkSpec {
       ("z", 0L, 1L, 0L, 250000L, 250000L)))
     assert(got.map(_._6).sum / 2 === 500000L) // TV distance = 0.5
   }
+
+  test("numericDrift bins sign-safely and reuses the exact TV " +
+      "machinery") {
+    import spark.implicits._
+    // width 10: a has values in bins 0,0,1; b in bins 0,1,1
+    val a = Seq(3L, 7L, 15L).map(Tuple1(_)).toDF("v")
+    val b = Seq(9L, 12L, 19L).map(Tuple1(_)).toDF("v")
+    val got = Profiler.numericDrift(a, b, "v", binWidth = 10L)
+      .selectExpr("bin", "n_a", "n_b", "gap_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // bin0: 666666 vs 333333 ppm; bin1 mirrored -> both gaps 333333
+    assert(got.toSeq === Seq(
+      (0L, 2L, 1L, 333333L),
+      (1L, 1L, 2L, 333333L)))
+  }
 }
