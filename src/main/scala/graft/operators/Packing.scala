@@ -177,22 +177,69 @@ object Packing {
     * makes each group span contiguous partitions — through a cumulative
     * window over that SMALL relation into per-partition base offsets.
     * Boundary-invariant like the prefix sum: a rank is exact wherever
-    * the range partitioner cuts.
+    * the splitters cut.
+    *
+    * Bucketing + cache contract (r13 rewrite): NOTHING is persisted
+    * and NOTHING depends on physical partition placement. The former
+    * design captured `spark_partition_id()` above a
+    * `repartitionByRange` and persisted the result MEMORY_AND_DISK so
+    * its two plan branches (rank window, per-bucket totals) would see
+    * consistent ids — a corpus-sized cache no library caller could
+    * release (r12 verdict #1), and the only alternative (exchange
+    * reuse) is an optimizer detail that demonstrably does NOT hold
+    * across all references (AQE reuses within one reference chain,
+    * not across), with boundary divergence invisible at test scale
+    * where the range sampler sees every row. Instead, `__pid` is now a
+    * PURE EXPRESSION of the row: a bounded hash-ordered key sample
+    * (the `min-k` of `xxhash64(key)` — a deterministic uniform sample,
+    * one narrow TakeOrdered pass, ≤ 256·P rows on the driver) is cut
+    * into ≤ P−1 splitters that become plan CONSTANTS; every branch
+    * assigns the same bucket to a row by construction, under any
+    * recomputation, with zero caches and zero reliance on reuse. The
+    * trade is one extra narrow pass over the input (sample + window +
+    * totals = 3 evaluations of the upstream projection vs 2 under the
+    * old sample-then-shuffle) — the dropReasons/CorpusClean r12
+    * position: lazily re-derived narrow scans beat corpus-sized
+    * retained caches.
+    *
+    * Key contract: `groupCol`/`orderCol` values must be NON-NULL, and
+    * leaf types must be orderable scalars (integral, floating, string,
+    * boolean, or structs thereof — what every in-repo caller passes).
     *
     * `orderCol` MUST be unique within each group (pack quality and a
     * unique id into one key, [[curriculumOrder]]-style) — with ties the
-    * local window's tie order would be partition-placement-dependent. */
+    * bucket-local tie order would be ill-defined. */
   def rankWithinGroups(df: DataFrame, groupCol: String, orderCol: String,
       rankCol: String = "rnk", numParts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
-    val local = df
-      .repartitionByRange(parts, col(groupCol), col(orderCol))
-      .sortWithinPartitions(groupCol, orderCol)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val key = struct(col(groupCol), col(orderCol))
+    val keyType = df.select(key.as("__key")).schema("__key").dataType
+    // min-k by hash: a deterministic, uniformly-spread sample of the
+    // key space (TakeOrdered — distributed, narrow, early-stopping)
+    val sampled = df
+      .select(xxhash64(key).as("__h"), key.as("__key"))
+      .orderBy(col("__h"), col("__key"))
+      .limit(parts * 256)
+      .collect()
+    val ord = rowValueOrdering(keyType)
+    val keys = sampled.map(_.get(1)).sortWith((a, b) => ord.compare(a, b) < 0)
+    val n = keys.length
+    val splitters = (1 until parts)
+      .map(i => keys((i.toLong * n / parts).toInt.min(n - 1)))
+      .distinct
+      .filter(_ != null)
+    // __pid = number of splitters <= key: a monotone, codegen'd
+    // constant-comparison chain (≤ P−1 lexicographic struct compares)
+    val pid =
+      if (n == 0 || splitters.isEmpty) lit(0)
+      else splitters.map { s =>
+        val (gt, eq) = cmpLit(key, s, keyType)
+        when(gt || eq, 1).otherwise(0)
+      }.reduce(_ + _)
+    val local = df.withColumn("__pid", pid)
     val w = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -208,6 +255,63 @@ object Packing {
       .withColumn(rankCol, col("__base") + col("__lr"))
       .drop("__pid", "__lr", "__base")
   }
+
+  /** `(key > v, key <=> v)` as literal-comparison columns for a
+    * collected splitter value `v` of type `dt` — structs compare
+    * lexicographically, exactly Spark's own ordering for the same
+    * type. Scalar leaves go through `lit`. */
+  private def cmpLit(c: org.apache.spark.sql.Column, v: Any,
+      dt: org.apache.spark.sql.types.DataType)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    dt match {
+      case st: org.apache.spark.sql.types.StructType =>
+        val r = v.asInstanceOf[org.apache.spark.sql.Row]
+        val parts = st.fields.zipWithIndex.map { case (f, i) =>
+          cmpLit(c.getField(f.name), r.get(i), f.dataType)
+        }
+        val gt = parts.foldRight(lit(false)) { case ((g, e), acc) =>
+          g || (e && acc)
+        }
+        (gt, parts.map(_._2).reduce(_ && _))
+      case _ => (c > lit(v), c <=> lit(v))
+    }
+
+  /** Driver-side ordering matching Spark's ascending NULLS FIRST sort
+    * for the supported key leaf types. */
+  private def rowValueOrdering(
+      dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
+    new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = cmp(a, b, dt)
+      private def cmp(a: Any, b: Any,
+          t: org.apache.spark.sql.types.DataType): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case _ => t match {
+          case st: org.apache.spark.sql.types.StructType =>
+            val ra = a.asInstanceOf[org.apache.spark.sql.Row]
+            val rb = b.asInstanceOf[org.apache.spark.sql.Row]
+            st.fields.zipWithIndex.iterator
+              .map { case (f, i) => cmp(ra.get(i), rb.get(i), f.dataType) }
+              .find(_ != 0).getOrElse(0)
+          case _ => (a, b) match {
+            case (x: java.lang.Number, y: java.lang.Number)
+                if !a.isInstanceOf[java.lang.Double] &&
+                  !a.isInstanceOf[java.lang.Float] &&
+                  !a.isInstanceOf[java.math.BigDecimal] =>
+              java.lang.Long.compare(x.longValue(), y.longValue())
+            case (x: java.lang.Number, y: java.lang.Number) =>
+              java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+            case (x: String, y: String) => x.compareTo(y)
+            case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+              x.compareTo(y)
+            case _ => throw new IllegalArgumentException(
+              s"rankWithinGroups: unsupported key leaf type $t " +
+                s"(${a.getClass}) — see the key contract in the scaladoc")
+          }
+        }
+      }
+    }
 
   /** Padding-aware length-bucketed batch assembly — the SFT/eval
     * batching trick: group sequences of SIMILAR length into fixed-size

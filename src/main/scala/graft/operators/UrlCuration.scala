@@ -338,7 +338,10 @@ object UrlCuration {
       .join(broadcast(compiled), Seq("host"))
       .where(expr("path LIKE lk ESCAPE '\\\\'"))
       .groupBy(col("id"))
-      .agg(max(struct(length(col("pattern")).as("l"), col("allow"),
+      // RFC 9309 §2.2.2 counts OCTETS, not characters — octet_length
+      // (UTF-8 bytes) so a 2-char CJK pattern (6 octets) outranks a
+      // 5-char ASCII one, exactly as conformant crawlers break the tie
+      .agg(max(struct(octet_length(col("pattern")).as("l"), col("allow"),
         col("pattern"))).as("w"))
       .select(col("id"), col("w.allow").as("__allow"),
         col("w.pattern").as("__pattern"))

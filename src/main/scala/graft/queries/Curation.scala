@@ -594,14 +594,17 @@ object Curation extends QueryModule {
     GraftQuery("q_retrieval_metrics",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val (_, run) = graft.operators.Retrieval.classCoverageRun(
+        val (tfc, run) = graft.operators.Retrieval.classCoverageRun(
           docs, "doc_id", "source", "text", nTerms = 5, minTf = 5L,
           k = 10)
-        graft.operators.Retrieval.rankingMetrics(
-          run,
-          docs.select(col("source").as("query"),
-            col("doc_id").as("doc")),
-          "query", "doc", "rank", k = 10)
+        // scorecard is queries-sized: drain it and release the
+        // operator's (cached, result) handle per its release contract
+        Drain.drained(s, tfc,
+          graft.operators.Retrieval.rankingMetrics(
+            run,
+            docs.select(col("source").as("query"),
+              col("doc_id").as("doc")),
+            "query", "doc", "rank", k = 10))
       },
       Some("""WITH u AS (
              |  SELECT source, unnest(list_filter(string_split(text, ' '),
@@ -653,14 +656,18 @@ object Curation extends QueryModule {
     GraftQuery("q_rank_overlap",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val (_, runA) = graft.operators.Retrieval.classCoverageRun(
+        val (tfcA, runA) = graft.operators.Retrieval.classCoverageRun(
           docs, "doc_id", "source", "text", nTerms = 5, minTf = 5L,
           k = 10)
-        val (_, runB) = graft.operators.Retrieval.classCoverageRun(
+        val (tfcB, runB) = graft.operators.Retrieval.classCoverageRun(
           docs, "doc_id", "source", "text", nTerms = 3, minTf = 5L,
           k = 10)
-        graft.operators.Retrieval.rankBiasedOverlap(
-          runA, runB, "query", "doc", "rank", k = 10)
+        // RBO output is queries-sized — drain and release both runs'
+        // cached handles (the two-call form is the measured-faster
+        // record; see BENCH_SCALE.md r12)
+        Drain.drainedAll(s, Seq(tfcA, tfcB),
+          graft.operators.Retrieval.rankBiasedOverlap(
+            runA, runB, "query", "doc", "rank", k = 10))
       },
       Some("""WITH u AS (
              |  SELECT source, unnest(list_filter(string_split(text, ' '),

@@ -324,7 +324,7 @@ object UrlCuration extends QueryModule {
            |  FROM cmp WHERE body <> ''),
            |m AS (SELECT p1.doc_id, c.allow, c.pattern,
            |    row_number() OVER (PARTITION BY p1.doc_id
-           |      ORDER BY len(c.pattern) DESC, c.allow DESC,
+           |      ORDER BY strlen(c.pattern) DESC, c.allow DESC,
            |        c.pattern DESC) AS rn
            |  FROM p1 JOIN cm2 c ON p1.host = c.rhost
            |  WHERE p1.path LIKE c.lk ESCAPE '\')

@@ -25,7 +25,20 @@ import org.apache.spark.sql.types._
   * batch's CONTENT and are written with overwrite — a crash-replayed
   * fold rewrites the same directory instead of double-counting;
   * [[compact]] merges the tiny dirs stage-and-swap (the
-  * [[StreamingCalibration]] idiom, single-writer folds). */
+  * [[StreamingCalibration]] idiom, single-writer folds).
+  *
+  * The idiom's inherent trade (shared by every content-addressed fold
+  * in this package, and MORE likely to bite here than in
+  * [[StreamingEval]]: calibration batches are small histograms that
+  * can genuinely repeat verbatim — e.g. repeated single-value
+  * batches): two DIFFERENT batches whose delta content is
+  * byte-identical alias as a crash replay and are counted ONCE,
+  * silently biasing the threshold. Callers whose batches can repeat
+  * must salt the directory tag with [[fold]]'s `batchTag` (the
+  * micro-batch id Structured Streaming hands foreachBatch is the
+  * natural value) — replays of the same batch id still overwrite
+  * idempotently, while distinct identical-content batches stay
+  * distinct. */
 object StreamingConformal {
 
   private val histSchema = StructType(Seq(
@@ -44,9 +57,13 @@ object StreamingConformal {
   }
 
   /** Fold one micro-batch: histogram its CALIBRATION rows and stage
-    * the additive delta under a content-derived directory. */
+    * the additive delta under a content-derived directory — salted
+    * with `batchTag` when supplied (see the object doc: REQUIRED for
+    * callers whose batches can repeat byte-identically; pass the
+    * foreachBatch micro-batch id). */
   def fold(spark: SparkSession, base: String, rows: DataFrame,
-      nonconfCol: String, calCol: String): Unit = {
+      nonconfCol: String, calCol: String,
+      batchTag: Option[Long] = None): Unit = {
     val delta = rows
       .where(col(calCol).cast("boolean"))
       .select(col(nonconfCol).cast("long").as("nonconf"))
@@ -56,7 +73,8 @@ object StreamingConformal {
       min(col("nonconf")), max(col("nonconf")),
       sum(expr("nonconf * cnt % 1000000007L"))).head
     if (row.getLong(0) > 0L) {
-      val tag = s"d_${row.getLong(1)}_${row.getLong(2)}_" +
+      val salt = batchTag.map(b => s"b${b}_").getOrElse("")
+      val tag = s"d_$salt${row.getLong(1)}_${row.getLong(2)}_" +
         s"${row.getLong(3)}_${row.getLong(4)}"
       delta.write.mode("overwrite")
         .parquet(s"${histRoot(base)}/$tag")

@@ -693,4 +693,39 @@ class PlanShapeSpec extends SparkSpec {
         s"$q must reuse ONE user_id exchange, got ${shuffles.length}:\n$plan")
     }
   }
+
+  test("rankWithinGroups plans NO range exchange and NO cache scan — " +
+      "the r13 splitter-constant bucketing contract") {
+    // __pid is a pure constant-comparison expression (splitters from a
+    // driver-collected min-k hash sample), so the plan must contain no
+    // RangePartitioning exchange (the old sample-consistency liability)
+    // and no InMemoryTableScan (the old corpus-sized persist).
+    val plan = executed("q_winsorize")
+    val liveRange = collectAll(plan) {
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+              .RangePartitioning] => s
+    }
+    assert(liveRange.isEmpty,
+      s"splitter bucketing must not range-partition:\n$plan")
+    val cached = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => c
+    }
+    assert(cached.isEmpty, s"no cached relation may back the rank:\n$plan")
+  }
+
+  test("no corpus-sized relation stays cached after the " +
+      "rankWithinGroups-backed queries complete (r12 verdict #1)") {
+    val cm = spark.sharedState.cacheManager
+    for (q <- Seq("q_winsorize", "q_length_buckets",
+        "q_sorted_neighborhood", "q_epoch_shuffle", "q_domain_cap")) {
+      cm.clearCache()
+      SparkEntry.queries(q)(spark, sfDir).collect()
+      assert(cm.isEmpty,
+        s"$q left relations in the cache manager — the release " +
+          "contract regressed")
+    }
+  }
 }

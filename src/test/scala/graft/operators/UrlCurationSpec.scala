@@ -139,6 +139,21 @@ class UrlCurationSpec extends SparkSpec {
     assert(got(5L) === (("", true)))
   }
 
+  test("robotsGate: precedence counts OCTETS, not characters — a " +
+      "2-char CJK pattern (6 UTF-8 octets) beats a 5-char ASCII one") {
+    // RFC 9309 §2.2.2 (r12 ADVICE fix): '*日本' is 3 characters but 7
+    // UTF-8 octets, '/abc*' is 5 characters but only 5 octets; both
+    // match '/abc日本'. Character-length precedence would pick the
+    // ASCII disallow (5 > 3); octet precedence must pick the CJK
+    // allow (7 > 5).
+    val rules = Seq(
+      ("h.com", "*", true, "*日本"), // 3 chars, 7 octets
+      ("h.com", "*", false, "/abc*")) // 5 chars, 5 octets
+    val got = robots(Seq((1L, "https://h.com/abc日本")),
+      rules, "anybot")
+    assert(got(1L) === (("*日本", true)))
+  }
+
   test("robotsGate: a specific-agent group overrides * entirely " +
       "(groups are not merged), case-insensitively") {
     val rules = Seq(
