@@ -106,12 +106,25 @@ object Profiler {
     * Output: `(category, n_a, n_b, share_a_ppm, share_b_ppm,
     * gap_ppm)`. */
   def categoryDrift(a: DataFrame, b: DataFrame,
-      catCol: String): DataFrame = {
-    def counts(df: DataFrame, n: String) =
-      df.groupBy(col(catCol).cast("string").as("category"))
-        .agg(count(lit(1)).cast("long").as(n))
-    val j = counts(a, "n_a")
-      .join(counts(b, "n_b"), Seq("category"), "full_outer")
+      catCol: String): DataFrame =
+    categoryDriftFromCounts(categoryCounts(a, catCol),
+      categoryCounts(b, catCol))
+
+  /** The one corpus-facing stage of [[categoryDrift]]: ONE
+    * map-side-combinable groupBy to `(category, cnt)`. Counts are
+    * ADDITIVE across any partition of the snapshot — what lets the
+    * streamed twin ([[graft.streaming.StreamingDrift]]) fold per-batch
+    * category counts and rerun the share arithmetic read-side. */
+  def categoryCounts(df: DataFrame, catCol: String): DataFrame =
+    df.groupBy(col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** The categories-sized half: shares + TV gaps from two
+    * `(category, cnt)` count relations (see [[categoryDrift]]). */
+  def categoryDriftFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("category"), col("cnt").as("n_a"))
+      .join(b.select(col("category"), col("cnt").as("n_b")),
+        Seq("category"), "full_outer")
       .na.fill(0L, Seq("n_a", "n_b"))
     val totals = broadcast(j.agg(sum(col("n_a")).as("__ta"),
       sum(col("n_b")).as("__tb")))
@@ -131,13 +144,20 @@ object Profiler {
     * distribution is caught with the same exact-ppm TV machinery and
     * no logarithm. Output:
     * `(bin, n_a, n_b, share_a_ppm, share_b_ppm, gap_ppm)`. */
+  /** The sign-safe truncating bin id for [[numericDrift]] and its
+    * streamed twin — shared so a value always lands in the same bin
+    * on both sides of the comparison. */
+  def driftBinExpr(valueCol: String, binWidth: Long): String = {
+    require(binWidth >= 1, s"binWidth must be positive (got $binWidth)")
+    s"""(CASE WHEN CAST($valueCol AS BIGINT) < 0 THEN -1L ELSE 1L END)
+       | * (abs(CAST($valueCol AS BIGINT)) div ${binWidth}L)"""
+      .stripMargin
+  }
+
   def numericDrift(a: DataFrame, b: DataFrame, valueCol: String,
       binWidth: Long): DataFrame = {
-    require(binWidth >= 1, s"binWidth must be positive (got $binWidth)")
-    def binned(df: DataFrame) = df.select(expr(
-      s"""(CASE WHEN CAST($valueCol AS BIGINT) < 0 THEN -1L ELSE 1L END)
-         | * (abs(CAST($valueCol AS BIGINT)) div ${binWidth}L)"""
-        .stripMargin).as("category"))
+    def binned(df: DataFrame) = df.select(
+      expr(driftBinExpr(valueCol, binWidth)).as("category"))
     categoryDrift(binned(a), binned(b), "category")
       .withColumnRenamed("category", "bin")
       .withColumn("bin", col("bin").cast("long"))

@@ -351,6 +351,87 @@ object Retrieval {
         coalesce(col("rbo_nano"), lit(0L)).as("rbo_nano"))
   }
 
+  /** DCG position discounts as exact-integer plan constants:
+    * `w_d = 10¹² div floor(10⁶·ln(d+1))` — the reciprocal of the
+    * micro-nat log ([[LanguageModel]]'s `floor(1e6·ln)` discipline),
+    * computed ONCE at class load and interpolated verbatim into both
+    * engines' plans (the [[Bootstrap]] Poisson-table precedent), so
+    * nDCG needs no runtime transcendental anywhere. The standard
+    * `1/log₂(d+1)` discount differs from `1/ln(d+1)` by the constant
+    * factor ln 2, which cancels in the DCG/IDCG ratio — the published
+    * `ndcg_ppm` is the textbook quantity up to per-term flooring. */
+  val DcgDiscountMicro: IndexedSeq[Long] = (1 to 32).map { d =>
+    1000000000000L / math.floor(1e6 * math.log(d + 1.0)).toLong
+  }
+
+  /** nDCG@k with graded relevance — the third leg of the retrieval
+    * scorecard next to [[rankingMetrics]] (binary P/R/MRR) and
+    * [[rankBiasedOverlap]] (run-vs-run): how close each query's run
+    * comes to the IDEAL ordering of its graded judgments.
+    *
+    *   - `dcg_unit  = Σ_{d ≤ k} grade(run_d) · w_d`
+    *   - `idcg_unit = Σ_{d ≤ k} grade(ideal_d) · w_d` over the k
+    *     HIGHEST grades in qrels (ties by doc asc — deterministic)
+    *   - `ndcg_ppm  = dcg_unit·10⁶ div idcg_unit` (0 when a query has
+    *     no positive judgment at all)
+    *
+    * All integer arithmetic over the [[DcgDiscountMicro]] constants —
+    * both engines sum identical BIGINT terms, so the scorecard
+    * hash-matches.
+    *
+    * Distribution shape: `runs` is (queries × k)-sized by contract;
+    * `qrels` is the one corpus-sized input — one equi-join for the
+    * DCG side, and the ideal top-k runs through
+    * [[TopN.topNPerGroup]]'s histogram threshold (no per-group full
+    * sort — a query with a billion judged docs never funnels one
+    * task); the explicit ideal rank is a window over the ≤ k
+    * survivors per query. Run docs missing from qrels score grade 0.
+    *
+    * Output: `(query, dcg_unit, idcg_unit, ndcg_ppm)`, one row per
+    * query in `runs`. */
+  def ndcgAtK(runs: DataFrame, qrels: DataFrame, queryCol: String,
+      docCol: String, rankCol: String, gradeCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= DcgDiscountMicro.length,
+      s"need 1 <= k <= ${DcgDiscountMicro.length}, got $k")
+    val spark = runs.sparkSession
+    val w = broadcast(spark.createDataFrame(
+        (1 to k).map(d => (d.toLong, DcgDiscountMicro(d - 1))))
+      .toDF("__d", "__w"))
+    val r = runs.select(col(queryCol).cast("string").as("query"),
+        col(docCol).cast("long").as("doc"),
+        col(rankCol).cast("long").as("rank"))
+      .where(col("rank") <= k)
+    val q = qrels.select(col(queryCol).cast("string").as("query"),
+      col(docCol).cast("long").as("doc"),
+      col(gradeCol).cast("long").as("grade"))
+    val dcg = r.join(q, Seq("query", "doc"), "left")
+      .join(w, col("rank") === col("__d"))
+      .groupBy(col("query"))
+      .agg(sum(coalesce(col("grade"), lit(0L)) * col("__w"))
+        .as("dcg_unit"))
+    val pos = q.where(col("grade") > 0L)
+    val idealTop = TopN.topNPerGroup(pos, "query", "grade", "doc", k)
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query"))
+      .orderBy(col("grade").desc, col("doc"))
+    val idcg = idealTop
+      .withColumn("__ir", row_number().over(wi).cast("long"))
+      .join(w, col("__ir") === col("__d"))
+      .groupBy(col("query"))
+      .agg(sum(col("grade") * col("__w")).as("idcg_unit"))
+    r.select(col("query")).distinct()
+      .join(dcg, Seq("query"), "left")
+      .join(idcg, Seq("query"), "left")
+      .select(col("query"),
+        coalesce(col("dcg_unit"), lit(0L)).as("dcg_unit"),
+        coalesce(col("idcg_unit"), lit(0L)).as("idcg_unit"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_unit") > 0L,
+            expr("dcg_unit * 1000000L div idcg_unit"))
+          .otherwise(lit(0L)))
+  }
+
   /** Ranked-retrieval evaluation — MRR@k, precision@k, recall@k per
     * query, in exact ppm: the scorecard every retrieval change
     * (tokenizer, ranker, index) is judged by.

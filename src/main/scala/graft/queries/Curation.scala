@@ -716,6 +716,90 @@ object Curation extends QueryModule {
              |FROM (SELECT DISTINCT query FROM runa) q
              |LEFT JOIN sm USING (query)""".stripMargin)),
 
+    // ---- nDCG@10 with graded relevance: the 3-term coverage run
+    //      judged against graded qrels from the 5-term class vocab
+    //      (grade = matched-term count capped at 3); position
+    //      discounts are exact-integer constants (1e12 div the
+    //      micro-nat log — the Bootstrap table precedent, shared
+    //      verbatim by both engines), ideal ordering via the
+    //      histogram-threshold top-k, never a per-query corpus sort ----
+    GraftQuery("q_ndcg",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (tfcA, run) = graft.operators.Retrieval.classCoverageRun(
+          docs, "doc_id", "source", "text", nTerms = 3, minTf = 5L,
+          k = 10)
+        val (tfcB, terms5) = graft.operators.TextAnalysis.classTerms(
+          docs, "source", "text", minTf = 5L, k = 5)
+        val dw = docs.select(col("doc_id").as("doc"),
+            explode(expr(graft.operators.Dedup.wordsExpr("text")))
+              .as("word"))
+          .distinct()
+        val qrels = dw
+          .join(broadcast(terms5.select(col("class").as("query"),
+            col("word"))), Seq("word"))
+          .groupBy(col("query"), col("doc"))
+          .agg(least(count(lit(1)), lit(3L)).cast("long").as("grade"))
+        Drain.drainedAll(s, Seq(tfcA, tfcB),
+          graft.operators.Retrieval.ndcgAtK(
+            run, qrels, "query", "doc", "rank", "grade", k = 10))
+      },
+      Some {
+        val wt = graft.operators.Retrieval.DcgDiscountMicro.take(10)
+          .zipWithIndex.map { case (w, i) => s"(${i + 1}, ${w})" }
+          .mkString(", ")
+        s"""WITH u AS (
+           |  SELECT source, unnest(list_filter(string_split(text, ' '),
+           |    w -> w <> '')) AS word
+           |  FROM documents),
+           |tfc AS (SELECT source AS class, word, count(*)::BIGINT AS tf
+           |        FROM u GROUP BY 1, 2),
+           |gtf AS (SELECT word, sum(tf)::BIGINT AS gtf FROM tfc GROUP BY 1),
+           |sc AS (SELECT class, tfc.word, tf,
+           |    ((tf * 1000000) // gtf)::BIGINT AS conc_ppm
+           |  FROM tfc JOIN gtf ON tfc.word = gtf.word WHERE tf >= 5),
+           |rkd AS (SELECT class, word, row_number() OVER (
+           |    PARTITION BY class
+           |    ORDER BY conc_ppm DESC, tf DESC, word) AS rk FROM sc),
+           |tr3 AS (SELECT class, word FROM rkd WHERE rk <= 3),
+           |tr5 AS (SELECT class, word FROM rkd WHERE rk <= 5),
+           |dwu AS (SELECT doc_id AS doc,
+           |    unnest(list_filter(string_split(text, ' '),
+           |      w -> w <> '')) AS word
+           |  FROM documents),
+           |dw AS (SELECT DISTINCT doc, word FROM dwu),
+           |cov3 AS (SELECT tr3.class AS query, dw.doc,
+           |    count(*)::BIGINT AS coverage
+           |  FROM dw JOIN tr3 ON dw.word = tr3.word GROUP BY 1, 2),
+           |run AS (SELECT query, doc, rnk FROM (
+           |    SELECT query, doc, row_number() OVER (PARTITION BY query
+           |      ORDER BY coverage DESC, doc) AS rnk
+           |    FROM cov3) WHERE rnk <= 10),
+           |qr AS (SELECT tr5.class AS query, dw.doc,
+           |    least(count(*), 3)::BIGINT AS grade
+           |  FROM dw JOIN tr5 ON dw.word = tr5.word GROUP BY 1, 2),
+           |wt(d, w) AS (VALUES $wt),
+           |dcg AS (SELECT r.query,
+           |    sum(coalesce(q.grade, 0) * wt.w)::BIGINT AS dcg_unit
+           |  FROM run r
+           |  LEFT JOIN qr q ON q.query = r.query AND q.doc = r.doc
+           |  JOIN wt ON wt.d = r.rnk GROUP BY 1),
+           |ideal AS (SELECT query, grade, row_number() OVER (
+           |    PARTITION BY query ORDER BY grade DESC, doc) AS ir
+           |  FROM qr WHERE grade > 0),
+           |idcg AS (SELECT query, sum(grade * wt.w)::BIGINT AS idcg_unit
+           |  FROM ideal JOIN wt ON wt.d = ideal.ir GROUP BY 1)
+           |SELECT rq.query,
+           |  coalesce(d.dcg_unit, 0)::BIGINT AS dcg_unit,
+           |  coalesce(i.idcg_unit, 0)::BIGINT AS idcg_unit,
+           |  (CASE WHEN coalesce(i.idcg_unit, 0) > 0
+           |    THEN coalesce(d.dcg_unit, 0) * 1000000 // i.idcg_unit
+           |    ELSE 0 END)::BIGINT AS ndcg_ppm
+           |FROM (SELECT DISTINCT query FROM run) rq
+           |LEFT JOIN dcg d USING (query)
+           |LEFT JOIN idcg i USING (query)""".stripMargin
+      }),
+
     // ---- characteristic vocabulary per source (c-TF-IDF reduced to
     //      exact ppm concentration): top-5 terms per source that are
     //      frequent in AND specific to it ----

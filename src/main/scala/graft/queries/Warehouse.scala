@@ -219,6 +219,88 @@ object Warehouse extends QueryModule {
              |    - n_b * 1000000 // greatest(tb, 1))::BIGINT AS gap_ppm
              |FROM j CROSS JOIN t""".stripMargin)),
 
+    // ---- streamed categorical drift: the LIVE side arrives in three
+    //      id-range folds, each appending its ADDITIVE category-count
+    //      delta; the share/TV arithmetic reruns read-side against the
+    //      fixed reference, so the report equals the batch monitor on
+    //      everything seen (shares q_category_drift's oracle VERBATIM;
+    //      a mid-run compaction must not change it) ----
+    GraftQuery("q_category_drift_stream",
+      (s, dir) => {
+        val base =
+          s"/tmp/graft_drift_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingDrift.init(s, base)
+        val docs = t(s, dir, "documents")
+        val live = docs.where(col("doc_id") % 2 === 1)
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingDrift.fold(s, base,
+            live.where(col("doc_id") >= i * maxId / 3 &&
+              col("doc_id") < (i + 1) * maxId / 3),
+            "source")
+          if (i == 1L) // mid-run compaction is answer-preserving
+            graft.streaming.StreamingDrift.compact(s, base)
+        }
+        graft.streaming.StreamingDrift.report(s, base,
+          docs.where(col("doc_id") % 2 === 0), "source")
+      },
+      Some("""WITH a AS (SELECT source AS category,
+             |    count(*)::BIGINT AS n_a
+             |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |b AS (SELECT source AS category, count(*)::BIGINT AS n_b
+             |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+             |j AS (SELECT category, coalesce(n_a, 0) AS n_a,
+             |    coalesce(n_b, 0) AS n_b
+             |  FROM a FULL OUTER JOIN b USING (category)),
+             |t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb
+             |      FROM j)
+             |SELECT category, n_a, n_b,
+             |  (n_a * 1000000 // greatest(ta, 1))::BIGINT AS share_a_ppm,
+             |  (n_b * 1000000 // greatest(tb, 1))::BIGINT AS share_b_ppm,
+             |  abs(n_a * 1000000 // greatest(ta, 1)
+             |    - n_b * 1000000 // greatest(tb, 1))::BIGINT AS gap_ppm
+             |FROM j CROSS JOIN t""".stripMargin)),
+
+    // ---- streamed numeric drift: same additive fold over sign-safe
+    //      value bins (bin ids stringified into the shared category
+    //      artifact, cast back on read) — shares q_numeric_drift's
+    //      oracle VERBATIM ----
+    GraftQuery("q_numeric_drift_stream",
+      (s, dir) => {
+        val base =
+          s"/tmp/graft_ndrift_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingDrift.init(s, base)
+        val docs = t(s, dir, "documents")
+        val live = docs.where(col("doc_id") % 2 === 1)
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L)
+          graft.streaming.StreamingDrift.foldNumeric(s, base,
+            live.where(col("doc_id") >= i * maxId / 3 &&
+              col("doc_id") < (i + 1) * maxId / 3),
+            "n_chars", binWidth = 64L)
+        graft.streaming.StreamingDrift.reportNumeric(s, base,
+          docs.where(col("doc_id") % 2 === 0), "n_chars", binWidth = 64L)
+      },
+      Some("""WITH a AS (SELECT ((CASE WHEN n_chars < 0 THEN -1 ELSE 1
+             |      END) * (abs(n_chars) // 64))::BIGINT AS bin,
+             |    count(*)::BIGINT AS n_a
+             |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |b AS (SELECT ((CASE WHEN n_chars < 0 THEN -1 ELSE 1
+             |      END) * (abs(n_chars) // 64))::BIGINT AS bin,
+             |    count(*)::BIGINT AS n_b
+             |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+             |j AS (SELECT bin, coalesce(n_a, 0) AS n_a,
+             |    coalesce(n_b, 0) AS n_b
+             |  FROM a FULL OUTER JOIN b USING (bin)),
+             |t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb
+             |      FROM j)
+             |SELECT bin, n_a, n_b,
+             |  (n_a * 1000000 // greatest(ta, 1))::BIGINT AS share_a_ppm,
+             |  (n_b * 1000000 // greatest(tb, 1))::BIGINT AS share_b_ppm,
+             |  abs(n_a * 1000000 // greatest(ta, 1)
+             |    - n_b * 1000000 // greatest(tb, 1))::BIGINT AS gap_ppm
+             |FROM j CROSS JOIN t""".stripMargin)),
+
     // ---- blocking-quality metrics for BOTH edit-distance blockers:
     // reduction ratio + pair completeness over the same bounded slice
     // the fuzzy join runs on. Both blockers are lossless by pigeonhole,

@@ -84,4 +84,64 @@ class RetrievalMetricsSpec extends SparkSpec {
         s"coverage must be non-increasing in rank for $q")
     }
   }
+
+  // ---- nDCG@k ----
+
+  test("DcgDiscountMicro is exactly 1e12 div floor(1e6·ln(d+1)), and " +
+      "no micro-nat log sits near a floor boundary") {
+    Retrieval.DcgDiscountMicro.zipWithIndex.foreach { case (w, i) =>
+      val d = i + 1
+      val lnm = math.floor(1e6 * math.log(d + 1.0)).toLong
+      assert(w === 1000000000000L / lnm, s"depth $d")
+      // engine-exactness headroom: the fractional part of 1e6·ln(d+1)
+      // must be far from 0/1 so a last-ulp ln() divergence cannot flip
+      // the floor (the LanguageModel micro-nat argument, checked here
+      // for every depth the table covers)
+      val frac = 1e6 * math.log(d + 1.0) - lnm
+      assert(frac > 1e-4 && frac < 1 - 1e-4, s"depth $d frac=$frac")
+    }
+  }
+
+  private def ndcg(runs: Seq[(String, Long, Long)],
+      qrels: Seq[(String, Long, Long)], k: Int) = {
+    import spark.implicits._
+    Retrieval.ndcgAtK(runs.toDF("q", "d", "r"),
+        qrels.toDF("q", "d", "g"), "q", "d", "r", "g", k)
+      .selectExpr("query", "dcg_unit", "idcg_unit", "ndcg_ppm")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("ndcgAtK hand trace: grades (3,0,1) at ranks 1..3 vs ideal " +
+      "(3,1) — exact integer terms") {
+    val w1 = Retrieval.DcgDiscountMicro(0)
+    val w2 = Retrieval.DcgDiscountMicro(1)
+    val w3 = Retrieval.DcgDiscountMicro(2)
+    // run: doc 10 (grade 3) rank 1, doc 11 (unjudged) rank 2,
+    //      doc 12 (grade 1) rank 3; qrels also hold doc 99 grade 0
+    val got = ndcg(
+      Seq(("A", 10L, 1L), ("A", 11L, 2L), ("A", 12L, 3L)),
+      Seq(("A", 10L, 3L), ("A", 12L, 1L), ("A", 99L, 0L)), k = 3)
+    val dcg = 3L * w1 + 0L * w2 + 1L * w3
+    val idcg = 3L * w1 + 1L * w2 // ideal: grade 3 first, then 1
+    assert(got("A") === ((dcg, idcg, dcg * 1000000L / idcg)))
+  }
+
+  test("ndcgAtK: run in ideal order scores exactly 1e6 ppm; " +
+      "no positive judgment scores 0; ideal uses TOP-k grades only") {
+    val perfect = ndcg(
+      Seq(("A", 1L, 1L), ("A", 2L, 2L)),
+      Seq(("A", 1L, 2L), ("A", 2L, 1L)), k = 2)
+    assert(perfect("A")._3 === 1000000L)
+    val none = ndcg(Seq(("B", 1L, 1L)), Seq(("B", 1L, 0L)), k = 2)
+    assert(none("B") === ((0L, 0L, 0L)))
+    // 3 positives but k = 2: ideal must take the two HIGHEST grades
+    val w1 = Retrieval.DcgDiscountMicro(0)
+    val w2 = Retrieval.DcgDiscountMicro(1)
+    val cut = ndcg(
+      Seq(("C", 5L, 1L), ("C", 6L, 2L)),
+      Seq(("C", 5L, 1L), ("C", 6L, 3L), ("C", 7L, 2L)), k = 2)
+    assert(cut("C")._2 === 3L * w1 + 2L * w2)
+    assert(cut("C")._1 === 1L * w1 + 3L * w2)
+  }
 }
