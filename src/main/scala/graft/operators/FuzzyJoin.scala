@@ -313,4 +313,62 @@ object FuzzyJoin {
         (col("__rb") - col("__ra")).as("rank_gap"),
         levenshtein(col("__ka"), col("__kb")).cast("long").as("dist"))
   }
+
+  /** Multi-pass sorted neighborhood — the full Hernández–Stolfo
+    * method: ONE sort key misses variants whose difference lands in
+    * the key's prefix (a transposed first token sorts far away), so
+    * the classic remedy is SEVERAL independent passes (e.g. the name
+    * and its reversal, or different column orders) whose candidate
+    * windows are UNIONed. Each pass is the single-pass
+    * [[sortedNeighborhood]] machinery (two-phase rank + 1-D grid
+    * window join, exactly-once within the pass); pairs are normalized
+    * to `id_a < id_b` and deduplicated ACROSS passes by one
+    * pair-relation groupBy — each unordered pair reported once, with
+    * how many passes proposed it and its closest window evidence.
+    *
+    * `dist` is always the Levenshtein distance of the PRIMARY key
+    * (`keyCols.head`'s source strings), whichever pass found the
+    * pair, so the verify column is comparable across passes.
+    *
+    * Distribution shape: each pass is rank + bucket equi-join (no
+    * cartesian, the single-pass contract); the cross-pass dedup is a
+    * groupBy over the candidate-pair relation — window-bounded
+    * (≤ n·(w−1)·passes rows), never all-pairs.
+    *
+    * Output: `(id_a, id_b, n_passes, min_gap, dist)`. */
+  def sortedNeighborhoodMulti(df: DataFrame, idCol: String,
+      keyCols: Seq[String], w: Int): DataFrame = {
+    require(w >= 2, s"need window w >= 2, got $w")
+    require(keyCols.nonEmpty, "need at least one sort key")
+    val passes = keyCols.zipWithIndex.map { case (kc, pi) =>
+      val base = df.select(col(idCol).cast("long").as("id"),
+        col(keyCols.head).cast("string").as("prim"),
+        col(kc).cast("string").as("key"))
+      val ranked = Packing.rankWithinGroups(
+        base.withColumn("__g", lit(1))
+          .withColumn("__k", struct(col("key"), col("id"))),
+        "__g", "__k")
+        .withColumn("__b", expr(s"(rnk - 1L) div ${w}L"))
+      val lo = ranked
+        .withColumn("__jb", explode(array(col("__b"), col("__b") + 1)))
+        .select(col("id").as("__ia"), col("prim").as("__pa"),
+          col("rnk").as("__ra"), col("__jb"))
+      val hi = ranked.select(col("id").as("__ib"),
+        col("prim").as("__pb"), col("rnk").as("__rb"),
+        col("__b").as("__jb"))
+      lo.join(hi, Seq("__jb"))
+        .where(col("__rb") > col("__ra") &&
+          col("__rb") - col("__ra") <= w - 1)
+        .select(least(col("__ia"), col("__ib")).as("id_a"),
+          greatest(col("__ia"), col("__ib")).as("id_b"),
+          lit(pi.toLong).as("__pass"),
+          (col("__rb") - col("__ra")).as("rank_gap"),
+          levenshtein(col("__pa"), col("__pb")).cast("long").as("dist"))
+    }
+    passes.reduce(_.unionByName(_))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("__pass")).cast("long").as("n_passes"),
+        min(col("rank_gap")).as("min_gap"),
+        min(col("dist")).as("dist"))
+  }
 }

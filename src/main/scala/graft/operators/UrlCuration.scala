@@ -350,4 +350,81 @@ object UrlCuration {
         coalesce(col("__pattern"), lit("")).as("rule_pattern"),
         coalesce(col("__allow"), lit(true)).as("allowed"))
   }
+
+  /** Per-host fetch POLICY from the full robots.txt surface — the
+    * companion to [[robotsGate]]'s per-URL decision: what a polite
+    * crawler reads from the same file beyond Allow/Disallow. Input is
+    * the directive relation `(host, agent, directive, value)` with
+    * `directive` ∈ `allow | disallow | crawl-delay | sitemap` (one row
+    * per line of each host's robots.txt).
+    *
+    * Semantics:
+    *   - group scope: `allow`/`disallow`/`crawl-delay` belong to an
+    *     agent group; the applicable group is selected exactly like
+    *     [[robotsGate]] (a host with ANY rule for `agent` uses ONLY
+    *     that group, else the `*` group — RFC 9309 §2.2.1, groups not
+    *     merged). A `*`-group crawl-delay therefore never leaks into
+    *     a host whose specific group omits one.
+    *   - `crawl_delay_ms`: the MINIMUM valid delay of the applicable
+    *     group (conservative under contradicting lines), integer
+    *     seconds parsed with `try_cast` — non-numeric or negative
+    *     values are ignored (fail-open), values cap at 86400 s; no
+    *     valid delay ⇒ 0 (crawl-delay is non-standard: RFC 9309
+    *     leaves it undefined, this is the common crawler reading).
+    *   - `n_allow`/`n_disallow`: the group's non-empty-pattern rule
+    *     counts (empty values are no-ops, as in [[robotsGate]]).
+    *   - sitemaps are FILE-scoped, not group-scoped (the sitemaps.org
+    *     cross-reference convention): every host's distinct sitemap
+    *     values count, sorted into one deterministic comma-join.
+    *
+    * Distribution shape: the directive relation is robots-file-sized
+    * per host; everything is host-keyed map-side-combinable groupBys
+    * plus hosts-sized joins — no windows, no corpus passes.
+    *
+    * Output: `(host, agent_group, crawl_delay_ms, n_allow,
+    * n_disallow, n_sitemaps, sitemaps)` with `agent_group` ∈
+    * `specific | wildcard | none` (none = only sitemap lines). */
+  def robotsPolicy(rules: DataFrame, agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    val rl = rules.select(lower(col("host")).as("host"),
+      lower(col("agent")).as("agent"),
+      lower(col("directive")).as("directive"),
+      col("value").cast("string").as("value"))
+    val grouped = rl.where(
+      col("directive").isin("allow", "disallow", "crawl-delay"))
+    val hostAgent = grouped.groupBy(col("host")).agg(
+      max((col("agent") === a).cast("int")).as("__has_spec"),
+      max((col("agent") === "*").cast("int")).as("__has_wild"))
+    val grp = grouped.join(hostAgent, Seq("host"))
+      .where((col("agent") === a && col("__has_spec") === 1) ||
+        (col("agent") === "*" && col("__has_spec") === 0))
+    val pathAgg = grp.groupBy(col("host")).agg(
+      sum(when(col("directive") === "allow" && col("value") =!= "", 1L)
+        .otherwise(0L)).as("n_allow"),
+      sum(when(col("directive") === "disallow" && col("value") =!= "",
+        1L).otherwise(0L)).as("n_disallow"),
+      min(when(col("directive") === "crawl-delay",
+        expr("""CASE WHEN try_cast(value AS BIGINT) >= 0
+               | THEN least(try_cast(value AS BIGINT), 86400L)
+               | END""".stripMargin))).as("__cd"))
+    val maps = rl
+      .where(col("directive") === "sitemap" && col("value") =!= "")
+      .groupBy(col("host"))
+      .agg(countDistinct(col("value")).cast("long").as("n_sitemaps"),
+        array_join(array_sort(collect_set(col("value"))), ",")
+          .as("sitemaps"))
+    rl.select(col("host")).distinct()
+      .join(hostAgent, Seq("host"), "left")
+      .join(pathAgg, Seq("host"), "left")
+      .join(maps, Seq("host"), "left")
+      .select(col("host"),
+        when(col("__has_spec") === 1, "specific")
+          .when(col("__has_wild") === 1, "wildcard")
+          .otherwise("none").as("agent_group"),
+        coalesce(col("__cd") * 1000L, lit(0L)).as("crawl_delay_ms"),
+        coalesce(col("n_allow"), lit(0L)).as("n_allow"),
+        coalesce(col("n_disallow"), lit(0L)).as("n_disallow"),
+        coalesce(col("n_sitemaps"), lit(0L)).as("n_sitemaps"),
+        coalesce(col("sitemaps"), lit("")).as("sitemaps"))
+  }
 }

@@ -73,6 +73,35 @@ object UrlCuration extends QueryModule {
     ("www.ck", "*", true, "/"),
     ("www.ck", "*", false, "/Articles/"))
 
+  /** q_robots_policy's directive fixture `(host, agent, directive,
+    * value)` — shared verbatim between the Spark dim and the oracle
+    * VALUES. Branch coverage: specific-group delay min-wins +
+    * file-scoped sitemaps across groups (a.com), invalid value +
+    * empty no-op + foreign-agent group ignored (b.org), `*` delay NOT
+    * leaking into a host with a specific group (c.net), sitemap-only
+    * host with a duplicate entry (d.io), negative delay ignored
+    * (e.gov). */
+  private val robotsPolicyRules: Seq[(String, String, String, String)] =
+    Seq(
+      ("a.com", "*", "disallow", "/private"),
+      ("a.com", "*", "allow", "/private/ok"),
+      ("a.com", "*", "crawl-delay", "2"),
+      ("a.com", "GraftBot", "disallow", "/tmp"),
+      ("a.com", "graftbot", "crawl-delay", "5"),
+      ("a.com", "graftbot", "crawl-delay", "3"),
+      ("a.com", "*", "sitemap", "https://a.com/sm2.xml"),
+      ("a.com", "graftbot", "sitemap", "https://a.com/sm1.xml"),
+      ("b.org", "*", "crawl-delay", "oops"),
+      ("b.org", "*", "disallow", ""),
+      ("b.org", "*", "disallow", "/x"),
+      ("b.org", "otherbot", "crawl-delay", "9"),
+      ("c.net", "graftbot", "allow", "/"),
+      ("c.net", "*", "crawl-delay", "7"),
+      ("d.io", "*", "sitemap", "https://d.io/s.xml"),
+      ("d.io", "*", "sitemap", "https://d.io/s.xml"),
+      ("e.gov", "graftbot", "crawl-delay", "-4"),
+      ("e.gov", "graftbot", "disallow", "/z"))
+
   /** Oracle CTEs mirroring the operator's four-regex grammar +
     * canonical rules: the shared prefix yields `p1(doc_id, url,
     * scheme, host, port, path, query, keep_port, canon_q, canon_p,
@@ -334,6 +363,95 @@ object UrlCuration extends QueryModule {
            |FROM p1 LEFT JOIN
            |  (SELECT doc_id, allow, pattern FROM m WHERE rn = 1) w
            |  USING (doc_id)""".stripMargin
+      }),
+
+    // ---- robots.txt fetch POLICY (beyond allow/deny): per-host
+    //      crawl-delay under RFC 9309 group selection (specific group
+    //      overrides *, a * delay never leaks into a specific group),
+    //      try_cast-validated seconds with min-wins on contradicting
+    //      lines, and FILE-scoped sitemap discovery; rules shared
+    //      verbatim between the Spark dim and the oracle VALUES ----
+    GraftQuery("q_robots_policy",
+      (s, dir) => {
+        // deterministic directive fixture exercising every branch:
+        // specific-group delay min-wins (a), invalid + other-agent
+        // rows ignored (b), *-delay not leaking into a specific group
+        // (c), sitemap-only host (d), negative delay ignored (e) —
+        // plus hosts derived per-document so output scales with dir
+        val derived = t(s, dir, "documents")
+          .where(col("doc_id") % 50 === 0)
+          .select(concat(lit("h"),
+              expr("doc_id div 50").cast("string"),
+              lit(".example")).as("host"),
+            when(col("doc_id") % 100 === 0, "graftbot").otherwise("*")
+              .as("agent"),
+            when(col("doc_id") % 150 === 0, "crawl-delay")
+              .otherwise("disallow").as("directive"),
+            when(col("doc_id") % 150 === 0,
+                (col("doc_id") % 7).cast("string"))
+              .otherwise(concat(lit("/p/"),
+                (col("doc_id") % 11).cast("string"))).as("value"))
+        val rules = s.createDataFrame(robotsPolicyRules)
+          .toDF("host", "agent", "directive", "value")
+          .unionByName(derived)
+        graft.operators.UrlCuration.robotsPolicy(rules, "GraftBot")
+      },
+      Some {
+        val vals = robotsPolicyRules.map { case (h, a, d, v) =>
+          s"('$h', '$a', '$d', '$v')"
+        }.mkString(",\n       ")
+        s"""WITH fx AS (SELECT * FROM (VALUES
+           |       $vals) t(host, agent, directive, value)),
+           |dv AS (SELECT
+           |    'h' || CAST(doc_id // 50 AS VARCHAR) || '.example' AS host,
+           |    CASE WHEN doc_id % 100 = 0 THEN 'graftbot' ELSE '*' END
+           |      AS agent,
+           |    CASE WHEN doc_id % 150 = 0 THEN 'crawl-delay'
+           |         ELSE 'disallow' END AS directive,
+           |    CASE WHEN doc_id % 150 = 0 THEN CAST(doc_id % 7 AS VARCHAR)
+           |         ELSE '/p/' || CAST(doc_id % 11 AS VARCHAR) END AS value
+           |  FROM documents WHERE doc_id % 50 = 0),
+           |rl AS (SELECT lower(host) AS host, lower(agent) AS agent,
+           |    lower(directive) AS directive, value
+           |  FROM (SELECT * FROM fx UNION ALL SELECT * FROM dv)),
+           |g AS (SELECT * FROM rl
+           |      WHERE directive IN ('allow', 'disallow', 'crawl-delay')),
+           |ha AS (SELECT host,
+           |    max((agent = 'graftbot')::INT) AS has_spec,
+           |    max((agent = '*')::INT) AS has_wild
+           |  FROM g GROUP BY 1),
+           |grp AS (SELECT g.* FROM g JOIN ha USING (host)
+           |  WHERE (g.agent = 'graftbot' AND ha.has_spec = 1)
+           |     OR (g.agent = '*' AND ha.has_spec = 0)),
+           |pa AS (SELECT host,
+           |    sum(CASE WHEN directive = 'allow' AND value <> ''
+           |        THEN 1 ELSE 0 END)::BIGINT AS n_allow,
+           |    sum(CASE WHEN directive = 'disallow' AND value <> ''
+           |        THEN 1 ELSE 0 END)::BIGINT AS n_disallow,
+           |    min(CASE WHEN directive = 'crawl-delay'
+           |          AND try_cast(value AS BIGINT) >= 0
+           |        THEN least(try_cast(value AS BIGINT), 86400) END)
+           |      AS cd
+           |  FROM grp GROUP BY 1),
+           |mp AS (SELECT host,
+           |    count(DISTINCT value)::BIGINT AS n_sitemaps,
+           |    string_agg(DISTINCT value, ',' ORDER BY value)
+           |      AS sitemaps
+           |  FROM rl WHERE directive = 'sitemap' AND value <> ''
+           |  GROUP BY 1)
+           |SELECT h.host,
+           |  CASE WHEN ha.has_spec = 1 THEN 'specific'
+           |       WHEN ha.has_wild = 1 THEN 'wildcard'
+           |       ELSE 'none' END AS agent_group,
+           |  coalesce(pa.cd * 1000, 0)::BIGINT AS crawl_delay_ms,
+           |  coalesce(pa.n_allow, 0)::BIGINT AS n_allow,
+           |  coalesce(pa.n_disallow, 0)::BIGINT AS n_disallow,
+           |  coalesce(mp.n_sitemaps, 0)::BIGINT AS n_sitemaps,
+           |  coalesce(mp.sitemaps, '') AS sitemaps
+           |FROM (SELECT DISTINCT host FROM rl) h
+           |LEFT JOIN ha USING (host)
+           |LEFT JOIN pa USING (host)
+           |LEFT JOIN mp USING (host)""".stripMargin
       }),
 
     // ---- blocklist gate: broadcast anti-join on registrable domain ----

@@ -161,6 +161,46 @@ object Warehouse extends QueryModule {
              |FROM r a JOIN r b
              |  ON b.rnk > a.rnk AND b.rnk - a.rnk <= 7""".stripMargin)),
 
+    // ---- multi-pass sorted neighborhood (the full Hernández–Stolfo
+    //      method): name + reversed-name passes, windows UNIONed with
+    //      exactly-once cross-pass pair dedup — catches the
+    //      transposed-prefix variants one key misses; oracle is the
+    //      brute union of both rank-window joins ----
+    GraftQuery("q_sorted_neighborhood_multi",
+      (s, dir) => graft.operators.FuzzyJoin.sortedNeighborhoodMulti(
+        t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            reverse(col("c_name")).as("c_name_rev")),
+        "c_custkey", Seq("c_name", "c_name_rev"), w = 8),
+      Some("""WITH c AS (SELECT c_custkey, c_name,
+             |    reverse(c_name) AS c_rev
+             |  FROM customer WHERE c_custkey % 7 = 0),
+             |r1 AS (SELECT c_custkey, c_name,
+             |    row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+             |  FROM c),
+             |p1 AS (SELECT
+             |    least(a.c_custkey, b.c_custkey) AS id_a,
+             |    greatest(a.c_custkey, b.c_custkey) AS id_b,
+             |    0 AS pass, (b.rnk - a.rnk) AS gap,
+             |    levenshtein(a.c_name, b.c_name) AS dist
+             |  FROM r1 a JOIN r1 b
+             |    ON b.rnk > a.rnk AND b.rnk - a.rnk <= 7),
+             |r2 AS (SELECT c_custkey, c_name,
+             |    row_number() OVER (ORDER BY c_rev, c_custkey) AS rnk
+             |  FROM c),
+             |p2 AS (SELECT
+             |    least(a.c_custkey, b.c_custkey) AS id_a,
+             |    greatest(a.c_custkey, b.c_custkey) AS id_b,
+             |    1 AS pass, (b.rnk - a.rnk) AS gap,
+             |    levenshtein(a.c_name, b.c_name) AS dist
+             |  FROM r2 a JOIN r2 b
+             |    ON b.rnk > a.rnk AND b.rnk - a.rnk <= 7),
+             |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+             |SELECT id_a, id_b,
+             |  count(DISTINCT pass)::BIGINT AS n_passes,
+             |  min(gap)::BIGINT AS min_gap, min(dist)::BIGINT AS dist
+             |FROM u GROUP BY 1, 2""".stripMargin)),
+
     // ---- categorical drift between snapshots: per-category shares in
     //      exact ppm + absolute gap (sum/2 = total-variation distance —
     //      the log-free drift number that stays exact at any scale) ----

@@ -142,4 +142,57 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.toSeq === brute)
     assert(got.distinct.length === got.length, "no duplicate pairs")
   }
+
+  test("sortedNeighborhoodMulti: brute union parity across both " +
+      "passes, exactly-once pairs, and the reversed-key pass catches " +
+      "a transposed-prefix pair the single key misses") {
+    import spark.implicits._
+    // 'zz alpha' vs 'aa alpha': far apart sorted forward, adjacent
+    // sorted on the reversed string; plus filler names
+    val rows = Seq((1L, "aa alpha"), (2L, "zz alpha")) ++
+      (3L to 26L).map(i => (i, f"name${(i * 7) % 24}%02d"))
+    val w = 4
+    val got = FuzzyJoin.sortedNeighborhoodMulti(
+        rows.toDF("id", "k").withColumn("kr",
+          org.apache.spark.sql.functions.reverse($"k")),
+        "id", Seq("k", "kr"), w)
+      .selectExpr("id_a", "id_b", "n_passes", "min_gap", "dist")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(p => (p._1, p._2))
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    def passPairs(key: (Long, String) => String) = {
+      val ranked = rows.sortBy { case (id, k) => (key(id, k), id) }
+        .zipWithIndex
+      for {
+        (a, ra) <- ranked; (b, rb) <- ranked
+        if rb > ra && rb - ra <= w - 1
+      } yield ((math.min(a._1, b._1), math.max(a._1, b._1)),
+        (rb - ra).toLong)
+    }
+    val byId = rows.toMap
+    val brute = (passPairs((_, k) => k).map(p => (p._1, p._2, 0)) ++
+        passPairs((_, k) => k.reverse).map(p => (p._1, p._2, 1)))
+      .groupBy(_._1).toSeq
+      .map { case ((ia, ib), ps) =>
+        (ia, ib, ps.map(_._3).distinct.length.toLong,
+          ps.map(_._2).min, lev(byId(ia), byId(ib)))
+      }.sortBy(p => (p._1, p._2))
+    assert(got.toSeq === brute)
+    assert(got.distinct.length === got.length, "no duplicate pairs")
+    // the motivating catch: (1, 2) found by pass 2 only
+    val caught = got.find(p => p._1 == 1L && p._2 == 2L)
+    assert(caught.isDefined && caught.get._3 == 1L,
+      "reversed-key pass must contribute the transposed-prefix pair")
+    val forwardOnly = passPairs((_, k) => k).map(_._1)
+    assert(!forwardOnly.contains((1L, 2L)),
+      "fixture broken: forward pass should miss (1, 2)")
+  }
 }

@@ -154,6 +154,47 @@ class UrlCurationSpec extends SparkSpec {
     assert(got(1L) === (("*日本", true)))
   }
 
+  test("robotsPolicy: group-scoped crawl-delay (min-wins, no * leak, " +
+      "invalid/negative ignored), file-scoped sitemaps, none-group") {
+    import spark.implicits._
+    val rules = Seq(
+      ("a.com", "*", "crawl-delay", "2"),
+      ("a.com", "MyBot", "crawl-delay", "5"),
+      ("a.com", "mybot", "crawl-delay", "3"), // min of the group wins
+      ("a.com", "mybot", "disallow", "/tmp"),
+      ("a.com", "*", "sitemap", "https://a.com/b.xml"),
+      ("a.com", "mybot", "sitemap", "https://a.com/a.xml"),
+      ("b.org", "*", "crawl-delay", "oops"), // invalid -> ignored
+      ("b.org", "*", "crawl-delay", "-4"), // negative -> ignored
+      ("b.org", "*", "disallow", ""), // empty no-op
+      ("b.org", "*", "allow", "/ok"),
+      ("c.net", "mybot", "allow", "/"), // specific group, no delay
+      ("c.net", "*", "crawl-delay", "7"), // must NOT leak into it
+      ("d.io", "*", "sitemap", "https://d.io/s.xml"),
+      ("d.io", "*", "sitemap", "https://d.io/s.xml")) // dup -> once
+    val got = UrlCuration.robotsPolicy(
+        rules.toDF("host", "agent", "directive", "value"), "MyBot")
+      .selectExpr("host", "agent_group", "crawl_delay_ms", "n_allow",
+        "n_disallow", "n_sitemaps", "sitemaps")
+      .as[(String, String, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a.com") === (("a.com", "specific", 3000L, 0L, 1L, 2L,
+      "https://a.com/a.xml,https://a.com/b.xml")))
+    assert(got("b.org") === (("b.org", "wildcard", 0L, 1L, 0L, 0L, "")))
+    assert(got("c.net") === (("c.net", "specific", 0L, 1L, 0L, 0L, "")))
+    assert(got("d.io") === (("d.io", "none", 0L, 0L, 0L, 1L,
+      "https://d.io/s.xml")))
+  }
+
+  test("robotsPolicy: oversized delays cap at 86400 s") {
+    import spark.implicits._
+    val got = UrlCuration.robotsPolicy(
+        Seq(("h.com", "*", "crawl-delay", "99999999"))
+          .toDF("host", "agent", "directive", "value"), "anybot")
+      .selectExpr("crawl_delay_ms").as[Long].collect()
+    assert(got.toSeq === Seq(86400000L))
+  }
+
   test("robotsGate: a specific-agent group overrides * entirely " +
       "(groups are not merged), case-insensitively") {
     val rules = Seq(
