@@ -59,9 +59,10 @@ object Calibration {
     isotonicFit(binCounts(scored, scoreCol, posCol, binWidth, clamp))
 
   /** The clamped sign-safe bin id for a score expression — shared by
-    * [[binCounts]] (the fit side) and [[calibratedGate]] (the apply
-    * side), so a score always lands in the bin it was fitted under. */
-  private def binExpr(scoreExpr: String, binWidth: Long,
+    * [[binCounts]] (the fit side), [[calibratedGate]] (the apply
+    * side), and external composers ([[Preference.dpoGatedPairs]]), so
+    * a score always lands in the bin it was fitted under. */
+  def binExpr(scoreExpr: String, binWidth: Long,
       clamp: Long): String =
     s"""greatest(least((CASE WHEN ($scoreExpr) < 0 THEN -1L ELSE 1L END)
        | * (abs($scoreExpr) div ${binWidth}L), ${clamp - 1}L),

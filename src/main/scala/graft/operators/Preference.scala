@@ -302,6 +302,43 @@ object Preference {
         .as("rejected_loss_end"))
   }
 
+  /** [[dpoPairs]] composed with the calibrated quality gate — the
+    * reward-gap + quality-gate last mile before pairs enter training:
+    * every assembled pair carries a quality proxy on its CHOSEN text
+    * (rendered length — any integral score slots in), the proxy is
+    * isotonic-calibrated against the reward-gap label
+    * (`margin_cents >= marginThrCents`), and the pair is kept iff its
+    * calibrated keep-probability clears `minPpb`. Filtering on the
+    * CALIBRATED probability rather than the raw proxy is the point:
+    * the gate inherits [[Calibration]]'s monotone, distribution-free
+    * score→P(label) map instead of an arbitrary length threshold.
+    *
+    * Distribution shape: the fit side is ONE map-side-combinable
+    * groupBy of the pair relation to ≤ 2·clamp bin counts (+ the
+    * value-range-sized PAV); the apply side is the shared
+    * [[Calibration.binExpr]] and ONE broadcast join of the fitted map
+    * back onto the pairs — the pair relation is never self-joined.
+    *
+    * Output: every [[dpoPairs]] column plus
+    * `(gate_score, bin, iso_ppb, kept)`. */
+  def dpoGatedPairs(events: DataFrame, marginThrCents: Long,
+      minPpb: Long, binWidth: Long = 16L,
+      clamp: Long = 64L): DataFrame = {
+    val pairs = dpoPairs(events)
+      .withColumn("gate_score", length(col("text_chosen")).cast("long"))
+    val fit = Calibration.isotonicBins(
+      pairs.select(col("gate_score").as("s"),
+        (col("margin_cents") >= marginThrCents).cast("long").as("p")),
+      "s", "p", binWidth, clamp)
+    val out = pairs
+      .withColumn("bin",
+        expr(Calibration.binExpr("gate_score", binWidth, clamp)))
+      .join(broadcast(fit.select(col("bin"), col("iso_ppb"))),
+        Seq("bin"))
+    out.select((pairs.columns.map(col) ++ Seq(col("bin"),
+      col("iso_ppb"), (col("iso_ppb") >= minPpb).as("kept"))): _*)
+  }
+
   /** Krippendorff's alpha (nominal, two categories) — the agreement
     * stat that, unlike [[fleissKappa]], tolerates MISSING ratings:
     * every unit is rated by however many judges actually covered it,

@@ -85,11 +85,11 @@ object Preference extends QueryModule {
     sb.toString
   }
 
-  /** Shared by q_dpo_pairs and q_dpo_pairs_stream (the pair log's
-    * latest row per context equals the batch pair, so the oracle is
-    * identical). */
-  private val dpoOracle: String =
-    """WITH c AS (
+  /** The DPO pair CTE chain ending in `dp` (every published pair
+    * column) — shared by q_dpo_pairs, q_dpo_pairs_stream, and the
+    * gated composition. */
+  private val dpoCtes: String =
+    """c AS (
              |  SELECT user_id, event_id,
              |    CAST(floor(value * 100) AS BIGINT) AS cents,
              |    event_type || ' k=' || json_extract_string(props, '$.k')
@@ -112,8 +112,8 @@ object Preference extends QueryModule {
              |      AS prompt
              |  FROM c a JOIN c b
              |    ON b.user_id = a.user_id AND b.rn = 2
-             |  WHERE a.rn = 1)
-             |SELECT user_id AS conv_id, chosen_event_id,
+             |  WHERE a.rn = 1),
+             |dp AS (SELECT user_id AS conv_id, chosen_event_id,
              |  rejected_event_id, chosen_cents, rejected_cents,
              |  (chosen_cents - rejected_cents)::BIGINT AS margin_cents,
              |  n_candidates,
@@ -126,7 +126,12 @@ object Preference extends QueryModule {
              |    AS chosen_loss_end,
              |  (length(prompt) + 13 + length(r_content))::BIGINT
              |    AS rejected_loss_end
-             |FROM p""".stripMargin
+             |FROM p)""".stripMargin
+
+  /** Shared by q_dpo_pairs and q_dpo_pairs_stream (the pair log's
+    * latest row per context equals the batch pair, so the oracle is
+    * identical). */
+  private val dpoOracle: String = s"WITH $dpoCtes\nSELECT * FROM dp"
 
   override val queries: Seq[GraftQuery] = Seq(
 
@@ -329,6 +334,64 @@ object Preference extends QueryModule {
             $"loss_start", $"chosen_loss_end", $"rejected_loss_end")
       },
       Some(dpoOracle)),
+
+    // ---- DPO pairs × calibrated gate: the reward-gap + quality-gate
+    //      last mile — each pair's chosen-text length is isotonic-
+    //      calibrated against the margin>=100-cents label and the pair
+    //      keeps iff its CALIBRATED keep-probability clears 0.5; fit is
+    //      one bin-histogram groupBy + value-range PAV, apply is one
+    //      broadcast join (no pair self-join) ----
+    GraftQuery("q_dpo_gated",
+      (s, dir) => graft.operators.Preference.dpoGatedPairs(
+        t(s, dir, "events"), marginThrCents = 100L,
+        minPpb = 500000000L, binWidth = 16L, clamp = 64L),
+      // NOTE: concatenation, not one interpolated stripMargin — the
+      // embedded CTE chain has continuation lines starting with '||'
+      // that a second stripMargin would truncate to '|'
+      Some(s"WITH $dpoCtes,\n" +
+        """g AS (SELECT dp.*,
+             |    length(text_chosen)::BIGINT AS gate_score,
+             |    (margin_cents >= 100)::BIGINT AS posl
+             |  FROM dp),
+             |bn AS MATERIALIZED (
+             |  SELECT greatest(least(
+             |      (CASE WHEN gate_score < 0 THEN -1 ELSE 1 END)
+             |        * (abs(gate_score) // 16), 63), -64)::BIGINT AS bin,
+             |    count(*)::BIGINT AS tot,
+             |    sum(posl)::BIGINT AS pos
+             |  FROM g GROUP BY 1),
+             |ord AS MATERIALIZED (
+             |  SELECT bin, tot, pos,
+             |    row_number() OVER (ORDER BY bin)::BIGINT AS i,
+             |    (sum(tot) OVER (ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |      ::BIGINT AS ct,
+             |    (sum(pos) OVER (ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |      ::BIGINT AS cp
+             |  FROM bn),
+             |pairs AS MATERIALIZED (
+             |  SELECT j.i AS j, k.i AS k,
+             |    ((k.cp - j.cp + j.pos) * 1000000000
+             |     // (k.ct - j.ct + j.tot))::BIGINT AS a
+             |  FROM ord j JOIN ord k ON j.i <= k.i),
+             |sm AS MATERIALIZED (
+             |  SELECT j, k, min(a) OVER (PARTITION BY j ORDER BY k DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+             |  FROM pairs),
+             |iso AS (SELECT k, max(sm)::BIGINT AS iso_ppb FROM sm GROUP BY k),
+             |fit AS (SELECT o.bin, iso.iso_ppb
+             |        FROM ord o JOIN iso ON iso.k = o.i)
+             |SELECT g.conv_id, g.chosen_event_id, g.rejected_event_id,
+             |  g.chosen_cents, g.rejected_cents, g.margin_cents,
+             |  g.n_candidates, g.text_chosen, g.text_rejected,
+             |  g.loss_start, g.chosen_loss_end, g.rejected_loss_end,
+             |  g.gate_score, f.bin, f.iso_ppb,
+             |  (f.iso_ppb >= 500000000) AS kept
+             |FROM g JOIN fit f
+             |  ON f.bin = greatest(least(
+             |      (CASE WHEN g.gate_score < 0 THEN -1 ELSE 1 END)
+             |        * (abs(g.gate_score) // 16), 63), -64)""".stripMargin)),
 
     // ---- Krippendorff's alpha (nominal) with MISSING ratings: judge B
     //      abstains on view events, judge C on every 7th event id, so

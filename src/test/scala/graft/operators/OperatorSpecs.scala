@@ -560,6 +560,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedupKMeans planted-cluster recall floor: >= 80% of true " +
+      "near-dups drop, and NO false drop exists (the IVF precedent " +
+      "making the rows-only registry grade quantitative)") {
+    import spark.implicits._
+    // 8 planted clusters on orthogonal axes of R^8, 5 members each:
+    // member j of cluster c = e_c + 0.05·j·e_{(c+1)%8}. Within-cluster
+    // cosine >= 1/sqrt(1+0.04) ≈ 0.981 > 0.95; cross-cluster cosine
+    // <= 0.2 (the adjacent-axis leakage) << 0.95 — so ground truth is
+    // exactly "all but the min id of each planted cluster are dups".
+    val d = 8
+    val vecs = (for {
+      c <- 0 until 8
+      j <- 0 until 5
+    } yield {
+      val v = Array.fill(d)(0f)
+      v(c) = 1f
+      v((c + 1) % d) = 0.05f * j
+      ((c * 5 + j + 1).toLong, v)
+    }).toDF("vec_id", "embedding")
+    val got = Similarity.semDedupKMeans(vecs, "vec_id", "embedding",
+        nCells = 8, threshold = 0.95, iters = 3)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length === 40)
+    val dropped = got.filterNot(_._3).map(_._1).toSet
+    // true duplicates: every member except each cluster's min id
+    val trueDups = (for {
+      c <- 0 until 8; j <- 1 until 5
+    } yield (c * 5 + j + 1).toLong).toSet
+    // precision must be EXACT: cross-cluster cosines sit far below the
+    // threshold, so any false drop means the quantizer leaked a pair
+    // across planted clusters — impossible by the cosine bound above
+    assert((dropped -- trueDups).isEmpty,
+      s"false drops: ${(dropped -- trueDups).toSeq.sorted}")
+    // recall floor: a planted cluster only loses members if k-means
+    // splits its tight ball across cells — rare by construction
+    val recall = (dropped intersect trueDups).size.toDouble / trueDups.size
+    assert(recall >= 0.8, s"planted-cluster recall $recall < 0.8")
+  }
+
   test("topSpectralDirection converges on the dominant axis, hand trace") {
     import spark.implicits._
     // two rows on e0, one on e1: Gram diag = (2e6, 1e6), /3 sign-safe →
