@@ -316,6 +316,76 @@ object UrlCuration extends QueryModule {
              |    AS kept
              |FROM g""".stripMargin)),
 
+    // ---- FILE-SOURCE streamed domain-quality gate: the same gate
+    //      driven by spark.readStream over parquet FILES (one file per
+    //      trigger) with a CHECKPOINTED RESTART in the middle — chunk 3
+    //      lands while the query is down, the restarted query resumes
+    //      from the checkpoint (source offsets + per-domain state), so
+    //      nothing replays and the final report equals the batch gate
+    //      (shares the PSL oracle VERBATIM). This is the registry's
+    //      production-shaped attach path: no driver-collected
+    //      MemoryStream anywhere in the flow ----
+    GraftQuery("q_domain_quality_gate_files",
+      (s, dir) => {
+        import s.implicits._
+        import graft.streaming.StreamingUrlCuration.DomainGateRow
+        val root =
+          s"/tmp/graft_gate_files/${graft.GraftCatalog.dbFor(dir)}"
+        val in = s"$root/in"
+        val ckpt = s"$root/ckpt"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), expr(urlExpr).as("url"), col("text"))
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        def writeChunk(i: Long): Unit = docs
+          .where(col("doc_id") >= i * maxId / 3 &&
+            col("doc_id") < (i + 1) * maxId / 3)
+          .coalesce(1).write.mode("append").parquet(in)
+        val out = s"$root/out"
+        def run(): Unit = {
+          val stream = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+          val q = graft.streaming.StreamingUrlCuration
+            .domainQualityGateStream(stream, "url", "text",
+              graft.operators.UrlCuration.syntheticPsl(s),
+              minDocs = 3L, minMeanWordsMilli = 54000L)
+            .toDF()
+            .writeStream
+            // memory sink refuses checkpoint recovery; foreachBatch +
+            // parquet is the fault-tolerant production seam
+            .foreachBatch {
+              (df: org.apache.spark.sql.DataFrame, _: Long) =>
+                df.write.mode("append").parquet(out); ()
+            }
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        writeChunk(0); writeChunk(1)
+        run()
+        writeChunk(2) // arrives while the query is DOWN
+        run() // checkpoint resume: only chunk 3 processes
+        s.read.schema(org.apache.spark.sql.Encoders
+            .product[DomainGateRow].schema).parquet(out)
+          .as[DomainGateRow]
+          .groupByKey(_.registrable)
+          .mapGroups((_, rs) => rs.maxBy(_.n_docs))
+          .select(col("registrable"), col("n_docs"), col("sum_words"),
+            col("mean_words_milli"), col("kept"))
+      },
+      Some(s"""WITH $parsePslCte,
+             |nw AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
+             |  w -> w <> ''))::BIGINT AS n_words FROM documents),
+             |g AS (SELECT pu.registrable, count(*)::BIGINT AS n_docs,
+             |        sum(nw.n_words)::BIGINT AS sum_words
+             |      FROM pu JOIN nw USING (doc_id) GROUP BY 1)
+             |SELECT registrable, n_docs, sum_words,
+             |  (sum_words * 1000 // n_docs)::BIGINT AS mean_words_milli,
+             |  (n_docs >= 3 AND (sum_words * 1000 // n_docs) >= 54000)
+             |    AS kept
+             |FROM g""".stripMargin)),
+
     // ---- robots.txt gate (RFC 9309): specific-agent group override,
     //      longest-octet-match precedence with allow-on-tie, `*`
     //      wildcards and `$` anchors compiled to the same LIKE in both

@@ -110,4 +110,75 @@ class StreamingUrlCurationSpec extends SparkSpec {
       assert(keptIds === Set(6L, 4L))
     } finally q.stop()
   }
+
+  test("file-source gate with checkpointed restart: the resumed query " +
+      "replays NOTHING (offsets + per-domain state recover) and the " +
+      "final report equals the batch gate") {
+    import spark.implicits._
+    import StreamingUrlCuration.DomainGateRow
+    val root = "/tmp/graft_gate_files_spec"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"
+    val rows = Seq( // good.org passes; bad.org fails the mean
+      (1L, "https://a.good.org/1", "w1 w2 w3 w4 w5"),
+      (2L, "https://b.good.org/2", "w1 w2 w3 w4 w5 w6"),
+      (3L, "https://good.org/3", "w1 w2 w3 w4"),
+      (4L, "https://bad.org/1", "w1"),
+      (5L, "https://bad.org/2", "w1 w2"),
+      (6L, "https://bad.org/3", "w1"))
+    val rules = Seq(Tuple1("org")).toDF("rule")
+    val all = rows.toDF("doc_id", "url", "text")
+    def writeChunk(take: Int, drop: Int): Unit =
+      all.where($"doc_id" > drop && $"doc_id" <= take)
+        .coalesce(1).write.mode("append").parquet(in)
+    def run(out: String): Unit = {
+      val stream = spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = StreamingUrlCuration.domainQualityGateStream(
+          stream, "url", "text", rules,
+          minDocs = 2L, minMeanWordsMilli = 3000L)
+        .toDF()
+        .writeStream
+        // memory sink refuses checkpoint recovery; foreachBatch +
+        // parquet is the fault-tolerant seam a production attach uses
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def readOut(out: String) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(out)))
+        spark.read.schema(org.apache.spark.sql.Encoders
+          .product[DomainGateRow].schema).parquet(out)
+          .as[DomainGateRow].collect()
+      else Array.empty[DomainGateRow]
+    writeChunk(4, 0) // docs 1-4 in run A
+    run(s"$root/out_a")
+    writeChunk(6, 4) // docs 5-6 land while the query is DOWN
+    run(s"$root/out_b")
+    val a = readOut(s"$root/out_a")
+    val b = readOut(s"$root/out_b")
+    // exactly-once: run B saw ONLY the new chunk — one emission per
+    // touched domain, and bad.org's count CONTINUES from run A's
+    // state (1 there) instead of restarting at 2
+    assert(b.map(_.registrable).sorted.toSeq === Seq("bad.org"))
+    assert(a.filter(_.registrable == "bad.org").map(_.n_docs).max === 1L)
+    assert(b.head.n_docs === 3L,
+      "state must recover across the restart (1 + 2 new docs)")
+    // final report equals the batch gate over everything
+    val got = (a ++ b).groupBy(_.registrable).map(_._2.maxBy(_.n_docs))
+      .map(r => (r.registrable, r.n_docs, r.sum_words,
+        r.mean_words_milli, r.kept)).toSet
+    val want = graft.operators.UrlCuration.domainQualityGate(
+        all, "url", "text", minDocs = 2L, minMeanWordsMilli = 3000L,
+        rules = Some(rules))
+      .selectExpr("registrable", "n_docs", "sum_words",
+        "mean_words_milli", "kept")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(got === want)
+  }
 }
