@@ -80,7 +80,8 @@ object Scratch {
       // Bytes, not NVMe wall time, are the decisive metric (the ER
       // profiler precedent).
       import org.apache.spark.sql.functions._
-      import graft.streaming.{StreamingCleanPack, StreamingCorpusClean}
+      import graft.streaming.{StreamingCleanPack, StreamingCorpusClean,
+        StreamingPacking}
       val fsRoot = "/tmp/graft_cpackprof/state"
       def bytes(path: String): Long = {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -90,16 +91,44 @@ object Scratch {
       StreamingCleanPack.init(spark, fsRoot)
       val docs = Tables.t(spark, dir, "documents")
       val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-      val folds = 6
+      // r13 soak (round-12 VERDICT task 1): `foldsN` raises the fold
+      // count (e.g. `cpackprof folds60`), `crashes` injects protocol
+      // crashes on a fixed rotation — fold%10==3 skips the pack stage
+      // entirely (crash between stage and pack: pending accumulates,
+      // the next fold consumes two folds' dirs), fold%10==7 drops the
+      // max watermark marker after the pack (crash between consume and
+      // marker: the at-risk window stays open until the next fold's
+      // marker heals it), fold%10==9 REPLAYS the previous fold's clean
+      // batch end-to-end (the upstream-source replay: the clean fold's
+      // content-addressed artifacts dedup it to an empty delta).
+      val folds = args.collectFirst {
+        case a if a.startsWith("folds") => a.stripPrefix("folds").toInt
+      }.getOrElse(6)
+      val inject = args.contains("crashes")
       val cb = StreamingCleanPack.cleanBase(fsRoot)
       val pb = StreamingCleanPack.packBase(fsRoot)
       val pp = StreamingCleanPack.pendingPath(fsRoot)
+      val hfs = new org.apache.hadoop.fs.Path(fsRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def count(path: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        if (hfs.exists(p)) hfs.listStatus(p).length else 0
+      }
+      def dropMaxMarker(): Unit = {
+        val d = new org.apache.hadoop.fs.Path(s"$pb/wlog")
+        if (hfs.exists(d)) {
+          val ms = hfs.listStatus(d).map(_.getPath)
+            .flatMap(p => p.getName.stripPrefix("c_").toLongOption
+              .map((_, p)))
+          if (ms.nonEmpty) hfs.delete(ms.maxBy(_._1)._2, false)
+        }
+      }
+      def slice(i: Long) = docs.where(col("doc_id") >= i * maxId / folds &&
+        col("doc_id") < (i + 1) * maxId / folds)
       for (i <- 0L until folds.toLong) {
-        val batch = docs.where(col("doc_id") >= i * maxId / folds &&
-          col("doc_id") < (i + 1) * maxId / folds)
         val t0 = System.nanoTime()
-        StreamingCorpusClean.foldDocs(spark, cb, batch, "doc_id", "text",
-          onNewlyKept =
+        StreamingCorpusClean.foldDocs(spark, cb, slice(i), "doc_id",
+          "text", onNewlyKept =
             Some(d => StreamingCleanPack.stagePending(spark, fsRoot, d)))
         val tClean = (System.nanoTime() - t0) / 1e9
         // what the pack stage is ABOUT to read (delta design: pending +
@@ -109,13 +138,52 @@ object Scratch {
         val newRead = bytes(pp) + bytes(s"$pb/wlog")
         val oldRead = bytes(s"$cb/texts") + bytes(s"$cb/drops") +
           bytes(s"$pb/packed")
+        val nPend = count(pp)
+        val nMark = count(s"$pb/wlog")
+        val crash =
+          if (!inject) ""
+          else if (i % 10 == 3) "skip-pack"
+          else if (i % 10 == 7) "drop-marker"
+          else if (i % 10 == 9) "replay-prev"
+          else ""
         val t1 = System.nanoTime()
-        StreamingCleanPack.packPending(spark, fsRoot, 256, None)
+        if (crash != "skip-pack")
+          StreamingCleanPack.packPending(spark, fsRoot, 256, None)
         val tPack = (System.nanoTime() - t1) / 1e9
+        if (crash == "drop-marker") dropMaxMarker()
+        // r13: periodic clean-artifact compaction (the measured
+        // small-files fix — without it the clean fold drifts linearly
+        // in FOLD COUNT from per-file listing/open cost)
+        if (i % 20 == 19) {
+          val tc = System.nanoTime()
+          StreamingCorpusClean.compact(spark, cb)
+          println(f"CPACK compact_clean at fold=$i%d " +
+            f"took=${(System.nanoTime() - tc) / 1e9}%5.2fs")
+        }
+        if (crash == "replay-prev" && i > 0) {
+          StreamingCorpusClean.foldDocs(spark, cb, slice(i - 1), "doc_id",
+            "text", onNewlyKept =
+              Some(d => StreamingCleanPack.stagePending(spark, fsRoot, d)))
+          StreamingCleanPack.packPending(spark, fsRoot, 256, None)
+        }
         println(f"CPACK fold=$i%d clean=$tClean%6.2fs pack=$tPack%6.2fs " +
           f"pack_read_delta=${newRead / 1024}%8d KB " +
-          f"pack_read_old=${oldRead / 1024}%8d KB")
+          f"pack_read_old=${oldRead / 1024}%8d KB " +
+          f"pend=$nPend%2d markers=$nMark%2d crash=$crash%s")
       }
+      // end-of-soak integrity: packed artifact equals one contiguous
+      // prefix sum (no dup, no gap) — printed, not assumed
+      val rows = StreamingPacking
+        .packed(spark, pb)
+        .select(col("doc_id"), col("n_tokens"), col("offset"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._3)
+      val contiguous = rows.foldLeft((true, 0L)) {
+        case ((ok, next), (_, n, off)) => (ok && off == next, off + n)
+      }._1
+      val dupFree = rows.map(_._1).distinct.length == rows.length
+      println(s"CPACK_SOAK docs=${rows.length} contiguous=$contiguous " +
+        s"dup_free=$dupFree")
     }
     if (args.contains("ngramprof")) {
       import org.apache.spark.sql.functions._
@@ -464,10 +532,12 @@ object Scratch {
     }
 
     val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen",
-      "scalegen30", "erprof", "semladder", "cpackprof", "spatialladder")
+      "scalegen30", "erprof", "semladder", "cpackprof", "spatialladder",
+      "crashes")
     val toTime =
       if (args.isEmpty) defaults
-      else args.toSeq.filterNot(a => a.startsWith("explain:") || modes(a))
+      else args.toSeq.filterNot(a => a.startsWith("explain:") ||
+        a.startsWith("folds") || modes(a))
     for (q <- toTime)
       if (q == "clearcache") spark.catalog.clearCache()
       else if (q == "gc") System.gc()

@@ -222,6 +222,37 @@ object StreamingCorpusClean {
       .join(readOr(spark, dropsPath(base), dropSchema), Seq("doc_id"),
         "left_anti")
 
+  /** Compact the three append-only artifacts (stage-and-swap, the
+    * [[StreamingEval]]/[[StreamingCalibration]] idiom — single-writer
+    * folds). Every `foldDocs` append adds up to a shuffle-width of
+    * part files per artifact, so a LONG fold sequence accumulates
+    * thousands of small files whose per-file listing/open cost grows
+    * linearly in FOLD COUNT even though the data is batch-sized — the
+    * r13 60-fold soak measured the clean fold drifting 6.5 → 13 s
+    * from exactly this. Row contents are unchanged (plain rewrite
+    * into a bounded file count ∝ artifact bytes), so any fold/read
+    * sequence around a compaction is answer-preserving. */
+  def compact(spark: SparkSession, base: String): Unit = {
+    val fs = hadoopFs(spark, base)
+    for ((path, schema) <- Seq(
+        (textsPath(base), textSchema),
+        (bandsPath(base), bandSchema),
+        (dropsPath(base), dropSchema))) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(p)) {
+        val parts = math.max(1L,
+          fs.getContentSummary(p).getLength / (64L << 20)).toInt
+        val tmp = new org.apache.hadoop.fs.Path(path + "_c")
+        spark.read.schema(schema).parquet(path)
+          .coalesce(parts)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(p, true)
+        fs.rename(tmp, p)
+      }
+    }
+    ()
+  }
+
   /** Attach the fold to an archive stream via foreachBatch (at-least-once
     * after recovery; the fold's stored-text anti-join makes replays
     * no-ops). */

@@ -131,4 +131,39 @@ class StreamingCorpusCleanSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(streamed === batchResult())
   }
+
+  test("mid-run artifact compaction is answer-preserving and shrinks " +
+      "the file count (the r13 small-files fix)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = freshBase()
+    StreamingCorpusClean.init(spark, base)
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val thirds = ids.grouped(math.max(1, (ids.length + 2) / 3)).toSeq
+    def files(sub: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    StreamingCorpusClean.foldDocs(spark, base,
+      docs.where(col("doc_id").isin(thirds(0).toSeq: _*))
+        .select(col("doc_id"), col("text")), "doc_id", "text")
+    StreamingCorpusClean.foldDocs(spark, base,
+      docs.where(col("doc_id").isin(thirds(1).toSeq: _*))
+        .select(col("doc_id"), col("text")), "doc_id", "text")
+    val before = files("texts") + files("bands") + files("drops")
+    StreamingCorpusClean.compact(spark, base)
+    val after = files("texts") + files("bands") + files("drops")
+    assert(after < before,
+      s"compaction must shrink the part-file count ($before -> $after)")
+    // folds keep working after the swap, and the final view equals the
+    // batch clean on everything
+    StreamingCorpusClean.foldDocs(spark, base,
+      docs.where(col("doc_id").isin(thirds(2).toSeq: _*))
+        .select(col("doc_id"), col("text")), "doc_id", "text")
+    val streamed = StreamingCorpusClean.cleaned(spark, base)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed === batchResult())
+  }
 }

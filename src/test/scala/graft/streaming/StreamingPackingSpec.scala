@@ -153,6 +153,77 @@ class FoldPendingSpec extends SparkSpec {
     for ((_, n, off) <- rows) { assert(off === next); next = off + n }
   }
 
+  test("property: randomized crash points at EVERY protocol step " +
+      "over a long fold sequence still yield the exact batch prefix " +
+      "sum — no dup, no gap, no lost doc (r13 soak companion)") {
+    // crash model per fold, seeded RNG:
+    //   a) producer replay: the pending dir is staged TWICE (crash
+    //      between stage and fold; content-derived name + overwrite);
+    //   b) post-pack-write crash: after the fold, the max marker is
+    //      removed and the fold's pending dirs are re-staged (packed
+    //      dir committed, consume never ran) — the next fold's at-risk
+    //      anti-join must swallow the replay;
+    //   c) post-delete-pre-marker crash: only the max marker is
+    //      removed (pending consumed) — the at-risk window stays open
+    //      until the next fold's marker heals it;
+    //   plus fold-skipping (pending accumulates across folds).
+    val rnd = new scala.util.Random(20260816L)
+    val base = freshBase()
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dropMaxMarker(): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$base/pack/wlog")
+      if (fs.exists(dir)) {
+        val ms = fs.listStatus(dir).map(_.getPath)
+          .flatMap(p => p.getName.stripPrefix("c_").toLongOption
+            .map((_, p)))
+        if (ms.nonEmpty) fs.delete(ms.maxBy(_._1)._2, false)
+      }
+    }
+    var nextId = 1L
+    val all = Seq.newBuilder[(Long, String)]
+    var lastStaged: Seq[(String, Seq[(Long, String)])] = Seq.empty
+    for (f <- 1 to 30) {
+      // ascending doc_id across folds (the composition contract)
+      val docs = (0 until (1 + rnd.nextInt(4))).map { _ =>
+        val id = nextId; nextId += 1
+        (id, Seq.fill(1 + rnd.nextInt(5))("w").mkString(" "))
+      }
+      all ++= docs
+      val tag = s"d_$f"
+      stage(base, tag, docs)
+      if (rnd.nextInt(4) == 0) stage(base, tag, docs) // (a) replay
+      if (rnd.nextInt(4) == 0) {
+        // crash before the fold ran at all: pending just accumulates
+        lastStaged = Seq((tag, docs))
+      } else {
+        StreamingPacking.foldPending(spark, s"$base/pack",
+          s"$base/pending", wsCount, packSize = 4)
+        rnd.nextInt(3) match {
+          case 0 => // (b): packed committed, consume lost entirely
+            dropMaxMarker()
+            stage(base, tag, docs)
+            lastStaged.foreach { case (t, d) => stage(base, t, d) }
+          case 1 => // (c): pending consumed, marker lost
+            dropMaxMarker()
+          case _ => ()
+        }
+        lastStaged = Seq.empty
+      }
+    }
+    // final drain fold (consumes anything still pending)
+    StreamingPacking.foldPending(spark, s"$base/pack", s"$base/pending",
+      wsCount, packSize = 4)
+    val want = all.result().sortBy(_._1).foldLeft(
+        (Seq.empty[(Long, Long, Long)], 0L)) {
+      case ((acc, off), (id, text)) =>
+        val n = text.split(" ").count(_.nonEmpty).toLong
+        (acc :+ ((id, n, off)), off + n)
+    }._1
+    assert(packedRows(base) === want,
+      "randomized crash/replay sequence must equal the serial prefix sum")
+  }
+
   test("a crash-lost watermark append only widens the at-risk window " +
       "until the next fold heals it") {
     val base = freshBase()
