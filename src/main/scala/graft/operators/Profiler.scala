@@ -144,6 +144,54 @@ object Profiler {
     * distribution is caught with the same exact-ppm TV machinery and
     * no logarithm. Output:
     * `(bin, n_a, n_b, share_a_ppm, share_b_ppm, gap_ppm)`. */
+  /** Population stability index per category, in exact pico units —
+    * the drift number risk teams publish next to [[categoryDrift]]'s
+    * TV distance (PSI weights a share shift by its LOG ratio, so a
+    * category going 1% → 0.1% screams where TV barely moves).
+    *
+    * Exactness discipline: shares are floored ppm, CLAMPED to ≥ 1 ppm
+    * (the standard zero-bin practice — PSI is undefined at zero);
+    * each term is `(sa − sb) · floor(10⁶·ln(sa/sb))` with `sa/sb` a
+    * single correctly-rounded division of exact integers ≤ 10⁶, so
+    * both engines hand ln identical doubles ([[LanguageModel]]'s
+    * micro-nat argument) and the published BIGINT terms sum
+    * order-independently. `Σ psi_term_pico / 10¹²` is the textbook
+    * PSI.
+    *
+    * Distribution shape: identical to [[categoryDrift]] — two
+    * map-side-combinable groupBys, one categories-sized full-outer
+    * join, two 1-row totals broadcast back.
+    *
+    * Output: `(category, n_a, n_b, share_a_ppm, share_b_ppm,
+    * psi_term_pico)` with the CLAMPED shares published (they are the
+    * numbers the term actually used). */
+  def psiDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame =
+    psiFromCounts(categoryCounts(a, catCol), categoryCounts(b, catCol))
+
+  /** The categories-sized half of [[psiDrift]] over two
+    * `(category, cnt)` relations — shared with the streamed monitor
+    * ([[graft.streaming.StreamingDrift.reportPsi]]). */
+  def psiFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("category"), col("cnt").as("n_a"))
+      .join(b.select(col("category"), col("cnt").as("n_b")),
+        Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val totals = broadcast(j.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb")))
+    j.crossJoin(totals)
+      .withColumn("share_a_ppm",
+        expr("greatest(n_a * 1000000L div greatest(__ta, 1L), 1L)"))
+      .withColumn("share_b_ppm",
+        expr("greatest(n_b * 1000000L div greatest(__tb, 1L), 1L)"))
+      .select(col("category"), col("n_a"), col("n_b"),
+        col("share_a_ppm"), col("share_b_ppm"),
+        expr("""(share_a_ppm - share_b_ppm) *
+               | CAST(floor(1000000.0d *
+               |   ln(CAST(share_a_ppm AS DOUBLE)
+               |      / CAST(share_b_ppm AS DOUBLE))) AS BIGINT)"""
+          .stripMargin).as("psi_term_pico"))
+  }
+
   /** The sign-safe truncating bin id for [[numericDrift]] and its
     * streamed twin — shared so a value always lands in the same bin
     * on both sides of the comparison. */

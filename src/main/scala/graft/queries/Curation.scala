@@ -1690,6 +1690,48 @@ object Curation extends QueryModule {
              |  (cw.cum * 1000000 // cw.n_grp)::BIGINT AS ecdf_ppm
              |FROM b JOIN cw USING (source, bin)""".stripMargin)),
 
+    // ---- streamed ECDF normalization: (group, bin) counts are
+    //      ADDITIVE, so three id-range folds append deltas and the
+    //      cumulative window + ppm division rerun read-side —
+    //      normalizing everything folded equals the batch operator
+    //      (shares q_quantile_norm's oracle VERBATIM; a mid-run
+    //      compaction must not change it) ----
+    GraftQuery("q_quantile_norm_stream",
+      (s, dir) => {
+        val base =
+          s"/tmp/graft_ecdf_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingEcdf.init(s, base)
+        val docs = t(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingEcdf.fold(s, base,
+            docs.where(col("doc_id") >= i * maxId / 3 &&
+              col("doc_id") < (i + 1) * maxId / 3),
+            "source", "n_chars", binWidth = 8L, batchTag = Some(i))
+          if (i == 1L) // mid-run compaction is answer-preserving
+            graft.streaming.StreamingEcdf.compact(s, base)
+        }
+        graft.streaming.StreamingEcdf.normalize(s, base, docs,
+          "doc_id", "source", "n_chars", binWidth = 8L)
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source, n_chars,
+             |    ((CASE WHEN n_chars < 0 THEN -1 ELSE 1 END)
+             |     * (abs(n_chars) // 8))::BIGINT AS bin
+             |  FROM documents),
+             |c AS (SELECT source, bin, count(*)::BIGINT AS c
+             |      FROM b GROUP BY 1, 2),
+             |cw AS (SELECT source, bin,
+             |    (sum(c) OVER (PARTITION BY source ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW))::BIGINT AS cum,
+             |    (sum(c) OVER (PARTITION BY source))::BIGINT AS n_grp
+             |  FROM c)
+             |SELECT b.doc_id AS id, b.source AS "group",
+             |  b.n_chars AS score, b.bin, cw.n_grp,
+             |  (cw.cum * 1000000 // cw.n_grp)::BIGINT AS ecdf_ppm
+             |FROM b JOIN cw USING (source, bin)""".stripMargin)),
+
     // ---- CCNet-style perplexity filter: stupid-backoff bigram LM
     //      trained on the even-doc_id half, scoring the held-out odd
     //      half in integer micro-nats (floor(1e6*ln S) per position, so

@@ -487,6 +487,50 @@ object Pipeline extends QueryModule {
              |  (r.v < c.lo_cut OR r.v > c.hi_cut)::BIGINT AS clipped
              |FROM r CROSS JOIN c""".stripMargin)),
 
+    // ---- streamed winsorization: observations arrive in three
+    //      id-range folds, each appending its ADDITIVE value
+    //      histogram; the read side recovers BOTH exact rank cuts
+    //      (batch clamp-to-[1,n] k rule) as the first histogram
+    //      values whose running count reaches each k, so clamping
+    //      everything seen equals the batch operator VERBATIM
+    //      (shares q_winsorize's oracle; mid-run compaction must not
+    //      change it) ----
+    GraftQuery("q_winsorize_stream",
+      (s, dir) => {
+        val base =
+          s"/tmp/graft_wins_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingWinsorize.init(s, base)
+        val ev = t(s, dir, "events")
+        val maxId = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingWinsorize.fold(s, base,
+            ev.where(col("event_id") >= i * maxId / 3 &&
+              col("event_id") < (i + 1) * maxId / 3),
+            "value", batchTag = Some(i))
+          if (i == 1L) // mid-run compaction is answer-preserving
+            graft.streaming.StreamingWinsorize.compact(s, base)
+        }
+        graft.streaming.StreamingWinsorize.winsorized(s, base, ev,
+          "event_id", "value", loPpm = 10000L, hiPpm = 990000L)
+      },
+      Some("""WITH r AS (
+             |  SELECT event_id AS id, value AS v,
+             |    row_number() OVER (ORDER BY value, event_id) AS rnk,
+             |    count(*) OVER ()::BIGINT AS n
+             |  FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT
+             |    min(CASE WHEN rnk = greatest(least(
+             |      (n * 10000 + 999999) // 1000000, n), 1)
+             |      THEN v END) AS lo_cut,
+             |    max(CASE WHEN rnk = greatest(least(
+             |      (n * 990000 + 999999) // 1000000, n), 1)
+             |      THEN v END) AS hi_cut
+             |  FROM r)
+             |SELECT r.id, r.v AS value, c.lo_cut, c.hi_cut,
+             |  least(greatest(r.v, c.lo_cut), c.hi_cut) AS winsorized,
+             |  (r.v < c.lo_cut OR r.v > c.hi_cut)::BIGINT AS clipped
+             |FROM r CROSS JOIN c""".stripMargin)),
+
     // ---- burst suppression: drop events repeating within 1 HOUR of
     //      the PREVIOUS raw event per (user, type) — retry/duplicate
     //      rate limiting (threshold sized to the fixture's gap

@@ -30,6 +30,29 @@ object Warehouse extends QueryModule {
         when(col("o_orderkey") % 7 === 0, round(col("o_totalprice") * 2, 2))
           .otherwise(col("o_totalprice")))
 
+  /** Shared by q_psi_drift and q_psi_drift_stream (the streamed fold
+    * reruns the identical read-side arithmetic). */
+  private val psiOracle: String =
+    """WITH a AS (SELECT source AS category, count(*)::BIGINT AS n_a
+      |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      |b AS (SELECT source AS category, count(*)::BIGINT AS n_b
+      |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT category, coalesce(n_a, 0) AS n_a,
+      |    coalesce(n_b, 0) AS n_b
+      |  FROM a FULL OUTER JOIN b USING (category)),
+      |t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb
+      |      FROM j),
+      |sh AS (SELECT category, n_a, n_b,
+      |    greatest(n_a * 1000000 // greatest(ta, 1), 1)::BIGINT AS sa,
+      |    greatest(n_b * 1000000 // greatest(tb, 1), 1)::BIGINT AS sb
+      |  FROM j CROSS JOIN t)
+      |SELECT category, n_a, n_b,
+      |  sa AS share_a_ppm, sb AS share_b_ppm,
+      |  ((sa - sb) * CAST(floor(1000000.0 *
+      |      ln(sa::DOUBLE / sb::DOUBLE)) AS BIGINT))::BIGINT
+      |    AS psi_term_pico
+      |FROM sh""".stripMargin
+
   override val queries: Seq[GraftQuery] = Seq(
 
     // ---- k-anonymity release gate: rows whose (segment, nation) group
@@ -259,6 +282,41 @@ object Warehouse extends QueryModule {
              |    - n_b * 1000000 // greatest(tb, 1))::BIGINT AS gap_ppm
              |FROM j CROSS JOIN t""".stripMargin)),
 
+    // ---- PSI drift: the log-weighted sibling of the TV monitor — a
+    //      category going 1% → 0.1% screams where TV barely moves;
+    //      shares clamped to >= 1 ppm (the standard zero-bin rule),
+    //      each term (sa−sb)·floor(1e6·ln(sa/sb)) with the ln argument
+    //      one exact-integer division (the micro-nat discipline) ----
+    GraftQuery("q_psi_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Profiler.psiDrift(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "source")
+      },
+      Some(psiOracle)),
+
+    // ---- streamed PSI drift: the SAME fold artifact as the TV
+    //      stream (monitors compose over one fold stream), read-side
+    //      PSI arithmetic — shares q_psi_drift's oracle verbatim ----
+    GraftQuery("q_psi_drift_stream",
+      (s, dir) => {
+        val base =
+          s"/tmp/graft_psi_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingDrift.init(s, base)
+        val docs = t(s, dir, "documents")
+        val live = docs.where(col("doc_id") % 2 === 1)
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L)
+          graft.streaming.StreamingDrift.fold(s, base,
+            live.where(col("doc_id") >= i * maxId / 3 &&
+              col("doc_id") < (i + 1) * maxId / 3),
+            "source", batchTag = Some(i))
+        graft.streaming.StreamingDrift.reportPsi(s, base,
+          docs.where(col("doc_id") % 2 === 0), "source")
+      },
+      Some(psiOracle)),
+
     // ---- streamed categorical drift: the LIVE side arrives in three
     //      id-range folds, each appending its ADDITIVE category-count
     //      delta; the share/TV arithmetic reruns read-side against the
@@ -277,7 +335,7 @@ object Warehouse extends QueryModule {
           graft.streaming.StreamingDrift.fold(s, base,
             live.where(col("doc_id") >= i * maxId / 3 &&
               col("doc_id") < (i + 1) * maxId / 3),
-            "source")
+            "source", batchTag = Some(i))
           if (i == 1L) // mid-run compaction is answer-preserving
             graft.streaming.StreamingDrift.compact(s, base)
         }
@@ -317,7 +375,7 @@ object Warehouse extends QueryModule {
           graft.streaming.StreamingDrift.foldNumeric(s, base,
             live.where(col("doc_id") >= i * maxId / 3 &&
               col("doc_id") < (i + 1) * maxId / 3),
-            "n_chars", binWidth = 64L)
+            "n_chars", binWidth = 64L, batchTag = Some(i))
         graft.streaming.StreamingDrift.reportNumeric(s, base,
           docs.where(col("doc_id") % 2 === 0), "n_chars", binWidth = 64L)
       },

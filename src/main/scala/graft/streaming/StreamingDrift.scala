@@ -111,6 +111,16 @@ object StreamingDrift {
       graft.operators.Profiler.categoryCounts(reference, catCol),
       merged(spark, base))
 
+  /** The PSI sibling — the batch
+    * [[graft.operators.Profiler.psiDrift]] output shape against the
+    * folded live histogram (same artifact, different read-side
+    * arithmetic: the monitors compose over one fold stream). */
+  def reportPsi(spark: SparkSession, base: String, reference: DataFrame,
+      catCol: String): DataFrame =
+    graft.operators.Profiler.psiFromCounts(
+      graft.operators.Profiler.categoryCounts(reference, catCol),
+      merged(spark, base))
+
   /** The numeric sibling — the batch `numericDrift` output shape
     * (`bin` BIGINT) against the folded live histogram. */
   def reportNumeric(spark: SparkSession, base: String,

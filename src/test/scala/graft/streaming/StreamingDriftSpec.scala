@@ -69,6 +69,40 @@ class StreamingDriftSpec extends SparkSpec {
     assert(s4._3 === 0L && s4._2 > 0L)
   }
 
+  test("PSI report over the SAME fold artifact equals the batch " +
+      "psiDrift; zero-count sides ride the 1-ppm clamp, never ln(0)") {
+    import spark.implicits._
+    val b = base("psi")
+    StreamingDrift.init(spark, b)
+    // deliberately salted: the 25-row chunks of this fixture have
+    // IDENTICAL category histograms, so unsalted content tags would
+    // alias them as a replay — the exact trap the object doc warns
+    // about, and the batchTag remedy demonstrated
+    live.grouped(25).zipWithIndex.foreach { case (f, i) =>
+      StreamingDrift.fold(spark, b, f.toDF("id", "cat"), "cat",
+        batchTag = Some(i.toLong))
+    }
+    val got = StreamingDrift.reportPsi(spark, b, ref.toDF("id", "cat"),
+        "cat")
+      .selectExpr("category", "share_a_ppm", "share_b_ppm",
+        "psi_term_pico")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = graft.operators.Profiler.psiDrift(
+        ref.toDF("id", "cat"), live.toDF("id", "cat"), "cat")
+      .selectExpr("category", "share_a_ppm", "share_b_ppm",
+        "psi_term_pico")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+    // s4 is ref-only: live share clamps to 1 ppm and the term equals
+    // the hand formula (sa - 1)·floor(1e6·ln(sa))
+    val s4 = got.find(_._1 == "s4").get
+    assert(s4._3 === 1L)
+    assert(s4._4 === (s4._2 - 1L) *
+      math.floor(1e6 * math.log(s4._2.toDouble)).toLong)
+    // every term is non-negative: (sa-sb) and ln(sa/sb) share a sign
+    assert(got.forall(_._4 >= 0L))
+  }
+
   test("numeric fold shares the batch sign-safe binning (including " +
       "negatives) and the report casts bins back to BIGINT") {
     import spark.implicits._
