@@ -89,6 +89,74 @@ object Profiler {
           .cast("long").as("clipped"))
   }
 
+  /** Per-GROUP winsorization — [[winsorize]] with one pair of exact
+    * rank cuts per group (per-language / per-domain clipping: a global
+    * p99 calibrated mostly on English clips every long-tailed minority
+    * language at the wrong place; order statistics only transfer
+    * WITHIN a group — the conformalGateByGroup argument applied to
+    * robust clipping).
+    *
+    * Distribution shape: corpus work is ONE map-side-combinable
+    * groupBy to the `(group, value)` histogram; the per-group
+    * cumulative window runs on that aggregated relation (groups ×
+    * distinct values — value-range-sized, the ecdfNormalize
+    * precedent); cuts are a groups-sized relation joined back on the
+    * group key. Same exact `clamp(ceil(n·ppm/10⁶), 1, n)` rank rule
+    * as the global operator, applied per group.
+    *
+    * Output: `(id, group, value, lo_cut, hi_cut, winsorized,
+    * clipped)`. */
+  def winsorizeByGroup(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, loPpm: Long = 10000L,
+      hiPpm: Long = 990000L): DataFrame = {
+    require(loPpm >= 0 && hiPpm <= 1000000L && loPpm <= hiPpm,
+      s"need 0 <= loPpm <= hiPpm <= 1e6 (got $loPpm, $hiPpm)")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(groupCol).cast("string").as("group"),
+        col(valueCol).as("v"))
+      .where(col("v").isNotNull)
+    val hist = base.groupBy(col("group"), col("v"))
+      .agg(count(lit(1)).as("__c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cuts = hist
+      .withColumn("__cum", sum(col("__c")).over(wc))
+      .join(hist.groupBy(col("group")).agg(sum(col("__c")).as("__n")),
+        Seq("group"))
+      .withColumn("__klo", expr(
+        s"greatest(least((__n * ${loPpm}L + 999999L) div 1000000L, __n), 1L)"))
+      .withColumn("__khi", expr(
+        s"greatest(least((__n * ${hiPpm}L + 999999L) div 1000000L, __n), 1L)"))
+      .groupBy(col("group"))
+      .agg(min(when(col("__cum") >= col("__klo"), col("v"))).as("lo_cut"),
+        min(when(col("__cum") >= col("__khi"), col("v"))).as("hi_cut"))
+    base.join(cuts, Seq("group"))
+      .select(col("id"), col("group"), col("v").as("value"),
+        col("lo_cut"), col("hi_cut"),
+        least(greatest(col("v"), col("lo_cut")), col("hi_cut"))
+          .as("winsorized"),
+        (col("v") < col("lo_cut") || col("v") > col("hi_cut"))
+          .cast("long").as("clipped"))
+  }
+
+  /** [[psiDrift]] over numeric VALUE BINS — the fourth cell of the
+    * drift matrix ({TV, PSI} × {categorical, numeric}): the sign-safe
+    * [[driftBinExpr]] binning with the PSI read-side arithmetic, so a
+    * shifted tail that TV under-weights is caught with the same
+    * exact-pico machinery. Output: the [[psiDrift]] shape with `bin`
+    * BIGINT. */
+  def psiNumericDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      binWidth: Long): DataFrame = {
+    def binned(df: DataFrame) = df.select(
+      expr(driftBinExpr(valueCol, binWidth)).as("category"))
+    psiDrift(binned(a), binned(b), "category")
+      .withColumnRenamed("category", "bin")
+      .withColumn("bin", col("bin").cast("long"))
+  }
+
   /** Categorical drift between two snapshots — the data-quality
     * monitor a pipeline runs between ingests ("did the source mix
     * shift?"): each snapshot's category shares in exact ppm plus the

@@ -427,4 +427,40 @@ object UrlCuration {
         coalesce(col("n_sitemaps"), lit(0L)).as("n_sitemaps"),
         coalesce(col("sitemaps"), lit("")).as("sitemaps"))
   }
+
+  /** Politeness scheduler — [[robotsPolicy]] composed with the
+    * frontier: every URL gets its per-host fetch sequence number and
+    * the earliest offset (ms from the host's first fetch) at which a
+    * polite crawler may issue it under the host's crawl-delay. Hosts
+    * without a policy row (or without a valid delay) schedule at
+    * offset 0 — robots is opt-out, the [[robotsGate]] fail-open rule.
+    *
+    * Distribution shape: URL parse map-side; the policy relation is
+    * hosts-sized and joined on the host key; the per-host sequence is
+    * [[Packing.rankWithinGroups]] (range-split + offset composition —
+    * one hot host with a billion frontier URLs never funnels one
+    * task); the offset is one per-row multiply.
+    *
+    * Output: `(id, host, fetch_seq, crawl_delay_ms,
+    * scheduled_offset_ms)` with `fetch_seq` ordered by `idCol`
+    * (frontier discovery order — ids are the crawl's arrival
+    * sequence, the same contract as [[domainCap]]'s `orderCol`). */
+  def crawlSchedule(urls: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame, agent: String): DataFrame = {
+    val parsed = canonicalize(
+      urls.select(col(idCol).cast("long").as("id"),
+        col(urlCol).as("url")), "url")
+      .select(col("id"), col("host"))
+    val delays = robotsPolicy(rules, agent)
+      .select(col("host"), col("crawl_delay_ms"))
+    val ranked = Packing.rankWithinGroups(
+      parsed.join(delays, Seq("host"), "left"), "host", "id",
+      rankCol = "fetch_seq")
+    ranked.select(col("id"), col("host"),
+      col("fetch_seq").cast("long").as("fetch_seq"),
+      coalesce(col("crawl_delay_ms"), lit(0L)).as("crawl_delay_ms"),
+      ((col("fetch_seq") - 1L) *
+        coalesce(col("crawl_delay_ms"), lit(0L)))
+        .as("scheduled_offset_ms"))
+  }
 }

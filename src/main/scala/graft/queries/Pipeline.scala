@@ -487,6 +487,36 @@ object Pipeline extends QueryModule {
              |  (r.v < c.lo_cut OR r.v > c.hi_cut)::BIGINT AS clipped
              |FROM r CROSS JOIN c""".stripMargin)),
 
+    // ---- per-GROUP winsorization: one exact rank-cut pair per event
+    //      type (a global p95 calibrated on the majority type clips
+    //      minority types at the wrong place — the conformalByGroup
+    //      argument applied to robust clipping); corpus work is one
+    //      (group, value) histogram groupBy, the cum window runs on
+    //      the aggregated value-range-sized relation ----
+    GraftQuery("q_winsorize_by_group",
+      (s, dir) => graft.operators.Profiler.winsorizeByGroup(
+        t(s, dir, "events"), "event_id", "event_type", "value",
+        loPpm = 50000L, hiPpm = 950000L),
+      Some("""WITH r AS (
+             |  SELECT event_id AS id, event_type AS grp, value AS v,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value, event_id) AS rnk,
+             |    count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+             |  FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT grp,
+             |    min(CASE WHEN rnk = greatest(least(
+             |      (n * 50000 + 999999) // 1000000, n), 1)
+             |      THEN v END) AS lo_cut,
+             |    max(CASE WHEN rnk = greatest(least(
+             |      (n * 950000 + 999999) // 1000000, n), 1)
+             |      THEN v END) AS hi_cut
+             |  FROM r GROUP BY 1)
+             |SELECT r.id, r.grp AS "group", r.v AS value,
+             |  c.lo_cut, c.hi_cut,
+             |  least(greatest(r.v, c.lo_cut), c.hi_cut) AS winsorized,
+             |  (r.v < c.lo_cut OR r.v > c.hi_cut)::BIGINT AS clipped
+             |FROM r JOIN c USING (grp)""".stripMargin)),
+
     // ---- streamed winsorization: observations arrive in three
     //      id-range folds, each appending its ADDITIVE value
     //      histogram; the read side recovers BOTH exact rank cuts

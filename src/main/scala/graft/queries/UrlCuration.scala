@@ -102,6 +102,19 @@ object UrlCuration extends QueryModule {
       ("e.gov", "graftbot", "crawl-delay", "-4"),
       ("e.gov", "graftbot", "disallow", "/z"))
 
+  /** q_crawl_schedule's delay fixture over the urlExpr hosts: a
+    * specific-group delay beating a slower `*` one (news), a plain
+    * `*` delay (co.uk), an invalid value (cdn → 0), a host with rules
+    * but no delay (com.au → 0); the remaining fixture hosts have no
+    * rules at all (opt-out → 0). */
+  private val crawlDelayRules: Seq[(String, String, String, String)] =
+    Seq(
+      ("news.example.com", "GraftBot", "crawl-delay", "2"),
+      ("news.example.com", "*", "crawl-delay", "9"),
+      ("www.example.co.uk", "*", "crawl-delay", "5"),
+      ("cdn.example.org", "*", "crawl-delay", "oops"),
+      ("blog.example.com.au", "*", "disallow", "/x"))
+
   /** Oracle CTEs mirroring the operator's four-regex grammar +
     * canonical rules: the shared prefix yields `p1(doc_id, url,
     * scheme, host, port, path, query, keep_port, canon_q, canon_p,
@@ -522,6 +535,52 @@ object UrlCuration extends QueryModule {
            |LEFT JOIN ha USING (host)
            |LEFT JOIN pa USING (host)
            |LEFT JOIN mp USING (host)""".stripMargin
+      }),
+
+    // ---- politeness scheduler: robotsPolicy × the frontier — every
+    //      URL gets its per-host fetch sequence (rankWithinGroups, no
+    //      per-host window) and earliest polite offset under the
+    //      host's crawl-delay (specific group beats *, invalid delays
+    //      and rule-less hosts fail open to 0) ----
+    GraftQuery("q_crawl_schedule",
+      (s, dir) => graft.operators.UrlCuration.crawlSchedule(
+        urlDocs(s, dir), "doc_id", "url",
+        s.createDataFrame(crawlDelayRules)
+          .toDF("host", "agent", "directive", "value"),
+        agent = "GraftBot"),
+      Some {
+        val vals = crawlDelayRules.map { case (h, a, d, v) =>
+          s"('$h', '$a', '$d', '$v')"
+        }.mkString(",\n       ")
+        s"""WITH $parsePrefixCte,
+           |rules AS (SELECT * FROM (VALUES
+           |       $vals) t(host, agent, directive, value)),
+           |rl AS (SELECT lower(host) AS host, lower(agent) AS agent,
+           |    lower(directive) AS directive, value
+           |  FROM rules),
+           |g AS (SELECT * FROM rl
+           |      WHERE directive IN ('allow', 'disallow', 'crawl-delay')),
+           |ha AS (SELECT host,
+           |    max((agent = 'graftbot')::INT) AS has_spec
+           |  FROM g GROUP BY 1),
+           |grp AS (SELECT g.* FROM g JOIN ha USING (host)
+           |  WHERE (g.agent = 'graftbot' AND ha.has_spec = 1)
+           |     OR (g.agent = '*' AND ha.has_spec = 0)),
+           |pa AS (SELECT host,
+           |    min(CASE WHEN directive = 'crawl-delay'
+           |          AND try_cast(value AS BIGINT) >= 0
+           |        THEN least(try_cast(value AS BIGINT), 86400) END)
+           |      AS cd
+           |  FROM grp GROUP BY 1),
+           |r AS (SELECT doc_id AS id, host,
+           |    row_number() OVER (PARTITION BY host ORDER BY doc_id)
+           |      ::BIGINT AS fetch_seq
+           |  FROM p1)
+           |SELECT r.id, r.host, r.fetch_seq,
+           |  coalesce(pa.cd * 1000, 0)::BIGINT AS crawl_delay_ms,
+           |  ((r.fetch_seq - 1) * coalesce(pa.cd * 1000, 0))::BIGINT
+           |    AS scheduled_offset_ms
+           |FROM r LEFT JOIN pa USING (host)""".stripMargin
       }),
 
     // ---- blocklist gate: broadcast anti-join on registrable domain ----

@@ -296,6 +296,41 @@ object Warehouse extends QueryModule {
       },
       Some(psiOracle)),
 
+    // ---- numeric PSI drift: the fourth cell of the drift matrix
+    //      ({TV, PSI} × {categorical, numeric}) — sign-safe value bins
+    //      with the exact-pico PSI arithmetic ----
+    GraftQuery("q_psi_numeric",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Profiler.psiNumericDrift(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "n_chars",
+          binWidth = 64L)
+      },
+      Some("""WITH a AS (SELECT ((CASE WHEN n_chars < 0 THEN -1 ELSE 1
+             |      END) * (abs(n_chars) // 64))::BIGINT AS bin,
+             |    count(*)::BIGINT AS n_a
+             |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |b AS (SELECT ((CASE WHEN n_chars < 0 THEN -1 ELSE 1
+             |      END) * (abs(n_chars) // 64))::BIGINT AS bin,
+             |    count(*)::BIGINT AS n_b
+             |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+             |j AS (SELECT bin, coalesce(n_a, 0) AS n_a,
+             |    coalesce(n_b, 0) AS n_b
+             |  FROM a FULL OUTER JOIN b USING (bin)),
+             |t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb
+             |      FROM j),
+             |sh AS (SELECT bin, n_a, n_b,
+             |    greatest(n_a * 1000000 // greatest(ta, 1), 1)::BIGINT AS sa,
+             |    greatest(n_b * 1000000 // greatest(tb, 1), 1)::BIGINT AS sb
+             |  FROM j CROSS JOIN t)
+             |SELECT bin, n_a, n_b,
+             |  sa AS share_a_ppm, sb AS share_b_ppm,
+             |  ((sa - sb) * CAST(floor(1000000.0 *
+             |      ln(sa::DOUBLE / sb::DOUBLE)) AS BIGINT))::BIGINT
+             |    AS psi_term_pico
+             |FROM sh""".stripMargin)),
+
     // ---- streamed PSI drift: the SAME fold artifact as the TV
     //      stream (monitors compose over one fold stream), read-side
     //      PSI arithmetic — shares q_psi_drift's oracle verbatim ----

@@ -84,4 +84,66 @@ class ProfilerSpec extends SparkSpec {
       (0L, 2L, 1L, 333333L),
       (1L, 1L, 2L, 333333L)))
   }
+
+  test("psiDrift hand case: clamped shares, exact micro-nat terms, " +
+      "symmetric distributions give symmetric non-negative terms") {
+    import spark.implicits._
+    val a = Seq("x", "x", "x", "y").map(Tuple1(_)).toDF("c")
+    val b = Seq("x", "y", "y", "z").map(Tuple1(_)).toDF("c")
+    val got = Profiler.psiDrift(a, b, "c")
+      .selectExpr("category", "share_a_ppm", "share_b_ppm",
+        "psi_term_pico")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    def term(sa: Long, sb: Long): Long =
+      (sa - sb) * math.floor(1e6 *
+        math.log(sa.toDouble / sb.toDouble)).toLong
+    assert(got.toSeq === Seq(
+      ("x", 750000L, 250000L, term(750000L, 250000L)),
+      ("y", 250000L, 500000L, term(250000L, 500000L)),
+      ("z", 1L, 250000L, term(1L, 250000L)))) // zero side clamps to 1
+    assert(got.forall(_._4 >= 0L))
+  }
+
+  test("psiNumericDrift equals psiDrift over the sign-safe bins") {
+    import spark.implicits._
+    val a = Seq(3L, 7L, 15L, -12L).map(Tuple1(_)).toDF("v")
+    val b = Seq(9L, 12L, 19L, -3L).map(Tuple1(_)).toDF("v")
+    val got = Profiler.psiNumericDrift(a, b, "v", binWidth = 10L)
+      .selectExpr("bin", "psi_term_pico")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val want = Profiler.psiDrift(
+        a.selectExpr("(CASE WHEN v < 0 THEN -1 ELSE 1 END) " +
+          "* (abs(v) div 10) AS c"),
+        b.selectExpr("(CASE WHEN v < 0 THEN -1 ELSE 1 END) " +
+          "* (abs(v) div 10) AS c"), "c")
+      .selectExpr("CAST(category AS LONG) AS bin", "psi_term_pico")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+    assert(got.exists(_._1 == -1L), "negative bin must be present")
+  }
+
+  test("winsorizeByGroup: per-group exact rank cuts — each group " +
+      "clips at its OWN p10/p90, and the heavy tail clamps to its " +
+      "group's cut, not a global one") {
+    import spark.implicits._
+    // group g1: 1..10 (tight); g2: 1..9 and 1000 (heavy tail)
+    val rows = (1L to 10L).map(i => (i, "g1", i.toDouble)) ++
+      (1L to 9L).map(i => (i + 100L, "g2", i.toDouble)) :+
+      ((110L, "g2", 1000.0))
+    val got = Profiler.winsorizeByGroup(
+        rows.toDF("id", "grp", "v"), "id", "grp", "v",
+        loPpm = 100000L, hiPpm = 900000L)
+      .selectExpr("id", "group", "value", "lo_cut", "hi_cut",
+        "winsorized", "clipped")
+      .as[(Long, String, Double, Double, Double, Double, Long)]
+      .collect()
+    val g1 = got.filter(_._2 == "g1")
+    // n=10: klo = ceil(10*0.1)=1 -> lo_cut=1; khi = ceil(10*0.9)=9
+    assert(g1.forall(r => r._4 === 1.0 && r._5 === 9.0))
+    assert(g1.count(_._7 == 1L) === 1) // only value 10 clips
+    val g2 = got.filter(_._2 == "g2")
+    assert(g2.forall(r => r._4 === 1.0 && r._5 === 9.0))
+    val tail = g2.find(_._1 == 110L).get
+    assert(tail._6 === 9.0 && tail._7 === 1L) // 1000 clamps to g2's p90
+  }
 }

@@ -186,6 +186,32 @@ class UrlCurationSpec extends SparkSpec {
       "https://d.io/s.xml")))
   }
 
+  test("crawlSchedule: per-host fetch sequence × group-scoped delay; " +
+      "rule-less and invalid-delay hosts schedule at offset 0") {
+    import spark.implicits._
+    val rules = Seq(
+      ("a.com", "mybot", "crawl-delay", "2"),
+      ("a.com", "*", "crawl-delay", "9"), // must not leak
+      ("b.org", "*", "crawl-delay", "oops")) // invalid -> 0
+    val urls = Seq(
+      (1L, "https://a.com/x"), (2L, "https://a.com/y"),
+      (3L, "https://a.com/z"), (4L, "https://b.org/1"),
+      (5L, "https://b.org/2"), (6L, "https://c.net/only"))
+    val got = UrlCuration.crawlSchedule(urls.toDF("id", "url"),
+        "id", "url",
+        rules.toDF("host", "agent", "directive", "value"), "MyBot")
+      .selectExpr("id", "host", "fetch_seq", "crawl_delay_ms",
+        "scheduled_offset_ms")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "a.com", 1L, 2000L, 0L)))
+    assert(got(2L) === ((2L, "a.com", 2L, 2000L, 2000L)))
+    assert(got(3L) === ((3L, "a.com", 3L, 2000L, 4000L)))
+    assert(got(4L) === ((4L, "b.org", 1L, 0L, 0L)))
+    assert(got(5L) === ((5L, "b.org", 2L, 0L, 0L)))
+    assert(got(6L) === ((6L, "c.net", 1L, 0L, 0L)))
+  }
+
   test("robotsPolicy: oversized delays cap at 86400 s") {
     import spark.implicits._
     val got = UrlCuration.robotsPolicy(
