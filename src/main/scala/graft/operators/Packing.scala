@@ -227,14 +227,16 @@ object Packing {
     val ord = rowValueOrdering(keyType)
     val keys = sampled.map(_.get(1)).sortWith((a, b) => ord.compare(a, b) < 0)
     val n = keys.length
-    val splitters = (1 until parts)
-      .map(i => keys((i.toLong * n / parts).toInt.min(n - 1)))
-      .distinct
-      .filter(_ != null)
+    val splitters =
+      if (n == 0) Seq.empty
+      else (1 until parts)
+        .map(i => keys((i.toLong * n / parts).toInt.min(n - 1)))
+        .distinct
+        .filter(_ != null)
     // __pid = number of splitters <= key: a monotone, codegen'd
     // constant-comparison chain (≤ P−1 lexicographic struct compares)
     val pid =
-      if (n == 0 || splitters.isEmpty) lit(0)
+      if (splitters.isEmpty) lit(0)
       else splitters.map { s =>
         val (gt, eq) = cmpLit(key, s, keyType)
         when(gt || eq, 1).otherwise(0)
