@@ -159,13 +159,18 @@ object Calibration {
     * by id cannot change it); `k` uses ceil-division on non-negative
     * terms (floor == truncation in both engines).
     *
-    * Distribution shape (the 100 TB contract): the exact rank runs on
-    * the CALIBRATION slice only — a labeled holdout, sampled-slice-
-    * sized by definition, ranked by the two-phase
-    * [[Packing.rankWithinGroups]] (range partition + offset, never a
-    * one-reducer sort — the Winsorize precedent); the threshold is a
-    * 1-row relation broadcast back; the gate itself is one map-side
-    * comparison over the corpus.
+    * Distribution shape (the 100 TB contract, r13 rewrite): the
+    * threshold VALUE is all the gate needs — the construction is ONE
+    * map-side-combinable groupBy of the calibration slice to its
+    * nonconformity-value histogram, a cumulative window over that
+    * value-range-sized relation (the [[conformalGateByGroup]] /
+    * ecdfNormalize machinery under a constant group), a 1-row
+    * threshold relation broadcast back; the gate itself is one
+    * map-side comparison over the corpus. (The former two-phase-rank
+    * formulation computed a slice-wide per-row rank the gate then
+    * discarded, and re-derived it per plan reference once the rank
+    * went persist-free — the k-th smallest VALUE is identical either
+    * way, so oracles are unchanged.)
     *
     * Output: `(id, nonconf, is_cal, thr, n_cal, kept)`, one row per
     * input row (calibration rows gate themselves too — their keep
@@ -177,19 +182,24 @@ object Calibration {
     val base = rows.select(col(idCol).cast("long").as("id"),
       col(nonconfCol).cast("long").as("nonconf"),
       col(calCol).cast("boolean").as("is_cal"))
-    val ranked = Packing.rankWithinGroups(
-      base.where(col("is_cal"))
-        .withColumn("__g", lit(1))
-        .withColumn("__k", struct(col("nonconf"), col("id"))),
-      "__g", "__k")
-    val n = broadcast(ranked.agg(count(lit(1)).as("n_cal")))
+    val hist = base.where(col("is_cal"))
+      .groupBy(col("nonconf")).agg(count(lit(1)).as("__c"))
+    val wc = Window.orderBy(col("nonconf"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wc))
+    val n = broadcast(cum.agg(coalesce(max(col("__cum")), lit(0L))
+      .as("n_cal")))
     val keepPpm = 1000000L - alphaPpm
-    val thr = broadcast(ranked.crossJoin(n)
+    val thr = broadcast(cum.crossJoin(n)
+      .where(col("n_cal") > 0L)
       .withColumn("__k_raw", expr(
         s"((n_cal + 1L) * ${keepPpm}L + 999999L) div 1000000L"))
-      .where(col("rnk") === least(col("__k_raw"), col("n_cal")))
-      .agg(max(when(col("__k_raw") <= col("n_cal"), col("nonconf"))
-          .otherwise(lit(Long.MaxValue))).as("thr"),
+      .agg(coalesce(
+          when(max(col("__k_raw")) > max(col("n_cal")),
+            lit(Long.MaxValue))
+            .otherwise(min(when(col("__cum") >= col("__k_raw"),
+              col("nonconf")))),
+          lit(Long.MaxValue)).as("thr"),
         max(col("n_cal")).as("n_cal")))
     // empty calibration slice ⇒ the agg above yields a 1-row all-null
     // relation; conformal says k=1 > n=0 ⇒ t=∞ — fail OPEN here too

@@ -56,31 +56,43 @@ object Profiler {
     * into `[lo_cut, hi_cut]`. No arithmetic touches the doubles (pure
     * least/greatest), so raw values hash-match bit-for-bit.
     *
-    * Distribution shape: one two-phase global rank
-    * ([[Packing.rankWithinGroups]] under a constant group — range
-    * partition + offset composition, never a one-reducer sort), a
-    * 2-row threshold relation broadcast back, one map-side clamp.
-    * Output: `(id, value, lo_cut, hi_cut, winsorized, clipped)`. */
+    * Distribution shape (r13 rewrite): the cut VALUES are all the
+    * operator needs — per-row ranks never were — so the construction
+    * is ONE map-side-combinable groupBy to the value histogram, a
+    * cumulative window over that value-range-sized relation (never
+    * the corpus), a 1-row cut relation broadcast back, one map-side
+    * clamp. The former two-phase-rank formulation computed (and, as
+    * a multi-reference consumer of the persist-free rank, re-derived
+    * 3×) a corpus-wide rank it then threw away — the r13 bench
+    * measured the histogram form removing that 3× recompute. The
+    * k-th smallest VALUE is identical under either construction
+    * (rank tiebreaks by id cannot change it), so oracles are
+    * unchanged. Output:
+    * `(id, value, lo_cut, hi_cut, winsorized, clipped)`. */
   def winsorize(df: DataFrame, idCol: String, valueCol: String,
       loPpm: Long = 10000L, hiPpm: Long = 990000L): DataFrame = {
     require(loPpm >= 0 && hiPpm <= 1000000L && loPpm <= hiPpm,
       s"need 0 <= loPpm <= hiPpm <= 1e6 (got $loPpm, $hiPpm)")
     val base = df.select(col(idCol).cast("long").as("id"),
       col(valueCol).as("v")).where(col("v").isNotNull)
-    val ranked = Packing.rankWithinGroups(
-      base.withColumn("__g", lit(1))
-        .withColumn("__k", struct(col("v"), col("id"))),
-      "__g", "__k")
-    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
-    val cuts = broadcast(ranked.crossJoin(n)
+    val hist = base.groupBy(col("v")).agg(count(lit(1)).as("__c"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wc))
+    val n = broadcast(cum.agg(coalesce(max(col("__cum")), lit(0L))
+      .as("n")))
+    val cuts = broadcast(cum.crossJoin(n)
       .withColumn("__klo", expr(
         s"greatest(least((n * ${loPpm}L + 999999L) div 1000000L, n), 1L)"))
       .withColumn("__khi", expr(
         s"greatest(least((n * ${hiPpm}L + 999999L) div 1000000L, n), 1L)"))
-      .where(col("rnk") === col("__klo") || col("rnk") === col("__khi"))
-      .agg(min(when(col("rnk") === col("__klo"), col("v"))).as("lo_cut"),
-        max(when(col("rnk") === col("__khi"), col("v"))).as("hi_cut")))
-    ranked.crossJoin(cuts)
+      .agg(min(when(col("__cum") >= col("__klo"), col("v")))
+          .as("lo_cut"),
+        min(when(col("__cum") >= col("__khi"), col("v")))
+          .as("hi_cut")))
+    base.crossJoin(cuts)
       .select(col("id"), col("v").as("value"), col("lo_cut"),
         col("hi_cut"),
         least(greatest(col("v"), col("lo_cut")), col("hi_cut"))

@@ -700,7 +700,10 @@ class PlanShapeSpec extends SparkSpec {
     // driver-collected min-k hash sample), so the plan must contain no
     // RangePartitioning exchange (the old sample-consistency liability)
     // and no InMemoryTableScan (the old corpus-sized persist).
-    val plan = executed("q_winsorize")
+    // q_domain_cap is the pin target: its OUTPUT is the per-domain
+    // rank, so it always rides rankWithinGroups (winsorize/conformal
+    // moved to the histogram construction in r13 and need no rank).
+    val plan = executed("q_domain_cap")
     val liveRange = collectAll(plan) {
       case s: ShuffleExchangeExec
           if s.outputPartitioning
