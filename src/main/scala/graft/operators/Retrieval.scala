@@ -432,6 +432,58 @@ object Retrieval {
           .otherwise(lit(0L)))
   }
 
+  /** MAP@k — mean-average-precision's per-query half, in EXACT
+    * integer arithmetic: for every relevant retrieved doc at rank d,
+    * the precision-at-d term `relcum_d / d` is scaled by
+    * `L = lcm(1..k)` so each term `relcum_d · (L div d)` is an exact
+    * integer (L/d divides exactly for every d ≤ k), and
+    * `ap_ppm = Σ terms · 10⁶ div (L · min(n_rel, k))` — the TREC-style
+    * AP@k denominator. Queries with no relevant judgment score 0.
+    *
+    * Distribution shape: `runs` is (queries × k)-sized by contract,
+    * so the per-query cumulative window runs over ≤ k rows — never a
+    * corpus; `qrels` is touched by one equi-join and one groupBy (the
+    * [[rankingMetrics]] shape).
+    *
+    * Output: `(query, n_rel, hits, ap_units, ap_ppm)` with
+    * `ap_units = Σ relcum·(L div d)` published so the consumer can
+    * re-derive any alternative denominator exactly. */
+  def averagePrecisionAtK(runs: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"need 1 <= k <= 20, got $k")
+    val L = (1 to k).foldLeft(1L)((a, d) =>
+      a / java.math.BigInteger.valueOf(a).gcd(
+        java.math.BigInteger.valueOf(d.toLong)).longValue() * d)
+    val r = runs.select(col(queryCol).cast("string").as("query"),
+        col(docCol).cast("long").as("doc"),
+        col(rankCol).cast("long").as("rank"))
+      .where(col("rank") <= k)
+    val q = qrels.select(col(queryCol).cast("string").as("query"),
+      col(docCol).cast("long").as("doc")).distinct()
+    val nrel = q.groupBy(col("query")).agg(count(lit(1)).as("n_rel"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("rank"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val per = r
+      .join(q.withColumn("__rel", lit(1L)), Seq("query", "doc"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+      .withColumn("__relcum", sum(col("__rel")).over(wq))
+      .groupBy(col("query"))
+      .agg(sum(col("__rel")).as("hits"),
+        sum(when(col("__rel") === 1L,
+            col("__relcum") * expr(s"${L}L div rank"))
+          .otherwise(lit(0L))).as("ap_units"))
+    per.join(nrel, Seq("query"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .select(col("query"), col("n_rel"), col("hits"), col("ap_units"),
+        when(col("n_rel") > 0L,
+            expr(s"ap_units * 1000000L div (${L}L * least(n_rel, ${k}L))"))
+          .otherwise(lit(0L)).as("ap_ppm"))
+  }
+
   /** Ranked-retrieval evaluation — MRR@k, precision@k, recall@k per
     * query, in exact ppm: the scorecard every retrieval change
     * (tokenizer, ranker, index) is judged by.

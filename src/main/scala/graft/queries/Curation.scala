@@ -650,6 +650,74 @@ object Curation extends QueryModule {
              |  COALESCE(1000000 // m.first_rel, 0)::BIGINT AS mrr_ppm
              |FROM m LEFT JOIN nrel n USING (query)""".stripMargin)),
 
+    // ---- MAP@10: average precision per query in exact integers —
+    //      every P@d term scaled by lcm(1..10)=2520 so relcum·(2520/d)
+    //      is a plain BIGINT, TREC-style min(n_rel, k) denominator;
+    //      completes the IR-eval suite next to P/R/MRR, nDCG, RBO ----
+    GraftQuery("q_map",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (tfc, run) = graft.operators.Retrieval.classCoverageRun(
+          docs, "doc_id", "source", "text", nTerms = 5, minTf = 5L,
+          k = 10)
+        Drain.drained(s, tfc,
+          graft.operators.Retrieval.averagePrecisionAtK(
+            run,
+            docs.select(col("source").as("query"),
+              col("doc_id").as("doc")),
+            "query", "doc", "rank", k = 10))
+      },
+      Some("""WITH u AS (
+             |  SELECT source, unnest(list_filter(string_split(text, ' '),
+             |    w -> w <> '')) AS word
+             |  FROM documents),
+             |tfc AS (SELECT source AS class, word, count(*)::BIGINT AS tf
+             |        FROM u GROUP BY 1, 2),
+             |gtf AS (SELECT word, sum(tf)::BIGINT AS gtf FROM tfc GROUP BY 1),
+             |sc AS (SELECT class, tfc.word, tf,
+             |    ((tf * 1000000) // gtf)::BIGINT AS conc_ppm
+             |  FROM tfc JOIN gtf ON tfc.word = gtf.word WHERE tf >= 5),
+             |tr AS (SELECT class, word FROM (
+             |    SELECT class, word, row_number() OVER (PARTITION BY class
+             |      ORDER BY conc_ppm DESC, tf DESC, word) AS rk
+             |    FROM sc) WHERE rk <= 5),
+             |dwu AS (SELECT doc_id AS doc,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      w -> w <> '')) AS word
+             |  FROM documents),
+             |dw AS (SELECT DISTINCT doc, word FROM dwu),
+             |cov AS (SELECT tr.class AS query, dw.doc,
+             |    count(*)::BIGINT AS coverage
+             |  FROM dw JOIN tr ON dw.word = tr.word GROUP BY 1, 2),
+             |run AS (SELECT query, doc, rnk FROM (
+             |    SELECT query, doc, row_number() OVER (PARTITION BY query
+             |      ORDER BY coverage DESC, doc) AS rnk
+             |    FROM cov) WHERE rnk <= 10),
+             |qrels AS (SELECT source AS query, doc_id AS doc FROM documents),
+             |nrel AS (SELECT query, count(*)::BIGINT AS n_rel
+             |         FROM qrels GROUP BY 1),
+             |rr AS (SELECT r.query, r.rnk,
+             |    (CASE WHEN q.doc IS NOT NULL THEN 1 ELSE 0 END) AS rel
+             |  FROM run r LEFT JOIN qrels q
+             |    ON q.query = r.query AND q.doc = r.doc),
+             |cw AS (SELECT query, rnk, rel,
+             |    sum(rel) OVER (PARTITION BY query ORDER BY rnk
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS relcum
+             |  FROM rr),
+             |m AS (SELECT query, sum(rel)::BIGINT AS hits,
+             |    sum(CASE WHEN rel = 1
+             |        THEN relcum * (2520 // rnk) ELSE 0 END)::BIGINT
+             |      AS ap_units
+             |  FROM cw GROUP BY 1)
+             |SELECT m.query, coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+             |  m.hits, m.ap_units,
+             |  (CASE WHEN coalesce(n.n_rel, 0) > 0
+             |    THEN m.ap_units * 1000000
+             |         // (2520 * least(n.n_rel, 10))
+             |    ELSE 0 END)::BIGINT AS ap_ppm
+             |FROM m LEFT JOIN nrel n USING (query)""".stripMargin)),
+
     // ---- rank-biased overlap between the 5-term and 3-term coverage
     //      runs per source (query-truncation robustness of the
     //      ranking), dyadic p = 1/2 so every term is exact integer ----

@@ -144,4 +144,42 @@ class RetrievalMetricsSpec extends SparkSpec {
     assert(cut("C")._2 === 3L * w1 + 2L * w2)
     assert(cut("C")._1 === 1L * w1 + 3L * w2)
   }
+
+  // ---- MAP@k ----
+
+  private def map(runs: Seq[(String, Long, Long)],
+      qrels: Seq[(String, Long)], k: Int) = {
+    import spark.implicits._
+    Retrieval.averagePrecisionAtK(runs.toDF("q", "d", "r"),
+        qrels.toDF("q", "d"), "q", "d", "r", k)
+      .selectExpr("query", "n_rel", "hits", "ap_units", "ap_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+  }
+
+  test("averagePrecisionAtK hand trace: rel at ranks 1 and 3 of 3, " +
+      "two relevant total — exact lcm-scaled terms") {
+    // P@1 = 1/1, P@3 = 2/3; AP = (1 + 2/3)/2 = 5/6
+    // L = lcm(1..3) = 6: units = 1·6 + 2·2 = 10; ppm = 10e6/(6·2)
+    val got = map(
+      Seq(("A", 10L, 1L), ("A", 11L, 2L), ("A", 12L, 3L)),
+      Seq(("A", 10L), ("A", 12L)), k = 3)
+    assert(got("A") === (("A", 2L, 2L, 10L, 10L * 1000000L / 12L)))
+  }
+
+  test("averagePrecisionAtK: perfect prefix run scores 1e6; no " +
+      "relevant scores 0; TREC min(n_rel, k) denominator") {
+    val perfect = map(
+      Seq(("A", 1L, 1L), ("A", 2L, 2L)),
+      Seq(("A", 1L), ("A", 2L)), k = 2)
+    assert(perfect("A")._5 === 1000000L)
+    val none = map(Seq(("B", 1L, 1L)), Seq(("B", 99L)), k = 2)
+    assert(none("B")._5 === 0L && none("B")._2 === 1L)
+    // 5 relevant but k = 2 and both retrieved hits: denominator is
+    // min(5, 2) = 2, so a full-precision prefix still scores 1e6
+    val cut = map(
+      Seq(("C", 1L, 1L), ("C", 2L, 2L)),
+      (1L to 5L).map(d => ("C", d)), k = 2)
+    assert(cut("C")._5 === 1000000L)
+  }
 }
