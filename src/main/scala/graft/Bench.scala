@@ -21,8 +21,29 @@ import org.apache.spark.sql.SparkSession
   *   - per-pass box metadata (loadavg, MemAvailable, JVM GC seconds, wall
   *     time) is recorded in the detail file so a drifted total can be
   *     attributed to box load instead of code.
+  *
+  * Survivability design (r13 verdict #1: the sweep grew past the driver's
+  * budget and the single end-of-run println meant rc=124 destroyed EVERY
+  * timing):
+  *   - a cumulative, fully parseable result line is printed after EVERY
+  *     completed pass (warmup included — warmup samples are
+  *     first-compile-inflated but infinitely better than nothing, and
+  *     they are superseded the moment rep-1 lands). The driver keeps the
+  *     output tail, so a timeout at ANY point preserves the last
+  *     completed pass's medians;
+  *   - a wall-clock deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default
+  *     2400 — comfortably under the ~2870 s envelope the last green
+  *     driver run fit) degrades gracefully: reps stop 3→2→1 when the
+  *     next pass would not fit, adaptive extras are skipped first, and a
+  *     pass already running abandons its remaining queries at the
+  *     deadline (samples collected so far in the pass are kept — each is
+  *     a real measurement);
+  *   - the detail side file is rewritten after every pass too, so the
+  *     per-query spread record survives the same failure.
   */
 object Bench {
+  type QFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,7 +55,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    def run(fn: QFn): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     // optional subset (args) for timing-isolation experiments; the driver
@@ -53,6 +74,15 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(3)
 
+    // Wall-clock deadline for the WHOLE run. The r12 driver budget fit a
+    // ~2870 s sweep; r13's ~4000 s sweep timed out and (pre-fix) lost
+    // everything. 2400 s leaves slack for JVM/driver overhead around the
+    // sweep itself.
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
+      .flatMap(_.trim.toDoubleOption).filter(_ > 0).getOrElse(2400.0)
+    val t0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t0) / 1e9
+
     import scala.jdk.CollectionConverters._
     def gcSeconds(): Double =
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -66,10 +96,10 @@ object Bench {
           l.split("\\s+")(1).toDouble / (1024 * 1024) }.getOrElse(-1.0)
       catch { case _: Throwable => -1.0 }
 
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
+    def timeOne(fn: QFn): Double = {
+      val s0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - s0) / 1e9
       // Isolation (untimed): drop blocks a query left persisted so no
       // query's residue contaminates the next timing, then collect this
       // query's garbage NOW instead of letting it surface as a GC pause
@@ -79,104 +109,156 @@ object Bench {
       dt
     }
 
-    // Untimed warmup pass over the whole registry: pays one-time
-    // codegen/JIT/classloading per query (the driver's per-round number
-    // should measure steady-state queries, not first-compile). Skippable
-    // via SPARK_GRAFT_BENCH_WARMUP=0 for quick local experiments.
     case class PassMeta(kind: String, wallSec: Double, gcSec: Double,
-                        load1m: Double, memAvailGiB: Double)
+                        load1m: Double, memAvailGiB: Double, complete: Boolean)
     val passMetas = scala.collection.mutable.ArrayBuffer.empty[PassMeta]
-    def meteredPass[A](kind: String)(body: => A): A = {
-      val (w0, g0) = (System.nanoTime(), gcSeconds())
-      val out = body
-      passMetas += PassMeta(kind, (System.nanoTime() - w0) / 1e9,
-        gcSeconds() - g0, loadAvg1m(), memAvailableGiB())
-      out
-    }
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
-      meteredPass("warmup") {
-        registry.foreach { case (_, fn) => try run(fn) catch { case _: Throwable => () } }
-        spark.catalog.clearCache(); System.gc()
-      }
 
-    // Each pass rotates the execution order by a different offset so any
-    // position-dependent contamination shifts to a different query.
-    def rotated(i: Int): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
-      val n = registry.size
-      if (n == 0) registry else { val off = (i * 61) % n; registry.drop(off) ++ registry.take(off) }
-    }
-    val runs: Seq[Map[String, Double]] = (1 to reps).map { i =>
-      meteredPass(s"rep$i") {
-        rotated(i).map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    /** Run `queries` as one metered pass, abandoning the remainder if the
+      * deadline strikes mid-pass (samples already taken are kept — each
+      * is a real measurement). Returns the partial-or-complete sample
+      * map. */
+    def timedPass(kind: String, queries: Seq[(String, QFn)],
+        stopAt: Double): Map[String, Double] = {
+      val (w0, g0) = (System.nanoTime(), gcSeconds())
+      val out = scala.collection.mutable.Map.empty[String, Double]
+      var cut = false
+      val it = queries.iterator
+      while (it.hasNext && !cut) {
+        val (name, fn) = it.next()
+        out(name) = timeOne(fn)
+        if (elapsedSec > stopAt) cut = true
       }
+      passMetas += PassMeta(kind, (System.nanoTime() - w0) / 1e9,
+        gcSeconds() - g0, loadAvg1m(), memAvailableGiB(), complete = !cut)
+      if (cut) System.err.println(
+        s"[bench] deadline (${deadlineSec}s) struck inside pass '$kind' " +
+          s"after ${out.size}/${queries.size} queries — pass abandoned, " +
+          "samples kept")
+      out.toMap
     }
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
 
-    // Adaptive reps: a query whose first-`reps` spread (max−min) exceeds
-    // its own median caught a GC/JIT episode in at least one sample
-    // (r6 bench: q_ngram_jaccard 35.7 s spread on a 3.5 s median); two
-    // more samples make the median robust to TWO poisoned reps instead
-    // of one. Extra passes sweep only the wobbly queries, in registry
-    // order, so they stay minutes apart from their earlier samples.
-    val base: Map[String, Seq[Double]] =
-      registry.map { case (name, _) => name -> runs.map(_(name)) }.toMap
-    val wobbly = registry.filter { case (name, _) =>
-      val s = base(name); (s.max - s.min) > median(s)
+    // --- cumulative emit: after EVERY completed pass, print the full
+    // result line from all samples so far and rewrite the detail side
+    // file. A query with no timed-pass sample yet falls back to its
+    // warmup sample (first-compile-inflated, superseded by rep-1).
+    var warmupSamples = Map.empty[String, Double]
+    val timedSamples = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    def samplesOf(name: String): Seq[Double] = {
+      val t = timedSamples.flatMap(_.get(name)).toSeq
+      if (t.nonEmpty) t else warmupSamples.get(name).toSeq
     }
-    val extra: Seq[Map[String, Double]] =
-      if (wobbly.isEmpty) Seq.empty
-      else (1 to 2).map { j =>
-        meteredPass(s"extra$j") {
-          wobbly.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    def emitCumulative(repsDone: Int): Unit = {
+      val stats = registry.flatMap { case (name, _) =>
+        val ss = samplesOf(name)
+        if (ss.isEmpty) None
+        else Some((name, median(ss), ss.min, ss.max, ss.size))
+      }
+      if (stats.isEmpty) return
+      val qs = stats.map { case (k, med, _, _, _) => s"\"" + k + "\":" + fmt(med) }
+        .mkString("{", ",", "}")
+      val total = stats.map(_._2).sum
+      // stdout line: per-query MEDIANS as plain scalars (the shape every
+      // prior round's record uses, so round-over-round diffs keep working).
+      // Printed cumulatively per pass; the driver's tail keeps the LAST
+      // (most complete) line, so any timeout preserves the newest state.
+      println(
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$repsDone,"queries":$qs,"sf":"$sfDir"}""")
+      Console.flush()
+      // full per-query detail (median + min/max spread) plus per-pass box
+      // metadata for the side file — rewritten per pass for the same
+      // survivability reason
+      val detail = stats.map { case (k, med, mn, mx, n) =>
+        s"\"" + k + s"""":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)},"spread":${fmt(mx - mn)},"runs":$n}"""
+      }.mkString("{", ",", "}")
+      val passes = passMetas.map { m =>
+        s"""{"pass":"${m.kind}","wallSec":${fmt(m.wallSec)},"gcSec":${fmt(m.gcSec)},"load1m":${fmt(m.load1m)},"memAvailGiB":${fmt(m.memAvailGiB)},"complete":${m.complete}}"""
+      }.mkString("[", ",", "]")
+      val detailLine =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$repsDone,"passes":$passes,"queries":$detail,"sf":"$sfDir"}"""
+      // The driver captures stdout with a tail that can truncate the
+      // alphabetical head of the per-query map; persist the full line so
+      // round-over-round comparisons never lose queries. SUBSET runs skip
+      // the side file (unless explicitly redirected) — a timing experiment
+      // must never clobber the full-registry record it exists to explain.
+      if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")),
+          detailLine + "\n")
+        catch { case e: Throwable =>
+          // never fail the bench over the side file, but never lose the
+          // signal either — a stale BENCH_full.json silently poisons
+          // round-over-round comparisons
+          System.err.println(s"[bench] WARNING: could not persist full JSON: $e")
+        }
+    }
+
+    // Warmup pass over the whole registry: pays one-time codegen/JIT/
+    // classloading per query (the driver's per-round number should
+    // measure steady-state queries, not first-compile). Per-query times
+    // are RECORDED as a fallback sample so even a warmup-only run leaves
+    // a parseable line, but they never mix into medians once any rep
+    // completes. Capped at 45% of the deadline — if warmup alone blows
+    // that, the remaining queries run un-warmed in rep-1 rather than
+    // eating the whole budget. Skippable via SPARK_GRAFT_BENCH_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
+      warmupSamples = timedPass("warmup", registry, stopAt = deadlineSec * 0.45)
+      emitCumulative(repsDone = 0)
+    }
+
+    // Each pass rotates the execution order by a different offset so any
+    // position-dependent contamination shifts to a different query.
+    def rotated(i: Int): Seq[(String, QFn)] = {
+      val n = registry.size
+      if (n == 0) registry else { val off = (i * 61) % n; registry.drop(off) ++ registry.take(off) }
+    }
+
+    // Timed reps under the deadline: before each pass, project its cost
+    // from the last pass of the same shape; skip remaining reps that
+    // cannot fit (3→2→1 degradation). Rep-1 always starts — a partial
+    // rep-1 still upgrades warmup-only samples.
+    var repsDone = 0
+    var lastPassWall = passMetas.lastOption.map(_.wallSec).getOrElse(0.0)
+    var i = 1
+    while (i <= reps && (i == 1 ||
+        elapsedSec + lastPassWall * 1.05 <= deadlineSec)) {
+      val s = timedPass(s"rep$i", rotated(i), stopAt = deadlineSec)
+      timedSamples += s
+      if (s.size == registry.size) repsDone += 1
+      lastPassWall = passMetas.last.wallSec
+      emitCumulative(repsDone)
+      i += 1
+    }
+    if (repsDone < reps) System.err.println(
+      s"[bench] degraded to $repsDone/$reps complete reps under the " +
+        s"${deadlineSec}s deadline")
+
+    // Adaptive reps: a query whose spread (max−min) exceeds its own
+    // median caught a GC/JIT episode in at least one sample (r6 bench:
+    // q_ngram_jaccard 35.7 s spread on a 3.5 s median); two more samples
+    // make the median robust to TWO poisoned reps instead of one. Extra
+    // passes sweep only the wobbly queries, in registry order, so they
+    // stay minutes apart from their earlier samples. Skipped entirely
+    // when the deadline cannot fit them (the first thing sacrificed).
+    if (repsDone >= 2) {
+      val wobbly = registry.filter { case (name, _) =>
+        val s = samplesOf(name); s.nonEmpty && (s.max - s.min) > median(s)
+      }
+      if (wobbly.nonEmpty) {
+        val estimate = lastPassWall * wobbly.size / registry.size.max(1)
+        var j = 1
+        while (j <= 2 && elapsedSec + estimate * 1.1 <= deadlineSec) {
+          timedSamples += timedPass(s"extra$j", wobbly, stopAt = deadlineSec)
+          emitCumulative(repsDone)
+          j += 1
         }
       }
-    val samplesOf: Map[String, Seq[Double]] =
-      registry.map { case (name, _) =>
-        name -> (base(name) ++ extra.flatMap(_.get(name)))
-      }.toMap
-
-    val stats = registry.map { case (name, _) =>
-      val samples = samplesOf(name)
-      (name, median(samples), samples.min, samples.max, samples.size)
-    }
-    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    // stdout line: per-query MEDIANS as plain scalars (the shape every
-    // prior round's record uses, so round-over-round diffs keep working)
-    val qs = stats.map { case (k, med, _, _, _) => s"\"" + k + "\":" + fmt(med) }
-      .mkString("{", ",", "}")
-    val total = stats.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$reps,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // full per-query detail (median + min/max spread) plus per-pass box
-    // metadata for the side file
-    val detail = stats.map { case (k, med, mn, mx, n) =>
-      s"\"" + k + s"""":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)},"spread":${fmt(mx - mn)},"runs":$n}"""
-    }.mkString("{", ",", "}")
-    val passes = passMetas.map { m =>
-      s"""{"pass":"${m.kind}","wallSec":${fmt(m.wallSec)},"gcSec":${fmt(m.gcSec)},"load1m":${fmt(m.load1m)},"memAvailGiB":${fmt(m.memAvailGiB)}}"""
-    }.mkString("[", ",", "]")
-    val detailLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$reps,"passes":$passes,"queries":$detail,"sf":"$sfDir"}"""
-    // The driver captures stdout with a tail that can truncate the
-    // alphabetical head of the per-query map; persist the full line so
-    // round-over-round comparisons never lose queries. SUBSET runs skip
-    // the side file (unless explicitly redirected) — a timing experiment
-    // must never clobber the full-registry record it exists to explain.
-    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")),
-      detailLine + "\n")
-    catch { case e: Throwable =>
-      // never fail the bench over the side file, but never lose the
-      // signal either — a stale BENCH_full.json silently poisons
-      // round-over-round comparisons
-      System.err.println(s"[bench] WARNING: could not persist full JSON: $e")
     }
     spark.stop()
   }
