@@ -159,18 +159,18 @@ object Calibration {
     * by id cannot change it); `k` uses ceil-division on non-negative
     * terms (floor == truncation in both engines).
     *
-    * Distribution shape (the 100 TB contract, r13 rewrite): the
-    * threshold VALUE is all the gate needs — the construction is ONE
-    * map-side-combinable groupBy of the calibration slice to its
-    * nonconformity-value histogram, a cumulative window over that
-    * value-range-sized relation (the [[conformalGateByGroup]] /
-    * ecdfNormalize machinery under a constant group), a 1-row
-    * threshold relation broadcast back; the gate itself is one
-    * map-side comparison over the corpus. (The former two-phase-rank
-    * formulation computed a slice-wide per-row rank the gate then
-    * discarded, and re-derived it per plan reference once the rank
-    * went persist-free — the k-th smallest VALUE is identical either
-    * way, so oracles are unchanged.)
+    * Distribution shape (the 100 TB contract, r13 histogram rewrite +
+    * r14 cumulation fix): the threshold VALUE is all the gate needs —
+    * the construction is ONE map-side-combinable groupBy of the
+    * calibration slice to its nonconformity-value histogram, the
+    * [[Packing.cumSumOrdered]] two-phase cumulation over it (NOT
+    * an unpartitioned `Window.orderBy`: nonconformities are raw
+    * BIGINTs, so a continuous-valued score makes the histogram
+    * corpus-sized and a PARTITION-BY-less window one task — the r13
+    * verdict's scale-killer), a 1-row threshold relation broadcast
+    * back; the gate itself is one map-side comparison over the
+    * corpus. The k-th smallest VALUE is identical under any
+    * construction, so oracles are unchanged.
     *
     * Output: `(id, nonconf, is_cal, thr, n_cal, kept)`, one row per
     * input row (calibration rows gate themselves too — their keep
@@ -184,13 +184,10 @@ object Calibration {
       col(calCol).cast("boolean").as("is_cal"))
     val hist = base.where(col("is_cal"))
       .groupBy(col("nonconf")).agg(count(lit(1)).as("__c"))
-    val wc = Window.orderBy(col("nonconf"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("__cum", sum(col("__c")).over(wc))
-    val n = broadcast(cum.agg(coalesce(max(col("__cum")), lit(0L))
-      .as("n_cal")))
+    val cum = Packing.cumSumOrdered(hist, "nonconf", "__c",
+      cumCol = "__cum", totalCol = Some("n_cal"))
     val keepPpm = 1000000L - alphaPpm
-    val thr = broadcast(cum.crossJoin(n)
+    val thr = broadcast(cum
       .where(col("n_cal") > 0L)
       .withColumn("__k_raw", expr(
         s"((n_cal + 1L) * ${keepPpm}L + 999999L) div 1000000L"))
@@ -221,10 +218,11 @@ object Calibration {
     *
     * Distribution shape: corpus work is ONE map-side-combinable
     * groupBy to the (group, nonconf-value) histogram; the per-group
-    * cumulative window runs on that aggregated relation (groups ×
-    * distinct values — value-range-sized, the ecdfNormalize
-    * precedent); thresholds are a groups-sized relation joined back
-    * on the group key. Output:
+    * cumulation is [[Packing.cumSumWithinGroups]] (r14 — a
+    * `Window.partitionBy(group)` would still sort one
+    * high-cardinality group's histogram in a single task);
+    * thresholds are a groups-sized relation joined back on the
+    * group key. Output:
     * `(id, group, nonconf, is_cal, thr, n_cal, kept)`. */
   def conformalGateByGroup(rows: DataFrame, idCol: String,
       groupCol: String, nonconfCol: String, calCol: String,
@@ -238,13 +236,9 @@ object Calibration {
     val hist = base.where(col("is_cal"))
       .groupBy(col("group"), col("nonconf"))
       .agg(count(lit(1)).as("__c"))
-    val wc = Window.partitionBy(col("group")).orderBy(col("nonconf"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val keepPpm = 1000000L - alphaPpm
-    val thr = hist
-      .withColumn("__cum", sum(col("__c")).over(wc))
-      .join(hist.groupBy(col("group"))
-        .agg(sum(col("__c")).as("n_cal")), Seq("group"))
+    val thr = Packing.cumSumWithinGroups(hist, "group", "nonconf",
+        "__c", cumCol = "__cum", totalCol = Some("n_cal"))
       .withColumn("__k", expr(
         s"((n_cal + 1L) * ${keepPpm}L + 999999L) div 1000000L"))
       .groupBy(col("group"))
@@ -299,11 +293,25 @@ object Calibration {
     *
     * Distribution shape (the 100 TB contract): corpus work is ONE
     * map-side-combinable groupBy to `(group, bin)` counts; the
-    * cumulative window runs on that aggregated relation (groups ×
-    * distinct bins — value-range-sized, never corpus-sized, the
-    * ccnet-tercile precedent), and the result is one equi-join of the
-    * small cum relation back onto the rows. NO per-row window over
-    * the corpus — a billion-doc domain never funnels one task.
+    * per-group cumulation is [[Packing.cumSumWithinGroups]] (r14 — a
+    * `Window.partitionBy(group)` sorts each whole group's bins in one
+    * task, a straggler whenever one group's bin relation is large),
+    * and the result is one equi-join of the cum relation back onto
+    * the rows. NO per-row window over the corpus — a billion-doc
+    * domain never funnels one task.
+    *
+    * `binWidth` CONTRACT (r13 ADVICE): the bin relation has one row
+    * per `(group, distinct score div binWidth)` — the default
+    * `binWidth = 1` keeps the ECDF exact per distinct score and is
+    * the right call for genuinely discrete scores (quality gates,
+    * ppm ratios), but over a continuous-scale LONG (micro-scaled
+    * floats, timestamps) it makes the bin relation approach the
+    * corpus. The two-phase cumulation keeps even that shape
+    * distributed (no one-task window — the r14 fix), but the
+    * downstream equi-join is then corpus-vs-corpus; callers with
+    * continuous scores should pass a width that bounds distinct
+    * bins (the [[isotonicBins]] `binWidth`/`clamp` idiom, losing
+    * only within-bin resolution).
     *
     * Determinism: scores integral; binning is the sign-safe
     * truncation-toward-zero of the calibration family (monotone, so
@@ -321,12 +329,8 @@ object Calibration {
            | * (abs(score) div ${binWidth}L)""".stripMargin))
     val counts = base.groupBy(col("group"), col("bin"))
       .agg(count(lit(1)).as("__c"))
-    val wc = Window.partitionBy(col("group")).orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .withColumn("__cum", sum(col("__c")).over(wc))
-      .join(counts.groupBy(col("group"))
-        .agg(sum(col("__c")).as("n_grp")), Seq("group"))
+    val cum = Packing.cumSumWithinGroups(counts, "group", "bin", "__c",
+        cumCol = "__cum", totalCol = Some("n_grp"))
       .select(col("group"), col("bin"), col("n_grp"),
         expr("__cum * 1000000L div n_grp").as("ecdf_ppm"))
     base.join(cum, Seq("group", "bin"))

@@ -210,12 +210,134 @@ object Packing {
     * unique id into one key, [[curriculumOrder]]-style) — with ties the
     * bucket-local tie order would be ill-defined. */
   def rankWithinGroups(df: DataFrame, groupCol: String, orderCol: String,
-      rankCol: String = "rnk", numParts: Int = 0): DataFrame = {
+      rankCol: String = "rnk", numParts: Int = 0): DataFrame =
+    cumSumWithinGroups(df.withColumn("__one", lit(1L)), groupCol,
+      orderCol, "__one", rankCol, totalCol = None, numParts = numParts)
+      .drop("__one")
+
+  /** Per-group cumulative SUM of `valueCol` in `orderCol` order WITHOUT
+    * per-group windows — the prefix-sum generalization of
+    * [[rankWithinGroups]] (which is exactly the `valueCol = 1` case and
+    * is expressed through this). The r14 home of every
+    * histogram-cumulation read side (winsorize/conformal cuts, ECDF):
+    * `Window.orderBy(v)` with no PARTITION BY — or `partitionBy(g)`
+    * when one group can be corpus-sized — funnels the relation through
+    * ONE task; a "value-range-sized" histogram over a CONTINUOUS
+    * double/bigint column approximates the corpus, so that shape is a
+    * scale-killer even on aggregated inputs (r13 verdict #2).
+    *
+    * Same splitter-constant bucketing and cache-free contract as
+    * [[rankWithinGroups]] (see that scaladoc for the full argument):
+    * `__pid` is a pure expression built from ≤ P−1 plan-constant
+    * splitters (min-k hash sample, one narrow TakeOrdered pass), the
+    * cumsum runs within `(bucket, group)` windows bounded by bucket
+    * size, and per-(bucket, group) totals — ≤ P + G rows, groups being
+    * contiguous under range bucketing — compose into per-bucket base
+    * offsets through a window over that SMALL relation. Exact wherever
+    * the splitters cut; NOTHING persisted, no exchange-reuse reliance.
+    * Cost: 3 narrow evaluations of the upstream relation (sample +
+    * window branch + totals branch) — for histogram callers that
+    * upstream is one map-side-combinable groupBy.
+    *
+    * `totalCol = Some(c)` additionally publishes each group's grand
+    * total as column `c` (derived inside the already-small totals
+    * relation — callers needing `n` alongside the running count avoid
+    * a fourth evaluation, the winsorize/conformal k-rule shape).
+    *
+    * Key contract as [[rankWithinGroups]]: orderable scalar leaves,
+    * `orderCol` unique within each group (histogram inputs are — the
+    * value IS the key). */
+  def cumSumWithinGroups(df: DataFrame, groupCol: String,
+      orderCol: String, valueCol: String, cumCol: String = "cum",
+      totalCol: Option[String] = None, numParts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
     val key = struct(col(groupCol), col(orderCol))
+    val local = df.withColumn("__pid", splitterPid(df, key, parts))
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = local.withColumn("__lc", sum(col(valueCol)).over(w))
+    val totals = local.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(valueCol)).as("__c"))
+    val wb = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wg = Window.partitionBy(col(groupCol))
+    val based = totals
+      .withColumn("__base", coalesce(sum(col("__c")).over(wb), lit(0L)))
+    val bases = totalCol match {
+      case Some(t) => based
+        .withColumn(t, sum(col("__c")).over(wg))
+        .select(col("__pid"), col(groupCol), col("__base"), col(t))
+      case None =>
+        based.select(col("__pid"), col(groupCol), col("__base"))
+    }
+    cum.join(bases, Seq("__pid", groupCol)) // small side; AQE broadcasts
+      .withColumn(cumCol, col("__base") + col("__lc"))
+      .drop("__pid", "__lc", "__base")
+  }
+
+  /** The UNGROUPED [[cumSumWithinGroups]] — one global running total in
+    * `orderCol` order. Same splitter-constant phase 1, but phase 2
+    * composes the ≤ P bucket totals DRIVER-SIDE (P longs — driver-safe
+    * at any corpus size, the [[packOffsets]] idiom) instead of through
+    * a window over the totals relation: with no real group column, the
+    * grouped form's composition windows partition only by a FOLDABLE
+    * constant, which Catalyst prunes to an empty partition spec — a
+    * one-task window that, while bounded by P + 1 rows, is exactly the
+    * shape the PlanShapeSpec pins forbid and WindowExec warns on. Here
+    * NO window in the plan lacks a partition spec (pinned on the r14
+    * winsorize/conformal queries).
+    *
+    * `totalCol = Some(c)` publishes the grand total as a LITERAL
+    * column `c` (phase 2 already materialized it on the driver — the
+    * callers' k-rule arithmetic needs n without another corpus pass).
+    *
+    * Same key contract as [[cumSumWithinGroups]]; `orderCol` unique
+    * (histogram inputs). Note phase 2 collects EAGERLY at
+    * plan-construction time (2 narrow jobs: sample + totals). */
+  def cumSumOrdered(df: DataFrame, orderCol: String, valueCol: String,
+      cumCol: String = "cum", totalCol: Option[String] = None,
+      numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val key = struct(col(orderCol))
+    val local = df.withColumn("__pid", splitterPid(df, key, parts))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = local.withColumn("__lc", sum(col(valueCol)).over(w))
+    val totals = local.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[Number](1).longValue)
+      .sortBy(_._1)
+    val grand = totals.map(_._2).sum
+    val baseByPid = totals.map(_._1).zip(
+      totals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot }.init)
+    val baseDf = broadcast(
+      spark.createDataFrame(baseByPid.toSeq).toDF("__pid", "__base"))
+    val out = cum.join(baseDf, "__pid")
+      .withColumn(cumCol, col("__base") + col("__lc"))
+      .drop("__pid", "__lc", "__base")
+    totalCol.fold(out)(t => out.withColumn(t, lit(grand)))
+  }
+
+  /** The splitter-constant bucket id shared by [[cumSumWithinGroups]]
+    * and [[cumSumOrdered]]: a bounded min-k hash sample of the key
+    * space (deterministic, uniformly spread, one narrow TakeOrdered
+    * pass, ≤ 256·P driver rows) cut into ≤ P−1 splitters that become
+    * plan CONSTANTS — `__pid` = number of splitters ≤ key, a monotone
+    * codegen'd comparison chain. Every plan branch assigns the same
+    * bucket to a row by construction, under any recomputation, with
+    * zero caches and zero exchange-reuse reliance (the r13
+    * rankWithinGroups argument). */
+  private def splitterPid(df: DataFrame,
+      key: org.apache.spark.sql.Column, parts: Int)
+      : org.apache.spark.sql.Column = {
     val keyType = df.select(key.as("__key")).schema("__key").dataType
     // min-k by hash: a deterministic, uniformly-spread sample of the
     // key space (TakeOrdered — distributed, narrow, early-stopping)
@@ -235,27 +357,11 @@ object Packing {
         .filter(_ != null)
     // __pid = number of splitters <= key: a monotone, codegen'd
     // constant-comparison chain (≤ P−1 lexicographic struct compares)
-    val pid =
-      if (splitters.isEmpty) lit(0)
-      else splitters.map { s =>
-        val (gt, eq) = cmpLit(key, s, keyType)
-        when(gt || eq, 1).otherwise(0)
-      }.reduce(_ + _)
-    val local = df.withColumn("__pid", pid)
-    val w = Window.partitionBy(col("__pid"), col(groupCol))
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cnt = local.withColumn("__lr", count(lit(1)).over(w))
-    val totals = local.groupBy(col("__pid"), col(groupCol))
-      .agg(count(lit(1)).as("__c"))
-    val wb = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = totals
-      .withColumn("__base", coalesce(sum(col("__c")).over(wb), lit(0L)))
-      .select(col("__pid"), col(groupCol), col("__base"))
-    cnt.join(bases, Seq("__pid", groupCol)) // small side; AQE broadcasts
-      .withColumn(rankCol, col("__base") + col("__lr"))
-      .drop("__pid", "__lr", "__base")
+    if (splitters.isEmpty) lit(0)
+    else splitters.map { s =>
+      val (gt, eq) = cmpLit(key, s, keyType)
+      when(gt || eq, 1).otherwise(0)
+    }.reduce(_ + _)
   }
 
   /** `(key > v, key <=> v)` as literal-comparison columns for a

@@ -56,18 +56,20 @@ object Profiler {
     * into `[lo_cut, hi_cut]`. No arithmetic touches the doubles (pure
     * least/greatest), so raw values hash-match bit-for-bit.
     *
-    * Distribution shape (r13 rewrite): the cut VALUES are all the
-    * operator needs — per-row ranks never were — so the construction
-    * is ONE map-side-combinable groupBy to the value histogram, a
-    * cumulative window over that value-range-sized relation (never
-    * the corpus), a 1-row cut relation broadcast back, one map-side
-    * clamp. The former two-phase-rank formulation computed (and, as
-    * a multi-reference consumer of the persist-free rank, re-derived
-    * 3×) a corpus-wide rank it then threw away — the r13 bench
-    * measured the histogram form removing that 3× recompute. The
-    * k-th smallest VALUE is identical under either construction
-    * (rank tiebreaks by id cannot change it), so oracles are
-    * unchanged. Output:
+    * Distribution shape (r13 histogram rewrite, r14 cumulation fix):
+    * the cut VALUES are all the operator needs — per-row ranks never
+    * were — so the construction is ONE map-side-combinable groupBy to
+    * the value histogram, the cumulative count over it, a 1-row cut
+    * relation broadcast back, one map-side clamp. The cumulation is
+    * [[Packing.cumSumOrdered]] — NOT `Window.orderBy(v)` with no
+    * PARTITION BY: `v` is a raw DOUBLE, so on a continuous-valued
+    * column the "value-range-sized" histogram approximates the corpus
+    * and an unpartitioned window would funnel it through ONE task (the
+    * r13 verdict's scale-killer). The two-phase form costs one extra
+    * narrow evaluation of the histogram groupBy and is exact wherever
+    * the splitters cut; the k-th smallest VALUE is identical under
+    * any construction (rank tiebreaks by id cannot change it), so
+    * oracles are unchanged. Output:
     * `(id, value, lo_cut, hi_cut, winsorized, clipped)`. */
   def winsorize(df: DataFrame, idCol: String, valueCol: String,
       loPpm: Long = 10000L, hiPpm: Long = 990000L): DataFrame = {
@@ -76,14 +78,9 @@ object Profiler {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(valueCol).as("v")).where(col("v").isNotNull)
     val hist = base.groupBy(col("v")).agg(count(lit(1)).as("__c"))
-    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = hist.withColumn("__cum", sum(col("__c")).over(wc))
-    val n = broadcast(cum.agg(coalesce(max(col("__cum")), lit(0L))
-      .as("n")))
-    val cuts = broadcast(cum.crossJoin(n)
+    val cum = Packing.cumSumOrdered(hist, "v", "__c",
+      cumCol = "__cum", totalCol = Some("n"))
+    val cuts = broadcast(cum
       .withColumn("__klo", expr(
         s"greatest(least((n * ${loPpm}L + 999999L) div 1000000L, n), 1L)"))
       .withColumn("__khi", expr(
@@ -110,11 +107,12 @@ object Profiler {
     *
     * Distribution shape: corpus work is ONE map-side-combinable
     * groupBy to the `(group, value)` histogram; the per-group
-    * cumulative window runs on that aggregated relation (groups ×
-    * distinct values — value-range-sized, the ecdfNormalize
-    * precedent); cuts are a groups-sized relation joined back on the
-    * group key. Same exact `clamp(ceil(n·ppm/10⁶), 1, n)` rank rule
-    * as the global operator, applied per group.
+    * cumulation is [[Packing.cumSumWithinGroups]] (r14 — a
+    * `Window.partitionBy(group)` would still sort ONE high-cardinality
+    * group's continuous-double histogram in one task); cuts are a
+    * groups-sized relation joined back on the group key. Same exact
+    * `clamp(ceil(n·ppm/10⁶), 1, n)` rank rule as the global operator,
+    * applied per group.
     *
     * Output: `(id, group, value, lo_cut, hi_cut, winsorized,
     * clipped)`. */
@@ -129,15 +127,8 @@ object Profiler {
       .where(col("v").isNotNull)
     val hist = base.groupBy(col("group"), col("v"))
       .agg(count(lit(1)).as("__c"))
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("group")).orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cuts = hist
-      .withColumn("__cum", sum(col("__c")).over(wc))
-      .join(hist.groupBy(col("group")).agg(sum(col("__c")).as("__n")),
-        Seq("group"))
+    val cuts = Packing.cumSumWithinGroups(hist, "group", "v", "__c",
+        cumCol = "__cum", totalCol = Some("__n"))
       .withColumn("__klo", expr(
         s"greatest(least((__n * ${loPpm}L + 999999L) div 1000000L, __n), 1L)"))
       .withColumn("__khi", expr(
@@ -218,12 +209,6 @@ object Profiler {
         abs(col("share_a_ppm") - col("share_b_ppm")).as("gap_ppm"))
   }
 
-  /** Numeric drift between two snapshots — [[categoryDrift]] over
-    * VALUE BINS (sign-safe truncating division, the calibration
-    * family's binning), so a shifted length/score/latency
-    * distribution is caught with the same exact-ppm TV machinery and
-    * no logarithm. Output:
-    * `(bin, n_a, n_b, share_a_ppm, share_b_ppm, gap_ppm)`. */
   /** Population stability index per category, in exact pico units —
     * the drift number risk teams publish next to [[categoryDrift]]'s
     * TV distance (PSI weights a share shift by its LOG ratio, so a
@@ -282,6 +267,12 @@ object Profiler {
       .stripMargin
   }
 
+  /** Numeric drift between two snapshots — [[categoryDrift]] over
+    * VALUE BINS (sign-safe truncating division, the calibration
+    * family's binning), so a shifted length/score/latency
+    * distribution is caught with the same exact-ppm TV machinery and
+    * no logarithm. Output:
+    * `(bin, n_a, n_b, share_a_ppm, share_b_ppm, gap_ppm)`. */
   def numericDrift(a: DataFrame, b: DataFrame, valueCol: String,
       binWidth: Long): DataFrame = {
     def binned(df: DataFrame) = df.select(

@@ -72,12 +72,9 @@ object StreamingCalibration {
   def compactBins(spark: SparkSession, base: String): Unit = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(binsRoot(base))
-    if (!fs.exists(root)) return
-    val tmp = new org.apache.hadoop.fs.Path(binsRoot(base) + "_c")
-    merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(root, true)
-    fs.rename(tmp, root)
-    ()
+    FoldStore.swap(fs, root) { tmp =>
+      merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
+    }
   }
 
   /** The merged `(bin, tot, pos)` counts over everything seen. Reads
@@ -85,7 +82,7 @@ object StreamingCalibration {
   private def merged(spark: SparkSession, base: String): DataFrame = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(binsRoot(base))
-    if (!fs.exists(root))
+    if (!FoldStore.exists(fs, root))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], binSchema)
     spark.read.schema(binSchema)

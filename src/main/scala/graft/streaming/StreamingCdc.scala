@@ -57,7 +57,7 @@ object StreamingCdc {
   private def readOr(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
     val fs = hadoopFs(spark, path)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+    if (FoldStore.exists(fs, new org.apache.hadoop.fs.Path(path)))
       spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -94,14 +94,11 @@ object StreamingCdc {
   def compactFirsts(spark: SparkSession, base: String): Unit = {
     val fs = hadoopFs(spark, base)
     val cur = new org.apache.hadoop.fs.Path(firstsPath(base))
-    if (!fs.exists(cur)) return
-    val tmp = new org.apache.hadoop.fs.Path(firstsPath(base) + "_c")
-    readOr(spark, firstsPath(base), firstSchema)
-      .groupBy(col("chunk_hash")).agg(min(col("fpack")).as("fpack"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(cur, true)
-    fs.rename(tmp, cur)
-    ()
+    FoldStore.swap(fs, cur) { tmp =>
+      readOr(spark, firstsPath(base), firstSchema)
+        .groupBy(col("chunk_hash")).agg(min(col("fpack")).as("fpack"))
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
   }
 
   /** Merge-on-read chunk instances with global first-occurrence

@@ -81,22 +81,20 @@ object StreamingConformal {
     }
   }
 
-  /** Merge accumulated delta dirs into one (stage-and-swap). */
+  /** Merge accumulated delta dirs into one ([[FoldStore.swap]] — the
+    * r14 crash-safe rename-aside protocol). */
   def compact(spark: SparkSession, base: String): Unit = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(histRoot(base))
-    if (!fs.exists(root)) return
-    val tmp = new org.apache.hadoop.fs.Path(histRoot(base) + "_c")
-    merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(root, true)
-    fs.rename(tmp, root)
-    ()
+    FoldStore.swap(fs, root) { tmp =>
+      merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
+    }
   }
 
   private def merged(spark: SparkSession, base: String): DataFrame = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(histRoot(base))
-    if (!fs.exists(root))
+    if (!FoldStore.exists(fs, root))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
     spark.read.schema(histSchema)
@@ -112,17 +110,16 @@ object StreamingConformal {
       alphaPpm: Long): DataFrame = {
     require(alphaPpm >= 0 && alphaPpm < 1000000L,
       s"alphaPpm must be in [0, 1e6) (got $alphaPpm)")
+    // two-phase cumulation (r14): nonconformities are raw BIGINTs, so
+    // a continuous-valued score makes the histogram corpus-sized and
+    // an unpartitioned Window.orderBy would funnel it into ONE task
     val hist = merged(spark, base)
-    // value-range-sized relation: the unpartitioned window is bounded
-    // by distinct nonconformity values, never the corpus
-    val w = Window.orderBy(col("nonconf"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
-    val n = cum.agg(coalesce(max(col("cum")), lit(0L)).as("n_cal"))
+    val cum = graft.operators.Packing.cumSumOrdered(hist,
+      "nonconf", "cnt", cumCol = "cum", totalCol = Some("n_cal"))
     val keepPpm = 1000000L - alphaPpm
     // one aggregate: thr = first value whose running count reaches k
     // (null when k > n or the histogram is empty → fail OPEN)
-    cum.crossJoin(n)
+    cum
       .withColumn("__k", expr(
         s"((n_cal + 1L) * ${keepPpm}L + 999999L) div 1000000L"))
       .agg(min(when(col("cum") >= col("__k"), col("nonconf")))

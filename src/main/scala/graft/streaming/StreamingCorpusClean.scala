@@ -72,7 +72,7 @@ object StreamingCorpusClean {
   private def readOr(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
     val fs = hadoopFs(spark, path)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+    if (FoldStore.exists(fs, new org.apache.hadoop.fs.Path(path)))
       spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -239,15 +239,14 @@ object StreamingCorpusClean {
         (bandsPath(base), bandSchema),
         (dropsPath(base), dropSchema))) {
       val p = new org.apache.hadoop.fs.Path(path)
-      if (fs.exists(p)) {
+      if (FoldStore.exists(fs, p)) {
         val parts = math.max(1L,
           fs.getContentSummary(p).getLength / (64L << 20)).toInt
-        val tmp = new org.apache.hadoop.fs.Path(path + "_c")
-        spark.read.schema(schema).parquet(path)
-          .coalesce(parts)
-          .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(p, true)
-        fs.rename(tmp, p)
+        FoldStore.swap(fs, p) { tmp =>
+          spark.read.schema(schema).parquet(path)
+            .coalesce(parts)
+            .write.mode("overwrite").parquet(tmp.toString)
+        }
       }
     }
     ()

@@ -78,22 +78,20 @@ object StreamingDrift {
         .driftBinExpr(valueCol, binWidth)).as("category")),
       "category", batchTag)
 
-  /** Merge accumulated delta dirs into one (stage-and-swap). */
+  /** Merge accumulated delta dirs into one ([[FoldStore.swap]] — the
+    * r14 crash-safe rename-aside protocol). */
   def compact(spark: SparkSession, base: String): Unit = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(histRoot(base))
-    if (!fs.exists(root)) return
-    val tmp = new org.apache.hadoop.fs.Path(histRoot(base) + "_c")
-    merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(root, true)
-    fs.rename(tmp, root)
-    ()
+    FoldStore.swap(fs, root) { tmp =>
+      merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
+    }
   }
 
   private def merged(spark: SparkSession, base: String): DataFrame = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(histRoot(base))
-    if (!fs.exists(root))
+    if (!FoldStore.exists(fs, root))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
     spark.read.schema(histSchema)

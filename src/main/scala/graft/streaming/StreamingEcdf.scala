@@ -59,8 +59,14 @@ object StreamingEcdf {
     val delta = binned(rows, groupCol, scoreCol, binWidth)
       .groupBy(col("group"), col("bin"))
       .agg(count(lit(1)).cast("long").as("cnt"))
+    // checksum WEIGHTED by per-bin count (r13 ADVICE: the unweighted
+    // key-set sum aliased {b0:2,b1:1} with {b0:1,b1:2}); every factor
+    // is reduced below 2^31 before multiplying, so the product stays
+    // ≤ ~2e18 < Long.MaxValue
     val row = delta.agg(count(lit(1)), sum(col("cnt")),
-      sum(pmod(xxhash64(col("group")) + col("bin"), lit(1000000007L))),
+      sum(pmod((pmod(xxhash64(col("group")), lit(1000000007L)) +
+        pmod(col("bin"), lit(1000000007L))) *
+        pmod(col("cnt"), lit(1000000007L)), lit(1000000007L))),
       min(col("bin"))).head
     if (row.getLong(0) > 0L) {
       val salt = batchTag.map(b => s"b${b}_").getOrElse("")
@@ -71,22 +77,20 @@ object StreamingEcdf {
     }
   }
 
-  /** Merge accumulated delta dirs into one (stage-and-swap). */
+  /** Merge accumulated delta dirs into one ([[FoldStore.swap]] — the
+    * r14 crash-safe rename-aside protocol). */
   def compact(spark: SparkSession, base: String): Unit = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(histRoot(base))
-    if (!fs.exists(root)) return
-    val tmp = new org.apache.hadoop.fs.Path(histRoot(base) + "_c")
-    merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(root, true)
-    fs.rename(tmp, root)
-    ()
+    FoldStore.swap(fs, root) { tmp =>
+      merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
+    }
   }
 
   private def merged(spark: SparkSession, base: String): DataFrame = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(histRoot(base))
-    if (!fs.exists(root))
+    if (!FoldStore.exists(fs, root))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
     spark.read.schema(histSchema)
@@ -103,13 +107,12 @@ object StreamingEcdf {
   def normalize(spark: SparkSession, base: String, rows: DataFrame,
       idCol: String, groupCol: String, scoreCol: String,
       binWidth: Long): DataFrame = {
+    // two-phase per-group cumulation (r14, the batch ecdfNormalize
+    // fix): Window.partitionBy(group) sorts each whole group's bins
+    // in ONE task — a straggler for any high-cardinality group
     val hist = merged(spark, base)
-    val wc = Window.partitionBy(col("group")).orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
-      .withColumn("__cum", sum(col("cnt")).over(wc))
-      .join(hist.groupBy(col("group"))
-        .agg(sum(col("cnt")).as("n_grp")), Seq("group"))
+    val cum = graft.operators.Packing.cumSumWithinGroups(hist,
+        "group", "bin", "cnt", cumCol = "__cum", totalCol = Some("n_grp"))
       .select(col("group"), col("bin"), col("n_grp"),
         expr("__cum * 1000000L div n_grp").as("ecdf_ppm"))
     require(binWidth >= 1, s"binWidth must be positive (got $binWidth)")

@@ -66,18 +66,15 @@ object StreamingEval {
   def compact(spark: SparkSession, base: String): Unit = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(cmRoot(base))
-    if (!fs.exists(root)) return
-    val tmp = new org.apache.hadoop.fs.Path(cmRoot(base) + "_c")
-    merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(root, true)
-    fs.rename(tmp, root)
-    ()
+    FoldStore.swap(fs, root) { tmp =>
+      merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
+    }
   }
 
   private def merged(spark: SparkSession, base: String): DataFrame = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(cmRoot(base))
-    if (!fs.exists(root))
+    if (!FoldStore.exists(fs, root))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cmSchema)
     spark.read.schema(cmSchema)

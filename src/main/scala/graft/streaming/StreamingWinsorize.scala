@@ -28,8 +28,12 @@ import org.apache.spark.sql.types._
   * is out of contract, as in the batch operator's non-null rule).
   *
   * Replay/crash contract: content-derived delta dir names +
-  * overwrite; [[compact]] merges stage-and-swap; callers whose
-  * batches can repeat byte-identically salt with `batchTag` (the
+  * overwrite; [[compact]] merges via the crash-safe
+  * [[FoldStore.swap]]. The delta tag folds a value-weighted content
+  * checksum (r14, the [[StreamingDrift]] term) alongside (distinct
+  * values, total count, min, max), so two different batches alias
+  * only on a checksum collision — callers whose batches can repeat
+  * BYTE-IDENTICALLY must still salt with `batchTag` (the
   * [[StreamingConformal]] caveat verbatim). */
 object StreamingWinsorize {
 
@@ -57,34 +61,38 @@ object StreamingWinsorize {
       .where(col("v").isNotNull)
       .groupBy(col("v"))
       .agg(count(lit(1)).cast("long").as("cnt"))
+    // both checksum factors bounded below 2^30 before multiplying so
+    // the count-weighted term can never overflow (the StreamingDrift
+    // tag discipline; r13 ADVICE — (n, min, max) alone aliased
+    // different batches like {1,2,4} vs {1,3,4})
     val row = delta.agg(count(lit(1)), sum(col("cnt")),
-      min(col("v")), max(col("v"))).head
+      min(col("v")), max(col("v")),
+      sum(pmod(pmod(xxhash64(col("v")), lit(1000000007L)) *
+        pmod(col("cnt"), lit(1000000007L)), lit(1000000007L)))).head
     if (row.getLong(0) > 0L) {
       val salt = batchTag.map(b => s"b${b}_").getOrElse("")
-      val tag = (s"d_$salt${row.getLong(1)}_" +
-        s"${row.getDouble(2)}_${row.getDouble(3)}")
+      val tag = (s"d_$salt${row.getLong(0)}_${row.getLong(1)}_" +
+        s"${row.getDouble(2)}_${row.getDouble(3)}_${row.getLong(4)}")
         .replace('.', 'p').replace('-', 'm')
       delta.write.mode("overwrite")
         .parquet(s"${histRoot(base)}/$tag")
     }
   }
 
-  /** Merge accumulated delta dirs into one (stage-and-swap). */
+  /** Merge accumulated delta dirs into one ([[FoldStore.swap]] — the
+    * r14 crash-safe rename-aside protocol). */
   def compact(spark: SparkSession, base: String): Unit = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(histRoot(base))
-    if (!fs.exists(root)) return
-    val tmp = new org.apache.hadoop.fs.Path(histRoot(base) + "_c")
-    merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(root, true)
-    fs.rename(tmp, root)
-    ()
+    FoldStore.swap(fs, root) { tmp =>
+      merged(spark, base).write.mode("overwrite").parquet(tmp.toString)
+    }
   }
 
   private def merged(spark: SparkSession, base: String): DataFrame = {
     val fs = hadoopFs(spark, base)
     val root = new org.apache.hadoop.fs.Path(histRoot(base))
-    if (!fs.exists(root))
+    if (!FoldStore.exists(fs, root))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
     spark.read.schema(histSchema)
@@ -101,14 +109,13 @@ object StreamingWinsorize {
       hiPpm: Long): DataFrame = {
     require(loPpm >= 0 && hiPpm <= 1000000L && loPpm <= hiPpm,
       s"need 0 <= loPpm <= hiPpm <= 1e6 (got $loPpm, $hiPpm)")
+    // two-phase cumulation (r14): values are raw DOUBLES, so the
+    // histogram of a continuous column approximates the corpus and
+    // an unpartitioned Window.orderBy would funnel it into ONE task
     val hist = merged(spark, base)
-    // value-range-sized relation: the unpartitioned window is bounded
-    // by distinct values, never the corpus
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
-    val n = cum.agg(coalesce(max(col("cum")), lit(0L)).as("n"))
-    cum.crossJoin(broadcast(n))
+    val cum = graft.operators.Packing.cumSumOrdered(hist,
+      "v", "cnt", cumCol = "cum", totalCol = Some("n"))
+    cum
       .where(col("n") > 0L)
       .withColumn("__klo", expr(
         s"greatest(least((n * ${loPpm}L + 999999L) div 1000000L, n), 1L)"))

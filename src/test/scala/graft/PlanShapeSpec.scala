@@ -719,6 +719,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(cached.isEmpty, s"no cached relation may back the rank:\n$plan")
   }
 
+  test("winsorize/conformal/ECDF cumulations plan NO single-partition " +
+      "window (r13 verdict #2)") {
+    // The r13 histogram rewrite cumulated with Window.orderBy(v) and NO
+    // partitionBy — one task over a histogram that approximates the
+    // corpus whenever the value column is continuous (raw DOUBLE values
+    // in winsorize, raw BIGINT nonconformities in conformalGate). The
+    // r14 fix routes every cumulation through the two-phase
+    // Packing.cumSumWithinGroups; this pin fails if ANY window in these
+    // plans has an empty partition spec (the "all rows one reducer"
+    // shape), batch and streamed read sides alike.
+    for (q <- Seq("q_winsorize", "q_winsorize_by_group",
+        "q_conformal_gate", "q_conformal_by_group", "q_winsorize_stream",
+        "q_conformal_stream", "q_quantile_norm", "q_quantile_norm_stream")) {
+      val plan = executed(q)
+      val unpartitioned = collectAll(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"$q plans a single-partition window:\n$plan")
+    }
+  }
+
   test("no corpus-sized relation stays cached after the " +
       "rankWithinGroups-backed queries complete (r12 verdict #1)") {
     val cm = spark.sharedState.cacheManager

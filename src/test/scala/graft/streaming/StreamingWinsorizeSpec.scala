@@ -67,4 +67,22 @@ class StreamingWinsorizeSpec extends SparkSpec {
     assert(StreamingWinsorize.cuts(spark, b, 10000L, 990000L)
       .collect().isEmpty)
   }
+
+  test("two DIFFERENT batches sharing (n, min, max) do not alias even " +
+      "without batchTag (r13 ADVICE: the content-checksum tag term)") {
+    import spark.implicits._
+    val b = base("alias")
+    StreamingWinsorize.init(spark, b)
+    // {1,2,4} vs {1,3,4}: same row count, same min, same max — the old
+    // (count, min, max) tag collided and the second fold silently
+    // REPLACED the first batch's histogram
+    StreamingWinsorize.fold(spark, b,
+      Seq((1L, 1.0), (2L, 2.0), (3L, 4.0)).toDF("id", "v"), "v")
+    StreamingWinsorize.fold(spark, b,
+      Seq((4L, 1.0), (5L, 3.0), (6L, 4.0)).toDF("id", "v"), "v")
+    val cut = StreamingWinsorize.cuts(spark, b, 0L, 1000000L)
+      .select("n").as[Long].head()
+    assert(cut === 6L,
+      s"both 3-row batches must count (n=6), got n=$cut — tags aliased")
+  }
 }
