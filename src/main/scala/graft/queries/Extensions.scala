@@ -2933,19 +2933,31 @@ object Extensions extends QueryModule {
     // is an ARTIFACT (trained once on the cleaned corpus — the prior
     // production run — and persisted as parquet); each archive fold
     // cleans, encodes its new survivors under the stored vocabulary,
-    // and appends packed rows. Shares the batch oracle verbatim
+    // and appends packed rows. Shares the batch oracle verbatim.
+    // r14 (r13 verdict task 3): the artifact is BUILT ONCE per corpus
+    // fingerprint (ArtifactServe) and served thereafter — the inline
+    // trainer was ~15-20 s of every bench pass, pure rerun waste; the
+    // query's subject is the streaming fold protocol. Deterministic
+    // trainer ⇒ serve-vs-retrain is answer-preserving (the
+    // q_unigram_encode_artifact hash-match pins exactly that).
     GraftQuery("q_clean_tokenize_pack_stream",
       (s, dir) => {
         val tag = graft.GraftCatalog.dbFor(dir)
-        val vocabPath = s"/tmp/graft_artifacts/$tag/clean_unigram_vocab"
-        val cleaned = graft.operators.CorpusClean.clean(
-            t(s, dir, "documents"), "doc_id", "text",
-            lang = "en", minQuality = 3000L, jaccard = 0.8)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        graft.operators.UnigramLM.train(
-            cleaned, "doc_id", "norm_text", rounds = 2)
-          .write.mode("overwrite").parquet(vocabPath)
-        cleaned.unpersist()
+        val docs = t(s, dir, "documents")
+        val vocabPath = graft.operators.ArtifactServe.ensure(s, docs,
+            "doc_id, text",
+            s"/tmp/graft_artifacts/$tag/clean_unigram_vocab") {
+          val cleaned = graft.operators.CorpusClean.clean(
+              docs, "doc_id", "text",
+              lang = "en", minQuality = 3000L, jaccard = 0.8)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // vocab is word-TYPE-sized: eager-checkpoint it so the corpus
+          // cache can release before ensure() writes the artifact
+          try graft.operators.UnigramLM.train(
+              cleaned, "doc_id", "norm_text", rounds = 2)
+            .localCheckpoint(true)
+          finally cleaned.unpersist()
+        }
         val base = s"/tmp/graft_ctp_stream/$tag"
         graft.streaming.StreamingCleanPack.init(s, base)
         val arcs = graft.multimodal.Archives.warcZstFixtures(
