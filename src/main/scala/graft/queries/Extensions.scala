@@ -2849,25 +2849,39 @@ object Extensions extends QueryModule {
         "doc_id", "text", lang = "en", minQuality = 3000L, jaccard = 0.8),
       Some(Extensions.corpusCleanOracle)),
 
-    // the STREAMED capstone (r8 verdict #5): the same .warc.zst corpus
-    // arrives as three ascending micro-batches of archives; each fold
-    // runs split → normalize/gate → exact dedup → banded near-dedup
-    // against the append-only artifact state
-    // (graft.streaming.StreamingCorpusClean). The final cleaned view
-    // must hash-match the BATCH oracle — streamed ingestion may change
-    // nothing about what survives.
+    // the STREAMED capstone (r8 verdict #5, r14 file-source migration):
+    // the same .warc.zst corpus lands as REAL FILES in a watched
+    // directory, three waves — the actual Common-Crawl loop
+    // (StreamingCorpusClean.attachWarcZstFiles: file-stream discovery
+    // in the checkpoint, boundary-index walk, index-planned ranged
+    // member reads, then split → normalize/gate → exact dedup → banded
+    // near-dedup against the append-only artifact state). Waves 2 and
+    // 3 land while the query is DOWN and are picked up by
+    // checkpoint-resumed runs (exactly-once file delivery across two
+    // real restarts). The final cleaned view must hash-match the BATCH
+    // oracle — streamed ingestion may change nothing about what
+    // survives.
     GraftQuery("q_corpus_clean_stream",
       (s, dir) => {
-        val base = s"/tmp/graft_cc_stream/${graft.GraftCatalog.dbFor(dir)}"
+        val root = s"/tmp/graft_cc_stream/${graft.GraftCatalog.dbFor(dir)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val (in, base, ckpt) = (s"$root/in", s"$root/state", s"$root/ckpt")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(in))
         graft.streaming.StreamingCorpusClean.init(s, base)
         val arcs = graft.multimodal.Archives.warcZstFixtures(
           t(s, dir, "documents"), "doc_id", "text")
         val maxId = arcs.agg(max(col("archive_id"))).head.getLong(0) + 1
-        for (i <- 0L until 3L) {
-          graft.streaming.StreamingCorpusClean.foldWarcZst(s, base,
-            arcs.where(col("archive_id") >= i * maxId / 3 &&
-              col("archive_id") < (i + 1) * maxId / 3))
+        def writeWave(i: Long): Unit = graft.multimodal.ArchiveFiles
+          .writeDir(arcs.where(col("archive_id") >= i * maxId / 3 &&
+            col("archive_id") < (i + 1) * maxId / 3), in, ".warc.zst")
+        def run(): Unit = {
+          val q = graft.streaming.StreamingCorpusClean
+            .attachWarcZstFiles(s, in, base, ckpt)
+          try q.processAllAvailable() finally q.stop()
         }
+        for (i <- 0L until 3L) { writeWave(i); run() }
         graft.streaming.StreamingCorpusClean.cleaned(s, base)
       },
       Some(Extensions.corpusCleanOracle)),

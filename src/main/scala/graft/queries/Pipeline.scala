@@ -600,37 +600,66 @@ object Pipeline extends QueryModule {
       Some(twapOracle)),
 
     // ---- streamed TWAP: the same relation built incrementally —
-    //      observations arrive in (ts, tie) order over three
-    //      micro-batches, each interval's bucket slices emit when the
-    //      next observation closes it, and the ADDITIVE slices fold
-    //      with a plain sum to exactly the batch rows (shares q_twap's
-    //      oracle verbatim). The MemoryStream transport is the test
-    //      harness (the registry has no broker); at sf scale its
-    //      driver-side staging is events-table-sized — production
-    //      swaps in a Kafka/file source, the operator is unchanged ----
+    //      observations arrive over three FILE-SOURCE micro-batches
+    //      (r14, the q_domain_quality_gate_files seam: the old
+    //      MemoryStream twin collected the whole events table to the
+    //      driver), each interval's bucket slices emit when the next
+    //      observation closes it, and the ADDITIVE slices fold with a
+    //      plain sum to exactly the batch rows (shares q_twap's oracle
+    //      verbatim). Chunks are ts TERCILES — the two boundary
+    //      scalars are the only driver data — so per key the chunk
+    //      index is monotone in ts and the cross-batch (ts, tie)
+    //      arrival contract holds. The first two chunks fold in ONE
+    //      micro-batch (the per-key in-batch (ts, tie) sort makes
+    //      same-batch delivery order-safe); the third lands while the
+    //      query is DOWN and a checkpoint-resumed run processes it —
+    //      the flatMapGroupsWithState held-observation state survives
+    //      a real restart inside the registry query itself (the
+    //      q_domain_quality_gate_files shape exactly) ----
     GraftQuery("q_twap_stream",
       (s, dir) => {
         import s.implicits._
-        implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
         import graft.streaming.StreamingResample
         import graft.streaming.StreamingResample.{BucketSlice, Obs}
+        val root = s"/tmp/graft_twap_stream/${graft.GraftCatalog.dbFor(dir)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
         val obs = t(s, dir, "events")
-          .select($"event_id", $"ts", $"user_id", $"value").as[Obs]
-          .collect().sortBy(r => (r.ts.getTime, r.event_id)).toSeq
-        val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[Obs]
-        val nm = "graft_twap_stream_sink"
-        s.catalog.dropTempView(nm)
-        val q = StreamingResample.twapStream(in.toDS(), 86400000L)
-          .writeStream.format("memory").queryName(nm)
-          .outputMode("append").start()
-        try {
-          val third = (obs.size + 2) / 3
-          obs.grouped(math.max(third, 1)).foreach { batch =>
-            in.addData(batch); q.processAllAvailable()
-          }
-        } finally q.stop()
-        s.table(nm).as[BucketSlice].groupBy($"user_id", $"bucket")
+          .select($"event_id", $"ts", $"user_id", $"value")
+        val mm = obs.agg(min($"ts").cast("long"), max($"ts").cast("long"))
+          .head
+        val (tsLo, tsHi) = (mm.getLong(0), mm.getLong(1))
+        val (b1, b2) =
+          (tsLo + (tsHi - tsLo) / 3, tsLo + 2 * (tsHi - tsLo) / 3)
+        def writeChunk(i: Int): Unit = (i match {
+          case 0 => obs.where($"ts".cast("long") <= b1)
+          case 1 => obs.where($"ts".cast("long") > b1 &&
+            $"ts".cast("long") <= b2)
+          case _ => obs.where($"ts".cast("long") > b2)
+        }).coalesce(1).write.mode("append").parquet(in)
+        def run(): Unit = {
+          val stream = s.readStream.schema(obs.schema)
+            .parquet(in).as[Obs]
+          val q = StreamingResample.twapStream(stream, 86400000L).toDF()
+            .writeStream
+            // memory sink refuses checkpoint recovery; foreachBatch +
+            // parquet is the fault-tolerant production seam
+            .foreachBatch {
+              (df: org.apache.spark.sql.DataFrame, _: Long) =>
+                df.write.mode("append").parquet(out); ()
+            }
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        writeChunk(0); writeChunk(1)
+        run()
+        writeChunk(2) // arrives while the query is DOWN
+        run() // checkpoint resume: per-key held state restored
+        s.read.schema(org.apache.spark.sql.Encoders
+            .product[BucketSlice].schema).parquet(out)
+          .as[BucketSlice].groupBy($"user_id", $"bucket")
           .agg(sum($"held_millis").cast("long").as("held_millis"),
             sum($"vw").cast("long").as("vw"))
           .select($"user_id", $"bucket", $"held_millis", $"vw",

@@ -111,9 +111,16 @@ class StreamingCorpusCleanSpec extends SparkSpec {
       q.processAllAvailable()
       val afterWave1 = StreamingCorpusClean.cleaned(spark, base).count()
       assert(afterWave1 > 0, "first wave of files must fold")
-      drop(wave2) // a crawler drops more files; the source discovers them
-      q.processAllAvailable()
     } finally q.stop()
+    // checkpointed mid-run RESTART (r14): the second wave lands while
+    // the query is DOWN; the resumed query's file-source checkpoint
+    // must deliver exactly the new files — wave-1 files are never
+    // re-read (a replay would be a fold no-op here, so the equality
+    // below pins delivery, and the batch-parity pins semantics)
+    drop(wave2)
+    val q2 = StreamingCorpusClean.attachWarcZstFiles(spark, watched, base,
+      checkpoint = s"$root/ckpt", targetSplitBytes = 4096)
+    try q2.processAllAvailable() finally q2.stop()
     val streamed = StreamingCorpusClean.cleaned(spark, base)
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(streamed === batchResult())
