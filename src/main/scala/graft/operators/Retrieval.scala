@@ -527,4 +527,101 @@ object Retrieval {
         expr("hits * 1000000L div greatest(n_rel, 1L)").as("r_at_k_ppm"),
         coalesce(expr("1000000L div __first"), lit(0L)).as("mrr_ppm"))
   }
+
+  /** Sign-safe floored mean of a BIGINT sum — `div` truncates toward
+    * zero in Spark while `//` floors in DuckDB; routing the division
+    * through `abs` makes both floor the same non-negative quantity
+    * (the drift-bin discipline), so negative metric deltas publish
+    * identically. */
+  private def signedMeanExpr(sumCol: String, nCol: String): String =
+    s"""(CASE WHEN $sumCol < 0 THEN -1L ELSE 1L END)
+       | * (abs($sumCol) div greatest($nCol, 1L))""".stripMargin
+
+  /** Poisson-bootstrap confidence interval for the mean per-query
+    * DELTA of an IR metric between two rankers — the statistic an
+    * eval pipeline actually ships: not "ranker A scores X" but
+    * "A beats B by D, significantly". Per query,
+    * `delta = metric_A − metric_B`; the point estimate is the
+    * sign-safe floored mean over queries, and the interval comes from
+    * B Poisson(1)-weighted replicates of that mean (resampling over
+    * QUERIES, the IR-eval convention — deltas within a query are
+    * paired, which is what makes the test powerful), using
+    * [[Bootstrap]]'s one-pass fixed-point machinery: weight
+    * `k ~ Poisson(1)` from the md5 uniform `h60("<query>:<b>") % 1e6`
+    * through the published [[Bootstrap.CdfPpm]] constants — no
+    * transcendental at query time, both engines draw identical
+    * weights, so the interval HASH-MATCHES.
+    *
+    * The CI is the percentile bootstrap: replicate means sorted
+    * (tiebreak by replicate id — deterministic), `ci_lo` = the
+    * `ceil(B·tail/10⁶)`-th smallest (clamped ≥ 1), `ci_hi` its
+    * mirror. `significant` = the interval excludes zero.
+    *
+    * Distribution shape: inputs are per-QUERY metric relations
+    * (queries-sized by construction — [[ndcgAtK]] /
+    * [[averagePrecisionAtK]] / [[rankingMetrics]] outputs); one
+    * equi-join on the query key, one ×B map-side explode, one
+    * map-side-combinable groupBy down to B rows. The ranking window
+    * over the B-row replicate relation is bounded by `replicates` BY
+    * CONSTRUCTION (the isotonicFit acceptance — never data-sized).
+    * A replicate that draws weight 0 for every query publishes mean
+    * 0 (the `greatest(·,1)` guard) — at any realistic query count
+    * the probability is e^(−n_queries) per replicate and the draw is
+    * deterministic, so a fixture that passes once passes always.
+    *
+    * Output (one row): `(n_queries, mean_delta_ppm, ci_lo_ppm,
+    * ci_hi_ppm, replicates, significant)`. */
+  def metricDeltaCi(perQueryA: DataFrame, perQueryB: DataFrame,
+      metricCol: String, replicates: Int = 64,
+      tailPpm: Long = 25000L): DataFrame = {
+    require(replicates >= 2 && replicates <= 4096,
+      s"need 2 <= replicates <= 4096, got $replicates")
+    require(tailPpm > 0 && 2 * tailPpm < 1000000L,
+      s"need 0 < tailPpm < 5e5, got $tailPpm")
+    val a = perQueryA.select(col("query").cast("string").as("query"),
+      col(metricCol).cast("long").as("__ma"))
+    val b = perQueryB.select(col("query").cast("string").as("query"),
+      col(metricCol).cast("long").as("__mb"))
+    val deltas = a.join(b, Seq("query"))
+      .select(col("query"), (col("__ma") - col("__mb")).as("delta"))
+    val point = deltas
+      .agg(count(lit(1)).as("n_queries"), sum(col("delta")).as("__s"))
+      .select(col("n_queries"),
+        coalesce(expr(signedMeanExpr("__s", "n_queries")), lit(0L))
+          .as("mean_delta_ppm"))
+    val kCol = {
+      val u = col("__u")
+      Bootstrap.CdfPpm.zipWithIndex.foldRight(lit(6L)) {
+        case ((c, k), elseCol) => when(u < c, k.toLong).otherwise(elseCol)
+      }
+    }
+    val reps = deltas
+      .withColumn("__b", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__u", expr(s"""${Dedup.h60raw(
+        "concat(query, ':', CAST(__b AS STRING))")} % 1000000"""))
+      .withColumn("__k", kCol)
+      .groupBy(col("__b"))
+      .agg(sum(col("__k") * col("delta")).as("__ks"),
+        sum(col("__k")).as("__kn"))
+      .select(col("__b"),
+        expr(signedMeanExpr("__ks", "__kn")).as("__rm"))
+    val loRank = math.max(1L,
+      (replicates.toLong * tailPpm + 999999L) / 1000000L)
+    val hiRank = replicates.toLong + 1L - loRank
+    // B-row relation by construction — bounded unpartitioned window
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rm"), col("__b"))
+    val ci = broadcast(reps
+      .withColumn("__r", row_number().over(wr).cast("long"))
+      .agg(min(when(col("__r") === loRank, col("__rm")))
+          .as("ci_lo_ppm"),
+        min(when(col("__r") === hiRank, col("__rm")))
+          .as("ci_hi_ppm")))
+    point.crossJoin(ci)
+      .select(col("n_queries"), col("mean_delta_ppm"),
+        col("ci_lo_ppm"), col("ci_hi_ppm"),
+        lit(replicates.toLong).as("replicates"),
+        (col("ci_lo_ppm") > 0L || col("ci_hi_ppm") < 0L)
+          .as("significant"))
+  }
 }

@@ -250,6 +250,113 @@ object Curation extends QueryModule {
     * native `shingle_hashes` kernel and the q_ngram_jaccard oracle). */
   private def dH60raw(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** Generated q_eval_ci oracle: both coverage runs (the
+    * q_rank_overlap CTE chain), per-query AP@10 for each (the q_map
+    * chain ×2), the paired per-query delta, then the Poisson-bootstrap
+    * percentile CI — weights from the md5 uniform through the
+    * fixed-point [[graft.operators.Bootstrap.CdfPpm]] constants, rank
+    * rule `ceil(B·tail/10⁶)` mirrored from the operator. CTEs
+    * referenced more than once are MATERIALIZED (the unrolled-CTE
+    * inlining gotcha). */
+  private[queries] def evalCiOracle(replicates: Int,
+      tailPpm: Long): String = {
+    val cases = graft.operators.Bootstrap.CdfPpm.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+    val loRank = math.max(1L,
+      (replicates.toLong * tailPpm + 999999L) / 1000000L)
+    val hiRank = replicates.toLong + 1L - loRank
+    def ap(run: String, tag: String): String =
+      s"""rr$tag AS (SELECT r.query, r.rnk,
+         |    (CASE WHEN q.doc IS NOT NULL THEN 1 ELSE 0 END) AS rel
+         |  FROM $run r LEFT JOIN qrels q
+         |    ON q.query = r.query AND q.doc = r.doc),
+         |cw$tag AS (SELECT query, rnk, rel,
+         |    sum(rel) OVER (PARTITION BY query ORDER BY rnk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS relcum
+         |  FROM rr$tag),
+         |m$tag AS (SELECT query,
+         |    sum(CASE WHEN rel = 1
+         |        THEN relcum * (2520 // rnk) ELSE 0 END)::BIGINT
+         |      AS ap_units
+         |  FROM cw$tag GROUP BY 1),
+         |ap$tag AS (SELECT m.query,
+         |    (CASE WHEN coalesce(n.n_rel, 0) > 0
+         |      THEN m.ap_units * 1000000 // (2520 * least(n.n_rel, 10))
+         |      ELSE 0 END)::BIGINT AS ap
+         |  FROM m$tag m LEFT JOIN nrel n USING (query))""".stripMargin
+    s"""WITH u AS (
+       |  SELECT source, unnest(list_filter(string_split(text, ' '),
+       |    w -> w <> '')) AS word
+       |  FROM documents),
+       |tfc AS MATERIALIZED (SELECT source AS class, word,
+       |        count(*)::BIGINT AS tf
+       |        FROM u GROUP BY 1, 2),
+       |gtf AS (SELECT word, sum(tf)::BIGINT AS gtf FROM tfc GROUP BY 1),
+       |sc AS (SELECT class, tfc.word, tf,
+       |    ((tf * 1000000) // gtf)::BIGINT AS conc_ppm
+       |  FROM tfc JOIN gtf ON tfc.word = gtf.word WHERE tf >= 5),
+       |rkd AS MATERIALIZED (SELECT class, word, row_number() OVER (
+       |    PARTITION BY class
+       |    ORDER BY conc_ppm DESC, tf DESC, word) AS rk FROM sc),
+       |tra AS (SELECT class, word FROM rkd WHERE rk <= 5),
+       |trb AS (SELECT class, word FROM rkd WHERE rk <= 3),
+       |dwu AS (SELECT doc_id AS doc,
+       |    unnest(list_filter(string_split(text, ' '),
+       |      w -> w <> '')) AS word
+       |  FROM documents),
+       |dw AS MATERIALIZED (SELECT DISTINCT doc, word FROM dwu),
+       |cova AS (SELECT tra.class AS query, dw.doc,
+       |    count(*)::BIGINT AS coverage
+       |  FROM dw JOIN tra ON dw.word = tra.word GROUP BY 1, 2),
+       |runa AS (SELECT query, doc, rnk FROM (
+       |    SELECT query, doc, row_number() OVER (PARTITION BY query
+       |      ORDER BY coverage DESC, doc) AS rnk
+       |    FROM cova) WHERE rnk <= 10),
+       |covb AS (SELECT trb.class AS query, dw.doc,
+       |    count(*)::BIGINT AS coverage
+       |  FROM dw JOIN trb ON dw.word = trb.word GROUP BY 1, 2),
+       |runb AS (SELECT query, doc, rnk FROM (
+       |    SELECT query, doc, row_number() OVER (PARTITION BY query
+       |      ORDER BY coverage DESC, doc) AS rnk
+       |    FROM covb) WHERE rnk <= 10),
+       |qrels AS MATERIALIZED (SELECT source AS query, doc_id AS doc
+       |  FROM documents),
+       |nrel AS MATERIALIZED (SELECT query, count(*)::BIGINT AS n_rel
+       |  FROM qrels GROUP BY 1),
+       |""".stripMargin +
+      ap("runa", "a") + ",\n" + ap("runb", "b") + ",\n" +
+    s"""dl AS MATERIALIZED (SELECT a.query, (a.ap - b.ap) AS delta
+       |  FROM apa a JOIN apb b USING (query)),
+       |pt AS (SELECT count(*)::BIGINT AS n_queries,
+       |    coalesce(sum(delta), 0)::BIGINT AS s FROM dl),
+       |rp AS (SELECT query, delta, b FROM dl, range($replicates) t(b)),
+       |uu AS (SELECT delta, b,
+       |    ${dH60raw("query || ':' || CAST(b AS VARCHAR)")} % 1000000
+       |      AS u
+       |  FROM rp),
+       |kk AS (SELECT b, delta, CASE $cases ELSE 6 END AS k FROM uu),
+       |rm AS (SELECT b, sum(k * delta)::BIGINT AS ks,
+       |    sum(k)::BIGINT AS kn FROM kk GROUP BY 1),
+       |rs AS (SELECT b, (CASE WHEN ks < 0 THEN -1 ELSE 1 END)
+       |    * (abs(ks) // greatest(kn, 1)) AS rep_mean FROM rm),
+       |rk2 AS (SELECT rep_mean,
+       |    row_number() OVER (ORDER BY rep_mean, b) AS r FROM rs),
+       |ci AS (SELECT
+       |    min(CASE WHEN r = $loRank THEN rep_mean END)::BIGINT
+       |      AS ci_lo_ppm,
+       |    min(CASE WHEN r = $hiRank THEN rep_mean END)::BIGINT
+       |      AS ci_hi_ppm FROM rk2)
+       |SELECT pt.n_queries,
+       |  ((CASE WHEN pt.s < 0 THEN -1 ELSE 1 END)
+       |    * (abs(pt.s) // greatest(pt.n_queries, 1)))::BIGINT
+       |    AS mean_delta_ppm,
+       |  ci.ci_lo_ppm, ci.ci_hi_ppm,
+       |  ${replicates}::BIGINT AS replicates,
+       |  (ci.ci_lo_ppm > 0 OR ci.ci_hi_ppm < 0) AS significant
+       |FROM pt, ci""".stripMargin
+  }
+
   /** Generated batch-perceptron oracle chain (mirrors
     * [[graft.operators.Perceptron.train]] construct for construct):
     * hashed-bag features + bias row, stopword-ratio weak labels, then
@@ -783,6 +890,36 @@ object Curation extends QueryModule {
              |SELECT q.query, coalesce(sm.rbo_nano, 0)::BIGINT AS rbo_nano
              |FROM (SELECT DISTINCT query FROM runa) q
              |LEFT JOIN sm USING (query)""".stripMargin)),
+
+    // ---- Poisson-bootstrap significance for a ranker comparison
+    //      (r13 verdict task 6): per-query AP@10 delta between the
+    //      5-term and 3-term coverage rankers (the q_rank_overlap
+    //      pair), point mean + percentile-bootstrap CI from 64
+    //      Poisson(1)-weighted replicates over QUERIES (paired
+    //      resampling, the IR-eval convention) — all integer, the
+    //      fixed-point CDF constants shared verbatim, so the interval
+    //      itself hash-matches. `significant` is the headline: "the
+    //      5-term ranker beats the 3-term one, and not by luck" ----
+    GraftQuery("q_eval_ci",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val qrels = docs.select(col("source").as("query"),
+          col("doc_id").as("doc"))
+        val (tfcA, runA) = graft.operators.Retrieval.classCoverageRun(
+          docs, "doc_id", "source", "text", nTerms = 5, minTf = 5L,
+          k = 10)
+        val (tfcB, runB) = graft.operators.Retrieval.classCoverageRun(
+          docs, "doc_id", "source", "text", nTerms = 3, minTf = 5L,
+          k = 10)
+        Drain.drainedAll(s, Seq(tfcA, tfcB),
+          graft.operators.Retrieval.metricDeltaCi(
+            graft.operators.Retrieval.averagePrecisionAtK(
+              runA, qrels, "query", "doc", "rank", k = 10),
+            graft.operators.Retrieval.averagePrecisionAtK(
+              runB, qrels, "query", "doc", "rank", k = 10),
+            "ap_ppm", replicates = 64))
+      },
+      Some(Curation.evalCiOracle(replicates = 64, tailPpm = 25000L))),
 
     // ---- nDCG@10 with graded relevance: the 3-term coverage run
     //      judged against graded qrels from the 5-term class vocab

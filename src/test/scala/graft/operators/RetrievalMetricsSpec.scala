@@ -182,4 +182,59 @@ class RetrievalMetricsSpec extends SparkSpec {
       (1L to 5L).map(d => ("C", d)), k = 2)
     assert(cut("C")._5 === 1000000L)
   }
+
+  private def ci(perQ: Seq[(String, Long)], shift: Long,
+      replicates: Int = 64) = {
+    import spark.implicits._
+    val a = perQ.toDF("query", "m")
+    val b = perQ.map { case (q, v) => (q, v - shift) }.toDF("query", "m")
+    Retrieval.metricDeltaCi(a, b, "m", replicates)
+      .selectExpr("n_queries", "mean_delta_ppm", "ci_lo_ppm",
+        "ci_hi_ppm", "replicates", "significant")
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .head()
+  }
+
+  private val perQ: Seq[(String, Long)] =
+    (1 to 12).map(i => (s"q$i", 100000L * i))
+
+  test("metricDeltaCi hand trace: identical rankers give a degenerate " +
+      "[0, 0] interval and NOT significant") {
+    // every per-query delta is 0, so every Poisson-weighted replicate
+    // mean is 0 regardless of the draw: mean 0, CI [0, 0]
+    assert(ci(perQ, shift = 0L) === ((12L, 0L, 0L, 0L, 64L, false)))
+  }
+
+  test("metricDeltaCi hand trace: a constant per-query shift gives a " +
+      "point-mass interval at the shift, significant in its sign") {
+    // delta_q = c for all q ⇒ each replicate mean is sum(k·c)/sum(k)
+    // = c exactly (any draw with sum(k) > 0; a 12-query all-zero draw
+    // has probability e^-12 and the md5 draw is deterministic — this
+    // fixture verified none occurs), so the percentile CI collapses
+    // to [c, c]
+    assert(ci(perQ, shift = 7000L) ===
+      ((12L, 7000L, 7000L, 7000L, 64L, true)))
+    // sign-safe: the negative shift mirrors exactly (Spark div
+    // truncates, DuckDB // floors — the abs-routed mean makes both
+    // floor the same non-negative quantity)
+    assert(ci(perQ, shift = -7000L) ===
+      ((12L, -7000L, -7000L, -7000L, 64L, true)))
+  }
+
+  test("metricDeltaCi rank rule: B=64, tail 2.5% picks the 2nd and " +
+      "63rd order statistics (ceil(64*0.025) = 2)") {
+    import spark.implicits._
+    // heterogeneous deltas: replicate means spread, so the CI must be
+    // strictly inside [min, max] of the replicate means — pin the
+    // rank arithmetic rather than the (deterministic) draw itself
+    val a = (1 to 9).map(i => (s"q$i", if (i % 2 == 0) 50000L else -10000L))
+      .toDF("query", "m")
+    val b = (1 to 9).map(i => (s"q$i", 0L)).toDF("query", "m")
+    val row = Retrieval.metricDeltaCi(a, b, "m", replicates = 64)
+      .selectExpr("ci_lo_ppm", "ci_hi_ppm")
+      .as[(Long, Long)].head()
+    assert(row._1 <= row._2)
+    assert(row._1 >= -10000L && row._2 <= 50000L,
+      "replicate means are convex combinations of the deltas")
+  }
 }
