@@ -250,6 +250,37 @@ object Curation extends QueryModule {
     * native `shingle_hashes` kernel and the q_ngram_jaccard oracle). */
   private def dH60raw(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** Shared by q_conformal_by_group and its streamed twin (the
+    * streamed gate over everything seen must equal the batch gate
+    * VERBATIM). */
+  private[queries] def conformalByGroupOracle: String =
+    Curation.perceptronChain(32, 4) + """,
+        |pred AS MATERIALIZED (
+        |  SELECT f.doc_id, f.y, sum(f.x * w.w)::BIGINT AS margin
+        |  FROM feat f JOIN w4 w USING (j) GROUP BY 1, 2),
+        |rws AS (SELECT p.doc_id AS id, d.lang AS grp,
+        |    -p.margin AS nonconf,
+        |    (p.y = 1 AND p.doc_id % 2 = 0) AS is_cal
+        |  FROM pred p JOIN documents d USING (doc_id)),
+        |h AS (SELECT grp, nonconf, count(*)::BIGINT AS c
+        |      FROM rws WHERE is_cal GROUP BY 1, 2),
+        |cw AS (SELECT grp, nonconf,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY nonconf
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n_cal
+        |  FROM h),
+        |th AS (SELECT grp,
+        |    coalesce(min(CASE WHEN cum >=
+        |        ((n_cal + 1) * 900000 + 999999) // 1000000
+        |      THEN nonconf END), 9223372036854775807)::BIGINT AS thr,
+        |    max(n_cal)::BIGINT AS n_cal
+        |  FROM cw GROUP BY 1)
+        |SELECT r.id, r.grp AS "group", r.nonconf, r.is_cal,
+        |  coalesce(t.thr, 9223372036854775807)::BIGINT AS thr,
+        |  coalesce(t.n_cal, 0)::BIGINT AS n_cal,
+        |  (r.nonconf <= coalesce(t.thr, 9223372036854775807)) AS kept
+        |FROM rws r LEFT JOIN th t USING (grp)""".stripMargin
+
   /** Generated q_eval_ci oracle: both coverage runs (the
     * q_rank_overlap CTE chain), per-query AP@10 for each (the q_map
     * chain ×2), the paired per-query delta, then the Poisson-bootstrap
@@ -1841,32 +1872,46 @@ object Curation extends QueryModule {
               (col("y") === 1L && col("doc_id") % 2 === 0).as("is_cal")),
           "doc_id", "lang", "nonconf", "is_cal", alphaPpm = 100000L)
       },
-      Some(Curation.perceptronChain(32, 4) + """,
-        |pred AS MATERIALIZED (
-        |  SELECT f.doc_id, f.y, sum(f.x * w.w)::BIGINT AS margin
-        |  FROM feat f JOIN w4 w USING (j) GROUP BY 1, 2),
-        |rws AS (SELECT p.doc_id AS id, d.lang AS grp,
-        |    -p.margin AS nonconf,
-        |    (p.y = 1 AND p.doc_id % 2 = 0) AS is_cal
-        |  FROM pred p JOIN documents d USING (doc_id)),
-        |h AS (SELECT grp, nonconf, count(*)::BIGINT AS c
-        |      FROM rws WHERE is_cal GROUP BY 1, 2),
-        |cw AS (SELECT grp, nonconf,
-        |    sum(c) OVER (PARTITION BY grp ORDER BY nonconf
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    sum(c) OVER (PARTITION BY grp) AS n_cal
-        |  FROM h),
-        |th AS (SELECT grp,
-        |    coalesce(min(CASE WHEN cum >=
-        |        ((n_cal + 1) * 900000 + 999999) // 1000000
-        |      THEN nonconf END), 9223372036854775807)::BIGINT AS thr,
-        |    max(n_cal)::BIGINT AS n_cal
-        |  FROM cw GROUP BY 1)
-        |SELECT r.id, r.grp AS "group", r.nonconf, r.is_cal,
-        |  coalesce(t.thr, 9223372036854775807)::BIGINT AS thr,
-        |  coalesce(t.n_cal, 0)::BIGINT AS n_cal,
-        |  (r.nonconf <= coalesce(t.thr, 9223372036854775807)) AS kept
-        |FROM rws r LEFT JOIN th t USING (grp)""".stripMargin)),
+      Some(Curation.conformalByGroupOracle)),
+
+    // ---- streamed PER-GROUP conformal gate (r14 — the last empty
+    //      cell of the winsorize/conformal matrix): calibration rows
+    //      arrive in three id-range folds, one additive (group,
+    //      nonconf) histogram per fold; the read side reruns the batch
+    //      per-group order statistic, never-folded groups fail OPEN,
+    //      so gating everything seen equals conformalGateByGroup
+    //      VERBATIM (shares its oracle; mid-run compaction must not
+    //      change it) ----
+    GraftQuery("q_conformal_by_group_stream",
+      (s, dir) => {
+        val base =
+          s"/tmp/graft_confg_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingConformal.init(s, base)
+        val docs = t(s, dir, "documents")
+        val (_, pred) = graft.operators.Perceptron.train(
+          docs, "doc_id", "text", d = 32, rounds = 4)
+        val rows = pred
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"),
+            (-col("margin")).as("nonconf"),
+            (col("y") === 1L && col("doc_id") % 2 === 0).as("is_cal"))
+          .persist()
+        val maxId = rows.agg(max(col("doc_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingConformal.foldByGroup(s, base,
+            rows.where(col("doc_id") >= i * maxId / 3 &&
+              col("doc_id") < (i + 1) * maxId / 3),
+            "lang", "nonconf", "is_cal", batchTag = Some(i))
+          if (i == 1L) // mid-run compaction is answer-preserving
+            graft.streaming.StreamingConformal.compactByGroup(s, base)
+        }
+        val out = graft.streaming.StreamingConformal.gateByGroup(
+          s, base, rows, "doc_id", "lang", "nonconf", "is_cal",
+          alphaPpm = 100000L)
+        rows.unpersist()
+        out
+      },
+      Some(Curation.conformalByGroupOracle)),
 
     // ---- ECDF quantile normalization: per-source length scores
     //      mapped to their within-source quantile in ppm, so one

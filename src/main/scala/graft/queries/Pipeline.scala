@@ -561,6 +561,52 @@ object Pipeline extends QueryModule {
              |  (r.v < c.lo_cut OR r.v > c.hi_cut)::BIGINT AS clipped
              |FROM r CROSS JOIN c""".stripMargin)),
 
+    // ---- streamed PER-GROUP winsorization (r14 — the streamed-grouped
+    //      cell of the winsorize matrix): same three id-range folds,
+    //      one additive (group, value) histogram per fold; the read
+    //      side recovers each group's exact rank-cut pair, so clamping
+    //      everything seen equals the batch winsorizeByGroup VERBATIM
+    //      (shares q_winsorize_by_group's oracle; mid-run compaction
+    //      must not change it) ----
+    GraftQuery("q_winsorize_by_group_stream",
+      (s, dir) => {
+        val base =
+          s"/tmp/graft_winsg_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingWinsorize.init(s, base)
+        val ev = t(s, dir, "events")
+        val maxId = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingWinsorize.foldByGroup(s, base,
+            ev.where(col("event_id") >= i * maxId / 3 &&
+              col("event_id") < (i + 1) * maxId / 3),
+            "event_type", "value", batchTag = Some(i))
+          if (i == 1L) // mid-run compaction is answer-preserving
+            graft.streaming.StreamingWinsorize.compactByGroup(s, base)
+        }
+        graft.streaming.StreamingWinsorize.winsorizedByGroup(s, base,
+          ev, "event_id", "event_type", "value",
+          loPpm = 50000L, hiPpm = 950000L)
+      },
+      Some("""WITH r AS (
+             |  SELECT event_id AS id, event_type AS grp, value AS v,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value, event_id) AS rnk,
+             |    count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+             |  FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT grp,
+             |    min(CASE WHEN rnk = greatest(least(
+             |      (n * 50000 + 999999) // 1000000, n), 1)
+             |      THEN v END) AS lo_cut,
+             |    max(CASE WHEN rnk = greatest(least(
+             |      (n * 950000 + 999999) // 1000000, n), 1)
+             |      THEN v END) AS hi_cut
+             |  FROM r GROUP BY 1)
+             |SELECT r.id, r.grp AS "group", r.v AS value,
+             |  c.lo_cut, c.hi_cut,
+             |  least(greatest(r.v, c.lo_cut), c.hi_cut) AS winsorized,
+             |  (r.v < c.lo_cut OR r.v > c.hi_cut)::BIGINT AS clipped
+             |FROM r JOIN c USING (grp)""".stripMargin)),
+
     // ---- burst suppression: drop events repeating within 1 HOUR of
     //      the PREVIOUS raw event per (user, type) — retry/duplicate
     //      rate limiting (threshold sized to the fixture's gap

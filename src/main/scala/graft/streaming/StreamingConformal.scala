@@ -143,4 +143,107 @@ object StreamingConformal {
       .select(col("id"), col("nonconf"), col("is_cal"), col("thr"),
         col("n_cal"), (col("nonconf") <= col("thr")).as("kept"))
   }
+
+  // ------------------------- per-GROUP twin -------------------------
+  // The streamed half of Calibration.conformalGateByGroup (r14 — the
+  // last empty cell of the {winsorize, conformal} × {global,
+  // per-group} × {batch, streamed} matrix): the additive calibration
+  // histogram gains a group column, the read side reruns the batch
+  // per-group order statistic on the merged relation, and groups with
+  // no folded calibration rows FAIL OPEN exactly like the batch left
+  // join.
+
+  private val ghistSchema = StructType(Seq(
+    StructField("group", StringType), StructField("nonconf", LongType),
+    StructField("cnt", LongType)))
+
+  private def ghistRoot(base: String) = s"$base/ghist"
+
+  /** [[fold]] with one calibration histogram per group. */
+  def foldByGroup(spark: SparkSession, base: String, rows: DataFrame,
+      groupCol: String, nonconfCol: String, calCol: String,
+      batchTag: Option[Long] = None): Unit = {
+    val delta = rows
+      .where(col(calCol).cast("boolean"))
+      .select(col(groupCol).cast("string").as("group"),
+        col(nonconfCol).cast("long").as("nonconf"))
+      .groupBy(col("group"), col("nonconf"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    // every factor reduced below 2^31 before multiplying (no overflow)
+    val row = delta.agg(count(lit(1)), sum(col("cnt")),
+      sum(pmod((pmod(xxhash64(col("group")), lit(1000000007L)) +
+        pmod(col("nonconf"), lit(1000000007L))) *
+        pmod(col("cnt"), lit(1000000007L)), lit(1000000007L)))).head
+    if (row.getLong(0) > 0L) {
+      val salt = batchTag.map(b => s"b${b}_").getOrElse("")
+      val tag = s"d_$salt${row.getLong(0)}_${row.getLong(1)}_" +
+        s"${row.getLong(2)}"
+      delta.write.mode("overwrite")
+        .parquet(s"${ghistRoot(base)}/$tag")
+    }
+  }
+
+  /** Merge the grouped delta dirs ([[FoldStore.swap]]). */
+  def compactByGroup(spark: SparkSession, base: String): Unit = {
+    val fs = hadoopFs(spark, base)
+    val root = new org.apache.hadoop.fs.Path(ghistRoot(base))
+    FoldStore.swap(fs, root) { tmp =>
+      mergedByGroup(spark, base).write.mode("overwrite")
+        .parquet(tmp.toString)
+    }
+  }
+
+  private def mergedByGroup(spark: SparkSession,
+      base: String): DataFrame = {
+    val fs = hadoopFs(spark, base)
+    val root = new org.apache.hadoop.fs.Path(ghistRoot(base))
+    if (!FoldStore.exists(fs, root))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ghistSchema)
+    spark.read.schema(ghistSchema)
+      .option("recursiveFileLookup", "true").parquet(root.toString)
+      .groupBy(col("group"), col("nonconf"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** The always-current per-group `(group, thr, n_cal)` — the batch
+    * `k = ceil((n+1)(1−α))` rule per group over the merged grouped
+    * histogram, cumulated two-phase
+    * ([[graft.operators.Packing.cumSumWithinGroups]]). */
+  def thresholdByGroup(spark: SparkSession, base: String,
+      alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm < 1000000L,
+      s"alphaPpm must be in [0, 1e6) (got $alphaPpm)")
+    val keepPpm = 1000000L - alphaPpm
+    graft.operators.Packing.cumSumWithinGroups(
+        mergedByGroup(spark, base), "group", "nonconf", "cnt",
+        cumCol = "__cum", totalCol = Some("n_cal"))
+      .withColumn("__k", expr(
+        s"((n_cal + 1L) * ${keepPpm}L + 999999L) div 1000000L"))
+      .groupBy(col("group"))
+      .agg(coalesce(min(when(col("__cum") >= col("__k"),
+          col("nonconf"))), lit(Long.MaxValue)).as("thr"),
+        max(col("n_cal")).as("n_cal"))
+  }
+
+  /** Gate `rows` per group — the batch
+    * [[graft.operators.Calibration.conformalGateByGroup]] output
+    * shape `(id, group, nonconf, is_cal, thr, n_cal, kept)`; groups
+    * never folded fail OPEN (left join + `+∞`), exactly the batch
+    * rule. */
+  def gateByGroup(spark: SparkSession, base: String, rows: DataFrame,
+      idCol: String, groupCol: String, nonconfCol: String,
+      calCol: String, alphaPpm: Long): DataFrame =
+    rows.select(col(idCol).cast("long").as("id"),
+        col(groupCol).cast("string").as("group"),
+        col(nonconfCol).cast("long").as("nonconf"),
+        col(calCol).cast("boolean").as("is_cal"))
+      .join(thresholdByGroup(spark, base, alphaPpm), Seq("group"),
+        "left")
+      .select(col("id"), col("group"), col("nonconf"), col("is_cal"),
+        coalesce(col("thr"), lit(Long.MaxValue)).as("thr"),
+        coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+        (col("nonconf") <=
+          coalesce(col("thr"), lit(Long.MaxValue))).as("kept"))
 }

@@ -142,4 +142,112 @@ object StreamingWinsorize {
           .as("winsorized"),
         (col("value") < col("lo_cut") || col("value") > col("hi_cut"))
           .cast("long").as("clipped"))
+
+  // ------------------------- per-GROUP twin -------------------------
+  // The streamed half of Profiler.winsorizeByGroup (r14 — the
+  // {winsorize, conformal} × {global, per-group} × {batch, streamed}
+  // matrix had these two streamed-grouped cells empty): the additive
+  // histogram gains a group column (the StreamingEcdf fold shape), and
+  // the read side is the batch per-group construction verbatim over
+  // the merged (group, v, cnt) relation.
+
+  private val ghistSchema = StructType(Seq(
+    StructField("group", StringType), StructField("v", DoubleType),
+    StructField("cnt", LongType)))
+
+  private def ghistRoot(base: String) = s"$base/gvhist"
+
+  /** [[fold]] with one histogram per group. Tag folds a
+    * (group, value, count)-weighted checksum (the r14 tag
+    * discipline); salt repeating batches with `batchTag` as ever. */
+  def foldByGroup(spark: SparkSession, base: String, rows: DataFrame,
+      groupCol: String, valueCol: String,
+      batchTag: Option[Long] = None): Unit = {
+    val delta = rows
+      .select(col(groupCol).cast("string").as("group"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("group"), col("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    // every factor reduced below 2^31 before multiplying (no overflow)
+    val row = delta.agg(count(lit(1)), sum(col("cnt")),
+      sum(pmod((pmod(xxhash64(col("group")), lit(1000000007L)) +
+        pmod(xxhash64(col("v")), lit(1000000007L))) *
+        pmod(col("cnt"), lit(1000000007L)), lit(1000000007L)))).head
+    if (row.getLong(0) > 0L) {
+      val salt = batchTag.map(b => s"b${b}_").getOrElse("")
+      val tag = s"d_$salt${row.getLong(0)}_${row.getLong(1)}_" +
+        s"${row.getLong(2)}"
+      delta.write.mode("overwrite")
+        .parquet(s"${ghistRoot(base)}/$tag")
+    }
+  }
+
+  /** Merge the grouped delta dirs ([[FoldStore.swap]]). */
+  def compactByGroup(spark: SparkSession, base: String): Unit = {
+    val fs = hadoopFs(spark, base)
+    val root = new org.apache.hadoop.fs.Path(ghistRoot(base))
+    FoldStore.swap(fs, root) { tmp =>
+      mergedByGroup(spark, base).write.mode("overwrite")
+        .parquet(tmp.toString)
+    }
+  }
+
+  private def mergedByGroup(spark: SparkSession,
+      base: String): DataFrame = {
+    val fs = hadoopFs(spark, base)
+    val root = new org.apache.hadoop.fs.Path(ghistRoot(base))
+    if (!FoldStore.exists(fs, root))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ghistSchema)
+    spark.read.schema(ghistSchema)
+      .option("recursiveFileLookup", "true").parquet(root.toString)
+      .groupBy(col("group"), col("v"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** The always-current per-group `(group, lo_cut, hi_cut)` — the
+    * batch per-group k rule over the merged grouped histogram,
+    * cumulated two-phase ([[graft.operators.Packing
+    * .cumSumWithinGroups]] — a `Window.partitionBy(group)` would
+    * still sort one high-cardinality group's continuous-double
+    * histogram in a single task). */
+  def cutsByGroup(spark: SparkSession, base: String, loPpm: Long,
+      hiPpm: Long): DataFrame = {
+    require(loPpm >= 0 && hiPpm <= 1000000L && loPpm <= hiPpm,
+      s"need 0 <= loPpm <= hiPpm <= 1e6 (got $loPpm, $hiPpm)")
+    graft.operators.Packing.cumSumWithinGroups(
+        mergedByGroup(spark, base), "group", "v", "cnt",
+        cumCol = "__cum", totalCol = Some("__n"))
+      .withColumn("__klo", expr(
+        s"greatest(least((__n * ${loPpm}L + 999999L) div 1000000L, __n), 1L)"))
+      .withColumn("__khi", expr(
+        s"greatest(least((__n * ${hiPpm}L + 999999L) div 1000000L, __n), 1L)"))
+      .groupBy(col("group"))
+      .agg(min(when(col("__cum") >= col("__klo"), col("v")))
+          .as("lo_cut"),
+        min(when(col("__cum") >= col("__khi"), col("v")))
+          .as("hi_cut"))
+  }
+
+  /** Clamp `rows` against the current per-group cuts — the batch
+    * [[graft.operators.Profiler.winsorizeByGroup]] output shape
+    * `(id, group, value, lo_cut, hi_cut, winsorized, clipped)`; rows
+    * of groups never folded drop, exactly like the batch inner
+    * join (fold-then-clamp callers never hit that edge). */
+  def winsorizedByGroup(spark: SparkSession, base: String,
+      rows: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, loPpm: Long, hiPpm: Long): DataFrame =
+    rows.select(col(idCol).cast("long").as("id"),
+        col(groupCol).cast("string").as("group"),
+        col(valueCol).as("value"))
+      .where(col("value").isNotNull)
+      .join(cutsByGroup(spark, base, loPpm, hiPpm), Seq("group"))
+      .select(col("id"), col("group"), col("value"), col("lo_cut"),
+        col("hi_cut"),
+        least(greatest(col("value"), col("lo_cut")), col("hi_cut"))
+          .as("winsorized"),
+        (col("value") < col("lo_cut") || col("value") > col("hi_cut"))
+          .cast("long").as("clipped"))
 }

@@ -731,7 +731,8 @@ class PlanShapeSpec extends SparkSpec {
     // shape), batch and streamed read sides alike.
     for (q <- Seq("q_winsorize", "q_winsorize_by_group",
         "q_conformal_gate", "q_conformal_by_group", "q_winsorize_stream",
-        "q_conformal_stream", "q_quantile_norm", "q_quantile_norm_stream")) {
+        "q_conformal_stream", "q_quantile_norm", "q_quantile_norm_stream",
+        "q_winsorize_by_group_stream", "q_conformal_by_group_stream")) {
       val plan = executed(q)
       val unpartitioned = collectAll(plan) {
         case w: org.apache.spark.sql.execution.window.WindowExec

@@ -68,6 +68,46 @@ class StreamingWinsorizeSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  // ---- per-GROUP twin (r14) ----
+
+  private val grows: Seq[(Long, String, Double)] =
+    (1L to 80L).map(i => (i, if (i % 3 == 0) "hot" else "cold",
+      ((i * i + i / 3) % 37).toDouble - 5.0)) ++
+      Seq((81L, "hot", 1e6), (82L, "cold", -1e6)) // per-group tails
+
+  test("grouped folds equal the batch per-group clamp, shuffled, " +
+      "with mid-run compaction and a replayed fold") {
+    import spark.implicits._
+    val want = graft.operators.Profiler.winsorizeByGroup(
+        grows.toDF("id", "grp", "v"), "id", "grp", "v",
+        loPpm = 50000L, hiPpm = 950000L)
+      .selectExpr("id", "group", "value", "lo_cut", "hi_cut",
+        "winsorized", "clipped")
+      .as[(Long, String, Double, Double, Double, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(want.count(_._7 == 1L) >= 2, "fixture must clip per group")
+    val b = base("grp")
+    StreamingWinsorize.init(spark, b)
+    val folds = Seq(grows.drop(55), grows.take(28), grows.slice(28, 55))
+    folds.zipWithIndex.foreach { case (f, i) =>
+      StreamingWinsorize.foldByGroup(spark, b, f.toDF("id", "grp", "v"),
+        "grp", "v", batchTag = Some(i.toLong))
+      if (i == 0) // crash replay: same content and tag — counts once
+        StreamingWinsorize.foldByGroup(spark, b,
+          f.toDF("id", "grp", "v"), "grp", "v",
+          batchTag = Some(i.toLong))
+      if (i == 1) StreamingWinsorize.compactByGroup(spark, b)
+    }
+    val got = StreamingWinsorize.winsorizedByGroup(spark, b,
+        grows.toDF("id", "grp", "v"), "id", "grp", "v",
+        loPpm = 50000L, hiPpm = 950000L)
+      .selectExpr("id", "group", "value", "lo_cut", "hi_cut",
+        "winsorized", "clipped")
+      .as[(Long, String, Double, Double, Double, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === want)
+  }
+
   test("two DIFFERENT batches sharing (n, min, max) do not alias even " +
       "without batchTag (r13 ADVICE: the content-checksum tag term)") {
     import spark.implicits._
