@@ -1987,6 +1987,52 @@ object Curation extends QueryModule {
     //      half in integer micro-nats (floor(1e6*ln S) per position, so
     //      per-doc sums are order-independent BIGINTs — the one ln() is
     //      fed a single correctly-rounded integer division) ----
+    // ---- DSIR importance weights (Xie et al. 2023): every document
+    //      scored by the log-likelihood ratio of its hashed
+    //      unigram+bigram features under the TARGET domain (source =
+    //      src0) vs the corpus at large — the "make the crawl look
+    //      like the target" selector; per-cell weights are single-ln
+    //      micro-nats over exact integer products (the LM discipline),
+    //      so the per-doc BIGINT sums hash-match ----
+    GraftQuery("q_dsir_weights",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Dsir.dsirWeights(
+          docs, docs.where(col("source") === "src0"),
+          "doc_id", "text", buckets = 1024)
+      },
+      Some("""WITH wd AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), w -> w <> '')
+             |      AS words
+             |  FROM documents),
+             |gr AS (
+             |  SELECT doc_id, source, unnest(words) AS g FROM wd
+             |  UNION ALL
+             |  SELECT doc_id, source,
+             |    unnest(list_transform(range(len(words) - 1),
+             |      i -> words[i+1] || ' ' || words[i+2])) AS g
+             |  FROM wd WHERE len(words) >= 2),
+             |fb AS MATERIALIZED (SELECT doc_id, source,
+             |    ('0x'||substr(md5(g),1,15))::BIGINT % 1024 AS b
+             |  FROM gr),
+             |cq AS MATERIALIZED (SELECT b, count(*)::BIGINT AS cq
+             |  FROM fb GROUP BY 1),
+             |cp AS (SELECT b, count(*)::BIGINT AS cp
+             |  FROM fb WHERE source = 'src0' GROUP BY 1),
+             |tq AS (SELECT coalesce(sum(cq), 0)::BIGINT AS tq FROM cq),
+             |tp AS (SELECT coalesce(sum(cp), 0)::BIGINT AS tp FROM cp),
+             |w AS (SELECT cq.b,
+             |    floor(1000000.0 * ln(
+             |      ((coalesce(cp.cp, 0) + 1) * (tq.tq + 1024))::DOUBLE
+             |      / ((cq.cq + 1) * (tp.tp + 1024))::DOUBLE))::BIGINT
+             |      AS w
+             |  FROM cq LEFT JOIN cp USING (b), tq, tp)
+             |SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+             |  sum(w.w)::BIGINT AS logratio_micro,
+             |  (sum(w.w) > 0) AS kept
+             |FROM fb JOIN w USING (b) GROUP BY 1""".stripMargin)),
+
     GraftQuery("q_lm_perplexity",
       (s, dir) => {
         val docs = t(s, dir, "documents")
