@@ -100,4 +100,48 @@ object Dsir {
       .select(col("doc_id"), col("n_feats"), col("logratio_micro"),
         (col("logratio_micro") > 0L).as("kept"))
   }
+
+  /** The RESAMPLING half of DSIR — the paper draws documents with
+    * probability ∝ exp(importance ratio), which a threshold cannot
+    * reproduce (it would take only the extreme head). This is the
+    * Gumbel-top-k trick (sampling ∝ exp(s) ⇔ the top k of
+    * `s + Gumbel(0,1)` noise), kept EXACT-integer and deterministic:
+    * the Gumbel draw is `−ln(−ln u)` with `u` the engine-wide
+    * md5-derived uniform `h60("<doc_id>:<salt>") % 1e6` mapped to
+    * (0, 1) by ONE correctly-rounded division, and the key is
+    *
+    *   `key_micro = logratio_micro − floor(1e6 · ln(−ln u))`
+    *
+    * — a BIGINT both engines compute identically (two lns of
+    * identical doubles, one floor — the [[Bootstrap]]/[[LanguageModel]]
+    * argument), distributed per term exactly like the textbook key up
+    * to the single flooring. Changing `salt` redraws the sample;
+    * the same salt is reproducible forever with no RNG state.
+    *
+    * Distribution shape: [[dsirWeights]]'s passes plus ONE
+    * TakeOrdered top-k (distributed, early-stopping — never a global
+    * sort); the rank window runs over the ≤ k survivors.
+    *
+    * Output: `(doc_id, n_feats, logratio_micro, key_micro, rk)`,
+    * the k sampled documents. */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024,
+      salt: Long = 0L): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val scored = dsirWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("__u", expr(s"""${Dedup.h60raw(
+        s"concat(CAST(doc_id AS STRING), ':', '$salt')")} % 1000000"""))
+      .withColumn("key_micro", col("logratio_micro") -
+        floor(lit(1e6) * log(-log((col("__u") + 1L).cast("double")
+          / lit(1000002.0d)))).cast("long"))
+    val top = scored
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(k)
+    // ≤ k rows by construction — bounded unpartitioned window
+    top.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key_micro").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_feats"), col("logratio_micro"),
+        col("key_micro"), col("rk"))
+  }
 }

@@ -2033,6 +2033,60 @@ object Curation extends QueryModule {
              |  (sum(w.w) > 0) AS kept
              |FROM fb JOIN w USING (b) GROUP BY 1""".stripMargin)),
 
+    // ---- DSIR resampling (the paper's actual draw): Gumbel-top-k
+    //      over the importance ratios — sample ∝ exp(logratio) as the
+    //      top 40 of `logratio_micro − floor(1e6·ln(−ln u))` with u
+    //      the md5 uniform; exact integers, reproducible under the
+    //      salt, distributed TakeOrdered (never a global sort) ----
+    GraftQuery("q_dsir_resample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Dsir.dsirResample(
+          docs, docs.where(col("source") === "src0"),
+          "doc_id", "text", k = 40, buckets = 1024, salt = 7L)
+      },
+      Some("""WITH wd AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), w -> w <> '')
+             |      AS words
+             |  FROM documents),
+             |gr AS (
+             |  SELECT doc_id, source, unnest(words) AS g FROM wd
+             |  UNION ALL
+             |  SELECT doc_id, source,
+             |    unnest(list_transform(range(len(words) - 1),
+             |      i -> words[i+1] || ' ' || words[i+2])) AS g
+             |  FROM wd WHERE len(words) >= 2),
+             |fb AS MATERIALIZED (SELECT doc_id, source,
+             |    ('0x'||substr(md5(g),1,15))::BIGINT % 1024 AS b
+             |  FROM gr),
+             |cq AS MATERIALIZED (SELECT b, count(*)::BIGINT AS cq
+             |  FROM fb GROUP BY 1),
+             |cp AS (SELECT b, count(*)::BIGINT AS cp
+             |  FROM fb WHERE source = 'src0' GROUP BY 1),
+             |tq AS (SELECT coalesce(sum(cq), 0)::BIGINT AS tq FROM cq),
+             |tp AS (SELECT coalesce(sum(cp), 0)::BIGINT AS tp FROM cp),
+             |w AS (SELECT cq.b,
+             |    floor(1000000.0 * ln(
+             |      ((coalesce(cp.cp, 0) + 1) * (tq.tq + 1024))::DOUBLE
+             |      / ((cq.cq + 1) * (tp.tp + 1024))::DOUBLE))::BIGINT
+             |      AS w
+             |  FROM cq LEFT JOIN cp USING (b), tq, tp),
+             |sc AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+             |    sum(w.w)::BIGINT AS logratio_micro
+             |  FROM fb JOIN w USING (b) GROUP BY 1),
+             |ky AS (SELECT doc_id, n_feats, logratio_micro,
+             |    (logratio_micro - floor(1000000.0 * ln(-ln(
+             |      ((('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             |        '7'),1,15))::BIGINT % 1000000) + 1)::DOUBLE
+             |      / 1000002.0)))::BIGINT) AS key_micro
+             |  FROM sc)
+             |SELECT doc_id, n_feats, logratio_micro, key_micro,
+             |  row_number() OVER (ORDER BY key_micro DESC, doc_id)
+             |    ::BIGINT AS rk
+             |FROM ky ORDER BY key_micro DESC, doc_id LIMIT 40"""
+        .stripMargin)),
+
     GraftQuery("q_lm_perplexity",
       (s, dir) => {
         val docs = t(s, dir, "documents")

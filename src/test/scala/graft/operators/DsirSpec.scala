@@ -66,4 +66,22 @@ class DsirSpec extends SparkSpec {
       (2L, "alpha zz yy xx ww qq")), targetDocs)
     assert(got(1L)._2 > got(2L)._2)
   }
+
+  test("Gumbel resample: k rows, dense rank in key order, " +
+      "reproducible under the same salt, redrawn under another") {
+    import spark.implicits._
+    def draw(salt: Long) = Dsir.dsirResample(
+        rawDocs.toDF("doc_id", "text"), targetDocs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 2, salt = salt)
+      .selectExpr("doc_id", "key_micro", "rk")
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+    val a = draw(0L)
+    assert(a.size === 2 && a.map(_._3) === Seq(1L, 2L))
+    assert(a.head._2 >= a(1)._2, "rank must follow the key order")
+    assert(a === draw(0L), "same salt must reproduce the draw")
+    // different salts redraw the noise; keys must differ even when
+    // the sampled SET happens to coincide
+    val b = draw(1L)
+    assert(a.map(_._2) !== b.map(_._2))
+  }
 }
