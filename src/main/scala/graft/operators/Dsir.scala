@@ -53,8 +53,12 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Word unigram + bigram features (WITH multiplicity) hashed into
-    * `m` cells: `(doc_id, b)`. */
-  private def featureBuckets(docs: DataFrame, idCol: String,
+    * `m` cells: `(doc_id, b)` — the corpus-facing stage, shared with
+    * the streamed twin ([[graft.streaming.StreamingDsir]]): cell
+    * counts are ADDITIVE across any partition of the corpus, which is
+    * what lets folds append ≤ m-row deltas and rerun the weight
+    * arithmetic read-side. */
+  def featureCells(docs: DataFrame, idCol: String,
       textCol: String, m: Int): DataFrame = {
     val grams = docs
       .select(col(idCol).cast("long").as("doc_id"),
@@ -74,18 +78,31 @@ object Dsir {
   /** Per-document importance log-ratio of `raw` docs: target-domain
     * multinomial (fitted on `target`) over the raw corpus's own. */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 1024): DataFrame = {
+      textCol: String, buckets: Int = 1024): DataFrame =
+    scoreAgainstCounts(raw, target,
+      featureCells(raw, idCol, textCol, buckets)
+        .groupBy(col("b")).agg(count(lit(1)).cast("long").as("cq")),
+      idCol, textCol, buckets)
+
+  /** The weight arithmetic + scoring over an EXPLICIT q-side count
+    * relation `(b, cq)` — the read-side half the streamed twin reruns
+    * against its merged fold state ([[graft.streaming.StreamingDsir
+    * .weights]]). Cells of scored features must be present in `cqRel`
+    * (true whenever the scored rows are a subset of the counted
+    * corpus — both callers' contract). */
+  def scoreAgainstCounts(rows: DataFrame, target: DataFrame,
+      cqRel: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"need 2 <= buckets <= 2^20, got $buckets")
-    val fq = featureBuckets(raw, idCol, textCol, buckets)
-    val fp = featureBuckets(target, idCol, textCol, buckets)
-    val cq = fq.groupBy(col("b")).agg(count(lit(1)).cast("long").as("cq"))
+    val fp = featureCells(target, idCol, textCol, buckets)
     val cp = fp.groupBy(col("b")).agg(count(lit(1)).cast("long").as("cp"))
-    val tq = broadcast(cq.agg(coalesce(sum(col("cq")), lit(0L)).as("tq")))
+    val tq = broadcast(cqRel.agg(coalesce(sum(col("cq")), lit(0L))
+      .as("tq")))
     val tp = broadcast(cp.agg(coalesce(sum(col("cp")), lit(0L)).as("tp")))
-    // ≤ m rows: every scored feature's cell is present in cq by
-    // construction (the scored corpus IS the q side)
-    val w = broadcast(cq.join(cp, Seq("b"), "left")
+    // ≤ m rows: every scored feature's cell is present in cq by the
+    // subset contract above
+    val w = broadcast(cqRel.join(cp, Seq("b"), "left")
       .na.fill(0L, Seq("cp"))
       .crossJoin(tq).crossJoin(tp)
       .select(col("b"),
@@ -93,7 +110,7 @@ object Dsir {
           ((col("cp") + 1L) * (col("tq") + buckets.toLong)).cast("double") /
           ((col("cq") + 1L) * (col("tp") + buckets.toLong)).cast("double")))
           .cast("long").as("w")))
-    fq.join(w, Seq("b"))
+    featureCells(rows, idCol, textCol, buckets).join(w, Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_feats"),
         sum(col("w")).cast("long").as("logratio_micro"))

@@ -2033,6 +2033,63 @@ object Curation extends QueryModule {
              |  (sum(w.w) > 0) AS kept
              |FROM fb JOIN w USING (b) GROUP BY 1""".stripMargin)),
 
+    // ---- streamed DSIR: the raw corpus arrives in three id-range
+    //      folds, each appending its ADDITIVE <=m-row hashed-feature
+    //      cell counts; the weight arithmetic reruns read-side against
+    //      the fixed target sample, so scoring everything seen equals
+    //      the batch dsirWeights VERBATIM (shares q_dsir_weights'
+    //      oracle; mid-run compaction must not change it) ----
+    GraftQuery("q_dsir_weights_stream",
+      (s, dir) => {
+        val base =
+          s"/tmp/graft_dsir_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingDsir.init(s, base)
+        val docs = t(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingDsir.fold(s, base,
+            docs.where(col("doc_id") >= i * maxId / 3 &&
+              col("doc_id") < (i + 1) * maxId / 3),
+            "doc_id", "text", buckets = 1024, batchTag = Some(i))
+          if (i == 1L) // mid-run compaction is answer-preserving
+            graft.streaming.StreamingDsir.compact(s, base)
+        }
+        graft.streaming.StreamingDsir.weights(s, base, docs,
+          docs.where(col("source") === "src0"), "doc_id", "text",
+          buckets = 1024)
+      },
+      Some("""WITH wd AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), w -> w <> '')
+             |      AS words
+             |  FROM documents),
+             |gr AS (
+             |  SELECT doc_id, source, unnest(words) AS g FROM wd
+             |  UNION ALL
+             |  SELECT doc_id, source,
+             |    unnest(list_transform(range(len(words) - 1),
+             |      i -> words[i+1] || ' ' || words[i+2])) AS g
+             |  FROM wd WHERE len(words) >= 2),
+             |fb AS MATERIALIZED (SELECT doc_id, source,
+             |    ('0x'||substr(md5(g),1,15))::BIGINT % 1024 AS b
+             |  FROM gr),
+             |cq AS MATERIALIZED (SELECT b, count(*)::BIGINT AS cq
+             |  FROM fb GROUP BY 1),
+             |cp AS (SELECT b, count(*)::BIGINT AS cp
+             |  FROM fb WHERE source = 'src0' GROUP BY 1),
+             |tq AS (SELECT coalesce(sum(cq), 0)::BIGINT AS tq FROM cq),
+             |tp AS (SELECT coalesce(sum(cp), 0)::BIGINT AS tp FROM cp),
+             |w AS (SELECT cq.b,
+             |    floor(1000000.0 * ln(
+             |      ((coalesce(cp.cp, 0) + 1) * (tq.tq + 1024))::DOUBLE
+             |      / ((cq.cq + 1) * (tp.tp + 1024))::DOUBLE))::BIGINT
+             |      AS w
+             |  FROM cq LEFT JOIN cp USING (b), tq, tp)
+             |SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+             |  sum(w.w)::BIGINT AS logratio_micro,
+             |  (sum(w.w) > 0) AS kept
+             |FROM fb JOIN w USING (b) GROUP BY 1""".stripMargin)),
+
     // ---- DSIR resampling (the paper's actual draw): Gumbel-top-k
     //      over the importance ratios — sample ∝ exp(logratio) as the
     //      top 40 of `logratio_micro − floor(1e6·ln(−ln u))` with u
