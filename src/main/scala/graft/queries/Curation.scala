@@ -291,11 +291,6 @@ object Curation extends QueryModule {
     * inlining gotcha). */
   private[queries] def evalCiOracle(replicates: Int,
       tailPpm: Long): String = {
-    val cases = graft.operators.Bootstrap.CdfPpm.zipWithIndex
-      .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
-    val loRank = math.max(1L,
-      (replicates.toLong * tailPpm + 999999L) / 1000000L)
-    val hiRank = replicates.toLong + 1L - loRank
     def ap(run: String, tag: String): String =
       s"""rr$tag AS (SELECT r.query, r.rnk,
          |    (CASE WHEN q.doc IS NOT NULL THEN 1 ELSE 0 END) AS rel
@@ -316,42 +311,8 @@ object Curation extends QueryModule {
          |      THEN m.ap_units * 1000000 // (2520 * least(n.n_rel, 10))
          |      ELSE 0 END)::BIGINT AS ap
          |  FROM m$tag m LEFT JOIN nrel n USING (query))""".stripMargin
-    s"""WITH u AS (
-       |  SELECT source, unnest(list_filter(string_split(text, ' '),
-       |    w -> w <> '')) AS word
-       |  FROM documents),
-       |tfc AS MATERIALIZED (SELECT source AS class, word,
-       |        count(*)::BIGINT AS tf
-       |        FROM u GROUP BY 1, 2),
-       |gtf AS (SELECT word, sum(tf)::BIGINT AS gtf FROM tfc GROUP BY 1),
-       |sc AS (SELECT class, tfc.word, tf,
-       |    ((tf * 1000000) // gtf)::BIGINT AS conc_ppm
-       |  FROM tfc JOIN gtf ON tfc.word = gtf.word WHERE tf >= 5),
-       |rkd AS MATERIALIZED (SELECT class, word, row_number() OVER (
-       |    PARTITION BY class
-       |    ORDER BY conc_ppm DESC, tf DESC, word) AS rk FROM sc),
-       |tra AS (SELECT class, word FROM rkd WHERE rk <= 5),
-       |trb AS (SELECT class, word FROM rkd WHERE rk <= 3),
-       |dwu AS (SELECT doc_id AS doc,
-       |    unnest(list_filter(string_split(text, ' '),
-       |      w -> w <> '')) AS word
-       |  FROM documents),
-       |dw AS MATERIALIZED (SELECT DISTINCT doc, word FROM dwu),
-       |cova AS (SELECT tra.class AS query, dw.doc,
-       |    count(*)::BIGINT AS coverage
-       |  FROM dw JOIN tra ON dw.word = tra.word GROUP BY 1, 2),
-       |runa AS (SELECT query, doc, rnk FROM (
-       |    SELECT query, doc, row_number() OVER (PARTITION BY query
-       |      ORDER BY coverage DESC, doc) AS rnk
-       |    FROM cova) WHERE rnk <= 10),
-       |covb AS (SELECT trb.class AS query, dw.doc,
-       |    count(*)::BIGINT AS coverage
-       |  FROM dw JOIN trb ON dw.word = trb.word GROUP BY 1, 2),
-       |runb AS (SELECT query, doc, rnk FROM (
-       |    SELECT query, doc, row_number() OVER (PARTITION BY query
-       |      ORDER BY coverage DESC, doc) AS rnk
-       |    FROM covb) WHERE rnk <= 10),
-       |qrels AS MATERIALIZED (SELECT source AS query, doc_id AS doc
+    twoCoverageRunsCte +
+    s"""qrels AS MATERIALIZED (SELECT source AS query, doc_id AS doc
        |  FROM documents),
        |nrel AS MATERIALIZED (SELECT query, count(*)::BIGINT AS n_rel
        |  FROM qrels GROUP BY 1),
@@ -359,7 +320,61 @@ object Curation extends QueryModule {
       ap("runa", "a") + ",\n" + ap("runb", "b") + ",\n" +
     s"""dl AS MATERIALIZED (SELECT a.query, (a.ap - b.ap) AS delta
        |  FROM apa a JOIN apb b USING (query)),
-       |pt AS (SELECT count(*)::BIGINT AS n_queries,
+       |""".stripMargin + bootstrapCiTail(replicates, tailPpm)
+  }
+
+  /** The two-coverage-runs CTE prefix (5-term `runa` vs 3-term `runb`)
+    * shared by the ranker-comparison oracles (q_eval_ci, q_ndcg_ci —
+    * the q_rank_overlap chain with multiply-referenced CTEs
+    * MATERIALIZED). */
+  private val twoCoverageRunsCte: String =
+    """WITH u AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '),
+      |    w -> w <> '')) AS word
+      |  FROM documents),
+      |tfc AS MATERIALIZED (SELECT source AS class, word,
+      |        count(*)::BIGINT AS tf
+      |        FROM u GROUP BY 1, 2),
+      |gtf AS (SELECT word, sum(tf)::BIGINT AS gtf FROM tfc GROUP BY 1),
+      |sc AS (SELECT class, tfc.word, tf,
+      |    ((tf * 1000000) // gtf)::BIGINT AS conc_ppm
+      |  FROM tfc JOIN gtf ON tfc.word = gtf.word WHERE tf >= 5),
+      |rkd AS MATERIALIZED (SELECT class, word, row_number() OVER (
+      |    PARTITION BY class
+      |    ORDER BY conc_ppm DESC, tf DESC, word) AS rk FROM sc),
+      |tra AS (SELECT class, word FROM rkd WHERE rk <= 5),
+      |trb AS (SELECT class, word FROM rkd WHERE rk <= 3),
+      |dwu AS (SELECT doc_id AS doc,
+      |    unnest(list_filter(string_split(text, ' '),
+      |      w -> w <> '')) AS word
+      |  FROM documents),
+      |dw AS MATERIALIZED (SELECT DISTINCT doc, word FROM dwu),
+      |cova AS (SELECT tra.class AS query, dw.doc,
+      |    count(*)::BIGINT AS coverage
+      |  FROM dw JOIN tra ON dw.word = tra.word GROUP BY 1, 2),
+      |runa AS (SELECT query, doc, rnk FROM (
+      |    SELECT query, doc, row_number() OVER (PARTITION BY query
+      |      ORDER BY coverage DESC, doc) AS rnk
+      |    FROM cova) WHERE rnk <= 10),
+      |covb AS (SELECT trb.class AS query, dw.doc,
+      |    count(*)::BIGINT AS coverage
+      |  FROM dw JOIN trb ON dw.word = trb.word GROUP BY 1, 2),
+      |runb AS (SELECT query, doc, rnk FROM (
+      |    SELECT query, doc, row_number() OVER (PARTITION BY query
+      |      ORDER BY coverage DESC, doc) AS rnk
+      |    FROM covb) WHERE rnk <= 10),
+      |""".stripMargin
+
+  /** The Poisson-bootstrap percentile-CI tail over a `dl(query,
+    * delta)` CTE — shared by the ranker-comparison oracles; mirrors
+    * [[graft.operators.Retrieval.metricDeltaCi]]'s rank rule. */
+  private def bootstrapCiTail(replicates: Int, tailPpm: Long): String = {
+    val cases = graft.operators.Bootstrap.CdfPpm.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+    val loRank = math.max(1L,
+      (replicates.toLong * tailPpm + 999999L) / 1000000L)
+    val hiRank = replicates.toLong + 1L - loRank
+    s"""pt AS (SELECT count(*)::BIGINT AS n_queries,
        |    coalesce(sum(delta), 0)::BIGINT AS s FROM dl),
        |rp AS (SELECT query, delta, b FROM dl, range($replicates) t(b)),
        |uu AS (SELECT delta, b,
@@ -386,6 +401,51 @@ object Curation extends QueryModule {
        |  ${replicates}::BIGINT AS replicates,
        |  (ci.ci_lo_ppm > 0 OR ci.ci_hi_ppm < 0) AS significant
        |FROM pt, ci""".stripMargin
+  }
+
+  /** Generated q_ndcg_ci oracle: the two coverage runs, the graded
+    * qrels and nDCG@10 chain of q_ndcg applied to EACH run (the ideal
+    * side is shared — identical qrels), the paired per-query delta,
+    * then the shared bootstrap-CI tail. */
+  private[queries] def ndcgCiOracle(replicates: Int,
+      tailPpm: Long): String = {
+    val wt = graft.operators.Retrieval.DcgDiscountMicro.take(10)
+      .zipWithIndex.map { case (w, i) => s"(${i + 1}, ${w})" }
+      .mkString(", ")
+    def nd(run: String, tag: String): String =
+      s"""dcg$tag AS (SELECT r.query,
+         |    sum(coalesce(q.grade, 0) * wt.w)::BIGINT AS dcg_unit
+         |  FROM $run r
+         |  LEFT JOIN qr q ON q.query = r.query AND q.doc = r.doc
+         |  JOIN wt ON wt.d = r.rnk GROUP BY 1),
+         |nd$tag AS (SELECT rq.query,
+         |    (CASE WHEN coalesce(i.idcg_unit, 0) > 0
+         |      THEN coalesce(d.dcg_unit, 0) * 1000000 // i.idcg_unit
+         |      ELSE 0 END)::BIGINT AS nd
+         |  FROM (SELECT DISTINCT query FROM $run) rq
+         |  LEFT JOIN dcg$tag d USING (query)
+         |  LEFT JOIN idcg i USING (query))""".stripMargin
+    twoCoverageRunsCte +
+    s"""runl AS (SELECT q.query, tl.doc, tl.rnk
+       |  FROM (SELECT DISTINCT source AS query FROM documents) q,
+       |    (SELECT doc_id AS doc, row_number() OVER (
+       |        ORDER BY n_chars ASC, doc_id) AS rnk
+       |      FROM documents ORDER BY n_chars ASC, doc_id LIMIT 10) tl),
+       |qr AS MATERIALIZED (SELECT tra.class AS query, dw.doc,
+       |    least(count(*), 3)::BIGINT AS grade
+       |  FROM dw JOIN tra ON dw.word = tra.word GROUP BY 1, 2),
+       |wt(d, w) AS (VALUES $wt),
+       |ideal AS (SELECT query, grade, row_number() OVER (
+       |    PARTITION BY query ORDER BY grade DESC, doc) AS ir
+       |  FROM qr WHERE grade > 0),
+       |idcg AS MATERIALIZED (SELECT query,
+       |    sum(grade * wt.w)::BIGINT AS idcg_unit
+       |  FROM ideal JOIN wt ON wt.d = ideal.ir GROUP BY 1),
+       |""".stripMargin +
+      nd("runa", "a") + ",\n" + nd("runl", "b") + ",\n" +
+    s"""dl AS MATERIALIZED (SELECT a.query, (a.nd - b.nd) AS delta
+       |  FROM nda a JOIN ndb b USING (query)),
+       |""".stripMargin + bootstrapCiTail(replicates, tailPpm)
   }
 
   /** Generated batch-perceptron oracle chain (mirrors
@@ -951,6 +1011,56 @@ object Curation extends QueryModule {
             "ap_ppm", replicates = 64))
       },
       Some(Curation.evalCiOracle(replicates = 64, tailPpm = 25000L))),
+
+    // ---- the nDCG sibling of q_eval_ci: the coverage ranker vs a
+    //      QUERY-INDEPENDENT baseline (the same global top-10
+    //      SHORTEST docs served to every query — a deliberately
+    //      degenerate prior; the longest-first variant saturates the
+    //      graded qrels exactly like the 3-term run, since any wordy
+    //      doc matches 3+ class terms), paired
+    //      Poisson bootstrap over graded nDCG@10 (qrels =
+    //      matched-5-term-vocab count capped at 3, the q_ndcg
+    //      judgment set; the ideal side is shared — identical qrels).
+    //      The coverage-vs-coverage pair lives in q_eval_ci (AP@10):
+    //      under GRADED nDCG both coverage runs saturate at grade-3
+    //      docs and tie exactly, so this query asks the question that
+    //      actually discriminates ----
+    GraftQuery("q_ndcg_ci",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (tfcA, runA) = graft.operators.Retrieval.classCoverageRun(
+          docs, "doc_id", "source", "text", nTerms = 5, minTf = 5L,
+          k = 10)
+        // baseline: one TakeOrdered top-10 (distributed,
+        // early-stopping), rank window over those 10 rows only
+        val topShort = docs
+          .orderBy(col("n_chars").asc, col("doc_id")).limit(10)
+          .select(col("doc_id").as("doc"), col("n_chars"))
+        val runB = docs.select(col("source").as("query")).distinct()
+          .crossJoin(topShort.withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("n_chars").asc, col("doc"))).cast("long")))
+          .select(col("query"), col("doc"), col("rank"))
+        val (tfcC, terms5) = graft.operators.TextAnalysis.classTerms(
+          docs, "source", "text", minTf = 5L, k = 5)
+        val dw = docs.select(col("doc_id").as("doc"),
+            explode(expr(graft.operators.Dedup.wordsExpr("text")))
+              .as("word"))
+          .distinct()
+        val qrels = dw
+          .join(broadcast(terms5.select(col("class").as("query"),
+            col("word"))), Seq("word"))
+          .groupBy(col("query"), col("doc"))
+          .agg(least(count(lit(1)), lit(3L)).cast("long").as("grade"))
+        Drain.drainedAll(s, Seq(tfcA, tfcC),
+          graft.operators.Retrieval.metricDeltaCi(
+            graft.operators.Retrieval.ndcgAtK(
+              runA, qrels, "query", "doc", "rank", "grade", k = 10),
+            graft.operators.Retrieval.ndcgAtK(
+              runB, qrels, "query", "doc", "rank", "grade", k = 10),
+            "ndcg_ppm", replicates = 64))
+      },
+      Some(Curation.ndcgCiOracle(replicates = 64, tailPpm = 25000L))),
 
     // ---- nDCG@10 with graded relevance: the 3-term coverage run
     //      judged against graded qrels from the 5-term class vocab
