@@ -1002,13 +1002,18 @@ object Curation extends QueryModule {
         val (tfcB, runB) = graft.operators.Retrieval.classCoverageRun(
           docs, "doc_id", "source", "text", nTerms = 3, minTf = 5L,
           k = 10)
+        // same altitude as q_ndcg_ci: checkpoint the (queries x k)
+        // runs and queries-sized metric relations so each coverage/AP
+        // chain evaluates once, not once per downstream reference
+        val apA = graft.operators.Retrieval.averagePrecisionAtK(
+          runA.localCheckpoint(true), qrels, "query", "doc", "rank",
+          k = 10).localCheckpoint(true)
+        val apB = graft.operators.Retrieval.averagePrecisionAtK(
+          runB.localCheckpoint(true), qrels, "query", "doc", "rank",
+          k = 10).localCheckpoint(true)
         Drain.drainedAll(s, Seq(tfcA, tfcB),
           graft.operators.Retrieval.metricDeltaCi(
-            graft.operators.Retrieval.averagePrecisionAtK(
-              runA, qrels, "query", "doc", "rank", k = 10),
-            graft.operators.Retrieval.averagePrecisionAtK(
-              runB, qrels, "query", "doc", "rank", k = 10),
-            "ap_ppm", replicates = 64))
+            apA, apB, "ap_ppm", replicates = 64))
       },
       Some(Curation.evalCiOracle(replicates = 64, tailPpm = 25000L))),
 
@@ -1047,18 +1052,31 @@ object Curation extends QueryModule {
             explode(expr(graft.operators.Dedup.wordsExpr("text")))
               .as("word"))
           .distinct()
+        // persisted: qrels is referenced FOUR times (each ndcgAtK's
+        // DCG join + ideal side), and each lazy reference would
+        // re-run the corpus-wide distinct-word explode behind dw;
+        // released through the Drain contract with the tf handles
         val qrels = dw
           .join(broadcast(terms5.select(col("class").as("query"),
             col("word"))), Seq("word"))
           .groupBy(col("query"), col("doc"))
           .agg(least(count(lit(1)), lit(3L)).cast("long").as("grade"))
-        Drain.drainedAll(s, Seq(tfcA, tfcC),
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // runs are (queries x k)-sized and the per-query metric
+        // relations are queries-sized: eager-checkpoint them so the
+        // coverage/ndcg chains run ONCE each (ndcgAtK references its
+        // run twice; metricDeltaCi references each metric relation
+        // twice - point mean + replicates)
+        val runAc = runA.localCheckpoint(true)
+        val ndA = graft.operators.Retrieval.ndcgAtK(
+          runAc, qrels, "query", "doc", "rank", "grade", k = 10)
+          .localCheckpoint(true)
+        val ndB = graft.operators.Retrieval.ndcgAtK(
+          runB.localCheckpoint(true), qrels, "query", "doc", "rank",
+          "grade", k = 10).localCheckpoint(true)
+        Drain.drainedAll(s, Seq(tfcA, tfcC, qrels),
           graft.operators.Retrieval.metricDeltaCi(
-            graft.operators.Retrieval.ndcgAtK(
-              runA, qrels, "query", "doc", "rank", "grade", k = 10),
-            graft.operators.Retrieval.ndcgAtK(
-              runB, qrels, "query", "doc", "rank", "grade", k = 10),
-            "ndcg_ppm", replicates = 64))
+            ndA, ndB, "ndcg_ppm", replicates = 64))
       },
       Some(Curation.ndcgCiOracle(replicates = 64, tailPpm = 25000L))),
 
