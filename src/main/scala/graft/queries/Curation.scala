@@ -2122,7 +2122,7 @@ object Curation extends QueryModule {
     //      like the target" selector; per-cell weights are single-ln
     //      micro-nats over exact integer products (the LM discipline),
     //      so the per-doc BIGINT sums hash-match ----
-    GraftQuery("q_dsir_weights",
+    GraftQuery("q_dsir_ngram",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         graft.operators.Dsir.dsirWeights(
@@ -2165,9 +2165,9 @@ object Curation extends QueryModule {
     //      folds, each appending its ADDITIVE <=m-row hashed-feature
     //      cell counts; the weight arithmetic reruns read-side against
     //      the fixed target sample, so scoring everything seen equals
-    //      the batch dsirWeights VERBATIM (shares q_dsir_weights'
+    //      the batch dsirWeights VERBATIM (shares q_dsir_ngram's
     //      oracle; mid-run compaction must not change it) ----
-    GraftQuery("q_dsir_weights_stream",
+    GraftQuery("q_dsir_ngram_stream",
       (s, dir) => {
         val base =
           s"/tmp/graft_dsir_stream/${graft.GraftCatalog.dbFor(dir)}"
@@ -2223,7 +2223,7 @@ object Curation extends QueryModule {
     //      top 40 of `logratio_micro − floor(1e6·ln(−ln u))` with u
     //      the md5 uniform; exact integers, reproducible under the
     //      salt, distributed TakeOrdered (never a global sort) ----
-    GraftQuery("q_dsir_resample",
+    GraftQuery("q_dsir_gumbel_topk",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         graft.operators.Dsir.dsirResample(
