@@ -21,7 +21,18 @@ object SparkEntry {
     graft.queries.Unigram,
     graft.queries.UrlCuration)
 
-  private lazy val registry: Seq[GraftQuery] = modules.flatMap(_.queries)
+  private lazy val registry: Seq[GraftQuery] = {
+    val all = modules.flatMap(_.queries)
+    // Loud duplicate guard (r14): two registrations sharing a name
+    // collapse silently in the Map below — the LOSER, a green oracled
+    // query, just vanishes from the driver's gate (exactly what
+    // happened when a second q_dsir_weights landed; only a
+    // query-count diff in the bench record exposed it).
+    val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate registry names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query (SURVEY.md §7.1) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
