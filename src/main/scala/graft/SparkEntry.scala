@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Preference,
     graft.queries.WebClean,
     graft.queries.Unigram,
-    graft.queries.UrlCuration)
+    graft.queries.UrlCuration,
+    graft.queries.Mining)
 
   private lazy val registry: Seq[GraftQuery] = {
     val all = modules.flatMap(_.queries)

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity-mining & mixture surface (round 14, second session):
+  * the lossless prefix-filtered set-similarity join (AllPairs/PPJoin)
+  * and its blocking diagnostics — the third pair-generation family
+  * after the df-capped inverted index and MinHash LSH — plus the
+  * training-mixture operators added alongside it.
+  *
+  * Oracle discipline as everywhere else: exact BIGINT
+  * cross-multiplications, ppm scaling, floored single divisions —
+  * every query hash-matches DuckDB cell-for-cell. For [[graft
+  * .operators.SetSimJoin.ppJoin]] the oracle is deliberately the
+  * BRUTE-FORCE all-pairs join: the hash-match is the losslessness
+  * proof of the prefix filter at the full SF, not just the spec's
+  * tiny corpus.
+  */
+object Mining extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** Brute-force distinct-3-shingle relation shared by the oracles. */
+  private val shingleCte =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS words
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(len(words) - 2),
+      |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])))
+      |      AS tok
+      |  FROM d WHERE len(words) >= 3),
+      |n AS (SELECT doc_id, count(*)::BIGINT AS n FROM tk GROUP BY 1)"""
+      .stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- prefix-filtered set-similarity self-join (AllPairs/PPJoin):
+    //      all pairs with 3-shingle Jaccard >= 0.5 via the LOSSLESS
+    //      rarest-first prefix index — the oracle is the brute-force
+    //      all-pairs join, so the hash-match proves no pair was lost
+    //      to blocking ----
+    GraftQuery("q_set_sim_ppjoin",
+      (s, dir) => graft.operators.SetSimJoin.ppJoin(
+        t(s, dir, "documents"), "doc_id", "text", tPpm = 500000L),
+      Some(shingleCte +
+        """,
+          |ov AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b,
+          |    count(*)::BIGINT AS overlap
+          |  FROM tk x JOIN tk y ON x.tok = y.tok AND x.doc_id < y.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT ov.a, ov.b, na.n AS n_a, nb.n AS n_b, ov.overlap,
+          |  (ov.overlap * 1000000
+          |    // (na.n + nb.n - ov.overlap))::BIGINT AS jacc_ppm
+          |FROM ov
+          |JOIN n na ON ov.a = na.doc_id
+          |JOIN n nb ON ov.b = nb.doc_id
+          |WHERE ov.overlap * 1000000
+          |  >= 500000 * (na.n + nb.n - ov.overlap)""".stripMargin)),
+
+    // ---- prefix-filter blocking diagnostics: ONE row with the
+    //      candidate count the prefix index actually probed vs the
+    //      all-pairs space (candidate_ppm), plus the qualifying-pair
+    //      count — the oracle replays the rank-by-(df, shingle)
+    //      prefix construction itself, so the candidate COUNT (not
+    //      just the final pairs) is pinned cell-for-cell ----
+    GraftQuery("q_set_sim_ppjoin_stats",
+      (s, dir) => graft.operators.SetSimJoin.ppJoinStats(
+        t(s, dir, "documents"), "doc_id", "text", tPpm = 500000L),
+      Some(shingleCte +
+        """,
+          |dfr AS (SELECT tok, count(*)::BIGINT AS df
+          |        FROM tk GROUP BY 1),
+          |pr AS (SELECT tk.doc_id, tk.tok, n.n,
+          |    row_number() OVER (PARTITION BY tk.doc_id
+          |                       ORDER BY dfr.df, tk.tok) AS rn
+          |  FROM tk JOIN dfr USING (tok) JOIN n USING (doc_id)),
+          |pf AS (SELECT doc_id, tok, n FROM pr
+          |  WHERE rn <= n - ((500000 * n + 999999) // 1000000) + 1),
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          |    x.n AS n_a, y.n AS n_b
+          |  FROM pf x JOIN pf y ON x.tok = y.tok AND x.doc_id < y.doc_id
+          |  WHERE y.n * 1000000 >= x.n * 500000
+          |    AND x.n * 1000000 >= y.n * 500000),
+          |ovr AS (
+          |  SELECT c.a, c.b, c.n_a, c.n_b, count(*)::BIGINT AS overlap
+          |  FROM cand c
+          |  JOIN tk ta ON ta.doc_id = c.a
+          |  JOIN tk tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT
+          |  (SELECT count(*)::BIGINT FROM n) AS n_docs,
+          |  (SELECT count(*)::BIGINT FROM cand) AS n_candidates,
+          |  (SELECT count(*)::BIGINT FROM ovr
+          |   WHERE overlap * 1000000
+          |     >= (n_a + n_b - overlap) * 500000) AS n_qualifying,
+          |  ((SELECT count(*) FROM n)
+          |    * ((SELECT count(*) FROM n) - 1) // 2)::BIGINT
+          |    AS brute_pairs,
+          |  (CASE WHEN (SELECT count(*) FROM n) < 2 THEN 0
+          |   ELSE (SELECT count(*) FROM cand) * 1000000
+          |     // ((SELECT count(*) FROM n)
+          |         * ((SELECT count(*) FROM n) - 1) // 2)
+          |   END)::BIGINT AS candidate_ppm""".stripMargin)))
+}
