@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Similarity-mining & mixture surface (round 14, second session):
   * the lossless prefix-filtered set-similarity join (AllPairs/PPJoin)
@@ -107,5 +108,74 @@ object Mining extends QueryModule {
           |   ELSE (SELECT count(*) FROM cand) * 1000000
           |     // ((SELECT count(*) FROM n)
           |         * ((SELECT count(*) FROM n) - 1) // 2)
-          |   END)::BIGINT AS candidate_ppm""".stripMargin)))
+          |   END)::BIGINT AS candidate_ppm""".stripMargin)),
+
+    // ---- margin-based pair mining (Artetxe & Schwenk 2019): the even
+    //      and odd vec_id halves of the embeddings table play the two
+    //      corpora to align; every x is paired with its best
+    //      RATIO-MARGIN partner y (cosine over the endpoints' average
+    //      8-NN cosine — hub-corrected), kept at margin >= 1.2, with
+    //      the reciprocal-best flag. Exact micro-BIGINT margins over
+    //      the 6-dp cosines; the oracle replays the full kNN + margin
+    //      construction ----
+    GraftQuery("q_margin_mine",
+      (s, dir) => {
+        graft.operators.Similarity.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+        val x = emb.where(col("vec_id") % 2 === 0)
+        val y = emb.where(col("vec_id") % 2 === 1)
+        graft.operators.BitextMine.marginPairs(
+          graft.operators.Similarity.bruteTopK(
+            y, x, "vec_id", "embedding", 8),
+          graft.operators.Similarity.bruteTopK(
+            x, y, "vec_id", "embedding", 8),
+          minMarginPpm = 1200000L)
+      },
+      Some {
+        def fold(a: String, b: String) =
+          s"list_reduce([0.0::DOUBLE] || list_transform(range(64), " +
+            s"i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x+y)"
+        s"""WITH nrm AS MATERIALIZED (
+           |  SELECT vec_id, embedding,
+           |    sqrt(${fold("embedding", "embedding")}) AS nm
+           |  FROM embeddings),
+           |x AS (SELECT * FROM nrm WHERE vec_id % 2 = 0),
+           |y AS (SELECT * FROM nrm WHERE vec_id % 2 = 1),
+           |s AS MATERIALIZED (
+           |  SELECT x.vec_id AS a, y.vec_id AS b,
+           |    round(${fold("x.embedding", "y.embedding")}
+           |      / (x.nm * y.nm), 6) AS c
+           |  FROM x, y),
+           |fwd AS (SELECT a, b, c, row_number() OVER (
+           |    PARTITION BY a ORDER BY c DESC, b) AS r FROM s),
+           |bwd AS (SELECT a, b, c, row_number() OVER (
+           |    PARTITION BY b ORDER BY c DESC, a) AS r FROM s),
+           |fm AS (SELECT a, b, floor(c*1000000 + 0.5)::BIGINT AS cm
+           |       FROM fwd WHERE r <= 8),
+           |bm AS (SELECT a, b, floor(c*1000000 + 0.5)::BIGINT AS cm
+           |       FROM bwd WHERE r <= 8),
+           |sx AS (SELECT a, sum(cm)::BIGINT AS sx,
+           |       count(*)::BIGINT AS kx FROM fm GROUP BY 1),
+           |sy AS (SELECT b, sum(cm)::BIGINT AS sy,
+           |       count(*)::BIGINT AS ky FROM bm GROUP BY 1),
+           |mf AS (SELECT fm.a, fm.b, cm,
+           |    (2*cm*kx*ky*1000000) // (sx*ky + sy*kx) AS m
+           |  FROM fm JOIN sx USING (a) JOIN sy USING (b)
+           |  WHERE sx*ky + sy*kx > 0),
+           |mb AS (SELECT bm.a, bm.b, cm,
+           |    (2*cm*kx*ky*1000000) // (sx*ky + sy*kx) AS m
+           |  FROM bm JOIN sx USING (a) JOIN sy USING (b)
+           |  WHERE sx*ky + sy*kx > 0),
+           |fbest AS (SELECT a, b, cm, m FROM (
+           |    SELECT a, b, cm, m, row_number() OVER (
+           |      PARTITION BY a ORDER BY m DESC, b) AS rn FROM mf)
+           |  WHERE rn = 1 AND m >= 1200000),
+           |bbest AS (SELECT b, a AS bwd_best_a FROM (
+           |    SELECT a, b, row_number() OVER (
+           |      PARTITION BY b ORDER BY m DESC, a) AS rn FROM mb)
+           |  WHERE rn = 1)
+           |SELECT f.a, f.b, f.cm AS c_micro, f.m AS margin_ppm,
+           |  coalesce(bb.bwd_best_a = f.a, false) AS mutual
+           |FROM fbest f LEFT JOIN bbest bb ON bb.b = f.b""".stripMargin
+      }))
 }
