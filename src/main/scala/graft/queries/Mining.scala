@@ -177,5 +177,71 @@ object Mining extends QueryModule {
            |SELECT f.a, f.b, f.cm AS c_micro, f.m AS margin_ppm,
            |  coalesce(bb.bwd_best_a = f.a, false) AS mutual
            |FROM fbest f LEFT JOIN bbest bb ON bb.b = f.b""".stripMargin
-      }))
+      }),
+
+    // ---- T5 span corruption: iid 15% token masking drawn from the
+    //      md5 hash of (doc_id, pos, salt=7), runs merged into
+    //      numbered-sentinel spans, input/target pair assembly with
+    //      the trailing close sentinel — the denoising-objective data
+    //      prep, reproducible forever under its salt ----
+    GraftQuery("q_span_corrupt",
+      (s, dir) => graft.operators.SpanCorrupt.corrupt(
+        t(s, dir, "documents"), "doc_id", "text",
+        noisePpm = 150000L, salt = 7L),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> t <> '')
+             |      AS words
+             |  FROM documents),
+             |tk AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(len(words)),
+             |      i -> {'pos': i, 'tok': words[i+1]})) AS s
+             |  FROM w WHERE len(words) >= 1),
+             |t2 AS (
+             |  SELECT doc_id, s.pos AS pos, s.tok AS tok,
+             |    (('0x' || substr(md5(doc_id::VARCHAR || ':'
+             |        || s.pos::VARCHAR || ':7'), 1, 15))::BIGINT
+             |      % 1000000) < 150000 AS m
+             |  FROM tk),
+             |sp AS (
+             |  SELECT doc_id, pos, tok, m,
+             |    m AND NOT coalesce(lag(m) OVER (
+             |      PARTITION BY doc_id ORDER BY pos), false)
+             |      AS span_start
+             |  FROM t2),
+             |sid AS (
+             |  SELECT *, (sum(CASE WHEN span_start THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      - 1) AS span_id
+             |  FROM sp),
+             |pc AS (
+             |  SELECT doc_id, pos, m, span_start,
+             |    CASE WHEN NOT m THEN tok
+             |         WHEN span_start THEN
+             |           '<extra_id_' || span_id::VARCHAR || '>'
+             |    END AS piece_in,
+             |    CASE WHEN m AND span_start THEN
+             |           '<extra_id_' || span_id::VARCHAR || '> ' || tok
+             |         WHEN m THEN tok
+             |    END AS piece_tgt
+             |  FROM sid),
+             |ag AS (
+             |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             |    sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+             |    sum(CASE WHEN span_start THEN 1 ELSE 0 END)::BIGINT
+             |      AS n_spans,
+             |    coalesce(string_agg(piece_in, ' ' ORDER BY pos), '')
+             |      AS i_text,
+             |    coalesce(string_agg(piece_tgt, ' ' ORDER BY pos), '')
+             |      AS t_text
+             |  FROM pc GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_masked, n_spans,
+             |  i_text AS input_text,
+             |  CASE WHEN n_spans = 0 THEN '<extra_id_0>'
+             |       ELSE t_text || ' <extra_id_' || n_spans::VARCHAR
+             |         || '>'
+             |  END AS target_text
+             |FROM ag""".stripMargin)))
 }
