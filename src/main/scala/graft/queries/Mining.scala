@@ -243,5 +243,56 @@ object Mining extends QueryModule {
              |       ELSE t_text || ' <extra_id_' || n_spans::VARCHAR
              |         || '>'
              |  END AS target_text
-             |FROM ag""".stripMargin)))
+             |FROM ag""".stripMargin)),
+
+    // ---- temperature-smoothed language sampling (alpha = 1/2, the
+    //      mT5/XLM-R rule): keep rate sqrt(c_min/c_lang) — halfway
+    //      between no rebalance (alpha=1) and q_lang_balance's full
+    //      equalization (alpha->0); the md5-uniform draw makes the
+    //      kept SET hash-match, not just its size ----
+    GraftQuery("q_temperature_mix",
+      (s, dir) => graft.operators.Mixing.temperatureSample(
+        t(s, dir, "documents"), "doc_id", "lang"),
+      Some("""WITH cnt AS (SELECT lang AS domain, count(*)::BIGINT AS n
+             |  FROM documents GROUP BY 1),
+             |mn AS (SELECT min(n)::BIGINT AS m FROM cnt),
+             |rated AS (SELECT domain,
+             |    floor(1000000.0 * sqrt(m::DOUBLE / n::DOUBLE))::BIGINT
+             |      AS rate_ppm
+             |  FROM cnt, mn)
+             |SELECT d.doc_id AS id, d.lang AS domain, r.rate_ppm
+             |FROM documents d JOIN rated r ON d.lang = r.domain
+             |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':'
+             |    || d.lang), 1, 15))::BIGINT
+             |  % 1000000007 % 1000000 < r.rate_ppm""".stripMargin)),
+
+    // ---- exact integer water-filling of a 70% global token budget
+    //      over per-language token counts: alloc = min(c, level) with
+    //      the closed-form first-feasible level — small languages keep
+    //      everything, big ones are capped at the level ----
+    GraftQuery("q_token_waterfill",
+      (s, dir) => graft.operators.Mixing.waterfill(
+        t(s, dir, "documents"), "text", "lang", budgetPpm = 700000L),
+      Some("""WITH c AS (SELECT lang AS domain,
+             |    sum(len(list_filter(string_split(text, ' '),
+             |      w -> w <> '')))::BIGINT AS c
+             |  FROM documents GROUP BY 1),
+             |g AS (SELECT sum(c)::BIGINT AS gt, count(*)::BIGINT AS m,
+             |    max(c)::BIGINT AS cmax FROM c),
+             |r AS (SELECT domain, c, (gt * 700000) // 1000000 AS budget,
+             |    m, row_number() OVER (ORDER BY c, domain) AS j,
+             |    coalesce(sum(c) OVER (ORDER BY c, domain
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0)::BIGINT AS pre
+             |  FROM c, g),
+             |r2 AS (SELECT *, m - j + 1 AS rem FROM r),
+             |r3 AS (SELECT *, (pre + c * rem) >= budget AS feasible
+             |  FROM r2),
+             |lv AS (SELECT coalesce(
+             |    min_by((budget - pre) // rem, j) FILTER (WHERE feasible),
+             |    max(c))::BIGINT AS level FROM r3)
+             |SELECT domain, c AS total_tokens,
+             |  least(c, level) AS alloc_tokens,
+             |  budget AS budget_tokens, level
+             |FROM r3, lv""".stripMargin)))
 }
