@@ -1212,6 +1212,53 @@ object Pipeline extends QueryModule {
              |  FROM embeddings)
              |SELECT label, e.dim AS dim, round(avg(e.v), 4) + 0.0 AS mean_v,
              |  count(*)::BIGINT AS n
-             |FROM u GROUP BY label, e.dim""".stripMargin))
+             |FROM u GROUP BY label, e.dim""".stripMargin)),
+
+    // ---- multi-touch attribution: every purchase distributes its
+    //      cents over the user's view/click touches in a 24 h lookback
+    //      under first/last/linear at once; the (none) channel carries
+    //      untouched conversions so each model's column sums to total
+    //      converted cents (conservation pinned in AttributionSpec) ----
+    GraftQuery("q_attribution",
+      (s, dir) => graft.operators.Attribution.multiTouch(
+        t(s, dir, "events"), lookbackHours = 24),
+      Some("""WITH p AS (
+             |  SELECT event_id AS conv_id, user_id, ts AS c_ts,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (
+             |  SELECT user_id, event_id AS touch_id,
+             |    event_type AS channel, ts AS t_ts
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |tp AS (
+             |  SELECT p.conv_id, p.cents, t.touch_id, t.channel, t.t_ts
+             |  FROM p JOIN t USING (user_id)
+             |  WHERE t.t_ts < p.c_ts
+             |    AND t.t_ts >= p.c_ts - INTERVAL 24 HOURS),
+             |c AS (
+             |  SELECT channel, cents,
+             |    count(*) OVER (PARTITION BY conv_id) AS n,
+             |    row_number() OVER (PARTITION BY conv_id
+             |      ORDER BY t_ts DESC, touch_id DESC) AS rd,
+             |    row_number() OVER (PARTITION BY conv_id
+             |      ORDER BY t_ts, touch_id) AS ra
+             |  FROM tp),
+             |cr AS (
+             |  SELECT channel,
+             |    (cents // n) + CASE WHEN rd = 1
+             |      THEN cents - (cents // n) * n ELSE 0 END AS lin,
+             |    CASE WHEN ra = 1 THEN cents ELSE 0 END AS fir,
+             |    CASE WHEN rd = 1 THEN cents ELSE 0 END AS las
+             |  FROM c),
+             |un AS (
+             |  SELECT '(none)' AS channel, cents AS lin, cents AS fir,
+             |    cents AS las
+             |  FROM p WHERE conv_id NOT IN (SELECT conv_id FROM tp)),
+             |u AS (SELECT * FROM cr UNION ALL SELECT * FROM un)
+             |SELECT channel, count(*)::BIGINT AS n_rows,
+             |  sum(lin)::BIGINT AS linear_cents,
+             |  sum(fir)::BIGINT AS first_cents,
+             |  sum(las)::BIGINT AS last_cents
+             |FROM u GROUP BY 1""".stripMargin))
   )
 }
