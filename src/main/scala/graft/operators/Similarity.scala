@@ -1024,6 +1024,65 @@ object Similarity {
           " div greatest(norm2_before, 1L)").as("reduction_ppm"))
   }
 
+  /** Late-interaction (multi-vector) retrieval — ColBERT's MaxSim
+    * scoring (Khattab & Zaharia, SIGIR 2020): documents and queries
+    * are BAGS of vectors (one per token/chunk), and
+    *
+    *   `score(q, d) = Σ_{i ∈ q} max_{j ∈ d} cos(q_i, d_j)`
+    *
+    * — each query vector finds its best match inside the document and
+    * the per-vector maxima add up. Retrieval quality sits between
+    * single-vector cosine and full cross-attention, which is why it is
+    * the standard "late interaction" index layout.
+    *
+    * Integer-exactness contract: cosines go to micro BIGINTs
+    * (`floor(c·1e6 + 0.5)` — the [[BitextMine]] lift), the per-query-
+    * vector max and the per-document sum are exact BIGINT aggregates,
+    * and the top-k tail is [[TopN.topNPerGroup]]'s histogram-threshold
+    * selection (integer scores, deterministic id tiebreak) — never a
+    * per-query full sort. NaN cosines (zero-norm vectors) are dropped
+    * before aggregation; the synthetic corpus has none (the
+    * [[bruteTopK]] contract).
+    *
+    * Distribution shape (the 100 TB contract): query vectors are the
+    * broadcast-small side (a query set's token vectors); scoring is
+    * ONE map over the corpus vectors; both reductions are map-side-
+    * combinable groupBys that shrink corpus-vectors × query-vectors to
+    * docs × query-vectors to docs × queries; the top-k runs on the
+    * histogram, not the documents.
+    *
+    * Output: `(query_id, rank, doc_id, maxsim_micro)` — top `k`
+    * documents per query, self-pairs excluded. */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, docCol: String,
+      vecIdCol: String, embCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+        col(docCol).cast("long").as("query_id"),
+        col(vecIdCol).cast("long").as("qvec_id"),
+        col(embCol).as("q_emb"))
+      .where(col("q_emb").isNotNull))
+    val c = corpus.select(col(docCol).cast("long").as("doc_id"),
+        col(embCol).as("emb"))
+      .where(col("emb").isNotNull)
+    val scored = c.join(q, col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("qvec_id"), col("doc_id"),
+        cos(col("q_emb"), col("emb")).as("c"))
+      .where(!isnan(col("c")))
+      .select(col("query_id"), col("qvec_id"), col("doc_id"),
+        expr("CAST(floor(c * 1000000 + 0.5D) AS BIGINT)").as("cm"))
+    val perDoc = scored
+      .groupBy(col("query_id"), col("qvec_id"), col("doc_id"))
+      .agg(max(col("cm")).as("mx"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("mx")).cast("long").as("maxsim_micro"))
+    TopN.topNPerGroup(perDoc, "query_id", "maxsim_micro", "doc_id", k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("maxsim_micro").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("maxsim_micro"))
+  }
+
   /** Ensure native vector functions exist in this session. */
   def ensureRegistered(spark: SparkSession): Unit =
     graft.functions.VectorFunctions.register(spark)

@@ -294,5 +294,47 @@ object Mining extends QueryModule {
              |SELECT domain, c AS total_tokens,
              |  least(c, level) AS alloc_tokens,
              |  budget AS budget_tokens, level
-             |FROM r3, lv""".stripMargin)))
+             |FROM r3, lv""".stripMargin)),
+
+    // ---- ColBERT MaxSim late-interaction retrieval: vectors grouped
+    //      into 4-vector pseudo-documents (vec_id div 4); the first
+    //      four docs' vector bags are the queries; score = sum over
+    //      query vectors of the best in-document cosine, exact micro
+    //      BIGINTs, top-5 docs per query via the histogram-threshold
+    //      top-N (never a per-query full sort) ----
+    GraftQuery("q_maxsim_topk",
+      (s, dir) => {
+        graft.operators.Similarity.ensureRegistered(s)
+        val v = t(s, dir, "embeddings")
+          .select((col("vec_id") / 4).cast("long").as("doc_id"),
+            col("vec_id"), col("embedding"))
+        graft.operators.Similarity.maxSimTopK(
+          v, v.where(col("doc_id") < 4), "doc_id", "vec_id",
+          "embedding", k = 5)
+      },
+      Some {
+        def fold(a: String, b: String) =
+          s"list_reduce([0.0::DOUBLE] || list_transform(range(64), " +
+            s"i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x+y)"
+        s"""WITH v AS (
+           |  SELECT vec_id // 4 AS doc_id, vec_id, embedding,
+           |    sqrt(${fold("embedding", "embedding")}) AS nm
+           |  FROM embeddings),
+           |q AS (SELECT doc_id AS query_id, vec_id AS qvec_id,
+           |    embedding AS qe, nm AS qn FROM v WHERE doc_id < 4),
+           |s AS MATERIALIZED (
+           |  SELECT q.query_id, q.qvec_id, v.doc_id,
+           |    floor(${fold("q.qe", "v.embedding")} / (q.qn * v.nm)
+           |      * 1000000 + 0.5)::BIGINT AS cm
+           |  FROM q, v WHERE v.doc_id <> q.query_id),
+           |m AS (SELECT query_id, qvec_id, doc_id, max(cm) AS mx
+           |      FROM s GROUP BY 1, 2, 3),
+           |d AS (SELECT query_id, doc_id, sum(mx)::BIGINT
+           |        AS maxsim_micro
+           |      FROM m GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY maxsim_micro DESC, doc_id) AS rnk FROM d)
+           |SELECT query_id, rnk::BIGINT AS rank, doc_id, maxsim_micro
+           |FROM r WHERE rnk <= 5""".stripMargin
+      }))
 }
