@@ -252,6 +252,64 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** NEAR-DUP benchmark decontamination — the cross-corpus sibling of
+    * [[minhashPairs]] and the recall upgrade over the exact-collision
+    * pass (q_decontaminate): a training document is contaminated when
+    * its shingle set is Jaccard-≥-`threshold` similar to ANY eval/
+    * benchmark document, caught through the SAME banded MinHash index
+    * (so paraphrase-level near-copies that share no exact 5-gram run
+    * still collide) and confirmed by exact Jaccard on the hashed
+    * shingle sets.
+    *
+    * Distribution shape (the 100 TB contract): the EVAL side is a
+    * benchmark — small by definition — so its band relation and
+    * shingle sets are BROADCAST (the q_decontaminate eval-side
+    * contract); the train side pays one signature pass and one
+    * map-side band probe. No self-join, no hot-bucket quadratic: a
+    * band bucket fans out at most |eval-docs-in-bucket| per train doc.
+    * Candidate recall is the banding S-curve (4 bands × 4 rows);
+    * the EXACT-verify keeps precision at 1 — both mirrored in the
+    * oracle, which replays banding and verify bit-for-bit.
+    *
+    * Output: one row per contaminated training doc —
+    * `(doc_id, eval_id, jaccard, n_matches)` with `eval_id` the
+    * best-Jaccard match (ties: smallest id) and `n_matches` the count
+    * of eval docs over the threshold. Callers drop or flag these ids;
+    * the clean corpus is `train.join(result, "doc_id", "left_anti")`. */
+  def crossContaminated(train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val sT = signatures(train, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sE = signatures(evalDocs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = minhashBands(sT)
+      .join(broadcast(minhashBands(sE)
+          .select(col("band"), col("bhash"),
+            col("doc_id").as("eval_id"))),
+        Seq("band", "bhash"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val scored = cand
+      .join(sT.select(col("doc_id"), col("shingles").as("sh_a")),
+        Seq("doc_id"))
+      .join(broadcast(sE.select(col("doc_id").as("eval_id"),
+        col("shingles").as("sh_b"))), Seq("eval_id"))
+      .select(col("doc_id"), col("eval_id"),
+        expr("""round(size(array_intersect(sh_a, sh_b)) /
+               |      CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 4)"""
+          .stripMargin).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    scored
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy(col("doc_id")))
+          .cast("long"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("eval_id").asc)))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("eval_id"), col("jaccard"),
+        col("n_matches"))
+  }
+
   /** 60-bit SimHash over whitespace tokens (weight = term frequency: each
     * occurrence votes). Token hashes are the RAW 60-bit md5 value — a
     * mod-P hash (< 2^30) would pin bits 30..59 to zero and collapse the

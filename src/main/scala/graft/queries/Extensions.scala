@@ -980,6 +980,46 @@ object Extensions extends QueryModule {
               |WHERE round(len(list_intersect(sh_a, sh_b))
               |      / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 4) >= 0.5""".stripMargin)),
 
+    // ---- NEAR-DUP benchmark decontamination: train docs (doc_id >=
+    //      20) whose shingle sets are Jaccard >= 0.3 similar to any
+    //      eval doc (doc_id < 20), caught through the banded MinHash
+    //      index (paraphrase-level, vs q_decontaminate's exact 5-gram
+    //      collisions) and confirmed by exact hashed-shingle Jaccard;
+    //      one row per contaminated doc with its best match ----
+    GraftQuery("q_decontaminate_neardup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.crossContaminated(
+          docs.where(col("doc_id") >= 20),
+          docs.where(col("doc_id") < 20), "doc_id", "text", 0.3)
+      },
+      Some(s"""$duckMinhashCtes,
+              |bands AS (
+              |  SELECT doc_id, j,
+              |    list_reduce(sig[j*4+1:j*4+4], (acc,v) -> (acc*31+v) % $P) AS bhash
+              |  FROM mh, range(4) t(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_id
+              |  FROM bands a JOIN bands b ON a.j = b.j AND a.bhash = b.bhash
+              |  WHERE a.doc_id >= 20 AND b.doc_id < 20),
+              |jx AS (
+              |  SELECT cand.doc_id, cand.eval_id,
+              |    round(len(list_intersect(ma.sh, mb.sh))
+              |      / CAST(len(list_distinct(ma.sh || mb.sh)) AS DOUBLE), 4)
+              |      AS jaccard
+              |  FROM cand
+              |  JOIN mh ma ON ma.doc_id = cand.doc_id
+              |  JOIN mh mb ON mb.doc_id = cand.eval_id),
+              |f AS (SELECT * FROM jx WHERE jaccard >= 0.3),
+              |r AS (
+              |  SELECT doc_id, eval_id, jaccard,
+              |    count(*) OVER (PARTITION BY doc_id) AS n_matches,
+              |    row_number() OVER (PARTITION BY doc_id
+              |      ORDER BY jaccard DESC, eval_id) AS rn
+              |  FROM f)
+              |SELECT doc_id, eval_id, jaccard, n_matches::BIGINT AS n_matches
+              |FROM r WHERE rn = 1""".stripMargin)),
+
     // the dedup family over the MULTIBYTE corpus: exact dedup keys on
     // full decorated text (the combining-mark and precomposed variants
     // remain byte-distinct here — NFC-keyed dedup is q_nfc_dedup's
