@@ -336,5 +336,36 @@ object Mining extends QueryModule {
            |    ORDER BY maxsim_micro DESC, doc_id) AS rnk FROM d)
            |SELECT query_id, rnk::BIGINT AS rank, doc_id, maxsim_micro
            |FROM r WHERE rnk <= 5""".stripMargin
-      }))
+      }),
+
+    // ---- Flesch reading ease + Flesch-Kincaid grade in integer
+    //      millis: milli-scaled floored ratios, decimal weights lifted
+    //      to integers — the readability pair of the quality-feature
+    //      family, cell-exact across engines ----
+    GraftQuery("q_readability",
+      (s, dir) => graft.operators.TextAnalysis.readability(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split(lower(text), ' '),
+             |      w -> w <> '') AS words
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, len(words)::BIGINT AS n_words,
+             |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+             |      ::BIGINT AS n_sentences,
+             |    list_sum(list_transform(words, w ->
+             |      greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+             |      ::BIGINT AS n_syllables
+             |  FROM d WHERE len(words) >= 1),
+             |g AS (
+             |  SELECT *, (n_words * 1000) // n_sentences AS wps,
+             |    (n_syllables * 1000) // n_words AS spw
+             |  FROM f)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  (206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000)
+             |    ::BIGINT AS flesch_milli,
+             |  ((390 * wps) // 1000 + (11800 * spw) // 1000 - 15590)
+             |    ::BIGINT AS fk_grade_milli
+             |FROM g""".stripMargin)))
 }
