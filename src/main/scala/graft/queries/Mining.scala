@@ -367,5 +367,58 @@ object Mining extends QueryModule {
              |    ::BIGINT AS flesch_milli,
              |  ((390 * wps) // 1000 + (11800 * spw) // 1000 - 15590)
              |    ::BIGINT AS fk_grade_milli
-             |FROM g""".stripMargin)))
+             |FROM g""".stripMargin)),
+
+    // ---- greedy maximum-coverage selection: 8 rounds of "the doc
+    //      with the most not-yet-covered distinct 3-shingles wins"
+    //      (ties: smallest id) — submodular data selection with the
+    //      diminishing-returns curve in covered_total; the oracle
+    //      unrolls all 8 greedy rounds as MATERIALIZED CTEs ----
+    GraftQuery("q_max_coverage",
+      (s, dir) => graft.operators.Coverage.maxCoverage(
+        t(s, dir, "documents"), "doc_id", "text", k = 8),
+      Some(maxCoverageOracle(8))))
+
+  /** Generated greedy max-coverage oracle: one (sel_i, rel_i) CTE pair
+    * per round — argmax by (gain DESC, doc_id), covered-shingle
+    * anti-filter — mirroring [[graft.operators.Coverage.maxCoverage]]
+    * round for round; every CTE of the recurrence is MATERIALIZED
+    * (each rel is referenced three times by the next level). */
+  private[queries] def maxCoverageOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH d AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), w -> w <> '')
+             |      AS words
+             |  FROM documents),
+             |rel0 AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(range(len(words) - 2),
+             |      i -> ('0x' || substr(md5(words[i+1] || ' ' ||
+             |        words[i+2] || ' ' || words[i+3]), 1, 15))::BIGINT)))
+             |      AS h
+             |  FROM d WHERE len(words) >= 3)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+                |sel$i AS MATERIALIZED (
+                |  SELECT doc_id, count(*)::BIGINT AS gain
+                |  FROM rel${i - 1} GROUP BY 1
+                |  ORDER BY gain DESC, doc_id LIMIT 1),
+                |rel$i AS MATERIALIZED (
+                |  SELECT r.* FROM rel${i - 1} r
+                |  WHERE r.h NOT IN (SELECT h FROM rel${i - 1}
+                |    WHERE doc_id = (SELECT doc_id FROM sel$i)))"""
+        .stripMargin
+    }
+    sb ++= s""",
+              |sels AS (${(1 to k).map(i =>
+                s"SELECT $i::BIGINT AS round, doc_id, gain FROM sel$i")
+                .mkString("\n  UNION ALL\n  ")})
+              |SELECT round, doc_id, gain,
+              |  (sum(gain) OVER (ORDER BY round
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |    ::BIGINT AS covered_total
+              |FROM sels""".stripMargin
+    sb.toString
+  }
 }
