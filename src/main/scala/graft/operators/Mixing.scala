@@ -48,11 +48,22 @@ object Mixing {
     *
     * Output: `(id, domain, rate_ppm)` for kept rows. */
   def temperatureSample(docs: DataFrame, idCol: String,
-      domainCol: String): DataFrame = {
-    val cnt = docs.groupBy(col(domainCol).as("domain"))
-      .agg(count(lit(1)).cast("long").as("n"))
-    val rated = broadcast(cnt
-      .join(cnt.agg(min(col("n")).as("m")))
+      domainCol: String): DataFrame =
+    sampleAgainstCounts(docs,
+      docs.groupBy(col(domainCol).as("domain"))
+        .agg(count(lit(1)).cast("long").as("n")),
+      idCol, domainCol)
+
+  /** The rate arithmetic + draw over an EXPLICIT `(domain, n)` count
+    * relation — the read-side half the streamed twin reruns against
+    * its merged fold state ([[graft.streaming.StreamingMixing
+    * .sample]]). Domains of sampled rows must be present in `cntRel`
+    * (true whenever the sampled rows are a subset of the counted
+    * corpus — both callers' contract). */
+  def sampleAgainstCounts(docs: DataFrame, cntRel: DataFrame,
+      idCol: String, domainCol: String): DataFrame = {
+    val rated = broadcast(cntRel
+      .join(cntRel.agg(min(col("n")).as("m")))
       .select(col("domain"),
         expr("""CAST(floor(1000000.0 * sqrt(
                |  CAST(m AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)"""

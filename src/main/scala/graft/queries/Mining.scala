@@ -266,6 +266,43 @@ object Mining extends QueryModule {
              |    || d.lang), 1, 15))::BIGINT
              |  % 1000000007 % 1000000 < r.rate_ppm""".stripMargin)),
 
+    // ---- streamed temperature mixing: (domain, n) counts are
+    //      ADDITIVE, so three id-range folds append <= |domains|-row
+    //      deltas and the sqrt-rate arithmetic + md5 draw rerun
+    //      read-side — sampling everything folded equals the batch
+    //      operator (shares q_temperature_mix's oracle VERBATIM; a
+    //      mid-run compaction must not change it) ----
+    GraftQuery("q_temperature_mix_stream",
+      (s, dir) => {
+        val base =
+          s"/tmp/graft_tempmix_stream/${graft.GraftCatalog.dbFor(dir)}"
+        graft.streaming.StreamingMixing.init(s, base)
+        val docs = t(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        for (i <- 0L until 3L) {
+          graft.streaming.StreamingMixing.fold(s, base,
+            docs.where(col("doc_id") >= i * maxId / 3 &&
+              col("doc_id") < (i + 1) * maxId / 3),
+            "lang", batchTag = Some(i))
+          if (i == 1L) // mid-run compaction is answer-preserving
+            graft.streaming.StreamingMixing.compact(s, base)
+        }
+        graft.streaming.StreamingMixing.sample(s, base, docs,
+          "doc_id", "lang")
+      },
+      Some("""WITH cnt AS (SELECT lang AS domain, count(*)::BIGINT AS n
+             |  FROM documents GROUP BY 1),
+             |mn AS (SELECT min(n)::BIGINT AS m FROM cnt),
+             |rated AS (SELECT domain,
+             |    floor(1000000.0 * sqrt(m::DOUBLE / n::DOUBLE))::BIGINT
+             |      AS rate_ppm
+             |  FROM cnt, mn)
+             |SELECT d.doc_id AS id, d.lang AS domain, r.rate_ppm
+             |FROM documents d JOIN rated r ON d.lang = r.domain
+             |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':'
+             |    || d.lang), 1, 15))::BIGINT
+             |  % 1000000007 % 1000000 < r.rate_ppm""".stripMargin)),
+
     // ---- exact integer water-filling of a 70% global token budget
     //      over per-language token counts: alloc = min(c, level) with
     //      the closed-form first-feasible level — small languages keep
