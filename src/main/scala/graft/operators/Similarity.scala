@@ -1083,6 +1083,47 @@ object Similarity {
         col("maxsim_micro"))
   }
 
+  /** Matryoshka truncation-recall audit (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022): how much exact top-k
+    * retrieval survives when embeddings are truncated to their first
+    * d' dimensions — the measurement that decides whether a corpus's
+    * vectors can be served at 1/2, 1/4, 1/8 width (the
+    * dimension-adaptive retrieval trade every 100 TB embedding store
+    * prices out before re-indexing). For each d' the exact top-k runs
+    * over the truncated vectors and is compared to the full-width
+    * top-k; recall is the surviving pair fraction in exact ppm.
+    *
+    * Shape: one [[bruteTopK]] per dim (broadcast-queries contract as
+    * ever) over a PROJECTED corpus scan (the truncation is a `slice`
+    * map, free inside codegen), one (query, vec)-keyed join per dim
+    * against the full-width result — which is queries×k rows, pinned
+    * by an eager localCheckpoint so the reference list computes once.
+    *
+    * Output: `(dim, matches, n_pairs, recall_ppm)`, one row per dim;
+    * the full-width row is the recall_ppm = 1e6 anchor by
+    * construction. */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, dims: Seq[Int],
+      k: Int): DataFrame = {
+    require(dims.nonEmpty, "need at least one dim")
+    def trunc(df: DataFrame, d: Int) = df.select(col(idCol),
+      expr(s"slice($embCol, 1, $d)").as(embCol))
+    val full = bruteTopK(corpus, queries, idCol, embCol, k)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true) // queries×k rows — bounded by contract
+    val nPairs = full.count()
+    dims.map { d =>
+      bruteTopK(trunc(corpus, d), trunc(queries, d), idCol, embCol, k)
+        .select(col("query_id"), col("vec_id"))
+        .join(full, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).cast("long").as("matches"))
+        .select(lit(d.toLong).as("dim"), col("matches"))
+    }.reduce(_ unionByName _)
+      .select(col("dim"), col("matches"),
+        lit(nPairs).as("n_pairs"),
+        expr(s"(matches * 1000000) div ${nPairs}L").as("recall_ppm"))
+  }
+
   /** Ensure native vector functions exist in this session. */
   def ensureRegistered(spark: SparkSession): Unit =
     graft.functions.VectorFunctions.register(spark)

@@ -406,6 +406,89 @@ object Mining extends QueryModule {
              |    ::BIGINT AS fk_grade_milli
              |FROM g""".stripMargin)),
 
+    // ---- word2vec negative-sampling table: unigram^(3/4) smoothing
+    //      via sqrt(f*sqrt(f)) (two IEEE sqrts — bit-identical across
+    //      engines, unlike pow), cumulative [lo, hi) intervals over
+    //      the word-ascending axis through the two-phase prefix sum —
+    //      the artifact a trainer's sampler binary-searches ----
+    GraftQuery("q_negative_sampling",
+      (s, dir) => graft.operators.NegativeSampling.table(
+        t(s, dir, "documents"), "text"),
+      Some("""WITH w AS (
+             |  SELECT unnest(list_filter(string_split(text, ' '),
+             |    x -> x <> '')) AS word
+             |  FROM documents),
+             |c AS (SELECT word, count(*)::BIGINT AS f
+             |      FROM w GROUP BY 1),
+             |wt AS (SELECT word, f,
+             |    floor(1000000 * sqrt(f * sqrt(f)))::BIGINT
+             |      AS weight_micro
+             |  FROM c),
+             |cm AS (SELECT *,
+             |    (sum(weight_micro) OVER (ORDER BY word
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |      ::BIGINT AS hi_micro,
+             |    (sum(weight_micro) OVER ())::BIGINT AS total_micro
+             |  FROM wt)
+             |SELECT word, f, weight_micro,
+             |  (hi_micro - weight_micro)::BIGINT AS lo_micro, hi_micro,
+             |  (weight_micro * 1000000 // total_micro)::BIGINT
+             |    AS prob_ppm
+             |FROM cm""".stripMargin)),
+
+    // ---- Matryoshka truncation recall: exact top-5 over the first
+    //      64/32/16/8 embedding dims vs the full-width top-5 — the
+    //      "can we serve these vectors at quarter width" audit, exact
+    //      ppm recall per dim with the 64-dim row as the 1e6 anchor ----
+    GraftQuery("q_matryoshka_recall",
+      (s, dir) => {
+        graft.operators.Similarity.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+        graft.operators.Similarity.matryoshkaRecall(
+          emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+          dims = Seq(64, 32, 16, 8), k = 5)
+      },
+      Some {
+        def fold(a: String, b: String, d: Int) =
+          s"list_reduce([0.0::DOUBLE] || list_transform(range($d), " +
+            s"i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x+y)"
+        def level(d: Int) =
+          s"""s$d AS MATERIALIZED (
+             |  SELECT query_id, e.vec_id,
+             |    ${fold("qe", "e.embedding", d)}
+             |      / (sqrt(${fold("qe", "qe", d)})
+             |         * sqrt(${fold("e.embedding", "e.embedding", d)}))
+             |      AS c
+             |  FROM q, embeddings e WHERE e.vec_id <> query_id),
+             |t$d AS MATERIALIZED (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY c DESC, vec_id)
+             |      AS rnk
+             |    FROM s$d)
+             |  WHERE rnk <= 5)""".stripMargin
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, embedding AS qe
+           |  FROM embeddings WHERE vec_id < 8),
+           |${Seq(64, 32, 16, 8).map(level).mkString(",\n")},
+           |n AS (SELECT count(*)::BIGINT AS np FROM t64),
+           |m AS (
+           |  SELECT 64::BIGINT AS dim,
+           |    (SELECT count(*) FROM t64)::BIGINT AS matches
+           |  UNION ALL SELECT 32,
+           |    (SELECT count(*) FROM t32 JOIN t64
+           |      USING (query_id, vec_id))::BIGINT
+           |  UNION ALL SELECT 16,
+           |    (SELECT count(*) FROM t16 JOIN t64
+           |      USING (query_id, vec_id))::BIGINT
+           |  UNION ALL SELECT 8,
+           |    (SELECT count(*) FROM t8 JOIN t64
+           |      USING (query_id, vec_id))::BIGINT)
+           |SELECT dim, matches, np AS n_pairs,
+           |  (matches * 1000000 // np)::BIGINT AS recall_ppm
+           |FROM m, n""".stripMargin
+      }),
+
     // ---- greedy maximum-coverage selection: 8 rounds of "the doc
     //      with the most not-yet-covered distinct 3-shingles wins"
     //      (ties: smallest id) — submodular data selection with the
