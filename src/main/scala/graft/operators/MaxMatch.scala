@@ -105,9 +105,6 @@ object MaxMatch {
     val wf = words.where(length(col("word")) <= MaxWordChars)
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
       .localCheckpoint(true)
-    // loop bound only (plan shape, not data): the longest word type
-    val maxRow = wf.agg(max(length(col("word")))).head
-    val maxSteps = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
 
     // seed: every substring of every word type, 1..MaxPieceLen cps
     // (sequence(1, n) runs DESCENDING when n < 1 — hence the if guard)
@@ -199,8 +196,8 @@ object MaxMatch {
     }
     val viterbiOut = () => {
       val scored = trainOut.select(col("piece"), col("cnt"))
-        .localCheckpoint(true) // read by every DP step
-      val pw = viterbiTokens(wf, scored, maxSteps)
+        .localCheckpoint(true) // accurate size stats for the cands join
+      val pw = viterbiTokens(wf, scored, maxSteps = 0 /* unused, r14 */)
       words.join(pw, Seq("word"))
         .groupBy(col("doc_id")).agg(
           count(lit(1)).cast("long").as("n_words"),
@@ -217,36 +214,42 @@ object MaxMatch {
     * construction; a hand-built one that doesn't silently drops the
     * word, inner-join semantics).
     *
-    * Shape: `b(p)` holds the best packed key for every word with a
-    * cursor reachable at code point p; step p is at most
-    * [[MaxPieceLen]] equi-joins of the prior frontiers against the
-    * vocabulary plus a per-word min — all word-TYPE-sized, shrinking as
-    * p outruns shorter words. Each `b(p)` is read by up to
-    * [[MaxPieceLen]] later steps and the final union, so it is
-    * materialized per step (also bounding the O(maxSteps·MaxPieceLen)
-    * lineage fan-in). */
+    * Shape (r14 optimization-round restructure — the round-12 greedy
+    * precedent applied to the DP): ALL ≤[[MaxPieceLen]]·len
+    * (position, length) candidates per word type join the vocabulary
+    * ONCE, collect per word as a packed occurrence array, and the
+    * word-local [[graft.functions.AdditiveViterbi]] kernel replays the
+    * exact min-sum recurrence (`prev + TokWeight − cnt`, seeded at 0)
+    * per row — formerly `maxSteps` SEQUENTIAL checkpointed join+min
+    * jobs. Identical keys (min over integer sums is order-independent,
+    * so the collect order is immaterial); a word the vocabulary cannot
+    * cover returns NULL and is filtered, the old final frontier's drop
+    * semantics. `maxSteps` is retained for signature stability; the
+    * kernel is bounded by each word's own length (wf is pre-filtered
+    * to [[MaxWordChars]], and callers pass maxSteps = the longest wf
+    * word, so the covered word set is unchanged). */
   private[operators] def viterbiTokens(wf: DataFrame, scored: DataFrame,
       maxSteps: Int): DataFrame = {
-    val b0 = wf.select(col("word"), lit(0L).as("key"))
-    val bs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (p <- 1 to maxSteps) {
-      val cands = (1 to math.min(MaxPieceLen, p)).map { l =>
-        val prev = if (p - l == 0) b0 else bs(p - l - 1)
-        prev.where(length(col("word")) >= p)
-          .withColumn("piece", expr(s"substring(word, ${p - l + 1}, $l)"))
-          .join(scored, Seq("piece"))
-          .select(col("word"),
-            (col("key") + lit(TokWeight) - col("cnt")).as("key"))
-      }.reduce(_ unionByName _)
-      bs += cands.groupBy(col("word")).agg(min(col("key")).as("key"))
-        .localCheckpoint(true)
-    }
-    val best =
-      if (bs.isEmpty) b0.where(lit(false)) // empty corpus
-      else bs.zipWithIndex.map { case (b, i) =>
-        b.where(length(col("word")) === i + 1)
-      }.reduce(_ unionByName _)
-    best
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cands = wf.select(col("word"), explode(expr(
+        s"""flatten(transform(sequence(1, $MaxPieceLen),
+           |  l -> if(length(word) < l, array(),
+           |    transform(sequence(0, length(word) - l),
+           |      i -> named_struct('i', i, 'l', l)))))""".stripMargin))
+        .as("x"))
+      .select(col("word"), col("x.i").as("i"), col("x.l").as("l"))
+      .withColumn("piece", expr(
+        "substring(word, cast(i + 1 as int), cast(l as int))"))
+    cands.join(scored, Seq("piece"))
+      .select(col("word"), col("i"), col("l"),
+        (lit(TokWeight) - col("cnt")).as("s"))
+      .groupBy(col("word"))
+      .agg(collect_list(struct(col("i"), col("l"), col("s"))).as("occs"))
+      .select(col("word"), ColumnBridge.column(
+        graft.functions.AdditiveViterbi(
+          ColumnBridge.expression(length(col("word"))),
+          ColumnBridge.expression(col("occs")))).as("key"))
+      .where(col("key").isNotNull)
       .withColumn("n", expr(s"(key + ${TokWeight - 1}) div $TokWeight"))
       .select(col("word"), col("n"),
         (col("n") * lit(TokWeight) - col("key")).as("s"))

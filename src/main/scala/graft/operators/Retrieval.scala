@@ -308,6 +308,59 @@ object Retrieval {
     (tfc, top.withColumn("rank", row_number().over(w).cast("long")))
   }
 
+  /** Several [[classCoverageRun]]s that differ only in the term budget
+    * `nTerms`, served from ONE ranked-vocabulary pass and ONE distinct
+    * (doc, word) projection (r14 optimization round, guide §2.4: the
+    * run-vs-run comparison queries — q_rank_overlap, q_eval_ci — built
+    * each run independently, re-running the corpus (class, word) tf
+    * exchange AND the corpus-wide distinct-word explode per budget,
+    * when the budgets differ only in the `rk <= n` cut of the SAME
+    * deterministic ranking). Per-budget output is IDENTICAL to
+    * [[classCoverageRun]] with that budget: `rk` is a row_number over
+    * the total order (conc_ppm desc, tf desc, word), so the top-n of
+    * the top-max ranking IS the top-n ranking.
+    *
+    * @param rankK extra ranked-vocabulary depth to retain beyond the
+    *        run budgets (0 = none): callers that also need the ranked
+    *        terms themselves at a deeper cut (q_ndcg's grade-5
+    *        judgment vocabulary next to its 3-term run) read them from
+    *        `handles(1)` instead of re-running classTerms.
+    * @return (handles, runs): `handles` are the persisted relations
+    *         (class tf, ranked vocab, distinct doc-word) the caller
+    *         releases after materializing (the Drain contract);
+    *         `runs(i)` corresponds to `nTermsList(i)`. */
+  def classCoverageRuns(docs: DataFrame, idCol: String, classCol: String,
+      textCol: String, nTermsList: Seq[Int], minTf: Long, k: Int,
+      rankK: Int = 0): (Seq[DataFrame], Seq[DataFrame]) = {
+    require(nTermsList.nonEmpty)
+    val (tfc, ranked) = TextAnalysis.classTerms(
+      docs, classCol, textCol, minTf, math.max(nTermsList.max, rankK))
+    // ranked is vocabulary-sized (classes × max budget after the cut);
+    // persisted because each budget's broadcast re-reads it
+    val rankedP = ranked
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the one corpus-sized shared relation: distinct (doc, word) pairs,
+    // read once per budget's coverage join
+    val dw = docs
+      .select(col(idCol).as("doc"),
+        explode(expr(Dedup.wordsExpr(textCol))).as("word"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val runs = nTermsList.map { n =>
+      val cov = dw
+        .join(broadcast(rankedP.where(col("rk") <= n)
+          .select(col("class").as("query"), col("word"))), Seq("word"))
+        .groupBy(col("query"), col("doc"))
+        .agg(count(lit(1)).as("coverage"))
+      val top = TopN.topNPerGroup(cov, "query", "coverage", "doc", k)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query"))
+        .orderBy(col("coverage").desc, col("doc"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+    }
+    (Seq(tfc, rankedP, dw), runs)
+  }
+
   /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
     * two rankings, truncated at depth `k`, with the persistence
     * parameter fixed at the DYADIC p = 1/2 so the whole score is

@@ -36,10 +36,13 @@ import org.apache.spark.sql.functions._
   * Distribution shape (the 100 TB contract): identical to
   * [[MaxMatch]] — every per-round relation is word-TYPE-sized; the
   * corpus is scanned once for frequencies and once (as a join) at
-  * encode; DP steps are ≤[[MaxMatch.MaxPieceLen]] equi-joins per
-  * cursor against the vocabulary; per-step results localCheckpoint
-  * (each is read by up to MaxPieceLen later steps, and lineage must
-  * not compound across rounds). Production shape: [[train]] once,
+  * encode; a Viterbi pass is ONE equi-join of all ≤MaxPieceLen·len
+  * candidate occurrences per word type against the scored vocabulary,
+  * one per-word collect (≤4·[[WordCap]] packed occurrences), and the
+  * word-local [[graft.functions.UnigramViterbi]] DP replay (r14 — the
+  * [[MaxMatch]] round-12 greedy-walk restructure applied to the DP;
+  * formerly maxSteps sequential checkpointed join steps plus a decode
+  * loop of the same depth). Production shape: [[train]] once,
   * persist the (piece, cnt) vocabulary as an artifact, then
   * [[encodeWith]] serves every later corpus WITHOUT retraining.
   */
@@ -83,21 +86,33 @@ object UnigramLM {
     * [[MaxMatch.viterbiTokens]]). */
   def encodeWith(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
-    val (words, wf, maxSteps) = prep(docs, idCol, textCol)
-    encodeFrom(words, wf, maxSteps,
-      vocab.select(col("piece"), col("cnt")))
+    val (words, wf) = prep(docs, idCol, textCol)
+    encodeFrom(words, wf, vocab.select(col("piece"), col("cnt")))
   }
 
   private def prep(docs: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame, Int) = {
+      textCol: String): (DataFrame, DataFrame) = {
     val words = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(expr(Dedup.wordsExpr(textCol))).as("word"))
     val wf = words.where(length(col("word")) <= WordCap)
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
       .localCheckpoint(true)
-    val maxRow = wf.agg(max(length(col("word")))).head
-    (words, wf, if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0))
+    (words, wf)
   }
+
+  /** All (start, length) piece occurrences of every word type (starts
+    * 0-based, code points) — the lattice candidate relation,
+    * word-TYPE-sized × ≤[[MaxPieceLen]]·[[WordCap]] rows. */
+  private def occ(wf: DataFrame): DataFrame =
+    wf.select(col("word"), explode(expr(
+        s"""flatten(transform(sequence(1, $MaxPieceLen),
+           |  l -> if(length(word) < l, array(),
+           |    transform(sequence(0, length(word) - l),
+           |      i -> named_struct('i', i, 'l', l)))))""".stripMargin))
+        .as("x"))
+      .select(col("word"), col("x.i").as("i"), col("x.l").as("l"))
+      .withColumn("piece", expr(
+        "substring(word, cast(i + 1 as int), cast(l as int))"))
 
   /** Add-1-smoothed micro-nat scores for a (piece, cnt) vocabulary:
     * floor(1e6 · ln((total + |V|)/(cnt + 1))). */
@@ -111,66 +126,46 @@ object UnigramLM {
       .localCheckpoint(true) // read by every DP step
   }
 
-  /** One Viterbi pass of every word type under scored pieces:
-    * per word the best packed key (score·2^26 + sentinel-led path). */
-  private def best(wf: DataFrame, maxSteps: Int, sc: DataFrame): DataFrame = {
-    val b0 = wf.select(col("word"), lit(1L).as("key")) // score 0, path 1
-    val bs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (p <- 1 to maxSteps) {
-      val cands = (1 to math.min(MaxPieceLen, p)).map { l =>
-        val prev = if (p - l == 0) b0 else bs(p - l - 1)
-        prev.where(length(col("word")) >= p)
-          .withColumn("piece", expr(s"substring(word, ${p - l + 1}, $l)"))
-          .join(sc, Seq("piece"))
-          // split the packed key, extend both fields, repack
-          .select(col("word"), expr(
-            s"""(key div $PathShift + s) * $PathShift +
-               |((key % $PathShift) * 4 + ${l - 1})""".stripMargin)
-            .as("key"))
-      }.reduce(_ unionByName _)
-      bs += cands.groupBy(col("word")).agg(min(col("key")).as("key"))
-        .localCheckpoint(true)
-    }
-    if (bs.isEmpty) b0.where(lit(false))
-    else bs.zipWithIndex.map { case (b, i) =>
-      b.where(length(col("word")) === i + 1)
-    }.reduce(_ unionByName _)
-  }
-
-  /** Decode winning segmentations: `(word, piece)` rows with
-    * multiplicity, by popping base-4 length digits off the path —
-    * WordCap tiny expression steps, no joins. */
-  private def decode(bestKeys: DataFrame, maxSteps: Int): DataFrame = {
-    var state = bestKeys.select(col("word"),
-      length(col("word")).cast("long").as("pend"),
-      (col("key") % PathShift).as("path"))
-    var used: DataFrame = null
-    for (_ <- 1 to maxSteps) {
-      val step = state.where(col("path") > 1L)
-        .withColumn("l", expr("path % 4 + 1"))
-        .localCheckpoint(true) // read twice: emit + next state
-      val u = step.select(col("word"),
-        expr("substring(word, cast(pend - l + 1 as int), cast(l as int))")
-          .as("piece"))
-      used = if (used == null) u else used.unionByName(u)
-      state = step.select(col("word"), (col("pend") - col("l")).as("pend"),
-        expr("path div 4").as("path"))
-    }
-    if (used == null) bestKeys.select(col("word"),
-      col("word").as("piece")).where(lit(false))
-    else used
+  /** One Viterbi pass of every word type under scored pieces `sc`
+    * (piece, s): `(word, key, pieces)` — best packed key
+    * (score·2^26 + sentinel-led path) plus the winning segmentation's
+    * piece multiset, already decoded.
+    *
+    * r14 optimization-round restructure (guide §1.2; the
+    * [[MaxMatch]] round-12 greedy-walk precedent): the former
+    * join-per-DP-position loop paid `maxSteps` (≤[[WordCap]])
+    * sequential jobs — each a vocab join + per-word min + eager
+    * localCheckpoint — plus another `maxSteps` for the path decode,
+    * even though each word's lattice is word-local once its vocabulary
+    * hits are known. Now ALL (start, length) candidates join the
+    * scored vocabulary ONCE, collect per word (≤4·[[WordCap]]
+    * packed occurrences), and [[graft.functions.UnigramViterbi]]
+    * replays the exact packed-key recurrence and the exact base-4 path
+    * pop per row. Identical keys and piece multisets (min() and the
+    * decode are order-independent, so `collect_list`'s
+    * nondeterministic order is immaterial); a word with no
+    * full-coverage segmentation returns NULL and is filtered — the old
+    * final frontier's inner-join drop semantics, unchanged. */
+  private def viterbiAll(wf: DataFrame, sc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    occ(wf).join(sc, Seq("piece"))
+      .groupBy(col("word"))
+      .agg(collect_list(struct(col("i"), col("l"), col("s"))).as("occs"))
+      .select(col("word"), ColumnBridge.column(
+        graft.functions.UnigramViterbi(
+          ColumnBridge.expression(col("word")),
+          ColumnBridge.expression(col("occs")))).as("r"))
+      .where(col("r").isNotNull)
+      .select(col("word"), col("r.key").as("key"),
+        col("r.pieces").as("pieces"))
   }
 
   /** The apply side: one Viterbi pass under `vocab` (piece, cnt) +
     * the per-document rollup. */
-  private def encodeFrom(words: DataFrame, wf: DataFrame, maxSteps: Int,
+  private def encodeFrom(words: DataFrame, wf: DataFrame,
       vocab: DataFrame): DataFrame = {
-    val keys = best(wf, maxSteps, scores(vocab))
-      .localCheckpoint(true) // read twice: decode + nll join
-    val perWord = keys
-      .join(decode(keys, maxSteps).groupBy("word")
-        .agg(count(lit(1)).cast("long").as("n")), Seq("word"))
-      .select(col("word"), col("n"),
+    val perWord = viterbiAll(wf, scores(vocab))
+      .select(col("word"), size(col("pieces")).cast("long").as("n"),
         expr(s"key div $PathShift").as("nll"))
     words.join(perWord, Seq("word"))
       .groupBy(col("doc_id")).agg(
@@ -232,7 +227,7 @@ object UnigramLM {
   def trainSoft(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
-    val (_, wf, maxSteps) = prep(docs, idCol, textCol)
+    val (_, wf) = prep(docs, idCol, textCol)
 
     val tf = wf.agg(sum(col("freq")).cast("long").as("tf"))
     val wfp = wf.crossJoin(tf)
@@ -256,7 +251,7 @@ object UnigramLM {
 
     for (_ <- 1 to rounds) {
       val pfx = pFixed(cnt)
-      val raw = expectedCounts(wf, wfp, maxSteps, pfx)
+      val raw = expectedCounts(wf, wfp, pfx)
         .localCheckpoint(true) // read by prune (top-k) + the left join
       val totRaw = raw.agg(sum(col("cnt")).cast("long").as("tr"))
       cnt = cnt.select(col("piece")).where(length(col("piece")) === 1)
@@ -338,38 +333,32 @@ object UnigramLM {
   }
 
   /** E-step: expected piece counts `(piece, cnt)` in
-    * freq_ppm·nano-posterior units. */
-  private def expectedCounts(wf: DataFrame, wfp: DataFrame, maxSteps: Int,
+    * freq_ppm·nano-posterior units.
+    *
+    * r14 optimization-round restructure (guide §1.2, the [[viterbiAll]]
+    * rationale): the forward AND backward lattices used to run as
+    * 2·maxSteps sequential checkpointed join+agg jobs, then four more
+    * joins reattached α/β/z to the occurrence rows. Now the occurrence
+    * relation joins the nano-prob vocabulary ONCE, collects per word,
+    * and [[graft.functions.UnigramPosteriors]] replays the exact
+    * per-TERM-floored fixed-point recurrences word-locally, emitting
+    * (piece, post) pairs with the identical inner-join drop semantics
+    * (unreachable α/β frontier ⇒ no row; no z ⇒ word gone). */
+  private def expectedCounts(wf: DataFrame, wfp: DataFrame,
       pfx: DataFrame): DataFrame = {
-    val fw = forwardFixed(wf, maxSteps, pfx)
-    val bw = backwardFixed(wf, maxSteps, pfx)
-    val af = fw.zipWithIndex.map { case (d, j) =>
-      d.select(col("word"), lit(j).as("i"), col("a"))
-    }.reduce(_ unionByName _)
-    val bt = bw.zipWithIndex.map { case (d, m) =>
-      d.select(col("word"), lit(m).as("m"), col("b"))
-    }.reduce(_ unionByName _)
-    val z = (1 to maxSteps).map { j =>
-      fw(j).where(length(col("word")) === j)
-        .select(col("word"), col("a").as("z"))
-    }.reduce(_ unionByName _)
-    val occ = wf.select(col("word"), explode(expr(
-        s"""flatten(transform(sequence(1, $MaxPieceLen),
-           |  l -> if(length(word) < l, array(),
-           |    transform(sequence(0, length(word) - l),
-           |      i -> named_struct('i', i, 'l', l)))))""".stripMargin))
-        .as("x"))
-      .select(col("word"), col("x.i").as("i"), col("x.l").as("l"))
-      .withColumn("piece", expr(
-        "substring(word, cast(i + 1 as int), cast(l as int))"))
-    occ.join(broadcast(pfx), Seq("piece"))
-      .join(af, Seq("word", "i"))
-      .withColumn("m", length(col("word")) - col("i") - col("l"))
-      .join(bt, Seq("word", "m"))
-      .join(z, Seq("word"))
-      .select(col("word"), col("piece"), expr(
-        s"""((a * p div ${Scale}L) * b div ${Scale}L) * ${Scale}L
-           |div greatest(z, 1L)""".stripMargin).as("post"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    occ(wf).join(broadcast(pfx), Seq("piece"))
+      .groupBy(col("word"))
+      .agg(collect_list(struct(col("i"), col("l"), col("p").as("s")))
+        .as("occs"))
+      .select(col("word"), ColumnBridge.column(
+        graft.functions.UnigramPosteriors(
+          ColumnBridge.expression(col("word")),
+          ColumnBridge.expression(col("occs")))).as("r"))
+      .where(col("r").isNotNull)
+      .select(col("word"), explode(col("r.posts")).as("pp"))
+      .select(col("word"), col("pp.piece").as("piece"),
+        col("pp.post").as("post"))
       .join(wfp, Seq("word"))
       .groupBy("piece")
       .agg(sum(expr("freq_ppm * post")).cast("long").as("cnt"))
@@ -378,7 +367,7 @@ object UnigramLM {
   private def core(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): (DataFrame, () => DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
-    val (words, wf, maxSteps) = prep(docs, idCol, textCol)
+    val (words, wf) = prep(docs, idCol, textCol)
 
     // seed: every substring occurrence (with multiplicity) weighted by
     // word frequency — SentencePiece seeds probabilities from substring
@@ -393,7 +382,8 @@ object UnigramLM {
 
     var usage: DataFrame = null
     for (_ <- 1 to rounds) {
-      usage = decode(best(wf, maxSteps, scores(cnt)), maxSteps)
+      usage = viterbiAll(wf, scores(cnt))
+        .select(col("word"), explode(col("pieces")).as("piece"))
         .join(wf, Seq("word"))
         .groupBy("piece").agg(sum(col("freq")).cast("long").as("cnt"))
         .localCheckpoint(true)
@@ -411,7 +401,7 @@ object UnigramLM {
     val trainOut = cnt.select(col("piece"),
       length(col("piece")).cast("long").as("piece_len"), col("cnt"))
 
-    val encodeOut = () => encodeFrom(words, wf, maxSteps, cnt)
+    val encodeOut = () => encodeFrom(words, wf, cnt)
     (trainOut, encodeOut)
   }
 }

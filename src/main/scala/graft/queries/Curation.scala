@@ -922,18 +922,16 @@ object Curation extends QueryModule {
     GraftQuery("q_rank_overlap",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val (tfcA, runA) = graft.operators.Retrieval.classCoverageRun(
-          docs, "doc_id", "source", "text", nTerms = 5, minTf = 5L,
-          k = 10)
-        val (tfcB, runB) = graft.operators.Retrieval.classCoverageRun(
-          docs, "doc_id", "source", "text", nTerms = 3, minTf = 5L,
-          k = 10)
-        // RBO output is queries-sized — drain and release both runs'
-        // cached handles (the two-call form is the measured-faster
-        // record; see BENCH_SCALE.md r12)
-        Drain.drainedAll(s, Seq(tfcA, tfcB),
+        // r14 (guide §2.4): both budgets from ONE ranked-vocab pass +
+        // ONE distinct (doc, word) projection — the former two-call
+        // form re-ran the corpus tf exchange and the distinct-word
+        // explode for a cutoff that differs only in `rk <= n`
+        val (handles, runs) = graft.operators.Retrieval.classCoverageRuns(
+          docs, "doc_id", "source", "text", nTermsList = Seq(5, 3),
+          minTf = 5L, k = 10)
+        Drain.drainedAll(s, handles,
           graft.operators.Retrieval.rankBiasedOverlap(
-            runA, runB, "query", "doc", "rank", k = 10))
+            runs(0), runs(1), "query", "doc", "rank", k = 10))
       },
       Some("""WITH u AS (
              |  SELECT source, unnest(list_filter(string_split(text, ' '),
@@ -996,22 +994,22 @@ object Curation extends QueryModule {
         val docs = t(s, dir, "documents")
         val qrels = docs.select(col("source").as("query"),
           col("doc_id").as("doc"))
-        val (tfcA, runA) = graft.operators.Retrieval.classCoverageRun(
-          docs, "doc_id", "source", "text", nTerms = 5, minTf = 5L,
-          k = 10)
-        val (tfcB, runB) = graft.operators.Retrieval.classCoverageRun(
-          docs, "doc_id", "source", "text", nTerms = 3, minTf = 5L,
-          k = 10)
+        // r14 (guide §2.4): both budgets from ONE ranked-vocab pass +
+        // ONE distinct (doc, word) projection (the classCoverageRuns
+        // restructure — see q_rank_overlap)
+        val (handles, runs) = graft.operators.Retrieval.classCoverageRuns(
+          docs, "doc_id", "source", "text", nTermsList = Seq(5, 3),
+          minTf = 5L, k = 10)
         // same altitude as q_ndcg_ci: checkpoint the (queries x k)
         // runs and queries-sized metric relations so each coverage/AP
         // chain evaluates once, not once per downstream reference
         val apA = graft.operators.Retrieval.averagePrecisionAtK(
-          runA.localCheckpoint(true), qrels, "query", "doc", "rank",
+          runs(0).localCheckpoint(true), qrels, "query", "doc", "rank",
           k = 10).localCheckpoint(true)
         val apB = graft.operators.Retrieval.averagePrecisionAtK(
-          runB.localCheckpoint(true), qrels, "query", "doc", "rank",
+          runs(1).localCheckpoint(true), qrels, "query", "doc", "rank",
           k = 10).localCheckpoint(true)
-        Drain.drainedAll(s, Seq(tfcA, tfcB),
+        Drain.drainedAll(s, handles,
           graft.operators.Retrieval.metricDeltaCi(
             apA, apB, "ap_ppm", replicates = 64))
       },
@@ -1033,9 +1031,16 @@ object Curation extends QueryModule {
     GraftQuery("q_ndcg_ci",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val (tfcA, runA) = graft.operators.Retrieval.classCoverageRun(
-          docs, "doc_id", "source", "text", nTerms = 5, minTf = 5L,
-          k = 10)
+        // r14 (guide §2.4): the coverage run, the 5-term judgment
+        // vocabulary, and the distinct (doc, word) relation all come
+        // from ONE classCoverageRuns pass — the former form ran
+        // classCoverageRun AND a second classTerms AND a second
+        // distinct-word explode (three duplicated corpus passes)
+        val (handles, runs) = graft.operators.Retrieval.classCoverageRuns(
+          docs, "doc_id", "source", "text", nTermsList = Seq(5),
+          minTf = 5L, k = 10)
+        val terms5 = handles(1) // the ranked vocab, already cut to rk<=5
+        val dw = handles(2)     // the shared distinct (doc, word) pairs
         // baseline: one TakeOrdered top-10 (distributed,
         // early-stopping), rank window over those 10 rows only
         val topShort = docs
@@ -1046,16 +1051,9 @@ object Curation extends QueryModule {
             row_number().over(org.apache.spark.sql.expressions.Window
               .orderBy(col("n_chars").asc, col("doc"))).cast("long")))
           .select(col("query"), col("doc"), col("rank"))
-        val (tfcC, terms5) = graft.operators.TextAnalysis.classTerms(
-          docs, "source", "text", minTf = 5L, k = 5)
-        val dw = docs.select(col("doc_id").as("doc"),
-            explode(expr(graft.operators.Dedup.wordsExpr("text")))
-              .as("word"))
-          .distinct()
         // persisted: qrels is referenced FOUR times (each ndcgAtK's
-        // DCG join + ideal side), and each lazy reference would
-        // re-run the corpus-wide distinct-word explode behind dw;
-        // released through the Drain contract with the tf handles
+        // DCG join + ideal side); released through the Drain contract
+        // with the shared handles
         val qrels = dw
           .join(broadcast(terms5.select(col("class").as("query"),
             col("word"))), Seq("word"))
@@ -1067,14 +1065,14 @@ object Curation extends QueryModule {
         // coverage/ndcg chains run ONCE each (ndcgAtK references its
         // run twice; metricDeltaCi references each metric relation
         // twice - point mean + replicates)
-        val runAc = runA.localCheckpoint(true)
+        val runAc = runs(0).localCheckpoint(true)
         val ndA = graft.operators.Retrieval.ndcgAtK(
           runAc, qrels, "query", "doc", "rank", "grade", k = 10)
           .localCheckpoint(true)
         val ndB = graft.operators.Retrieval.ndcgAtK(
           runB.localCheckpoint(true), qrels, "query", "doc", "rank",
           "grade", k = 10).localCheckpoint(true)
-        Drain.drainedAll(s, Seq(tfcA, tfcC, qrels),
+        Drain.drainedAll(s, handles :+ qrels,
           graft.operators.Retrieval.metricDeltaCi(
             ndA, ndB, "ndcg_ppm", replicates = 64))
       },
@@ -1090,23 +1088,22 @@ object Curation extends QueryModule {
     GraftQuery("q_ndcg",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val (tfcA, run) = graft.operators.Retrieval.classCoverageRun(
-          docs, "doc_id", "source", "text", nTerms = 3, minTf = 5L,
-          k = 10)
-        val (tfcB, terms5) = graft.operators.TextAnalysis.classTerms(
-          docs, "source", "text", minTf = 5L, k = 5)
-        val dw = docs.select(col("doc_id").as("doc"),
-            explode(expr(graft.operators.Dedup.wordsExpr("text")))
-              .as("word"))
-          .distinct()
-        val qrels = dw
-          .join(broadcast(terms5.select(col("class").as("query"),
+        // r14 (guide §2.4): the 3-term run, the 5-term judgment vocab
+        // (rankK = 5 on the SAME deterministic ranking), and the
+        // distinct (doc, word) relation from ONE classCoverageRuns
+        // pass — formerly a second classTerms and a second
+        // distinct-word explode ran just for qrels
+        val (handles, runs) = graft.operators.Retrieval.classCoverageRuns(
+          docs, "doc_id", "source", "text", nTermsList = Seq(3),
+          minTf = 5L, k = 10, rankK = 5)
+        val qrels = handles(2)
+          .join(broadcast(handles(1).select(col("class").as("query"),
             col("word"))), Seq("word"))
           .groupBy(col("query"), col("doc"))
           .agg(least(count(lit(1)), lit(3L)).cast("long").as("grade"))
-        Drain.drainedAll(s, Seq(tfcA, tfcB),
+        Drain.drainedAll(s, handles,
           graft.operators.Retrieval.ndcgAtK(
-            run, qrels, "query", "doc", "rank", "grade", k = 10))
+            runs(0), qrels, "query", "doc", "rank", "grade", k = 10))
       },
       Some {
         val wt = graft.operators.Retrieval.DcgDiscountMicro.take(10)
