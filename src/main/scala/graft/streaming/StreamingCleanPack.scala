@@ -106,14 +106,19 @@ object StreamingCleanPack {
     * before the texts append; see [[StreamingCorpusClean.foldDocs]]). */
   private[graft] def stagePending(spark: SparkSession, base: String,
       delta: DataFrame): Unit = {
-    val row = delta.agg(
-      count(lit(1)), min(col("doc_id")), max(col("doc_id")),
-      sum(expr("doc_id % 1000000007L"))).head
-    if (row.getLong(0) > 0L) {
-      val tag = s"d_${row.getLong(1)}_${row.getLong(2)}_" +
-        s"${row.getLong(0)}_${row.getLong(3)}"
-      delta.write.mode("overwrite").parquet(s"${pendingPath(base)}/$tag")
-    }
+    // two consumers (content tag + write): persist so the delta's
+    // anti-join evaluates once per fold, not once per action (r14)
+    val d = delta.persist()
+    try {
+      val row = d.agg(
+        count(lit(1)), min(col("doc_id")), max(col("doc_id")),
+        sum(expr("doc_id % 1000000007L"))).head
+      if (row.getLong(0) > 0L) {
+        val tag = s"d_${row.getLong(1)}_${row.getLong(2)}_" +
+          s"${row.getLong(0)}_${row.getLong(3)}"
+        d.write.mode("overwrite").parquet(s"${pendingPath(base)}/$tag")
+      }
+    } finally { d.unpersist(); () }
   }
 
   /** Consume the staged pending deltas into the packed artifact —

@@ -114,10 +114,27 @@ object StreamingCorpusClean {
     // also fall to the near-dup verify — identical text is Jaccard 1 —
     // but short texts can have empty shingle sets, so demotion is
     // explicit, not delegated.)
-    val storedKeeper = storedT
-      .groupBy(col("norm_text")).agg(min(col("doc_id")).as("stored_id"))
-    val batchMin = cleaned
+    // r14 (guide §2.4/§3.2): every store probe below is explicitly
+    // BATCH-broadcast-driven, so no fold ever plans a corpus-sized
+    // exchange of a stored artifact. The exact-keeper probe pre-filters
+    // the stored texts with a broadcast semi-join on xxhash64(text)
+    // (hash collisions only ADD candidate rows; the min/left-join on
+    // the full norm_text stays exact), the band and shingle probes
+    // broadcast the batch-sized relation instead of leaving the join
+    // strategy to estimates — before this, the planner was free to
+    // sort-merge, shuffling texts/bands artifacts that GROW with the
+    // corpus once per fold (the scan still reads them; the exchange no
+    // longer moves them).
+    val batchTexts = cleaned
       .groupBy(col("norm_text")).agg(min(col("doc_id")).as("doc_id"))
+      .persist()
+    val storedKeeper = storedT
+      .withColumn("__h", xxhash64(col("norm_text")))
+      .join(broadcast(batchTexts
+        .select(xxhash64(col("norm_text")).as("__h")).distinct()),
+        Seq("__h"), "left_semi")
+      .groupBy(col("norm_text")).agg(min(col("doc_id")).as("stored_id"))
+    val batchMin = batchTexts
       .join(storedKeeper, Seq("norm_text"), "left")
       .where(col("stored_id").isNull || col("doc_id") < col("stored_id"))
       .persist()
@@ -127,22 +144,23 @@ object StreamingCorpusClean {
       .select(col("doc_id"), col("norm_text"))
       .persist()
     try {
-      demoted.write.mode("append").parquet(dropsPath(base))
       val newBands = StreamingDedup
         .bandedSignatures(newExact, "doc_id", "norm_text")
         .persist()
 
       // candidates: new-vs-stored through the band index, new-vs-new
       // within the batch — together, every band collision among all
-      // exact survivors whose later member is in this batch
-      val candOld = newBands.as("n")
-        .join(storedB.as("s"),
+      // exact survivors whose later member is in this batch. The batch
+      // side is broadcast BY CONTRACT (micro-batches are bounded); the
+      // stored band index streams through map-side, never shuffles.
+      val candOld = storedB.as("s")
+        .join(broadcast(newBands.as("n")),
           col("n.band") === col("s.band") && col("n.bhash") === col("s.bhash") &&
             col("n.doc_id") =!= col("s.doc_id"))
         .select(least(col("n.doc_id"), col("s.doc_id")).as("doc_a"),
           greatest(col("n.doc_id"), col("s.doc_id")).as("doc_b"))
       val candNew = newBands.as("a")
-        .join(newBands.as("b"),
+        .join(broadcast(newBands.as("b")),
           col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -152,15 +170,16 @@ object StreamingCorpusClean {
 
       // exact-Jaccard verify on candidate rows only — the batch
       // operator's verify expression verbatim (rounded to 4 dp). The
-      // shingle projection is SEMI-JOINED to the candidate ids first:
-      // without it every fold would evaluate the expensive shingle
-      // arrays for the ENTIRE stored corpus just to verify a
-      // batch-sized candidate set.
+      // shingle projection is SEMI-JOINED to the candidate ids first
+      // (broadcast — candidate ids are batch-collision-sized): without
+      // it every fold would evaluate the expensive shingle arrays for
+      // the ENTIRE stored corpus just to verify a batch-sized
+      // candidate set.
       import graft.operators.Dedup.{shinglesExpr, wordsExpr}
       val candIds = cands.select(col("doc_a").as("cid"))
         .unionByName(cands.select(col("doc_b").as("cid"))).distinct()
       val sh = storedT.unionByName(newExact)
-        .join(candIds, col("doc_id") === col("cid"), "left_semi")
+        .join(broadcast(candIds), col("doc_id") === col("cid"), "left_semi")
         .select(col("doc_id").as("id"),
           expr(shinglesExpr(wordsExpr("norm_text"))).as("sh"))
       // persisted: the drops append, the onNewlyKept delta (which the
@@ -179,21 +198,27 @@ object StreamingCorpusClean {
         .persist()
 
       // append AFTER the fold's joins materialized, so the batch never
-      // probes its own stored rows
-      verified.write.mode("append").parquet(dropsPath(base))
-      newBands.write.mode("append").parquet(bandsPath(base))
-      // the newly-kept delta is surfaced BEFORE the texts append: texts
-      // is the commit point (a replayed batch no-ops only once texts
-      // landed), so every crash window either re-runs the hook with the
-      // identical recomputed delta or already staged it. If the bands
-      // append above invalidated the cands cache (recache-by-path), the
-      // recompute sees the fold's OWN bands in storedB — the extra
-      // candidates are exactly candNew's same-batch pairs again, so the
-      // distinct()'d pair set (hence verified, hence the delta) is
-      // unchanged; texts is still unappended, so sh and the exact stage
-      // are untouched.
+      // probes its own stored rows. The demoted exact-keepers ride the
+      // same append (r14: one drops write per fold instead of two —
+      // nothing in the fold reads drops, so the old earlier write
+      // bought nothing; a crash-replayed fold re-appends the same
+      // rows either way, and drops duplicates are absorbed by the
+      // left_anti reads)
+      demoted.unionByName(verified).write.mode("append")
+        .parquet(dropsPath(base))
+      // the newly-kept delta is surfaced BEFORE the bands/texts appends
+      // (r14 reorder): texts is the commit point (a replayed batch
+      // no-ops only once texts landed), so every crash window either
+      // re-runs the hook with the identical recomputed delta or
+      // already staged it — and running the hook before ANY append
+      // that a cached fold relation reads from (the bands append
+      // invalidates cands/verified by recache-by-path) means the delta
+      // is served from the still-valid caches instead of re-running
+      // the whole candidate+shingle verify chain per fold (measured:
+      // ~3.3 s of every ~7 s clean fold was exactly that recompute).
       onNewlyKept.foreach(f =>
         f(newExact.join(verified, Seq("doc_id"), "left_anti")))
+      newBands.write.mode("append").parquet(bandsPath(base))
       newExact.write.mode("append").parquet(textsPath(base))
       verified.unpersist()
       cands.unpersist()
@@ -201,6 +226,7 @@ object StreamingCorpusClean {
     } finally {
       newExact.unpersist()
       batchMin.unpersist()
+      batchTexts.unpersist()
     }
   }
 
