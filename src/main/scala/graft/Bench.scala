@@ -17,7 +17,11 @@ import org.apache.spark.sql.SparkSession
   *     different queries each pass and the median shakes it off;
   *   - an untimed GC fence between queries keeps one query's garbage from
   *     being collected inside the next query's timed region (the r5
-  *     "GC episode smears a contiguous stretch" failure mode);
+  *     "GC episode smears a contiguous stretch" failure mode); r14: the
+  *     fence fires after substantial (≥0.4 s) queries and every 16th
+  *     query rather than after every one — the per-query fence was ~15%
+  *     of pass wall, which under the deadline cost entire reps (see
+  *     gcFence below);
   *   - per-pass box metadata (loadavg, MemAvailable, JVM GC seconds, wall
   *     time) is recorded in the detail file so a drifted total can be
   *     attributed to box load instead of code.
@@ -96,6 +100,22 @@ object Bench {
           l.split("\\s+")(1).toDouble / (1024 * 1024) }.getOrElse(-1.0)
       catch { case _: Throwable => -1.0 }
 
+    // GC fence budget (r14): a full System.gc() on this heap costs
+    // ~0.2-0.4 s, and paying it after EVERY query made the fence ~15%
+    // of each pass's wall (measured: rep wall 863 s vs 740 s of timed
+    // samples) — which, under the survivability deadline, is what
+    // degrades 3 reps to 1 and costs the medians their robustness. A
+    // sub-0.4 s query allocates proportionally little garbage, so the
+    // fence now fires for substantial queries and unconditionally every
+    // 16th query (bounding accumulation); any residual smear poisons at
+    // most one sample and the median shakes it off (the design premise
+    // the fence shares with pass rotation).
+    var sinceGc = 0
+    def gcFence(dt: Double): Unit = {
+      sinceGc += 1
+      if (dt >= 0.4 || sinceGc >= 16) { System.gc(); sinceGc = 0 }
+    }
+
     def timeOne(fn: QFn): Double = {
       val s0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
@@ -105,7 +125,7 @@ object Bench {
       // query's garbage NOW instead of letting it surface as a GC pause
       // inside the next query's timed region.
       spark.catalog.clearCache()
-      System.gc()
+      gcFence(dt)
       dt
     }
 

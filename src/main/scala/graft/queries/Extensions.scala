@@ -3118,8 +3118,13 @@ object Extensions extends QueryModule {
           .select((col("o_custkey") * 2).as("a"),
             (col("l_suppkey") * 2 + 1).as("b"))
           .distinct()
-        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
-          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        // r14: symmetrize with ONE explode pass instead of a union of
+        // two selects - the union evaluated the whole edge-build subtree
+        // (the orders><lineitem join + distinct) once per branch
+        val edges = e0.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val ranks = graft.operators.Graphs.pageRank(edges, iters = 3)
         drained(s, ranks,
           ranks.select(col("node"), round(col("rank"), 9).as("rank")))
@@ -3139,8 +3144,13 @@ object Extensions extends QueryModule {
           .select((col("o_custkey") * 2).as("a"),
             (col("l_suppkey") * 2 + 1).as("b"))
           .distinct()
-        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
-          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        // r14: symmetrize with ONE explode pass instead of a union of
+        // two selects - the union evaluated the whole edge-build subtree
+        // (the orders><lineitem join + distinct) once per branch
+        val edges = e0.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val ranks = graft.operators.Graphs.pageRank(edges, iters = 3)
         graft.operators.Graphs.writeRanks(ranks, s"ranks_art_$tag",
           s"/tmp/graft_artifacts/$tag/ranks")
@@ -3164,9 +3174,13 @@ object Extensions extends QueryModule {
           .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select((col("o_custkey") * 2).as("a"),
             (col("l_suppkey") * 2 + 1).as("b"), col("o_orderkey"))
+        // r14: one explode pass instead of a two-branch union (see
+        // q_pagerank)
         def sym(e0: DataFrame) = e0
-          .select(col("a").as("src"), col("b").as("dst"))
-          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+          .select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val eOld = sym(base.where(col("o_orderkey") % 20 =!= 0)
           .select(col("a"), col("b")).distinct())
         val eNew = sym(base.select(col("a"), col("b")).distinct())
@@ -3234,8 +3248,12 @@ object Extensions extends QueryModule {
           .groupBy((col("o_custkey") * 2).as("a"),
             (col("l_suppkey") * 2 + 1).as("b"))
           .agg(count(lit(1)).cast("double").as("w"))
-        val edges = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
-          .union(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        // r14: one explode pass instead of a two-branch union (see
+        // q_pagerank)
+        val edges = e0.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst"), col("w")),
+            struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
         val ranks = graft.operators.Graphs.pageRankWeighted(edges, iters = 3)
         drained(s, ranks,
           ranks.select(col("node"), round(col("rank"), 9).as("rank")))
@@ -3281,8 +3299,13 @@ object Extensions extends QueryModule {
           .select((col("o_custkey") * 2).as("a"),
             (col("l_suppkey") * 2 + 1).as("b"))
           .distinct()
-        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
-          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        // r14: symmetrize with ONE explode pass instead of a union of
+        // two selects - the union evaluated the whole edge-build subtree
+        // (the orders><lineitem join + distinct) once per branch
+        val edges = e0.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val labs = graft.operators.Graphs.labelPropagation(edges, rounds = 4)
         drained(s, labs, labs)
       },
@@ -3451,8 +3474,12 @@ object Extensions extends QueryModule {
           .select(col("l_partkey"), col("l_suppkey"))
         val e0 = li.select((col("l_partkey") * 2).as("p"),
             (col("l_suppkey") * 2 + 1).as("s")).distinct()
-        val e = e0.select(col("p").as("src"), col("s").as("dst"))
-          .union(e0.select(col("s").as("src"), col("p").as("dst")))
+        // r14: one explode pass instead of a two-branch union (see
+        // q_pagerank)
+        val e = e0.select(explode(array(
+            struct(col("p").as("src"), col("s").as("dst")),
+            struct(col("s").as("src"), col("p").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val seeds = li.where(col("l_partkey") % 50 === 0)
           .select((col("l_partkey") * 2).as("node"))
         val d = graft.operators.Graphs.seedDistances(e, seeds, maxHops = 4)
