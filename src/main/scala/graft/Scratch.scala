@@ -31,6 +31,33 @@ object Scratch {
         org.apache.spark.sql.execution.FormattedMode))
     }
 
+    // r14 plan evidence for the graph-query symmetrization change: the
+    // registry queries Drain (collect) their output, so their final
+    // plans are LocalTableScans — this prints the EDGE-BUILD plan in
+    // both the replaced union-of-selects form and the shipped
+    // single-explode form (plans/r14/q_pagerank_edges_*.txt).
+    if (args.contains("symplans")) {
+      import org.apache.spark.sql.functions._
+      val e0 = Tables.t(spark, dir, "orders")
+        .join(Tables.t(spark, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val union = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      val exploded = e0.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      println("\n========== edges_union (before) ==========")
+      println(union.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      println("\n========== edges_explode (after) ==========")
+      println(exploded.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+
     if (args.isEmpty) {
       println(
         """usage: Scratch [explain:<query>]... [ngramprof] [cleanprof] [<query>]...
@@ -533,7 +560,7 @@ object Scratch {
 
     val modes = Set("ngramprof", "cleanprof", "winaudit", "scalegen",
       "scalegen30", "erprof", "semladder", "cpackprof", "spatialladder",
-      "crashes")
+      "crashes", "symplans")
     val toTime =
       if (args.isEmpty) defaults
       else args.toSeq.filterNot(a => a.startsWith("explain:") ||
